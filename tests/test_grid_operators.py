@@ -1,0 +1,137 @@
+"""Operator-level golden tests on the FIXTURES.md grid — mirrors the
+reference's offline-fixture test style (test_3_era5_manipulations.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.gridframe import GridFrame
+from xarray_dataaccessor_spark.meta import BoundingBox
+from xarray_dataaccessor_spark.operators.resample import (
+    freq_to_interval,
+    resample_aggregate,
+    resample_interpolate,
+)
+
+from tests.grid_fixture import N_T, T0, XS, YS, grid_df
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    df = grid_df(spark, with_nulls=False).cache()
+    df.count()
+    return df
+
+
+def test_freq_aliases():
+    assert freq_to_interval("T") == "1 minute"
+    assert freq_to_interval("15T") == "15 minutes"
+    assert freq_to_interval("1H") == "1 hour"
+    assert freq_to_interval("D") == "1 day"
+    assert freq_to_interval("30min") == "30 minutes"
+
+
+def test_bbox_time_filter_shapes(grid):
+    # analogue of the reference's axis-length assertions (test_2_era5.py:138,149)
+    gf = GridFrame(grid)
+    out = gf.filter_bbox(BoundingBox(west=-83.0, south=41.6, east=-80.0, north=42.7))
+    xs = sorted(r[0] for r in out.df.select("x").distinct().collect())
+    ys = sorted(r[0] for r in out.df.select("y").distinct().collect())
+    assert all(-83.0 <= x <= -80.0 for x in xs)
+    assert all(41.6 <= y <= 42.7 for y in ys)
+    # inclusive time slice: 3 days + 1 hour == 73 steps (test_2_era5.py:131)
+    t_end = T0 + dt.timedelta(hours=72)
+    full = gf.filter_time(T0, t_end)
+    assert full.df.select("time").distinct().count() == 73
+
+
+def test_resample_daily_agg_counts(grid):
+    # 73 hourly steps spanning 4 calendar days -> 4 daily buckets
+    for method in ("mean", "max", "min", "sum", "median", "first", "last"):
+        out = resample_aggregate(grid, "D", method)
+        assert out.select("time").distinct().count() == 4, method
+        assert out.count() == 4 * 7 * 19, method
+
+
+def test_resample_minutely_interpolation_count(grid):
+    # 73 hourly -> 4321 minutely, inclusive spine (test_3_era5_manipulations.py:105-117)
+    small = grid.filter((F.col("y") == YS[0]) & (F.col("x").isin(XS[:2])))
+    for method in ("linear", "nearest", "zero", "slinear"):
+        out = resample_interpolate(small, "T", method)
+        assert out.select("time").distinct().count() == (N_T - 1) * 60 + 1, method
+        assert out.count() == ((N_T - 1) * 60 + 1) * 2, method
+
+
+def test_linear_interpolation_values(spark):
+    # two observations 0 -> 60 over an hour: minute t interpolates to t
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2020, 1, 1, 0, 0), 1.0, 1.0, 0.0),
+            (dt.datetime(2020, 1, 1, 1, 0), 1.0, 1.0, 60.0),
+        ],
+        "time timestamp, y double, x double, v double",
+    )
+    out = resample_interpolate(df, "T", "linear").orderBy("time").collect()
+    assert len(out) == 61
+    for i, row in enumerate(out):
+        assert abs(row["v"] - float(i)) < 1e-9
+
+
+def test_nearest_interpolation_tie_goes_left(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2020, 1, 1, 0, 0), 1.0, 1.0, 0.0),
+            (dt.datetime(2020, 1, 1, 0, 2), 1.0, 1.0, 10.0),
+        ],
+        "time timestamp, y double, x double, v double",
+    )
+    out = {r["time"].minute: r["v"] for r in resample_interpolate(df, "T", "nearest").collect()}
+    assert out[0] == 0.0
+    assert out[1] == 0.0  # exact midpoint -> left (scipy 'nearest')
+    assert out[2] == 10.0
+
+
+def test_interpolation_does_not_extrapolate(spark):
+    # u100 null at the first timestep: spine points before the first
+    # observation stay NULL (xarray never extrapolates)
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2020, 1, 1, 0, 0), 1.0, 1.0, None),
+            (dt.datetime(2020, 1, 1, 0, 30), 1.0, 1.0, 5.0),
+            (dt.datetime(2020, 1, 1, 1, 0), 1.0, 1.0, 6.0),
+        ],
+        "time timestamp, y double, x double, v double",
+    )
+    rows = {
+        (r["time"].hour, r["time"].minute): r["v"]
+        for r in resample_interpolate(df, "15T", "linear").collect()
+    }
+    assert rows[(0, 0)] is None and rows[(0, 15)] is None
+    assert rows[(0, 30)] == 5.0 and rows[(0, 45)] == 5.5 and rows[(1, 0)] == 6.0
+
+
+def test_spline_interpolation_runs(grid):
+    small = grid.filter((F.col("y") == YS[0]) & (F.col("x") == XS[0]))
+    out = resample_interpolate(small, "30T", "cubic")
+    assert out.count() == (N_T - 1) * 2 + 1
+    # interior points are finite
+    vals = [r["t2m"] for r in out.collect()]
+    assert all(v is not None for v in vals)
+
+
+def test_custom_resample_apply(grid):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.resample import resample_apply
+
+    small = grid.filter((F.col("y") == YS[0]) & (F.col("x") == XS[0]))
+    out = resample_apply(small, "D", np.mean)
+    assert out.count() == 4
+    ref = resample_aggregate(small, "D", "mean")
+    got = {r["time"]: r["t2m"] for r in out.collect()}
+    want = {r["time"]: r["t2m"] for r in ref.collect()}
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9

@@ -1,0 +1,33 @@
+"""Every declared query must hash-match its DuckDB oracle — the same gate
+the correctness driver applies at sf0.01 (run here at the conftest SF)."""
+
+from __future__ import annotations
+
+import pytest
+
+from xarray_dataaccessor_spark.queries import ORACLES, QUERIES
+
+from tests.oracle_utils import assert_frames_match
+
+
+def test_every_query_has_an_oracle_or_is_flagged():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops are allowed to omit the oracle, but must be
+    # explicitly listed here so the gap is a decision, not an accident.
+    allowed_weak = {name for name in missing if name.endswith("_noracle")}
+    assert missing == allowed_weak, f"queries without oracle: {missing - allowed_weak}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(ORACLES[name]).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 2

@@ -1,0 +1,216 @@
+"""Dataset catalog + AOI resolution.
+
+Replaces the reference's three-tier registry (accessor -> dataset ->
+hardcoded variable lists, ``info/era5.py:61-446``, ``info/nasa.py:25-44``,
+``data_accessors/factory.py:8-59``) with a declarative catalog of named
+datasets, each mapping to partitioned Parquet plus a fixed schema. Variable
+verification (``_verify_variables``, ``utility_functions.py:285-309``)
+becomes a schema-subset check: unknown variables warn and are dropped, they
+never error.
+
+AOI resolution (``get_bounding_box`` dispatch, ``core_functions.py:147-202``)
+stays a driver-side helper: whatever the input form (coords list, CSV,
+shapefile via geopandas when available), only the resulting 4-float bbox
+reaches the Spark plan, where it becomes a pushable ``between`` predicate.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import warnings
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xarray_dataaccessor_spark.meta import BoundingBox, GridMeta
+
+
+@dataclass
+class DatasetEntry:
+    name: str
+    path: str
+    meta: GridMeta
+    variables: tuple[str, ...]
+
+
+@dataclass
+class DatasetCatalog:
+    """Registry of named gridded datasets backed by Parquet.
+
+    Mirrors ``DataAccessorFactory`` (``factory.py:8-59``): ``register`` is
+    the ``@DataAccessorProduct`` decorator's job, ``dataset_names`` /
+    ``supported_variables`` are the factory's introspection API
+    (``factory.py:28-51``).
+    """
+
+    entries: dict[str, DatasetEntry] = field(default_factory=dict)
+
+    def register(
+        self,
+        name: str,
+        path: str,
+        variables: Sequence[str],
+        meta: GridMeta | None = None,
+    ) -> DatasetEntry:
+        entry = DatasetEntry(
+            name=name,
+            path=path,
+            meta=(meta or GridMeta(dataset_name=name)).with_variables(tuple(variables)),
+            variables=tuple(variables),
+        )
+        self.entries[name] = entry
+        return entry
+
+    def dataset_names(self) -> list[str]:
+        return sorted(self.entries)
+
+    def supported_variables(self, name: str) -> tuple[str, ...]:
+        return self.entries[name].variables
+
+    def verify_variables(self, name: str, requested: Iterable[str] | None) -> list[str]:
+        """Keep known variables, warn on unknown ones — never raise
+        (``_verify_variables``, ``utility_functions.py:285-309``)."""
+        supported = set(self.supported_variables(name))
+        if requested is None:
+            return sorted(supported)
+        kept, dropped = [], []
+        for v in requested:
+            (kept if v in supported else dropped).append(v)
+        if dropped:
+            warnings.warn(
+                f"Variables {dropped} are not available in dataset {name!r}; "
+                f"continuing with {kept}."
+            )
+        return kept
+
+    def load(
+        self,
+        spark: SparkSession,
+        name: str,
+        variables: Sequence[str] | None = None,
+        bbox: BoundingBox | None = None,
+        start_time=None,
+        end_time=None,
+    ):
+        """The flagship read path (``get_xarray_dataset``,
+        ``core_functions.py:35-144``) as one lazy plan:
+
+        ``spark.read.parquet(path).select(vars).filter(bbox & time)``
+
+        Every hand-rolled pushdown in the reference (per-month request
+        enumeration, bbox crop per fragment, per-variable file skip) is
+        Catalyst partition pruning / row-group skipping / column pruning
+        on this plan.
+        """
+        from xarray_dataaccessor_spark.gridframe import GridFrame
+
+        entry = self.entries[name]
+        keep = self.verify_variables(name, variables)
+        df = spark.read.parquet(entry.path)
+        gf = GridFrame(df, entry.meta).select_variables(keep)
+        if bbox is not None:
+            gf = gf.filter_bbox(bbox)
+        if start_time is not None or end_time is not None:
+            gf = gf.filter_time(start_time, end_time)
+        return gf
+
+
+def bbox_from_coords(coords: Sequence[tuple[float, float]]) -> BoundingBox:
+    """Envelope of (lat, lon) tuples (``_bbox_from_coords``,
+    ``utility_functions.py:90-114``; note the reference's CoordsTuple is
+    (lat, lon), ``shared_types.py:20``)."""
+    lats = [c[0] for c in coords]
+    lons = [c[1] for c in coords]
+    return BoundingBox(west=min(lons), south=min(lats), east=max(lons), north=max(lats)).pad_if_degenerate()
+
+
+def bbox_from_csv(path: str | Path, lon_col: str = "lon", lat_col: str = "lat") -> BoundingBox:
+    """Bbox of a lon/lat CSV (``_bbox_from_coords_csv``,
+    ``utility_functions.py:117-122`` + ``_get_coords_df :312-362``)."""
+    with open(path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    coords = [(float(r[lat_col]), float(r[lon_col])) for r in rows]
+    return bbox_from_coords(coords)
+
+
+def bbox_from_shapefile(path: str | Path) -> BoundingBox:
+    """Shapefile AOI -> EPSG:4326 bbox (``_bbox_from_shp``,
+    ``utility_functions.py:125-159``). geopandas is optional in this
+    container; the function gates on import."""
+    try:
+        import geopandas as gpd  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - geopandas not installed
+        raise NotImplementedError(
+            "Shapefile AOI input requires geopandas, which is not installed. "
+            "Resolve the bbox externally and pass a BoundingBox instead."
+        ) from exc
+    geo = gpd.read_file(path)  # pragma: no cover
+    if geo.crs.to_epsg() != 4326:  # pragma: no cover
+        geo = geo.to_crs(4326)
+    west, south, east, north = geo.total_bounds  # pragma: no cover
+    return BoundingBox(west, south, east, north)  # pragma: no cover
+
+
+def get_bounding_box(
+    coords: Sequence[tuple[float, float]] | None = None,
+    csv: str | Path | None = None,
+    shapefile: str | Path | None = None,
+    union_bbox: bool = True,
+) -> BoundingBox:
+    """Dispatch over AOI input forms and optionally union the results
+    (``get_bounding_box``, ``core_functions.py:147-202``)."""
+    boxes: list[BoundingBox] = []
+    if coords is not None:
+        boxes.append(bbox_from_coords(coords))
+    if csv is not None:
+        boxes.append(bbox_from_csv(csv))
+    if shapefile is not None:
+        boxes.append(bbox_from_shapefile(shapefile))
+    if not boxes:
+        raise ValueError("Provide at least one AOI input (coords/csv/shapefile).")
+    if len(boxes) > 1 and not union_bbox:
+        raise ValueError("Multiple AOI inputs require union_bbox=True.")
+    out = boxes[0]
+    for b in boxes[1:]:
+        out = out.union(b)
+    return out
+
+
+def points_df(
+    spark: SparkSession,
+    coords: Sequence[tuple[float, float]] | None = None,
+    csv: str | Path | None = None,
+    id_column: str | None = None,
+) -> DataFrame:
+    """Point set for nearest-neighbor extraction as a small DataFrame
+    ``(point_id, lon, lat)`` — the broadcast side of the J3 join.
+
+    Mirrors ``_get_coords_df`` (``utility_functions.py:312-362``): coords
+    are (lat, lon) tuples; CSV needs lon/lat columns and an optional id
+    column, default ids are the row positions.
+    """
+    if coords is not None:
+        rows = [(str(i), float(lon), float(lat)) for i, (lat, lon) in enumerate(coords)]
+        return spark.createDataFrame(rows, "point_id string, lon double, lat double")
+    if csv is not None:
+        df = spark.read.csv(str(csv), header=True, inferSchema=True)
+        id_col = id_column if id_column and id_column in df.columns else None
+        from pyspark.sql import functions as F
+
+        if id_col:
+            df = df.select(
+                F.col(id_col).cast("string").alias("point_id"),
+                F.col("lon").cast("double"),
+                F.col("lat").cast("double"),
+            )
+        else:
+            from pyspark.sql.window import Window
+
+            df = df.withColumn(
+                "point_id",
+                (F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1).cast("string"),
+            ).select("point_id", F.col("lon").cast("double"), F.col("lat").cast("double"))
+        return df
+    raise ValueError("Provide coords or csv.")

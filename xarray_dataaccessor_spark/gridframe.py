@@ -1,0 +1,124 @@
+"""GridFrame — the engine's one core abstraction.
+
+A plain ``pyspark.sql.DataFrame`` in long form ``(time, y, x, var1, var2,
+...)`` plus a :class:`GridMeta` (the reference's ``AttrsDict`` contract,
+``base.py:14-21``). Every method returns a new GridFrame wrapping a lazy
+plan; ``.df`` drops to plain Spark SQL at any point. This replaces the
+reference's ``xarray.Dataset`` + eager transforms
+(``core_functions.py:205-406``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+
+from xarray_dataaccessor_spark.meta import BoundingBox, GridMeta
+from xarray_dataaccessor_spark.operators import aggregate as _agg
+from xarray_dataaccessor_spark.operators import filters as _filters
+from xarray_dataaccessor_spark.operators import joins as _joins
+from xarray_dataaccessor_spark.operators import resample as _resample
+from xarray_dataaccessor_spark.operators import spatial as _spatial
+from xarray_dataaccessor_spark.operators.extraction import points_to_table as _points_to_table
+
+
+class GridFrame:
+    def __init__(self, df: DataFrame, meta: GridMeta | None = None):
+        self.df = df
+        self.meta = meta or GridMeta()
+
+    def _wrap(self, df: DataFrame, meta: GridMeta | None = None) -> "GridFrame":
+        return GridFrame(df, meta or self.meta)
+
+    # -- projections / filters (F1-F7) ------------------------------------
+    def select_variables(self, variables: Sequence[str] | None) -> "GridFrame":
+        return self._wrap(_filters.select_variables(self.df, variables))
+
+    def filter_bbox(self, bbox: BoundingBox, snap_half_step: float | None = None) -> "GridFrame":
+        return self._wrap(_filters.filter_bbox(self.df, bbox, snap_half_step=snap_half_step))
+
+    def filter_time(self, start=None, end=None) -> "GridFrame":
+        return self._wrap(_filters.filter_time(self.df, start, end))
+
+    def subset_time_by_timezone(self, start, end, local_timezone: str) -> "GridFrame":
+        return self._wrap(
+            _filters.subset_time_by_timezone(
+                self.df, start, end, local_timezone, self.meta.time_zone
+            ),
+            self.meta.with_time_zone(self.meta.time_zone),
+        )
+
+    def fill_nodata(self, sentinels: Mapping[str, float]) -> "GridFrame":
+        return self._wrap(_filters.fill_nodata(self.df, sentinels))
+
+    # -- temporal resampling (A1/A2/W1/W2) ---------------------------------
+    def temporal_resample(
+        self,
+        resample_frequency: str,
+        agg_method: str | None = None,
+        interpolate_method: str | None = None,
+        custom_resample_method: Callable | None = None,
+    ) -> "GridFrame":
+        return self._wrap(
+            _resample.temporal_resample(
+                self.df,
+                resample_frequency,
+                agg_method=agg_method,
+                interpolate_method=interpolate_method,
+                custom_resample_method=custom_resample_method,
+            )
+        )
+
+    # -- spatial (R1/R2/R6, A3) --------------------------------------------
+    def spatial_resample(
+        self,
+        resolution_factor: float | None = None,
+        xy_resolution_factors: tuple[float, float] | None = None,
+        resample_method: str = "nearest",
+    ) -> "GridFrame":
+        return self._wrap(
+            _spatial.spatial_resample(
+                self.df,
+                resolution_factor=resolution_factor,
+                xy_resolution_factors=xy_resolution_factors,
+                resample_method=resample_method,
+            )
+        )
+
+    def to_crs(self, to_epsg: int) -> "GridFrame":
+        return self._wrap(
+            _spatial.transform_crs_udf(self.df, self.meta.epsg, to_epsg),
+            self.meta.with_epsg(to_epsg),
+        )
+
+    def normalize_longitude(self) -> "GridFrame":
+        return self._wrap(_spatial.normalize_longitude(self.df))
+
+    def collapse_spatial(self, how: str = "mean") -> "GridFrame":
+        return self._wrap(_agg.collapse_spatial(self.df, how))
+
+    def bbox(self) -> BoundingBox:
+        return _agg.bbox_of(self.df)
+
+    # -- joins (J1/J2) -------------------------------------------------------
+    def merge(self, *others: "GridFrame") -> "GridFrame":
+        return self._wrap(_joins.merge_variables([self.df, *(o.df for o in others)]))
+
+    def concat_time(self, *others: "GridFrame") -> "GridFrame":
+        return self._wrap(_joins.concat_time([self.df, *(o.df for o in others)]))
+
+    # -- extraction (J3+W3) ---------------------------------------------------
+    def points_to_table(self, points: DataFrame, variable: str) -> DataFrame:
+        return _points_to_table(self.df, points, variable)
+
+    # -- convenience -----------------------------------------------------------
+    @property
+    def variables(self) -> list[str]:
+        return [c for c in self.df.columns if c not in ("time", "y", "x")]
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    def count(self) -> int:
+        return self.df.count()

@@ -1,0 +1,99 @@
+"""Join-shaped operators (J1-J3, SURVEY §2.3).
+
+The reference's three join-shaped operations are coordinate-aligned
+variable merge, time concatenation, and nearest-neighbor matching. All
+three are expressed as standard Catalyst joins/unions so the optimizer
+can reorder, broadcast and prune.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_variables(
+    dfs: Sequence[DataFrame],
+    keys: Sequence[str] = ("time", "y", "x"),
+) -> DataFrame:
+    """J1 variable merge: multi-way full-outer equi-join on the shared
+    coordinate keys — union of coordinates, NULL where a variable is
+    absent. Mirrors ``xr.merge`` alignment (``combine_variables``,
+    ``shared_functions.py:64-97``).
+
+    Scale note: in the long-table ingest design variables land as columns
+    of one table so this join disappears; when it does run, all inputs are
+    shuffled on the same key so AQE can co-locate the exchanges.
+    """
+    keys = list(keys)
+    return reduce(lambda a, b: a.join(b, on=keys, how="outer"), dfs)
+
+
+def concat_time(dfs: Sequence[DataFrame]) -> DataFrame:
+    """J2 time concat: by-name union of fragment DataFrames
+    (``xr.concat(..., dim='time')``, ``era5_from_aws.py:244-261``).
+    Fragment-key ordering (``era5_from_aws.py:247-250``) is irrelevant
+    under Spark — ordering is imposed only at terminal sorts."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def nearest_match_1d(
+    targets: DataFrame,
+    axis: DataFrame,
+    target_col: str,
+    axis_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """J3 core: for each target value, the nearest value on a 1-D axis
+    (``np.abs(axis - targets).argmin``, ``to_tables.py:76-77``;
+    ``shared_functions.py:185-190``).
+
+    Broadcast the (small) axis against the targets, rank by absolute
+    distance, keep rank 1. Ties break toward the smaller axis value
+    (numpy argmin keeps the first / lower index).
+    """
+    out_col = out_col or f"nearest_{axis_col}"
+    dist = F.abs(F.col(target_col) - F.col(axis_col))
+    w = Window.partitionBy(target_col).orderBy(dist.asc(), F.col(axis_col).asc())
+    return (
+        targets.crossJoin(F.broadcast(axis.select(axis_col).distinct()))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumnRenamed(axis_col, out_col)
+    )
+
+
+def nearest_cell_match(
+    points: DataFrame,
+    grid: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """J3: snap each sample point to its nearest grid cell, per axis
+    independently (exactly the reference's two 1-D argmins,
+    ``to_tables.py:76-101``; also ``ds.sel(method='nearest')``,
+    ``to_gssha.py:563-567``).
+
+    Returns ``points`` with nearest ``(x, y)`` columns attached. The grid
+    axes are dimension-sized (thousands of distinct values for a 100 TB
+    fact table), so both sides of each match are broadcastable.
+    """
+    xs = nearest_match_1d(
+        points.select("point_id", lon_col), grid.select(x_col), lon_col, x_col
+    )
+    ys = nearest_match_1d(
+        points.select("point_id", lat_col), grid.select(y_col), lat_col, y_col
+    )
+    return (
+        points.join(xs.select("point_id", f"nearest_{x_col}"), "point_id")
+        .join(ys.select("point_id", f"nearest_{y_col}"), "point_id")
+        .withColumnRenamed(f"nearest_{x_col}", x_col)
+        .withColumnRenamed(f"nearest_{y_col}", y_col)
+    )

