@@ -273,3 +273,397 @@ def flagship_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u100_mean"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W2 — ffill over a resampled spine (dispatched from the aggregation enum,
+# core_functions.py:404). Sparse hourly observations (value > 130 tail)
+# forward-filled per event_type over the dense hourly spine.
+# ---------------------------------------------------------------------------
+@query(
+    "resample_ffill_hourly",
+    oracle="""
+    WITH obs AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        FROM events WHERE value > 130 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM obs),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
+    j AS (
+        SELECT g.hour, g.event_type, o.v
+        FROM grid g LEFT JOIN obs o ON g.hour = o.hour AND g.event_type = o.event_type
+    )
+    SELECT hour, event_type,
+           CAST(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v
+    FROM j
+    """,
+)
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_fill
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 130)
+    obs = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("hour"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    return resample_fill(
+        obs, "1H", "ffill", value_cols=["v"], time_col="hour", group_cols=("event_type",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — linear interpolation upsample (resample(time=freq).interpolate,
+# core_functions.py:401-402): daily means upsampled to an hourly spine.
+# The oracle mirrors the engine's exact expression tree (epoch seconds as
+# micros/1e6, lerp written identically) so doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "resample_interpolate_linear",
+    oracle="""
+    WITH obs AS (
+        SELECT date_trunc('day', ts) AS time, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(time) AS lo, max(time) AS hi FROM obs),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS time FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (SELECT time, event_type FROM spine CROSS JOIN types),
+    j AS (
+        SELECT g.time, g.event_type, o.v,
+               CAST(epoch_us(g.time) AS DOUBLE) / 1000000.0 AS t
+        FROM grid g LEFT JOIN obs o ON g.time = o.time AND g.event_type = o.event_type
+    ),
+    n AS (
+        SELECT time, event_type, t,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
+        FROM j
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY time
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY time
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT time, event_type,
+           CAST(CASE WHEN pt = nt THEN pv
+                     WHEN pt IS NOT NULL AND nt IS NOT NULL
+                     THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                END AS DOUBLE) AS v
+    FROM n
+    """,
+)
+def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_interpolate
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.window("ts", "1 day").start.alias("time"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    return resample_interpolate(
+        obs, "1H", "linear", value_cols=["v"], time_col="time", group_cols=("event_type",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — coordinate-aligned outer merge (xr.merge, shared_functions.py:64-97):
+# per-customer order totals FULL OUTER JOIN customer balances.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_variables_outer",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    bal AS (SELECT c_custkey AS custkey, c_acctbal FROM customer)
+    SELECT custkey, order_total, n_orders, c_acctbal
+    FROM agg FULL OUTER JOIN bal USING (custkey)
+    """,
+)
+def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.joins import merge_variables
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        _dec_sum("o_totalprice", 2, "order_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bal = c.select(F.col("c_custkey").alias("custkey"), "c_acctbal")
+    return merge_variables([agg, bal], keys=["custkey"]).select(
+        "custkey", "order_total", "n_orders", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — nearest-neighbor 1-D match (np.abs(axis-target).argmin,
+# to_tables.py:76-77): nearest part retail price for literal targets;
+# ties break toward the smaller axis value like numpy argmin.
+# ---------------------------------------------------------------------------
+@query(
+    "nearest_neighbor_price",
+    oracle="""
+    WITH targets(target) AS (VALUES (CAST(100.0 AS DOUBLE)), (500.5), (999.99), (1500.25), (2000.0)),
+    axis AS (SELECT DISTINCT p_retailprice FROM part),
+    ranked AS (
+        SELECT t.target, a.p_retailprice AS nearest_price,
+               row_number() OVER (PARTITION BY t.target
+                                  ORDER BY abs(a.p_retailprice - t.target), a.p_retailprice) AS rk
+        FROM targets t CROSS JOIN axis a
+    )
+    SELECT target, nearest_price FROM ranked WHERE rk = 1
+    """,
+)
+def nearest_neighbor_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.joins import nearest_match_1d
+
+    part = load(spark, sf_dir, "part")
+    targets = spark.createDataFrame(
+        [(100.0,), (500.5,), (999.99,), (1500.25,), (2000.0,)], "target double"
+    )
+    out = nearest_match_1d(
+        targets, part, "target", "p_retailprice", out_col="nearest_price"
+    )
+    return out.select("target", "nearest_price")
+
+
+# ---------------------------------------------------------------------------
+# W3 — pivot to wide (stack+pivot, utility_functions.py:365-474): daily
+# value sums, one column per event_type, columns pinned sorted.
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='click')    AS DOUBLE) AS click,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='error')    AS DOUBLE) AS error,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='signup')   AS DOUBLE) AS signup,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='view')     AS DOUBLE) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").start.alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 + W3 — the full points_to_tables pipeline (to_tables.py:24-130):
+# off-grid sample points -> nearest cell -> wide (time x point) table.
+# ---------------------------------------------------------------------------
+_EXTRACT_ORACLE = f"""
+    WITH grid AS ({GRID_SQL_BODY}),
+    pts(point_id, lon, lat) AS (VALUES ('0', -82.98, 41.63), ('1', -79.43, 42.88), ('2', -83.23, 41.85)),
+    xs AS (SELECT DISTINCT x FROM grid),
+    ys AS (SELECT DISTINCT y FROM grid),
+    nx AS (SELECT point_id, x FROM (
+        SELECT p.point_id, a.x,
+               row_number() OVER (PARTITION BY p.point_id ORDER BY abs(a.x - p.lon), a.x) AS rk
+        FROM pts p CROSS JOIN xs a) WHERE rk = 1),
+    ny AS (SELECT point_id, y FROM (
+        SELECT p.point_id, a.y,
+               row_number() OVER (PARTITION BY p.point_id ORDER BY abs(a.y - p.lat), a.y) AS rk
+        FROM pts p CROSS JOIN ys a) WHERE rk = 1),
+    cells AS (SELECT p.point_id, nx.x, ny.y FROM pts p
+              JOIN nx ON p.point_id = nx.point_id JOIN ny ON p.point_id = ny.point_id),
+    j AS (SELECT g.time, c.point_id, g.t2m FROM grid g
+          JOIN cells c ON g.x = c.x AND g.y = c.y)
+    SELECT time,
+        MIN(CASE WHEN point_id = '0' THEN t2m END) AS "0",
+        MIN(CASE WHEN point_id = '1' THEN t2m END) AS "1",
+        MIN(CASE WHEN point_id = '2' THEN t2m END) AS "2"
+    FROM j GROUP BY time
+"""
+
+
+@query("extraction_points_wide", oracle=_EXTRACT_ORACLE)
+def extraction_points_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.catalog import points_df
+    from xarray_dataaccessor_spark.operators.extraction import points_to_table
+
+    grid = _grid(spark, sf_dir)
+    pts = points_df(spark, coords=[(41.63, -82.98), (42.88, -79.43), (41.85, -83.23)])
+    return points_to_table(grid, pts, "t2m")
+
+
+# ---------------------------------------------------------------------------
+# F4 — timezone-aware subsetting (subset_time_by_timezone,
+# core_functions.py:205-255): local New-York window -> UTC predicate.
+# ---------------------------------------------------------------------------
+from xarray_dataaccessor_spark.functions.datetime_fns import convert_timezone as _ctz  # noqa: E402
+
+_TZ_START = _ctz("2024-01-10 00:00:00", "America/New_York")
+_TZ_END = _ctz("2024-01-15 23:59:59", "America/New_York")
+
+
+@query(
+    "tz_subset_events",
+    oracle=f"""
+    SELECT event_id, ts, value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_TZ_START}' AND TIMESTAMP '{_TZ_END}'
+    """,
+)
+def tz_subset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.filters import subset_time_by_timezone
+
+    ev = load(spark, sf_dir, "events")
+    out = subset_time_by_timezone(
+        ev, "2024-01-10 00:00:00", "2024-01-15 23:59:59", "America/New_York",
+        time_col="ts",
+    )
+    return out.select("event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# F7 — nodata sentinel fill (_prep_nodata, to_gssha.py:216-238): 'error'
+# values masked to NULL then filled with the GSSHA-style sentinel.
+# ---------------------------------------------------------------------------
+@query(
+    "fillna_sentinel",
+    oracle="""
+    WITH masked AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) - COUNT(v) AS n_filled,
+           CAST(SUM(CAST(COALESCE(v, -999.0) AS DECIMAL(18,6))) AS DOUBLE) AS filled_sum
+    FROM masked GROUP BY event_type
+    """,
+)
+def fillna_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.filters import fill_nodata
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    filled = fill_nodata(ev, {"v": -999.0})
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v") == -999.0, 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("filled_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension surface — relational join shapes at scale (broadcast dims +
+# shuffled fact; SURVEY §2.3 "engine still exposes Spark's df.join").
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q3_shape",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
