@@ -1,0 +1,111 @@
+"""Sink format tests mirroring the reference's test_5_gssha.py: file
+exists/suffix, line-count growth on hot start, one GRASS file per
+timestep, WES column structure."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.sinks.gssha import (
+    HMET_VARIABLES,
+    make_grass_ascii,
+    make_hmet_wes,
+    make_precipitation_input,
+)
+from xarray_dataaccessor_spark.sinks.tables import save_dataframe
+
+from tests.grid_fixture import T0, XS, YS, grid_df
+
+
+@pytest.fixture(scope="module")
+def small_grid(spark):
+    # 5 timesteps x 3x2 cells to keep sink files tiny
+    df = (
+        grid_df(spark, with_nulls=False)
+        .filter(
+            (F.col("time") < T0 + dt.timedelta(hours=5))
+            & F.col("x").isin(XS[:3])
+            & F.col("y").isin(YS[:2])
+        )
+        .cache()
+    )
+    df.count()
+    return df
+
+
+def test_precipitation_gag(small_grid, tmp_path):
+    # exists + suffix + header structure (test_5_gssha.py:33-47)
+    path = make_precipitation_input(
+        small_grid, "t2m", file_dir=tmp_path, file_name="precip"
+    )
+    assert path.exists() and path.suffix == ".gag"
+    lines = path.read_text().splitlines()
+    assert lines[0] == "EVENT precipitation_event_1"
+    assert lines[1] == "NRPDS 30"  # 5 timesteps x 6 cells, long-row count
+    assert lines[2] == "NRGAG 6"
+    assert sum(1 for l in lines if l.startswith("COORD ")) == 6
+    gage_lines = [l for l in lines if l.startswith("GAGES ")]
+    assert len(gage_lines) == 5
+    # one value per gage after the 5 datetime fields
+    assert all(len(l.split()) == 6 + 6 for l in gage_lines)
+
+    # hot start appends (test_5_gssha.py:48-55)
+    n_before = len(lines)
+    make_precipitation_input(
+        small_grid, "t2m", file_dir=tmp_path, file_name="precip", hot_start=True
+    )
+    assert len(path.read_text().splitlines()) > n_before
+
+
+def test_grass_ascii_one_file_per_timestep(small_grid, tmp_path):
+    paths = make_grass_ascii(small_grid, "t2m", file_dir=tmp_path)
+    assert len(paths) == 5  # test_5_gssha.py:58-73
+    for p in paths:
+        assert p.suffix == ".asc"
+        lines = p.read_text().splitlines()
+        assert lines[0].startswith("north: ")
+        assert lines[4] == "rows: 2" and lines[5] == "cols: 3"
+        assert len(lines) == 6 + 2  # header + one row per y
+        assert all(len(r.split()) == 3 for r in lines[6:])
+    # YYYYMMDDHH_<var>.asc naming
+    assert paths[0].name == "2019013000_t2m.asc"
+
+
+def test_hmet_wes(small_grid, tmp_path):
+    path = make_hmet_wes(
+        small_grid,
+        {"t2m": "Dry Bulb Temperature", "u100": "Wind Speed"},
+        file_dir=tmp_path,
+        file_name="wes_test",
+    )
+    assert path.exists()
+    lines = path.read_text().splitlines()
+    assert len(lines) == 5
+    fields = lines[0].split()
+    # 5 datetime fields + 7 HMET columns in wes_index order
+    assert len(fields) == 5 + len(HMET_VARIABLES)
+    # unmapped Barometric Pressure column (index 0 after datetime) is nodata
+    assert fields[5] == "99.999"
+
+
+def test_hmet_wes_nearest_cell(small_grid, tmp_path):
+    path = make_hmet_wes(
+        small_grid,
+        {"t2m": "Dry Bulb Temperature"},
+        xy_coords=(XS[0] + 0.05, YS[1] - 0.02),
+        file_dir=tmp_path,
+        file_name="wes_nearest",
+    )
+    assert len(path.read_text().splitlines()) == 5
+
+
+def test_save_dataframe_formats(small_grid, tmp_path):
+    p1 = save_dataframe(small_grid, tmp_path, "t2m", "parquet")
+    assert p1.exists()
+    p2 = save_dataframe(small_grid, tmp_path, "t2m", "csv")
+    assert p2.exists()
+    with pytest.raises(ValueError):
+        save_dataframe(small_grid, tmp_path, "t2m", "bogus")

@@ -79,7 +79,10 @@ def axis_step(values: Sequence[float]) -> float:
     if len(values) < 2:
         return 0.0
     diffs = [b - a for a, b in zip(values, values[1:])]
-    return sorted(diffs)[len(diffs) // 2]
+    # round away float noise from coordinate construction (adjacent-diff of
+    # doubles): a grid declared at step 0.25 must yield exactly 0.25 so the
+    # block arithmetic matches literal-step computations bit-for-bit
+    return round(sorted(diffs)[len(diffs) // 2], 12)
 
 
 def _target_axis(values: list[float], factor: float) -> list[float]:
@@ -129,6 +132,7 @@ def spatial_resample(
     time_col: str = "time",
     x_col: str = "x",
     y_col: str = "y",
+    exact_sums: bool = False,
 ) -> DataFrame:
     """R1: regrid by a scale factor (``spatial_resample``,
     ``core_functions.py:258-347``): x2 turns a 19x7 grid into 38x14;
@@ -160,10 +164,24 @@ def spatial_resample(
         mapy, df[y_col] == mapy[f"src_{y_col}"]
     )
     w = F.col(f"w_{x_col}") * F.col(f"w_{y_col}")
-    aggs = [
-        (F.sum(F.col(v) * w) / F.sum(F.when(F.col(v).isNotNull(), w))).alias(v)
-        for v in value_cols
-    ]
+    if exact_sums:
+        # order-independent weighted mean: neighbor products summed as
+        # decimals (float sums depend on partial-aggregation order); used
+        # by oracle-checked queries, costs one extra cast per neighbor
+        aggs = [
+            (
+                F.sum((F.col(v) * w).cast("decimal(30,12)")).cast("double")
+                / F.sum(
+                    F.when(F.col(v).isNotNull(), w.cast("decimal(30,12)"))
+                ).cast("double")
+            ).alias(v)
+            for v in value_cols
+        ]
+    else:
+        aggs = [
+            (F.sum(F.col(v) * w) / F.sum(F.when(F.col(v).isNotNull(), w))).alias(v)
+            for v in value_cols
+        ]
     return (
         joined.groupBy(time_col, f"new_{x_col}", f"new_{y_col}")
         .agg(*aggs)
@@ -175,18 +193,22 @@ def spatial_resample(
 
 def _downsample_by_agg(df, xs, ys, fx, fy, method, value_cols, time_col, x_col, y_col):
     """Downsample: block-index arithmetic + groupBy aggregate. Source cell
-    i maps to target block floor(i*f); the target coordinate is the mean
-    of member coordinates."""
+    i maps to target block floor(i*f); the target coordinate is the block
+    center computed arithmetically (deterministic — an avg() of member
+    coordinates would depend on float summation order)."""
     x0, sx = xs[0], axis_step(xs)
     y0, sy = ys[0], axis_step(ys)
     agg = _AGG_KERNELS[method]
     bx = F.floor(F.round((F.col(x_col) - F.lit(x0)) / F.lit(sx), 6) * F.lit(fx)).alias("__bx")
     by = F.floor(F.round((F.col(y_col) - F.lit(y0)) / F.lit(sy), 6) * F.lit(fy)).alias("__by")
     aggs = [agg(F.col(v)).alias(v) for v in value_cols]
+    # block center: x0 + ((b + 0.5)/f - 0.5) * s
+    new_x = (F.lit(x0) + ((F.col("__bx") + F.lit(0.5)) / F.lit(fx) - F.lit(0.5)) * F.lit(sx)).alias(x_col)
+    new_y = (F.lit(y0) + ((F.col("__by") + F.lit(0.5)) / F.lit(fy) - F.lit(0.5)) * F.lit(sy)).alias(y_col)
     return (
         df.groupBy(time_col, bx, by)
-        .agg(F.avg(x_col).alias(x_col), F.avg(y_col).alias(y_col), *aggs)
-        .select(time_col, y_col, x_col, *value_cols)
+        .agg(*aggs)
+        .select(time_col, new_y, new_x, *value_cols)
     )
 
 

@@ -667,3 +667,143 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R1 — spatial downsample by block aggregation (spatial_resample,
+# core_functions.py:258-347; factor 0.5 halves both axes). The oracle
+# mirrors the engine's block-index arithmetic with the grid's literal
+# origin/step (x0=-83.476, y0=41.383, s=0.25 from GRID_SQL_BODY).
+# ---------------------------------------------------------------------------
+_DOWNSAMPLE_ORACLE = f"""
+    WITH grid AS ({GRID_SQL_BODY}),
+    b AS (
+        SELECT time,
+               floor(round((x - CAST(-83.476 AS DOUBLE)) / CAST(0.25 AS DOUBLE), 6) * CAST(0.5 AS DOUBLE)) AS bx,
+               floor(round((y - CAST(41.383 AS DOUBLE)) / CAST(0.25 AS DOUBLE), 6) * CAST(0.5 AS DOUBLE)) AS by,
+               t2m, u100
+        FROM grid
+    )
+    SELECT time,
+           CAST(41.383 AS DOUBLE) + ((by + 0.5) / CAST(0.5 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS y,
+           CAST(-83.476 AS DOUBLE) + ((bx + 0.5) / CAST(0.5 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS x,
+           MAX(t2m) AS t2m,
+           MAX(u100) AS u100
+    FROM b GROUP BY time, by, bx
+"""
+
+
+@query("spatial_downsample_max", oracle=_DOWNSAMPLE_ORACLE)
+def spatial_downsample_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+
+    grid = _grid(spark, sf_dir)
+    return spatial_resample(grid, resolution_factor=0.5, resample_method="max")
+
+
+# ---------------------------------------------------------------------------
+# R1 — bilinear upsample x2 (rasterio pixel-center model: same outer
+# edges, 19x7 -> 38x14; test_3_era5_manipulations.py:75-99 shape law).
+# The oracle regenerates the target axes and neighbor weights with the
+# same double arithmetic, and the weighted mean goes through DECIMAL so
+# both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_UPSAMPLE_ORACLE = f"""
+    WITH grid AS ({GRID_SQL_BODY}),
+    p AS (SELECT CAST(-83.476 AS DOUBLE) AS x0, CAST(41.383 AS DOUBLE) AS y0,
+                 CAST(0.25 AS DOUBLE) AS s,
+                 ((19 * CAST(0.25 AS DOUBLE)) / 38) AS sx2,
+                 ((7 * CAST(0.25 AS DOUBLE)) / 14) AS sy2),
+    newx AS (SELECT (x0 - s / 2.0) + sx2 / 2.0 + i * sx2 AS nx FROM p, range(38) t(i)),
+    newy AS (SELECT (y0 - s / 2.0) + sy2 / 2.0 + i * sy2 AS ny FROM p, range(14) t(i)),
+    xs AS (SELECT DISTINCT x FROM grid),
+    ys AS (SELECT DISTINCT y FROM grid),
+    nbx AS (SELECT nx, (SELECT max(x) FROM xs WHERE x <= nx) AS lo,
+                       (SELECT min(x) FROM xs WHERE x >= nx) AS hi FROM newx),
+    nby AS (SELECT ny, (SELECT max(y) FROM ys WHERE y <= ny) AS lo,
+                       (SELECT min(y) FROM ys WHERE y >= ny) AS hi FROM newy),
+    mapx AS (
+        SELECT nx AS new_x, lo AS src_x, 1.0 - (nx - lo) / (hi - lo) AS wx
+        FROM nbx WHERE lo IS NOT NULL AND hi IS NOT NULL AND lo <> hi
+        UNION ALL
+        SELECT nx, hi, (nx - lo) / (hi - lo) FROM nbx
+        WHERE lo IS NOT NULL AND hi IS NOT NULL AND lo <> hi
+        UNION ALL
+        SELECT nx, COALESCE(lo, hi), 1.0 FROM nbx
+        WHERE lo IS NULL OR hi IS NULL OR lo = hi
+    ),
+    mapy AS (
+        SELECT ny AS new_y, lo AS src_y, 1.0 - (ny - lo) / (hi - lo) AS wy
+        FROM nby WHERE lo IS NOT NULL AND hi IS NOT NULL AND lo <> hi
+        UNION ALL
+        SELECT ny, hi, (ny - lo) / (hi - lo) FROM nby
+        WHERE lo IS NOT NULL AND hi IS NOT NULL AND lo <> hi
+        UNION ALL
+        SELECT ny, COALESCE(lo, hi), 1.0 FROM nby
+        WHERE lo IS NULL OR hi IS NULL OR lo = hi
+    ),
+    j AS (
+        SELECT g.time, m.new_y, m2.new_x, g.t2m, g.u100, m2.wx * m.wy AS w
+        FROM grid g
+        JOIN mapx m2 ON g.x = m2.src_x
+        JOIN mapy m  ON g.y = m.src_y
+    )
+    SELECT time, new_y AS y, new_x AS x,
+           CAST(SUM(CAST(t2m * w AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(SUM(CASE WHEN t2m IS NOT NULL THEN CAST(w AS DECIMAL(30,12)) END) AS DOUBLE) AS t2m,
+           CAST(SUM(CAST(u100 * w AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(SUM(CASE WHEN u100 IS NOT NULL THEN CAST(w AS DECIMAL(30,12)) END) AS DOUBLE) AS u100
+    FROM j GROUP BY time, new_y, new_x
+"""
+
+
+@query("spatial_upsample_bilinear", oracle=_UPSAMPLE_ORACLE)
+def spatial_upsample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+
+    grid = _grid(spark, sf_dir)
+    return spatial_resample(
+        grid, resolution_factor=2.0, resample_method="bilinear", exact_sums=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2/R4 + R6 — closed-form Web-Mercator reprojection of the grid cells and
+# longitude wrap normalization (convert_crs shared_functions.py:132-157;
+# era5_from_aws.py:361-362). libm tan/log may differ by an ulp between the
+# JVM and DuckDB, so mercator outputs are rounded to millimeters.
+# ---------------------------------------------------------------------------
+_MERCATOR_ORACLE = f"""
+    WITH grid AS ({GRID_SQL_BODY}),
+    cells AS (SELECT DISTINCT y, x FROM grid),
+    shifted AS (SELECT y, x, ((x + 360.0 + 180.0) % 360.0) - 180.0 AS x_norm FROM cells)
+    SELECT y, x, x_norm,
+           round(CAST(6378137.0 AS DOUBLE) * radians(x_norm), 3) AS mx,
+           round(CAST(6378137.0 AS DOUBLE) * ln(tan(pi() / 4.0 + radians(y) / 2)), 3) AS my
+    FROM shifted
+"""
+
+
+@query("mercator_cells", oracle=_MERCATOR_ORACLE)
+def mercator_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.spatial import (
+        normalize_longitude,
+        to_web_mercator,
+    )
+
+    cells = _grid(spark, sf_dir).select("y", "x").distinct()
+    # simulate a 0..360 source longitude, wrap it back (R6), then project
+    shifted = normalize_longitude(
+        cells.withColumn("x_norm", F.col("x") + F.lit(360.0)), x_col="x_norm"
+    )
+    merc = to_web_mercator(
+        shifted.withColumn("mx", F.col("x_norm")).withColumn("my", F.col("y")),
+        x_col="mx",
+        y_col="my",
+    )
+    return merc.select(
+        "y", "x", "x_norm", F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my")
+    )
