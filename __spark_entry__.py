@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import xarray_dataaccessor_spark.queries_ext  # noqa: E402,F401 (registers extension queries)
 from xarray_dataaccessor_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 

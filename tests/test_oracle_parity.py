@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+import xarray_dataaccessor_spark.queries_ext  # noqa: F401 (registers extension queries)
 from xarray_dataaccessor_spark.queries import ORACLES, QUERIES
 
 from tests.oracle_utils import assert_frames_match

@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.8):
+exact, MinHash(+LSH banding), SimHash, and exact n-gram Jaccard.
+
+Design for 100 TB:
+
+- Exact dedup is a hash-groupBy on a fingerprint of the text (never on
+  the raw text — the shuffle key must be small).
+- MinHash signatures are computed in ONE aggregation (k min-exprs over
+  the exploded shingle set — no k-way cross join), then LSH banding
+  turns the O(n^2) pair search into an equi-join on (band, band-hash):
+  only documents sharing a band bucket are compared.
+- SimHash is a per-document bit-vote aggregate; near-dup candidates are
+  an equi-join on the signature (or banded substrings for hamming > 0).
+- All hashing is md5-derived (functions/hashing.py) so results are
+  verifiable against a DuckDB oracle and stable across engines/runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.functions.hashing import (
+    HASH_PRIME,
+    portable_hash32,
+    portable_hash64,
+)
+
+# deterministic (a, b) parameters for the universal-hash permutations;
+# a < 2**20 keeps (a*h + b) % p inside int64 for 32-bit h (hashing.py).
+MINHASH_A = [709 + 31 * i for i in range(64)]
+MINHASH_B = [12553 + 97 * i for i in range(64)]
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by a 60-bit text fingerprint, keep the smallest
+    id as representative, count duplicates. The groupBy key is the
+    fingerprint, not the document body."""
+    fp = portable_hash64(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document as ``num_perm`` columns ``mh0..``,
+    computed in a single aggregation over the shingle hashes."""
+    h = portable_hash32(F.col("shingle"))
+    hashed = shingle_df.select(id_col, h.alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(HASH_PRIME)).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: signature split into bands of ``rows_per_band``
+    minhashes; documents sharing any band bucket become candidate pairs.
+    The join key is (band_idx, band_value-string) — an equi-join Catalyst
+    shuffles on, never an O(n^2) comparison."""
+    n_bands = num_perm // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bucket"))
+        )
+    exploded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: candidate pairs with
+    the estimated Jaccard = fraction of agreeing minhashes."""
+    sh = word_shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_perm, id_col)
+    pairs = lsh_candidate_pairs(sig, num_perm, rows_per_band, id_col)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)]
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_perm)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via the inverted-index join:
+    doc-shingle pairs self-joined on the shingle hash, intersection
+    counted per pair, |A|,|B| joined back. Only documents sharing at
+    least one shingle are ever paired."""
+    sh = word_shingles(df, text_col, id_col, k).select(
+        F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="h")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash signature per document: each token's 32-bit hash votes
+    +1/-1 on every bit position; the sign of the vote sum sets the bit.
+    One explode + one groupBy with ``bits`` conditional-sum aggregates."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    hashed = tokens.select(id_col, portable_hash32(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else (sig + bit)
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Hamming-0 near-dup pairs: equi-join on the simhash value (banding
+    over signature substrings generalizes to hamming <= d)."""
+    sig = simhash(df, text_col, id_col, bits)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (SURVEY §7.8 extension):
+brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random-hyperplane) variant as the 100 TB scale path.
+
+Scale design:
+
+- The query set is dimension-sized -> broadcast; the corpus is the fact
+  side and is never collected. Top-k is a per-query window rank, which
+  AQE executes after the (broadcast) join — no global sort.
+- Dot products use ``zip_with`` + ``aggregate`` (a sequential fold inside
+  codegen): deterministic, vectorizable, and bit-identical to DuckDB's
+  ``list_reduce`` fold, which keeps the oracle comparison exact.
+- LSH: n deterministic hyperplanes (integer LCG weights, no RNG state),
+  sign-bit bucket per vector; candidates = bucket equi-join. Recall/cost
+  trades with n_planes exactly like BucketedRandomProjectionLSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# deterministic hyperplane weights: w(plane, dim) in [-1, 1), integer LCG
+# so Spark and any SQL oracle regenerate identical doubles
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_000_003
+
+
+def plane_weight(plane: Column, dim: Column) -> Column:
+    # bigint arithmetic: seed*A reaches ~6e11, past int32 (ANSI overflow)
+    seed = plane.cast("bigint") * F.lit(64) + dim.cast("bigint")
+    return ((seed * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)).cast(
+        "double"
+    ) / F.lit(float(_LCG_M)) * F.lit(2.0) - F.lit(1.0)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast(queries) x corpus, rank per
+    query by (cosine desc, id) — the exact baseline every ANN variant is
+    measured against."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qe")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("ce")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-bit bucket id from n deterministic hyperplanes. Stays JVM-side:
+    each plane's dot product is a fold over (value * weight(plane, dim))."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda i: plane_weight(F.lit(p), i),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def lsh_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket
+    (equi-join on bucket), then exact cosine rank within the bucket.
+    At scale the bucket join replaces the all-pairs product with
+    |corpus| / 2^n_planes candidates per query on average."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    ).withColumn("bucket", lsh_bucket(F.col("qe"), n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    ).withColumn("bucket", lsh_bucket(F.col("ce"), n_planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold``, restricted to
+    LSH-bucket cohabitants (high-cosine pairs almost surely share all
+    sign bits, so the bucket join loses little recall at 0.95+)."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    ).withColumn("bucket", lsh_bucket(F.col("e"), n_planes))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,530 @@
+"""Extension-surface queries: dedup, similarity search, text analysis,
+sessionization, multimodal plumbing (SURVEY §7.8) — each registered in the
+same (Spark callable, DuckDB oracle) registry as the reference-parity
+queries. Long oracle SQL (minhash signatures, simhash bit votes, LSH
+planes) is generated programmatically so it provably mirrors the engine's
+constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    dedup_exact,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_duplicate_pairs,
+)
+from xarray_dataaccessor_spark.functions.hashing import HASH_PRIME
+from xarray_dataaccessor_spark.operators.similarity import (
+    _LCG_A,
+    _LCG_C,
+    _LCG_M,
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_ann,
+)
+from xarray_dataaccessor_spark.queries import query
+from xarray_dataaccessor_spark.session import configure_session
+from xarray_dataaccessor_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# shared near-dup test corpus: documents + fuzzed copies (doc_id%5==0 gets
+# an appended tail -> near-duplicate) + exact copies (doc_id%7==0)
+# ---------------------------------------------------------------------------
+CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' tail tail tail' AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_H32 = "('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+_H64 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_STOP_PAT = "\\b(the|a|an|of|and|or|to|in|is|it)\\b"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+               len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+           (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           n_digits / CAST(n_chars AS DOUBLE) AS digit_ratio,
+           n_stop / CAST(n_words AS DOUBLE) AS stopword_ratio,
+           (n_words >= 5 AND n_chars >= 30 AND n_punct / CAST(n_chars AS DOUBLE) < 0.2)
+               AS quality_ok
+    FROM t
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.text import text_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "mean_word_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_ok",
+    )
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    return (
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(words)
+        + ")\\b'))"
+    )
+
+
+@query(
+    "language_id_heuristic",
+    oracle=None,  # set below (needs the marker tables)
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.text import language_id
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", "lang", "lang_pred", F.col("lang_score").cast("bigint").alias("lang_score")
+    )
+
+
+def _register_language_oracle():
+    from xarray_dataaccessor_spark.operators.text import LANG_MARKERS
+    from xarray_dataaccessor_spark.queries import ORACLES
+
+    scores = ",\n               ".join(
+        f"{_lang_score_sql(w)} AS s_{lang}" for lang, w in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' "
+    for la in langs:
+        case += f"WHEN s_{la} = {g} THEN '{la}' "
+    case += "END"
+    ORACLES["language_id_heuristic"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               {scores}
+        FROM documents
+    )
+    SELECT doc_id, lang, {case} AS lang_pred, CAST({g} AS BIGINT) AS lang_score
+    FROM t
+    """
+
+
+_register_language_oracle()
+
+
+@query(
+    "token_count_by_source",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(ws_tokens) AS total_ws_tokens,
+           SUM(bpe_tokens) AS total_bpe_tokens
+    FROM t GROUP BY source
+    """,
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.text import token_counts
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    out = token_counts(docs)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+_NORM_TEXT = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_FP_NUM = _H64.format(expr=_NORM_TEXT)
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_TEXT}) AS fp_md5,
+           {_FP_NUM} AS fp_num
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(docs).select("doc_id", "fp_md5", "fp_num")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_corpus",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL})
+    SELECT {_H64.format(expr="text")} AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return dedup_exact(_corpus(spark, sf_dir))
+
+
+def _minhash_oracle(num_perm: int = 16, rows_per_band: int = 2) -> str:
+    mins = ",\n               ".join(
+        f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_PRIME}) AS mh{i}"
+        for i in range(num_perm)
+    )
+    n_bands = num_perm // rows_per_band
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
+    ),
+    hashed AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    exploded AS (
+{band_selects}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM exploded a JOIN exploded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({agree} AS DOUBLE) / {float(num_perm)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return minhash_near_duplicates(
+        _corpus(spark, sf_dir), num_perm=16, rows_per_band=2
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus
+    ),
+    hashed AS (
+        SELECT doc_id, {_H32.format(expr="tok")} AS h FROM tok WHERE length(tok) > 0
+    ),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return simhash_duplicate_pairs(_corpus(spark, sf_dir))
+
+
+@query(
+    "dedup_jaccard_ngrams",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
+    ),
+    hashed AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_jaccard_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), "
+    "(p, q) -> p + q)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    s AS (
+        SELECT query_id, neighbor_id, {_cos_sql("qe", "ce")} AS cos
+        FROM c, q WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+def _plane_w_sql(p: int, dim_expr: str) -> str:
+    """Mirror similarity.plane_weight: seed = p*64 + d."""
+    return (
+        f"(CAST((({p} * 64 + {dim_expr}) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS DOUBLE)"
+        f" / {float(_LCG_M)} * 2.0 - 1.0)"
+    )
+
+
+def _bucket_sql(vec: str, n_planes: int = 8) -> str:
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> {vec}[i] * {_plane_w_sql(p, '(i - 1)')}), (a, b) -> a + b)"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({2**p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "similarity_lsh_ann",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, e AS ce, bucket FROM v),
+    s AS (
+        SELECT q.query_id, c.neighbor_id, q.bucket, {_cos_sql("qe", "ce")} AS cos
+        FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+    SELECT query_id, neighbor_id, bucket, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_ann(emb.filter(F.col("vec_id") < 5), emb, k=5, n_planes=8)
+
+
+@query(
+    "embedding_neardup_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos_sql("a.e", "b.e")} AS cos
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.95
+    """,
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.95, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization
+# ---------------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_idx
+        FROM t
+    )
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.sessionize import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_binary_features",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           CAST(ceil(octet_length(payload) / 256.0) AS BIGINT) AS n_chunks,
+           md5(text) AS checksum,
+           CAST(octet_length(payload) % 640 AS INT) AS width,
+           CAST(octet_length(payload) % 480 AS INT) AS height
+    FROM b
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        attach_binary_column,
+        binary_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = binary_features(attach_binary_column(docs))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_chunks",
+        "checksum",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+@query("multimodal_decode_noracle")
+def multimodal_decode_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing (rows-only check: the
+    fake-codec output is Python-side by design, SURVEY §7.8 multimodal)."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        attach_binary_column,
+        decode_binary,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_binary(attach_binary_column(docs))
