@@ -135,3 +135,38 @@ def test_custom_resample_apply(grid):
     want = {r["time"]: r["t2m"] for r in ref.collect()}
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_spatial_resample_shape_law(grid):
+    # x2 => 19x7 -> 38x14; per-axis (1,3) => 19x21
+    # (test_3_era5_manipulations.py:75-99)
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+
+    up = spatial_resample(grid, resolution_factor=2.0, resample_method="bilinear")
+    assert up.select("x").distinct().count() == 38
+    assert up.select("y").distinct().count() == 14
+    aniso = spatial_resample(
+        grid, xy_resolution_factors=(1.0, 3.0), resample_method="nearest"
+    )
+    assert aniso.select("x").distinct().count() == 19
+    assert aniso.select("y").distinct().count() == 21
+    down = spatial_resample(grid, resolution_factor=0.5, resample_method="average")
+    assert down.select("x").distinct().count() == 10
+    assert down.select("y").distinct().count() == 4
+
+
+def test_bilinear_upsample_values_on_linear_field(spark):
+    # a field linear in x is reproduced exactly by bilinear interpolation
+    import datetime as dt
+
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+
+    rows = [
+        (dt.datetime(2020, 1, 1), 0.0, float(i), 10.0 * i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, y double, x double, v double")
+    out = spatial_resample(df, resolution_factor=2.0, resample_method="bilinear")
+    got = {round(r["x"], 3): r["v"] for r in out.collect()}
+    for x, v in got.items():
+        if 0.0 <= x <= 4.0:  # inside the source support
+            assert abs(v - 10.0 * x) < 1e-9, (x, v)

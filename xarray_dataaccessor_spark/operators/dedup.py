@@ -120,7 +120,9 @@ def minhash_near_duplicates(
     """End-to-end MinHash+LSH near-dup detection: candidate pairs with
     the estimated Jaccard = fraction of agreeing minhashes."""
     sh = word_shingles(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, num_perm, id_col)
+    # the signature table feeds the band join AND both sides of the pair
+    # re-join — persist it instead of recomputing the shingle pipeline 3x
+    sig = minhash_signatures(sh, num_perm, id_col).cache()
     pairs = lsh_candidate_pairs(sig, num_perm, rows_per_band, id_col)
     a = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)]
@@ -155,7 +157,7 @@ def jaccard_pairs(
     least one shingle are ever paired."""
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
-    )
+    ).cache()  # reused by sizes + both sides of the inverted-index join
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -209,6 +211,8 @@ def simhash_duplicate_pairs(
 ) -> DataFrame:
     """Hamming-0 near-dup pairs: equi-join on the simhash value (banding
     over signature substrings generalizes to hamming <= d)."""
+    # no cache: the self-join's two sides are identical subplans, so
+    # Spark's ReuseExchange materializes the shuffle once already
     sig = simhash(df, text_col, id_col, bits)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))

@@ -42,10 +42,17 @@ def points_to_table(
     ``points`` is a small DataFrame ``(point_id, lon, lat)``
     (see ``catalog.points_df``); it is broadcast on both joins.
     """
+    # the grid feeds the two axis-distinct scans AND the fact join; the
+    # nearest-match side is tiny, so collect it once and let the fact scan
+    # be the only pass over the grid
     matched = nearest_cell_match(points, grid, x_col=x_col, y_col=y_col)
-    cells = matched.select("point_id", x_col, y_col)
+    cell_rows = matched.select("point_id", x_col, y_col).collect()
     if point_ids is None:
-        point_ids = sorted(r["point_id"] for r in cells.select("point_id").distinct().collect())
+        point_ids = sorted({r["point_id"] for r in cell_rows})
+    cells = grid.sparkSession.createDataFrame(
+        [(r["point_id"], r[x_col], r[y_col]) for r in cell_rows],
+        f"point_id string, {x_col} double, {y_col} double",
+    )
     fact = grid.select(time_col, x_col, y_col, variable)
     joined = fact.join(F.broadcast(cells), on=[x_col, y_col], how="inner")
     return (

@@ -30,6 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 RESAMPLING_KERNELS = (
     "nearest",
@@ -101,25 +102,36 @@ def _target_axis(values: list[float], factor: float) -> list[float]:
     return [lo_edge + s2 / 2.0 + i * s2 for i in range(n2)]
 
 
-def _neighbor_map(spark, new_axis, old_axis, col, kernel):
-    """Tiny per-axis mapping table: target coord -> source neighbor(s) +
-    weight. Broadcast side of the upsample join."""
+def interval_rows(new_axis, old_axis, kernel):
+    """Rows (src, new, w, hi) assigning each target coordinate to its
+    left source neighbor with the in-interval weight and expected right
+    neighbor. Pure python so oracle generators can reproduce the exact
+    doubles the engine broadcasts."""
     rows = []
     for nv in new_axis:
-        lo = max([v for v in old_axis if v <= nv], default=None)
-        hi = min([v for v in old_axis if v >= nv], default=None)
-        if lo is None:
-            rows.append((nv, hi, 1.0))
-        elif hi is None or lo == hi:
-            rows.append((nv, lo, 1.0))
-        elif kernel == "nearest":
-            rows.append((nv, lo if (nv - lo) <= (hi - nv) else hi, 1.0))
-        else:  # bilinear: two neighbors, linear weights
-            w_hi = (nv - lo) / (hi - lo)
-            rows.append((nv, lo, 1.0 - w_hi))
-            rows.append((nv, hi, w_hi))
+        lo_cands = [v for v in old_axis if v <= nv]
+        if not lo_cands:
+            rows.append((old_axis[0], nv, 0.0, None))
+            continue
+        lo = max(lo_cands)
+        hi = min([v for v in old_axis if v > nv], default=None)
+        if hi is None:
+            rows.append((lo, nv, 0.0, None))
+        else:
+            w = (nv - lo) / (hi - lo)
+            if kernel == "nearest":
+                w = 0.0 if (nv - lo) <= (hi - nv) else 1.0
+            rows.append((lo, nv, w, hi))
+    return rows
+
+
+def _interval_map(spark, new_axis, old_axis, col, kernel):
+    """Tiny per-axis interval table (broadcast side of the upsample
+    join) — one row per target coordinate, so the join multiplies the
+    fact table by at most the new/old axis ratio."""
     return spark.createDataFrame(
-        rows, f"new_{col} double, src_{col} double, w_{col} double"
+        interval_rows(new_axis, old_axis, kernel),
+        f"src_{col} double, new_{col} double, w_{col} double, hi_{col} double",
     )
 
 
@@ -132,7 +144,6 @@ def spatial_resample(
     time_col: str = "time",
     x_col: str = "x",
     y_col: str = "y",
-    exact_sums: bool = False,
 ) -> DataFrame:
     """R1: regrid by a scale factor (``spatial_resample``,
     ``core_functions.py:258-347``): x2 turns a 19x7 grid into 38x14;
@@ -149,8 +160,12 @@ def spatial_resample(
         c for c in df.columns if c not in (time_col, x_col, y_col)
     ]
     spark = df.sparkSession
-    xs = axis_values(df, x_col)
-    ys = axis_values(df, y_col)
+    # one distributed pass for both coordinate axes (cells are
+    # dimension-sized; two separate .distinct() jobs would scan the fact
+    # table twice)
+    cells = df.select(x_col, y_col).distinct().collect()
+    xs = sorted({r[x_col] for r in cells})
+    ys = sorted({r[y_col] for r in cells})
 
     if fx < 1.0 and fy < 1.0 and resample_method not in ("nearest", "bilinear"):
         return _downsample_by_agg(df, xs, ys, fx, fy, resample_method, value_cols, time_col, x_col, y_col)
@@ -158,36 +173,42 @@ def spatial_resample(
     new_xs = _target_axis(xs, fx)
     new_ys = _target_axis(ys, fy)
     kernel = "nearest" if resample_method == "nearest" else "bilinear"
-    mapx = F.broadcast(_neighbor_map(spark, new_xs, xs, x_col, kernel))
-    mapy = F.broadcast(_neighbor_map(spark, new_ys, ys, y_col, kernel))
-    joined = df.join(mapx, df[x_col] == mapx[f"src_{x_col}"]).join(
-        mapy, df[y_col] == mapy[f"src_{y_col}"]
+    mapx = F.broadcast(_interval_map(spark, new_xs, xs, x_col, kernel))
+    mapy = F.broadcast(_interval_map(spark, new_ys, ys, y_col, kernel))
+    out = _axis_lerp(df, mapx, x_col, (time_col, y_col), value_cols)
+    out = _axis_lerp(out, mapy, y_col, (time_col, x_col), value_cols)
+    return out.select(time_col, y_col, x_col, *value_cols)
+
+
+def _axis_lerp(df, interval_map, axis_col, partition_cols, value_cols):
+    """One-axis linear interpolation without any aggregation: the next
+    present cell along the axis comes from a window ``lead`` (one sort
+    within the existing partitioning), the target coordinates + weights
+    from a broadcast interval join, the value from a per-row lerp.
+
+    Bilinear regridding is separable, so two of these passes replace the
+    4-neighbor join + groupBy (which shuffles 4x the fact rows); per-row
+    arithmetic is also deterministic, unlike a float sum aggregate.
+    If the right neighbor of an interval is absent at a timestep (sparse
+    grid), the target keeps the left value (weight renormalization over
+    the present neighbor).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(axis_col)
+    enriched = df.withColumn("__next_coord", F.lead(axis_col).over(w))
+    for v in value_cols:
+        enriched = enriched.withColumn(f"__next_{v}", F.lead(v).over(w))
+    joined = enriched.join(
+        interval_map, F.col(axis_col) == F.col(f"src_{axis_col}")
     )
-    w = F.col(f"w_{x_col}") * F.col(f"w_{y_col}")
-    if exact_sums:
-        # order-independent weighted mean: neighbor products summed as
-        # decimals (float sums depend on partial-aggregation order); used
-        # by oracle-checked queries, costs one extra cast per neighbor
-        aggs = [
-            (
-                F.sum((F.col(v) * w).cast("decimal(30,12)")).cast("double")
-                / F.sum(
-                    F.when(F.col(v).isNotNull(), w.cast("decimal(30,12)"))
-                ).cast("double")
-            ).alias(v)
-            for v in value_cols
-        ]
-    else:
-        aggs = [
-            (F.sum(F.col(v) * w) / F.sum(F.when(F.col(v).isNotNull(), w))).alias(v)
-            for v in value_cols
-        ]
-    return (
-        joined.groupBy(time_col, f"new_{x_col}", f"new_{y_col}")
-        .agg(*aggs)
-        .withColumnRenamed(f"new_{x_col}", x_col)
-        .withColumnRenamed(f"new_{y_col}", y_col)
-        .select(time_col, y_col, x_col, *value_cols)
+    valid_next = F.col("__next_coord") == F.col(f"hi_{axis_col}")
+    projected = []
+    for v in value_cols:
+        nxt = F.when(valid_next, F.col(f"__next_{v}")).otherwise(F.col(v))
+        projected.append(
+            (F.col(v) + (nxt - F.col(v)) * F.col(f"w_{axis_col}")).alias(v)
+        )
+    return joined.select(
+        *partition_cols, F.col(f"new_{axis_col}").alias(axis_col), *projected
     )
 
 

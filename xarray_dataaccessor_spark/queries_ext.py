@@ -528,3 +528,53 @@ def multimodal_decode_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_binary(attach_binary_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (extension — the reference has no streaming,
+# SURVEY §2.8): the streaming engine must reproduce the batch answer over
+# an availableNow replay of the events table.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+        windowed_counts,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(windowed_counts(stream), output_mode="complete")
+
+
+@query(
+    "streaming_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+        user_running_stats,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(
+        user_running_stats(stream), output_mode="update", shuffle_partitions=8
+    )

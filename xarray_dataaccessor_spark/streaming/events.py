@@ -1,0 +1,139 @@
+"""Structured Streaming over the events table (extension surface — the
+reference has NO streaming: SURVEY §2.8; its only "event" notion is the
+static export interval, to_gssha.py:34-37).
+
+Patterns provided:
+
+- file-source ``readStream`` with an explicit schema (nanosecond int64
+  timestamps converted exactly like the batch loader),
+- watermarked tumbling-window aggregation (late-data bound),
+- ``applyInPandasWithState`` custom stateful operator (per-user running
+  aggregates) — the escape hatch for operators Spark's built-in windowed
+  aggs can't express,
+- ``availableNow`` trigger + memory sink for deterministic batch-parity
+  testing: the same rows a batch groupBy produces, computed by the
+  streaming engine.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. The int64 nanosecond ``ts``
+    is truncated to microseconds with integer division, identical to the
+    batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streams take a directory; select the single events file by glob
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate: counts + exact value sum per
+    (window, event_type). The watermark bounds state for late data; with
+    an availableNow replay it does not drop anything."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (availableNow trigger), land it in a memory sink, return the result
+    as a batch DataFrame.
+
+    ``shuffle_partitions`` bounds the state-store partition count for the
+    run (each stateful partition maintains its own store + snapshot
+    files; for a dimension-sized key space a handful of partitions beats
+    the session default). The session value is restored before returning.
+    """
+    spark = stream_df.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="xda_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def user_running_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count / value sum / last-seen timestamp maintained in
+    explicit group state across micro-batches. This is the pattern for
+    operators the built-in windowed aggs can't express (per-key running
+    session logic, custom eviction)."""
+    out_schema = "user_id bigint, n_events bigint, sum_micro bigint, last_ts timestamp"
+    state_schema = "n bigint, s bigint, last bigint"
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n, s, last = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer micro-units keep the running sum exact & portable
+            s += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_micro": [s],
+                "last_ts": [pd.Timestamp(last, unit="us")],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
