@@ -1,0 +1,79 @@
+"""Plan audits: prove that the optimizations the reference hand-rolls
+(SURVEY §4) actually come out of Catalyst in this engine — filters reach
+the Parquet scan, projections prune columns, small dimensions broadcast.
+"""
+
+from __future__ import annotations
+
+import xarray_dataaccessor_spark.queries_ext  # noqa: F401
+from xarray_dataaccessor_spark.plans.explain import (
+    codegen_stage_count,
+    count_exchanges,
+    has_broadcast_join,
+    has_pushed_filter,
+    plan_string,
+    read_schemas,
+)
+from xarray_dataaccessor_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["filter_project"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = QUERIES["filter_project"](spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    # only the 5 selected columns are read, not all 11 lineitem columns
+    assert all("l_returnflag" not in s and "l_tax" not in s for s in schemas)
+
+
+def test_time_filter_pushdown_in_aggregate(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_joins_broadcast_dimension_tables(spark, sf_dir):
+    q3 = QUERIES["tpch_q3_shape"](spark, sf_dir)
+    assert has_broadcast_join(q3)
+    q5 = QUERIES["tpch_q5_shape"](spark, sf_dir)
+    assert has_broadcast_join(q5)
+
+
+def test_extraction_broadcasts_points(spark, sf_dir):
+    df = QUERIES["extraction_points_wide"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_flagship_is_single_aggregation_plan(spark, sf_dir):
+    df = QUERIES["flagship_grid_mean"](spark, sf_dir)
+    # grid derivation + final agg: map-side partial aggregation means the
+    # plan carries HashAggregate pairs, not repeated scans
+    plan = plan_string(df)
+    assert "HashAggregate" in plan
+    assert codegen_stage_count(df) >= 1
+
+
+def test_upsample_has_no_aggregation(spark, sf_dir):
+    # the separable window-lerp upsample must not contain a groupBy
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+    from xarray_dataaccessor_spark.queries import _grid
+
+    up = spatial_resample(
+        _grid(spark, sf_dir), resolution_factor=2.0, resample_method="bilinear"
+    )
+    # everything after the (cached) grid derivation is windows + broadcast
+    # joins; allow the window sort exchanges but no extra aggregates
+    plan = plan_string(up)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert count_exchanges(up) <= 4
+
+
+def test_resample_partial_aggregation(spark, sf_dir):
+    df = QUERIES["resample_agg_daily"](spark, sf_dir)
+    plan = plan_string(df)
+    # two HashAggregate nodes (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2

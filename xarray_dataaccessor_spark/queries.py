@@ -812,3 +812,151 @@ def mercator_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merc.select(
         "y", "x", "x_norm", F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my")
     )
+
+
+# ---------------------------------------------------------------------------
+# A2 — custom-callable resample via applyInPandas (resample().apply(f),
+# core_functions.py:406; tested with numpy callables,
+# test_3_era5_manipulations.py:119-125). np.median interpolates the even
+# case exactly like DuckDB MEDIAN, so even the UDAF path is oracle-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "resample_custom_apply",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ts, event_type, MEDIAN(value) AS value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def resample_custom_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.resample import resample_apply
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return resample_apply(
+        ev, "1H", np.median, value_cols=["value"], time_col="ts",
+        group_cols=("event_type",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — nearest-neighbor interpolation upsample (Interp1dOptions 'nearest';
+# tie rounds toward the left point like scipy interp1d).
+# ---------------------------------------------------------------------------
+@query(
+    "resample_interpolate_nearest",
+    oracle="""
+    WITH obs AS (
+        SELECT date_trunc('day', ts) AS time, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(time) AS lo, max(time) AS hi FROM obs),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS time FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (SELECT time, event_type FROM spine CROSS JOIN types),
+    j AS (
+        SELECT g.time, g.event_type, o.v,
+               CAST(epoch_us(g.time) AS DOUBLE) / 1000000.0 AS t
+        FROM grid g LEFT JOIN obs o ON g.time = o.time AND g.event_type = o.event_type
+    ),
+    n AS (
+        SELECT time, event_type, t,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
+        FROM j
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY time
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY time
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT time, event_type,
+           CAST(CASE WHEN pt IS NULL THEN nv
+                     WHEN nt IS NULL THEN pv
+                     WHEN (t - pt) <= (nt - t) THEN pv
+                     ELSE nv
+                END AS DOUBLE) AS v
+    FROM n
+    """,
+)
+def resample_interpolate_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_interpolate
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.window("ts", "1 day").start.alias("time"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    return resample_interpolate(
+        obs, "1H", "nearest", value_cols=["v"], time_col="time",
+        group_cols=("event_type",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — event-interval filter (OR of inclusive betweens per precipitation
+# event, to_gssha.py:332-337)
+# ---------------------------------------------------------------------------
+@query(
+    "event_interval_filter",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE (ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-08')
+       OR (ts BETWEEN TIMESTAMP '2024-01-20' AND TIMESTAMP '2024-01-22')
+    GROUP BY event_type
+    """,
+)
+def event_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.filters import filter_events
+
+    ev = load(spark, sf_dir, "events")
+    filtered = filter_events(
+        ev,
+        [("2024-01-05", "2024-01-08"), ("2024-01-20", "2024-01-22")],
+        time_col="ts",
+    )
+    return filtered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — grid-snap bbox semantics: the reference snaps request edges to the
+# nearest grid line (crop_data, shared_functions.py:160-198), reproduced
+# by widening the bounds by half the axis step.
+# ---------------------------------------------------------------------------
+_SNAP_ORACLE = f"""
+    WITH grid AS ({GRID_SQL_BODY})
+    SELECT y, x, COUNT(*) AS n
+    FROM grid
+    WHERE x BETWEEN (-82.9 - 0.125) AND (-80.1 + 0.125)
+      AND y BETWEEN (41.6 - 0.125) AND (42.6 + 0.125)
+    GROUP BY y, x
+"""
+
+
+@query("snap_bbox_filter", oracle=_SNAP_ORACLE)
+def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.meta import BoundingBox
+    from xarray_dataaccessor_spark.operators.filters import filter_bbox
+
+    grid = _grid(spark, sf_dir)
+    out = filter_bbox(
+        grid,
+        BoundingBox(west=-82.9, south=41.6, east=-80.1, north=42.6),
+        snap_half_step=0.125,
+    )
+    return out.groupBy("y", "x").agg(F.count(F.lit(1)).alias("n"))
