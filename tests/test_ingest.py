@@ -1,0 +1,78 @@
+"""Ingestion layer tests: fragment enumeration logic (the reference's
+request-dict construction) + the partitioned-parquet landing path with a
+plan-level proof of partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from xarray_dataaccessor_spark.catalog import DatasetCatalog
+from xarray_dataaccessor_spark.meta import BoundingBox
+from xarray_dataaccessor_spark.plans.explain import plan_string
+from xarray_dataaccessor_spark.sources.ingest import (
+    cds_request_dicts,
+    cmr_granule_query,
+    era5_s3_paths,
+    land_grid_parquet,
+    month_range,
+    open_geotiff_fragment,
+    open_netcdf_fragment,
+)
+
+from tests.grid_fixture import grid_df
+
+BBOX = BoundingBox(west=-83.476, south=41.383, east=-78.975, north=42.883)
+
+
+def test_month_range_enumeration():
+    # mirrors era5_from_aws.py:327-346 request enumeration
+    assert month_range("2020-11-15", "2021-02-03") == [
+        (2020, 11), (2020, 12), (2021, 1), (2021, 2),
+    ]
+    assert month_range(2020, 2020)[0] == (2020, 1)
+
+
+def test_era5_s3_paths():
+    paths = era5_s3_paths(["air_temperature_at_2_metres"], "2020-01-10", "2020-02-20")
+    assert paths == [
+        "s3://era5-pds/2020/01/data/air_temperature_at_2_metres.nc",
+        "s3://era5-pds/2020/02/data/air_temperature_at_2_metres.nc",
+    ]
+
+
+def test_cds_request_dicts_weekly_chunks_and_area_pushdown():
+    reqs = cds_request_dicts(["t2m"], BBOX, "2020-01-01", "2020-01-20")
+    assert len(reqs) == 3  # three weekly chunks
+    assert reqs[0]["day"] == [f"{d:02d}" for d in range(1, 8)]
+    assert reqs[0]["area"] == [BBOX.north, BBOX.west, BBOX.south, BBOX.east]
+    assert len(reqs[0]["time"]) == 24
+
+
+def test_cmr_granule_query_params():
+    q = cmr_granule_query("GLANCE30", BBOX, 2018, 2019)
+    assert q["params"]["short_name"] == "GLANCE30"
+    assert q["params"]["bounding_box[]"].startswith("-83.476,41.383")
+    assert q["params"]["temporal"] == "2018-01-01T00:00:00Z,2019-01-01T00:00:00Z"
+
+
+def test_gated_openers_raise_not_implemented():
+    with pytest.raises(NotImplementedError):
+        open_netcdf_fragment("s3://era5-pds/x.nc", "t2m")
+    with pytest.raises(NotImplementedError):
+        open_geotiff_fragment("granule.tif", "LC")
+
+
+def test_landed_parquet_partition_pruning(spark, tmp_path):
+    # land the fixture grid year=/month=-partitioned, read through the
+    # catalog with a time filter, and prove the scan prunes partitions
+    grid = grid_df(spark, with_nulls=False)
+    path = land_grid_parquet(grid, str(tmp_path), "era5_like")
+    cat = DatasetCatalog()
+    cat.register("era5_like", path, ["t2m", "u100"])
+    gf = cat.load(
+        spark, "era5_like", start_time="2019-02-01", end_time="2019-02-02"
+    )
+    plan = plan_string(gf.df)
+    assert "PartitionFilters" in plan
+    # rows only from the February partition survive
+    assert gf.count() == 25 * 7 * 19  # Feb 1 00:00 .. Feb 2 00:00 inclusive

@@ -113,6 +113,16 @@ class DatasetCatalog:
         if bbox is not None:
             gf = gf.filter_bbox(bbox)
         if start_time is not None or end_time is not None:
+            from xarray_dataaccessor_spark.operators.filters import (
+                with_partition_time_pruning,
+            )
+
+            pruned = with_partition_time_pruning(df, start_time, end_time)
+            if pruned is not df:
+                # re-apply the variable/bbox pipeline over the pruned scan
+                gf = GridFrame(pruned, entry.meta).select_variables(keep)
+                if bbox is not None:
+                    gf = gf.filter_bbox(bbox)
             gf = gf.filter_time(start_time, end_time)
         return gf
 

@@ -73,6 +73,36 @@ def filter_time(df, start=None, end=None, time_col: str = "time") -> DataFrame:
     return df
 
 
+def with_partition_time_pruning(
+    df: DataFrame,
+    start,
+    end,
+    year_col: str = "year",
+    month_col: str = "month",
+) -> DataFrame:
+    """Add the year/month partition-column predicates implied by a time
+    range, so a ``year=/month=``-partitioned table prunes directories
+    (Catalyst ``PartitionFilters``). A filter on the ``time`` data column
+    alone cannot prune — Spark won't infer ``year(time)`` bounds — which
+    is exactly the fragment enumeration the reference hand-rolls
+    (``era5_from_aws.py:327-346``)."""
+    if year_col not in df.columns or month_col not in df.columns:
+        return df
+    pred = None
+    if start is not None:
+        s = to_datetime(start)
+        pred = (F.col(year_col) > s.year) | (
+            (F.col(year_col) == s.year) & (F.col(month_col) >= s.month)
+        )
+    if end is not None:
+        e = to_datetime(end)
+        p2 = (F.col(year_col) < e.year) | (
+            (F.col(year_col) == e.year) & (F.col(month_col) <= e.month)
+        )
+        pred = p2 if pred is None else (pred & p2)
+    return df.filter(pred) if pred is not None else df
+
+
 def subset_time_by_timezone(
     df: DataFrame,
     start,
