@@ -112,6 +112,26 @@ class GridFrame:
     def points_to_table(self, points: DataFrame, variable: str) -> DataFrame:
         return _points_to_table(self.df, points, variable)
 
+    # -- reshape (W5/W6) -------------------------------------------------------
+    def rename_dims(self, mapping: Mapping[str, str]) -> "GridFrame":
+        """W5 dimension normalization (lon->longitude, band_data->var,
+        first *time* coord -> time; ``era5_from_aws.py:285-300``,
+        ``nasa_from_LPDAAC.py:503-506``)."""
+        df = self.df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        return self._wrap(df)
+
+    def with_constant_time(self, value) -> "GridFrame":
+        """W6 constant dimension add for timeless rasters
+        (``expand_dims(time=[year])``, ``nasa_from_LPDAAC.py:507-515``).
+        Integer input follows the reference's int-year rule (C1)."""
+        from pyspark.sql import functions as F
+
+        from xarray_dataaccessor_spark.functions.datetime_fns import to_datetime
+
+        return self._wrap(self.df.withColumn("time", F.lit(to_datetime(value))))
+
     # -- convenience -----------------------------------------------------------
     @property
     def variables(self) -> list[str]:
