@@ -31,6 +31,14 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     )
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        assert ka == kb, (
+            f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype} "
+            "(driver hashing may be dtype-sensitive — cast the oracle)"
+        )
+    for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = av.astype(float)

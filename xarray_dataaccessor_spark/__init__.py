@@ -24,7 +24,13 @@ Public surface (mirrors reference ``__init__.py:9-25``):
 
 from xarray_dataaccessor_spark.meta import BoundingBox, GridMeta
 from xarray_dataaccessor_spark.gridframe import GridFrame
-from xarray_dataaccessor_spark.catalog import DatasetCatalog, get_bounding_box
+from xarray_dataaccessor_spark.catalog import (
+    DEFAULT_CATALOG,
+    DatasetCatalog,
+    get_bounding_box,
+    get_dataset,
+    points_df,
+)
 from xarray_dataaccessor_spark.session import get_spark
 from xarray_dataaccessor_spark.operators.resample import temporal_resample
 from xarray_dataaccessor_spark.operators.spatial import spatial_resample
@@ -36,8 +42,11 @@ __all__ = [
     "GridMeta",
     "GridFrame",
     "DatasetCatalog",
+    "DEFAULT_CATALOG",
     "get_bounding_box",
+    "get_dataset",
     "get_spark",
+    "points_df",
     "temporal_resample",
     "spatial_resample",
     "subset_time_by_timezone",

@@ -188,6 +188,28 @@ def get_bounding_box(
     return out
 
 
+DEFAULT_CATALOG = DatasetCatalog()
+
+
+def get_dataset(
+    spark: SparkSession,
+    dataset_name: str,
+    variables: Sequence[str] | None = None,
+    bbox: BoundingBox | None = None,
+    start_time=None,
+    end_time=None,
+    catalog: DatasetCatalog | None = None,
+):
+    """Top-level convenience mirroring the reference's flagship
+    ``get_xarray_dataset`` (``core_functions.py:35-144``): resolve the
+    dataset by name in the (default) catalog and build the pruned lazy
+    scan with AOI filters applied."""
+    return (catalog or DEFAULT_CATALOG).load(
+        spark, dataset_name, variables=variables, bbox=bbox,
+        start_time=start_time, end_time=end_time,
+    )
+
+
 def points_df(
     spark: SparkSession,
     coords: Sequence[tuple[float, float]] | None = None,

@@ -171,8 +171,8 @@ _register_language_oracle()
         FROM documents
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(ws_tokens) AS total_ws_tokens,
-           SUM(bpe_tokens) AS total_bpe_tokens
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
     FROM t GROUP BY source
     """,
 )
@@ -577,4 +577,61 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
     return run_available_now(
         user_running_stats(stream), output_mode="update", shuffle_partitions=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite pipeline: the canonical training-data prep flow — quality
+# gate -> language gate -> fingerprint dedup -> per-source stats — as ONE
+# lazy plan composed from the text/dedup operators.
+# ---------------------------------------------------------------------------
+@query(
+    "training_data_prep_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+               {_FP_NUM} AS fp_num
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM t
+        WHERE n_words >= 5 AND n_chars >= 30
+          AND n_punct / CAST(n_chars AS DOUBLE) < 0.2
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp_num ORDER BY doc_id) AS rk
+            FROM gated
+        ) WHERE rk = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM deduped GROUP BY source
+    """,
+)
+def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from pyspark.sql.window import Window
+
+    from xarray_dataaccessor_spark.operators.text import (
+        fingerprint,
+        text_stats,
+        token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    enriched = fingerprint(token_counts(text_stats(docs)))
+    gated = enriched.filter(F.col("quality_ok"))
+    w = Window.partitionBy("fp_num").orderBy("doc_id")
+    deduped = gated.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("bpe_tokens").alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
     )
