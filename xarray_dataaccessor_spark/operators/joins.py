@@ -83,14 +83,21 @@ def nearest_cell_match(
 
     Returns ``points`` with nearest ``(x, y)`` columns attached. The grid
     axes are dimension-sized (thousands of distinct values for a 100 TB
-    fact table), so both sides of each match are broadcastable.
+    fact table), so both sides of each match are broadcastable; the two
+    axes are collected in ONE distinct pass over the grid's cell columns
+    rather than two full-table scans.
     """
-    xs = nearest_match_1d(
-        points.select("point_id", lon_col), grid.select(x_col), lon_col, x_col
+    cells = grid.select(x_col, y_col).distinct()
+    spark = grid.sparkSession
+    rows = cells.collect()
+    xs_axis = spark.createDataFrame(
+        [(v,) for v in sorted({r[x_col] for r in rows})], f"{x_col} double"
     )
-    ys = nearest_match_1d(
-        points.select("point_id", lat_col), grid.select(y_col), lat_col, y_col
+    ys_axis = spark.createDataFrame(
+        [(v,) for v in sorted({r[y_col] for r in rows})], f"{y_col} double"
     )
+    xs = nearest_match_1d(points.select("point_id", lon_col), xs_axis, lon_col, x_col)
+    ys = nearest_match_1d(points.select("point_id", lat_col), ys_axis, lat_col, y_col)
     return (
         points.join(xs.select("point_id", f"nearest_{x_col}"), "point_id")
         .join(ys.select("point_id", f"nearest_{y_col}"), "point_id")

@@ -37,6 +37,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -374,27 +375,27 @@ def resample_apply(
     scalar — the engine's UDAF surface, run via Arrow-batched
     applyInPandas.
     """
+    from pyspark.sql.functions import pandas_udf
+
     interval = freq_to_interval(freq)
     value_cols = value_cols or _value_columns(df, time_col, group_cols)
     groups = [c for c in group_cols if c in df.columns]
     bucketed = df.withColumn("__bucket", F.window(time_col, interval).start)
-    schema = ", ".join(
-        [f"{time_col} timestamp"]
-        + [f"{g} {df.schema[g].dataType.simpleString()}" for g in groups]
-        + [f"{v} double" for v in value_cols]
+
+    # grouped-agg pandas UDF: Arrow ships one column batch per group and
+    # the callable returns a scalar — far lighter than a full
+    # applyInPandas round-trip building a 1-row frame per group
+    @pandas_udf("double")
+    def udaf(s: pd.Series) -> float:
+        return float(fn(s))
+
+    aggs = [udaf(F.col(v)).alias(v) for v in value_cols]
+    return (
+        bucketed.groupBy("__bucket", *groups)
+        .agg(*aggs)
+        .withColumnRenamed("__bucket", time_col)
+        .select(time_col, *groups, *value_cols)
     )
-
-    def apply_group(pdf):
-        row = {time_col: pdf["__bucket"].iloc[0]}
-        for g in groups:
-            row[g] = pdf[g].iloc[0]
-        for v in value_cols:
-            row[v] = float(fn(pdf[v]))
-        import pandas as pd
-
-        return pd.DataFrame([row])
-
-    return bucketed.groupBy("__bucket", *groups).applyInPandas(apply_group, schema=schema)
 
 
 def temporal_resample(

@@ -161,3 +161,83 @@ def embedding_near_duplicates(
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Deterministic squared L2 distance (sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "ce",
+    rank: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``rank`` nearest centroid(s) by squared
+    L2 (ties break on centroid id). The centroid table is dimension-sized
+    and broadcast; this is the coarse quantizer of an IVF index."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "__d", l2sq(F.col(vec_col), F.col(centroid_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= rank)
+        .select(id_col, vec_col, centroid_id, F.col("__rk").cast("int").alias("probe_rank"))
+    )
+
+
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate nearest neighbors: a deterministic coarse
+    quantizer (the first ``n_centroids`` corpus vectors by id — a real
+    system would k-means them; determinism matters more here) partitions
+    the corpus into inverted lists; each query probes its ``n_probe``
+    nearest lists and ranks candidates by exact cosine.
+
+    Scale path: the corpus is shuffled ONCE on centroid_id (in a real
+    deployment: partitioned/bucketed by it at ingest), each query touches
+    n_probe/n_centroids of the data, and the centroid table is broadcast.
+    """
+    cent = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    )
+    c_assigned = ivf_assign(
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("e")),
+        cent,
+        rank=1,
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col("e").alias("nbr"), "centroid_id"
+    )
+    q_assigned = ivf_assign(
+        queries.select(id_col, F.col(vec_col).cast("array<double>").alias("e")),
+        cent,
+        rank=n_probe,
+    ).select(F.col(id_col).alias("query_id"), F.col("e").alias("qe"), "centroid_id")
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("nbr")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )

@@ -553,7 +553,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = stream_events(spark, sf_dir)
-    return run_available_now(windowed_counts(stream), output_mode="complete")
+    return run_available_now(
+        windowed_counts(stream), output_mode="complete", shuffle_partitions=8
+    )
 
 
 @query(
@@ -634,4 +636,62 @@ def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("bpe_tokens").alias("total_tokens"),
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (the second scale path next to LSH): deterministic coarse
+# quantizer -> inverted lists -> n_probe lists per query -> exact cosine.
+# ---------------------------------------------------------------------------
+_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2])), "
+    "(p, q) -> p + q)"
+)
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c_assigned AS (
+        SELECT vec_id AS neighbor_id, e AS nbr, centroid_id FROM (
+            SELECT v.vec_id, v.e, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
+                   ) AS rk
+            FROM v CROSS JOIN cent c
+        ) WHERE rk = 1
+    ),
+    q_assigned AS (
+        SELECT vec_id AS query_id, e AS qe, centroid_id FROM (
+            SELECT v.vec_id, v.e, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
+                   ) AS rk
+            FROM v CROSS JOIN cent c WHERE v.vec_id < 5
+        ) WHERE rk <= 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, {_cos_sql("qe", "nbr")} AS cos
+        FROM c_assigned JOIN q_assigned USING (centroid_id)
+        WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk FROM s)
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.similarity import ivf_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_ann(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2
     )
