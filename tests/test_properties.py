@@ -117,3 +117,18 @@ def test_cubic_spline_interpolates_knots(ys):
 def test_axis_step_rounds_float_noise():
     axis = [-83.476 + 0.25 * i for i in range(19)]
     assert axis_step(axis) == 0.25
+
+
+def test_bbox_golden_values():
+    # golden from the reference corpus (test_4_nasa_lpdaac.py:98-111 via
+    # FIXTURES.md §4): 4 corner tuples -> exact bbox
+    corners = [
+        (15.06368, -90.01794),
+        (15.06368, -89.93884),
+        (14.96706, -90.01794),
+        (14.96706, -89.93884),
+    ]
+    box = bbox_from_coords(corners)
+    assert box == BoundingBox(
+        west=-90.01794, south=14.96706, east=-89.93884, north=15.06368
+    )

@@ -113,19 +113,26 @@ def land_grid_parquet(
     dataset_name: str,
     time_col: str = "time",
     mode: str = "overwrite",
+    sort_spatial: bool = True,
+    y_col: str = "y",
+    x_col: str = "x",
 ) -> str:
     """Land a long-form grid DataFrame as year=/month=-partitioned
     Parquet — the layout every downstream time filter prunes on
     (Catalyst ``PartitionFilters``). This is the distributed half of every
-    connector; the fragment openers below feed it."""
+    connector; the fragment openers below feed it.
+
+    ``sort_spatial`` sorts rows within each file by (y, x) so Parquet
+    row-group min/max stats form tight spatial zone maps — a bbox filter
+    then skips whole row groups, the engine-level equivalent of the
+    reference's per-fragment bbox crop."""
     path = f"{base_dir}/{dataset_name}"
-    (
-        df.withColumn("year", F.year(time_col))
-        .withColumn("month", F.month(time_col))
-        .write.mode(mode)
-        .partitionBy("year", "month")
-        .parquet(path)
+    out = df.withColumn("year", F.year(time_col)).withColumn(
+        "month", F.month(time_col)
     )
+    if sort_spatial and y_col in df.columns and x_col in df.columns:
+        out = out.sortWithinPartitions("year", "month", y_col, x_col)
+    out.write.mode(mode).partitionBy("year", "month").parquet(path)
     return path
 
 
