@@ -960,3 +960,169 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_half_step=0.125,
     )
     return out.groupBy("y", "x").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W1 'zero' (zero-order hold inside support) and W2 bfill — completing
+# the visible Interp1dOptions / fill surface.
+# ---------------------------------------------------------------------------
+_SPINE_OBS = """
+    WITH obs AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        FROM events WHERE value > 130 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM obs),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
+    j AS (
+        SELECT g.hour, g.event_type, o.v
+        FROM grid g LEFT JOIN obs o ON g.hour = o.hour AND g.event_type = o.event_type
+    ),
+    n AS (
+        SELECT hour, event_type,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER w_next AS nt
+        FROM j
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+"""
+
+
+@query(
+    "resample_interpolate_zero",
+    oracle=_SPINE_OBS
+    + """
+    SELECT hour, event_type,
+           CAST(CASE WHEN nt IS NOT NULL THEN pv END AS DOUBLE) AS v
+    FROM n
+    """,
+)
+def resample_interpolate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_interpolate
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 130)
+    obs = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("hour"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    return resample_interpolate(
+        obs, "1H", "zero", value_cols=["v"], time_col="hour", group_cols=("event_type",)
+    )
+
+
+@query(
+    "resample_bfill_hourly",
+    oracle=_SPINE_OBS
+    + """
+    SELECT hour, event_type, CAST(nv AS DOUBLE) AS v
+    FROM n
+    """,
+)
+def resample_bfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_fill
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 130)
+    obs = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("hour"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    return resample_fill(
+        obs, "1H", "bfill", value_cols=["v"], time_col="hour", group_cols=("event_type",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational extension surface (SURVEY §2.4/§2.5 "not present in the
+# reference — exposed via Spark built-ins"): rollup, distinct aggregates,
+# window analytics.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", 2, "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INT) AS order_seq,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+               AS INT) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wq = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_total"),
+        F.ntile(4).over(wq).cast("int").alias("price_quartile"),
+    )
