@@ -1,0 +1,92 @@
+"""End-to-end demo mirroring the reference's workflow (examples/
+gssha_demo.ipynb): land a gridded dataset, load an AOI, resample,
+extract point time-series, export GSSHA inputs — then the scale
+extensions (dedup + similarity over documents/embeddings).
+
+Run: python examples/demo.py [testdata_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from xarray_dataaccessor_spark import (  # noqa: E402
+    DEFAULT_CATALOG,
+    get_bounding_box,
+    get_dataset,
+    get_spark,
+    points_df,
+)
+from xarray_dataaccessor_spark.sinks.gssha import (  # noqa: E402
+    make_hmet_wes,
+    make_precipitation_input,
+)
+from xarray_dataaccessor_spark.sources.ingest import land_grid_parquet  # noqa: E402
+from xarray_dataaccessor_spark.sources.tables import grid_view, load  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="xda-spark-demo", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="xda_demo_"))
+
+    # 1. ingest: land a grid as year=/month=-partitioned parquet
+    path = land_grid_parquet(grid_view(spark, sf_dir), str(work), "era5_like")
+    DEFAULT_CATALOG.register("era5_like", path, ["t2m", "u100"])
+    print(f"landed partitioned dataset at {path}")
+
+    # 2. load with an AOI (the reference's get_xarray_dataset shape)
+    bbox = get_bounding_box(coords=[(41.5, -83.3), (42.8, -79.2)])
+    gf = get_dataset(
+        spark, "era5_like", variables=["t2m"], bbox=bbox,
+        start_time="1995-01-01", end_time="1996-12-31",
+    )
+    print("AOI rows:", gf.count(), "| variables:", gf.variables)
+
+    # 3. transform: monthly means per cell, spatially collapsed series
+    monthly = gf.temporal_resample("30D", agg_method="mean")
+    series = gf.collapse_spatial("mean")
+    print("monthly buckets:", monthly.df.select("time").distinct().count())
+    print("collapsed series rows:", series.count())
+
+    # 4. extract: wide (time x point) table at 3 off-grid points
+    pts = points_df(spark, coords=[(41.63, -82.98), (42.88, -79.43), (41.85, -83.23)])
+    wide = gf.points_to_table(pts, "t2m")
+    print("extraction columns:", wide.columns)
+
+    # 5. export GSSHA inputs
+    gag = make_precipitation_input(
+        gf.filter_time("1995-01-01", "1995-01-31").df, "t2m",
+        file_dir=work, file_name="demo",
+    )
+    wes = make_hmet_wes(
+        gf.filter_time("1995-01-01", "1995-01-31").df,
+        {"t2m": "Dry Bulb Temperature"},
+        file_dir=work, file_name="demo_wes",
+    )
+    print("GSSHA artifacts:", gag.name, wes.name)
+
+    # 6. scale extensions: dedup + similarity
+    from xarray_dataaccessor_spark.operators.dedup import minhash_near_duplicates
+    from xarray_dataaccessor_spark.operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs.select("doc_id", "text"))
+    print("near-duplicate candidate pairs:", pairs.count())
+
+    emb = load(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    topk = cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=3)
+    print("similarity top-3:")
+    for r in topk.collect():
+        print(f"  query {r['query_id']} -> {r['neighbor_id']} (cos={r['cos']:.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,12 @@ def word_shingles(
     """Distinct word k-shingles per document: (id, shingle)."""
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    # F.get is 0-based and null-safe: a doc shorter than k words yields a
+    # partial shingle instead of an ANSI out-of-bounds error
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+            " ", *[F.get(words, (i + j).cast("int")) for j in range(k)]
         ),
     )
     return (
@@ -150,14 +152,30 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via the inverted-index join:
     doc-shingle pairs self-joined on the shingle hash, intersection
     counted per pair, |A|,|B| joined back. Only documents sharing at
-    least one shingle are ever paired."""
+    least one shingle are ever paired.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the pair join — the standard scale mitigation: a shingle with
+    document frequency d contributes d^2 join rows, and high-df shingles
+    (stopword runs) carry no dedup signal. Note |A|,|B| are then counted
+    over the *kept* shingles, so the score is Jaccard over the filtered
+    shingle space."""
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
     ).cache()  # reused by sizes + both sides of the inverted-index join
+    if max_df is not None:
+        keep = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("h")
+        )
+        sh = sh.join(keep, "h")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -695,3 +695,42 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard with a document-frequency cap — the scale path for exact
+# n-gram similarity: shingles with df > max_df contribute df^2 join rows
+# and no dedup signal, so they are dropped before the pair join.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_jaccard_capped",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    sh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
+    ),
+    hashed0 AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh0),
+    keep AS (SELECT h FROM hashed0 GROUP BY h HAVING COUNT(*) <= 20),
+    hashed AS (SELECT hashed0.* FROM hashed0 JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6, max_df=20)
