@@ -1126,3 +1126,68 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_total"),
         F.ntile(4).over(wq).cast("int").alias("price_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R1 — nearest-kernel upsample x2 (same window-lerp machinery as bilinear
+# with weights snapped to {0,1}; rasterio 'nearest' parity).
+# ---------------------------------------------------------------------------
+def _upsample_nearest_oracle() -> str:
+    from xarray_dataaccessor_spark.operators.spatial import (
+        _target_axis,
+        interval_rows,
+    )
+
+    xs = [-83.476 + 0.25 * i for i in range(19)]
+    ys = [41.383 + 0.25 * j for j in range(7)]
+
+    def values(rows):
+        out = []
+        for src, new, w, hi in rows:
+            hi_s = "CAST(NULL AS DOUBLE)" if hi is None else f"CAST({hi!r} AS DOUBLE)"
+            out.append(
+                f"(CAST({src!r} AS DOUBLE), CAST({new!r} AS DOUBLE), "
+                f"CAST({w!r} AS DOUBLE), {hi_s})"
+            )
+        return ",\n        ".join(out)
+
+    mapx = values(interval_rows(_target_axis(xs, 2.0), xs, "nearest"))
+    mapy = values(interval_rows(_target_axis(ys, 2.0), ys, "nearest"))
+    return f"""
+    WITH grid AS ({GRID_SQL_BODY}),
+    mapx(src_x, new_x, wx, hi_x) AS (VALUES
+        {mapx}
+    ),
+    mapy(src_y, new_y, wy, hi_y) AS (VALUES
+        {mapy}
+    ),
+    ex AS (
+        SELECT time, y, x, t2m, u100,
+               lead(x) OVER w AS nc, lead(t2m) OVER w AS nt, lead(u100) OVER w AS nu
+        FROM grid WINDOW w AS (PARTITION BY time, y ORDER BY x)
+    ),
+    px AS (
+        SELECT time, y, new_x AS x,
+               t2m + ((CASE WHEN nc = hi_x THEN nt ELSE t2m END) - t2m) * wx AS t2m,
+               u100 + ((CASE WHEN nc = hi_x THEN nu ELSE u100 END) - u100) * wx AS u100
+        FROM ex JOIN mapx ON ex.x = mapx.src_x
+    ),
+    ey AS (
+        SELECT time, x, y, t2m, u100,
+               lead(y) OVER w2 AS nc, lead(t2m) OVER w2 AS nt, lead(u100) OVER w2 AS nu
+        FROM px WINDOW w2 AS (PARTITION BY time, x ORDER BY y)
+    )
+    SELECT time, new_y AS y, x,
+           t2m + ((CASE WHEN nc = hi_y THEN nt ELSE t2m END) - t2m) * wy AS t2m,
+           u100 + ((CASE WHEN nc = hi_y THEN nu ELSE u100 END) - u100) * wy AS u100
+    FROM ey JOIN mapy ON ey.y = mapy.src_y
+"""
+
+
+@query("spatial_upsample_nearest", oracle=_upsample_nearest_oracle())
+def spatial_upsample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+
+    grid = _grid(spark, sf_dir)
+    return spatial_resample(grid, resolution_factor=2.0, resample_method="nearest")

@@ -734,3 +734,44 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6, max_df=20)
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) windows through the streaming engine: 2-hour
+# windows sliding hourly — each event lands in exactly two windows.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH e2 AS (
+        SELECT date_trunc('hour', ts) AS h0, event_type, value FROM events
+    ),
+    w AS (
+        SELECT h0 AS win_start, event_type, value FROM e2
+        UNION ALL
+        SELECT h0 - INTERVAL 1 HOUR AS win_start, event_type, value FROM e2
+    )
+    SELECT win_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    return run_available_now(agg, output_mode="complete", shuffle_partitions=8)
