@@ -775,3 +775,84 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
     )
     return run_available_now(agg, output_mode="complete", shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event gets the most recent prior 'purchase' value of
+# the same user (union + as-of-window pattern — one shuffle on user_id).
+# The oracle is DuckDB's native ASOF JOIN over the same deduplicated
+# right side.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, ARG_MAX(value, event_id) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, p.purchase_value
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts", "value")
+    return asof_join(
+        left, purchases, on="ts", by="user_id", value_cols=["purchase_value"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: events joined to the business-hours interval containing
+# them (bin-bucketed interval containment — equi-join + refine instead of
+# a nested-loop inequality join).
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_business_hours",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+    ),
+    intervals AS (
+        SELECT strftime(d, '%Y%m%d') AS interval_id,
+               d + INTERVAL 6 HOUR AS win_start,
+               d + INTERVAL 18 HOUR AS win_end
+        FROM days
+    )
+    SELECT interval_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN intervals i
+      ON e.ts >= i.win_start AND e.ts <= i.win_end
+    GROUP BY interval_id
+    """,
+)
+def range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.asof import range_join_binned
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    intervals = days.select(
+        F.date_format("d", "yyyyMMdd").alias("interval_id"),
+        (F.col("d") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+        (F.col("d") + F.expr("INTERVAL 18 HOURS")).alias("win_end"),
+    )
+    joined = range_join_binned(
+        ev.select("ts", "value"), intervals, "ts", "win_start", "win_end",
+        bin_width_seconds=6 * 3600,
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
