@@ -112,3 +112,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_num": portable_hash64(normalized),
         }
     )
+
+
+def remove_duplicate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4-style duplicate-passage removal: documents are split into
+    non-overlapping ``chunk_words``-word chunks, each chunk is kept only
+    at its globally-first occurrence (smallest (doc_id, position)), and
+    documents are reassembled from their surviving chunks.
+
+    Scale shape: one explode, one window rank partitioned by the chunk
+    hash (the shuffle key is a 60-bit fingerprint, never the text), one
+    groupBy to reassemble. Output: ``(id, text, n_chunks_total,
+    n_chunks_kept)`` with ``text`` rebuilt in original chunk order.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunk_idx = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(chunk_idx).alias("pos"),
+        words.alias("__w"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__w"), F.col("pos") * chunk_words + 1, chunk_words),
+        ).alias("chunk"),
+    )
+    hashed = chunks.withColumn("h", portable_hash64(F.col("chunk")))
+    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    kept = hashed.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+    )
+    totals = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks_total"))
+    return totals.join(reassembled, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_chunks_total",
+        F.coalesce(F.col("n_chunks_kept"), F.lit(0)).alias("n_chunks_kept"),
+    )

@@ -856,3 +856,48 @@ def range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicate-passage removal: 10-word chunks deduplicated at
+# their globally-first occurrence, documents reassembled. Run on the
+# fuzzed corpus so exact copies collapse to empty survivors.
+# ---------------------------------------------------------------------------
+_CHUNK_H64 = _H64.format(expr="chunk")
+
+
+@query(
+    "line_dedup_reassembly",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    chunked AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    hashed AS (SELECT doc_id, pos, chunk, {_CHUNK_H64} AS h FROM chunked),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+            FROM hashed
+        ) WHERE rk = 1
+    ),
+    reassembled AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text,
+               COUNT(*) AS n_chunks_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks_total FROM hashed GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.text, '') AS text,
+           t.n_chunks_total,
+           COALESCE(r.n_chunks_kept, 0) AS n_chunks_kept
+    FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id
+    """,
+)
+def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.text import remove_duplicate_chunks
+
+    return remove_duplicate_chunks(_corpus(spark, sf_dir))
