@@ -170,3 +170,32 @@ def test_bilinear_upsample_values_on_linear_field(spark):
     for x, v in got.items():
         if 0.0 <= x <= 4.0:  # inside the source support
             assert abs(v - 10.0 * x) < 1e-9, (x, v)
+
+
+def test_quadratic_interpolation_reproduces_parabola(spark):
+    # y = (hour)^2 sampled hourly; quadratic interpolation must recover
+    # the exact parabola at half-hour points (Lagrange property)
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2020, 1, 1, h), 1.0, 1.0, float(h * h)) for h in range(6)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, y double, x double, v double")
+    out = resample_interpolate(df, "30T", "quadratic").collect()
+    for r in out:
+        h = r["time"].hour + r["time"].minute / 60.0
+        assert abs(r["v"] - h * h) < 1e-6, (h, r["v"])
+
+
+def test_cubic_interpolation_reproduces_line(spark):
+    # natural cubic spline is exact on linear data
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2020, 1, 1, h), 1.0, 1.0, 3.0 * h + 2.0) for h in range(6)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, y double, x double, v double")
+    out = resample_interpolate(df, "15T", "cubic").collect()
+    for r in out:
+        h = r["time"].hour + r["time"].minute / 60.0
+        assert abs(r["v"] - (3.0 * h + 2.0)) < 1e-6, (h, r["v"])

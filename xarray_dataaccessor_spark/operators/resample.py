@@ -326,7 +326,41 @@ def _interpolate_spline(df, freq, method, value_cols, time_col, group_cols):
     )
 
     def interp_group(pdf):
+        # NOTE: this closure must be fully self-contained. Referencing a
+        # module-level helper would make cloudpickle serialize it BY
+        # REFERENCE, and executor Python workers that don't have this
+        # package on sys.path (a consumer driving from another cwd, or a
+        # real cluster without the wheel shipped) would fail with
+        # ModuleNotFoundError. The tridiagonal solve is therefore inlined
+        # (same algorithm as _natural_cubic_second_derivs).
         import numpy as np
+
+        def second_derivs(xs, ys):
+            n = len(xs)
+            m = np.zeros(n)
+            if n < 3:
+                return m
+            h = np.diff(xs)
+            a = np.zeros(n)
+            b = np.ones(n)
+            c = np.zeros(n)
+            d = np.zeros(n)
+            for i in range(1, n - 1):
+                a[i] = h[i - 1]
+                b[i] = 2.0 * (h[i - 1] + h[i])
+                c[i] = h[i]
+                d[i] = 6.0 * (
+                    (ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1]
+                )
+            for i in range(1, n):
+                if b[i - 1] != 0:
+                    wgt = a[i] / b[i - 1]
+                    b[i] -= wgt * c[i - 1]
+                    d[i] -= wgt * d[i - 1]
+            m[n - 1] = d[n - 1] / b[n - 1] if b[n - 1] else 0.0
+            for i in range(n - 2, -1, -1):
+                m[i] = (d[i] - c[i] * m[i + 1]) / b[i] if b[i] else 0.0
+            return m
 
         pdf = pdf.sort_values(time_col).reset_index(drop=True)
         t = pdf[time_col].astype("int64").to_numpy() / 1e9
@@ -338,7 +372,7 @@ def _interpolate_spline(df, freq, method, value_cols, time_col, group_cols):
             if len(xs) >= 2:
                 inside = (t >= xs[0]) & (t <= xs[-1])
                 if method == "cubic" and len(xs) >= 3:
-                    m = _natural_cubic_second_derivs(xs, ys)
+                    m = second_derivs(xs, ys)
                     idx = np.clip(np.searchsorted(xs, t[inside]) - 1, 0, len(xs) - 2)
                     x0, x1 = xs[idx], xs[idx + 1]
                     y0, y1 = ys[idx], ys[idx + 1]
@@ -351,7 +385,23 @@ def _interpolate_spline(df, freq, method, value_cols, time_col, group_cols):
                         + (y0 / h - m0 * h / 6) * (x1 - tt)
                         + (y1 / h - m1 * h / 6) * (tt - x0)
                     )
-                else:  # quadratic falls back to piecewise local parabola
+                elif method == "quadratic" and len(xs) >= 3:
+                    # piecewise 3-point Lagrange parabola: for t in
+                    # [x_i, x_{i+1}], the parabola through the segment's
+                    # knots and its left neighbor (right neighbor on the
+                    # first segment). Reproduces quadratics exactly;
+                    # continuous but (unlike scipy's B-spline) not C1.
+                    idx = np.clip(np.searchsorted(xs, t[inside]) - 1, 0, len(xs) - 2)
+                    a = np.where(idx == 0, 0, idx - 1)
+                    x0, x1, x2 = xs[a], xs[a + 1], xs[a + 2]
+                    y0, y1, y2 = ys[a], ys[a + 1], ys[a + 2]
+                    tt = t[inside]
+                    out[inside] = (
+                        y0 * (tt - x1) * (tt - x2) / ((x0 - x1) * (x0 - x2))
+                        + y1 * (tt - x0) * (tt - x2) / ((x1 - x0) * (x1 - x2))
+                        + y2 * (tt - x0) * (tt - x1) / ((x2 - x0) * (x2 - x1))
+                    )
+                else:  # too few points for a parabola: linear
                     out[inside] = np.interp(t[inside], xs, ys)
             pdf[v] = out
         return pdf[[time_col, *groups, *value_cols]]
