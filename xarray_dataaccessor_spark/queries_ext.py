@@ -901,3 +901,29 @@ def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_dataaccessor_spark.operators.text import remove_duplicate_chunks
 
     return remove_duplicate_chunks(_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# W1 cubic spline upsample — the applyInPandas [P] path. A natural cubic
+# spline's tridiagonal solve has no closed-form ANSI-SQL equivalent, so
+# this entry is rows-only (the driver records the weaker check); shape
+# and polynomial-reproduction properties are covered by unit tests.
+# ---------------------------------------------------------------------------
+@query("resample_interpolate_cubic_noracle")
+def resample_interpolate_cubic_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_interpolate
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.window("ts", "1 day").start.alias("time"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value")
+        ).alias("v")
+    )
+    return resample_interpolate(
+        obs, "1H", "cubic", value_cols=["v"], time_col="time",
+        group_cols=("event_type",),
+    )
