@@ -83,3 +83,12 @@ def test_rename_and_constant_time(spark):
     row = gf.df.first()
     assert row["time"].year == 2019 and row["x"] == -83.0
     assert gf.variables == ["LC"]
+
+def test_load_with_resample_step(spark, catalog):
+    # optional spatial_resample in the flagship read path
+    # (core_functions.py:134-141)
+    gf = catalog.load(
+        spark, "era5_like", resolution_factor=2.0, resample_method="bilinear"
+    )
+    assert gf.df.select("x").distinct().count() == 38
+    assert gf.df.select("y").distinct().count() == 14

@@ -109,3 +109,25 @@ def test_save_dataframe_formats(small_grid, tmp_path):
     assert p2.exists()
     with pytest.raises(ValueError):
         save_dataframe(small_grid, tmp_path, "t2m", "bogus")
+
+
+def test_precipitation_gag_output_epsg(small_grid, tmp_path):
+    # coordinates in the COORD header reprojected to Web Mercator
+    path = make_precipitation_input(
+        small_grid, "t2m", file_dir=tmp_path, file_name="precip_merc",
+        output_epsg=3857,
+    )
+    coord = next(
+        l for l in path.read_text().splitlines() if l.startswith("COORD ")
+    )
+    easting = float(coord.split()[1])
+    assert abs(easting) > 1e6  # mercator meters, not degrees
+
+
+def test_grass_ascii_output_epsg(small_grid, tmp_path):
+    paths = make_grass_ascii(
+        small_grid, "t2m", file_dir=tmp_path, file_name="merc", output_epsg=3857
+    )
+    header = paths[0].read_text().splitlines()
+    west = float(next(l for l in header if l.startswith("west: ")).split()[1])
+    assert abs(west) > 1e6

@@ -93,6 +93,9 @@ class DatasetCatalog:
         bbox: BoundingBox | None = None,
         start_time=None,
         end_time=None,
+        resolution_factor: float | None = None,
+        xy_resolution_factors: tuple[float, float] | None = None,
+        resample_method: str = "nearest",
     ):
         """The flagship read path (``get_xarray_dataset``,
         ``core_functions.py:35-144``) as one lazy plan:
@@ -124,6 +127,14 @@ class DatasetCatalog:
                 if bbox is not None:
                     gf = gf.filter_bbox(bbox)
             gf = gf.filter_time(start_time, end_time)
+        if resolution_factor is not None or xy_resolution_factors is not None:
+            # optional regrid step of the flagship read path
+            # (core_functions.py:134-141)
+            gf = gf.spatial_resample(
+                resolution_factor=resolution_factor,
+                xy_resolution_factors=xy_resolution_factors,
+                resample_method=resample_method,
+            )
         return gf
 
 

@@ -64,6 +64,27 @@ def _write_ascii(text: str, path: Path, hot_start: bool = False) -> None:
         f.write(text)
 
 
+def _project_coords(cells, input_epsg, output_epsg):
+    """Driver-side gage-coordinate reprojection (the reference's
+    ``_write_precip_coords`` output_epsg path, to_gssha.py:116-155) —
+    the gage network is dimension-sized, so the closed-form transform
+    runs on the driver."""
+    if output_epsg is None or output_epsg == input_epsg:
+        return cells
+    from xarray_dataaccessor_spark.meta import BoundingBox
+    from xarray_dataaccessor_spark.operators.spatial import bbox_to_crs
+
+    out = []
+    for cx, cy in cells:
+        b = bbox_to_crs(
+            BoundingBox(west=cx, south=cy, east=cx, north=cy),
+            input_epsg,
+            output_epsg,
+        )
+        out.append((b.west, b.south))
+    return out
+
+
 def make_precipitation_input(
     grid: DataFrame,
     precipitation_variable: str,
@@ -76,6 +97,8 @@ def make_precipitation_input(
     time_col: str = "time",
     x_col: str = "x",
     y_col: str = "y",
+    input_epsg: int = 4326,
+    output_epsg: int | None = None,
 ) -> Path:
     """S9 ``.gag`` precipitation sink (to_gssha.py:245-362).
 
@@ -91,8 +114,9 @@ def make_precipitation_input(
     )
     cell_ids = [f"{cx}_{cy}" for cx, cy in cells]
 
+    projected = _project_coords(cells, input_epsg, output_epsg)
     coord_lines = [f"NRGAG {len(cells)}"]
-    for i, (cx, cy) in enumerate(cells):
+    for i, (cx, cy) in enumerate(projected):
         coord_lines.append(
             f'COORD {cx} {cy} "Center of precipitation pixel #{i + 1}"'
         )
@@ -141,11 +165,15 @@ def make_grass_ascii(
     x_col: str = "x",
     y_col: str = "y",
     y_descending: bool = True,
+    input_epsg: int = 4326,
+    output_epsg: int | None = None,
 ) -> list[Path]:
     """S10 GRASS ASCII sink: one 2-D grid dump per timestep
-    (to_gssha.py:365-478). Bounds come from a distributed min/max agg;
-    per-timestep slices stream through ``toLocalIterator`` so only one
-    timestep's grid is ever held on the driver."""
+    (to_gssha.py:365-478). Bounds come from a distributed min/max agg
+    (reprojected when ``output_epsg`` is given, mirroring the reference's
+    header reprojection); per-timestep slices stream through
+    ``toLocalIterator`` so only one timestep's grid is ever held on the
+    driver."""
     if file_name is None:
         if hmet_variable and hmet_variable in _HMET_BY_NAME:
             file_name = _HMET_BY_NAME[hmet_variable].ascii_file_name
@@ -161,6 +189,16 @@ def make_grass_ascii(
         F.countDistinct(y_col),
         F.countDistinct(x_col),
     ).first()
+    if output_epsg is not None and output_epsg != input_epsg:
+        from xarray_dataaccessor_spark.meta import BoundingBox
+        from xarray_dataaccessor_spark.operators.spatial import bbox_to_crs
+
+        b = bbox_to_crs(
+            BoundingBox(west=west, south=south, east=east, north=north),
+            input_epsg,
+            output_epsg,
+        )
+        west, south, east, north = b.west, b.south, b.east, b.north
     header = (
         f"north: {north}\nsouth: {south}\neast: {east}\nwest: {west}\n"
         f"rows: {n_rows}\ncols: {n_cols}\n"
