@@ -199,3 +199,22 @@ def test_cubic_interpolation_reproduces_line(spark):
     for r in out:
         h = r["time"].hour + r["time"].minute / 60.0
         assert abs(r["v"] - (3.0 * h + 2.0)) < 1e-6, (h, r["v"])
+
+
+def test_interval_rows_large_axis_fast():
+    """bisect-based interval assignment: 50k-target mapping onto a 50k
+    source axis in well under a second (the old per-target linear scan was
+    O(n*m))."""
+    import time
+
+    from xarray_dataaccessor_spark.operators.spatial import interval_rows
+
+    old_axis = [i * 0.01 for i in range(50_000)]
+    new_axis = [i * 0.005 + 0.0025 for i in range(100_000)]
+    t0 = time.perf_counter()
+    rows = interval_rows(new_axis, old_axis, "bilinear")
+    assert time.perf_counter() - t0 < 1.0
+    assert len(rows) == len(new_axis)
+    # spot-check the interval semantics survived the refactor
+    lo, nv, w, hi = rows[1]
+    assert lo <= nv and (hi is None or hi > nv)

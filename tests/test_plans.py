@@ -77,3 +77,41 @@ def test_resample_partial_aggregation(spark, sf_dir):
     plan = plan_string(df)
     # two HashAggregate nodes (partial + final) around one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cell_product_driver_collect():
+    """Guard against the O(nx*ny) anti-pattern: no operator module may
+    collect the distinct (x, y) cell product to the driver — axes must be
+    derived per-dimension (grid_axes / axis_values), each bounded by
+    max(|xs|, |ys|). The .gag sink legitimately collects a gage network
+    but must bound it (max_gages)."""
+    import re
+    from pathlib import Path
+
+    import xarray_dataaccessor_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    pat = re.compile(r"select\(\s*x_col\s*,\s*y_col\s*\)\s*\.distinct\(\)\s*\.collect\(\)")
+    offenders = [
+        p for p in (root / "operators").glob("*.py") if pat.search(p.read_text())
+    ]
+    assert offenders == [], f"cell-product collect in {offenders}"
+    gssha = (root / "sinks" / "gssha.py").read_text()
+    assert "max_gages" in gssha
+
+
+def test_grid_axes_driver_payload_is_dimension_sized(spark):
+    """grid_axes must hand the driver |xs| + |ys| values from a single
+    aggregation job — not the nx*ny cell set."""
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.operators.spatial import grid_axes
+
+    n = 60
+    df = (
+        spark.range(n).select(F.col("id").cast("double").alias("x"))
+        .crossJoin(spark.range(n).select((F.col("id") * 2.0).alias("y")))
+    )
+    xs, ys = grid_axes(df, "x", "y")
+    assert len(xs) == n and len(ys) == n
+    assert xs == sorted(xs) and ys == sorted(ys)

@@ -131,3 +131,60 @@ def test_grass_ascii_output_epsg(small_grid, tmp_path):
     header = paths[0].read_text().splitlines()
     west = float(next(l for l in header if l.startswith("west: ")).split()[1])
     assert abs(west) > 1e6
+
+
+def test_precipitation_gag_gage_order(small_grid, tmp_path):
+    # golden: gages ordered x ascending, y DESCENDING within each x —
+    # the reference's stable sort on x alone preserves ERA5's
+    # descending-latitude y order (to_gssha.py:299-309)
+    path = make_precipitation_input(
+        small_grid, "t2m", file_dir=tmp_path, file_name="order"
+    )
+    coords = [
+        (float(l.split()[1]), float(l.split()[2]))
+        for l in path.read_text().splitlines()
+        if l.startswith("COORD ")
+    ]
+    assert coords == sorted(coords, key=lambda c: (c[0], -c[1]))
+    assert len({c[0] for c in coords}) == 3 and len({c[1] for c in coords}) == 2
+
+
+def test_precipitation_gag_max_gages_bound(small_grid, tmp_path):
+    with pytest.raises(ValueError, match="max_gages"):
+        make_precipitation_input(
+            small_grid, "t2m", file_dir=tmp_path, file_name="toolarge",
+            max_gages=3,
+        )
+
+
+def test_grass_wes_nodata_fill(spark, tmp_path):
+    # null cells render as the HMET sentinel, never the string 'None'
+    # (_prep_nodata, to_gssha.py:216-238)
+    df = (
+        grid_df(spark, with_nulls=True)
+        .filter(
+            (F.col("time") >= T0 + dt.timedelta(hours=6))
+            & (F.col("time") < T0 + dt.timedelta(hours=10))
+            & F.col("x").isin(XS[:4])
+            & F.col("y").isin(YS[:2])
+        )
+    )
+    assert df.filter(F.col("u100").isNull()).count() > 0
+    paths = make_grass_ascii(
+        df, "u100", hmet_variable="Wind Speed", file_dir=tmp_path
+    )
+    assert paths
+    for p in paths:
+        text = p.read_text()
+        assert "None" not in text
+    assert any("999.0" in p.read_text() for p in paths)  # WndS sentinel
+    # unmapped variable falls back to 99.999
+    paths2 = make_grass_ascii(df, "u100", file_dir=tmp_path, file_name="raw")
+    assert not any("None" in p.read_text() for p in paths2)
+    assert any("99.999" in p.read_text() for p in paths2)
+
+    wes = make_hmet_wes(
+        df, {"u100": "Wind Speed"}, file_dir=tmp_path,
+        file_name="wes_nulls",
+    )
+    assert "None" not in wes.read_text()

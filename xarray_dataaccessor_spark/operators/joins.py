@@ -84,18 +84,15 @@ def nearest_cell_match(
     Returns ``points`` with nearest ``(x, y)`` columns attached. The grid
     axes are dimension-sized (thousands of distinct values for a 100 TB
     fact table), so both sides of each match are broadcastable; the two
-    axes are collected in ONE distinct pass over the grid's cell columns
-    rather than two full-table scans.
+    axes come from ONE ``collect_set`` aggregation pass (driver receives
+    |xs| + |ys| values — never the O(nx*ny) distinct cell set).
     """
-    cells = grid.select(x_col, y_col).distinct()
+    from xarray_dataaccessor_spark.operators.spatial import grid_axes
+
     spark = grid.sparkSession
-    rows = cells.collect()
-    xs_axis = spark.createDataFrame(
-        [(v,) for v in sorted({r[x_col] for r in rows})], f"{x_col} double"
-    )
-    ys_axis = spark.createDataFrame(
-        [(v,) for v in sorted({r[y_col] for r in rows})], f"{y_col} double"
-    )
+    xs_vals, ys_vals = grid_axes(grid, x_col, y_col)
+    xs_axis = spark.createDataFrame([(v,) for v in xs_vals], f"{x_col} double")
+    ys_axis = spark.createDataFrame([(v,) for v in ys_vals], f"{y_col} double")
     xs = nearest_match_1d(points.select("point_id", lon_col), xs_axis, lon_col, x_col)
     ys = nearest_match_1d(points.select("point_id", lat_col), ys_axis, lat_col, y_col)
     return (

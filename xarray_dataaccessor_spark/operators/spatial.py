@@ -74,6 +74,24 @@ def axis_values(df: DataFrame, col: str) -> list[float]:
     return [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
 
 
+def grid_axes(df: DataFrame, x_col: str = "x", y_col: str = "y"):
+    """Both coordinate axes in ONE distributed job with the driver
+    receiving only |xs| + |ys| values — never the O(nx*ny) distinct cell
+    set (a planetary 0.01-degree grid has 36k x 18k = 648M cells but only
+    54k axis values). ``collect_set`` partial-aggregates map-side, so the
+    final exchange carries per-partition deduplicated axis fragments and
+    the single driver row holds the two sorted axes.
+
+    Mirrors the reference's per-dimension coordinate reads
+    (``shared_functions.py:185-190``: 1-D ``ds.x.values`` /
+    ``ds.y.values`` — never the cell product)."""
+    row = df.agg(
+        F.array_sort(F.collect_set(F.col(x_col))).alias("xs"),
+        F.array_sort(F.collect_set(F.col(y_col))).alias("ys"),
+    ).first()
+    return list(row["xs"]), list(row["ys"])
+
+
 def axis_step(values: Sequence[float]) -> float:
     """Grid step inferred from the coordinate spine (used for the F2
     snap-to-nearest-gridline semantics and R1 index arithmetic)."""
@@ -106,15 +124,20 @@ def interval_rows(new_axis, old_axis, kernel):
     """Rows (src, new, w, hi) assigning each target coordinate to its
     left source neighbor with the in-interval weight and expected right
     neighbor. Pure python so oracle generators can reproduce the exact
-    doubles the engine broadcasts."""
+    doubles the engine broadcasts. ``bisect`` over the sorted source axis
+    keeps this O((n+m) log n) — a linear scan per target would be O(n*m)
+    (2.6B comparisons for planetary 36k x 72k axes)."""
+    import bisect
+
+    old = sorted(old_axis)
     rows = []
     for nv in new_axis:
-        lo_cands = [v for v in old_axis if v <= nv]
-        if not lo_cands:
-            rows.append((old_axis[0], nv, 0.0, None))
+        i = bisect.bisect_right(old, nv)  # first index with old[i] > nv
+        if i == 0:
+            rows.append((old[0], nv, 0.0, None))
             continue
-        lo = max(lo_cands)
-        hi = min([v for v in old_axis if v > nv], default=None)
+        lo = old[i - 1]
+        hi = old[i] if i < len(old) else None
         if hi is None:
             rows.append((lo, nv, 0.0, None))
         else:
@@ -160,12 +183,9 @@ def spatial_resample(
         c for c in df.columns if c not in (time_col, x_col, y_col)
     ]
     spark = df.sparkSession
-    # one distributed pass for both coordinate axes (cells are
-    # dimension-sized; two separate .distinct() jobs would scan the fact
-    # table twice)
-    cells = df.select(x_col, y_col).distinct().collect()
-    xs = sorted({r[x_col] for r in cells})
-    ys = sorted({r[y_col] for r in cells})
+    # one distributed pass for both coordinate axes; the driver receives
+    # only the two dimension-sized axes, never the nx*ny cell product
+    xs, ys = grid_axes(df, x_col, y_col)
 
     if fx < 1.0 and fy < 1.0 and resample_method not in ("nearest", "bilinear"):
         return _downsample_by_agg(df, xs, ys, fx, fy, resample_method, value_cols, time_col, x_col, y_col)

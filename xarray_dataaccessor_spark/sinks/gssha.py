@@ -56,6 +56,27 @@ HMET_VARIABLES: tuple[HMETVariable, ...] = (
 )
 _HMET_BY_NAME = {v.name: v for v in HMET_VARIABLES}
 
+# The reference's fallback sentinel when a variable has no HMET mapping
+# (to_gssha.py:216-238 ``_prep_nodata``: the int/other-dtype branches fall
+# through, so every unmapped variable effectively fills with 99.999).
+_DEFAULT_NODATA = 99.999
+
+
+def _nodata_for(hmet_name: str | None) -> float:
+    hv = _HMET_BY_NAME.get(hmet_name) if hmet_name else None
+    return float(hv.nodata_value) if hv else _DEFAULT_NODATA
+
+
+def _fill_nodata(df: DataFrame, variable_to_hmet: Mapping[str, str | None]) -> DataFrame:
+    """Automatic nodata fill before rendering (``_prep_nodata``,
+    to_gssha.py:216-238, called from ``_prepare_dataset`` for the GRASS
+    and WES sinks): null cells become the HMET sentinel of the mapped
+    variable (else 99.999) instead of the literal string 'None' in the
+    ASCII output."""
+    for var, hmet in variable_to_hmet.items():
+        df = df.withColumn(var, F.coalesce(F.col(var), F.lit(_nodata_for(hmet))))
+    return df
+
 
 def _write_ascii(text: str, path: Path, hot_start: bool = False) -> None:
     """ASCII write with the reference's overwrite/append ("hot start")
@@ -99,18 +120,33 @@ def make_precipitation_input(
     y_col: str = "y",
     input_epsg: int = 4326,
     output_epsg: int | None = None,
+    max_gages: int = 100_000,
 ) -> Path:
     """S9 ``.gag`` precipitation sink (to_gssha.py:245-362).
 
     The wide (time x gage) matrix is computed as one Spark plan:
     ``groupBy(time).pivot(cell)`` over the event-filtered grid; each gage
-    is a grid cell ordered by (x, y) — the reference's ``sort_values([x,
-    'time'])`` ordering. Only the gage-network-sized result is collected.
+    is a grid cell ordered by x ascending then y descending — the
+    reference's stable ``sort_values([x_dim, 'time'])`` (to_gssha.py:
+    299-309) preserves the dataset's y order within each x, which for
+    ERA5-style grids is descending latitude. Only the gage-network-sized
+    result is collected; ``max_gages`` bounds that collect (a .gag file
+    is a gage *network*, not a planetary raster — the text format itself
+    puts every gage on every line).
     """
     path = Path(file_dir) / f"{file_name}{file_suffix}"
+    cell_rows = (
+        grid.select(x_col, y_col).distinct().limit(max_gages + 1).collect()
+    )
+    if len(cell_rows) > max_gages:
+        raise ValueError(
+            f"Grid has more than max_gages={max_gages} distinct cells; a "
+            ".gag gage network of that size is not renderable. Aggregate "
+            "or subset the grid first (or raise max_gages explicitly)."
+        )
     cells = sorted(
-        (r[x_col], r[y_col])
-        for r in grid.select(x_col, y_col).distinct().collect()
+        ((r[x_col], r[y_col]) for r in cell_rows),
+        key=lambda c: (c[0], -c[1]),
     )
     cell_ids = [f"{cx}_{cy}" for cx, cy in cells]
 
@@ -180,6 +216,7 @@ def make_grass_ascii(
         else:
             file_name = variable.replace(" ", "_")
     df = filter_time(grid, start_time, end_time, time_col=time_col)
+    df = _fill_nodata(df, {variable: hmet_variable})
 
     west, south, east, north, n_rows, n_cols = df.agg(
         F.min(x_col),
@@ -259,14 +296,16 @@ def make_hmet_wes(
     if not variable_to_hmet:
         raise ValueError("A variable to HMET variable names mapping must be provided!")
     df = filter_time(grid, start_time, end_time, time_col=time_col)
+    # nodata fill BEFORE the collapse/sample — reference order
+    # (_prepare_dataset fills, then the aggregate runs, to_gssha.py:525-532)
+    df = _fill_nodata(df, dict(variable_to_hmet))
     hmet_to_var = {h: v for v, h in variable_to_hmet.items()}
 
     if xy_coords is not None:
         # nearest-cell sample (ds.sel(method='nearest'), to_gssha.py:563-567)
-        from xarray_dataaccessor_spark.operators.spatial import axis_values
+        from xarray_dataaccessor_spark.operators.spatial import grid_axes
 
-        xs = axis_values(df, x_col)
-        ys = axis_values(df, y_col)
+        xs, ys = grid_axes(df, x_col, y_col)
         nx = min(xs, key=lambda v: (abs(v - xy_coords[0]), v))
         ny = min(ys, key=lambda v: (abs(v - xy_coords[1]), v))
         collapsed = df.filter((F.col(x_col) == nx) & (F.col(y_col) == ny)).select(
