@@ -218,3 +218,87 @@ def test_interval_rows_large_axis_fast():
     # spot-check the interval semantics survived the refactor
     lo, nv, w, hi = rows[1]
     assert lo <= nv and (hi is None or hi > nv)
+
+
+def test_weekly_resample_matches_pandas_anchoring(spark):
+    """pandas 'W' (W-SUN): Monday-anchored bins labeled with the Sunday.
+    Epoch-aligned windows would bucket Thursday->Thursday (1970-01-01 was
+    a Thursday) — the advisor-flagged silent-wrong-buckets bug."""
+    import pandas as pd
+
+    from xarray_dataaccessor_spark.operators.resample import resample_aggregate
+
+    ts = pd.date_range("2024-01-02 05:00", periods=50, freq="11h")
+    pdf = pd.DataFrame({"time": ts, "v": [float(i) for i in range(50)]})
+    expected = pdf.set_index("time").resample("W")["v"].sum()
+    expected = expected[expected.index.isin(
+        pdf.set_index("time").resample("W")["v"].count()[lambda c: c > 0].index
+    )]
+
+    df = spark.createDataFrame(pdf)
+    out = resample_aggregate(df, "W", "sum", value_cols=["v"], group_cols=())
+    got = {r["time"].date(): r["v"] for r in out.collect()}
+    for label, val in expected.items():
+        assert label.date() in got, (label, sorted(got))
+        assert abs(got[label.date()] - val) < 1e-9
+
+
+def test_multiday_resample_matches_pandas_start_day_origin(spark):
+    """pandas 'ND' uses origin='start_day' (midnight of the first day),
+    left-labeled — not epoch alignment."""
+    import pandas as pd
+
+    from xarray_dataaccessor_spark.operators.resample import resample_aggregate
+
+    ts = pd.date_range("2024-01-02 05:00", periods=30, freq="17h")
+    pdf = pd.DataFrame({"time": ts, "v": [float(i) for i in range(30)]})
+    expected = pdf.set_index("time").resample("3D")["v"].sum()
+    counts = pdf.set_index("time").resample("3D")["v"].count()
+    expected = expected[counts > 0]
+
+    df = spark.createDataFrame(pdf)
+    out = resample_aggregate(df, "3D", "sum", value_cols=["v"], group_cols=())
+    got = {r["time"]: r["v"] for r in out.collect()}
+    assert len(got) == len(expected)
+    for label, val in expected.items():
+        assert label.to_pydatetime() in got, (label, sorted(got))
+        assert abs(got[label.to_pydatetime()] - val) < 1e-9
+
+
+def test_weekly_multiple_rejected(spark):
+    import pandas as pd
+
+    from xarray_dataaccessor_spark.operators.resample import resample_aggregate
+
+    pdf = pd.DataFrame(
+        {"time": pd.date_range("2024-01-01", periods=3, freq="D"), "v": [1.0, 2.0, 3.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1W"):
+        resample_aggregate(df, "2W", "sum", value_cols=["v"], group_cols=()).collect()
+
+
+def test_agg_expr_threads_time_col(spark):
+    """first/last with a non-default time column must key min_by/max_by on
+    that column (advisor-flagged hardcoded 'time')."""
+    import pandas as pd
+
+    from xarray_dataaccessor_spark.operators.resample import resample_aggregate
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=6, freq="8h"),
+            "v": [5.0, 1.0, 9.0, 2.0, 8.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    first = resample_aggregate(
+        df, "1D", "first", value_cols=["v"], time_col="ts", group_cols=()
+    ).orderBy("ts").collect()
+    assert [r["v"] for r in first] == [5.0, 2.0]
+    last = resample_aggregate(
+        df, "1D", "last", value_cols=["v"], time_col="ts", group_cols=()
+    ).orderBy("ts").collect()
+    assert [r["v"] for r in last] == [9.0, 3.0]

@@ -227,8 +227,8 @@ def simhash(
 def simhash_duplicate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """Hamming-0 near-dup pairs: equi-join on the simhash value (banding
-    over signature substrings generalizes to hamming <= d)."""
+    """Hamming-0 near-dup pairs: equi-join on the simhash value (see
+    :func:`simhash_hamming_pairs` for the banded hamming <= d search)."""
     # no cache: the self-join's two sides are identical subplans, so
     # Spark's ReuseExchange materializes the shuffle once already
     sig = simhash(df, text_col, id_col, bits)
@@ -238,4 +238,65 @@ def simhash_duplicate_pairs(
         a.join(b, "simhash")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= d via pigeonhole banding:
+    the signature's bit positions split into d+1 contiguous bands, and
+    any pair within hamming d must agree EXACTLY on at least one band
+    (d flipped bits can dirty at most d bands). Candidates are therefore
+    the union of per-band equi-joins — a shuffle on (band, band_value),
+    never an all-pairs comparison — refined by an exact
+    ``bit_count(xor) <= d`` check.
+
+    The reference has no >0-hamming path; this generalizes
+    :func:`simhash_duplicate_pairs` with the same banding machinery as
+    MinHash LSH (``lsh_candidate_pairs``). At 100 TB the per-band bucket
+    population is |corpus| / 2^band_width in expectation (band_width >=
+    bits/(d+1), e.g. 10 bits -> ~1/1024 of the corpus per bucket)."""
+    if max_hamming < 0 or max_hamming >= bits:
+        raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
+    k = max_hamming + 1
+    w = bits // k
+    sig = simhash(df, text_col, id_col, bits)
+    bands = []
+    for j in range(k):
+        off = j * w
+        width = (bits - off) if j == k - 1 else w
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint")
+                .alias("val"),
+            )
+        )
+    exploded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -84,11 +84,11 @@ def freq_to_interval(freq: str) -> str:
     return f"{n} {unit}" if n == 1 else f"{n} {unit}s"
 
 
-def agg_expr(method: str, col_name: str) -> Column:
+def agg_expr(method: str, col_name: str, time_col: str = "time") -> Column:
     """One aggregation method -> a deterministic Spark Column.
 
     ``first``/``last`` are made order-deterministic with ``min_by/max_by``
-    on the time column (the reference's are time-ordered by construction).
+    on ``time_col`` (the reference's are time-ordered by construction).
     ``all``/``any`` follow numpy truthiness (non-zero == True).
     ``median`` is the exact percentile, matching DuckDB's ``median``.
     """
@@ -104,9 +104,9 @@ def agg_expr(method: str, col_name: str) -> Column:
     if method == "median":
         return F.median(c)
     if method == "first":
-        return F.min_by(c, F.col("time"))
+        return F.min_by(c, F.col(time_col))
     if method == "last":
-        return F.max_by(c, F.col("time"))
+        return F.max_by(c, F.col(time_col))
     if method == "all":
         return F.bool_and(c != 0)
     if method == "any":
@@ -134,12 +134,56 @@ def resample_aggregate(
     interval = freq_to_interval(freq)
     value_cols = value_cols or _value_columns(df, time_col, group_cols)
     groups = [c for c in group_cols if c in df.columns]
-    aggs = [agg_expr(method, v).alias(v) for v in value_cols]
+    aggs = [agg_expr(method, v, time_col).alias(v) for v in value_cols]
+    win, label = _anchored_window(df, freq, interval, time_col)
     return (
-        df.groupBy(F.window(time_col, interval).alias("__w"), *groups)
+        df.groupBy(win.alias("__w"), *groups)
         .agg(*aggs)
-        .select(F.col("__w.start").alias(time_col), *groups, *value_cols)
+        .select(label.alias(time_col), *groups, *value_cols)
     )
+
+
+def _anchored_window(df: DataFrame, freq: str, interval: str, time_col: str):
+    """Tumbling window anchored to pandas/xarray resample semantics.
+
+    ``F.window`` is epoch-aligned (1970-01-01, a Thursday), which silently
+    produces wrong buckets for weekly and multi-day frequencies:
+
+    - pandas ``'W'`` (W-SUN) bins run Monday 00:00 -> next Monday
+      (left-closed) and are labeled with the SUNDAY inside the bin
+      (right label). Epoch+4 days = 1970-01-05, a Monday, so a 4-day
+      ``startTime`` anchors the 7-day windows to Mondays; the label is
+      ``start + 6 days``.
+    - pandas ``'ND'`` uses ``origin='start_day'``: bins start at midnight
+      of the data's first day, labeled left. The anchor needs the data's
+      min timestamp — one scalar aggregate job (driver receives a single
+      value).
+
+    Everything at day granularity or finer divides the day evenly, so
+    epoch alignment is already correct there.
+    """
+    n_str, unit = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq.strip()).groups()
+    n = int(n_str or 1)
+    unit = _PANDAS_ALIAS.get(unit.upper()) or unit.lower().rstrip("s")
+    if unit == "week":
+        if n != 1:
+            raise ValueError(
+                f"Only '1W' weekly resampling is supported (got {freq!r}); "
+                "pandas '2W'+ anchoring is not implemented."
+            )
+        win = F.window(time_col, "7 days", "7 days", "4 days")
+        return win, F.col("__w.start") + F.expr("INTERVAL 6 DAYS")
+    if unit == "day" and n > 1:
+        tmin = df.agg(F.min(time_col)).first()[0]
+        if tmin is None:
+            return F.window(time_col, interval), F.col("__w.start")
+        import datetime as _dt
+
+        day0 = _dt.date(1970, 1, 1)
+        offset_days = (tmin.date() - day0).days % n
+        win = F.window(time_col, interval, interval, f"{offset_days} days")
+        return win, F.col("__w.start")
+    return F.window(time_col, interval), F.col("__w.start")
 
 
 def time_spine(
@@ -223,10 +267,28 @@ def _interp_expr(method: str, v: str) -> Column:
     raise ValueError(f"Unsupported interpolation method: {method!r}")
 
 
+def _multi_method_projection(methods: Sequence[str], value_cols: Sequence[str]):
+    """One output column per (value, method) pair. A single method keeps
+    the plain value-column names; several methods suffix ``_{method}`` —
+    all share ONE neighbor-enrichment pass (one window sort), so asking
+    for ffill+bfill or linear+nearest together costs the same shuffle as
+    asking for one."""
+    if len(methods) == 1:
+        return [
+            _interp_expr(methods[0], v).cast("double").alias(v)
+            for v in value_cols
+        ]
+    return [
+        _interp_expr(m, v).cast("double").alias(f"{v}_{m}")
+        for v in value_cols
+        for m in methods
+    ]
+
+
 def resample_interpolate(
     df: DataFrame,
     freq: str,
-    method: str = "linear",
+    method: str | Sequence[str] = "linear",
     value_cols: Sequence[str] | None = None,
     time_col: str = "time",
     group_cols: Sequence[str] = ("y", "x"),
@@ -234,47 +296,53 @@ def resample_interpolate(
     """W1 upsample: dense spine + as-of windows + lerp (linear/nearest/
     zero/slinear) or numpy cubic spline via applyInPandas (quadratic/
     cubic). Reference: ``resample(time=freq).interpolate(method)``
-    (``core_functions.py:401-402``)."""
-    if method == "polynomial":
-        # mirrored guard: core_functions.py:377-380
-        raise ValueError("polynomial interpolation is not supported")
-    if method not in INTERP_METHODS:
-        raise ValueError(f"Unsupported interpolation method: {method!r}")
-    if method in ("quadratic", "cubic"):
-        return _interpolate_spline(df, freq, method, value_cols, time_col, group_cols)
+    (``core_functions.py:401-402``). ``method`` may be a sequence of
+    non-spline methods, producing ``{value}_{method}`` columns from a
+    single spine + neighbor pass."""
+    methods = [method] if isinstance(method, str) else list(method)
+    for m in methods:
+        if m == "polynomial":
+            # mirrored guard: core_functions.py:377-380
+            raise ValueError("polynomial interpolation is not supported")
+        if m not in INTERP_METHODS:
+            raise ValueError(f"Unsupported interpolation method: {m!r}")
+    if any(m in ("quadratic", "cubic") for m in methods):
+        if len(methods) > 1:
+            raise ValueError("spline methods cannot be combined with others")
+        return _interpolate_spline(df, freq, methods[0], value_cols, time_col, group_cols)
     interval = freq_to_interval(freq)
     value_cols = value_cols or _value_columns(df, time_col, group_cols)
     groups = [c for c in group_cols if c in df.columns]
     spine = time_spine(df, interval, time_col, group_cols)
     joined = spine.join(df, on=[time_col, *groups], how="left")
     enriched = _with_asof_neighbors(joined, value_cols, time_col, groups)
-    projected = [
-        _interp_expr(method, v).cast("double").alias(v) for v in value_cols
-    ]
-    return enriched.select(time_col, *groups, *projected)
+    return enriched.select(
+        time_col, *groups, *_multi_method_projection(methods, value_cols)
+    )
 
 
 def resample_fill(
     df: DataFrame,
     freq: str,
-    method: str,
+    method: str | Sequence[str],
     value_cols: Sequence[str] | None = None,
     time_col: str = "time",
     group_cols: Sequence[str] = ("y", "x"),
 ) -> DataFrame:
     """W2 ffill/bfill across the resampled spine (dispatched from the
-    aggregation enum, ``core_functions.py:404``)."""
-    assert method in ("ffill", "bfill")
+    aggregation enum, ``core_functions.py:404``). ``method`` may be
+    ``["ffill", "bfill"]`` to compute both directions in one pass."""
+    methods = [method] if isinstance(method, str) else list(method)
+    assert all(m in ("ffill", "bfill") for m in methods)
     interval = freq_to_interval(freq)
     value_cols = value_cols or _value_columns(df, time_col, group_cols)
     groups = [c for c in group_cols if c in df.columns]
     spine = time_spine(df, interval, time_col, group_cols)
     joined = spine.join(df, on=[time_col, *groups], how="left")
     enriched = _with_asof_neighbors(joined, value_cols, time_col, groups)
-    projected = [
-        _interp_expr(method, v).cast("double").alias(v) for v in value_cols
-    ]
-    return enriched.select(time_col, *groups, *projected)
+    return enriched.select(
+        time_col, *groups, *_multi_method_projection(methods, value_cols)
+    )
 
 
 def _natural_cubic_second_derivs(xs, ys):

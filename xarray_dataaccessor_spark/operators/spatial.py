@@ -200,6 +200,78 @@ def spatial_resample(
     return out.select(time_col, y_col, x_col, *value_cols)
 
 
+def spatial_upsample_kernels(
+    df: DataFrame,
+    resolution_factor: float,
+    kernels: Sequence[str] = ("bilinear", "nearest"),
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """R1 upsample with SEVERAL kernels in one pass: the per-axis interval
+    map carries one weight column per kernel, so bilinear + nearest (for
+    example) share the window sort and the two broadcast joins instead of
+    re-running the whole plan per kernel. Output columns are
+    ``{value}_{kernel}``."""
+    for k in kernels:
+        if k not in ("bilinear", "nearest"):
+            raise ValueError(f"Multi-kernel upsample supports bilinear/nearest, got {k!r}")
+    value_cols = value_cols or [
+        c for c in df.columns if c not in (time_col, x_col, y_col)
+    ]
+    spark = df.sparkSession
+    xs, ys = grid_axes(df, x_col, y_col)
+    new_xs = _target_axis(xs, resolution_factor)
+    new_ys = _target_axis(ys, resolution_factor)
+    mapx = F.broadcast(_interval_map_multi(spark, new_xs, xs, x_col, kernels))
+    mapy = F.broadcast(_interval_map_multi(spark, new_ys, ys, y_col, kernels))
+    # pass 1 (x): each source value column fans out to one column per kernel
+    pairs1 = [(v, k, f"{v}_{k}") for v in value_cols for k in kernels]
+    out = _axis_lerp_multi(df, mapx, x_col, (time_col, y_col), pairs1)
+    # pass 2 (y): each per-kernel column lerps with its own kernel weight
+    pairs2 = [(f"{v}_{k}", k, f"{v}_{k}") for v in value_cols for k in kernels]
+    out = _axis_lerp_multi(out, mapy, y_col, (time_col, x_col), pairs2)
+    out_cols = [f"{v}_{k}" for v in value_cols for k in kernels]
+    return out.select(time_col, y_col, x_col, *out_cols)
+
+
+def _interval_map_multi(spark, new_axis, old_axis, col, kernels):
+    """Interval table with one weight column per kernel (src/new/hi are
+    kernel-independent; only the weight differs)."""
+    per_kernel = [interval_rows(new_axis, old_axis, k) for k in kernels]
+    rows = []
+    for i, (src, new, _w, hi) in enumerate(per_kernel[0]):
+        rows.append((src, new, *(pk[i][2] for pk in per_kernel), hi))
+    weight_cols = ", ".join(f"w_{k}_{col} double" for k in kernels)
+    return spark.createDataFrame(
+        rows, f"src_{col} double, new_{col} double, {weight_cols}, hi_{col} double"
+    )
+
+
+def _axis_lerp_multi(df, interval_map, axis_col, partition_cols, pairs):
+    """One-axis lerp where each (input_col, kernel, output_col) triple
+    uses its kernel's weight column — one window sort + one broadcast
+    join shared by every kernel."""
+    w = Window.partitionBy(*partition_cols).orderBy(axis_col)
+    enriched = df.withColumn("__next_coord", F.lead(axis_col).over(w))
+    in_cols = list(dict.fromkeys(p[0] for p in pairs))
+    for v in in_cols:
+        enriched = enriched.withColumn(f"__next_{v}", F.lead(v).over(w))
+    joined = enriched.join(
+        interval_map, F.col(axis_col) == F.col(f"src_{axis_col}")
+    )
+    valid_next = F.col("__next_coord") == F.col(f"hi_{axis_col}")
+    projected = []
+    for src, kernel, out in pairs:
+        nxt = F.when(valid_next, F.col(f"__next_{src}")).otherwise(F.col(src))
+        wcol = F.col(f"w_{kernel}_{axis_col}")
+        projected.append((F.col(src) + (nxt - F.col(src)) * wcol).alias(out))
+    return joined.select(
+        *partition_cols, F.col(f"new_{axis_col}").alias(axis_col), *projected
+    )
+
+
 def _axis_lerp(df, interval_map, axis_col, partition_cols, value_cols):
     """One-axis linear interpolation without any aggregation: the next
     present cell along the axis comes from a window ``lead`` (one sort

@@ -241,6 +241,47 @@ def resample_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1 — WEEKLY resample with pandas 'W' (W-SUN) anchoring: bins run Monday
+# 00:00 -> next Monday (left-closed) labeled with the Sunday inside the
+# bin. Epoch-aligned F.window would bucket Thursdays->Thursdays; the
+# engine anchors with startTime='4 days' and labels start+6d
+# (operators/resample.py::_anchored_window). DuckDB's date_trunc('week')
+# is ISO Monday, so the oracle is Monday-trunc + 6 days.
+# ---------------------------------------------------------------------------
+@query(
+    "resample_agg_weekly",
+    oracle="""
+    SELECT date_trunc('week', ts) + INTERVAL 6 DAY AS week,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def resample_agg_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.resample import resample_aggregate
+
+    ev = load(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.lit(1).alias("one"),
+    )
+    out = resample_aggregate(
+        ev, "W", "sum", value_cols=["value", "one"], time_col="ts",
+        group_cols=("event_type",),
+    )
+    return out.select(
+        F.col("ts").alias("week"),
+        "event_type",
+        F.col("value").cast("double").alias("sum_value"),
+        F.col("one").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry point 1 parity): scan -> bbox filter -> time filter ->
 # variable projection -> per-timestep spatial mean (get_xarray_dataset +
 # collapse; core_functions.py:35-144 + to_gssha.py:552-571)
@@ -283,55 +324,20 @@ def flagship_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # core_functions.py:404). Sparse hourly observations (value > 130 tail)
 # forward-filled per event_type over the dense hourly spine.
 # ---------------------------------------------------------------------------
-@query(
-    "resample_ffill_hourly",
-    oracle="""
-    WITH obs AS (
-        SELECT date_trunc('hour', ts) AS hour, event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
-        FROM events WHERE value > 130 GROUP BY 1, 2
-    ),
-    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM obs),
-    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
-    types AS (SELECT DISTINCT event_type FROM obs),
-    grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
-    j AS (
-        SELECT g.hour, g.event_type, o.v
-        FROM grid g LEFT JOIN obs o ON g.hour = o.hour AND g.event_type = o.event_type
-    )
-    SELECT hour, event_type,
-           CAST(last_value(v IGNORE NULLS) OVER (
-               PARTITION BY event_type ORDER BY hour
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v
-    FROM j
-    """,
-)
-def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.resample import resample_fill
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value") > 130)
-    obs = ev.groupBy(
-        F.window("ts", "1 hour").start.alias("hour"), "event_type"
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("value")
-        ).alias("v")
-    )
-    return resample_fill(
-        obs, "1H", "ffill", value_cols=["v"], time_col="hour", group_cols=("event_type",)
-    )
+# (W2 ffill/bfill are covered together by resample_fill_hourly, defined
+# after the shared _SPINE_OBS oracle CTE below — one spine pass.)
 
 
 # ---------------------------------------------------------------------------
-# W1 — linear interpolation upsample (resample(time=freq).interpolate,
-# core_functions.py:401-402): daily means upsampled to an hourly spine.
-# The oracle mirrors the engine's exact expression tree (epoch seconds as
+# W1 — linear + nearest interpolation upsample in ONE pass
+# (resample(time=freq).interpolate, core_functions.py:401-402): daily
+# means upsampled to an hourly spine; both methods share the spine join
+# and the as-of neighbor windows (multi-method projection). The oracle
+# mirrors the engine's exact expression tree (epoch seconds as
 # micros/1e6, lerp written identically) so doubles agree bit-for-bit.
 # ---------------------------------------------------------------------------
 @query(
-    "resample_interpolate_linear",
+    "resample_interpolate_linear_nearest",
     oracle="""
     WITH obs AS (
         SELECT date_trunc('day', ts) AS time, event_type,
@@ -363,11 +369,16 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN pt = nt THEN pv
                      WHEN pt IS NOT NULL AND nt IS NOT NULL
                      THEN pv + (nv - pv) * (t - pt) / (nt - pt)
-                END AS DOUBLE) AS v
+                END AS DOUBLE) AS v_linear,
+           CAST(CASE WHEN pt IS NULL THEN nv
+                     WHEN nt IS NULL THEN pv
+                     WHEN (t - pt) <= (nt - t) THEN pv
+                     ELSE nv
+                END AS DOUBLE) AS v_nearest
     FROM n
     """,
 )
-def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.resample import resample_interpolate
 
@@ -381,7 +392,8 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     )
     return resample_interpolate(
-        obs, "1H", "linear", value_cols=["v"], time_col="time", group_cols=("event_type",)
+        obs, "1H", ["linear", "nearest"], value_cols=["v"], time_col="time",
+        group_cols=("event_type",),
     )
 
 
@@ -706,14 +718,16 @@ def spatial_downsample_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R1 — bilinear upsample x2 (rasterio pixel-center model: same outer
-# edges, 19x7 -> 38x14; test_3_era5_manipulations.py:75-99 shape law).
-# The engine runs two window-lead lerp passes (separable bilinear, no
-# aggregation); the oracle regenerates the identical interval tables
-# (python floats -> VALUES) and mirrors the window+lerp expression tree,
-# so every double matches bit-for-bit with no rounding.
+# R1 — bilinear + nearest upsample x2 in ONE pass (rasterio pixel-center
+# model: same outer edges, 19x7 -> 38x14; test_3_era5_manipulations.py:
+# 75-99 shape law). The engine runs two window-lead lerp passes with a
+# per-kernel weight column in the shared interval map (separable, no
+# aggregation, one window sort + two broadcast joins for BOTH kernels);
+# the oracle regenerates the identical interval tables (python floats ->
+# VALUES) and mirrors the window+lerp expression tree, so every double
+# matches bit-for-bit with no rounding.
 # ---------------------------------------------------------------------------
-def _upsample_oracle() -> str:
+def _upsample_multi_oracle() -> str:
     from xarray_dataaccessor_spark.operators.spatial import (
         _target_axis,
         interval_rows,
@@ -722,24 +736,25 @@ def _upsample_oracle() -> str:
     xs = [-83.476 + 0.25 * i for i in range(19)]
     ys = [41.383 + 0.25 * j for j in range(7)]
 
-    def values(rows):
+    def values(rows_bl, rows_nn):
         out = []
-        for src, new, w, hi in rows:
+        for (src, new, wbl, hi), (_, _, wnn, _) in zip(rows_bl, rows_nn):
             hi_s = "CAST(NULL AS DOUBLE)" if hi is None else f"CAST({hi!r} AS DOUBLE)"
             out.append(
                 f"(CAST({src!r} AS DOUBLE), CAST({new!r} AS DOUBLE), "
-                f"CAST({w!r} AS DOUBLE), {hi_s})"
+                f"CAST({wbl!r} AS DOUBLE), CAST({wnn!r} AS DOUBLE), {hi_s})"
             )
         return ",\n        ".join(out)
 
-    mapx = values(interval_rows(_target_axis(xs, 2.0), xs, "bilinear"))
-    mapy = values(interval_rows(_target_axis(ys, 2.0), ys, "bilinear"))
+    tx, ty = _target_axis(xs, 2.0), _target_axis(ys, 2.0)
+    mapx = values(interval_rows(tx, xs, "bilinear"), interval_rows(tx, xs, "nearest"))
+    mapy = values(interval_rows(ty, ys, "bilinear"), interval_rows(ty, ys, "nearest"))
     return f"""
     WITH grid AS ({GRID_SQL_BODY}),
-    mapx(src_x, new_x, wx, hi_x) AS (VALUES
+    mapx(src_x, new_x, wx_bl, wx_nn, hi_x) AS (VALUES
         {mapx}
     ),
-    mapy(src_y, new_y, wy, hi_y) AS (VALUES
+    mapy(src_y, new_y, wy_bl, wy_nn, hi_y) AS (VALUES
         {mapy}
     ),
     ex AS (
@@ -749,29 +764,37 @@ def _upsample_oracle() -> str:
     ),
     px AS (
         SELECT time, y, new_x AS x,
-               t2m + ((CASE WHEN nc = hi_x THEN nt ELSE t2m END) - t2m) * wx AS t2m,
-               u100 + ((CASE WHEN nc = hi_x THEN nu ELSE u100 END) - u100) * wx AS u100
+               t2m + ((CASE WHEN nc = hi_x THEN nt ELSE t2m END) - t2m) * wx_bl AS t2m_bilinear,
+               t2m + ((CASE WHEN nc = hi_x THEN nt ELSE t2m END) - t2m) * wx_nn AS t2m_nearest,
+               u100 + ((CASE WHEN nc = hi_x THEN nu ELSE u100 END) - u100) * wx_bl AS u100_bilinear,
+               u100 + ((CASE WHEN nc = hi_x THEN nu ELSE u100 END) - u100) * wx_nn AS u100_nearest
         FROM ex JOIN mapx ON ex.x = mapx.src_x
     ),
     ey AS (
-        SELECT time, x, y, t2m, u100,
-               lead(y) OVER w2 AS nc, lead(t2m) OVER w2 AS nt, lead(u100) OVER w2 AS nu
+        SELECT time, x, y, t2m_bilinear, t2m_nearest, u100_bilinear, u100_nearest,
+               lead(y) OVER w2 AS nc,
+               lead(t2m_bilinear) OVER w2 AS n_tb, lead(t2m_nearest) OVER w2 AS n_tn,
+               lead(u100_bilinear) OVER w2 AS n_ub, lead(u100_nearest) OVER w2 AS n_un
         FROM px WINDOW w2 AS (PARTITION BY time, x ORDER BY y)
     )
     SELECT time, new_y AS y, x,
-           t2m + ((CASE WHEN nc = hi_y THEN nt ELSE t2m END) - t2m) * wy AS t2m,
-           u100 + ((CASE WHEN nc = hi_y THEN nu ELSE u100 END) - u100) * wy AS u100
+           t2m_bilinear + ((CASE WHEN nc = hi_y THEN n_tb ELSE t2m_bilinear END) - t2m_bilinear) * wy_bl AS t2m_bilinear,
+           t2m_nearest + ((CASE WHEN nc = hi_y THEN n_tn ELSE t2m_nearest END) - t2m_nearest) * wy_nn AS t2m_nearest,
+           u100_bilinear + ((CASE WHEN nc = hi_y THEN n_ub ELSE u100_bilinear END) - u100_bilinear) * wy_bl AS u100_bilinear,
+           u100_nearest + ((CASE WHEN nc = hi_y THEN n_un ELSE u100_nearest END) - u100_nearest) * wy_nn AS u100_nearest
     FROM ey JOIN mapy ON ey.y = mapy.src_y
 """
 
 
-@query("spatial_upsample_bilinear", oracle=_upsample_oracle())
-def spatial_upsample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("spatial_upsample_bilinear_nearest", oracle=_upsample_multi_oracle())
+def spatial_upsample_bilinear_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+    from xarray_dataaccessor_spark.operators.spatial import spatial_upsample_kernels
 
     grid = _grid(spark, sf_dir)
-    return spatial_resample(grid, resolution_factor=2.0, resample_method="bilinear")
+    return spatial_upsample_kernels(
+        grid, 2.0, kernels=("bilinear", "nearest")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -840,65 +863,8 @@ def resample_custom_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# W1 — nearest-neighbor interpolation upsample (Interp1dOptions 'nearest';
-# tie rounds toward the left point like scipy interp1d).
-# ---------------------------------------------------------------------------
-@query(
-    "resample_interpolate_nearest",
-    oracle="""
-    WITH obs AS (
-        SELECT date_trunc('day', ts) AS time, event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
-        FROM events GROUP BY 1, 2
-    ),
-    bounds AS (SELECT min(time) AS lo, max(time) AS hi FROM obs),
-    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS time FROM bounds),
-    types AS (SELECT DISTINCT event_type FROM obs),
-    grid AS (SELECT time, event_type FROM spine CROSS JOIN types),
-    j AS (
-        SELECT g.time, g.event_type, o.v,
-               CAST(epoch_us(g.time) AS DOUBLE) / 1000000.0 AS t
-        FROM grid g LEFT JOIN obs o ON g.time = o.time AND g.event_type = o.event_type
-    ),
-    n AS (
-        SELECT time, event_type, t,
-               last_value(v IGNORE NULLS) OVER w_prev AS pv,
-               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
-               first_value(v IGNORE NULLS) OVER w_next AS nv,
-               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
-        FROM j
-        WINDOW w_prev AS (PARTITION BY event_type ORDER BY time
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               w_next AS (PARTITION BY event_type ORDER BY time
-                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT time, event_type,
-           CAST(CASE WHEN pt IS NULL THEN nv
-                     WHEN nt IS NULL THEN pv
-                     WHEN (t - pt) <= (nt - t) THEN pv
-                     ELSE nv
-                END AS DOUBLE) AS v
-    FROM n
-    """,
-)
-def resample_interpolate_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.resample import resample_interpolate
-
-    ev = load(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        F.window("ts", "1 day").start.alias("time"), "event_type"
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("value")
-        ).alias("v")
-    )
-    return resample_interpolate(
-        obs, "1H", "nearest", value_cols=["v"], time_col="time",
-        group_cols=("event_type",),
-    )
+# (W1 'nearest' interpolation is covered by
+# resample_interpolate_linear_nearest above — one spine pass.)
 
 
 # ---------------------------------------------------------------------------
@@ -1023,14 +989,18 @@ def resample_interpolate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "resample_bfill_hourly",
+    "resample_fill_hourly",
     oracle=_SPINE_OBS
     + """
-    SELECT hour, event_type, CAST(nv AS DOUBLE) AS v
+    SELECT hour, event_type,
+           CAST(pv AS DOUBLE) AS v_ffill,
+           CAST(nv AS DOUBLE) AS v_bfill
     FROM n
     """,
 )
-def resample_bfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 ffill AND bfill over the same hourly spine in one pass (the
+    multi-method projection shares the spine join + neighbor windows)."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.resample import resample_fill
 
@@ -1044,7 +1014,8 @@ def resample_bfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     )
     return resample_fill(
-        obs, "1H", "bfill", value_cols=["v"], time_col="hour", group_cols=("event_type",)
+        obs, "1H", ["ffill", "bfill"], value_cols=["v"], time_col="hour",
+        group_cols=("event_type",),
     )
 
 
@@ -1128,66 +1099,5 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# R1 — nearest-kernel upsample x2 (same window-lerp machinery as bilinear
-# with weights snapped to {0,1}; rasterio 'nearest' parity).
-# ---------------------------------------------------------------------------
-def _upsample_nearest_oracle() -> str:
-    from xarray_dataaccessor_spark.operators.spatial import (
-        _target_axis,
-        interval_rows,
-    )
-
-    xs = [-83.476 + 0.25 * i for i in range(19)]
-    ys = [41.383 + 0.25 * j for j in range(7)]
-
-    def values(rows):
-        out = []
-        for src, new, w, hi in rows:
-            hi_s = "CAST(NULL AS DOUBLE)" if hi is None else f"CAST({hi!r} AS DOUBLE)"
-            out.append(
-                f"(CAST({src!r} AS DOUBLE), CAST({new!r} AS DOUBLE), "
-                f"CAST({w!r} AS DOUBLE), {hi_s})"
-            )
-        return ",\n        ".join(out)
-
-    mapx = values(interval_rows(_target_axis(xs, 2.0), xs, "nearest"))
-    mapy = values(interval_rows(_target_axis(ys, 2.0), ys, "nearest"))
-    return f"""
-    WITH grid AS ({GRID_SQL_BODY}),
-    mapx(src_x, new_x, wx, hi_x) AS (VALUES
-        {mapx}
-    ),
-    mapy(src_y, new_y, wy, hi_y) AS (VALUES
-        {mapy}
-    ),
-    ex AS (
-        SELECT time, y, x, t2m, u100,
-               lead(x) OVER w AS nc, lead(t2m) OVER w AS nt, lead(u100) OVER w AS nu
-        FROM grid WINDOW w AS (PARTITION BY time, y ORDER BY x)
-    ),
-    px AS (
-        SELECT time, y, new_x AS x,
-               t2m + ((CASE WHEN nc = hi_x THEN nt ELSE t2m END) - t2m) * wx AS t2m,
-               u100 + ((CASE WHEN nc = hi_x THEN nu ELSE u100 END) - u100) * wx AS u100
-        FROM ex JOIN mapx ON ex.x = mapx.src_x
-    ),
-    ey AS (
-        SELECT time, x, y, t2m, u100,
-               lead(y) OVER w2 AS nc, lead(t2m) OVER w2 AS nt, lead(u100) OVER w2 AS nu
-        FROM px WINDOW w2 AS (PARTITION BY time, x ORDER BY y)
-    )
-    SELECT time, new_y AS y, x,
-           t2m + ((CASE WHEN nc = hi_y THEN nt ELSE t2m END) - t2m) * wy AS t2m,
-           u100 + ((CASE WHEN nc = hi_y THEN nu ELSE u100 END) - u100) * wy AS u100
-    FROM ey JOIN mapy ON ey.y = mapy.src_y
-"""
-
-
-@query("spatial_upsample_nearest", oracle=_upsample_nearest_oracle())
-def spatial_upsample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
-
-    grid = _grid(spark, sf_dir)
-    return spatial_resample(grid, resolution_factor=2.0, resample_method="nearest")
+# (nearest-kernel upsample is covered by spatial_upsample_bilinear_nearest
+# above — one pass, per-kernel weight columns.)

@@ -305,10 +305,39 @@ def _simhash_oracle(bits: int = 32) -> str:
     """
 
 
+def _simhash_hamming_oracle(bits: int = 32, max_hamming: int = 2) -> str:
+    """All-pairs hamming <= d in SQL: the engine's pigeonhole banding is
+    EXACT (any pair within hamming d shares a clean band), so the banded
+    candidate join must return exactly the brute-force answer — which is
+    what the oracle computes (fine at oracle scale; the banding is the
+    100 TB path)."""
+    base = _simhash_oracle(bits)
+    prefix = base[: base.index("SELECT a.doc_id")]
+    return (
+        prefix
+        + f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+    )
+
+
 @query("dedup_simhash_pairs", oracle=_simhash_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     return simhash_duplicate_pairs(_corpus(spark, sf_dir))
+
+
+@query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming<=2 SimHash near-dup search (pigeonhole: 3 bands of
+    10/10/12 bits; candidates via (band, value) equi-join, exact
+    popcount refine)."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_corpus(spark, sf_dir), max_hamming=2)
 
 
 @query(
