@@ -67,3 +67,64 @@ def test_range_join_overlapping_intervals(spark):
         probes, intervals, "ts", "win_start", "win_end", bin_width_seconds=3600
     )
     assert sorted(r["interval_id"] for r in out.collect()) == ["a", "b"]
+
+def test_keyless_asof_matches_bruteforce(spark):
+    """The keyless path (range buckets + boundary carry) must equal the
+    brute-force as-of; data spans many buckets and includes buckets with
+    no right rows (carry across empty buckets)."""
+    import bisect
+
+    lrows = [(_t(9) + dt.timedelta(minutes=7 * i),) for i in range(200)]
+    rrows = [
+        (_t(9) + dt.timedelta(minutes=53 * j), float(j)) for j in range(20)
+    ]
+    left = spark.createDataFrame(lrows, "ts timestamp")
+    right = spark.createDataFrame(rrows, "ts timestamp, v double")
+
+    out = {r["ts"]: r["v"] for r in asof_join(left, right, on="ts").collect()}
+    rts = [t for t, _ in rrows]
+    for (lt,) in lrows:
+        i = bisect.bisect_right(rts, lt) - 1
+        expected = float(i) if i >= 0 else None
+        assert out[lt] == expected, (lt, out[lt], expected)
+
+    fwd = {
+        r["ts"]: r["v"]
+        for r in asof_join(left, right, on="ts", direction="forward").collect()
+    }
+    for (lt,) in lrows:
+        i = bisect.bisect_left(rts, lt)
+        expected = float(i) if i < len(rts) else None
+        assert fwd[lt] == expected, (lt, fwd[lt], expected)
+
+
+def test_keyless_asof_is_not_single_partition(spark):
+    """The fact-table window must hash-partition on the time bucket —
+    never one global single-partition sort."""
+    left = spark.createDataFrame(
+        [(_t(9) + dt.timedelta(minutes=i),) for i in range(100)], "ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(_t(9) + dt.timedelta(minutes=10 * j), float(j)) for j in range(10)],
+        "ts timestamp, v double",
+    )
+    plan = asof_join(left, right, on="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bucket" in plan
+
+
+def test_range_join_left_outer_keeps_unmatched_probes(spark):
+    probes = spark.createDataFrame(
+        [(1, _t(9, 30)), (2, _t(15))], "pid bigint, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [("a", _t(9), _t(10))], "name string, lo timestamp, hi timestamp"
+    )
+    out = range_join_binned(
+        probes, intervals, "ts", "lo", "hi", how="left"
+    ).collect()
+    by_pid = {r["pid"]: r["name"] for r in out}
+    assert by_pid == {1: "a", 2: None}  # probe 2 kept with nulls
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner"):
+        range_join_binned(probes, intervals, "ts", "lo", "hi", how="full")

@@ -164,18 +164,19 @@ def jaccard_pairs(
     document frequency d contributes d^2 join rows, and high-df shingles
     (stopword runs) carry no dedup signal. Note |A|,|B| are then counted
     over the *kept* shingles, so the score is Jaccard over the filtered
-    shingle space."""
+    shingle space.
+
+    The capped path aggregates the inverted index ONCE (posting list per
+    shingle hash, bounded by the cap), emits id pairs directly from each
+    list, and counts sizes from the kept lists — no separate df
+    groupBy+join over the shingle table (the r1 version's cap
+    bookkeeping cost more than it saved at small corpus sizes)."""
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
-    ).cache()  # reused by sizes + both sides of the inverted-index join
+    )
     if max_df is not None:
-        keep = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("h")
-        )
-        sh = sh.join(keep, "h")
+        return _jaccard_pairs_capped(sh, id_col, threshold, max_df)
+    sh = sh.cache()  # reused by sizes + both sides of the inverted-index join
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -185,6 +186,50 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
+    """df-capped Jaccard from an aggregated inverted index: one groupBy
+    builds posting lists (arrays bounded by ``max_df`` after the size
+    filter — never a stopword-sized list downstream), pairs explode from
+    each list (exactly the df<=cap join rows, without the self-join), and
+    per-doc sizes come from the kept lists. Two aggregations total."""
+    inv = sh.groupBy("h").agg(F.collect_list(F.col(id_col)).alias("ids"))
+    kept = inv.filter(F.size("ids") <= max_df).select("ids").cache()
+    sizes = (
+        kept.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
+    common = (
+        kept.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

@@ -79,24 +79,31 @@ def cosine_topk(
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-bit bucket id from n deterministic hyperplanes. Stays JVM-side:
-    each plane's dot product is a fold over (value * weight(plane, dim))."""
-    bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: plane_weight(F.lit(p), i),
-                ),
-                lambda x, w: x * w,
+def plane_dot(vec: Column, plane: int) -> Column:
+    """Dot product of ``vec`` with deterministic hyperplane ``plane``
+    (sequential fold — stays JVM-side, bit-reproducible)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda i: plane_weight(F.lit(plane), i),
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-bit bucket id from n deterministic hyperplanes
+    (``plane_offset`` selects which planes, so bands draw disjoint
+    plane sets)."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        d = plane_dot(vec, plane_offset + j)
+        bucket = bucket + F.when(d > 0, F.lit(2**j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     return bucket
@@ -138,25 +145,54 @@ def lsh_ann(
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above ``threshold``, restricted to
-    LSH-bucket cohabitants (high-cosine pairs almost surely share all
-    sign bits, so the bucket join loses little recall at 0.95+)."""
+    """Embedding-cosine near-dup pairs above ``threshold`` via BANDED
+    multi-probe hyperplane LSH (the same banding machinery as MinHash
+    LSH, ``dedup.py::lsh_candidate_pairs``): ``n_bands`` bands of
+    ``planes_per_band`` sign bits each, candidates = pairs sharing at
+    least one band's full signature (union of per-band equi-joins,
+    deduped on ids), then an exact-cosine refine.
+
+    Scale math (vs the old single 8-plane bucket, which was the all-pairs
+    problem with a 1/256 constant): per-band bucket population is
+    ~n/2^r, so candidate pairs are O(b * n^2 / 2^r) with b=n_bands,
+    r=planes_per_band — and the union over bands buys recall instead of
+    costing it: P(pair at angle theta shares a band) = 1-(1-p^r)^b with
+    p = 1 - theta/pi (~0.90 at cos 0.95), i.e. ~0.89 for b=4, r=8 vs
+    ~0.43 for the single 8-plane bucket. Raise r to shrink buckets,
+    raise b to recover recall."""
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
-    ).withColumn("bucket", lsh_bucket(F.col("e"), n_planes))
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "bucket"
     )
-    b = v.select(
-        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            lsh_bucket(
+                F.col("e"), planes_per_band, plane_offset=bidx * planes_per_band
+            ).alias("val"),
+        )
+        for bidx in range(n_bands)
+    ]
+    sig = v.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "val")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = v.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"))
+    eb = v.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")

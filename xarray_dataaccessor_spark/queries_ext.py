@@ -417,15 +417,15 @@ def _plane_w_sql(p: int, dim_expr: str) -> str:
     )
 
 
-def _bucket_sql(vec: str, n_planes: int = 8) -> str:
+def _bucket_sql(vec: str, n_planes: int = 8, plane_offset: int = 0) -> str:
     terms = []
-    for p in range(n_planes):
+    for j in range(n_planes):
         dot = (
             f"list_reduce(list_transform(range(1, 65), "
-            f"i -> {vec}[i] * {_plane_w_sql(p, '(i - 1)')}), (a, b) -> a + b)"
+            f"i -> {vec}[i] * {_plane_w_sql(plane_offset + j, '(i - 1)')}), (a, b) -> a + b)"
         )
         terms.append(
-            f"(CASE WHEN {dot} > 0 THEN CAST({2**p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            f"(CASE WHEN {dot} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
     return " + ".join(terms)
 
@@ -457,20 +457,32 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_cosine",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                      {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+                      {_bucket_sql("(embedding::DOUBLE[])", 8, 0)} AS b0,
+                      {_bucket_sql("(embedding::DOUBLE[])", 8, 8)} AS b1,
+                      {_bucket_sql("(embedding::DOUBLE[])", 8, 16)} AS b2,
+                      {_bucket_sql("(embedding::DOUBLE[])", 8, 24)} AS b3
                FROM embeddings),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cos_sql("a.e", "b.e")} AS cos
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
     )
     SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.95
     """,
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-probe hyperplane LSH near-dup (4 bands x 8 planes):
+    union of per-band equi-joins bounds bucket population (~n/256 per
+    band) instead of one global 256-bucket split whose within-bucket
+    self-join is quadratic; ~0.89 recall at cos 0.95 vs ~0.43 for the
+    single 8-plane bucket. The oracle mirrors the banding with an OR
+    join (exact same candidate set)."""
     configure_session(spark)
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.95, n_planes=8)
+    return embedding_near_duplicates(
+        emb, threshold=0.95, n_bands=4, planes_per_band=8
+    )
 
 
 # ---------------------------------------------------------------------------
