@@ -35,6 +35,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     work = Path(tempfile.mkdtemp(prefix="xda_demo_"))
 
+    # 0. real NetCDF bytes -> distributed decode -> long-form grid
+    # (S1/S4: the pure NetCDF3 reader runs inside mapInPandas)
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.ingest import netcdf_glob_to_grid
+    from xarray_dataaccessor_spark.sources.netcdf3 import write_netcdf3
+
+    write_netcdf3(
+        str(work / "granule.nc"),
+        dims={"time": 24, "latitude": 3, "longitude": 4},
+        variables={
+            "time": (["time"], np.arange(24, dtype="i4"),
+                     {"units": "hours since 2019-01-30 00:00:00"}),
+            "latitude": (["latitude"], np.array([42.9, 42.65, 42.4]), {}),
+            "longitude": (["longitude"], np.array([-83.4, -83.15, -82.9, -82.65]), {}),
+            "t2m": (["time", "latitude", "longitude"],
+                    270.0 + np.arange(24 * 3 * 4, dtype="f8").reshape(24, 3, 4) * 0.01,
+                    {"units": "K"}),
+        },
+    )
+    nc_grid = netcdf_glob_to_grid(spark, str(work / "*.nc"), "t2m")
+    print("NetCDF granule decoded rows:", nc_grid.count())
+
     # 1. ingest: land a grid as year=/month=-partitioned parquet
     path = land_grid_parquet(grid_view(spark, sf_dir), str(work), "era5_like")
     DEFAULT_CATALOG.register("era5_like", path, ["t2m", "u100"])

@@ -202,9 +202,10 @@ def test_cubic_interpolation_reproduces_line(spark):
 
 
 def test_interval_rows_large_axis_fast():
-    """bisect-based interval assignment: 50k-target mapping onto a 50k
-    source axis in well under a second (the old per-target linear scan was
-    O(n*m))."""
+    """bisect-based interval assignment: 100k targets onto a 50k source
+    axis in seconds (the old per-target linear scan was O(n*m) — minutes
+    at this size). Bound is generous: it distinguishes complexity classes,
+    not machine load (~0.08 s idle, flaky at <1 s under a parallel run)."""
     import time
 
     from xarray_dataaccessor_spark.operators.spatial import interval_rows
@@ -213,7 +214,7 @@ def test_interval_rows_large_axis_fast():
     new_axis = [i * 0.005 + 0.0025 for i in range(100_000)]
     t0 = time.perf_counter()
     rows = interval_rows(new_axis, old_axis, "bilinear")
-    assert time.perf_counter() - t0 < 1.0
+    assert time.perf_counter() - t0 < 10.0
     assert len(rows) == len(new_axis)
     # spot-check the interval semantics survived the refactor
     lo, nv, w, hi = rows[1]

@@ -55,9 +55,13 @@ def test_cmr_granule_query_params():
     assert q["params"]["temporal"] == "2018-01-01T00:00:00Z,2019-01-01T00:00:00Z"
 
 
-def test_gated_openers_raise_not_implemented():
+def test_gated_openers_raise_not_implemented(tmp_path):
+    # NetCDF4 (HDF5 container) is the remaining gated format; classic
+    # NetCDF3 now decodes via the built-in pure reader (test_netcdf3.py)
+    h5 = tmp_path / "v4.nc"
+    h5.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
-        open_netcdf_fragment("s3://era5-pds/x.nc", "t2m")
+        open_netcdf_fragment(str(h5), "t2m")
     with pytest.raises(NotImplementedError):
         open_geotiff_fragment("granule.tif", "LC")
 

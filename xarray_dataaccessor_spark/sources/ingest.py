@@ -136,19 +136,72 @@ def land_grid_parquet(
     return path
 
 
-def open_netcdf_fragment(path: str, variable: str):  # pragma: no cover
-    """S1/S4 NetCDF fragment opener (fsspec + h5netcdf,
-    ``era5_from_aws.py:349-376``, ``nasa_from_LPDAAC.py:480-489``) —
-    gated: the NetCDF stack is not installed in this container."""
-    try:
-        import h5netcdf  # noqa: F401
-        import xarray  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "NetCDF ingestion requires xarray+h5netcdf (not installed). "
-            "Land fragments as Parquet externally and register the path "
-            "in the DatasetCatalog."
-        ) from exc
+def open_netcdf_fragment(
+    path: str,
+    variable: str,
+    time_var: str = "time",
+    x_var: str | None = None,
+    y_var: str | None = None,
+):
+    """S1/S4 NetCDF fragment opener (reference: fsspec + h5netcdf,
+    ``era5_from_aws.py:349-376``, ``nasa_from_LPDAAC.py:480-489``).
+
+    Classic NetCDF3 files decode through the built-in pure reader
+    (``sources/netcdf3.py`` — no external NetCDF stack needed); NetCDF4
+    (HDF5) files raise with a pointer at the optional geo extras. Returns
+    the granule as a long-form pandas DataFrame ``(time, y, x, var)`` —
+    granule-sized, the same unit of work the reference holds in memory
+    per fragment."""
+    from xarray_dataaccessor_spark.sources.netcdf3 import netcdf_fragment_to_pandas
+
+    with open(path, "rb") as f:
+        content = f.read()
+    return netcdf_fragment_to_pandas(
+        content, variable, time_var=time_var, x_var=x_var, y_var=y_var
+    )
+
+
+def netcdf_glob_to_grid(
+    spark,
+    pattern: str,
+    variable: str,
+    time_var: str = "time",
+    x_var: str | None = None,
+    y_var: str | None = None,
+) -> DataFrame:
+    """Distributed NetCDF3 ingestion: ``binaryFile`` source (one granule
+    per task — Spark parallelizes over files and handles locality) ->
+    Arrow-batched ``mapInPandas`` decode with the pure reader -> long-form
+    grid rows ready for :func:`land_grid_parquet`.
+
+    The decode module is registered for by-value pickling so executor
+    workers need neither this package nor any NetCDF library on their
+    ``sys.path`` — the parser travels with the task closure (stdlib
+    struct + numpy only)."""
+    from xarray_dataaccessor_spark.sources import netcdf3 as _nc
+
+    try:  # ship the parser by value (workers may not have the package)
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_nc)
+    except Exception:  # pragma: no cover - older pickler fallback
+        pass
+
+    frag_fn = _nc.netcdf_fragment_to_pandas
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = frag_fn(
+                    bytes(content), variable,
+                    time_var=time_var, x_var=x_var, y_var=y_var,
+                )
+                out[variable] = out[variable].astype("float64")
+                yield out
+
+    schema = f"time timestamp, y double, x double, {variable} double"
+    binf = spark.read.format("binaryFile").load(pattern)
+    return binf.select("content").mapInPandas(decode, schema)
 
 
 def open_geotiff_fragment(path: str, variable: str, year: int | None = None):  # pragma: no cover
