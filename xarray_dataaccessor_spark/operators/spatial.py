@@ -14,10 +14,15 @@ R1 ``spatial_resample`` (``core_functions.py:258-347``) scales the grid by
   neighbors + weights per axis as a tiny mapping table, and the fact
   table picks up the 4 (bilinear) or 1 (nearest) neighbors via broadcast
   joins + a weighted ``sum``. All JVM-side.
-- cubic/cubic_spline/lanczos/gauss need a convolutional kernel ->
-  ``applyInPandas`` per time-slice calling rasterio, which is not
-  installed in this container; the hook raises NotImplementedError with
-  the plumbing in place (SURVEY §7 de-risk note).
+- **Convolutional kernels** (cubic/cubic_spline/lanczos/gauss): pure
+  Spark, no rasterio. Separable convolution — per axis, every target
+  coordinate gets its kernel taps ``(src, new, weight)`` as a
+  dimension-sized broadcast table (weights from the published kernel
+  formulas: Keys cubic a=-0.5, cubic B-spline, Lanczos a=3, Gaussian),
+  then ``join + groupBy(target).sum(w*v)/sum(w)`` per axis. Two
+  shuffles total with map-side partial aggregation; for downsampling
+  the kernel is dilated by the scale factor (anti-aliasing), matching
+  GDAL's convention.
 
 The reference's known defect — "`spatial_resample` overflows memory for
 large datasets" (``core_functions.py:280``) — disappears here: nothing is
@@ -44,12 +49,13 @@ RESAMPLING_KERNELS = (
     "q3",
     "sum",
     "rms",
-    # convolutional kernels require rasterio (gated):
+    # convolutional kernels (pure-Spark separable tap convolution):
     "cubic",
     "cubic_spline",
     "lanczos",
     "gauss",
 )
+CONVOLUTIONAL_KERNELS = {"cubic": 2.0, "cubic_spline": 2.0, "lanczos": 3.0, "gauss": 3.0}
 _AGG_KERNELS = {
     "average": lambda c: F.avg(c),
     "mode": lambda c: F.mode(c),
@@ -174,8 +180,6 @@ def spatial_resample(
     (``test_3_era5_manipulations.py:75-99``)."""
     if resample_method not in RESAMPLING_KERNELS:
         raise ValueError(f"Unsupported resampling kernel: {resample_method!r}")
-    if resample_method in ("cubic", "cubic_spline", "lanczos", "gauss"):
-        return _resample_rasterio(df, resolution_factor, xy_resolution_factors, resample_method)
     fx, fy = xy_resolution_factors or (resolution_factor, resolution_factor)
     if fx is None:
         raise ValueError("Provide resolution_factor or xy_resolution_factors")
@@ -186,6 +190,11 @@ def spatial_resample(
     # one distributed pass for both coordinate axes; the driver receives
     # only the two dimension-sized axes, never the nx*ny cell product
     xs, ys = grid_axes(df, x_col, y_col)
+
+    if resample_method in CONVOLUTIONAL_KERNELS:
+        return _resample_convolutional(
+            df, xs, ys, fx, fy, resample_method, value_cols, time_col, x_col, y_col
+        )
 
     if fx < 1.0 and fy < 1.0 and resample_method not in ("nearest", "bilinear"):
         return _downsample_by_agg(df, xs, ys, fx, fy, resample_method, value_cols, time_col, x_col, y_col)
@@ -325,20 +334,122 @@ def _downsample_by_agg(df, xs, ys, fx, fy, method, value_cols, time_col, x_col, 
     )
 
 
-def _resample_rasterio(df, factor, factors, method):  # pragma: no cover
-    """Convolutional kernels via applyInPandas per time slice calling
-    rasterio (``_resample_slice``, ``utility_functions.py:191-205``).
-    rasterio is not installed in this container; the Spark-side plumbing
-    (per-time grouping, Arrow batches) is exercised by the pure kernels
-    above."""
-    try:
-        import rasterio  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"Resampling kernel {method!r} requires rasterio, which is not "
-            "installed. Use one of the pure-Spark kernels: "
-            "nearest/bilinear/average/mode/min/max/med/q1/q3/sum/rms."
-        ) from exc
+def kernel_weight(kernel: str, t: float) -> float:
+    """Published convolutional resampling kernel formulas (the same family
+    rasterio/GDAL expose for ``_resample_slice``,
+    ``utility_functions.py:191-205``):
+
+    - ``cubic``: Keys cubic convolution, a = -0.5 (third-order accurate,
+      reproduces quadratics; interpolating — weight 1 at t=0, 0 at knots)
+    - ``cubic_spline``: cubic B-spline (smoothing; partition of unity)
+    - ``lanczos``: Lanczos-windowed sinc, a = 3
+    - ``gauss``: Gaussian e^(-2t^2), truncated at |t| = 3
+    """
+    import math
+
+    at = abs(t)
+    if kernel == "cubic":
+        a = -0.5
+        if at < 1.0:
+            return (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0
+        if at < 2.0:
+            return a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a
+        return 0.0
+    if kernel == "cubic_spline":
+        if at < 1.0:
+            return (4.0 - 6.0 * at * at + 3.0 * at**3) / 6.0
+        if at < 2.0:
+            return (2.0 - at) ** 3 / 6.0
+        return 0.0
+    if kernel == "lanczos":
+        if at < 1e-12:
+            return 1.0
+        if at >= 3.0:
+            return 0.0
+        px = math.pi * at
+        return 3.0 * math.sin(px) * math.sin(px / 3.0) / (px * px)
+    if kernel == "gauss":
+        return math.exp(-2.0 * t * t) if at <= 3.0 else 0.0
+    raise ValueError(f"Not a convolutional kernel: {kernel!r}")
+
+
+def conv_tap_rows(new_axis, old_axis, kernel: str, factor: float):
+    """Per-axis kernel taps ``(src, new, weight)``, weights pre-normalized
+    per target coordinate (sum = 1 over in-range taps, which is the
+    standard renormalized edge handling). ``t`` is measured in source-step
+    units; for downsampling (factor < 1) the kernel is dilated by the
+    scale factor so its footprint covers the contributing source cells
+    (anti-aliasing — GDAL's convention for warp kernels).
+
+    Driver-side size: |targets| * taps-per-target (4 for cubic kernels,
+    6/scale for lanczos) — dimension-sized times a small constant, safe
+    to broadcast at planetary axes (36k * 6 = 216k rows)."""
+    import bisect
+
+    old = sorted(old_axis)
+    n = len(old)
+    if n == 1:
+        return [(old[0], nv, 1.0) for nv in new_axis]
+    step = axis_step(old)
+    scale = min(1.0, factor)
+    radius = CONVOLUTIONAL_KERNELS[kernel] / scale
+    rows = []
+    for nv in new_axis:
+        i0 = bisect.bisect_left(old, nv - radius * step)
+        i1 = bisect.bisect_right(old, nv + radius * step)
+        taps = []
+        for i in range(max(0, i0), min(n, i1)):
+            w = kernel_weight(kernel, (nv - old[i]) / step * scale)
+            if w != 0.0:
+                taps.append((old[i], w))
+        if not taps:
+            j = min(max(bisect.bisect_right(old, nv) - 1, 0), n - 1)
+            taps = [(old[j], 1.0)]
+        wsum = sum(w for _, w in taps)
+        rows.extend((src, nv, w / wsum) for src, w in taps)
+    return rows
+
+
+def _conv_axis(df, tap_map, axis_col, group_cols, value_cols):
+    """One-axis convolution pass: broadcast tap join + groupBy(target)
+    weighted mean. ``sum(w*v)/sum(w over present v)`` renormalizes when a
+    timestep has missing cells (sparse grid), mirroring the lerp path's
+    present-neighbor renormalization."""
+    joined = df.join(
+        F.broadcast(tap_map), F.col(axis_col) == F.col(f"src_{axis_col}")
+    )
+    w = F.col(f"w_{axis_col}")
+    aggs = []
+    for v in value_cols:
+        num = F.sum(w * F.col(v))
+        den = F.sum(F.when(F.col(v).isNotNull(), w))
+        aggs.append((num / den).alias(v))
+    return (
+        joined.groupBy(*group_cols, F.col(f"new_{axis_col}").alias(axis_col))
+        .agg(*aggs)
+    )
+
+
+def _resample_convolutional(df, xs, ys, fx, fy, method, value_cols, time_col, x_col, y_col):
+    """R1 convolutional kernels, pure Spark: separable per-axis tap
+    convolution (x pass then y pass), each one broadcast join + one
+    aggregation with map-side combine. Replaces the reference's
+    whole-slice rasterio warp (``core_functions.py:258-347``) without its
+    documented memory overflow — only axes ever reach the driver."""
+    spark = df.sparkSession
+    new_xs = _target_axis(xs, fx)
+    new_ys = _target_axis(ys, fy)
+    tapx = spark.createDataFrame(
+        conv_tap_rows(new_xs, xs, method, fx),
+        f"src_{x_col} double, new_{x_col} double, w_{x_col} double",
+    )
+    tapy = spark.createDataFrame(
+        conv_tap_rows(new_ys, ys, method, fy),
+        f"src_{y_col} double, new_{y_col} double, w_{y_col} double",
+    )
+    out = _conv_axis(df, tapx, x_col, (time_col, y_col), value_cols)
+    out = _conv_axis(out, tapy, y_col, (time_col, x_col), value_cols)
+    return out.select(time_col, y_col, x_col, *value_cols)
 
 
 def normalize_longitude(df: DataFrame, x_col: str = "x") -> DataFrame:
