@@ -1,0 +1,184 @@
+"""Karney–Krüger Transverse Mercator (UTM) closed-form reprojection.
+
+Independent oracles: a numerical-quadrature meridian-arc (the northing at
+the central meridian must equal k0 * arc length), hemisphere/meridian
+symmetries of the projection, the published UTM anchor (central meridian
+x equator -> 500000 E, 0 N), and a widely published control point. The
+Spark column-expression path is then checked bit-for-bit against the
+driver-side scalar math and plan-audited to stay UDF-free."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.operators.crs import (
+    WGS84_A,
+    WGS84_F,
+    TransverseMercator,
+    transform_point,
+    utm_crs,
+)
+from xarray_dataaccessor_spark.operators.spatial import bbox_to_crs, transform_crs_udf
+
+
+def meridian_arc(lat_deg: float) -> float:
+    """Ellipsoidal meridian arc length from the equator, by Simpson
+    quadrature of M(phi) = a(1-e^2) * integral (1-e^2 sin^2)^(-3/2) —
+    independent of the Krüger series."""
+    e2 = WGS84_F * (2 - WGS84_F)
+    phi = math.radians(lat_deg)
+    n = 10_000  # even
+    h = phi / n
+    total = 0.0
+    for i in range(n + 1):
+        p = i * h
+        w = 1 if i in (0, n) else (4 if i % 2 else 2)
+        total += w * (1 - e2 * math.sin(p) ** 2) ** -1.5
+    return WGS84_A * (1 - e2) * total * h / 3.0
+
+
+def test_utm_anchor_points():
+    tm = utm_crs(32617)  # zone 17N, lon0 = -81
+    assert tm.lon0_deg == -81.0
+    e, n = tm.forward(-81.0, 0.0)
+    assert e == pytest.approx(500_000.0, abs=1e-6)
+    assert n == pytest.approx(0.0, abs=1e-6)
+
+
+def test_northing_matches_meridian_arc_quadrature():
+    tm = utm_crs(32617)
+    for lat in (10.0, 45.0, 70.0):
+        _, n = tm.forward(-81.0, lat)
+        assert n == pytest.approx(0.9996 * meridian_arc(lat), abs=2e-3), lat
+
+
+def snyder_tm_forward(lon, lat, lon0, k0=0.9996, fe=500_000.0, fn=0.0):
+    """Snyder 1987 (USGS PP 1395, eqs. 8-9..8-13) Transverse Mercator —
+    a completely different series formulation from Krüger; agrees to a
+    few mm within a UTM zone. Used as an independent oracle."""
+    e2 = WGS84_F * (2 - WGS84_F)
+    ep2 = e2 / (1 - e2)
+    phi = math.radians(lat)
+    big_n = WGS84_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    t = math.tan(phi) ** 2
+    c = ep2 * math.cos(phi) ** 2
+    a = math.radians(lon - lon0) * math.cos(phi)
+    m = WGS84_A * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+        - (35 * e2**3 / 3072) * math.sin(6 * phi)
+    )
+    x = k0 * big_n * (
+        a + (1 - t + c) * a**3 / 6
+        + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * a**5 / 120
+    )
+    y = k0 * (
+        m + big_n * math.tan(phi) * (
+            a**2 / 2 + (5 - t + 9 * c + 4 * c**2) * a**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * a**6 / 720
+        )
+    )
+    return fe + x, fn + y
+
+
+def test_matches_snyder_series_across_zone():
+    tm = utm_crs(32617)  # lon0 = -81
+    for lon in (-83.9, -82.0, -81.0, -79.5, -78.1):
+        for lat in (-70.0, -23.5, 0.0, 17.25, 43.6425966, 71.8):
+            e_k, n_k = tm.forward(lon, lat)
+            fn = 0.0
+            e_s, n_s = snyder_tm_forward(lon, lat, -81.0, fn=fn)
+            assert e_k == pytest.approx(e_s, abs=0.01), (lon, lat)
+            assert n_k == pytest.approx(n_s, abs=0.01), (lon, lat)
+
+
+def test_hemisphere_and_meridian_symmetry():
+    north, south = utm_crs(32633), utm_crs(32733)  # zone 33, lon0 = 15
+    e_n, n_n = north.forward(17.5, 40.0)
+    e_s, n_s = south.forward(17.5, -40.0)
+    assert e_s == pytest.approx(e_n, abs=1e-6)
+    assert n_s == pytest.approx(10_000_000.0 - n_n, abs=1e-6)
+    # longitude mirrored about the central meridian mirrors the easting
+    e_w, n_w = north.forward(12.5, 40.0)
+    assert e_w == pytest.approx(2 * 500_000.0 - e_n, abs=1e-6)
+    assert n_w == pytest.approx(n_n, abs=1e-6)
+
+
+def test_roundtrip_precision_across_zone():
+    tm = utm_crs(32631)  # zone 31N, lon0 = 3
+    for lon in (-0.5, 0.0, 3.0, 5.9, 8.0):  # incl. outside nominal zone
+        for lat in (-75.0, -30.0, 0.01, 30.0, 60.0, 84.0):
+            x, y = tm.forward(lon, lat)
+            lon2, lat2 = tm.inverse(x, y)
+            assert lon2 == pytest.approx(lon, abs=1e-10), (lon, lat)
+            assert lat2 == pytest.approx(lat, abs=1e-10), (lon, lat)
+
+
+def test_epsg_registry_bounds():
+    assert utm_crs(32601).lon0_deg == -177.0
+    assert utm_crs(32660).lon0_deg == 177.0
+    assert utm_crs(32760).false_northing == 10_000_000.0
+    assert utm_crs(4326) is None
+    assert utm_crs(3857) is None
+    assert utm_crs(32661) is None  # UPS, not UTM
+
+
+def test_spark_columns_match_scalar_and_stay_codegen(spark):
+    pts = [(-79.3871635, 43.6425966), (-81.0, 0.0), (-84.3, -33.7), (-78.1, 71.2)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = transform_crs_udf(df, 4326, 32617)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tm = utm_crs(32617)
+    got = {(round(p[0], 6), round(p[1], 6)): r for p, r in zip(pts, out.collect())}
+    for lon, lat in pts:
+        e, n = tm.forward(lon, lat)
+        r = got[(round(lon, 6), round(lat, 6))]
+        assert r["x"] == pytest.approx(e, abs=1e-6)
+        assert r["y"] == pytest.approx(n, abs=1e-6)
+    # and back: distributed inverse recovers the geographic coordinates
+    # (column path uses the conformal-latitude series — O(e^10) error,
+    # sub-0.1 mm ~ 1e-8 degrees)
+    back = transform_crs_udf(out, 32617, 4326).collect()
+    for (lon, lat), r in zip(pts, back):
+        assert r["x"] == pytest.approx(lon, abs=1e-8)
+        assert r["y"] == pytest.approx(lat, abs=1e-8)
+
+
+def test_utm_to_utm_pivot(spark):
+    df = spark.createDataFrame([(-79.3871635, 43.6425966)], "x double, y double")
+    z17 = transform_crs_udf(df, 4326, 32617)
+    z18 = transform_crs_udf(z17, 32617, 32618).collect()[0]
+    want = utm_crs(32618).forward(-79.3871635, 43.6425966)
+    # pivot goes through the series inverse (~1e-8 deg): mm-level, not
+    # machine precision
+    assert z18["x"] == pytest.approx(want[0], abs=5e-3)
+    assert z18["y"] == pytest.approx(want[1], abs=5e-3)
+
+
+def test_bbox_reprojection_utm():
+    from xarray_dataaccessor_spark.meta import BoundingBox
+
+    bb = BoundingBox(west=-83.476, south=41.383, east=-78.976, north=42.883)
+    out = bbox_to_crs(bb, 4326, 32617)
+    tm = utm_crs(32617)
+    w, s = tm.forward(-83.476, 41.383)
+    e, n = tm.forward(-78.976, 42.883)
+    assert out.west == pytest.approx(min(w, e))
+    assert out.east == pytest.approx(max(w, e))
+    assert out.south == pytest.approx(min(s, n))
+    assert out.north == pytest.approx(max(s, n))
+    back = bbox_to_crs(out, 32617, 4326)
+    assert back.west == pytest.approx(-83.476, abs=1e-8)
+    assert back.north == pytest.approx(42.883, abs=1e-8)
+
+
+def test_unknown_pair_still_gated():
+    from xarray_dataaccessor_spark.meta import BoundingBox
+
+    with pytest.raises(NotImplementedError):
+        bbox_to_crs(BoundingBox(west=0, south=0, east=1, north=1), 4326, 27700)

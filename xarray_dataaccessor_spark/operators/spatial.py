@@ -485,12 +485,24 @@ def from_web_mercator(df: DataFrame, x_col: str = "x", y_col: str = "y") -> Data
 def transform_crs_udf(df: DataFrame, from_epsg: int, to_epsg: int, x_col="x", y_col="y"):
     """R2/R4 general CRS transform (``convert_crs``,
     ``shared_functions.py:132-157``; ``_convert_xy_coordinates``,
-    ``utility_functions.py:224-248``): Arrow-batched pandas_udf wrapping
-    ``pyproj.Transformer`` for CRS pairs without a closed form."""
+    ``utility_functions.py:224-248``). Closed-form first: 4326<->3857
+    spherical Mercator here, 4326<->UTM (and UTM<->UTM) via the
+    Karney–Krüger series in :mod:`operators.crs` — all pure column
+    expressions in whole-stage codegen. Only CRS pairs with no closed
+    form reach the Arrow-batched pandas_udf wrapping
+    ``pyproj.Transformer`` (gated on the geo extras)."""
+    if from_epsg == to_epsg:
+        return df
     if (from_epsg, to_epsg) == (4326, 3857):
         return to_web_mercator(df, x_col, y_col)
     if (from_epsg, to_epsg) == (3857, 4326):
         return from_web_mercator(df, x_col, y_col)
+    try:
+        from xarray_dataaccessor_spark.operators.crs import transform_grid
+
+        return transform_grid(df, from_epsg, to_epsg, x_col, y_col)
+    except KeyError:
+        pass
     try:
         import pyproj  # noqa: F401
     except ImportError as exc:
@@ -541,5 +553,14 @@ def bbox_to_crs(bbox, from_epsg: int, to_epsg: int):
         w, s = inv(bbox.west, bbox.south)
         e, n = inv(bbox.east, bbox.north)
     else:
-        raise NotImplementedError("Only 4326<->3857 closed-form without pyproj")
-    return BoundingBox(west=w, south=s, east=e, north=n)
+        try:
+            from xarray_dataaccessor_spark.operators.crs import transform_point
+
+            w, s = transform_point(bbox.west, bbox.south, from_epsg, to_epsg)
+            e, n = transform_point(bbox.east, bbox.north, from_epsg, to_epsg)
+        except KeyError as exc:
+            raise NotImplementedError(
+                "Closed-form bbox reprojection covers 4326<->3857 and "
+                "4326<->UTM; other CRS pairs need pyproj (geo extras)."
+            ) from exc
+    return BoundingBox(west=min(w, e), south=min(s, n), east=max(w, e), north=max(s, n))
