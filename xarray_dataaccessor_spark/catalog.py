@@ -156,22 +156,65 @@ def bbox_from_csv(path: str | Path, lon_col: str = "lon", lat_col: str = "lat") 
     return bbox_from_coords(coords)
 
 
+def _shp_header_bbox(path: str | Path) -> BoundingBox:
+    """Bbox straight from the ESRI shapefile main-file header (public
+    spec, ESRI Shapefile Technical Description: bytes 0-3 file code 9994
+    big-endian, bytes 36-67 Xmin/Ymin/Xmax/Ymax little-endian doubles).
+    The header envelope IS ``geo.total_bounds`` — no geometry parse
+    needed for an AOI."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(100)
+    if len(header) < 100 or struct.unpack(">i", header[:4])[0] != 9994:
+        raise ValueError(f"Not an ESRI shapefile: {path}")
+    xmin, ymin, xmax, ymax = struct.unpack("<4d", header[36:68])
+    return BoundingBox(west=xmin, south=ymin, east=xmax, north=ymax)
+
+
+def _prj_epsg(prj_path: Path) -> int:
+    """CRS of a shapefile from its ``.prj`` WKT sidecar. Recognizes an
+    explicit EPSG AUTHORITY (the outermost is last in WKT1), ESRI-style
+    UTM zone names, Web-Mercator names, and plain WGS84 geographic.
+    Missing ``.prj`` -> 4326 by convention (the reference relies on
+    geopandas' CRS here; files without one are assumed geographic)."""
+    import re
+
+    if not prj_path.exists():
+        return 4326
+    wkt = prj_path.read_text(errors="replace")
+    auth = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+    if auth:
+        return int(auth[-1])
+    m = re.search(r"UTM[_ ]Zone[_ ](\d{1,2})\s*([NS])", wkt, re.IGNORECASE)
+    if m:
+        zone = int(m.group(1))
+        return (32600 if m.group(2).upper() == "N" else 32700) + zone
+    if re.search(r"(Pseudo[_ -]?Mercator|Web[_ -]?Mercator)", wkt, re.IGNORECASE):
+        return 3857
+    if re.search(r"WGS[_ ]?(19)?84", wkt, re.IGNORECASE):
+        return 4326
+    raise NotImplementedError(
+        f"Unrecognized CRS in {prj_path}; supply a BoundingBox directly or "
+        "install the geo extras for arbitrary-CRS shapefiles."
+    )
+
+
 def bbox_from_shapefile(path: str | Path) -> BoundingBox:
     """Shapefile AOI -> EPSG:4326 bbox (``_bbox_from_shp``,
-    ``utility_functions.py:125-159``). geopandas is optional in this
-    container; the function gates on import."""
-    try:
-        import geopandas as gpd  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - geopandas not installed
-        raise NotImplementedError(
-            "Shapefile AOI input requires geopandas, which is not installed. "
-            "Resolve the bbox externally and pass a BoundingBox instead."
-        ) from exc
-    geo = gpd.read_file(path)  # pragma: no cover
-    if geo.crs.to_epsg() != 4326:  # pragma: no cover
-        geo = geo.to_crs(4326)
-    west, south, east, north = geo.total_bounds  # pragma: no cover
-    return BoundingBox(west, south, east, north)  # pragma: no cover
+    ``utility_functions.py:125-159``: read, ``to_crs(4326)`` when needed,
+    ``total_bounds``). Pure Python: the envelope comes from the 100-byte
+    ``.shp`` header, the CRS from the ``.prj`` WKT, reprojection from the
+    closed-form registry (Mercator/UTM) — geopandas only needed for
+    exotic CRS."""
+    path = Path(path)
+    bbox = _shp_header_bbox(path)
+    epsg = _prj_epsg(path.with_suffix(".prj"))
+    if epsg == 4326:
+        return bbox
+    from xarray_dataaccessor_spark.operators.spatial import bbox_to_crs
+
+    return bbox_to_crs(bbox, epsg, 4326)
 
 
 def get_bounding_box(
