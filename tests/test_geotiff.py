@@ -1,0 +1,145 @@
+"""Pure-Python GeoTIFF ingestion (S5), end-to-end: write reference-shaped
+granules (LP-DAAC style: one band + GeoTIFF tags + GDAL nodata), read
+the real bytes back, decode distributed, land as parquet, query through
+the catalog — the ``_get_tiff_granule`` path (``nasa_from_LPDAAC.py:
+491-516``) without rasterio."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.sources.geotiff import (
+    geotiff_fragment_to_pandas,
+    parse_geotiff,
+    write_geotiff,
+)
+from xarray_dataaccessor_spark.sources.ingest import (
+    geotiff_glob_to_grid,
+    open_geotiff_fragment,
+)
+
+# LP-DAAC-ish granule: 0.25-degree cells, upper-left corner at
+# (-83.476 - 0.125, 42.883 + 0.125) so pixel CENTERS land on the golden
+# fixture axes (test_2_era5.py:131-156 uses the same envelope)
+UL_X, UL_Y, STEP = -83.601, 43.008, 0.25
+
+
+def _granule(rng=None, h=7, w=19):
+    if rng is None:
+        rng = np.random.RandomState(11)
+    return rng.uniform(0.0, 90.0, size=(h, w)).astype("f4")
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("tile_size", [None, 8])
+def test_roundtrip_layouts(tmp_path, compress, tile_size):
+    vals = _granule()
+    p = write_geotiff(
+        str(tmp_path / "g.tif"), vals, UL_X, UL_Y, (STEP, STEP),
+        epsg=4326, compress=compress, tile_size=tile_size,
+    )
+    parsed = parse_geotiff(open(p, "rb").read())
+    assert (parsed["height"], parsed["width"]) == (7, 19)
+    assert parsed["epsg"] == 4326
+    np.testing.assert_array_equal(parsed["data"], vals)
+    # pixel-center axes
+    assert parsed["x_axis"][0] == pytest.approx(-83.476)
+    assert parsed["y_axis"][0] == pytest.approx(42.883)
+    assert parsed["y_axis"][-1] == pytest.approx(42.883 - 6 * STEP)
+
+
+def test_big_endian_and_int_dtypes(tmp_path):
+    # the reader honors the byte-order mark; exercise via a hand-built
+    # MM file (the writer emits II only)
+    import struct
+
+    # NB: astype LAST — numpy ufuncs return native-endian, so *100 before
+    # astype would silently drop the big-endian dtype
+    vals = (np.arange(12).reshape(3, 4) * 100).astype(">i2")
+    raw = vals.tobytes()
+    entries = [
+        (256, 3, 1, struct.pack(">H", 4) + b"\x00\x00"),
+        (257, 3, 1, struct.pack(">H", 3) + b"\x00\x00"),
+        (258, 3, 1, struct.pack(">H", 16) + b"\x00\x00"),
+        (259, 3, 1, struct.pack(">H", 1) + b"\x00\x00"),
+        (273, 4, 1, struct.pack(">I", 8 + 2 + 12 * 7 + 4)),
+        (279, 4, 1, struct.pack(">I", len(raw))),
+        (339, 3, 1, struct.pack(">H", 2) + b"\x00\x00"),
+    ]
+    out = b"MM" + struct.pack(">HI", 42, 8) + struct.pack(">H", len(entries))
+    for tag, ftype, count, val in entries:
+        out += struct.pack(">HHI", tag, ftype, count) + val
+    out += struct.pack(">I", 0) + raw
+    parsed = parse_geotiff(out)
+    np.testing.assert_array_equal(parsed["data"], vals.astype("=i2"))
+    assert parsed["x_axis"] is None  # no georeferencing tags
+
+
+def test_nodata_becomes_nan(tmp_path):
+    vals = _granule()
+    vals[2, 3] = -9999.0
+    p = write_geotiff(
+        str(tmp_path / "g.tif"), vals, UL_X, UL_Y, (STEP, STEP), nodata=-9999.0
+    )
+    pdf = open_geotiff_fragment(p, "lai", year=2021)
+    assert list(pdf.columns) == ["time", "y", "x", "lai"]
+    assert len(pdf) == 7 * 19
+    assert str(pdf["time"].iloc[0]).startswith("2021-01-01")
+    cell = pdf[(pdf["y"].round(3) == round(42.883 - 2 * STEP, 3))
+               & (pdf["x"].round(3) == round(-83.476 + 3 * STEP, 3))]
+    assert np.isnan(cell["lai"].iloc[0])
+
+
+def test_projected_granule_carries_epsg(tmp_path):
+    p = write_geotiff(
+        str(tmp_path / "utm.tif"), _granule(h=4, w=5),
+        630000.0, 4834000.0, (250.0, 250.0), epsg=32617,
+    )
+    parsed = parse_geotiff(open(p, "rb").read())
+    assert parsed["epsg"] == 32617
+    assert parsed["x_axis"][0] == pytest.approx(630125.0)
+
+
+def test_bigtiff_rejected():
+    import struct
+
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        parse_geotiff(b"II" + struct.pack("<H", 43) + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        parse_geotiff(b"PK\x03\x04" + b"\x00" * 32)
+
+
+def test_distributed_glob_ingest_and_catalog_query(spark, tmp_path):
+    """Two yearly granules -> binaryFile + mapInPandas decode ->
+    partitioned parquet -> pruned catalog query (the full S5 path)."""
+    rng = np.random.RandomState(3)
+    write_geotiff(str(tmp_path / "lai_2020.tif"), _granule(rng), UL_X, UL_Y, (STEP, STEP))
+    write_geotiff(
+        str(tmp_path / "lai_2021.tif"), _granule(rng), UL_X, UL_Y, (STEP, STEP),
+        compress=True,
+    )
+    grid = geotiff_glob_to_grid(spark, str(tmp_path / "*.tif"), "lai")
+    assert grid.columns == ["time", "y", "x", "lai"]
+    assert grid.count() == 2 * 7 * 19
+    # both granules land on the same axes; epoch time (no year passed)
+    assert grid.select("x").distinct().count() == 19
+
+    from xarray_dataaccessor_spark.sources.ingest import land_grid_parquet
+
+    landed = land_grid_parquet(grid, str(tmp_path), "lai_like")
+    back = spark.read.parquet(landed)
+    assert back.count() == 2 * 7 * 19
+
+    from xarray_dataaccessor_spark.catalog import DatasetCatalog
+    from xarray_dataaccessor_spark.meta import BoundingBox
+
+    cat = DatasetCatalog()
+    cat.register("lai_like", landed, ["lai"])
+    gf = cat.load(
+        spark, "lai_like",
+        bbox=BoundingBox(west=-83.0, south=41.5, east=-80.0, north=42.9),
+    )
+    out = gf.df.groupBy("y").agg(F.count("lai").alias("n"))
+    assert out.count() == 6  # 42.883 .. 41.633 within the AOI

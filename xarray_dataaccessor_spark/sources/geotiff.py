@@ -1,0 +1,319 @@
+"""Pure-Python GeoTIFF reader/writer (no rasterio) — makes S5 granule
+ingestion runnable in minimal containers, completing the NetCDF3 move
+(``sources/netcdf3.py``) for the reference's LP-DAAC TIFF path
+(``_get_tiff_granule``, ``nasa_from_LPDAAC.py:491-516``).
+
+Implements the published baseline TIFF 6.0 format (both byte orders,
+strip and tile layouts, uncompressed + DEFLATE with the horizontal
+predictor) and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
+ModelTiepoint 33922, GeoKeyDirectory 34735 for the EPSG code, GDAL's
+nodata tag 42113). BigTIFF and exotic compressions are detected and
+rejected with a pointer at the optional geo extras.
+
+Like the NetCDF3 module this is stdlib (``struct``/``zlib``) + numpy
+only and free of package-level imports, so the parse function can ship
+to executors by value (``sources/ingest.py::geotiff_glob_to_grid``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF field types -> (struct code, size); rationals handled as pairs
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+TAG_WIDTH, TAG_HEIGHT = 256, 257
+TAG_BITS, TAG_COMPRESSION, TAG_PHOTOMETRIC = 258, 259, 262
+TAG_STRIP_OFFSETS, TAG_SAMPLES_PER_PIXEL, TAG_ROWS_PER_STRIP = 273, 277, 278
+TAG_STRIP_COUNTS, TAG_PREDICTOR, TAG_SAMPLE_FORMAT = 279, 317, 339
+TAG_TILE_WIDTH, TAG_TILE_HEIGHT, TAG_TILE_OFFSETS, TAG_TILE_COUNTS = 322, 323, 324, 325
+TAG_PIXEL_SCALE, TAG_TIEPOINT, TAG_GEO_KEYS, TAG_GDAL_NODATA = 33550, 33922, 34735, 42113
+GEOKEY_GEOGRAPHIC_CRS, GEOKEY_PROJECTED_CRS = 2048, 3072
+
+
+def _read_ifd_values(buf, bo, ftype, count, value_field):
+    size = _TYPE_SIZES[ftype] * count
+    raw = value_field[:size] if size <= 4 else None
+    if raw is None:
+        (offset,) = struct.unpack(bo + "I", value_field)
+        raw = buf[offset : offset + size]
+    if ftype == 2:
+        return raw.split(b"\x00")[0].decode("ascii", errors="replace")
+    if ftype in (5, 10):  # (s)rational pairs
+        code = "I" if ftype == 5 else "i"
+        vals = struct.unpack(bo + code * (2 * count), raw)
+        return [vals[i] / vals[i + 1] for i in range(0, len(vals), 2)]
+    vals = struct.unpack(bo + _TYPE_FMT[ftype] * count, raw)
+    return list(vals)
+
+
+def parse_geotiff(buf: bytes) -> dict:
+    """Parse GeoTIFF bytes into ``{width, height, data, x_axis, y_axis,
+    nodata, epsg}`` with pixel-CENTER coordinate axes (the convention a
+    rioxarray open yields for a PixelIsArea granule). Raises on BigTIFF
+    or unsupported compression."""
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("Not a TIFF file (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", buf[2:4])
+    if magic == 43:
+        raise NotImplementedError(
+            "BigTIFF input; the built-in reader handles classic TIFF. "
+            "Install the optional geo extras (rasterio) for BigTIFF."
+        )
+    if magic != 42:
+        raise ValueError(f"Not a TIFF file (magic {magic})")
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+    tags: dict[int, object] = {}
+    for i in range(n_entries):
+        entry = buf[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, ftype, count = struct.unpack(bo + "HHI", entry[:8])
+        if ftype not in _TYPE_SIZES:
+            continue
+        tags[tag] = _read_ifd_values(buf, bo, ftype, count, entry[8:12])
+
+    width = int(tags[TAG_WIDTH][0])
+    height = int(tags[TAG_HEIGHT][0])
+    bits = int(tags.get(TAG_BITS, [32])[0])
+    compression = int(tags.get(TAG_COMPRESSION, [1])[0])
+    predictor = int(tags.get(TAG_PREDICTOR, [1])[0])
+    sample_format = int(tags.get(TAG_SAMPLE_FORMAT, [1])[0])
+    spp = int(tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
+    if spp != 1:
+        raise NotImplementedError("Multi-sample TIFFs need the geo extras (rasterio)")
+    if compression not in (1, 8, 32946):
+        raise NotImplementedError(
+            f"TIFF compression {compression} unsupported (only none/DEFLATE); "
+            "install the geo extras (rasterio)."
+        )
+    kind = {1: "u", 2: "i", 3: "f"}.get(sample_format)
+    if kind is None:
+        raise NotImplementedError(f"TIFF sample format {sample_format} unsupported")
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    def decode_block(raw, rows, cols):
+        if compression != 1:
+            raw = zlib.decompress(raw)
+        arr = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
+        if predictor == 2:
+            arr = np.cumsum(arr.astype(np.int64), axis=1, dtype=np.int64).astype(dtype)
+        elif predictor != 1:
+            raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+        return arr
+
+    data = np.zeros((height, width), dtype=dtype)
+    if TAG_TILE_OFFSETS in tags:
+        tw = int(tags[TAG_TILE_WIDTH][0])
+        th = int(tags[TAG_TILE_HEIGHT][0])
+        offsets = tags[TAG_TILE_OFFSETS]
+        counts = tags[TAG_TILE_COUNTS]
+        tiles_across = (width + tw - 1) // tw
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = decode_block(buf[int(off) : int(off) + int(cnt)], th, tw)
+            r0 = (ti // tiles_across) * th
+            c0 = (ti % tiles_across) * tw
+            rows = min(th, height - r0)
+            cols = min(tw, width - c0)
+            data[r0 : r0 + rows, c0 : c0 + cols] = tile[:rows, :cols]
+    else:
+        rps = int(tags.get(TAG_ROWS_PER_STRIP, [height])[0])
+        offsets = tags[TAG_STRIP_OFFSETS]
+        counts = tags[TAG_STRIP_COUNTS]
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            r0 = si * rps
+            rows = min(rps, height - r0)
+            data[r0 : r0 + rows] = decode_block(
+                buf[int(off) : int(off) + int(cnt)], rows, width
+            )
+    data = data.astype(data.dtype.newbyteorder("="))
+
+    x_axis = y_axis = None
+    if TAG_PIXEL_SCALE in tags and TAG_TIEPOINT in tags:
+        sx, sy = tags[TAG_PIXEL_SCALE][0], tags[TAG_PIXEL_SCALE][1]
+        tp = tags[TAG_TIEPOINT]
+        col0, row0, _, gx, gy = tp[0], tp[1], tp[2], tp[3], tp[4]
+        # raster-space tiepoint is the cell's upper-left corner; centers
+        # sit half a step in (GeoTIFF PixelIsArea, rasterio's xy(...,'center'))
+        x_axis = gx + (np.arange(width) - col0 + 0.5) * sx
+        y_axis = gy - (np.arange(height) - row0 + 0.5) * sy
+
+    nodata = None
+    if TAG_GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[TAG_GDAL_NODATA]).strip())
+        except ValueError:
+            pass
+
+    epsg = None
+    if TAG_GEO_KEYS in tags:
+        keys = tags[TAG_GEO_KEYS]
+        # GeoKeyDirectory: header of 4 shorts, then (key, location, count,
+        # value) quartets; location 0 => value inline
+        for k in range(4, len(keys) - 3, 4):
+            key_id, loc, _cnt, val = keys[k : k + 4]
+            if key_id in (GEOKEY_PROJECTED_CRS, GEOKEY_GEOGRAPHIC_CRS) and loc == 0:
+                epsg = int(val)
+                if key_id == GEOKEY_PROJECTED_CRS:
+                    break
+    return {
+        "width": width,
+        "height": height,
+        "data": data,
+        "x_axis": x_axis,
+        "y_axis": y_axis,
+        "nodata": nodata,
+        "epsg": epsg,
+    }
+
+
+def geotiff_fragment_to_pandas(content: bytes, variable: str, year: int | None = None):
+    """One granule's bytes -> long-form pandas DataFrame
+    ``(time, y, x, <variable>)`` — the reference's per-granule
+    ``squeeze()`` + rename + ``expand_dims(time=[year])`` shape
+    (``nasa_from_LPDAAC.py:491-516``). Nodata cells become NaN; the
+    constant time dimension is Jan 1 of ``year`` (epoch when absent)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    parsed = parse_geotiff(content)
+    if parsed["x_axis"] is None:
+        raise ValueError("TIFF lacks GeoTIFF georeferencing (scale + tiepoint)")
+    vals = parsed["data"].astype("float64")
+    if parsed["nodata"] is not None:
+        vals = np.where(vals == parsed["nodata"], np.nan, vals)
+    ny, nx = vals.shape
+    stamp = np.datetime64(dt.datetime(year, 1, 1) if year else "1970-01-01", "us")
+    return pd.DataFrame(
+        {
+            "time": np.repeat(stamp, ny * nx),
+            "y": np.repeat(parsed["y_axis"], nx),
+            "x": np.tile(parsed["x_axis"], ny),
+            variable: vals.reshape(-1),
+        }
+    )
+
+
+def write_geotiff(
+    path: str,
+    data: np.ndarray,
+    x_origin: float,
+    y_origin: float,
+    pixel_size: tuple[float, float],
+    epsg: int | None = 4326,
+    nodata: float | None = None,
+    compress: bool = False,
+    tile_size: int | None = None,
+) -> str:
+    """Minimal GeoTIFF writer (single band, strip or square-tile layout,
+    optional DEFLATE) for fixtures and small-grid export. ``x_origin`` /
+    ``y_origin`` are the upper-left CORNER of the upper-left pixel,
+    matching the rasterio ``from_origin`` convention."""
+    data = np.ascontiguousarray(data)
+    height, width = data.shape
+    kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
+    bits = data.dtype.itemsize * 8
+    entries: list[tuple[int, int, int, bytes | int]] = []
+    extra: list[bytes] = []
+
+    def add(tag, ftype, values):
+        if ftype == 2:
+            raw = values.encode("ascii") + b"\x00"
+            count = len(raw)
+        else:
+            fmt = {3: "H", 4: "I", 12: "d"}[ftype]
+            vals = values if isinstance(values, (list, tuple)) else [values]
+            raw = struct.pack("<" + fmt * len(vals), *vals)
+            count = len(vals)
+        entries.append((tag, ftype, count, raw))
+
+    if tile_size:
+        blocks = []
+        for r0 in range(0, height, tile_size):
+            for c0 in range(0, width, tile_size):
+                tile = np.zeros((tile_size, tile_size), dtype=data.dtype)
+                chunk = data[r0 : r0 + tile_size, c0 : c0 + tile_size]
+                tile[: chunk.shape[0], : chunk.shape[1]] = chunk
+                blocks.append(tile.astype(data.dtype.newbyteorder("<")).tobytes())
+    else:
+        blocks = [data.astype(data.dtype.newbyteorder("<")).tobytes()]
+    if compress:
+        blocks = [zlib.compress(b) for b in blocks]
+
+    add(TAG_WIDTH, 4, width)
+    add(TAG_HEIGHT, 4, height)
+    add(TAG_BITS, 3, bits)
+    add(TAG_COMPRESSION, 3, 8 if compress else 1)
+    add(TAG_PHOTOMETRIC, 3, 1)
+    add(TAG_SAMPLES_PER_PIXEL, 3, 1)
+    add(TAG_SAMPLE_FORMAT, 3, kind)
+    if tile_size:
+        add(TAG_TILE_WIDTH, 3, tile_size)
+        add(TAG_TILE_HEIGHT, 3, tile_size)
+    else:
+        add(TAG_ROWS_PER_STRIP, 4, height)
+    add(TAG_PIXEL_SCALE, 12, [pixel_size[0], pixel_size[1], 0.0])
+    add(TAG_TIEPOINT, 12, [0.0, 0.0, 0.0, x_origin, y_origin, 0.0])
+    if epsg is not None:
+        model = 2 if epsg == 4326 else 1
+        crs_key = GEOKEY_GEOGRAPHIC_CRS if epsg == 4326 else GEOKEY_PROJECTED_CRS
+        add(TAG_GEO_KEYS, 3, [1, 1, 0, 2, 1024, 0, 1, model, crs_key, 0, 1, epsg])
+    if nodata is not None:
+        add(TAG_GDAL_NODATA, 2, f"{nodata:g}")
+
+    # layout: header(8) + IFD + out-of-line tag data + pixel blocks
+    n_tags = len(entries) + 2  # + offsets & bytecounts
+    ifd_size = 2 + 12 * n_tags + 4
+    data_start = 8 + ifd_size
+
+    off_tag = TAG_TILE_OFFSETS if tile_size else TAG_STRIP_OFFSETS
+    cnt_tag = TAG_TILE_COUNTS if tile_size else TAG_STRIP_COUNTS
+    add(off_tag, 4, [0] * len(blocks))  # placeholder, patched below
+    add(cnt_tag, 4, [len(b) for b in blocks])
+
+    # assign out-of-line offsets
+    serialized: list[tuple[int, int, int, bytes]] = []
+    cursor = data_start
+    for tag, ftype, count, raw in sorted(entries):
+        if len(raw) > 4:
+            serialized.append((tag, ftype, count, raw))
+            cursor += len(raw) + (len(raw) % 2)
+    block_offsets = []
+    for b in blocks:
+        block_offsets.append(cursor)
+        cursor += len(b) + (len(b) % 2)
+
+    # rebuild the offsets entry with real values
+    patched = []
+    for tag, ftype, count, raw in entries:
+        if tag == off_tag:
+            raw = struct.pack("<" + "I" * len(block_offsets), *block_offsets)
+        patched.append((tag, ftype, count, raw))
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, 8)
+    out += struct.pack("<H", n_tags)
+    cursor = data_start
+    tail = bytearray()
+    for tag, ftype, count, raw in sorted(patched):
+        if len(raw) <= 4:
+            out += struct.pack("<HHI", tag, ftype, count) + raw.ljust(4, b"\x00")
+        else:
+            out += struct.pack("<HHI", tag, ftype, count) + struct.pack("<I", cursor)
+            tail += raw + (b"\x00" * (len(raw) % 2))
+            cursor += len(raw) + (len(raw) % 2)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += tail
+    for b in blocks:
+        out += b + (b"\x00" * (len(b) % 2))
+    with open(path, "wb") as f:
+        f.write(out)
+    return path

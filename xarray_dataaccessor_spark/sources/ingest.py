@@ -204,15 +204,50 @@ def netcdf_glob_to_grid(
     return binf.select("content").mapInPandas(decode, schema)
 
 
-def open_geotiff_fragment(path: str, variable: str, year: int | None = None):  # pragma: no cover
-    """S5 GeoTIFF fragment opener (rasterio engine + constant time dim,
-    ``nasa_from_LPDAAC.py:491-516``) — gated on rasterio."""
+def open_geotiff_fragment(path: str, variable: str, year: int | None = None):
+    """S5 GeoTIFF fragment opener (reference: rasterio engine + constant
+    time dim, ``nasa_from_LPDAAC.py:491-516``). Classic TIFFs decode
+    through the built-in pure reader (``sources/geotiff.py`` — strips,
+    tiles, DEFLATE, GeoTIFF tags); BigTIFF / exotic compressions raise
+    with a pointer at the geo extras. Returns the granule as long-form
+    pandas ``(time, y, x, var)`` with nodata as NaN."""
+    from xarray_dataaccessor_spark.sources.geotiff import geotiff_fragment_to_pandas
+
+    with open(path, "rb") as f:
+        content = f.read()
+    return geotiff_fragment_to_pandas(content, variable, year=year)
+
+
+def geotiff_glob_to_grid(
+    spark,
+    pattern: str,
+    variable: str,
+    year: int | None = None,
+) -> DataFrame:
+    """Distributed GeoTIFF ingestion, the S5 twin of
+    :func:`netcdf_glob_to_grid`: ``binaryFile`` source (one granule per
+    task) -> Arrow-batched ``mapInPandas`` decode with the pure TIFF
+    reader -> long-form grid rows ready for :func:`land_grid_parquet`.
+    The parser ships by value; executors need no package install."""
+    from xarray_dataaccessor_spark.sources import geotiff as _gt
+
     try:
-        import rasterio  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "GeoTIFF ingestion requires rasterio (not installed)."
-        ) from exc
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_gt)
+    except Exception:  # pragma: no cover - older pickler fallback
+        pass
+
+    frag_fn = _gt.geotiff_fragment_to_pandas
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield frag_fn(bytes(content), variable, year=year)
+
+    schema = f"time timestamp, y double, x double, {variable} double"
+    binf = spark.read.format("binaryFile").load(pattern)
+    return binf.select("content").mapInPandas(decode, schema)
 
 
 def fetch_cds(requests: Sequence[Mapping], api_key: str | None = None):  # pragma: no cover
