@@ -56,14 +56,19 @@ def test_cmr_granule_query_params():
 
 
 def test_gated_openers_raise_not_implemented(tmp_path):
-    # NetCDF4 (HDF5 container) is the remaining gated format; classic
-    # NetCDF3 now decodes via the built-in pure reader (test_netcdf3.py)
+    # NetCDF4 (HDF5 container) and BigTIFF are the remaining gated
+    # formats; classic NetCDF3 / classic TIFF decode via the built-in
+    # pure readers (test_netcdf3.py, test_geotiff.py)
+    import struct
+
     h5 = tmp_path / "v4.nc"
     h5.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
         open_netcdf_fragment(str(h5), "t2m")
+    bigtiff = tmp_path / "granule.tif"
+    bigtiff.write_bytes(b"II" + struct.pack("<H", 43) + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
-        open_geotiff_fragment("granule.tif", "LC")
+        open_geotiff_fragment(str(bigtiff), "LC")
 
 
 def test_landed_parquet_partition_pruning(spark, tmp_path):
