@@ -166,11 +166,14 @@ def jaccard_pairs(
     over the *kept* shingles, so the score is Jaccard over the filtered
     shingle space.
 
-    The capped path aggregates the inverted index ONCE (posting list per
-    shingle hash, bounded by the cap), emits id pairs directly from each
-    list, and counts sizes from the kept lists — no separate df
-    groupBy+join over the shingle table (the r1 version's cap
-    bookkeeping cost more than it saved at small corpus sizes)."""
+    The capped path computes each shingle's document frequency with a
+    window count over the hash partition — one shuffle, no posting-list
+    ``collect_list`` (whose array is UNBOUNDED before the size filter: a
+    stopword shingle with df in the millions would build that array in
+    one aggregation buffer), and no separate df groupBy+join (the r1
+    version, whose bookkeeping cost more than it saved at small corpus
+    sizes). After the filter the plan is exactly the uncapped
+    inverted-index join over a smaller table."""
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
     )
@@ -202,34 +205,28 @@ def jaccard_pairs(
 
 
 def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
-    """df-capped Jaccard from an aggregated inverted index: one groupBy
-    builds posting lists (arrays bounded by ``max_df`` after the size
-    filter — never a stopword-sized list downstream), pairs explode from
-    each list (exactly the df<=cap join rows, without the self-join), and
-    per-doc sizes come from the kept lists. Two aggregations total."""
-    inv = sh.groupBy("h").agg(F.collect_list(F.col(id_col)).alias("ids"))
-    kept = inv.filter(F.size("ids") <= max_df).select("ids").cache()
-    sizes = (
-        kept.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("sz"))
+    """df-capped Jaccard: document frequency from a window count over
+    the shingle-hash partition (one shuffle; constant memory per row —
+    no unbounded posting-list array), stopword shingles dropped BEFORE
+    any pairing, then the standard inverted-index self-join over the
+    filtered (cached) shingle table."""
+    from pyspark.sql.window import Window
+
+    kept = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+        .cache()
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
-    )
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     common = (
-        kept.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .groupBy("id_a", "id_b")
+        a.join(b, on="h")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
