@@ -79,30 +79,45 @@ def cosine_topk(
     )
 
 
-def plane_dot(vec: Column, plane: int) -> Column:
+def plane_weight_py(plane: int, dim: int) -> float:
+    """Driver-side twin of :func:`plane_weight` — identical integer LCG
+    then identical IEEE division, so literal-array planes produce
+    bit-identical buckets to the per-row expression (and to the SQL
+    oracle, which regenerates the same LCG)."""
+    seed = plane * 64 + dim
+    return ((seed * _LCG_A + _LCG_C) % _LCG_M) / float(_LCG_M) * 2.0 - 1.0
+
+
+def plane_dot(vec: Column, plane: int, dims: int | None = None) -> Column:
     """Dot product of ``vec`` with deterministic hyperplane ``plane``
-    (sequential fold — stays JVM-side, bit-reproducible)."""
+    (sequential fold — stays JVM-side, bit-reproducible). With ``dims``
+    known (fixed-width embedding columns — the normal case) the plane is
+    a constant literal array; otherwise each row regenerates the weights
+    with higher-order expressions, which costs ~3x in interpreted
+    per-element work."""
+    if dims is not None:
+        weights = F.array(*[F.lit(plane_weight_py(plane, d)) for d in range(dims)])
+    else:
+        weights = F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda i: plane_weight(F.lit(plane), i),
+        )
     return F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda i: plane_weight(F.lit(plane), i),
-            ),
-            lambda x, w: x * w,
-        ),
+        F.zip_with(vec, weights, lambda x, w: x * w),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, plane_offset: int = 0) -> Column:
+def lsh_bucket(
+    vec: Column, n_planes: int = 8, plane_offset: int = 0, dims: int | None = None
+) -> Column:
     """Sign-bit bucket id from n deterministic hyperplanes
     (``plane_offset`` selects which planes, so bands draw disjoint
     plane sets)."""
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
-        d = plane_dot(vec, plane_offset + j)
+        d = plane_dot(vec, plane_offset + j, dims=dims)
         bucket = bucket + F.when(d > 0, F.lit(2**j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -116,19 +131,21 @@ def lsh_ann(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket
     (equi-join on bucket), then exact cosine rank within the bucket.
     At scale the bucket join replaces the all-pairs product with
-    |corpus| / 2^n_planes candidates per query on average."""
+    |corpus| / 2^n_planes candidates per query on average. Pass ``dims``
+    for fixed-width embeddings so the planes become literal arrays."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qe"),
-    ).withColumn("bucket", lsh_bucket(F.col("qe"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("qe"), n_planes, dims=dims))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("ce"),
-    ).withColumn("bucket", lsh_bucket(F.col("ce"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("ce"), n_planes, dims=dims))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -149,6 +166,7 @@ def embedding_near_duplicates(
     planes_per_band: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold`` via BANDED
     multi-probe hyperplane LSH (the same banding machinery as MinHash
@@ -172,7 +190,8 @@ def embedding_near_duplicates(
         F.struct(
             F.lit(bidx).alias("band"),
             lsh_bucket(
-                F.col("e"), planes_per_band, plane_offset=bidx * planes_per_band
+                F.col("e"), planes_per_band, plane_offset=bidx * planes_per_band,
+                dims=dims,
             ).alias("val"),
         )
         for bidx in range(n_bands)
@@ -180,12 +199,20 @@ def embedding_near_duplicates(
     sig = v.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    a = sig.select(F.col(id_col).alias("id_a"), "band", "val")
-    b = sig.select(F.col(id_col).alias("id_b"), "band", "val")
+    # cache the signature table (ids + band + bucket only — b rows per
+    # doc, no embedding payload; same convention as the MinHash
+    # signatures): the candidate join is typically planned as a
+    # broadcast self-join, whose two sides would otherwise each
+    # recompute all b*r plane dots over the corpus
+    sig = sig.cache()
     cand = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        sig.alias("sa")
+        .join(sig.alias("sb"), ["band", "val"])
+        .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
+        .select(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
         .distinct()
     )
     ea = v.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"))

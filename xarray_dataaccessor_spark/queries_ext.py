@@ -450,7 +450,7 @@ def _bucket_sql(vec: str, n_planes: int = 8, plane_offset: int = 0) -> str:
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_ann(emb.filter(F.col("vec_id") < 5), emb, k=5, n_planes=8)
+    return lsh_ann(emb.filter(F.col("vec_id") < 5), emb, k=5, n_planes=8, dims=64)
 
 
 @query(
@@ -481,7 +481,7 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        emb, threshold=0.95, n_bands=4, planes_per_band=8
+        emb, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
     )
 
 
