@@ -58,6 +58,29 @@ def main() -> None:
     nc_grid = netcdf_glob_to_grid(spark, str(work / "*.nc"), "t2m")
     print("NetCDF granule decoded rows:", nc_grid.count())
 
+    # 0b. real GeoTIFF bytes -> distributed decode (S5: pure TIFF reader,
+    # DEFLATE strips + GeoTIFF tags); then a convolutional upsample and a
+    # codegen UTM reprojection of the decoded grid
+    from xarray_dataaccessor_spark.operators.spatial import (
+        spatial_resample,
+        transform_crs_udf,
+    )
+    from xarray_dataaccessor_spark.sources.geotiff import write_geotiff
+    from xarray_dataaccessor_spark.sources.ingest import geotiff_glob_to_grid
+
+    write_geotiff(
+        str(work / "lai_2021.tif"),
+        np.arange(12, dtype="f4").reshape(3, 4),
+        -83.525, 43.025, (0.25, 0.25), epsg=4326, compress=True,
+    )
+    tif_grid = geotiff_glob_to_grid(spark, str(work / "*.tif"), "lai", year=2021)
+    print("GeoTIFF granule decoded rows:", tif_grid.count())
+    up = spatial_resample(tif_grid, resolution_factor=2.0, resample_method="lanczos")
+    print("lanczos x2 upsample rows:", up.count())
+    utm = transform_crs_udf(tif_grid, 4326, 32617)
+    print("UTM eastings range:", utm.agg({"x": "min"}).first()[0].__round__(1),
+          "-", utm.agg({"x": "max"}).first()[0].__round__(1))
+
     # 1. ingest: land a grid as year=/month=-partitioned parquet
     path = land_grid_parquet(grid_view(spark, sf_dir), str(work), "era5_like")
     DEFAULT_CATALOG.register("era5_like", path, ["t2m", "u100"])
