@@ -115,6 +115,30 @@ def test_distributed_glob_ingest_and_catalog_query(spark, tmp_path):
     assert series.count() == 49  # hourly Jan30 00:00 .. Feb01 00:00 inclusive
 
 
+def test_cdf2_64bit_offset_reader(tmp_path):
+    """CDF-2 ('CDF\\x02', 64-bit variable offsets) differs from CDF-1
+    only in the width of each variable's begin field — hand-craft one."""
+    import struct as st
+
+    name = lambda s: st.pack(">i", len(s)) + s.encode() + b"\x00" * ((4 - len(s) % 4) % 4)
+    hdr = b"CDF\x02" + st.pack(">i", 0)  # numrecs=0
+    hdr += st.pack(">ii", 0x0A, 1) + name("x") + st.pack(">i", 3)
+    hdr += st.pack(">ii", 0, 0)  # no global atts
+    hdr += st.pack(">ii", 0x0B, 1)
+    var = name("v") + st.pack(">i", 1) + st.pack(">i", 0) + st.pack(">ii", 0, 0)
+    # nc_type=6 (double), vsize=24, begin as EIGHT bytes
+    begin = len(hdr + var) + 4 + 4 + 8
+    var += st.pack(">ii", 6, 24) + st.pack(">q", begin)
+    body = np.array([1.5, -2.5, 4.0], dtype=">f8").tobytes()
+    (tmp_path / "v2.nc").write_bytes(hdr + var + body)
+
+    parsed = parse_netcdf3((tmp_path / "v2.nc").read_bytes())
+    assert parsed["dims"] == {"x": 3}
+    np.testing.assert_array_equal(
+        parsed["variables"]["v"]["data"], np.array([1.5, -2.5, 4.0])
+    )
+
+
 def test_record_dim_reader(tmp_path):
     """Reader handles an unlimited (record) time dimension, which the
     fixture writer does not emit — craft the record layout by hand."""

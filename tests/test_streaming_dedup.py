@@ -1,0 +1,68 @@
+"""In-flight exact dedup (dropDuplicatesWithinWatermark on a content
+fingerprint): availableNow batch-parity — the streaming survivors match
+the batch first-occurrence dedup over the same input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.streaming.events import (
+    run_available_now,
+    stream_dedup_exact,
+    stream_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def deduped(spark):
+    stream = stream_events(spark, SF)
+    out = stream_dedup_exact(stream, fingerprint_col="props", watermark="2 hours")
+    return run_available_now(out, output_mode="append", shuffle_partitions=8)
+
+
+def test_stream_dedup_keeps_one_per_fingerprint(spark, deduped):
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    batch = load(spark, SF, "events").withColumn(
+        "fingerprint", F.xxhash64(F.col("props"))
+    )
+    n_unique = batch.select("fingerprint").distinct().count()
+    assert deduped.count() == n_unique
+    assert deduped.select("fingerprint").distinct().count() == n_unique
+    # survivors carry the full original row shape + the fingerprint
+    assert set(batch.columns) == set(deduped.columns)
+
+
+def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 10, "click", 1.0, "payload-A"),
+        (2, dt.datetime(2024, 1, 1, 0, 5), 11, "click", 2.0, "payload-A"),  # dup
+        (3, dt.datetime(2024, 1, 1, 0, 7), 12, "view", 3.0, "payload-B"),
+        (4, dt.datetime(2024, 1, 1, 9, 0), 13, "view", 4.0, "payload-A"),  # > horizon
+    ]
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "ev")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "ev"))
+    out = run_available_now(
+        stream_dedup_exact(stream, fingerprint_col="props", watermark="2 hours"),
+        output_mode="append",
+        shuffle_partitions=4,
+    )
+    kept = sorted(r["event_id"] for r in out.collect())
+    # one availableNow replay = one micro-batch cohort: the in-horizon
+    # duplicate (id 2) is dropped; the same payload 9h later (id 4) is
+    # beyond the watermark horizon, but within a single batch the state
+    # has not been evicted yet, so engines may keep or drop it — accept
+    # the documented-contract outcomes only
+    assert 1 in kept and 3 in kept and 2 not in kept
+    assert kept in ([1, 3], [1, 3, 4])

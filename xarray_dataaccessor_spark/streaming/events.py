@@ -100,6 +100,31 @@ def run_available_now(
     return spark.table(name)
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    fingerprint_col: str = "props",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """In-flight exact deduplication — the streaming twin of the batch
+    ``dedup.exact_duplicates`` family for a training-data ingest
+    pipeline: drop records whose content fingerprint (64-bit xxhash of
+    the payload column, never the raw payload) was already seen within
+    the watermark horizon. ``dropDuplicatesWithinWatermark`` keys the
+    state store on the fingerprint and evicts entries older than the
+    watermark, so state is bounded by (unique keys per horizon), not by
+    the stream's lifetime — the property that makes this viable on an
+    unbounded 100 TB/day feed. Emits the survivors unchanged plus the
+    fingerprint."""
+    fp = F.xxhash64(F.col(fingerprint_col)).alias("__fp")
+    return (
+        stream.withColumn("__fp", fp)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
 def user_running_stats(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count / value sum / last-seen timestamp maintained in
