@@ -17,6 +17,7 @@ enumeration and layout logic fully real.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -248,6 +249,107 @@ def geotiff_glob_to_grid(
     schema = f"time timestamp, y double, x double, {variable} double"
     binf = spark.read.format("binaryFile").load(pattern)
     return binf.select("content").mapInPandas(decode, schema)
+
+
+def zarr_to_grid(
+    spark,
+    store: str,
+    variable: str,
+    time_var: str = "time",
+    x_var: str | None = None,
+    y_var: str | None = None,
+) -> DataFrame:
+    """Distributed Zarr v2 ingestion — the cloud-native sibling of
+    :func:`netcdf_glob_to_grid` / :func:`geotiff_glob_to_grid`, and the
+    best Spark fit of the three: the store IS a chunk manifest, so
+    ``binaryFile`` over the variable's chunk files gives one
+    independently-decodable block per task with no header coordination.
+    Coordinate axes (dimension-sized by definition) are read driver-side
+    and travel in the task closure; each task trims its edge-padded
+    block and emits long-form ``(time, y, x, var)`` rows.
+
+    Supports (time, y, x) and (y, x) arrays with xarray's
+    ``_ARRAY_DIMENSIONS`` naming; zlib/gzip/raw chunks (blosc points at
+    the zarr extras)."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources import zarr as _z
+
+    try:  # ship the decoder by value (workers may not have the package)
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_z)
+    except Exception:  # pragma: no cover - older pickler fallback
+        pass
+
+    meta = _z.read_zarray(store, variable)
+    dims = meta["dims"] or []
+    if len(meta["shape"]) not in (2, 3):
+        raise ValueError("zarr_to_grid expects a 2-D (y,x) or 3-D (t,y,x) array")
+
+    def pick(cands, fallback_pos):
+        for c in cands:
+            if c in dims:
+                return c
+        return dims[fallback_pos] if dims else None
+
+    x_name = x_var or pick(("longitude", "lon", "x"), -1)
+    y_name = y_var or pick(("latitude", "lat", "y"), -2)
+    xs = _z.read_small_array(store, x_name).astype("float64")
+    ys = _z.read_small_array(store, y_name).astype("float64")
+    has_time = len(meta["shape"]) == 3
+    if has_time:
+        t_name = time_var if time_var in dims or not dims else dims[0]
+        times = np.asarray(_z.zarr_time_axis(store, t_name), dtype="datetime64[us]")
+    else:
+        times = np.asarray([np.datetime64("1970-01-01", "us")])
+
+    shape, chunks = meta["shape"], meta["chunks"]
+    decode = _z.decode_chunk
+    fill = meta["fill_value"]
+
+    def to_rows(batches):
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                idx = [int(p) for p in _os.path.basename(path).split(".")]
+                block = decode(bytes(content), {"compressor": meta["compressor"],
+                                                "dtype": meta["dtype"],
+                                                "chunks": chunks})
+                lo = [i * c for i, c in zip(idx, chunks)]
+                keep = tuple(
+                    slice(0, min(c, s - l)) for c, s, l in zip(chunks, shape, lo)
+                )
+                block = np.asarray(block[keep], dtype="float64")
+                if fill is not None:
+                    block = np.where(block == fill, np.nan, block)
+                if not has_time:
+                    block = block[np.newaxis, ...]
+                    t_sel = times
+                else:
+                    t_sel = times[lo[0] : lo[0] + block.shape[0]]
+                y_sel = ys[lo[-2] : lo[-2] + block.shape[1]]
+                x_sel = xs[lo[-1] : lo[-1] + block.shape[2]]
+                nt, ny, nx = block.shape
+                yield pd.DataFrame(
+                    {
+                        "time": np.repeat(t_sel, ny * nx),
+                        "y": np.tile(np.repeat(y_sel, nx), nt),
+                        "x": np.tile(x_sel, nt * ny),
+                        variable: block.reshape(-1),
+                    }
+                )
+
+    schema = f"time timestamp, y double, x double, {variable} double"
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "[0-9]*")
+        .load(os.path.join(store, variable))
+    )
+    return binf.select("path", "content").mapInPandas(to_rows, schema)
 
 
 def fetch_cds(requests: Sequence[Mapping], api_key: str | None = None):  # pragma: no cover
