@@ -115,3 +115,40 @@ def test_grid_axes_driver_payload_is_dimension_sized(spark):
     xs, ys = grid_axes(df, "x", "y")
     assert len(xs) == n and len(ys) == n
     assert xs == sorted(xs) and ys == sorted(ys)
+
+
+def test_conv_kernel_plan_shape(spark):
+    """Convolutional resample = 2 broadcast tap joins + 2 aggregations:
+    exactly two exchanges (one per axis, after map-side partial agg) and
+    no Python eval nodes."""
+    from tests.grid_fixture import grid_df
+    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+    import re
+
+    from xarray_dataaccessor_spark.plans.explain import (
+        has_broadcast_join,
+        plan_string,
+    )
+
+    out = spatial_resample(
+        grid_df(spark, with_nulls=False), resolution_factor=2.0,
+        resample_method="cubic",
+    )
+    assert has_broadcast_join(out)
+    simple = plan_string(out, mode="simple")
+    assert len(re.findall(r"\bExchange hashpartitioning", simple)) == 2
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+
+
+def test_utm_transform_plan_is_pure_projection(spark):
+    """Closed-form CRS transform: no exchange, no Python — a single
+    whole-stage-codegen projection over the scan."""
+    from tests.grid_fixture import grid_df
+    from xarray_dataaccessor_spark.operators.spatial import transform_crs_udf
+    from xarray_dataaccessor_spark.plans.explain import plan_string
+
+    out = transform_crs_udf(grid_df(spark, with_nulls=False), 4326, 32617)
+    simple = plan_string(out, mode="simple")
+    assert "Exchange" not in simple
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    assert "*(1) Project" in simple  # the * marker = whole-stage codegen
