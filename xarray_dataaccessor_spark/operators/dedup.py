@@ -44,10 +44,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Tiny inputs (a single parquet file -> one partition) would
+    serialize the whole shingle/token pipeline through one task;
+    repartition them to the session's parallelism. At production scale
+    the input already carries >= parallelism partitions and this is a
+    no-op — no shuffle is ever added to a big scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle)."""
+    df = spread_small_input(df)
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
     # F.get is 0-based and null-safe: a doc shorter than k words yields a
@@ -177,9 +190,13 @@ def jaccard_pairs(
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
     )
+    # cache BEFORE the capped/uncapped branch: the shingle table is
+    # plan-keyed, so the capped and uncapped variants (and repeated
+    # calls in one session) share one materialization — reused by
+    # sizes + both sides of the inverted-index join
+    sh = sh.cache()
     if max_df is not None:
         return _jaccard_pairs_capped(sh, id_col, threshold, max_df)
-    sh = sh.cache()  # reused by sizes + both sides of the inverted-index join
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -248,6 +265,7 @@ def simhash(
     """SimHash signature per document: each token's 32-bit hash votes
     +1/-1 on every bit position; the sign of the vote sum sets the bit.
     One explode + one groupBy with ``bits`` conditional-sum aggregates."""
+    df = spread_small_input(df)
     tokens = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
