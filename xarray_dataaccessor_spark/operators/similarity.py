@@ -183,8 +183,10 @@ def embedding_near_duplicates(
     p = 1 - theta/pi (~0.90 at cos 0.95), i.e. ~0.89 for b=4, r=8 vs
     ~0.43 for the single 8-plane bucket. Raise r to shrink buckets,
     raise b to recover recall."""
-    v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    from xarray_dataaccessor_spark.operators.dedup import spread_small_input
+
+    v = spread_small_input(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
     )
     band_structs = [
         F.struct(
