@@ -68,6 +68,25 @@ def nearest_match_1d(
     )
 
 
+def _nearest_1d_py(target: float, axis_vals: Sequence[float]) -> float:
+    """Nearest value on a sorted 1-D axis with numpy-argmin tie semantics
+    (equidistant -> the smaller / first value). Mirrors the reference's
+    ``np.abs(axis - target).argmin()`` (``to_tables.py:76-77``) for axes
+    already collected to the driver."""
+    import bisect
+
+    axis = list(axis_vals)
+    if not axis:
+        raise ValueError("empty axis")
+    i = bisect.bisect_left(axis, target)
+    if i == 0:
+        return axis[0]
+    if i == len(axis):
+        return axis[-1]
+    lo, hi = axis[i - 1], axis[i]
+    return lo if (target - lo) <= (hi - target) else hi
+
+
 def nearest_cell_match(
     points: DataFrame,
     grid: DataFrame,
@@ -91,13 +110,24 @@ def nearest_cell_match(
 
     spark = grid.sparkSession
     xs_vals, ys_vals = grid_axes(grid, x_col, y_col)
-    xs_axis = spark.createDataFrame([(v,) for v in xs_vals], f"{x_col} double")
-    ys_axis = spark.createDataFrame([(v,) for v in ys_vals], f"{y_col} double")
-    xs = nearest_match_1d(points.select("point_id", lon_col), xs_axis, lon_col, x_col)
-    ys = nearest_match_1d(points.select("point_id", lat_col), ys_axis, lat_col, y_col)
-    return (
-        points.join(xs.select("point_id", f"nearest_{x_col}"), "point_id")
-        .join(ys.select("point_id", f"nearest_{y_col}"), "point_id")
-        .withColumnRenamed(f"nearest_{x_col}", x_col)
-        .withColumnRenamed(f"nearest_{y_col}", y_col)
+    # the axes are already on the driver (dimension-sized by contract) and
+    # the points side is user-supplied coordinates, so the per-point argmin
+    # is a driver-side bisect — identical tie semantics to nearest_match_1d
+    # (distance asc, then smaller axis value), zero extra Spark jobs vs the
+    # four (2 crossJoin+window, 2 join) the DataFrame formulation needs.
+    pt_rows = points.collect()
+    data = [
+        row.asDict()
+        | {
+            x_col: _nearest_1d_py(row[lon_col], xs_vals),
+            y_col: _nearest_1d_py(row[lat_col], ys_vals),
+        }
+        for row in pt_rows
+    ]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(points.schema)
+        + [StructField(x_col, DoubleType()), StructField(y_col, DoubleType())]
     )
+    return spark.createDataFrame(data, schema)
