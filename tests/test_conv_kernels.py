@@ -169,3 +169,23 @@ def test_kernel_weight_formulas():
     assert kernel_weight("gauss", 1.0) == pytest.approx(math.exp(-2.0))
     with pytest.raises(ValueError):
         kernel_weight("bilinear", 0.5)
+
+
+def test_conv_axis_zero_denominator_yields_null(spark):
+    """Negative-lobe kernels + sparse cells can make the present-weight
+    sum ~0; the guard emits NULL instead of Inf/sign-flipped values
+    (ADVICE r2)."""
+    from xarray_dataaccessor_spark.operators.spatial import _conv_axis
+
+    df = spark.createDataFrame(
+        [("t0", 1.0, 0.0, 10.0), ("t0", 2.0, 0.0, 20.0)],
+        "time string, x double, y double, v double",
+    )
+    taps = spark.createDataFrame(
+        [(1.0, 5.0, 0.5), (2.0, 5.0, -0.5),   # den = 0 -> NULL
+         (1.0, 6.0, 0.25), (2.0, 6.0, 0.75)],  # den = 1 -> weighted mean
+        "src_x double, new_x double, w_x double",
+    )
+    out = {r["x"]: r["v"] for r in _conv_axis(df, taps, "x", ("time", "y"), ["v"]).collect()}
+    assert out[5.0] is None
+    assert out[6.0] == pytest.approx(0.25 * 10.0 + 0.75 * 20.0)

@@ -143,3 +143,27 @@ def test_distributed_glob_ingest_and_catalog_query(spark, tmp_path):
     )
     out = gf.df.groupBy("y").agg(F.count("lai").alias("n"))
     assert out.count() == 6  # 42.883 .. 41.633 within the AOI
+
+
+def test_int_predictor2_roundtrip(tmp_path):
+    """Integer horizontal differencing (predictor 2) round-trips."""
+    vals = (np.arange(7 * 19).reshape(7, 19) * 3).astype("i4")
+    p = write_geotiff(
+        str(tmp_path / "p2.tif"), vals, UL_X, UL_Y, (STEP, STEP),
+        epsg=4326, compress=True, predictor=2,
+    )
+    parsed = parse_geotiff(open(p, "rb").read())
+    np.testing.assert_array_equal(parsed["data"], vals)
+
+
+def test_float_predictor2_rejected(tmp_path):
+    """Predictor 2 is integer differencing; on float samples the int64
+    cumsum would truncate deltas and decode garbage — reject loudly
+    (ADVICE r2). Float TIFFs use predictor 3, also gated."""
+    vals = _granule()
+    p = write_geotiff(
+        str(tmp_path / "pf.tif"), vals, UL_X, UL_Y, (STEP, STEP),
+        epsg=4326, predictor=2,
+    )
+    with pytest.raises(NotImplementedError, match="floating-point"):
+        parse_geotiff(open(p, "rb").read())

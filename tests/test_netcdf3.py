@@ -162,3 +162,40 @@ def test_record_dim_reader(tmp_path):
     v = parsed["variables"]["v"]["data"]
     assert v.shape == (3, 2)
     assert v[2, 1] == 5.0
+
+
+def test_vsize_overflow_marker_rejected(tmp_path):
+    """vsize is unsigned per the CDF spec; 2^32-1 is the overflow marker
+    for record sets >= 4 GiB — a signed read would produce a negative
+    stride and silently misread every record variable (ADVICE r2)."""
+    import struct as st
+
+    name = lambda s: st.pack(">i", len(s)) + s.encode() + b"\x00" * ((4 - len(s) % 4) % 4)
+    hdr = b"CDF\x01" + st.pack(">i", 3)
+    hdr += st.pack(">ii", 0x0A, 2) + name("time") + st.pack(">i", 0) + name("x") + st.pack(">i", 2)
+    hdr += st.pack(">ii", 0, 0)
+    hdr += st.pack(">ii", 0x0B, 1)
+    var = name("v") + st.pack(">i", 2) + st.pack(">ii", 0, 1) + st.pack(">ii", 0, 0)
+    begin = len(hdr + var) + 12
+    var += st.pack(">i", 6) + st.pack(">I", 0xFFFFFFFF) + st.pack(">i", begin)
+    body = np.arange(6, dtype=">f8").tobytes()
+    with pytest.raises(NotImplementedError, match="overflow"):
+        parse_netcdf3(hdr + var + body)
+
+
+def test_record_var_past_eof_rejected(tmp_path):
+    """A header whose record extent overruns the buffer is a loud error,
+    not a silent misread."""
+    import struct as st
+
+    name = lambda s: st.pack(">i", len(s)) + s.encode() + b"\x00" * ((4 - len(s) % 4) % 4)
+    hdr = b"CDF\x01" + st.pack(">i", 1000)  # claims 1000 records
+    hdr += st.pack(">ii", 0x0A, 2) + name("time") + st.pack(">i", 0) + name("x") + st.pack(">i", 2)
+    hdr += st.pack(">ii", 0, 0)
+    hdr += st.pack(">ii", 0x0B, 1)
+    var = name("v") + st.pack(">i", 2) + st.pack(">ii", 0, 1) + st.pack(">ii", 0, 0)
+    begin = len(hdr + var) + 12
+    var += st.pack(">iii", 6, 16, begin)
+    body = np.arange(6, dtype=">f8").tobytes()  # only 3 records of data
+    with pytest.raises(ValueError, match="past the file end"):
+        parse_netcdf3(hdr + var + body)

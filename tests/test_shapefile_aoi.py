@@ -111,3 +111,22 @@ def test_get_bounding_box_union_with_shapefile(tmp_path):
     assert (bb.west, bb.south) == (-83.0, 41.5)
     assert bb.east == pytest.approx(-79.45)  # degenerate coord padded
     assert bb.north == pytest.approx(42.55)
+
+
+def test_non_wgs84_utm_prj_gated(tmp_path):
+    """A UTM zone name without a WGS84 datum token (NAD27/NAD83/ETRS89
+    ESRI .prj) must NOT be silently mapped to the 326xx WGS84 codes
+    (~200 m bbox error for NAD27) — it falls to the geo-extras gate
+    (ADVICE r2)."""
+    nad83 = (
+        'PROJCS["NAD_1983_UTM_Zone_17N",GEOGCS["GCS_North_American_1983",'
+        'DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],'
+        'PARAMETER["Central_Meridian",-81.0],PARAMETER["Scale_Factor",0.9996],'
+        'UNIT["Meter",1.0]]'
+    )
+    write_shp(tmp_path / "aoi.shp", 200000.0, 4500000.0, 700000.0, 4800000.0)
+    (tmp_path / "aoi.prj").write_text(nad83)
+    with pytest.raises(NotImplementedError, match="datum"):
+        bbox_from_shapefile(tmp_path / "aoi.shp")

@@ -91,14 +91,13 @@ def test_chunk_grain_parallelism(spark, tmp_path):
 
 
 def test_fill_value_masked(spark, tmp_path):
+    """Nodata comes from the .zattrs `_FillValue` (CF/xarray semantics),
+    NOT from the .zarray `fill_value` (which marks unwritten chunk
+    regions per the v2 spec)."""
     store = str(tmp_path / "f.zarr")
     data = np.array([[1.0, -9999.0], [3.0, 4.0]])
-    write_zarr(store, "v", data, ["latitude", "longitude"], compress=False)
-    # patch fill_value into the metadata (writer emits null by default)
-    zpath = tmp_path / "f.zarr" / "v" / ".zarray"
-    meta = json.loads(zpath.read_text())
-    meta["fill_value"] = -9999.0
-    zpath.write_text(json.dumps(meta))
+    write_zarr(store, "v", data, ["latitude", "longitude"], compress=False,
+               attrs={"_FillValue": -9999.0})
     write_zarr(store, "latitude", np.array([1.0, 2.0]), ["latitude"], compress=False)
     write_zarr(store, "longitude", np.array([5.0, 6.0]), ["longitude"], compress=False)
     out = zarr_to_grid(spark, store, "v").collect()
@@ -109,6 +108,43 @@ def test_fill_value_masked(spark, tmp_path):
     assert vals[(2.0, 6.0)] == 4.0
     # 2-D arrays get the constant epoch time dimension
     assert all(str(r["time"]).startswith("1970-01-01") for r in out)
+
+
+def test_spec_fill_value_zero_not_masked(spark, tmp_path):
+    """A store written with the common default fill_value=0 must NOT turn
+    legitimate zeros into NaN — fill_value marks unwritten chunk regions,
+    not nodata (ADVICE r2)."""
+    store = str(tmp_path / "z.zarr")
+    data = np.array([[0.0, 2.0], [3.0, 0.0]])
+    write_zarr(store, "v", data, ["latitude", "longitude"], compress=False)
+    zpath = tmp_path / "z.zarr" / "v" / ".zarray"
+    meta = json.loads(zpath.read_text())
+    meta["fill_value"] = 0
+    zpath.write_text(json.dumps(meta))
+    write_zarr(store, "latitude", np.array([1.0, 2.0]), ["latitude"], compress=False)
+    write_zarr(store, "longitude", np.array([5.0, 6.0]), ["longitude"], compress=False)
+    out = zarr_to_grid(spark, store, "v").collect()
+    vals = {(r["y"], r["x"]): r["v"] for r in out}
+    assert vals[(1.0, 5.0)] == 0.0
+    assert vals[(2.0, 6.0)] == 0.0
+
+
+def test_nan_string_fill_value_handled(spark, tmp_path):
+    """JSON serializes a NaN fill_value as the STRING "NaN"; it must be
+    decoded (and needs no masking — NaN survives the float64 cast)."""
+    store = str(tmp_path / "n.zarr")
+    data = np.array([[1.0, np.nan], [3.0, 4.0]])
+    write_zarr(store, "v", data, ["latitude", "longitude"], compress=False)
+    zpath = tmp_path / "n.zarr" / "v" / ".zarray"
+    meta = json.loads(zpath.read_text())
+    meta["fill_value"] = "NaN"
+    zpath.write_text(json.dumps(meta))
+    write_zarr(store, "latitude", np.array([1.0, 2.0]), ["latitude"], compress=False)
+    write_zarr(store, "longitude", np.array([5.0, 6.0]), ["longitude"], compress=False)
+    out = zarr_to_grid(spark, store, "v").collect()
+    vals = {(r["y"], r["x"]): r["v"] for r in out}
+    assert vals[(1.0, 6.0)] is None or np.isnan(vals[(1.0, 6.0)])
+    assert vals[(2.0, 5.0)] == 3.0
 
 
 def test_blosc_store_gated(tmp_path):

@@ -188,8 +188,19 @@ def _prj_epsg(prj_path: Path) -> int:
         return int(auth[-1])
     m = re.search(r"UTM[_ ]Zone[_ ](\d{1,2})\s*([NS])", wkt, re.IGNORECASE)
     if m:
-        zone = int(m.group(1))
-        return (32600 if m.group(2).upper() == "N" else 32700) + zone
+        # a UTM zone name alone does not pin the datum: NAD27/NAD83/ETRS89
+        # UTM shapefiles (common ESRI .prj with no AUTHORITY node) must NOT
+        # be silently mapped to the WGS84 326xx/327xx codes (~200 m error
+        # for NAD27) — only a WGS84 datum token makes the mapping safe;
+        # anything else falls through to the loud geo-extras error below.
+        if re.search(r"WGS[_ ]?(19)?84", wkt, re.IGNORECASE):
+            zone = int(m.group(1))
+            return (32600 if m.group(2).upper() == "N" else 32700) + zone
+        raise NotImplementedError(
+            f"UTM .prj without a WGS84 datum token in {prj_path} "
+            "(NAD27/NAD83/ETRS89 UTM needs the geo extras); supply a "
+            "BoundingBox directly or install the geo extras."
+        )
     if re.search(r"(Pseudo[_ -]?Mercator|Web[_ -]?Mercator)", wkt, re.IGNORECASE):
         return 3857
     if re.search(r"WGS[_ ]?(19)?84", wkt, re.IGNORECASE):

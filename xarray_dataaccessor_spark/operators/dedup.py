@@ -49,9 +49,44 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     serialize the whole shingle/token pipeline through one task;
     repartition them to the session's parallelism. At production scale
     the input already carries >= parallelism partitions and this is a
-    no-op — no shuffle is ever added to a big scan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    no-op — no shuffle is ever added to a big scan.
+
+    The partition estimate comes from file-scan metadata (``inputFiles``
+    + local file sizes vs ``spark.sql.files.maxPartitionBytes``), never
+    from ``df.rdd`` — converting the plan to an RDD forces a full
+    analysis/translation pass per call, needless overhead on a 100 TB
+    plan. Remote-store inputs (s3/hdfs/...) are assumed
+    production-scale: the reader already splits them by block, so the
+    spread is skipped without touching the object store."""
+    import math
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # non-file source (local relation in tests, memory sink, ...):
+        # tiny by construction — spread it
+        return df.repartition(target)
+    max_pb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    m = re.match(r"\d+", str(max_pb_raw))
+    max_pb = int(m.group()) if m else 134217728
+    est_parts = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return df  # remote store: assume block-split production input
+        try:
+            size = os.path.getsize(parsed.path or uri)
+        except OSError:
+            return df
+        est_parts += max(1, math.ceil(size / max_pb))
+    if est_parts < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -165,7 +200,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via the inverted-index join:
     doc-shingle pairs self-joined on the shingle hash, intersection
@@ -178,6 +213,13 @@ def jaccard_pairs(
     (stopword runs) carry no dedup signal. Note |A|,|B| are then counted
     over the *kept* shingles, so the score is Jaccard over the filtered
     shingle space.
+
+    The DEFAULT is ``max_df="auto"``: a corpus-size-derived cap of
+    ``greatest(50, n_docs div 20)`` (5% document frequency, floor 50),
+    computed in-plan so no driver job runs. The uncapped O(Σ df²) path
+    is an explicit opt-in (``max_df=None``) — on a 100 TB corpus a
+    single boilerplate shingle shared by 1M documents would otherwise
+    contribute 10^12 join rows by default.
 
     The capped path computes each shingle's document frequency with a
     window count over the hash partition — one shuffle, no posting-list
@@ -197,6 +239,7 @@ def jaccard_pairs(
     sh = sh.cache()
     if max_df is not None:
         return _jaccard_pairs_capped(sh, id_col, threshold, max_df)
+    # uncapped: O(Σ df²) pair join — explicit opt-in only (see docstring)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -226,15 +269,26 @@ def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
     the shingle-hash partition (one shuffle; constant memory per row —
     no unbounded posting-list array), stopword shingles dropped BEFORE
     any pairing, then the standard inverted-index self-join over the
-    filtered (cached) shingle table."""
+    filtered (cached) shingle table.
+
+    ``max_df="auto"`` resolves the cap IN-PLAN as
+    ``greatest(50, n_docs div 20)`` — the 1-row corpus-size aggregate is
+    broadcast-joined, so the cap costs one cheap agg over the cached
+    shingle table and zero driver round-trips (integer arithmetic only:
+    bit-identical across engines)."""
     from pyspark.sql.window import Window
 
-    kept = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
-        .cache()
-    )
+    with_df = sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    if max_df == "auto":
+        n_docs = sh.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+        kept = (
+            with_df.join(F.broadcast(n_docs))
+            .filter(F.col("__df") <= F.greatest(F.lit(50), F.expr("__n div 20")))
+            .drop("__df", "__n")
+            .cache()
+        )
+    else:
+        kept = with_df.filter(F.col("__df") <= max_df).drop("__df").cache()
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")

@@ -414,16 +414,23 @@ def _conv_axis(df, tap_map, axis_col, group_cols, value_cols):
     """One-axis convolution pass: broadcast tap join + groupBy(target)
     weighted mean. ``sum(w*v)/sum(w over present v)`` renormalizes when a
     timestep has missing cells (sparse grid), mirroring the lerp path's
-    present-neighbor renormalization."""
+    present-neighbor renormalization.
+
+    With negative-lobe kernels (cubic a=-0.5, lanczos) and sparse inputs
+    the present-weight sum can reach ~0 or flip sign near a target,
+    which would emit Inf or sign-flipped values; those targets yield
+    NULL instead (|den| <= eps guard) — the caller can fill via the
+    nearest/linear paths if a value is required."""
     joined = df.join(
         F.broadcast(tap_map), F.col(axis_col) == F.col(f"src_{axis_col}")
     )
     w = F.col(f"w_{axis_col}")
+    eps = 1e-9
     aggs = []
     for v in value_cols:
         num = F.sum(w * F.col(v))
         den = F.sum(F.when(F.col(v).isNotNull(), w))
-        aggs.append((num / den).alias(v))
+        aggs.append(F.when(F.abs(den) > eps, num / den).alias(v))
     return (
         joined.groupBy(*group_cols, F.col(f"new_{axis_col}").alias(axis_col))
         .agg(*aggs)

@@ -352,7 +352,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
         ) WHERE shingle IS NOT NULL AND length(shingle) > 0
     ),
-    hashed AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh),
+    hashed0 AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh),
+    cap AS (SELECT greatest(50, COUNT(DISTINCT doc_id) // 20) AS c FROM hashed0),
+    keep AS (SELECT h FROM hashed0 GROUP BY h
+             HAVING COUNT(*) <= (SELECT c FROM cap)),
+    hashed AS (SELECT hashed0.* FROM hashed0 JOIN keep USING (h)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -368,6 +372,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-path Jaccard: the corpus-size-derived df cap
+    (``max_df="auto"``) is the silent default — the O(Σ df²) uncapped
+    join is an explicit opt-in (``max_df=None``)."""
     configure_session(spark)
     return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
 

@@ -99,12 +99,26 @@ def parse_geotiff(buf: bytes) -> dict:
         raise NotImplementedError(f"TIFF sample format {sample_format} unsupported")
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
+    if predictor == 2 and kind == "f":
+        # predictor 2 is INTEGER horizontal differencing; running it through
+        # an int64 cumsum on float samples truncates the deltas and decodes
+        # garbage. (Float TIFFs use predictor 3, handled as unsupported.)
+        raise NotImplementedError(
+            "TIFF predictor 2 with floating-point samples is invalid input "
+            "for the built-in reader; install the geo extras (rasterio)."
+        )
+
     def decode_block(raw, rows, cols):
         if compression != 1:
             raw = zlib.decompress(raw)
         arr = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
         if predictor == 2:
             arr = np.cumsum(arr.astype(np.int64), axis=1, dtype=np.int64).astype(dtype)
+        elif predictor == 3:
+            raise NotImplementedError(
+                "TIFF predictor 3 (floating-point differencing) unsupported; "
+                "install the geo extras (rasterio)."
+            )
         elif predictor != 1:
             raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
         return arr
@@ -212,11 +226,17 @@ def write_geotiff(
     nodata: float | None = None,
     compress: bool = False,
     tile_size: int | None = None,
+    predictor: int = 1,
 ) -> str:
     """Minimal GeoTIFF writer (single band, strip or square-tile layout,
     optional DEFLATE) for fixtures and small-grid export. ``x_origin`` /
     ``y_origin`` are the upper-left CORNER of the upper-left pixel,
-    matching the rasterio ``from_origin`` convention."""
+    matching the rasterio ``from_origin`` convention.
+
+    ``predictor=2`` (integer horizontal differencing) is applied to
+    integer data before compression; for float data the tag is written
+    WITHOUT transforming — producing the invalid float+predictor-2 combo
+    the reader must reject (fixture for that guard)."""
     data = np.ascontiguousarray(data)
     height, width = data.shape
     kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
@@ -235,6 +255,13 @@ def write_geotiff(
             count = len(vals)
         entries.append((tag, ftype, count, raw))
 
+    def _enc(arr: np.ndarray) -> bytes:
+        if predictor == 2 and arr.dtype.kind in "iu":
+            diffed = arr.copy()
+            diffed[:, 1:] = arr[:, 1:] - arr[:, :-1]
+            arr = diffed
+        return arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+
     if tile_size:
         blocks = []
         for r0 in range(0, height, tile_size):
@@ -242,9 +269,9 @@ def write_geotiff(
                 tile = np.zeros((tile_size, tile_size), dtype=data.dtype)
                 chunk = data[r0 : r0 + tile_size, c0 : c0 + tile_size]
                 tile[: chunk.shape[0], : chunk.shape[1]] = chunk
-                blocks.append(tile.astype(data.dtype.newbyteorder("<")).tobytes())
+                blocks.append(_enc(tile))
     else:
-        blocks = [data.astype(data.dtype.newbyteorder("<")).tobytes()]
+        blocks = [_enc(data)]
     if compress:
         blocks = [zlib.compress(b) for b in blocks]
 
@@ -255,6 +282,8 @@ def write_geotiff(
     add(TAG_PHOTOMETRIC, 3, 1)
     add(TAG_SAMPLES_PER_PIXEL, 3, 1)
     add(TAG_SAMPLE_FORMAT, 3, kind)
+    if predictor != 1:
+        add(TAG_PREDICTOR, 3, predictor)
     if tile_size:
         add(TAG_TILE_WIDTH, 3, tile_size)
         add(TAG_TILE_HEIGHT, 3, tile_size)

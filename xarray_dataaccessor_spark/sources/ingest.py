@@ -251,6 +251,35 @@ def geotiff_glob_to_grid(
     return binf.select("content").mapInPandas(decode, schema)
 
 
+def _zarr_nodata_sentinel(meta: Mapping) -> float | int | None:
+    """Resolve the value to mask to NaN for a Zarr variable (see
+    zarr_to_grid's scale note). Returns None when nothing should be
+    masked — including the float-NaN case, which needs no masking since
+    blocks are cast to float64 and NaN survives the cast."""
+    import math
+
+    def _decode(v):
+        if isinstance(v, (list, tuple)):
+            v = v[0] if v else None
+        if isinstance(v, str):
+            return {
+                "NaN": float("nan"),
+                "Infinity": float("inf"),
+                "-Infinity": float("-inf"),
+            }.get(v)
+        return v
+
+    attrs = meta.get("attrs") or {}
+    nodata = _decode(attrs.get("_FillValue", attrs.get("missing_value")))
+    if nodata is None:
+        fv = _decode(meta.get("fill_value"))
+        if isinstance(fv, float) and math.isnan(fv):
+            nodata = fv
+    if isinstance(nodata, float) and math.isnan(nodata):
+        return None  # already NaN after the float64 cast; == would never match
+    return nodata
+
+
 def zarr_to_grid(
     spark,
     store: str,
@@ -306,7 +335,14 @@ def zarr_to_grid(
 
     shape, chunks = meta["shape"], meta["chunks"]
     decode = _z.decode_chunk
-    fill = meta["fill_value"]
+    # Nodata sentinel: the .zattrs `_FillValue`/`missing_value` attribute
+    # (xarray/CF semantics). The .zarray `fill_value` marks UNWRITTEN chunk
+    # regions per the v2 spec, not nodata — a store written with the common
+    # default fill_value=0 must NOT turn legitimate zeros into NaN. It is
+    # used as a mask only when it is itself a float NaN (the one case where
+    # the two notions coincide). JSON spells non-finite floats as the
+    # strings "NaN"/"Infinity"/"-Infinity"; decode those before comparing.
+    nodata = _zarr_nodata_sentinel(meta)
 
     def to_rows(batches):
         import os as _os
@@ -324,8 +360,8 @@ def zarr_to_grid(
                     slice(0, min(c, s - l)) for c, s, l in zip(chunks, shape, lo)
                 )
                 block = np.asarray(block[keep], dtype="float64")
-                if fill is not None:
-                    block = np.where(block == fill, np.nan, block)
+                if nodata is not None:
+                    block = np.where(block == nodata, np.nan, block)
                 if not has_time:
                     block = block[np.newaxis, ...]
                     t_sel = times

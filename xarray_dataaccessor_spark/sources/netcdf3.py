@@ -54,6 +54,11 @@ class _Reader:
         self.pos += 4
         return v
 
+    def u4(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
     def i8(self) -> int:
         (v,) = struct.unpack_from(">q", self.buf, self.pos)
         self.pos += 8
@@ -124,7 +129,17 @@ def parse_netcdf3(buf: bytes) -> dict:
         dimids = [r.i4() for _ in range(ndims)]
         vatts = read_atts()
         nc_type = r.i4()
-        vsize = r.i4()
+        # vsize is UNSIGNED per the CDF spec; 2^32-1 is the documented
+        # overflow marker for record sets >= 4 GiB (a signed read would
+        # produce a negative/garbage record stride and silently misread
+        # every record variable)
+        vsize = r.u4()
+        if vsize == 0xFFFFFFFF:
+            raise NotImplementedError(
+                "Classic NetCDF file with vsize overflow marker (per-record "
+                "set >= 4 GiB); the exact chunk sizes are not recoverable "
+                "from the header — install the geo extras (netCDF4/h5netcdf)."
+            )
         begin = r.i8() if offsets64 else r.i4()
         variables.append((vname, dimids, vatts, nc_type, vsize, begin))
 
@@ -156,6 +171,12 @@ def parse_netcdf3(buf: bytes) -> dict:
                 stride = sum(
                     rv[4] for rv in rec_vars
                 )  # vsize is already the padded per-record chunk
+            if numrecs and begin + (numrecs - 1) * stride + per_rec_bytes > len(buf):
+                raise ValueError(
+                    f"Record variable {vname!r} extends past the file end "
+                    f"(begin={begin}, stride={stride}, numrecs={numrecs}) — "
+                    "corrupt header or unsupported layout."
+                )
             recs = []
             for rec in range(numrecs):
                 off = begin + rec * stride
