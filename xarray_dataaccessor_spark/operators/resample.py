@@ -131,16 +131,70 @@ def resample_aggregate(
     """
     if method in ("ffill", "bfill"):
         return resample_fill(df, freq, method, value_cols, time_col, group_cols)
-    interval = freq_to_interval(freq)
     value_cols = value_cols or _value_columns(df, time_col, group_cols)
     groups = [c for c in group_cols if c in df.columns]
     aggs = [agg_expr(method, v, time_col).alias(v) for v in value_cols]
+    cal = _calendar_window(freq, time_col)
+    if cal is not None:
+        bucket, label = cal
+        return (
+            df.groupBy(bucket.alias("__w"), *groups)
+            .agg(*aggs)
+            .select(label.alias(time_col), *groups, *value_cols)
+        )
+    interval = freq_to_interval(freq)
     win, label = _anchored_window(df, freq, interval, time_col)
     return (
         df.groupBy(win.alias("__w"), *groups)
         .agg(*aggs)
         .select(label.alias(time_col), *groups, *value_cols)
     )
+
+
+# calendar-period aliases are CASE-SENSITIVE like pandas ('M' month vs
+# 'min' minute); label side per pandas: plain/'E' aliases label the period
+# END (last day at midnight), 'S' aliases the period start.
+_CALENDAR_ALIASES = {
+    "M": ("month", "end"),
+    "ME": ("month", "end"),
+    "MS": ("month", "start"),
+    "Q": ("quarter", "end"),
+    "QE": ("quarter", "end"),
+    "QS": ("quarter", "start"),
+    "Y": ("year", "end"),
+    "A": ("year", "end"),
+    "YE": ("year", "end"),
+    "YS": ("year", "start"),
+    "AS": ("year", "start"),
+}
+_CALENDAR_END_MONTHS = {"month": 0, "quarter": 2, "year": 11}
+
+
+def _calendar_window(freq: str, time_col: str):
+    """Calendar-period bucketing ('M'/'MS'/'Q'/'QS'/'Y'/'YS' + 'ME' etc.)
+    — variable-length periods ``F.window`` cannot express. The bucket is
+    ``date_trunc(period, time)`` (exactly what a SQL oracle computes);
+    the label is the period start or its last day at midnight, matching
+    pandas resample labels. Returns None for tick/week frequencies
+    (handled by :func:`_anchored_window`)."""
+    m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq.strip())
+    if not m or m.group(2) not in _CALENDAR_ALIASES:
+        return None
+    n = int(m.group(1) or 1)
+    unit, side = _CALENDAR_ALIASES[m.group(2)]
+    if n != 1:
+        raise ValueError(
+            f"Multi-period calendar resampling ({freq!r}) is not supported; "
+            "use '1M'/'1Q'/'1Y' or tick/week frequencies."
+        )
+    bucket = F.date_trunc(unit, F.col(time_col))
+    if side == "start":
+        label = F.col("__w")
+    else:
+        label = F.last_day(
+            F.add_months(F.col("__w"), _CALENDAR_END_MONTHS[unit])
+        ).cast("timestamp")
+    return bucket, label
 
 
 def _anchored_window(df: DataFrame, freq: str, interval: str, time_col: str):
@@ -166,13 +220,26 @@ def _anchored_window(df: DataFrame, freq: str, interval: str, time_col: str):
     n = int(n_str or 1)
     unit = _PANDAS_ALIAS.get(unit.upper()) or unit.lower().rstrip("s")
     if unit == "week":
-        if n != 1:
-            raise ValueError(
-                f"Only '1W' weekly resampling is supported (got {freq!r}); "
-                "pandas '2W'+ anchoring is not implemented."
-            )
-        win = F.window(time_col, "7 days", "7 days", "4 days")
-        return win, F.col("__w.start") + F.expr("INTERVAL 6 DAYS")
+        if n == 1:
+            win = F.window(time_col, "7 days", "7 days", "4 days")
+            return win, F.col("__w.start") + F.expr("INTERVAL 6 DAYS")
+        # pandas 'NW' (N>1, W-SUN): 7N-day bins on the weekly Monday grid,
+        # anchored so the FIRST bin ENDS at the Sunday closing the week
+        # that contains the data's min timestamp — i.e. the grid starts
+        # 7(N-1) days before that week's Monday (verified against pandas
+        # resample('2W')/('3W')). Needs the data's min timestamp — one
+        # scalar aggregate, same as the 'ND' origin='start_day' path.
+        tmin = df.agg(F.min(time_col)).first()[0]
+        if tmin is None:
+            return F.window(time_col, interval), F.col("__w.start")
+        import datetime as _dt
+
+        anchor = tmin.date() - _dt.timedelta(
+            days=tmin.date().weekday() + 7 * (n - 1)
+        )
+        offset_days = (anchor - _dt.date(1970, 1, 1)).days % (7 * n)
+        win = F.window(time_col, f"{7 * n} days", f"{7 * n} days", f"{offset_days} days")
+        return win, F.col("__w.start") + F.expr(f"INTERVAL {7 * n - 1} DAYS")
     if unit == "day" and n > 1:
         tmin = df.agg(F.min(time_col)).first()[0]
         if tmin is None:

@@ -241,25 +241,52 @@ def resample_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A1 — WEEKLY resample with pandas 'W' (W-SUN) anchoring: bins run Monday
-# 00:00 -> next Monday (left-closed) labeled with the Sunday inside the
-# bin. Epoch-aligned F.window would bucket Thursdays->Thursdays; the
-# engine anchors with startTime='4 days' and labels start+6d
-# (operators/resample.py::_anchored_window). DuckDB's date_trunc('week')
-# is ISO Monday, so the oracle is Monday-trunc + 6 days.
+# A1 — anchored calendar resampling in one shared-scan query:
+# - 'W' (W-SUN): bins Monday 00:00 -> next Monday (left-closed) labeled
+#   with the Sunday inside. Epoch-aligned F.window would bucket
+#   Thursdays->Thursdays; the engine anchors with startTime='4 days' and
+#   labels start+6d (operators/resample.py::_anchored_window). DuckDB's
+#   date_trunc('week') is ISO Monday, so the oracle is Monday-trunc + 6d.
+# - '2W': 14-day bins on the weekly Monday grid anchored to the week
+#   containing min(ts), labeled by the closing Sunday (pandas-verified);
+#   the oracle reproduces the anchor with a scalar-subquery date_trunc.
+# - 'MS'/'M': calendar months date_trunc('month') bucketing F.window
+#   cannot express, labeled month-start / month-end (pandas labels).
 # ---------------------------------------------------------------------------
 @query(
-    "resample_agg_weekly",
+    "resample_agg_calendar",
     oracle="""
-    SELECT date_trunc('week', ts) + INTERVAL 6 DAY AS week,
+    WITH a AS (SELECT date_trunc('week', MIN(ts)) - INTERVAL 7 DAY AS anchor
+               FROM events)
+    SELECT 'W' AS freq, date_trunc('week', ts) + INTERVAL 6 DAY AS period,
            event_type,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM events
-    GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '2W' AS freq,
+           (SELECT anchor FROM a)
+             + INTERVAL 1 DAY * (14 * (date_diff('day', (SELECT anchor FROM a), ts) // 14) + 13)
+             AS period,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'MS' AS freq, date_trunc('month', ts) AS period,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'M' AS freq, last_day(date_trunc('month', ts))::TIMESTAMP AS period,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 2, 3
     """,
 )
-def resample_agg_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def resample_agg_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.resample import resample_aggregate
 
@@ -269,16 +296,25 @@ def resample_agg_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,6)").alias("value"),
         F.lit(1).alias("one"),
     )
-    out = resample_aggregate(
-        ev, "W", "sum", value_cols=["value", "one"], time_col="ts",
-        group_cols=("event_type",),
-    )
-    return out.select(
-        F.col("ts").alias("week"),
-        "event_type",
-        F.col("value").cast("double").alias("sum_value"),
-        F.col("one").cast("bigint").alias("n"),
-    )
+    outs = []
+    for freq in ("W", "2W", "MS", "M"):
+        out = resample_aggregate(
+            ev, freq, "sum", value_cols=["value", "one"], time_col="ts",
+            group_cols=("event_type",),
+        )
+        outs.append(
+            out.select(
+                F.lit(freq).alias("freq"),
+                F.col("ts").alias("period"),
+                "event_type",
+                F.col("value").cast("double").alias("sum_value"),
+                F.col("one").cast("bigint").alias("n"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 # ---------------------------------------------------------------------------
