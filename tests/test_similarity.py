@@ -67,3 +67,111 @@ def test_more_bands_more_recall(planted):
     ).count()
     assert many >= few
     assert many / len(truth) >= 0.95  # b=8 pushes recall near 1
+
+
+def _recall_at_5(spark, ann_df, emb):
+    """recall@5 of an ANN result vs the brute-force cosine top-5."""
+    from xarray_dataaccessor_spark.operators.similarity import cosine_topk
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann_df.collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_banded_query_ann_beats_single_probe_at_equal_budget(planted):
+    """VERDICT r2 #3/#4: the banded query probe must match-or-beat the
+    single-bucket probe's recall at EQUAL candidate budget (2 bands of 9
+    planes -> 2 * n/512 = n/256 expected candidates, the single 8-plane
+    probe's budget). Measured as twin-recall on the planted corpus: the
+    fraction of queries whose near-duplicate twin (cos > 0.99) lands in
+    the ANN top-5 — on random vectors every probe's recall is noise."""
+    from xarray_dataaccessor_spark.operators.similarity import lsh_ann, lsh_ann_banded
+
+    q = planted.filter(F.col("vec_id") < 1000)  # the 60 base vectors
+
+    def twin_recall(ann_df):
+        hits = {
+            r["query_id"]
+            for r in ann_df.collect()
+            if r["neighbor_id"] == r["query_id"] + 1000
+        }
+        return len(hits) / 60.0
+
+    r_single = twin_recall(lsh_ann(q, planted, k=5, n_planes=8, dims=64))
+    r_banded = twin_recall(
+        lsh_ann_banded(q, planted, k=5, n_bands=2, planes_per_band=9, dims=64)
+    )
+    assert r_banded >= r_single, (r_banded, r_single)
+    assert r_banded >= 0.9, f"banded twin-recall {r_banded:.2f} below 0.9"
+
+
+def test_kmeans_ivf_recall_on_bench_corpus(spark):
+    """VERDICT r2 #6: the k-means quantizer keeps recall@5 >= 0.92 on
+    the bench corpus/query set (the documented by-id-quantizer level)."""
+    from xarray_dataaccessor_spark.operators.similarity import cosine_topk, ivf_ann
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, emb, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann(q, emb, k=5, n_centroids=8, n_probe=2, n_iters=2).collect()
+    }
+    r = len(got & truth) / len(truth)
+    assert r >= 0.92, f"k-means IVF recall@5 {r:.3f} below 0.92"
+
+
+def test_kmeans_beats_by_id_quantizer_on_clustered_corpus(spark):
+    """The r2 flag: by-id centroids skew the inverted lists on clustered
+    corpora. With ids ordered by cluster (all 8 initial centroids inside
+    ONE cluster — the worst case for by-id), Lloyd iterations must
+    recover recall the degenerate quantizer loses."""
+    from xarray_dataaccessor_spark.operators.similarity import cosine_topk, ivf_ann
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 64)) * 3.0
+    pts, i = [], 0
+    for c in range(8):
+        for _ in range(50):
+            pts.append(
+                (i, [float(v) for v in centers[c] + 0.3 * rng.standard_normal(64)])
+            )
+            i += 1
+    cl = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    q = cl.filter(F.col("vec_id") % 50 < 3)  # 3 queries per cluster
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, cl, k=5).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann(
+                q, cl, k=5, n_centroids=8, n_probe=2, n_iters=iters
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_by_id, r_kmeans = recall(0), recall(2)
+    assert r_kmeans > r_by_id, (r_kmeans, r_by_id)
+    assert r_kmeans >= 0.95
+
+
+def test_kmeans_centroids_deterministic(spark):
+    """Two independent builds produce bit-identical centroids (decimal
+    sums make the means aggregation-order independent)."""
+    from xarray_dataaccessor_spark.operators.similarity import kmeans_centroids
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = {r["centroid_id"]: r["ce"] for r in kmeans_centroids(emb, 8, 2).collect()}
+    b = {r["centroid_id"]: r["ce"] for r in kmeans_centroids(emb, 8, 2).collect()}
+    assert a == b

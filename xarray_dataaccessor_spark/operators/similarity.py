@@ -159,6 +159,67 @@ def lsh_ann(
     )
 
 
+def lsh_ann_banded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bands: int = 2,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Banded multi-probe query ANN — :func:`lsh_ann` with the same
+    banding machinery as :func:`embedding_near_duplicates`: candidates
+    are corpus vectors sharing ANY band's full signature with the query
+    (union of per-band equi-joins, deduped), then exact cosine rank.
+
+    Recall/cost: a single r-plane probe reaches only
+    P(all r planes agree) = p^r of the true neighbors (~0.43 at cos
+    0.95); b bands of r planes reach 1-(1-p^r)^b at b x the candidate
+    budget — and at EQUAL budget (b bands of r+log2(b) planes) banding
+    still wins because the probes are independent. The per-band join is
+    the same shuffle shape, so the 100 TB plan is unchanged."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    )
+
+    def bands(df, vcol):
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(
+                    F.col(vcol), planes_per_band, plane_offset=b * planes_per_band,
+                    dims=dims,
+                ).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+        return df.select("*", F.explode(F.array(*structs)).alias("b")).select(
+            *df.columns, F.col("b.band").alias("band"), F.col("b.val").alias("val")
+        )
+
+    cand = (
+        bands(c, "ce")
+        .join(F.broadcast(bands(q, "qe")), on=["band", "val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .distinct()
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -260,31 +321,81 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Deterministic Lloyd iterations as pure DataFrame aggregations:
+    init = first ``n_centroids`` vectors by id (reproducible seed), then
+    per iteration (a) rank-1 assignment via the broadcast quantizer and
+    (b) element-wise exact centroid means (posexplode -> per-(centroid,
+    dim) DECIMAL-sum mean -> regroup sorted by position). Decimal sums
+    make the means independent of aggregation order, so the centroids —
+    and everything downstream — are bit-reproducible across runs and
+    engines (the SQL-oracle convention, memory: oracle-exactness).
+
+    Scale note: two shuffles per iteration, both keyed on small ids; at
+    100 TB train the quantizer on a deterministic sample
+    (``vectors.filter(id % s == 0)``) like any real IVF build — Lloyd on
+    the full corpus buys nothing past a representative sample.
+
+    A centroid that captures no vectors drops out of the next iteration
+    (standard Lloyd degeneracy; deterministic here)."""
+    cent = vectors.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
+    )
+    for _ in range(n_iters):
+        assigned = ivf_assign(vectors, cent, id_col=id_col, vec_col=vec_col, rank=1)
+        dim_means = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mv")
+            )
+        )
+        cent = dim_means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("ce")
+        )
+    return cent
+
+
 def ivf_ann(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate nearest neighbors: a deterministic coarse
-    quantizer (the first ``n_centroids`` corpus vectors by id — a real
-    system would k-means them; determinism matters more here) partitions
-    the corpus into inverted lists; each query probes its ``n_probe``
-    nearest lists and ranks candidates by exact cosine.
+    """IVF-style approximate nearest neighbors: a deterministic k-means
+    coarse quantizer (:func:`kmeans_centroids` — Lloyd iterations seeded
+    with the first ``n_centroids`` vectors by id) partitions the corpus
+    into inverted lists; each query probes its ``n_probe`` nearest lists
+    and ranks candidates by exact cosine. On clustered corpora the
+    k-means lists are balanced where the old first-N-by-id quantizer
+    skewed (VERDICT r2 #4/#6).
 
     Scale path: the corpus is shuffled ONCE on centroid_id (in a real
     deployment: partitioned/bucketed by it at ingest), each query touches
     n_probe/n_centroids of the data, and the centroid table is broadcast.
     """
-    cent = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).cast("array<double>").alias("ce"),
+    vecs = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e")
     )
+    cent = kmeans_centroids(vecs, n_centroids, n_iters, id_col=id_col).cache()
     c_assigned = ivf_assign(
-        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("e")),
+        vecs,
         cent,
         rank=1,
     ).select(

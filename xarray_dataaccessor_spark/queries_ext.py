@@ -441,23 +441,34 @@ def _bucket_sql(vec: str, n_planes: int = 8, plane_offset: int = 0) -> str:
     "similarity_lsh_ann",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                      {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
+                      {_bucket_sql("(embedding::DOUBLE[])", 8, 0)} AS b0,
+                      {_bucket_sql("(embedding::DOUBLE[])", 8, 8)} AS b1
                FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, e AS ce, bucket FROM v),
-    s AS (
-        SELECT q.query_id, c.neighbor_id, q.bucket, {_cos_sql("qe", "ce")} AS cos
-        FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+    q AS (SELECT vec_id AS query_id, e AS qe, b0, b1 FROM v WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, e AS ce, b0, b1 FROM v),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id, qe, ce
+        FROM c JOIN q ON (c.b0 = q.b0 OR c.b1 = q.b1)
+        WHERE query_id <> neighbor_id
     ),
+    s AS (SELECT query_id, neighbor_id, {_cos_sql("qe", "ce")} AS cos FROM cand),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rk FROM s)
-    SELECT query_id, neighbor_id, bucket, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
     """,
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded multi-probe query ANN (VERDICT r2 #3: the single 8-plane
+    probe's ~0.43 recall band): candidates = union of 2 bands' 8-plane
+    signature matches, same per-band equi-join shuffle shape."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.similarity import lsh_ann_banded
+
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_ann(emb.filter(F.col("vec_id") < 5), emb, k=5, n_planes=8, dims=64)
+    return lsh_ann_banded(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_bands=2,
+        planes_per_band=8, dims=64,
+    )
 
 
 @query(
@@ -697,33 +708,58 @@ _L2 = (
 )
 
 
+def _kmeans_assign_body(cent: str, rank: int = 1, where: str = "") -> str:
+    """One Lloyd assignment: rank-``rank`` nearest centroid(s) by squared
+    L2, ties toward the smaller centroid id (mirrors
+    ``similarity.ivf_assign``)."""
+    return f"""SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
+                   ) AS rk
+            FROM v CROSS JOIN {cent} c {where}
+        ) WHERE rk <= {rank}"""
+
+
+def _kmeans_assign_sql(cent: str, out: str, rank: int = 1, where: str = "") -> str:
+    return f"{out} AS ({_kmeans_assign_body(cent, rank, where)})"
+
+
+def _kmeans_mean_sql(assigned: str, out: str) -> str:
+    """Element-wise exact centroid mean CTE (decimal sums -> order
+    independent, the oracle-exactness convention)."""
+    return f"""
+    {out} AS (
+        SELECT centroid_id, list(mv ORDER BY pos) AS ce FROM (
+            SELECT centroid_id, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mv
+            FROM (SELECT centroid_id, unnest(e) AS val,
+                         generate_subscripts(e, 1) AS pos FROM {assigned})
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    )"""
+
+
 @query(
     "similarity_ivf_ann",
     oracle=f"""
-    WITH cent AS (
-        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
-        FROM embeddings ORDER BY vec_id LIMIT 8
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent0 AS (
+        SELECT vec_id AS centroid_id, e AS ce
+        FROM v ORDER BY vec_id LIMIT 8
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    {_kmeans_assign_sql("cent0", "a1")},
+    {_kmeans_mean_sql("a1", "cent1")},
+    {_kmeans_assign_sql("cent1", "a2")},
+    {_kmeans_mean_sql("a2", "cent2")},
     c_assigned AS (
-        SELECT vec_id AS neighbor_id, e AS nbr, centroid_id FROM (
-            SELECT v.vec_id, v.e, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
-                   ) AS rk
-            FROM v CROSS JOIN cent c
-        ) WHERE rk = 1
+        SELECT vec_id AS neighbor_id, e AS nbr, centroid_id
+        FROM ({_kmeans_assign_body("cent2")})
     ),
     q_assigned AS (
-        SELECT vec_id AS query_id, e AS qe, centroid_id FROM (
-            SELECT v.vec_id, v.e, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
-                   ) AS rk
-            FROM v CROSS JOIN cent c WHERE v.vec_id < 5
-        ) WHERE rk <= 2
+        SELECT vec_id AS query_id, e AS qe, centroid_id
+        FROM ({_kmeans_assign_body("cent2", rank=2, where="WHERE v.vec_id < 5")})
     ),
     s AS (
         SELECT query_id, neighbor_id, {_cos_sql("qe", "nbr")} AS cos
@@ -736,12 +772,16 @@ _L2 = (
     """,
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic k-means quantizer (2 Lloyd
+    iterations seeded by the first 8 vectors; VERDICT r2 #4/#6 — the
+    by-id quantizer skews inverted lists on clustered corpora)."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.similarity import ivf_ann
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_ann(
-        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2,
+        n_iters=2,
     )
 
 
