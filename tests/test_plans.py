@@ -152,3 +152,42 @@ def test_utm_transform_plan_is_pure_projection(spark):
     assert "Exchange" not in simple
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
     assert "*(1) Project" in simple  # the * marker = whole-stage codegen
+
+
+def test_multimodal_decode_single_python_stage(spark, sf_dir):
+    """VERDICT r2 #9: the Python-boundary queries must keep exactly ONE
+    Arrow-batched Python stage and no extra Exchange — plan-level guard
+    against regressions like r2's 3.8x multimodal slowdown."""
+    import re
+
+    df = QUERIES["multimodal_decode_noracle"](spark, sf_dir)
+    plan = plan_string(df)
+    # formatted mode repeats each node in the detail section; count the
+    # numbered detail headers only
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    # scan -> project -> mapInPandas: narrow plan, no shuffle at all
+    assert count_exchanges(df) == 0, plan_string(df, "simple")
+
+
+def test_custom_resample_single_python_stage(spark, sf_dir):
+    import re
+
+    df = QUERIES["resample_custom_apply"](spark, sf_dir)
+    plan = plan_string(df)
+    n_py = len(
+        re.findall(
+            r"\(\d+\) (FlatMapGroupsInPandas|MapInPandas|ArrowAggregatePython)", plan
+        )
+    )
+    assert n_py == 1, plan
+    # one shuffle to group rows for applyInPandas, nothing more
+    assert count_exchanges(df) <= 1, plan_string(df, "simple")
+
+
+def test_banded_lsh_ann_no_python_stages(spark, sf_dir):
+    """The ANN paths are pure JVM (literal-plane codegen): any Python
+    stage appearing here is a regression."""
+    df = QUERIES["similarity_lsh_ann"](spark, sf_dir)
+    plan = plan_string(df)
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
