@@ -193,6 +193,66 @@ class TransverseMercator:
         )
 
 
+@dataclass(frozen=True)
+class Sinusoidal:
+    """Spherical sinusoidal projection (Snyder 1987, "Map Projections —
+    A Working Manual", eqs. 30-1/30-2): ``x = R*lam*cos(phi)``,
+    ``y = R*phi``. This is the native CRS of the LP-DAAC MODIS products
+    the reference ingests (``nasa_from_LPDAAC.py:233-238``) — MODIS uses
+    a SPHERE of radius 6371007.181 m (the authalic radius), not the
+    WGS84 ellipsoid. Closed form both ways, pure column expressions."""
+
+    radius: float
+    lon0_deg: float = 0.0
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        lam = math.radians(lon - self.lon0_deg)
+        phi = math.radians(lat)
+        return self.radius * lam * math.cos(phi), self.radius * phi
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        phi = y / self.radius
+        lam = x / (self.radius * math.cos(phi))
+        return self.lon0_deg + math.degrees(lam), math.degrees(phi)
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(self.lon0_deg))
+        phi = F.radians(lat)
+        return (
+            F.lit(self.radius) * lam * F.cos(phi),
+            F.lit(self.radius) * phi,
+        )
+
+    def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
+        phi = y / F.lit(self.radius)
+        lam = x / (F.lit(self.radius) * F.cos(phi))
+        return (
+            F.lit(self.lon0_deg) + F.degrees(lam),
+            F.degrees(phi),
+        )
+
+
+# MODIS sinusoidal has no EPSG code; the conventional identifiers are
+# SR-ORG:6974 (MODIS sphere, authalic radius) and ESRI:53008
+# (Sphere_Sinusoidal, R=6371000). Both are spheres, so one closed form
+# serves both.
+MODIS_SINUSOIDAL = 6974
+_SINUSOIDAL_RADII = {6974: 6371007.181, 53008: 6371000.0}
+
+
+def sinusoidal_crs(code: int) -> Sinusoidal | None:
+    """SR-ORG:6974 (MODIS) / ESRI:53008 -> projection; None otherwise."""
+    r = _SINUSOIDAL_RADII.get(code)
+    return Sinusoidal(radius=r) if r is not None else None
+
+
+def projected_crs(code: int):
+    """Closed-form projection registry: WGS84 UTM zones + spherical
+    sinusoidal. Returns an object with forward/inverse (+ _cols twins)
+    or None."""
+    return utm_crs(code) or sinusoidal_crs(code)
+
+
 def utm_crs(epsg: int) -> TransverseMercator | None:
     """EPSG 32601-32660 (UTM north) / 32701-32760 (UTM south) ->
     projection params; None when the code is not a WGS84 UTM zone."""
@@ -211,24 +271,24 @@ def utm_crs(epsg: int) -> TransverseMercator | None:
 def transform_grid(
     df: DataFrame, from_epsg: int, to_epsg: int, x_col: str = "x", y_col: str = "y"
 ) -> DataFrame:
-    """Closed-form CRS transform over grid columns (4326 <-> any UTM
-    zone). Returns None-equivalent by raising KeyError when the pair has
+    """Closed-form CRS transform over grid columns (4326 <-> any WGS84
+    UTM zone or spherical sinusoidal). Raises KeyError when the pair has
     no closed form here — callers (``spatial.transform_crs_udf``) then
     try the pyproj gate."""
-    utm_to = utm_crs(to_epsg)
-    utm_from = utm_crs(from_epsg)
-    if from_epsg == 4326 and utm_to is not None:
-        ex, ny = utm_to.forward_cols(F.col(x_col), F.col(y_col))
+    proj_to = projected_crs(to_epsg)
+    proj_from = projected_crs(from_epsg)
+    if from_epsg == 4326 and proj_to is not None:
+        ex, ny = proj_to.forward_cols(F.col(x_col), F.col(y_col))
         return df.withColumn("__e", ex).withColumn(y_col, ny).withColumn(
             x_col, F.col("__e")
         ).drop("__e")
-    if utm_from is not None and to_epsg == 4326:
-        lon, lat = utm_from.inverse_cols(F.col(x_col), F.col(y_col))
+    if proj_from is not None and to_epsg == 4326:
+        lon, lat = proj_from.inverse_cols(F.col(x_col), F.col(y_col))
         return df.withColumn("__lon", lon).withColumn(y_col, lat).withColumn(
             x_col, F.col("__lon")
         ).drop("__lon")
-    if utm_from is not None and utm_to is not None:
-        # UTM -> UTM via the geographic pivot, still closed-form
+    if proj_from is not None and proj_to is not None:
+        # projected -> projected via the geographic pivot, still closed-form
         return transform_grid(
             transform_grid(df, from_epsg, 4326, x_col, y_col), 4326, to_epsg, x_col, y_col
         )
@@ -238,13 +298,13 @@ def transform_grid(
 def transform_point(lon_or_x: float, lat_or_y: float, from_epsg: int, to_epsg: int):
     """Driver-side scalar transform for bbox corners (R5) and point
     extraction, same series as the distributed path."""
-    utm_to = utm_crs(to_epsg)
-    utm_from = utm_crs(from_epsg)
-    if from_epsg == 4326 and utm_to is not None:
-        return utm_to.forward(lon_or_x, lat_or_y)
-    if utm_from is not None and to_epsg == 4326:
-        return utm_from.inverse(lon_or_x, lat_or_y)
-    if utm_from is not None and utm_to is not None:
-        lon, lat = utm_from.inverse(lon_or_x, lat_or_y)
-        return utm_to.forward(lon, lat)
+    proj_to = projected_crs(to_epsg)
+    proj_from = projected_crs(from_epsg)
+    if from_epsg == 4326 and proj_to is not None:
+        return proj_to.forward(lon_or_x, lat_or_y)
+    if proj_from is not None and to_epsg == 4326:
+        return proj_from.inverse(lon_or_x, lat_or_y)
+    if proj_from is not None and proj_to is not None:
+        lon, lat = proj_from.inverse(lon_or_x, lat_or_y)
+        return proj_to.forward(lon, lat)
     raise KeyError(f"No closed-form transform {from_epsg} -> {to_epsg}")
