@@ -1,0 +1,63 @@
+"""Pure-Python Blosc1 codec: LZ4 block format + byte shuffle + chunk
+frame round-trips (hypothesis-driven like the sibling format readers)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xarray_dataaccessor_spark.sources.blosc import (
+    decode_blosc,
+    encode_blosc,
+    lz4_compress_block,
+    lz4_decompress_block,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lz4_block_roundtrip_random(data):
+    assert lz4_decompress_block(lz4_compress_block(data), len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=1, max_size=64), st.integers(min_value=2, max_value=100))
+def test_lz4_block_roundtrip_repetitive(chunk, reps):
+    """Repetitive data exercises real matches (incl. overlapping copies)."""
+    data = chunk * reps
+    comp = lz4_compress_block(data)
+    assert lz4_decompress_block(comp, len(data)) == data
+    if len(data) > 200:
+        assert len(comp) < len(data)  # matches actually fire
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=8192),
+    st.sampled_from([1, 2, 4, 8]),
+    st.sampled_from(["lz4", "zlib"]),
+    st.booleans(),
+)
+def test_blosc_chunk_roundtrip(data, typesize, cname, shuffle):
+    if len(data) % typesize:
+        data = data + b"\x00" * (typesize - len(data) % typesize)
+    chunk = encode_blosc(data, typesize=typesize, cname=cname, shuffle=shuffle)
+    assert decode_blosc(chunk) == data
+
+
+def test_blosc_multiblock_chunk():
+    """Chunks larger than one block exercise the block-start table."""
+    arr = (np.arange(100_000, dtype="<f8") * 0.5).tobytes()
+    chunk = encode_blosc(arr, typesize=8, cname="lz4", blocksize=32 * 1024)
+    assert decode_blosc(chunk) == arr
+    assert len(chunk) < len(arr) / 2  # shuffled monotone doubles compress well
+
+
+def test_blosc_rejects_corrupt_header():
+    with pytest.raises(ValueError, match="header"):
+        decode_blosc(b"\x02\x01\x00\x08" + b"\x00" * 4)
+    good = encode_blosc(b"abcdefgh" * 100, typesize=8)
+    with pytest.raises(ValueError, match="cbytes"):
+        decode_blosc(good[:-1])

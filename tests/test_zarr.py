@@ -147,16 +147,36 @@ def test_nan_string_fill_value_handled(spark, tmp_path):
     assert vals[(2.0, 5.0)] == 3.0
 
 
-def test_blosc_store_gated(tmp_path):
+def test_blosc_zstd_store_gated(tmp_path):
+    """blosc-lz4/zlib now decode pure-Python; the remaining inner codecs
+    (zstd/snappy/blosclz) stay loudly gated."""
     store = tmp_path / "b.zarr" / "v"
     store.mkdir(parents=True)
     (store / ".zarray").write_text(json.dumps({
         "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
         "order": "C", "filters": None, "fill_value": None,
-        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5},
+        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5},
     }))
-    with pytest.raises(NotImplementedError, match="blosc"):
+    with pytest.raises(NotImplementedError, match="zstd"):
         read_zarray(str(tmp_path / "b.zarr"), "v")
+
+
+@pytest.mark.parametrize("compressor", ["blosc-lz4", "blosc-zlib"])
+def test_blosc_store_roundtrip(spark, tmp_path, compressor):
+    """Blosc-compressed store (shuffled lz4/zlib chunks, the public ERA5
+    Zarr mirror layout) decodes end-to-end through the distributed path."""
+    store, t2m = _store(tmp_path, compress=False)
+    import shutil
+
+    shutil.rmtree(tmp_path / "era5.zarr" / "t2m")
+    write_zarr(store, "t2m", t2m, ["time", "latitude", "longitude"],
+               chunks=[16, 4, 8], compressor=compressor)
+    out = zarr_to_grid(spark, store, "t2m")
+    assert out.count() == 73 * 7 * 19
+    row = out.filter(
+        (F.col("y") == LATS[3]) & (F.col("x") == LONS[11])
+    ).orderBy("time").first()
+    assert row["t2m"] == pytest.approx(t2m[0, 3, 11])
 
 
 def test_landing_and_catalog_roundtrip(spark, tmp_path):

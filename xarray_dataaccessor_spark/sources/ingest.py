@@ -307,7 +307,10 @@ def zarr_to_grid(
     try:  # ship the decoder by value (workers may not have the package)
         from pyspark import cloudpickle as _cp
 
+        from xarray_dataaccessor_spark.sources import blosc as _bl
+
         _cp.register_pickle_by_value(_z)
+        _cp.register_pickle_by_value(_bl)
     except Exception:  # pragma: no cover - older pickler fallback
         pass
 

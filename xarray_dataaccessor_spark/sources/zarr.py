@@ -23,6 +23,12 @@ import zlib
 
 import numpy as np
 
+# module-level so the cloudpickle by-value registration in
+# ingest.zarr_to_grid ships the blosc codec with decode_chunk (a lazy
+# in-function import would resolve on the executor, where the package
+# need not be importable)
+from xarray_dataaccessor_spark.sources import blosc as _blosc
+
 
 def read_zarray(store: str, var: str) -> dict:
     """Parse ``<store>/<var>/.zarray`` (+ ``.zattrs`` when present) into
@@ -33,10 +39,18 @@ def read_zarray(store: str, var: str) -> dict:
         raise NotImplementedError("Only Zarr v2 stores are supported")
     comp = meta.get("compressor")
     comp_id = (comp or {}).get("id")
-    if comp_id not in (None, "zlib", "gzip"):
+    if comp_id == "blosc":
+        cname = (comp or {}).get("cname", "blosclz")
+        if cname not in ("lz4", "zlib"):
+            raise NotImplementedError(
+                f"Blosc inner compressor {cname!r} unsupported (lz4/zlib "
+                "decode pure-Python here); install the optional zarr extras."
+            )
+        comp_id = f"blosc:{cname}"
+    elif comp_id not in (None, "zlib", "gzip"):
         raise NotImplementedError(
-            f"Zarr compressor {comp_id!r} unsupported (zlib/gzip/raw only); "
-            "install the optional zarr extras for blosc stores."
+            f"Zarr compressor {comp_id!r} unsupported (zlib/gzip/raw/"
+            "blosc-lz4/blosc-zlib); install the optional zarr extras."
         )
     if meta.get("order", "C") != "C":
         raise NotImplementedError("Fortran-order Zarr chunks unsupported")
@@ -59,7 +73,10 @@ def read_zarray(store: str, var: str) -> dict:
 def decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     """One chunk file -> full-size C-order block (edge chunks are stored
     padded; the caller trims to the array bounds)."""
-    if meta["compressor"] in ("zlib", "gzip"):
+    comp = meta["compressor"]
+    if comp is not None and comp.startswith("blosc"):
+        raw = _blosc.decode_blosc(raw)
+    elif comp in ("zlib", "gzip"):
         raw = zlib.decompress(raw, zlib.MAX_WBITS | 32)  # accepts both wrappers
     block = np.frombuffer(raw, dtype=meta["dtype"], count=int(np.prod(meta["chunks"])))
     block = block.reshape(meta["chunks"])
@@ -103,14 +120,33 @@ def write_zarr(
     chunks: list[int] | None = None,
     attrs: dict | None = None,
     compress: bool = True,
+    compressor: str | None = None,
 ) -> str:
-    """Minimal Zarr v2 writer (C order, zlib or raw) for fixtures and
-    small-grid export; pads edge chunks per spec."""
+    """Minimal Zarr v2 writer (C order; zlib, raw, or Blosc1 with an
+    lz4/zlib inner codec) for fixtures and small-grid export; pads edge
+    chunks per spec. ``compressor`` overrides the legacy ``compress``
+    flag: one of 'zlib', 'blosc-lz4', 'blosc-zlib', None."""
     os.makedirs(os.path.join(store, var), exist_ok=True)
     if not os.path.exists(os.path.join(store, ".zgroup")):
         with open(os.path.join(store, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
     chunks = chunks or list(data.shape)
+    if compressor is None and compress:
+        compressor = "zlib"
+    if compressor is None:
+        comp_meta = None
+    elif compressor == "zlib":
+        comp_meta = {"id": "zlib", "level": 6}
+    elif compressor in ("blosc-lz4", "blosc-zlib"):
+        comp_meta = {
+            "id": "blosc",
+            "cname": compressor.split("-")[1],
+            "clevel": 5,
+            "shuffle": 1,
+            "blocksize": 0,
+        }
+    else:
+        raise ValueError(f"Unsupported writer compressor {compressor!r}")
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),
@@ -119,7 +155,7 @@ def write_zarr(
         "order": "C",
         "filters": None,
         "fill_value": None,
-        "compressor": {"id": "zlib", "level": 6} if compress else None,
+        "compressor": comp_meta,
     }
     with open(os.path.join(store, var, ".zarray"), "w") as f:
         json.dump(meta, f)
@@ -137,8 +173,15 @@ def write_zarr(
         piece = data[sel]
         padded[tuple(slice(0, p) for p in piece.shape)] = piece
         raw = padded.tobytes()
-        if compress:
+        if compressor == "zlib":
             raw = zlib.compress(raw, 6)
+        elif compressor in ("blosc-lz4", "blosc-zlib"):
+            from xarray_dataaccessor_spark.sources.blosc import encode_blosc
+
+            raw = encode_blosc(
+                raw, typesize=data.dtype.itemsize,
+                cname=compressor.split("-")[1], shuffle=True,
+            )
         with open(os.path.join(store, var, ".".join(map(str, idx))), "wb") as f:
             f.write(raw)
     return store
