@@ -266,21 +266,6 @@ def test_multiday_resample_matches_pandas_start_day_origin(spark):
         assert abs(got[label.to_pydatetime()] - val) < 1e-9
 
 
-def test_weekly_multiple_rejected(spark):
-    import pandas as pd
-
-    from xarray_dataaccessor_spark.operators.resample import resample_aggregate
-
-    pdf = pd.DataFrame(
-        {"time": pd.date_range("2024-01-01", periods=3, freq="D"), "v": [1.0, 2.0, 3.0]}
-    )
-    df = spark.createDataFrame(pdf)
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="1W"):
-        resample_aggregate(df, "2W", "sum", value_cols=["v"], group_cols=()).collect()
-
-
 def test_agg_expr_threads_time_col(spark):
     """first/last with a non-default time column must key min_by/max_by on
     that column (advisor-flagged hardcoded 'time')."""

@@ -56,14 +56,19 @@ def test_cmr_granule_query_params():
 
 
 def test_gated_openers_raise_not_implemented(tmp_path):
-    # NetCDF4 (HDF5 container) and BigTIFF are the remaining gated
-    # formats; classic NetCDF3 / classic TIFF decode via the built-in
-    # pure readers (test_netcdf3.py, test_geotiff.py)
+    # NetCDF4/HDF5 with v2 (OHDR) object headers and BigTIFF are the
+    # remaining gated formats; classic NetCDF3 / default-profile
+    # NetCDF4 / classic TIFF decode via the built-in pure readers
+    # (test_netcdf3.py, test_hdf5.py, test_geotiff.py)
     import struct
 
     h5 = tmp_path / "v4.nc"
-    h5.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError):
+    # superblock v2 whose root object header uses the v2 OHDR layout
+    sb = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]) + struct.pack(
+        "<QQQQ", 0, 48, 0xFFFFFFFFFFFFFFFF, 48
+    )
+    h5.write_bytes(sb + b"\x00" * 4 + b"OHDR" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="OHDR"):
         open_netcdf_fragment(str(h5), "t2m")
     bigtiff = tmp_path / "granule.tif"
     bigtiff.write_bytes(b"II" + struct.pack("<H", 43) + b"\x00" * 64)

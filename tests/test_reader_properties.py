@@ -101,3 +101,48 @@ def test_zarr_roundtrip_property(tmp_path_factory, shape, chunks, compress, seed
         )
         out[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
     np.testing.assert_array_equal(out, data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.tuples(st.integers(2, 7), st.integers(2, 7), st.integers(2, 9)),
+    st.tuples(st.integers(1, 4), st.integers(1, 4), st.integers(1, 5)),
+    st.booleans(),
+    st.booleans(),
+    st.sampled_from(["<f8", "<f4", "<i4", ">i2"]),
+    st.integers(0, 2**16 - 1),
+)
+def test_hdf5_roundtrip_property(
+    tmp_path_factory, shape, chunks, compress, shuffle, dtype, seed
+):
+    """Arbitrary arrays through the netCDF-4/HDF5 fixture writer and the
+    pure reader: chunk-grid edge trimming, deflate, byte shuffle, and
+    both endiannesses must all round-trip bit-exact, with dimension
+    names recovered through DIMENSION_LIST object references."""
+    from xarray_dataaccessor_spark.sources.hdf5 import parse_hdf5, write_hdf5
+
+    rng = np.random.RandomState(seed)
+    data = (rng.uniform(-1e4, 1e4, size=shape)).astype(dtype)
+    dims = {"t": shape[0], "y": shape[1], "x": shape[2]}
+    p = tmp_path_factory.mktemp("h5") / "g.nc"
+    write_hdf5(
+        str(p),
+        dims=dims,
+        variables={
+            "t": (["t"], np.arange(shape[0], dtype="<f8"), {}),
+            "y": (["y"], np.arange(shape[1], dtype="<f8") * 0.5, {}),
+            "x": (["x"], np.arange(shape[2], dtype="<f8") * 0.25, {}),
+            "v": (["t", "y", "x"], data, {"units": "1"}),
+        },
+        chunks={"v": list(chunks)},
+        compress=compress,
+        shuffle=shuffle,
+    )
+    parsed = parse_hdf5(p.read_bytes())
+    assert parsed["dims"] == dims
+    v = parsed["variables"]["v"]
+    assert v["dims"] == ["t", "y", "x"]
+    np.testing.assert_array_equal(v["data"], data)
+    np.testing.assert_array_equal(
+        parsed["variables"]["x"]["data"], np.arange(shape[2]) * 0.25
+    )

@@ -148,8 +148,9 @@ def open_netcdf_fragment(
     ``era5_from_aws.py:349-376``, ``nasa_from_LPDAAC.py:480-489``).
 
     Classic NetCDF3 files decode through the built-in pure reader
-    (``sources/netcdf3.py`` — no external NetCDF stack needed); NetCDF4
-    (HDF5) files raise with a pointer at the optional geo extras. Returns
+    (``sources/netcdf3.py``), NetCDF4 (HDF5 container) files through the
+    built-in pure HDF5 reader (``sources/hdf5.py``) — no external NetCDF
+    stack needed; the opener dispatches on magic bytes. Returns
     the granule as a long-form pandas DataFrame ``(time, y, x, var)`` —
     granule-sized, the same unit of work the reference holds in memory
     per fragment."""
@@ -170,21 +171,24 @@ def netcdf_glob_to_grid(
     x_var: str | None = None,
     y_var: str | None = None,
 ) -> DataFrame:
-    """Distributed NetCDF3 ingestion: ``binaryFile`` source (one granule
+    """Distributed NetCDF ingestion: ``binaryFile`` source (one granule
     per task — Spark parallelizes over files and handles locality) ->
-    Arrow-batched ``mapInPandas`` decode with the pure reader -> long-form
+    Arrow-batched ``mapInPandas`` decode with the pure readers (classic
+    CDF and NetCDF4/HDF5, dispatched on magic bytes) -> long-form
     grid rows ready for :func:`land_grid_parquet`.
 
-    The decode module is registered for by-value pickling so executor
-    workers need neither this package nor any NetCDF library on their
-    ``sys.path`` — the parser travels with the task closure (stdlib
-    struct + numpy only)."""
+    The decode modules are registered for by-value pickling so executor
+    workers need neither this package nor any NetCDF/HDF5 library on
+    their ``sys.path`` — the parsers travel with the task closure
+    (stdlib struct + zlib + numpy only)."""
+    from xarray_dataaccessor_spark.sources import hdf5 as _h5
     from xarray_dataaccessor_spark.sources import netcdf3 as _nc
 
-    try:  # ship the parser by value (workers may not have the package)
+    try:  # ship the parsers by value (workers may not have the package)
         from pyspark import cloudpickle as _cp
 
         _cp.register_pickle_by_value(_nc)
+        _cp.register_pickle_by_value(_h5)
     except Exception:  # pragma: no cover - older pickler fallback
         pass
 

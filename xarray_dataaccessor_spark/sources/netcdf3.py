@@ -7,8 +7,9 @@ and the 64-bit-offset CDF-2 ``CDF\\x02``; format spec is public Unidata
 documentation): header with dim/attr/var lists, fixed-size variables at
 absolute offsets, record variables interleaved per record (with the
 single-record-variable no-padding special case). NetCDF4 files are HDF5
-containers and are detected + rejected with a pointer at the optional
-``geo`` extras.
+containers and route through the sibling pure HDF5 reader
+(``sources/hdf5.py``) — :func:`netcdf_fragment_to_pandas` dispatches on
+the magic bytes, so both generations decode through one ingestion path.
 
 Reference parity: the reference opens granules with xarray/h5netcdf
 (``era5_from_aws.py:349-376``, ``nasa_from_LPDAAC.py:480-489``) and its
@@ -27,6 +28,12 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# module-level so the name ships BY VALUE with this module's functions
+# (a function-local import would run on executors whose sys.path lacks
+# the package); ingest.netcdf_glob_to_grid registers both modules with
+# cloudpickle.register_pickle_by_value
+from xarray_dataaccessor_spark.sources.hdf5 import parse_hdf5 as _parse_hdf5
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
 _DTYPES = {
@@ -86,9 +93,9 @@ def parse_netcdf3(buf: bytes) -> dict:
     native-endian numpy arrays. Raises on NetCDF4/HDF5 input."""
     if buf[:4] == b"\x89HDF":
         raise NotImplementedError(
-            "This is a NetCDF4 (HDF5) file; the built-in reader handles "
-            "classic NetCDF3 only. Install the optional geo extras "
-            "(h5netcdf/xarray) for NetCDF4."
+            "This is a NetCDF4 (HDF5) file; parse_netcdf3 handles classic "
+            "CDF only — use sources.hdf5.parse_hdf5 (or the dispatching "
+            "netcdf_fragment_to_pandas, which routes on magic bytes)."
         )
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("Not a classic NetCDF file (bad magic)")
@@ -238,10 +245,17 @@ def netcdf_fragment_to_pandas(
     ``(time, y, x, <variable>)`` — the reference's per-granule
     ``xr.open_dataset(...).to_dataframe()`` shape, from the pure reader.
     Coordinate variables are auto-detected (longitude/lon/x,
-    latitude/lat/y); CF time units are decoded when present."""
+    latitude/lat/y); CF time units are decoded when present.
+
+    Dispatches on magic bytes: classic CDF-1/CDF-2 decodes here,
+    NetCDF4 (HDF5 container) through :mod:`.hdf5` — the same dual
+    opener the reference gets from xarray's engine auto-detection."""
     import pandas as pd
 
-    parsed = parse_netcdf3(content)
+    if content[:8] == b"\x89HDF\r\n\x1a\n":
+        parsed = _parse_hdf5(content)
+    else:
+        parsed = parse_netcdf3(content)
     variables = parsed["variables"]
     if variable not in variables:
         raise KeyError(
