@@ -221,14 +221,13 @@ def jaccard_pairs(
     single boilerplate shingle shared by 1M documents would otherwise
     contribute 10^12 join rows by default.
 
-    The capped path computes each shingle's document frequency with a
-    window count over the hash partition — one shuffle, no posting-list
-    ``collect_list`` (whose array is UNBOUNDED before the size filter: a
-    stopword shingle with df in the millions would build that array in
-    one aggregation buffer), and no separate df groupBy+join (the r1
-    version, whose bookkeeping cost more than it saved at small corpus
-    sizes). After the filter the plan is exactly the uncapped
-    inverted-index join over a smaller table."""
+    The capped path drops high-df shingles with a heavy-hitter
+    broadcast anti-join (see :func:`_jaccard_pairs_capped`): only the
+    distinct-shingle count table ever shuffles, the heavy-hitter set is
+    corpus-size-independent in size, and the occurrence table reaches
+    the pair join without a preparatory shuffle or sort. After the
+    filter the plan is exactly the uncapped inverted-index join over a
+    smaller table."""
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
     )
@@ -265,30 +264,37 @@ def jaccard_pairs(
 
 
 def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
-    """df-capped Jaccard: document frequency from a window count over
-    the shingle-hash partition (one shuffle; constant memory per row —
-    no unbounded posting-list array), stopword shingles dropped BEFORE
-    any pairing, then the standard inverted-index self-join over the
-    filtered (cached) shingle table.
+    """df-capped Jaccard via a heavy-hitter broadcast ANTI-join:
+    aggregate per-shingle counts (map-side partial agg, so only the
+    distinct-shingle table shuffles — far smaller than the occurrence
+    table), keep the shingles whose document frequency EXCEEDS the cap,
+    and anti-join them away from the shingle table. The heavy-hitter
+    set is provably tiny: at most total_occurrences / cap rows — with
+    the auto cap (n_docs/20) that is <= 20 x avg-shingles-per-doc,
+    a corpus-size-INDEPENDENT bound, so the broadcast is always safe.
+
+    This beats the r2 window-count formulation (``count() over
+    (partition by h)``), which shuffled AND sorted the entire
+    occurrence table just to attach a count that the very next filter
+    consumed; here the big table is never shuffled before pairing.
 
     ``max_df="auto"`` resolves the cap IN-PLAN as
     ``greatest(50, n_docs div 20)`` — the 1-row corpus-size aggregate is
-    broadcast-joined, so the cap costs one cheap agg over the cached
-    shingle table and zero driver round-trips (integer arithmetic only:
-    bit-identical across engines)."""
-    from pyspark.sql.window import Window
-
-    with_df = sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    broadcast-joined inside the heavy-hitter subquery, so the cap costs
+    one cheap agg over the cached shingle table and zero driver
+    round-trips (integer arithmetic only: bit-identical across
+    engines)."""
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     if max_df == "auto":
         n_docs = sh.agg(F.count_distinct(F.col(id_col)).alias("__n"))
-        kept = (
-            with_df.join(F.broadcast(n_docs))
-            .filter(F.col("__df") <= F.greatest(F.lit(50), F.expr("__n div 20")))
-            .drop("__df", "__n")
-            .cache()
+        hot = (
+            counts.join(F.broadcast(n_docs))
+            .filter(F.col("__df") > F.greatest(F.lit(50), F.expr("__n div 20")))
+            .select("h")
         )
     else:
-        kept = with_df.filter(F.col("__df") <= max_df).drop("__df").cache()
+        hot = counts.filter(F.col("__df") > max_df).select("h")
+    kept = sh.join(F.broadcast(hot), "h", "left_anti").cache()
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")
