@@ -256,3 +256,121 @@ def test_sinusoidal_stays_codegen(spark):
     plan = plan_string(transform_grid(df, 4326, 6974))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------------------
+# conic + polar families (Snyder chs. 14/15/21)
+# ---------------------------------------------------------------------------
+def test_polar_stereo_snyder_worked_example():
+    """Snyder 1987 numerical example (p. 314-315): International
+    ellipsoid, k0=0.994, south aspect, lam0=-100; (150E, 75S) ->
+    (-1573645.4, -572760.1) — variant A (k0) parameterization."""
+    from xarray_dataaccessor_spark.operators.crs import PolarStereographic
+
+    ps = PolarStereographic(
+        a=6378388.0, f=1 - (1 - 0.00672267) ** 0.5,
+        k0=0.994, lon0_deg=-100.0, south=True,
+    )
+    x, y = ps.forward(150.0, -75.0)
+    assert x == pytest.approx(-1573645.4, abs=0.2)
+    assert y == pytest.approx(-572760.1, abs=0.2)
+    lon, lat = ps.inverse(x, y)
+    assert lon == pytest.approx(150.0, abs=1e-7)
+    assert lat == pytest.approx(-75.0, abs=1e-7)
+
+
+def test_polar_stereo_nsidc_invariants():
+    """Variant B (standard parallel): the pole projects to the origin,
+    scale is exactly 1 at lat_ts (that's what 'standard parallel'
+    means), and forward/inverse round-trip to 1e-8 degrees."""
+    import math
+
+    from xarray_dataaccessor_spark.operators.crs import projected_crs
+
+    for code, pole, lat_ts in ((3413, 90.0, 70.0), (3031, -90.0, -71.0),
+                               (3976, -90.0, -70.0), (3995, 90.0, 71.0)):
+        p = projected_crs(code)
+        x0, y0 = p.forward(p.lon0_deg, pole)
+        assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+        dlat = 1e-6
+        x1, y1 = p.forward(p.lon0_deg, lat_ts - dlat)
+        x2, y2 = p.forward(p.lon0_deg, lat_ts + dlat)
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        m_rad = a * (1 - e2) / (1 - e2 * math.sin(math.radians(lat_ts)) ** 2) ** 1.5
+        k = math.hypot(x2 - x1, y2 - y1) / (2 * dlat * math.pi / 180 * m_rad)
+        assert k == pytest.approx(1.0, abs=1e-7)
+        for lon, lat in ((-45, 70), (100, 60), (-170, 85)):
+            if pole < 0:
+                lat = -lat
+            xy = p.forward(lon, lat)
+            ll = p.inverse(*xy)
+            assert ll[0] == pytest.approx(lon, abs=1e-8)
+            assert ll[1] == pytest.approx(lat, abs=1e-8)
+
+
+def test_lcc_and_albers_snyder_worked_examples():
+    """Snyder numerical examples (pp. 292, 296): Clarke 1866, standard
+    parallels 33/45 (LCC) and 29.5/45.5 (Albers), lat0=23, lam0=-96,
+    point (75W, 35N)."""
+    from xarray_dataaccessor_spark.operators.crs import (
+        AlbersEqualArea,
+        LambertConformalConic,
+    )
+
+    clarke_f = 1 - (1 - 0.00676866) ** 0.5
+    lcc = LambertConformalConic(sp1=33.0, sp2=45.0, lat0=23.0, lon0_deg=-96.0,
+                                a=6378206.4, f=clarke_f)
+    x, y = lcc.forward(-75.0, 35.0)
+    assert x == pytest.approx(1894410.9, abs=0.2)
+    assert y == pytest.approx(1564649.5, abs=0.2)
+    lon, lat = lcc.inverse(x, y)
+    assert lon == pytest.approx(-75.0, abs=1e-7)
+    assert lat == pytest.approx(35.0, abs=1e-7)
+
+    alb = AlbersEqualArea(sp1=29.5, sp2=45.5, lat0=23.0, lon0_deg=-96.0,
+                          a=6378206.4, f=clarke_f)
+    x, y = alb.forward(-75.0, 35.0)
+    assert x == pytest.approx(1885472.7, abs=0.2)
+    assert y == pytest.approx(1535925.0, abs=0.2)
+    lon, lat = alb.inverse(x, y)
+    assert lon == pytest.approx(-75.0, abs=1e-7)
+    assert lat == pytest.approx(35.0, abs=1e-6)
+
+
+def test_lambert93_known_grid_coordinate():
+    """EPSG:2154 sanity anchor: Paris city hall (2.3522E, 48.8566N)
+    lands at the published Lambert-93 grid position (~652469, 6862035),
+    metre-level."""
+    from xarray_dataaccessor_spark.operators.crs import projected_crs
+
+    x, y = projected_crs(2154).forward(2.3522, 48.8566)
+    assert x == pytest.approx(652469, abs=2.0)
+    assert y == pytest.approx(6862035, abs=2.0)
+
+
+def test_conic_polar_columns_match_scalar_and_stay_codegen(spark):
+    """The column-expression twins come from the SAME formula bound to a
+    different ops backend — distributed results must equal driver-side
+    scalars to float precision, with no Python in the plan."""
+    from xarray_dataaccessor_spark.operators.crs import projected_crs, transform_grid
+    from xarray_dataaccessor_spark.plans.explain import plan_string
+
+    pts = [(-96.0, 40.0), (-120.5, 33.25), (-75.0, 35.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    for code in (5070, 2154, 3978, 3413, 3031):
+        out = transform_grid(df, 4326, code)
+        plan = plan_string(out)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        proj = projected_crs(code)
+        got = sorted((r["x"], r["y"]) for r in out.collect())
+        want = sorted(proj.forward(lon, lat) for lon, lat in pts)
+        for g, w in zip(got, want):
+            assert g[0] == pytest.approx(w[0], abs=1e-6)
+            assert g[1] == pytest.approx(w[1], abs=1e-6)
+        # distributed inverse recovers geographic coordinates
+        back = sorted((r["x"], r["y"]) for r in transform_grid(out, code, 4326).collect())
+        for b, (lon, lat) in zip(back, sorted(pts)):
+            assert b[0] == pytest.approx(lon, abs=1e-7)
+            assert b[1] == pytest.approx(lat, abs=1e-7)

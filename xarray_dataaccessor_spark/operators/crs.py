@@ -11,11 +11,19 @@ closed-form transforms that run as **pure Spark column expressions**
   (public algorithm: Karney 2011, "Transverse Mercator with an
   accuracy of a few nanometers"; coefficients to n^6 give sub-mm
   accuracy across a UTM zone's width)
+- MODIS spherical sinusoidal (SR-ORG:6974 / ESRI:53008) — the native
+  CRS of the LP-DAAC products the reference ingests
+- Ellipsoidal polar stereographic (Snyder ch. 21): NSIDC sea-ice grids
+  EPSG:3413/3976, Arctic/Antarctic 3995/3031, UPS 5041/5042
+- Lambert conformal conic 2SP (Snyder ch. 15): Canada Atlas 3978,
+  Lambert-93 2154
+- Albers equal-area 2SP (Snyder ch. 14): Conus Albers 5070
 
-Anything else falls back to the pyproj-gated pandas UDF in
-``spatial.transform_crs_udf``. The same series evaluated with driver-side
-``math`` powers bbox-corner reprojection (R5) so filters can be pushed
-down in the projected frame.
+Any pair of the above also composes through the geographic pivot, still
+closed-form. Anything else falls back to the pyproj-gated pandas UDF in
+``spatial.transform_crs_udf``. The same formulas evaluated with
+driver-side ``math`` power bbox-corner reprojection (R5) so filters can
+be pushed down in the projected frame.
 """
 
 from __future__ import annotations
@@ -232,6 +240,337 @@ class Sinusoidal:
         )
 
 
+# ---------------------------------------------------------------------------
+# Conic + polar families (Snyder 1987, "Map Projections — A Working
+# Manual", chs. 14/15/21). One implementation of each formula serves both
+# the driver-side scalar path and the distributed column-expression path
+# through a tiny ops shim — the math is written once, so the two paths
+# cannot drift.
+# ---------------------------------------------------------------------------
+class _ScalarOps:
+    sin = staticmethod(math.sin)
+    cos = staticmethod(math.cos)
+    tan = staticmethod(math.tan)
+    atan = staticmethod(math.atan)
+    atan2 = staticmethod(math.atan2)
+    asin = staticmethod(math.asin)
+    sqrt = staticmethod(math.sqrt)
+
+
+class _ColumnOps:
+    sin = staticmethod(F.sin)
+    cos = staticmethod(F.cos)
+    tan = staticmethod(F.tan)
+    atan = staticmethod(F.atan)
+    atan2 = staticmethod(F.atan2)
+    asin = staticmethod(F.asin)
+    sqrt = staticmethod(F.sqrt)
+
+
+def _t_snyder(ops, phi, e):
+    """Snyder 15-9: the isometric-latitude exponential used by every
+    conformal projection here."""
+    es = e * ops.sin(phi)
+    return ops.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+
+def _m_snyder(ops, phi, e):
+    """Snyder 14-15: radius of the parallel / a."""
+    s = ops.sin(phi)
+    return ops.cos(phi) / ops.sqrt(1 - (e * s) ** 2)
+
+
+def _chi_to_phi(ops, chi, e):
+    """Snyder 3-5: conformal -> geodetic latitude, direct series (no
+    iteration — an iterative solve unrolled into column expressions
+    explodes the Catalyst tree)."""
+    e2 = e * e
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e4 * e4
+    return (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * ops.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * ops.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * ops.sin(6 * chi)
+        + (4279 * e8 / 161280) * ops.sin(8 * chi)
+    )
+
+
+def _norm_lon(lon):
+    """Wrap degrees to [-180, 180) — works for floats and Columns (the
+    double-% form is sign-safe under both Python and Spark semantics)."""
+    return ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+
+
+# GRS80 (NAD83 / RGF93 / most modern national grids); WGS84 is above.
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+@dataclass(frozen=True)
+class PolarStereographic:
+    """Ellipsoidal polar stereographic (Snyder ch. 21, eqs. 21-33..21-39;
+    reference reprojects to arbitrary EPSG via rio,
+    ``shared_functions.py:132-157``). Both EPSG parameterizations:
+    variant A (scale k0 at the pole) and variant B (standard parallel
+    ``lat_ts``, e.g. the NSIDC sea-ice grids) — internally B reduces to A
+    through k0 = m_c * K / (2 t_c), K = sqrt((1+e)^(1+e) (1-e)^(1-e)),
+    so one formula serves both. South aspect via sign reflection
+    (Snyder p. 161)."""
+
+    a: float = WGS84_A
+    f: float = WGS84_F
+    lat_ts: float | None = None
+    k0: float | None = None
+    lon0_deg: float = 0.0
+    south: bool = False
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    @property
+    def _consts(self):
+        e = math.sqrt(self.f * (2 - self.f))
+        big_k = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        if self.lat_ts is not None:
+            phic = math.radians(abs(self.lat_ts))
+            k0 = _m_snyder(_ScalarOps, phic, e) * big_k / (
+                2 * _t_snyder(_ScalarOps, phic, e)
+            )
+        else:
+            k0 = self.k0 if self.k0 is not None else 1.0
+        return e, big_k, k0
+
+    def _fwd(self, ops, lon, lat):
+        e, big_k, k0 = self._consts
+        s = -1.0 if self.south else 1.0
+        phi = (s * lat) * (math.pi / 180.0)
+        lam_off = (s * lon - s * self.lon0_deg) * (math.pi / 180.0)
+        rho = 2 * self.a * k0 * _t_snyder(ops, phi, e) / big_k
+        x = s * rho * ops.sin(lam_off)
+        y = s * (-rho) * ops.cos(lam_off)
+        return x + self.false_easting, y + self.false_northing
+
+    def _inv(self, ops, x, y):
+        e, big_k, k0 = self._consts
+        s = -1.0 if self.south else 1.0
+        xs = s * (x - self.false_easting)
+        ys = s * (y - self.false_northing)
+        rho = ops.sqrt(xs * xs + ys * ys)
+        t = rho * big_k / (2 * self.a * k0)
+        chi = math.pi / 2 - 2 * ops.atan(t)
+        phi = _chi_to_phi(ops, chi, e)
+        lam = ops.atan2(xs, -ys)
+        lon = _norm_lon(s * (self.lon0_deg * s + lam * (180.0 / math.pi)))
+        return lon, s * phi * (180.0 / math.pi)
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._fwd(_ScalarOps, lon, lat)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        return self._inv(_ScalarOps, x, y)
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        return self._fwd(_ColumnOps, lon, lat)
+
+    def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
+        return self._inv(_ColumnOps, x, y)
+
+
+@dataclass(frozen=True)
+class LambertConformalConic:
+    """Lambert conformal conic, two standard parallels (Snyder ch. 15,
+    eqs. 15-1..15-11) — the projection of CONUS/Canada weather grids and
+    most national mapping systems (Lambert-93 etc.)."""
+
+    sp1: float
+    sp2: float
+    lat0: float
+    lon0_deg: float
+    a: float = GRS80_A
+    f: float = GRS80_F
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    @property
+    def _consts(self):
+        e = math.sqrt(self.f * (2 - self.f))
+        p1, p2, p0 = (math.radians(v) for v in (self.sp1, self.sp2, self.lat0))
+        m1 = _m_snyder(_ScalarOps, p1, e)
+        m2 = _m_snyder(_ScalarOps, p2, e)
+        t1 = _t_snyder(_ScalarOps, p1, e)
+        t2 = _t_snyder(_ScalarOps, p2, e)
+        t0 = _t_snyder(_ScalarOps, p0, e)
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        big_f = m1 / (n * t1**n)
+        rho0 = self.a * big_f * t0**n
+        return e, n, big_f, rho0
+
+    def _fwd(self, ops, lon, lat):
+        e, n, big_f, rho0 = self._consts
+        phi = lat * (math.pi / 180.0)
+        rho = self.a * big_f * _t_snyder(ops, phi, e) ** n
+        th = n * ((lon - self.lon0_deg) * (math.pi / 180.0))
+        return (
+            rho * ops.sin(th) + self.false_easting,
+            rho0 - rho * ops.cos(th) + self.false_northing,
+        )
+
+    def _inv(self, ops, x, y):
+        e, n, big_f, rho0 = self._consts
+        sgn = 1.0 if n >= 0 else -1.0
+        xs = x - self.false_easting
+        dy = rho0 - (y - self.false_northing)
+        rho = sgn * ops.sqrt(xs * xs + dy * dy)
+        t = (rho / (self.a * big_f)) ** (1.0 / n)
+        phi = _chi_to_phi(ops, math.pi / 2 - 2 * ops.atan(t), e)
+        th = ops.atan2(sgn * xs, sgn * dy)
+        lon = _norm_lon(self.lon0_deg + th * (180.0 / math.pi) / n)
+        return lon, phi * (180.0 / math.pi)
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._fwd(_ScalarOps, lon, lat)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        return self._inv(_ScalarOps, x, y)
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        return self._fwd(_ColumnOps, lon, lat)
+
+    def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
+        return self._inv(_ColumnOps, x, y)
+
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    """Albers equal-area conic, two standard parallels (Snyder ch. 14,
+    eqs. 14-1..14-21) — EPSG:5070, the de-facto CRS of US land-cover /
+    soils rasters. Inverse geodetic latitude via the authalic series
+    (Snyder 3-18), no iteration."""
+
+    sp1: float
+    sp2: float
+    lat0: float
+    lon0_deg: float
+    a: float = GRS80_A
+    f: float = GRS80_F
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    @staticmethod
+    def _q(ops, phi, e):
+        s = ops.sin(phi)
+        es = e * s
+        return (1 - e * e) * (
+            s / (1 - es * es) - (1 / (2 * e)) * _log_ratio(ops, es)
+        )
+
+    @property
+    def _consts(self):
+        e = math.sqrt(self.f * (2 - self.f))
+        p1, p2, p0 = (math.radians(v) for v in (self.sp1, self.sp2, self.lat0))
+        m1 = _m_snyder(_ScalarOps, p1, e)
+        m2 = _m_snyder(_ScalarOps, p2, e)
+        q1 = self._q(_ScalarOps, p1, e)
+        q2 = self._q(_ScalarOps, p2, e)
+        q0 = self._q(_ScalarOps, p0, e)
+        qp = self._q(_ScalarOps, math.pi / 2, e)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        big_c = m1 * m1 + n * q1
+        rho0 = self.a * math.sqrt(big_c - n * q0) / n
+        return e, n, big_c, rho0, qp
+
+    def _fwd(self, ops, lon, lat):
+        e, n, big_c, rho0, _qp = self._consts
+        phi = lat * (math.pi / 180.0)
+        rho = self.a * ops.sqrt(big_c - n * self._q(ops, phi, e)) / n
+        th = n * ((lon - self.lon0_deg) * (math.pi / 180.0))
+        return (
+            rho * ops.sin(th) + self.false_easting,
+            rho0 - rho * ops.cos(th) + self.false_northing,
+        )
+
+    def _inv(self, ops, x, y):
+        e, n, big_c, rho0, qp = self._consts
+        e2 = e * e
+        e4 = e2 * e2
+        e6 = e4 * e2
+        xs = x - self.false_easting
+        dy = rho0 - (y - self.false_northing)
+        rho = ops.sqrt(xs * xs + dy * dy)
+        q = (big_c - (rho * n / self.a) ** 2) / n
+        beta = ops.asin(q / qp)
+        phi = (
+            beta
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * ops.sin(2 * beta)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * ops.sin(4 * beta)
+            + (761 * e6 / 45360) * ops.sin(6 * beta)
+        )
+        th = ops.atan2(xs, dy)
+        lon = _norm_lon(self.lon0_deg + th * (180.0 / math.pi) / n)
+        return lon, phi * (180.0 / math.pi)
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._fwd(_ScalarOps, lon, lat)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        return self._inv(_ScalarOps, x, y)
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        return self._fwd(_ColumnOps, lon, lat)
+
+    def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
+        return self._inv(_ColumnOps, x, y)
+
+
+def _log_ratio(ops, es):
+    """log((1-es)/(1+es)) for floats or Columns."""
+    if isinstance(es, Column):
+        return F.log((1 - es) / (1 + es))
+    return math.log((1 - es) / (1 + es))
+
+
+# EPSG registry for the conic/polar families. All parameters are the
+# published EPSG definitions; NAD83/RGF93 grids use the GRS80 ellipsoid
+# (datum shift to WGS84 is zero to within the projections' own accuracy).
+_POLAR_STEREO = {
+    # NSIDC Sea Ice Polar Stereographic North / South (WGS84)
+    3413: dict(lat_ts=70.0, lon0_deg=-45.0, south=False),
+    3976: dict(lat_ts=-70.0, lon0_deg=0.0, south=True),
+    # Arctic / Antarctic Polar Stereographic
+    3995: dict(lat_ts=71.0, lon0_deg=0.0, south=False),
+    3031: dict(lat_ts=-71.0, lon0_deg=0.0, south=True),
+    # Universal Polar Stereographic N/S (variant A: k0 at the pole)
+    5041: dict(k0=0.994, lon0_deg=0.0, south=False,
+               false_easting=2_000_000.0, false_northing=2_000_000.0),
+    5042: dict(k0=0.994, lon0_deg=0.0, south=True,
+               false_easting=2_000_000.0, false_northing=2_000_000.0),
+}
+_LCC = {
+    # NAD83 / Canada Atlas Lambert
+    3978: dict(sp1=49.0, sp2=77.0, lat0=49.0, lon0_deg=-95.0),
+    # RGF93 / Lambert-93 (France)
+    2154: dict(sp1=44.0, sp2=49.0, lat0=46.5, lon0_deg=3.0,
+               false_easting=700_000.0, false_northing=6_600_000.0),
+}
+_ALBERS = {
+    # NAD83 / Conus Albers — US land cover / soils rasters
+    5070: dict(sp1=29.5, sp2=45.5, lat0=23.0, lon0_deg=-96.0),
+}
+
+
+def conic_polar_crs(code: int):
+    """EPSG -> PolarStereographic / LambertConformalConic /
+    AlbersEqualArea, or None."""
+    if code in _POLAR_STEREO:
+        return PolarStereographic(**_POLAR_STEREO[code])
+    if code in _LCC:
+        return LambertConformalConic(**_LCC[code])
+    if code in _ALBERS:
+        return AlbersEqualArea(**_ALBERS[code])
+    return None
+
+
 # MODIS sinusoidal has no EPSG code; the conventional identifiers are
 # SR-ORG:6974 (MODIS sphere, authalic radius) and ESRI:53008
 # (Sphere_Sinusoidal, R=6371000). Both are spheres, so one closed form
@@ -247,10 +586,11 @@ def sinusoidal_crs(code: int) -> Sinusoidal | None:
 
 
 def projected_crs(code: int):
-    """Closed-form projection registry: WGS84 UTM zones + spherical
-    sinusoidal. Returns an object with forward/inverse (+ _cols twins)
-    or None."""
-    return utm_crs(code) or sinusoidal_crs(code)
+    """Closed-form projection registry: WGS84 UTM zones, spherical
+    sinusoidal, polar stereographic (NSIDC/UPS), Lambert conformal
+    conic, and Albers equal-area. Returns an object with
+    forward/inverse (+ _cols twins) or None."""
+    return utm_crs(code) or sinusoidal_crs(code) or conic_polar_crs(code)
 
 
 def utm_crs(epsg: int) -> TransverseMercator | None:

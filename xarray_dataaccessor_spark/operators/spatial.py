@@ -493,10 +493,12 @@ def transform_crs_udf(df: DataFrame, from_epsg: int, to_epsg: int, x_col="x", y_
     """R2/R4 general CRS transform (``convert_crs``,
     ``shared_functions.py:132-157``; ``_convert_xy_coordinates``,
     ``utility_functions.py:224-248``). Closed-form first: 4326<->3857
-    spherical Mercator here, 4326<->UTM (and UTM<->UTM) via the
-    Karney–Krüger series in :mod:`operators.crs` — all pure column
-    expressions in whole-stage codegen. Only CRS pairs with no closed
-    form reach the Arrow-batched pandas_udf wrapping
+    spherical Mercator here; 4326 <-> {UTM zones (Karney–Krüger), MODIS
+    sinusoidal, polar stereographic (NSIDC 3413/3976, 3031/3995, UPS),
+    Lambert conformal conic (2154/3978), Albers (5070)} — and any pair
+    of those via the geographic pivot — in :mod:`operators.crs`, all
+    pure column expressions in whole-stage codegen. Only CRS pairs with
+    no closed form reach the Arrow-batched pandas_udf wrapping
     ``pyproj.Transformer`` (gated on the geo extras)."""
     if from_epsg == to_epsg:
         return df
@@ -515,7 +517,9 @@ def transform_crs_udf(df: DataFrame, from_epsg: int, to_epsg: int, x_col="x", y_
     except ImportError as exc:
         raise NotImplementedError(
             f"CRS transform {from_epsg}->{to_epsg} requires pyproj, which is "
-            "not installed; 4326<->3857 are available closed-form."
+            "not installed; closed-form coverage: 4326<->3857, UTM zones, "
+            "MODIS sinusoidal, polar stereographic (3413/3976/3031/3995/"
+            "UPS), Lambert conformal conic (2154/3978), Albers (5070)."
         ) from exc
     import pandas as pd  # pragma: no cover
     from pyspark.sql.functions import pandas_udf  # pragma: no cover
