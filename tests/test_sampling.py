@@ -1,0 +1,120 @@
+"""Deterministic sampling / splitting / decontamination operators
+(operators/sampling.py): stability, kept-set determinism, planted
+contamination, and plan shape (the fact table must not shuffle for a
+hash sample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.operators.sampling import (
+    BUCKETS,
+    deterministic_split,
+    hash_bucket,
+    ngram_contamination,
+    stratified_downsample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 4).cast("string")).alias("lang"),
+    )
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    """A document's split assignment depends only on its id — appending
+    rows (the incremental-ingest case) must not flip any assignment."""
+    small = deterministic_split(_docs(spark, 200), "doc_id").collect()
+    large = deterministic_split(_docs(spark, 400), "doc_id").collect()
+    small_map = {r["doc_id"]: r["split"] for r in small}
+    large_map = {r["doc_id"]: r["split"] for r in large}
+    for k, v in small_map.items():
+        assert large_map[k] == v
+    # both classes occur, eval rate in the right ballpark (50/1000)
+    n_eval = sum(1 for v in large_map.values() if v == "eval")
+    assert 0 < n_eval < 60
+
+
+def test_split_rate_scales_with_per_mille(spark):
+    out = deterministic_split(_docs(spark, 400), "doc_id", eval_per_mille=500)
+    n_eval = out.filter(F.col("split") == "eval").count()
+    assert 140 < n_eval < 260  # ~200 expected, binomial slack
+
+
+def test_stratified_downsample_to_min(spark):
+    # skewed strata: 300 of lang0, 60 of lang1, 40 of lang2
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, "lang0")
+        .when(F.col("id") < 360, "lang1")
+        .otherwise("lang2")
+        .alias("lang"),
+    )
+    kept = stratified_downsample(df, "lang", "doc_id").groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in kept}
+    # every stratum lands near the min stratum size (40); binomial slack
+    for lang, c in counts.items():
+        assert 15 <= c <= 65, counts
+    # the smallest stratum keeps (almost) everything: thr = 65536 exactly
+    assert counts["lang2"] >= 38
+
+
+def test_stratified_downsample_deterministic(spark):
+    df = _docs(spark, 300)
+    a = sorted(r["doc_id"] for r in stratified_downsample(df, "lang").collect())
+    b = sorted(r["doc_id"] for r in stratified_downsample(df, "lang").collect())
+    assert a == b
+
+
+def test_stratified_plan_fact_table_never_shuffles(spark):
+    """The only Exchange feeding the kept-rows side must be the
+    stratum-count aggregation (strata-sized); the fact scan reaches the
+    filter through a broadcast join."""
+    from xarray_dataaccessor_spark.plans.explain import plan_string
+
+    df = _docs(spark, 300)
+    plan = plan_string(stratified_downsample(df, "lang"))
+    assert "BroadcastHashJoin" in plan
+    # no SortMergeJoin anywhere: a sort-merge would mean the fact table
+    # shuffled on the join key
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_contamination_planted(spark):
+    """A train doc sharing its full text with an eval doc is ~100%
+    contaminated; an unrelated doc reports no overlap row."""
+    eval_df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "completely different words about spark and parquet files"),
+            (12, "prefix words then the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(train, eval_df).collect()}
+    assert out[10]["contamination"] == pytest.approx(1.0)
+    assert 11 not in out  # zero overlap -> not in the actionable set
+    assert 0.5 < out[12]["contamination"] < 1.0
+    assert out[12]["n_overlap"] == out[10]["n_shingles"]
+
+
+def test_hash_bucket_range_and_portability(spark):
+    """Buckets live in [0, 65536) and reproduce DuckDB's
+    ('0x'||substr(md5(x),1,8))::BIGINT % 65536 bit-for-bit."""
+    import duckdb
+
+    df = spark.range(50).select(F.col("id").cast("string").alias("s"))
+    got = {r["s"]: r["b"] for r in df.select("s", hash_bucket("s").alias("b")).collect()}
+    con = duckdb.connect()
+    for s, b in got.items():
+        want = con.execute(
+            f"SELECT ('0x' || substr(md5('{s}'), 1, 8))::BIGINT % 65536"
+        ).fetchone()[0]
+        assert b == want and 0 <= b < BUCKETS

