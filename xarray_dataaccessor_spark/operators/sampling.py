@@ -109,12 +109,13 @@ def ngram_contamination(
     eval set. Returns ``(id, n_shingles, n_overlap, contamination)`` for
     documents with any overlap — the actionable decontamination set.
 
-    Plan shape: shingle both sides (map-side explode + per-doc
-    distinct), distinct eval shingle hashes, one equi-join on the
-    32-bit hash, one aggregation per train doc. The eval side is the
-    small side by construction (held-out benchmarks); Spark's AQE picks
-    the broadcast automatically when it fits — no collect, no
-    all-pairs."""
+    Plan shape: shingle each side ONCE (map-side explode + per-doc
+    distinct), distinct eval shingle hashes, then a single LEFT join on
+    the 32-bit hash feeding a single per-doc aggregation — shingle
+    count and overlap count come out of the same pass (a separate
+    sizes aggregation would shingle the train side twice). The eval
+    side is deduped and small by construction (held-out benchmarks);
+    AQE broadcasts it when it fits — no collect, no all-pairs."""
     from xarray_dataaccessor_spark.operators.dedup import word_shingles
 
     t_sh = word_shingles(train, text_col, id_col, k).select(
@@ -124,15 +125,16 @@ def ngram_contamination(
         word_shingles(eval_df, text_col, id_col, k)
         .select(portable_hash32(F.col("shingle")).alias("h"))
         .distinct()
-    )
-    sizes = t_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    overlap = (
-        t_sh.join(e_sh, "h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("__m", F.lit(1))
     )
     return (
-        overlap.join(sizes, id_col)
+        t_sh.join(e_sh, "h", "left")  # e_sh is distinct on h: no fan-out
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
         .select(
             id_col,
             "n_shingles",
