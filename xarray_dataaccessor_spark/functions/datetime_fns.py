@@ -17,6 +17,18 @@ from pyspark.sql import functions as F
 _MIN_YEAR = 1950
 
 
+def epoch_micros(col: Column) -> Column:
+    """Microseconds since epoch for TIMESTAMP *and* TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ; casting through TIMESTAMP first
+    is a no-op for tz-aware inputs and interprets naive values in the
+    session timezone (pinned to UTC in session.py) — wall-clock
+    preserving, which matches DuckDB's epoch semantics for naive
+    timestamps.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def to_datetime(value: "_dt.datetime | str | int") -> _dt.datetime:
     """Coerce the reference's ``TimeInput`` to a datetime (C1).
 

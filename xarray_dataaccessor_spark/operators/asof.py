@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from xarray_dataaccessor_spark.functions.datetime_fns import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -91,7 +93,7 @@ def _keyless_asof(combined, on, value_cols, direction, left_cols, n_buckets=64):
     from declarative ops only.
     """
     is_ts = dict(combined.dtypes)[on].startswith("timestamp")
-    tnum = F.unix_micros(F.col(on)) if is_ts else F.col(on).cast("double")
+    tnum = epoch_micros(F.col(on)) if is_ts else F.col(on).cast("double")
     probe = combined.select(tnum.cast("double").alias("__t"))
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(probe.approxQuantile("__t", qs, 0.001)))
@@ -191,9 +193,9 @@ def range_join_binned(
         raise ValueError(
             f"range_join_binned supports how='inner' or 'left', got {how!r}"
         )
-    pb = F.floor(F.unix_micros(F.col(probe_col)) / F.lit(bin_width_seconds * 1_000_000))
-    s = F.unix_micros(F.col(start_col))
-    e = F.unix_micros(F.col(end_col))
+    pb = F.floor(epoch_micros(F.col(probe_col)) / F.lit(bin_width_seconds * 1_000_000))
+    s = epoch_micros(F.col(start_col))
+    e = epoch_micros(F.col(end_col))
     span = F.sequence(
         F.floor(s / F.lit(bin_width_seconds * 1_000_000)),
         F.floor(e / F.lit(bin_width_seconds * 1_000_000)),

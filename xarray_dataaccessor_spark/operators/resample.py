@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from xarray_dataaccessor_spark.functions.datetime_fns import epoch_micros
+
 AGGREGATION_METHODS = (
     "all",
     "any",
@@ -294,7 +296,7 @@ def _with_asof_neighbors(joined, value_cols, time_col, groups):
         if groups
         else Window.orderBy(time_col)
     ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    epoch = (F.unix_micros(F.col(time_col)) / F.lit(1_000_000.0)).alias("__t")
+    epoch = (epoch_micros(F.col(time_col)) / F.lit(1_000_000.0)).alias("__t")
     out = joined.withColumn("__t", epoch)
     for v in value_cols:
         obs_t = F.when(F.col(v).isNotNull(), F.col("__t"))
@@ -498,7 +500,9 @@ def _interpolate_spline(df, freq, method, value_cols, time_col, group_cols):
             return m
 
         pdf = pdf.sort_values(time_col).reset_index(drop=True)
-        t = pdf[time_col].astype("int64").to_numpy() / 1e9
+        # datetime64[ns] (legacy Arrow) or datetime64[us] (pandas 2 / NTZ)
+        t_scale = 1e6 if "[us" in str(pdf[time_col].dtype) else 1e9
+        t = pdf[time_col].astype("int64").to_numpy() / t_scale
         for v in value_cols:
             y = pdf[v].to_numpy(dtype="float64")
             mask = ~np.isnan(y)

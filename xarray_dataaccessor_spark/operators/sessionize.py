@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from xarray_dataaccessor_spark.functions.datetime_fns import epoch_micros
+
 
 def sessionize(
     df: DataFrame,
@@ -23,7 +25,7 @@ def sessionize(
     """Tag each event with a per-user session index."""
     w = Window.partitionBy(user_col).orderBy(time_col, order_tiebreak)
     prev_ts = F.lag(time_col).over(w)
-    gap_s = F.unix_micros(F.col(time_col)) - F.unix_micros(prev_ts)
+    gap_s = epoch_micros(F.col(time_col)) - epoch_micros(prev_ts)
     boundary = F.when(
         prev_ts.isNull() | (gap_s > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
@@ -46,7 +48,7 @@ def session_stats(
         F.min(time_col).alias("session_start"),
         F.max(time_col).alias("session_end"),
         (
-            (F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col)))
+            (epoch_micros(F.max(time_col)) - epoch_micros(F.min(time_col)))
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
         F.count(F.lit(1)).alias("n_events"),

@@ -26,25 +26,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table. The int64 nanosecond ``ts``
-    is truncated to microseconds with integer division, identical to the
-    batch loader (sources/tables.py)."""
+    """File-source stream of the events table.
+
+    The stream schema is sniffed from the parquet footer via a batch read
+    (file streams require an explicit schema). Two on-disk spellings of
+    ``ts`` are handled exactly like the batch loader (sources/tables.py):
+    TIMESTAMP(NANOS) surfaces as int64 (``nanosAsLong``) and is truncated
+    to microseconds with integer division; TIMESTAMP(MICROS) with
+    ``isAdjustedToUTC=false`` surfaces as TIMESTAMP_NTZ and passes
+    through unchanged (naive wall-clock — DuckDB's semantics)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams take a directory; select the single events file by glob
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP; the UTC session makes the cast
+        # wall-clock preserving, so window starts still match the naive
+        # DuckDB oracle
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(
@@ -144,7 +153,10 @@ def user_running_stats(stream: DataFrame) -> DataFrame:
             n += len(pdf)
             # integer micro-units keep the running sum exact & portable
             s += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
-            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+            # Arrow hands timestamps over as datetime64[ns] (legacy) or
+            # datetime64[us] (pandas 2 / NTZ); normalize to microseconds.
+            raw = int(pdf["ts"].astype("int64").max())
+            last = max(last, raw if "[us" in str(pdf["ts"].dtype) else raw // 1000)
         state.update((n, s, last))
         yield pd.DataFrame(
             {
