@@ -19,6 +19,39 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _warm_jvm(spark) -> None:
+    """Exercise the shuffle + join + aggregation + string-hash codepaths
+    once so C2 compiles them before any query is timed."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 500_000, 1, 32).select(
+        (F.col("id") % 40_000).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+    )
+    # hash aggregation + shuffle write/read
+    base.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.max("s").alias("m")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # shuffle equi-join (both sides large) + post-join aggregation
+    a, b = base.alias("a"), base.alias("b")
+    a.join(b, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # explode + array ops + window function
+    arr = spark.range(0, 20_000, 1, 32).select(
+        F.col("id"), F.split(F.md5(F.col("id").cast("string")), "").alias("cs")
+    )
+    exploded = arr.select("id", F.explode(F.array_distinct("cs")).alias("c"))
+    from pyspark.sql.window import Window
+
+    exploded.withColumn(
+        "r", F.row_number().over(Window.partitionBy("c").orderBy("id"))
+    ).filter(F.col("r") <= 3).write.format("noop").mode("overwrite").save()
+    # broadcast join
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    base.join(F.broadcast(dim), "k").write.format("noop").mode("overwrite").save()
+
+
 def _warm_streaming(spark) -> None:
     """One tiny availableNow stateful streaming query against an in-memory
     rate-style source substitute: JIT-compiles the micro-batch engine,
@@ -76,6 +109,17 @@ def main() -> None:
     # warm; local[n] must be warmed explicitly):
     # 1. JVM + parquet footer caches
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # 1b. JIT-compile the hot JVM paths (shuffle writer/reader, hash
+    #     aggregation, sort-merge/broadcast join, md5 + string codegen,
+    #     explode). Without this the first shuffle-heavy queries run
+    #     interpreted/C1 and absorb multiple seconds of one-time C2
+    #     compilation that no long-running cluster would pay per query.
+    _warm_jvm(spark)
+    # 1c. page-cache + footer-cache the actual input tables
+    for tbl in ("lineitem", "orders", "events", "documents", "embeddings"):
+        p = f"{sf_dir}/{tbl}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
     # 2. Python worker pool (one Arrow-batched worker per core; first use
     #    otherwise pays fork + pandas import inside a measured query)
     spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(
@@ -96,6 +140,13 @@ def main() -> None:
         except Exception as exc:  # keep the harness alive; flag the query
             timings[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
+        finally:
+            # Queries are independent; several operators cache() their
+            # reused intermediates. Without this, cached blocks pile up
+            # across the 50+ query run, storage memory fills, and LRU
+            # eviction + GC churn lands on whichever query runs next —
+            # observed as multi-second noise on otherwise-fast queries.
+            spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -106,10 +106,15 @@ def word_shingles(
             " ", *[F.get(words, (i + j).cast("int")) for j in range(k)]
         ),
     )
+    # distinct-per-document == distinct over (id, shingle): every shingle
+    # of a document lives in ONE array in ONE row, so array_distinct
+    # before the explode is exact and entirely map-side — the global
+    # .distinct() it replaces shuffled every (id, ~30-char-string) pair
+    # across the cluster just to dedup within-row duplicates. At 100 TB
+    # this removes the widest shuffle of the whole dedup family.
     return (
-        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 

@@ -30,6 +30,16 @@ def get_spark(
       stores UTC and converts on request, ``utility_functions.py:53-74``)
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    # Shuffle/spill files on tmpfs when available: local[n] in a VM pays
+    # heavy syscall + virtio overhead on /tmp, and shuffle-file I/O is
+    # the dominant variance source for small-stage workloads. On a real
+    # cluster spark.local.dir is provisioned (NVMe) by the platform;
+    # this default only affects single-node runs.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/xda-spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -39,9 +49,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        # Commit and zero the whole heap at JVM start (-Xms via
+        # AlwaysPreTouch): mid-query heap expansion commits gigabytes of
+        # fresh pages, and in a virtualized guest the page-fault + TLB
+        # storm lands as hundreds of CPU-seconds of kernel time on
+        # whichever query triggers it (measured: a 3 s query stalling to
+        # 43 s wall with ~990 s of sys time). A long-running cluster JVM
+        # pays this once at executor launch — so should we.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JVM_OPTS",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseG1GC"
+                " -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
 
 
