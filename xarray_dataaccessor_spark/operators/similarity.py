@@ -7,9 +7,11 @@ Scale design:
 - The query set is dimension-sized -> broadcast; the corpus is the fact
   side and is never collected. Top-k is a per-query window rank, which
   AQE executes after the (broadcast) join — no global sort.
-- Dot products use ``zip_with`` + ``aggregate`` (a sequential fold inside
-  codegen): deterministic, vectorizable, and bit-identical to DuckDB's
-  ``list_reduce`` fold, which keeps the oracle comparison exact.
+- Dot products use ``zip_with`` + ``aggregate`` (a sequential fold):
+  deterministic and bit-identical to DuckDB's ``list_reduce`` fold,
+  which keeps the oracle comparison exact. With the embedding width
+  known (``dims=``) the LSH plane weights become literal arrays instead
+  of per-row generated ones.
 - LSH: n deterministic hyperplanes (integer LCG weights, no RNG state),
   sign-bit bucket per vector; candidates = bucket equi-join. Recall/cost
   trades with n_planes exactly like BucketedRandomProjectionLSH.
@@ -36,19 +38,25 @@ def plane_weight(plane: Column, dim: Column) -> Column:
     ) / F.lit(float(_LCG_M)) * F.lit(2.0) - F.lit(1.0)
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Deterministic sequential-fold dot product of two double arrays."""
+def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Deterministic sequential-fold dot product of two double arrays.
+
+    ``dims`` is accepted for signature symmetry with the LSH operators
+    (fixed-width embeddings); the fold itself stays a higher-order
+    expression — measured faster end-to-end than the flat per-element
+    expansion, whose ~dims*3 expression nodes per call site blow up
+    Catalyst analysis/optimization time on the multi-band plans."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dims: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dims))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+    return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
 def cosine_topk(
@@ -57,6 +65,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast(queries) x corpus, rank per
     query by (cosine desc, id) — the exact baseline every ANN variant is
@@ -69,7 +78,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ce"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -149,7 +158,7 @@ def lsh_ann(
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ce"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -211,7 +220,7 @@ def lsh_ann_banded(
         .select("query_id", "neighbor_id", "qe", "ce")
         .distinct()
     )
-    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    scored = cand.withColumn("cos", cosine(F.col("qe"), F.col("ce"), dims))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -283,13 +292,13 @@ def embedding_near_duplicates(
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb"), dims))
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
 
 
-def l2sq(a: Column, b: Column) -> Column:
+def l2sq(a: Column, b: Column, dims: int | None = None) -> Column:
     """Deterministic squared L2 distance (sequential fold)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -306,12 +315,13 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "ce",
     rank: int = 1,
+    dims: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``rank`` nearest centroid(s) by squared
     L2 (ties break on centroid id). The centroid table is dimension-sized
     and broadcast; this is the coarse quantizer of an IVF index."""
     scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "__d", l2sq(F.col(vec_col), F.col(centroid_vec))
+        "__d", l2sq(F.col(vec_col), F.col(centroid_vec), dims)
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc(centroid_id))
     return (
@@ -327,6 +337,7 @@ def kmeans_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    dims: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd iterations as pure DataFrame aggregations:
     init = first ``n_centroids`` vectors by id (reproducible seed), then
@@ -348,7 +359,9 @@ def kmeans_centroids(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
     )
     for _ in range(n_iters):
-        assigned = ivf_assign(vectors, cent, id_col=id_col, vec_col=vec_col, rank=1)
+        assigned = ivf_assign(
+            vectors, cent, id_col=id_col, vec_col=vec_col, rank=1, dims=dims
+        )
         dim_means = (
             assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
             .groupBy("centroid_id", "pos")
@@ -377,6 +390,7 @@ def ivf_ann(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate nearest neighbors: a deterministic k-means
     coarse quantizer (:func:`kmeans_centroids` — Lloyd iterations seeded
@@ -393,11 +407,14 @@ def ivf_ann(
     vecs = corpus.select(
         id_col, F.col(vec_col).cast("array<double>").alias("e")
     )
-    cent = kmeans_centroids(vecs, n_centroids, n_iters, id_col=id_col).cache()
+    cent = kmeans_centroids(
+        vecs, n_centroids, n_iters, id_col=id_col, dims=dims
+    ).cache()
     c_assigned = ivf_assign(
         vecs,
         cent,
         rank=1,
+        dims=dims,
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col("e").alias("nbr"), "centroid_id"
     )
@@ -405,11 +422,12 @@ def ivf_ann(
         queries.select(id_col, F.col(vec_col).cast("array<double>").alias("e")),
         cent,
         rank=n_probe,
+        dims=dims,
     ).select(F.col(id_col).alias("query_id"), F.col("e").alias("qe"), "centroid_id")
     scored = (
         c_assigned.join(F.broadcast(q_assigned), on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("nbr")))
+        .withColumn("cos", cosine(F.col("qe"), F.col("nbr"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

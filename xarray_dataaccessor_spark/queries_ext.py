@@ -413,7 +413,7 @@ def _cos_sql(a: str, b: str) -> str:
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, dims=64)
 
 
 def _plane_w_sql(p: int, dim_expr: str) -> str:
@@ -781,7 +781,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return ivf_ann(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2,
-        n_iters=2,
+        n_iters=2, dims=64,
     )
 
 
