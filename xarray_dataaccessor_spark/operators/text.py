@@ -169,3 +169,128 @@ def remove_duplicate_chunks(
         "n_chunks_total",
         F.coalesce(F.col("n_chunks_kept"), F.lit(0)).alias("n_chunks_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality gating and PII scrubbing — the two
+# curation passes every large-scale pretraining pipeline runs between
+# ingestion and dedup (Rae et al. 2021 "Scaling Language Models" app. A
+# for the repetition thresholds; no reference counterpart).
+# ---------------------------------------------------------------------------
+
+#: Gopher-flavored keep thresholds (fractions of exact integer counts,
+#: so both engines compute bit-identical doubles)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_TOP_WORD_FRAC = 0.30
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+GOPHER_MIN_UNIQUE_FRAC = 0.30
+GOPHER_WORD_LEN_RANGE = (2.0, 12.0)
+
+
+def gopher_repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word-repetition quality signals per document plus the composite
+    ``keep`` verdict: most-frequent-word fraction, most-frequent-bigram
+    fraction, unique-word fraction, mean word length.
+
+    Plan shape: one explode of the word array feeds BOTH the unigram and
+    the bigram profile; each is a two-level aggregation keyed first on
+    (id, gram) then on id — all partial-aggregated map-side, shuffled on
+    the document id only. Nothing is collected; at 100 TB this is two
+    keyed aggregations over the corpus scan, the same shape as the
+    shingle pipeline ([[oracle-exactness]]: ratios are int/int divisions,
+    so Spark and DuckDB produce identical doubles)."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = df.select(
+        F.col(id_col),
+        F.explode(words).alias("w"),
+    ).filter(F.length("w") > 0)
+    uni = (
+        base.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_n"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.length("w") * F.col("c")).alias("sum_word_len"),
+        )
+    )
+    # bigrams from the same word array (map-side; no second scan)
+    warr = F.filter(F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0)
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(warr, F.slice(warr, 2, 2_000_000_000), lambda a, b: F.concat_ws(" ", a, b))
+        ).alias("bg"),
+    ).filter(~F.col("bg").rlike("^[^ ]*$"))  # drop the dangling last element
+    bi = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    )
+    j = uni.join(bi, on=id_col, how="left")
+    top_word_frac = F.col("top_word_n") / F.col("n_words").cast("double")
+    top_bigram_frac = F.when(
+        F.col("n_bigrams").isNotNull() & (F.col("n_bigrams") > 0),
+        F.col("top_bigram_n") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    unique_frac = F.col("n_unique") / F.col("n_words").cast("double")
+    mean_word_len = F.col("sum_word_len") / F.col("n_words").cast("double")
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    return j.select(
+        F.col(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        unique_frac.alias("unique_word_frac"),
+        mean_word_len.alias("mean_word_len"),
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (top_word_frac <= GOPHER_MAX_TOP_WORD_FRAC)
+            & (top_bigram_frac <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+            & (unique_frac >= GOPHER_MIN_UNIQUE_FRAC)
+            & (mean_word_len >= lo)
+            & (mean_word_len <= hi)
+        ).alias("keep"),
+    )
+
+
+#: PII patterns restricted to syntax Java regex and RE2 (DuckDB) parse
+#: identically: no backreferences, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE_RE = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / IPv4 addresses / phone numbers:
+    ``n_emails, n_ips, n_phones`` plus the scrubbed text with each match
+    replaced by a typed token (``<EMAIL>``/``<IP>``/``<PHONE>``).
+
+    Entirely map-side (regexp codegen, no shuffle, no Python); order of
+    redaction is fixed (emails, then IPs, then phones) so the output is
+    deterministic and engine-portable."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": n_emails,
+            "n_ips": n_ips,
+            "n_phones": n_phones,
+            "scrubbed": scrubbed,
+        }
+    )
