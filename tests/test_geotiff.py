@@ -102,13 +102,37 @@ def test_projected_granule_carries_epsg(tmp_path):
     assert parsed["x_axis"][0] == pytest.approx(630125.0)
 
 
-def test_bigtiff_rejected():
-    import struct
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (v43): 8-byte offsets, 20-byte IFD entries, LONG8 types —
+    written and decoded by the pure reader, bit-identical to classic."""
+    data = (np.arange(35, dtype=np.float32) * 1.5).reshape(5, 7)
+    p = str(tmp_path / "big.tif")
+    write_geotiff(p, data, -83.5, 42.0, (0.25, 0.25), epsg=4326, nodata=-9.0, big=True)
+    buf = open(p, "rb").read()
+    assert buf[2:4] == b"\x2b\x00"  # version 43
+    parsed = parse_geotiff(buf)
+    np.testing.assert_array_equal(parsed["data"], data)
+    assert parsed["epsg"] == 4326 and parsed["nodata"] == -9.0
+    assert parsed["x_axis"][0] == pytest.approx(-83.375)
+    # compressed + tiled BigTIFF exercises the out-of-line LONG8 arrays
+    ints = (np.arange(99, dtype=np.int32)).reshape(9, 11)
+    p2 = str(tmp_path / "big_tiled.tif")
+    write_geotiff(
+        p2, ints, 0.0, 9.0, (1.0, 1.0), epsg=32617, compress=True,
+        tile_size=4, predictor=2, big=True,
+    )
+    parsed2 = parse_geotiff(open(p2, "rb").read())
+    np.testing.assert_array_equal(parsed2["data"], ints)
+    assert parsed2["epsg"] == 32617
 
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        parse_geotiff(b"II" + struct.pack("<H", 43) + b"\x00" * 32)
+
+def test_bad_magic_rejected():
     with pytest.raises(ValueError):
         parse_geotiff(b"PK\x03\x04" + b"\x00" * 32)
+    import struct
+
+    with pytest.raises(ValueError, match="offset size"):
+        parse_geotiff(b"II" + struct.pack("<H", 43) + b"\x00" * 32)
 
 
 def test_distributed_glob_ingest_and_catalog_query(spark, tmp_path):

@@ -70,10 +70,20 @@ def test_gated_openers_raise_not_implemented(tmp_path):
     h5.write_bytes(sb + b"\x00" * 4 + b"OHDR" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="OHDR"):
         open_netcdf_fragment(str(h5), "t2m")
-    bigtiff = tmp_path / "granule.tif"
-    bigtiff.write_bytes(b"II" + struct.pack("<H", 43) + b"\x00" * 64)
+    # float data tagged with the integer predictor is invalid input the
+    # reader must refuse rather than decode garbage (BigTIFF itself now
+    # decodes via the pure reader — test_geotiff.py::test_bigtiff_roundtrip)
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.geotiff import write_geotiff
+
+    bad = tmp_path / "float_pred2.tif"
+    write_geotiff(
+        str(bad), np.ones((3, 4), dtype=np.float32), 0.0, 3.0, (1.0, 1.0),
+        predictor=2,
+    )
     with pytest.raises(NotImplementedError):
-        open_geotiff_fragment(str(bigtiff), "LC")
+        open_geotiff_fragment(str(bad), "LC")
 
 
 def test_landed_parquet_partition_pruning(spark, tmp_path):

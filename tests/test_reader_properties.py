@@ -20,13 +20,13 @@ float_grid = dims2d.flatmap(
 
 
 @settings(max_examples=25, deadline=None)
-@given(float_grid, st.booleans(), st.sampled_from([None, 4]))
-def test_geotiff_roundtrip_property(tmp_path_factory, vals, compress, tile):
+@given(float_grid, st.booleans(), st.sampled_from([None, 4]), st.booleans())
+def test_geotiff_roundtrip_property(tmp_path_factory, vals, compress, tile, big):
     from xarray_dataaccessor_spark.sources.geotiff import parse_geotiff, write_geotiff
 
     p = tmp_path_factory.mktemp("gt") / "g.tif"
     write_geotiff(str(p), vals, -83.5, 43.0, (0.25, 0.25), epsg=4326,
-                  compress=compress, tile_size=tile)
+                  compress=compress, tile_size=tile, big=big)
     parsed = parse_geotiff(p.read_bytes())
     np.testing.assert_array_equal(parsed["data"], vals)
     assert parsed["epsg"] == 4326

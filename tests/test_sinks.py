@@ -111,6 +111,42 @@ def test_save_dataframe_formats(small_grid, tmp_path):
         save_dataframe(small_grid, tmp_path, "t2m", "bogus")
 
 
+def test_save_dataframe_xlsx_roundtrip(spark, tmp_path):
+    """The pure-stdlib xlsx sink produces a valid SpreadsheetML package:
+    verify the zip structure and cell values by parsing the sheet XML
+    (no openpyxl in this container — that absence is why the writer
+    exists)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5, True), (2, "beta <&> check", 2.25, False), (3, None, None, None)],
+        "id bigint, name string, score double, flag boolean",
+    )
+    path = save_dataframe(df.orderBy("id"), tmp_path, "sheet_test", "xlsx")
+    assert path.exists() and path.suffix == ".xlsx"
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = sheet.findall(".//m:row", ns)
+    assert len(rows) == 4  # header + 3 data rows
+    header = [t.text for t in rows[0].findall(".//m:t", ns)]
+    assert header == ["id", "name", "score", "flag"]
+    # row 2: numeric id, inline string with escaping round-tripped, double, bool
+    row2 = rows[2]
+    cells = row2.findall("m:c", ns)
+    assert cells[0].find("m:v", ns).text == "2"
+    assert row2.find('.//m:t', ns).text == "beta <&> check"
+    assert cells[2].find("m:v", ns).text == "2.25"
+    assert cells[3].get("t") == "b" and cells[3].find("m:v", ns).text == "0"
+    # nulls become empty cells (no <v>, no <is>)
+    row3 = rows[3]
+    empty = row3.findall("m:c", ns)[1]
+    assert empty.find("m:v", ns) is None and empty.find("m:is", ns) is None
+
+
 def test_precipitation_gag_output_epsg(small_grid, tmp_path):
     # coordinates in the COORD header reprojected to Web Mercator
     path = make_precipitation_input(

@@ -3,7 +3,8 @@
 Reference: ``_save_dataframe`` (``utility_functions.py:477-522``) — writes
 the extracted wide table with an optional prefix/suffix naming scheme.
 Parquet/CSV go through the distributed writers; xlsx is driver-side (the
-reference's openpyxl path) and only valid for the small extracted tables.
+reference uses pandas/openpyxl; here a pure-stdlib SpreadsheetML writer,
+``sinks/xlsx.py``) and only valid for the small extracted tables.
 """
 
 from __future__ import annotations
@@ -36,12 +37,9 @@ def save_dataframe(
         df.write.mode(mode).option("header", "true").csv(str(path))
     elif file_format == "xlsx":
         path = file_dir / f"{name}.xlsx"
-        try:
-            df.toPandas().to_excel(path, index=False)
-        except ImportError as exc:  # openpyxl not installed in this container
-            raise NotImplementedError(
-                "xlsx export requires openpyxl; use parquet or csv."
-            ) from exc
+        from xarray_dataaccessor_spark.sinks.xlsx import write_xlsx
+
+        write_xlsx(df.toPandas(), path)
     else:
         raise ValueError(f"Unsupported format {file_format!r}")
     return path

@@ -7,8 +7,9 @@ Implements the published baseline TIFF 6.0 format (both byte orders,
 strip and tile layouts, uncompressed + DEFLATE with the horizontal
 predictor) and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
 ModelTiepoint 33922, GeoKeyDirectory 34735 for the EPSG code, GDAL's
-nodata tag 42113). BigTIFF and exotic compressions are detected and
-rejected with a pointer at the optional geo extras.
+nodata tag 42113) plus the BigTIFF (v43) container — 8-byte offsets,
+20-byte IFD entries, LONG8/SLONG8/IFD8 field types. Exotic compressions
+are detected and rejected with a pointer at the optional geo extras.
 
 Like the NetCDF3 module this is stdlib (``struct``/``zlib``) + numpy
 only and free of package-level imports, so the parse function can ship
@@ -23,8 +24,15 @@ import zlib
 import numpy as np
 
 # TIFF field types -> (struct code, size); rationals handled as pairs
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    # BigTIFF additions: LONG8 / SLONG8 / IFD8
+    16: 8, 17: 8, 18: 8,
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 TAG_WIDTH, TAG_HEIGHT = 256, 257
 TAG_BITS, TAG_COMPRESSION, TAG_PHOTOMETRIC = 258, 259, 262
@@ -35,11 +43,12 @@ TAG_PIXEL_SCALE, TAG_TIEPOINT, TAG_GEO_KEYS, TAG_GDAL_NODATA = 33550, 33922, 347
 GEOKEY_GEOGRAPHIC_CRS, GEOKEY_PROJECTED_CRS = 2048, 3072
 
 
-def _read_ifd_values(buf, bo, ftype, count, value_field):
+def _read_ifd_values(buf, bo, ftype, count, value_field, big=False):
     size = _TYPE_SIZES[ftype] * count
-    raw = value_field[:size] if size <= 4 else None
+    inline = 8 if big else 4
+    raw = value_field[:size] if size <= inline else None
     if raw is None:
-        (offset,) = struct.unpack(bo + "I", value_field)
+        (offset,) = struct.unpack(bo + ("Q" if big else "I"), value_field)
         raw = buf[offset : offset + size]
     if ftype == 2:
         return raw.split(b"\x00")[0].decode("ascii", errors="replace")
@@ -54,8 +63,8 @@ def _read_ifd_values(buf, bo, ftype, count, value_field):
 def parse_geotiff(buf: bytes) -> dict:
     """Parse GeoTIFF bytes into ``{width, height, data, x_axis, y_axis,
     nodata, epsg}`` with pixel-CENTER coordinate axes (the convention a
-    rioxarray open yields for a PixelIsArea granule). Raises on BigTIFF
-    or unsupported compression."""
+    rioxarray open yields for a PixelIsArea granule); classic TIFF and
+    BigTIFF. Raises on unsupported compression."""
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
@@ -63,22 +72,33 @@ def parse_geotiff(buf: bytes) -> dict:
     else:
         raise ValueError("Not a TIFF file (bad byte-order mark)")
     (magic,) = struct.unpack(bo + "H", buf[2:4])
-    if magic == 43:
-        raise NotImplementedError(
-            "BigTIFF input; the built-in reader handles classic TIFF. "
-            "Install the optional geo extras (rasterio) for BigTIFF."
-        )
-    if magic != 42:
+    big = magic == 43
+    if big:
+        # BigTIFF (TIFF v43, public Adobe/AWare spec): 8-byte offsets.
+        off_size, pad = struct.unpack(bo + "HH", buf[4:8])
+        if off_size != 8 or pad != 0:
+            raise ValueError(f"BigTIFF with unsupported offset size {off_size}")
+        (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
+        (n_entries,) = struct.unpack(bo + "Q", buf[ifd_off : ifd_off + 8])
+        entry_base, entry_len = ifd_off + 8, 20
+    elif magic == 42:
+        (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        entry_base, entry_len = ifd_off + 2, 12
+    else:
         raise ValueError(f"Not a TIFF file (magic {magic})")
-    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
-    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
     tags: dict[int, object] = {}
-    for i in range(n_entries):
-        entry = buf[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
-        tag, ftype, count = struct.unpack(bo + "HHI", entry[:8])
+    for i in range(int(n_entries)):
+        entry = buf[entry_base + entry_len * i : entry_base + entry_len * (i + 1)]
+        if big:
+            tag, ftype, count = struct.unpack(bo + "HHQ", entry[:12])
+            value_field = entry[12:20]
+        else:
+            tag, ftype, count = struct.unpack(bo + "HHI", entry[:8])
+            value_field = entry[8:12]
         if ftype not in _TYPE_SIZES:
             continue
-        tags[tag] = _read_ifd_values(buf, bo, ftype, count, entry[8:12])
+        tags[tag] = _read_ifd_values(buf, bo, ftype, int(count), value_field, big)
 
     width = int(tags[TAG_WIDTH][0])
     height = int(tags[TAG_HEIGHT][0])
@@ -227,6 +247,7 @@ def write_geotiff(
     compress: bool = False,
     tile_size: int | None = None,
     predictor: int = 1,
+    big: bool = False,
 ) -> str:
     """Minimal GeoTIFF writer (single band, strip or square-tile layout,
     optional DEFLATE) for fixtures and small-grid export. ``x_origin`` /
@@ -236,7 +257,11 @@ def write_geotiff(
     ``predictor=2`` (integer horizontal differencing) is applied to
     integer data before compression; for float data the tag is written
     WITHOUT transforming — producing the invalid float+predictor-2 combo
-    the reader must reject (fixture for that guard)."""
+    the reader must reject (fixture for that guard).
+
+    ``big=True`` writes a BigTIFF (v43) container: 8-byte offsets,
+    20-byte IFD entries, LONG8 block offset/count tags — the layout real
+    >4 GB rasters use, at fixture size."""
     data = np.ascontiguousarray(data)
     height, width = data.shape
     kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
@@ -249,7 +274,7 @@ def write_geotiff(
             raw = values.encode("ascii") + b"\x00"
             count = len(raw)
         else:
-            fmt = {3: "H", 4: "I", 12: "d"}[ftype]
+            fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[ftype]
             vals = values if isinstance(values, (list, tuple)) else [values]
             raw = struct.pack("<" + fmt * len(vals), *vals)
             count = len(vals)
@@ -298,22 +323,27 @@ def write_geotiff(
     if nodata is not None:
         add(TAG_GDAL_NODATA, 2, f"{nodata:g}")
 
-    # layout: header(8) + IFD + out-of-line tag data + pixel blocks
+    # layout: header + IFD + out-of-line tag data + pixel blocks
     n_tags = len(entries) + 2  # + offsets & bytecounts
-    ifd_size = 2 + 12 * n_tags + 4
-    data_start = 8 + ifd_size
+    if big:
+        header_size = 16
+        ifd_size = 8 + 20 * n_tags + 8
+        inline, off_t, off_fmt, entry_hdr = 8, 16, "Q", "<HHQ"
+    else:
+        header_size = 8
+        ifd_size = 2 + 12 * n_tags + 4
+        inline, off_t, off_fmt, entry_hdr = 4, 4, "I", "<HHI"
+    data_start = header_size + ifd_size
 
     off_tag = TAG_TILE_OFFSETS if tile_size else TAG_STRIP_OFFSETS
     cnt_tag = TAG_TILE_COUNTS if tile_size else TAG_STRIP_COUNTS
-    add(off_tag, 4, [0] * len(blocks))  # placeholder, patched below
-    add(cnt_tag, 4, [len(b) for b in blocks])
+    add(off_tag, off_t, [0] * len(blocks))  # placeholder, patched below
+    add(cnt_tag, off_t, [len(b) for b in blocks])
 
     # assign out-of-line offsets
-    serialized: list[tuple[int, int, int, bytes]] = []
     cursor = data_start
     for tag, ftype, count, raw in sorted(entries):
-        if len(raw) > 4:
-            serialized.append((tag, ftype, count, raw))
+        if len(raw) > inline:
             cursor += len(raw) + (len(raw) % 2)
     block_offsets = []
     for b in blocks:
@@ -324,22 +354,28 @@ def write_geotiff(
     patched = []
     for tag, ftype, count, raw in entries:
         if tag == off_tag:
-            raw = struct.pack("<" + "I" * len(block_offsets), *block_offsets)
+            raw = struct.pack("<" + off_fmt * len(block_offsets), *block_offsets)
         patched.append((tag, ftype, count, raw))
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, 8)
-    out += struct.pack("<H", n_tags)
+    if big:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+        out += struct.pack("<Q", n_tags)
+    else:
+        out += b"II" + struct.pack("<HI", 42, 8)
+        out += struct.pack("<H", n_tags)
     cursor = data_start
     tail = bytearray()
     for tag, ftype, count, raw in sorted(patched):
-        if len(raw) <= 4:
-            out += struct.pack("<HHI", tag, ftype, count) + raw.ljust(4, b"\x00")
+        if len(raw) <= inline:
+            out += struct.pack(entry_hdr, tag, ftype, count) + raw.ljust(inline, b"\x00")
         else:
-            out += struct.pack("<HHI", tag, ftype, count) + struct.pack("<I", cursor)
+            out += struct.pack(entry_hdr, tag, ftype, count) + struct.pack(
+                "<" + off_fmt, cursor
+            )
             tail += raw + (b"\x00" * (len(raw) % 2))
             cursor += len(raw) + (len(raw) % 2)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<" + off_fmt, 0)  # no next IFD
     out += tail
     for b in blocks:
         out += b + (b"\x00" * (len(b) % 2))
