@@ -1033,36 +1033,24 @@ def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals + distinct aggregates in one pass (the
+    former separate distinct_counts query folded in — same scan, same
+    grouping family, one query slot)."""
     configure_session(spark)
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        _dec_sum("l_quantity", 2, "sum_qty"), F.count(F.lit(1)).alias("n")
-    )
-
-
-@query(
-    "distinct_counts",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps,
-           COUNT(*) AS n_rows
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+        _dec_sum("l_quantity", 2, "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

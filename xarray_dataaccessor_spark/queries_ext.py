@@ -1240,3 +1240,49 @@ def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phones").cast("bigint").alias("n_phones"),
         F.md5("scrubbed").alias("scrub_md5"),
     )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming session windows (F.session_window): dynamic
+    merge-on-gap state, the streaming counterpart of batch
+    sessionization. Oracle = gaps-and-islands SQL (break when the gap
+    to the previous event exceeds 30 min — the engine merges on
+    diff <= gap, boundary verified; session end = last event + gap).
+    Session membership is tie-order invariant: equal timestamps have
+    gap 0 and can never straddle a break."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        session_counts,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    return run_available_now(
+        session_counts(stream), output_mode="complete", shuffle_partitions=8
+    )

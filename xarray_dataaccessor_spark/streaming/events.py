@@ -174,3 +174,31 @@ def user_running_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregate: dynamic-length windows that
+    merge events closer than ``gap`` (merge on diff <= gap, verified
+    against the engine; window end = last event + gap). The native
+    streaming counterpart of batch sessionization
+    (``operators/sessionize.py``) — state per open session, closed and
+    emitted once the watermark passes the session end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
