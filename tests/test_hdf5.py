@@ -109,14 +109,15 @@ def test_mixed_generation_glob_ingest(spark, tmp_path):
         },
     )
     _era5_like_h5(tmp_path / "g2.nc", scale=2.0, chunks={"t2m": [16, 7, 19]}, compress=True)
+    _era5_like_h5(tmp_path / "g3.nc", scale=4.0, v2=True)  # libver-latest OHDR
     grid = netcdf_glob_to_grid(spark, str(tmp_path / "*.nc"), "t2m")
     assert grid.columns == ["time", "y", "x", "t2m"]
-    assert grid.count() == 2 * 73 * 7 * 19
-    # both generations agree on the grid: per-time means = 1x + 2x
+    assert grid.count() == 3 * 73 * 7 * 19
+    # all generations agree on the grid: per-time sums = 1x + 2x + 4x
     means = (
         grid.groupBy("time").agg(F.sum("t2m").alias("s")).orderBy("time").limit(1)
     ).collect()
-    expected = float(t2m[0].sum() * 3.0)  # granule1 + 2x granule2
+    expected = float(t2m[0].sum() * 7.0)  # granule1 + 2x g2 + 4x g3
     assert means[0]["s"] == pytest.approx(expected, rel=1e-12)
 
 
@@ -154,12 +155,41 @@ def test_numeric_attr_roundtrip(tmp_path):
     assert attrs["scale"] == [0.5, 2.0]
 
 
-def test_v2_object_header_gated(tmp_path):
-    sb = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]) + struct.pack(
-        "<QQQQ", 0, 48, 0xFFFFFFFFFFFFFFFF, 48
+def test_v2_object_header_roundtrip(tmp_path):
+    """libver='latest' layout: superblock v3 + OHDR headers + compact
+    link messages — decoded by the same parse path as the v0/v1 files
+    (chunked+deflate variant exercises OHDR dataset headers too)."""
+    p = _era5_like_h5(tmp_path / "era5_latest.nc", v2=True)
+    buf = open(p, "rb").read()
+    assert buf[8] == 3  # superblock v3
+    parsed = parse_hdf5(buf)
+    assert parsed["dims"] == {"latitude": 7, "longitude": 19, "time": 73}
+    np.testing.assert_array_equal(parsed["variables"]["t2m"]["data"], _t2m())
+    assert parsed["variables"]["t2m"]["dims"] == ["time", "latitude", "longitude"]
+    p2 = _era5_like_h5(
+        tmp_path / "era5_latest_chunked.nc", v2=True,
+        chunks={"t2m": [32, 4, 8]}, compress=True, shuffle=True,
     )
-    with pytest.raises(NotImplementedError, match="OHDR"):
-        parse_hdf5(sb + b"\x00" * 4 + b"OHDR" + b"\x00" * 64)
+    parsed2 = parse_hdf5(open(p2, "rb").read())
+    np.testing.assert_array_equal(parsed2["variables"]["t2m"]["data"], _t2m())
+
+
+def test_dense_group_links_gated(tmp_path):
+    """Dense (fractal-heap) link storage remains gated: a root OHDR whose
+    link-info message carries a real fractal heap address must reject."""
+    from xarray_dataaccessor_spark.sources.hdf5 import _SIG, _ohdr_v2
+
+    # link info v0, flags 0: version, flags, fractal heap addr, name btree addr
+    li = bytes([0, 0]) + struct.pack("<QQ", 4096, 4200)
+    root = _ohdr_v2([(0x02, li)])
+    buf = bytearray(b"\x00" * 512)
+    sb = _SIG + bytes([3, 8, 8, 0]) + struct.pack(
+        "<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, 512 + len(root), 48
+    )
+    buf[: len(sb)] = sb
+    buf[48 : 48 + len(root)] = root
+    with pytest.raises(NotImplementedError, match="fractal-heap"):
+        parse_hdf5(bytes(buf))
 
 
 def test_unknown_filter_gated(tmp_path):

@@ -56,19 +56,26 @@ def test_cmr_granule_query_params():
 
 
 def test_gated_openers_raise_not_implemented(tmp_path):
-    # NetCDF4/HDF5 with v2 (OHDR) object headers and BigTIFF are the
-    # remaining gated formats; classic NetCDF3 / default-profile
-    # NetCDF4 / classic TIFF decode via the built-in pure readers
-    # (test_netcdf3.py, test_hdf5.py, test_geotiff.py)
+    # HDF5 dense (fractal-heap) group links and invalid float+predictor-2
+    # TIFFs are the remaining gated inputs; classic NetCDF3, NetCDF4 with
+    # v1 OR v2 (OHDR) object headers, classic TIFF, and BigTIFF all
+    # decode via the built-in pure readers (test_netcdf3.py,
+    # test_hdf5.py, test_geotiff.py)
     import struct
 
+    from xarray_dataaccessor_spark.sources.hdf5 import _SIG, _ohdr_v2
+
     h5 = tmp_path / "v4.nc"
-    # superblock v2 whose root object header uses the v2 OHDR layout
-    sb = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0]) + struct.pack(
-        "<QQQQ", 0, 48, 0xFFFFFFFFFFFFFFFF, 48
+    li = bytes([0, 0]) + struct.pack("<QQ", 4096, 4200)
+    root = _ohdr_v2([(0x02, li)])
+    buf = bytearray(b"\x00" * 512)
+    sb = _SIG + bytes([3, 8, 8, 0]) + struct.pack(
+        "<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, 512 + len(root), 48
     )
-    h5.write_bytes(sb + b"\x00" * 4 + b"OHDR" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="OHDR"):
+    buf[: len(sb)] = sb
+    buf[48 : 48 + len(root)] = root
+    h5.write_bytes(bytes(buf))
+    with pytest.raises(NotImplementedError, match="fractal-heap"):
         open_netcdf_fragment(str(h5), "t2m")
     # float data tagged with the integer predictor is invalid input the
     # reader must refuse rather than decode garbage (BigTIFF itself now

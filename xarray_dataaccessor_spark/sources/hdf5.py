@@ -11,7 +11,8 @@ Implemented from the published "HDF5 File Format Specification
 Version 2.0" and the netCDF-4 dimension-scale conventions:
 
 - superblock v0/v1 (symbol-table root) and v2/v3 (direct root header)
-- object headers v1, with continuation blocks
+- object headers v1 (with continuation blocks) AND v2 ("OHDR", the
+  libver='latest' layout, with OCHK continuation blocks)
 - groups via the v1 B-tree + SNOD symbol-table nodes + local heap,
   or via inline Link messages (0x0006) for v2-superblock files
 - dataspace v1/v2, datatype classes fixed-point/float/string/
@@ -30,7 +31,9 @@ The writer emits superblock v0 + v1 object headers + one SNOD — the
 layout libhdf5's default (earliest) profile produces and the shape real
 ERA5/LP-DAAC granules have — with contiguous or chunked+deflate(+shuffle)
 layouts and netCDF-4 dimension-scale attributes, so the reader's
-DIMENSION_LIST path is exercised end-to-end by fixtures.
+DIMENSION_LIST path is exercised end-to-end by fixtures. ``v2=True``
+writes the latest-libver twin instead (superblock v3 + OHDR headers +
+compact link messages).
 """
 
 from __future__ import annotations
@@ -106,6 +109,58 @@ def _messages_v1(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
                 continue
             msgs.append((mtype, body))
     return msgs
+
+
+def _messages_v2(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Parse a version-2 object header ("OHDR", files written with the
+    latest-libver profile): prefixed signature, 1-byte message types,
+    optional times / creation-order fields per the flags byte,
+    variable-width chunk-0 size, "OCHK" continuation blocks. Checksums
+    are not verified (consistent with the v1 path, which has none)."""
+    r = _R(buf)
+    _check(buf[addr : addr + 4] == b"OHDR", "OHDR signature")
+    ver = buf[addr + 4]
+    _check(ver == 2, f"object header version {ver} (want v2)")
+    flags = buf[addr + 5]
+    pos = addr + 6
+    if flags & 0x20:  # access/mod/change/birth times
+        pos += 16
+    if flags & 0x10:  # max-compact / min-dense
+        pos += 4
+    sz_bytes = 1 << (flags & 0x3)
+    chunk0 = r.u(pos, sz_bytes)
+    pos += sz_bytes
+    track_order = bool(flags & 0x04)
+    blocks = [(pos, chunk0)]
+    msgs: list[tuple[int, bytes]] = []
+    while blocks:
+        start, length = blocks.pop(0)
+        p, end = start, start + length
+        # messages: type(1) size(2) flags(1) [+2 creation order]; a gap
+        # smaller than one message header may pad the block end
+        hdr = 6 if track_order else 4
+        while p + hdr <= end:
+            mtype = buf[p]
+            msize = r.u(p + 1, 2)
+            p += hdr
+            body = buf[p : p + msize]
+            p += msize
+            if mtype == 0x10:  # continuation: "OCHK" + msgs + checksum(4)
+                c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                _check(buf[c_off : c_off + 4] == b"OCHK", "OCHK signature")
+                blocks.append((c_off + 4, c_len - 8))
+                continue
+            if mtype == 0x00 and msize == 0:
+                continue  # NIL padding
+            msgs.append((mtype, body))
+    return msgs
+
+
+def _messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Object-header messages, v1 or v2 dispatched on the signature."""
+    if buf[addr : addr + 4] == b"OHDR":
+        return _messages_v2(buf, addr)
+    return _messages_v1(buf, addr)
 
 
 def _parse_dataspace(body: bytes) -> list[int]:
@@ -287,14 +342,8 @@ def _root_children(buf: bytes) -> list[tuple[str, int]]:
         root_ohdr = int.from_bytes(buf[12 + 24 : 12 + 32], "little")
     else:
         raise NotImplementedError(f"HDF5 superblock version {ver}")
-    if buf[root_ohdr : root_ohdr + 4] == b"OHDR":
-        raise NotImplementedError(
-            "HDF5 v2 object headers (OHDR) unsupported in the built-in "
-            "reader; write with the default (earliest) libver profile or "
-            "install the geo extras (h5netcdf)."
-        )
     children: list[tuple[str, int]] = []
-    for mtype, body in _messages_v1(buf, root_ohdr):
+    for mtype, body in _messages(buf, root_ohdr):
         if mtype == 0x0011:  # symbol table: btree + heap
             btree, heap = struct.unpack_from("<QQ", body, 0)
             children.extend(_walk_group_btree(buf, btree, _local_heap_data(buf, heap)))
@@ -329,7 +378,7 @@ def _read_dataset(buf: bytes, ohdr: int, addr_names: dict) -> dict:
     layout = None
     filters: list[tuple[int, list[int]]] = []
     attrs: dict = {}
-    for mtype, body in _messages_v1(buf, ohdr):
+    for mtype, body in _messages(buf, ohdr):
         if mtype == 0x0001:
             dims_sizes = _parse_dataspace(body)
         elif mtype == 0x0003:
@@ -512,6 +561,28 @@ def _msg(mtype: int, body: bytes) -> bytes:
     return struct.pack("<HHBBBB", mtype, len(body_p), 0, 0, 0, 0) + body_p
 
 
+def _ohdr_v2(msgs: list[tuple[int, bytes]]) -> bytes:
+    """Version-2 object header: "OHDR", flags with a 2-byte chunk-0
+    size, 4-byte per-message prefix, trailing (unverified) checksum."""
+    blob = b"".join(
+        struct.pack("<BHB", t, len(body), 0) + body for t, body in msgs
+    )
+    return (
+        b"OHDR"
+        + bytes([2, 0x01])  # version 2, flags: 2-byte size-of-chunk-0
+        + struct.pack("<H", len(blob))
+        + blob
+        + b"\x00" * 4  # checksum (not verified by the reader)
+    )
+
+
+def _link_msg(name: str, addr: int) -> tuple[int, bytes]:
+    """Hard-link message (type 0x06), version 1, flags 0 (1-byte name
+    length, no creation order / charset fields)."""
+    nb = name.encode()
+    return 0x06, bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", addr)
+
+
 def _ohdr_v1(msgs: list[bytes]) -> bytes:
     blob = b"".join(msgs)
     return (
@@ -526,11 +597,16 @@ def write_hdf5(
     chunks: dict[str, list[int]] | None = None,
     compress: bool = False,
     shuffle: bool = False,
+    v2: bool = False,
 ) -> str:
     """netCDF-4-shaped HDF5 fixture writer: every dim gets a coordinate
     dataset tagged CLASS=DIMENSION_SCALE; every variable carries a
     DIMENSION_LIST of object references; layouts are contiguous by
-    default or chunked (+deflate, optional shuffle) per ``chunks``."""
+    default or chunked (+deflate, optional shuffle) per ``chunks``.
+
+    ``v2=True`` writes the latest-libver layout instead: superblock v3,
+    version-2 ("OHDR") object headers, and compact link messages in the
+    root group — the shape h5py/netCDF4 emit with ``libver='latest'``."""
     chunks = chunks or {}
     w = _W()
     w.buf += b"\x00" * 2048  # superblock + headers patched in later
@@ -648,29 +724,36 @@ def write_hdf5(
     btree += struct.pack("<Q", name_off[sorted(names)[-1]])
     btree_root = w.alloc(bytes(btree))
 
-    # 5. root group object header (at a fixed slot inside the preamble)
-    root_msgs = [_msg(0x0011, struct.pack("<QQ", btree_root, heap_addr))]
-    root_ohdr_bytes = _ohdr_v1(root_msgs)
+    # 5. root group object header (at a fixed slot inside the preamble):
+    # v1 = symbol-table message over the b-tree/heap built above;
+    # v2 = OHDR with one compact hard-link message per member
+    if v2:
+        root_ohdr_bytes = _ohdr_v2(
+            [_link_msg(name, ohdr_addr[name]) for name in sorted(names)]
+        )
+    else:
+        root_msgs = [_msg(0x0011, struct.pack("<QQ", btree_root, heap_addr))]
+        root_ohdr_bytes = _ohdr_v1(root_msgs)
     ROOT_ADDR = 512
     w.buf[ROOT_ADDR : ROOT_ADDR + len(root_ohdr_bytes)] = root_ohdr_bytes
 
     # 6. per-dataset object headers into their reserved slots
     for name in names:
         vdims, arr, attrs = variables[name]
-        msgs = [
-            _msg(0x0001, _ds_bytes(arr.shape)),
-            _msg(0x0003, _dt_bytes(arr.dtype)),
+        parts = [
+            (0x0001, _ds_bytes(arr.shape)),
+            (0x0003, _dt_bytes(arr.dtype)),
         ]
         lay = layouts[name]
         if lay[0] == "contiguous":
-            msgs.append(_msg(0x0008, bytes([3, 1]) + struct.pack("<QQ", lay[1], lay[2])))
+            parts.append((0x0008, bytes([3, 1]) + struct.pack("<QQ", lay[1], lay[2])))
         else:
             _, btree_addr, cdims, esize = lay
             body = bytes([3, 2, len(cdims) + 1]) + struct.pack("<Q", btree_addr)
             for c in cdims:
                 body += struct.pack("<I", c)
             body += struct.pack("<I", esize)
-            msgs.append(_msg(0x0008, body))
+            parts.append((0x0008, body))
             pipeline = b""
             nf = 0
             if shuffle:
@@ -680,11 +763,10 @@ def write_hdf5(
                 pipeline += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<II", 6, 0)
                 nf += 1
             if nf:
-                msgs.append(_msg(0x000B, bytes([1, nf, 0, 0, 0, 0, 0, 0]) + pipeline))
+                parts.append((0x000B, bytes([1, nf, 0, 0, 0, 0, 0, 0]) + pipeline))
         if name in dims:
             cls = b"DIMENSION_SCALE\x00"
-            msgs.append(
-                _msg(
+            parts.append((
                     0x000C,
                     _attr_msg(
                         "CLASS", _dt_bytes(np.dtype(f"S{len(cls)}")), _ds_bytes(()), cls
@@ -694,8 +776,7 @@ def write_hdf5(
         vl_data = b""
         for gidx_, ln in gcol_entries[name]:
             vl_data += struct.pack("<IQI", ln, gcol_addr, gidx_)
-        msgs.append(
-            _msg(
+        parts.append((
                 0x000C,
                 _attr_msg(
                     "DIMENSION_LIST", _vlen_ref_dt_bytes(), _ds_bytes((len(vdims),)), vl_data
@@ -705,8 +786,7 @@ def write_hdf5(
         for aname, aval in (attrs or {}).items():
             if isinstance(aval, str):
                 ab = aval.encode() + b"\x00"
-                msgs.append(
-                    _msg(
+                parts.append((
                         0x000C,
                         _attr_msg(
                             aname, _dt_bytes(np.dtype(f"S{len(ab)}")), _ds_bytes(()), ab
@@ -715,8 +795,7 @@ def write_hdf5(
                 )
             else:
                 aarr = np.asarray(aval, dtype="<f8")
-                msgs.append(
-                    _msg(
+                parts.append((
                         0x000C,
                         _attr_msg(
                             aname,
@@ -726,20 +805,30 @@ def write_hdf5(
                         ),
                     )
                 )
-        blob = _ohdr_v1(msgs)
+        blob = (
+            _ohdr_v2(parts)
+            if v2
+            else _ohdr_v1([_msg(t, b) for t, b in parts])
+        )
         if len(blob) > OH_SLOT:
             raise ValueError(f"object header for {name} exceeds slot ({len(blob)})")
         w.buf[ohdr_addr[name] : ohdr_addr[name] + len(blob)] = blob
 
-    # 7. superblock v0 with the root symbol-table entry
+    # 7. superblock: v0 with the root symbol-table entry, or v3 (the
+    # latest-libver pairing for OHDR headers) with the root address inline
     sb = bytearray()
     sb += _SIG
-    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
-    sb += struct.pack("<HH", 4, 16)
-    sb += struct.pack("<I", 0)
-    sb += struct.pack("<QQQQ", 0, _UNDEF, len(w.buf), _UNDEF)
-    sb += struct.pack("<QQ", 0, ROOT_ADDR)  # link name offset, root ohdr
-    sb += struct.pack("<II", 0, 0) + b"\x00" * 16
+    if v2:
+        sb += bytes([3, 8, 8, 0])  # version, offsets, lengths, flags
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(w.buf), ROOT_ADDR)
+        sb += b"\x00" * 4  # checksum (not verified by the reader)
+    else:
+        sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+        sb += struct.pack("<HH", 4, 16)
+        sb += struct.pack("<I", 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(w.buf), _UNDEF)
+        sb += struct.pack("<QQ", 0, ROOT_ADDR)  # link name offset, root ohdr
+        sb += struct.pack("<II", 0, 0) + b"\x00" * 16
     w.buf[: len(sb)] = sb
 
     with open(path, "wb") as f:
