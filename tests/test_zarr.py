@@ -195,3 +195,69 @@ def test_landing_and_catalog_roundtrip(spark, tmp_path):
         start_time="2019-01-30", end_time="2019-02-01",
     )
     assert gf.df.groupBy("time").agg(F.avg("t2m")).count() == 49
+
+
+def _store_v3(tmp_path, compressor="zlib"):
+    store = str(tmp_path / "era5_v3.zarr")
+    t2m = (
+        270.0
+        + np.arange(73)[:, None, None] * 0.1
+        + np.arange(7)[None, :, None] * 0.01
+        + np.arange(19)[None, None, :] * 0.001
+    )
+    write_zarr(store, "t2m", t2m, ["time", "latitude", "longitude"],
+               chunks=[16, 4, 8], compressor=compressor, zarr_format=3)
+    write_zarr(store, "time", HOURS.astype("<i8"), ["time"],
+               attrs={"units": "hours since 1900-01-01 00:00:00"},
+               compressor=None, zarr_format=3)
+    write_zarr(store, "latitude", LATS, ["latitude"], compressor=None, zarr_format=3)
+    write_zarr(store, "longitude", LONS, ["longitude"], compressor=None, zarr_format=3)
+    return store, t2m
+
+
+def test_v3_metadata_normalized(tmp_path):
+    """v3 zarr.json (data_type/chunk_grid/codecs/dimension_names) parses
+    into the same meta dict shape as v2 — downstream is version-blind."""
+    store, _ = _store_v3(tmp_path)
+    meta = read_zarray(store, "t2m")
+    assert meta["shape"] == [73, 7, 19]
+    assert meta["chunks"] == [16, 4, 8]
+    assert meta["dims"] == ["time", "latitude", "longitude"]
+    assert meta["compressor"] == "zlib"
+    assert meta["key_encoding"] == ("default", "/")
+    np.testing.assert_allclose(read_small_array(store, "longitude"), LONS)
+    ts = zarr_time_axis(store, "time")
+    assert str(ts[0]) == "2019-01-30T00:00:00.000000"
+
+
+@pytest.mark.parametrize("compressor", ["zlib", "blosc-lz4", None])
+def test_v3_distributed_decode(spark, tmp_path, compressor):
+    """Nested c/i/j/k chunk keys feed the same binaryFile + mapInPandas
+    chunk-per-task path (recursive lookup, trailing-numeric key parse)."""
+    store, t2m = _store_v3(tmp_path, compressor=compressor)
+    out = zarr_to_grid(spark, store, "t2m")
+    assert out.count() == 73 * 7 * 19
+    row = out.filter(
+        (F.col("y") == LATS[3]) & (F.col("x") == LONS[11])
+    ).orderBy("time").first()
+    assert row["t2m"] == pytest.approx(t2m[0, 3, 11])
+
+
+def test_v3_unknown_codec_gated(tmp_path):
+    import os
+
+    store = str(tmp_path / "z3")
+    os.makedirs(os.path.join(store, "v"))
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes"}, {"name": "zstd", "configuration": {}}],
+        "dimension_names": ["x"],
+    }
+    with open(os.path.join(store, "v", "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="zstd"):
+        read_zarray(store, "v")

@@ -302,8 +302,9 @@ def zarr_to_grid(
     block and emits long-form ``(time, y, x, var)`` rows.
 
     Supports (time, y, x) and (y, x) arrays with xarray's
-    ``_ARRAY_DIMENSIONS`` naming; zlib/gzip/raw chunks (blosc points at
-    the zarr extras)."""
+    ``_ARRAY_DIMENSIONS`` naming (v2) or ``dimension_names`` (v3);
+    zlib/gzip/raw/blosc-lz4/blosc-zlib chunks, dotted v2 keys and nested
+    v3 ``c/i/j/k`` keys."""
     import numpy as np
 
     from xarray_dataaccessor_spark.sources import zarr as _z
@@ -351,14 +352,28 @@ def zarr_to_grid(
     # strings "NaN"/"Infinity"/"-Infinity"; decode those before comparing.
     nodata = _zarr_nodata_sentinel(meta)
 
+    key_kind = meta.get("key_encoding", ("v2", "."))[0]
+
     def to_rows(batches):
         import os as _os
 
         import pandas as pd
 
+        def parse_idx(path):
+            if key_kind == "default":
+                # v3 nested keys .../c/i/j/k: trailing numeric components
+                nums = []
+                for part in reversed(path.rstrip("/").split("/")):
+                    if part.isdigit():
+                        nums.append(int(part))
+                    else:
+                        break
+                return list(reversed(nums))
+            return [int(p) for p in _os.path.basename(path).split(".")]
+
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                idx = [int(p) for p in _os.path.basename(path).split(".")]
+                idx = parse_idx(path)
                 block = decode(bytes(content), {"compressor": meta["compressor"],
                                                 "dtype": meta["dtype"],
                                                 "chunks": chunks})
@@ -390,6 +405,7 @@ def zarr_to_grid(
     binf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "[0-9]*")
+        .option("recursiveFileLookup", "true")
         .load(os.path.join(store, variable))
     )
     return binf.select("path", "content").mapInPandas(to_rows, schema)
