@@ -202,3 +202,40 @@ def session_counts(
             "sum_value",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: pair each left event with
+    the right-stream events of the same key whose timestamp falls in
+    ``(left_ts, left_ts + within]`` — the attribution/enrichment shape
+    (click -> purchase within the hour).
+
+    The time-range predicate is what makes unbounded state safe: with
+    both sides watermarked, the engine derives how long a buffered row
+    can still find a match and evicts it after ``watermark + within`` —
+    state is bounded by the rate x horizon product, not stream lifetime.
+    At 100 TB/day the join is a keyed shuffle of both streams; the same
+    plan runs unchanged on a Kafka source."""
+    lt, rt = F.col("l_ts"), F.col("r_ts")
+    lw = left.select(
+        F.col(key).alias("l_key"), F.col(left_ts).alias("l_ts"), F.col("value").alias("l_value")
+    ).withWatermark("l_ts", watermark)
+    rw = right.select(
+        F.col(key).alias("r_key"), F.col(right_ts).alias("r_ts"), F.col("value").alias("r_value")
+    ).withWatermark("r_ts", watermark)
+    return lw.join(
+        rw,
+        (F.col("l_key") == F.col("r_key"))
+        & (rt > lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_key").alias(key), "l_ts", "r_ts", "l_value", "r_value"
+    )
