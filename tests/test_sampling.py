@@ -118,3 +118,43 @@ def test_hash_bucket_range_and_portability(spark):
             f"SELECT ('0x' || substr(md5('{s}'), 1, 8))::BIGINT % 65536"
         ).fetchone()[0]
         assert b == want and 0 <= b < BUCKETS
+
+
+def test_sequence_packing_deterministic_and_bounded(spark):
+    from xarray_dataaccessor_spark.operators.sampling import sequence_packing
+
+    docs = spark.createDataFrame(
+        [(i, 50 + (i * 37) % 400) for i in range(500)], "doc_id bigint, n_tok int"
+    )
+    packed = sequence_packing(docs, "n_tok", budget=1024)
+    pdf = packed.toPandas()
+    assert len(pdf) == 500
+    # deterministic: re-running yields the identical assignment
+    pdf2 = sequence_packing(docs, "n_tok", budget=1024).toPandas()
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+        pdf2.sort_values("doc_id").reset_index(drop=True)
+    )
+    # every pack's clamped token mass stays within budget + one doc tail:
+    # a pack is a budget-grid cell, so the docs ENDING in it carry at
+    # most budget tokens of ends plus the head that started in the
+    # previous cell
+    sums = pdf.groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 1024 + 449).all()
+    # pack_pos is a dense 1..n sequence within each pack
+    for _, g in pdf.groupby("pack_id"):
+        assert sorted(g["pack_pos"]) == list(range(1, len(g) + 1))
+
+
+def test_sequence_packing_oversized_doc_isolated(spark):
+    from xarray_dataaccessor_spark.operators.sampling import sequence_packing
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 10)], "doc_id bigint, n_tok int"
+    )
+    pdf = sequence_packing(docs, "n_tok", budget=1024, order_col="doc_id").toPandas()
+    # the oversized doc is clamped to one full budget cell: it may share
+    # its pack with the small doc that precedes it in order, but it can
+    # never spill into the FOLLOWING pack
+    big_pack = pdf.loc[pdf.doc_id == 2, "pack_id"].iloc[0]
+    after = pdf.loc[pdf.doc_id == 3, "pack_id"].iloc[0]
+    assert big_pack != after

@@ -143,3 +143,55 @@ def ngram_contamination(
              ).alias("contamination"),
         )
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing, the standard pretraining
+    layout: documents are laid head-to-tail in a deterministic order
+    (``order_col``, default the id-hash — the shuffled order training
+    consumes), the token stream is cut on the ``budget`` grid, and each
+    document is attributed to the pack in which it ENDS (documents
+    longer than the budget are clamped for boundary purposes, so an
+    oversized document closes its pack rather than spilling forward).
+
+    Returns ``(id, n_tokens, pack_id, pack_pos)``. One cumulative-sum
+    window per shard: the corpus is hash-bucketed into independent
+    shards (the export layout training jobs read anyway) and the prefix
+    sum runs inside each shard's window — no driver loop, no UDF, and
+    every decision is a pure function of (order, tokens), so the packing
+    is reproducible across runs and engines.
+
+    Scale shape: one shuffle on the shard key; each shard's window sort
+    is bounded by corpus/shards. At 100 TB you size shards so a shard's
+    (id, n_tokens) pairs — not the text — fit a task's sort budget.
+    """
+    order = F.col(order_col) if order_col else hash_bucket(F.col(id_col).cast("string"))
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(portable_hash32(F.col(id_col).cast("string")), F.lit(64))
+    base = df.select(
+        F.col(id_col),
+        F.col(token_col).alias("n_tokens"),
+        shard.alias("__shard"),
+        order.alias("__ord"),
+    )
+    w = Window.partitionBy("__shard").orderBy("__ord", id_col)
+    t = F.least(F.col("n_tokens"), F.lit(budget))
+    cum = F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # budget-grid cut over the clamped cumulative stream: the pack is
+    # the grid cell containing the document's last token
+    pack_in_shard = F.floor((cum - F.lit(1)) / F.lit(budget))
+    packed = base.withColumn("__cum", cum).withColumn("__pk", pack_in_shard)
+    wp = Window.partitionBy("__shard", "__pk").orderBy("__ord", id_col)
+    return packed.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.concat_ws("-", F.col("__shard"), F.col("__pk")).alias("pack_id"),
+        F.row_number().over(wp).alias("pack_pos"),
+    )

@@ -170,23 +170,68 @@ _register_text_profile_oracle()
                len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
         FROM documents
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+        FROM t GROUP BY source
+    ),
+    norms AS (
+        SELECT CAST(SUM(total_bpe_tokens) AS BIGINT) AS tot_tokens,
+               list_reduce(
+                   list(sqrt(CAST(total_bpe_tokens AS DOUBLE)) ORDER BY source),
+                   (p, q) -> p + q) AS tot_sqrt
+        FROM agg
     )
-    SELECT source, COUNT(*) AS n_docs,
-           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
-           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
-    FROM t GROUP BY source
+    SELECT source, n_docs, total_ws_tokens, total_bpe_tokens,
+           CAST(total_bpe_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+               AS p_natural,
+           sqrt(CAST(total_bpe_tokens AS DOUBLE)) / tot_sqrt AS p_temperature
+    FROM agg, norms
     """,
 )
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget plus the mixture-sampling weights a
+    pretraining run draws from: natural (proportional to tokens) and
+    temperature-scaled (p ∝ sqrt(tokens), alpha=0.5 — the standard
+    upweighting of small domains; sqrt because it is IEEE-correctly
+    rounded on every platform, where pow(x, 0.7) is only
+    faithfully rounded and can differ cross-engine by an ulp). The
+    normalizers come from a broadcast 1-row aggregate: the token total
+    is an exact integer sum, and the sqrt total is a source-ordered
+    sequential fold so Spark and the oracle add in the same order."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.text import token_counts
 
     docs = load(spark, sf_dir, "documents").select("source", "text")
     out = token_counts(docs)
-    return out.groupBy("source").agg(
+    agg = out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+    tok = F.col("total_bpe_tokens").cast("double")
+    glob = agg.agg(
+        F.sum("total_bpe_tokens").alias("tot_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("source"), F.sqrt(tok).alias("sq")))
+                ),
+                lambda s: s["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("tot_sqrt"),
+    )
+    return agg.join(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        "total_ws_tokens",
+        "total_bpe_tokens",
+        (tok / F.col("tot_tokens").cast("double")).alias("p_natural"),
+        (F.sqrt(tok) / F.col("tot_sqrt")).alias("p_temperature"),
     )
 
 
