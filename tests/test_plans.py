@@ -191,3 +191,30 @@ def test_banded_lsh_ann_no_python_stages(spark, sf_dir):
     plan = plan_string(df)
     for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    """PII redaction is pure map-side regexp codegen: no Exchange at all
+    — at 100 TB the query runs at scan rate."""
+    df = QUERIES["pii_scrub"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "MapInPandas" not in plan_string(df)
+
+
+def test_text_profile_is_shuffle_free(spark, sf_dir):
+    """The fused quality+langid+fingerprint profile stays one map-side
+    projection over the scan — the reason the three queries were merged."""
+    df = QUERIES["text_profile"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_gopher_signals_shuffle_on_doc_id_only(spark, sf_dir):
+    """Two keyed aggregation families (unigram + bigram profiles) and the
+    final id join: every Exchange hashes on the document id or the
+    (id, gram) pair — never on raw text — and map-side partial
+    aggregation precedes each shuffle."""
+    df = QUERIES["quality_filter_gopher"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+    # bounded number of exchanges: 2 per gram profile + the join
+    assert count_exchanges(df) <= 6
