@@ -261,3 +261,33 @@ def test_v3_unknown_codec_gated(tmp_path):
         json.dump(meta, f)
     with pytest.raises(NotImplementedError, match="zstd"):
         read_zarray(store, "v")
+
+
+def test_v3_flat_dot_keys_decode(spark, tmp_path):
+    """v3 'default' chunk-key encoding with '.' separator produces flat
+    'c.i.j.k' files — the third key layout the ingest path handles."""
+    import json as _json
+    import os
+
+    store, t2m = _store_v3(tmp_path)
+    # rewrite the t2m array to flat dotted keys
+    import shutil
+
+    var_dir = os.path.join(store, "t2m")
+    meta = _json.load(open(os.path.join(var_dir, "zarr.json")))
+    meta["chunk_key_encoding"] = {"name": "default", "configuration": {"separator": "."}}
+    c_dir = os.path.join(var_dir, "c")
+    for root, _dirs, files in os.walk(c_dir):
+        for fn in files:
+            full = os.path.join(root, fn)
+            rel = os.path.relpath(full, c_dir).split(os.sep)
+            shutil.move(full, os.path.join(var_dir, "c." + ".".join(rel)))
+    shutil.rmtree(c_dir)
+    with open(os.path.join(var_dir, "zarr.json"), "w") as f:
+        _json.dump(meta, f)
+    out = zarr_to_grid(spark, store, "t2m")
+    assert out.count() == 73 * 7 * 19
+    row = out.filter(
+        (F.col("y") == LATS[3]) & (F.col("x") == LONS[11])
+    ).orderBy("time").first()
+    assert row["t2m"] == pytest.approx(t2m[0, 3, 11])

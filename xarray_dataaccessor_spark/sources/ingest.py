@@ -352,7 +352,7 @@ def zarr_to_grid(
     # strings "NaN"/"Infinity"/"-Infinity"; decode those before comparing.
     nodata = _zarr_nodata_sentinel(meta)
 
-    key_kind = meta.get("key_encoding", ("v2", "."))[0]
+    key_kind, key_sep = meta.get("key_encoding", ("v2", "."))
 
     def to_rows(batches):
         import os as _os
@@ -360,7 +360,7 @@ def zarr_to_grid(
         import pandas as pd
 
         def parse_idx(path):
-            if key_kind == "default":
+            if key_kind == "default" and key_sep == "/":
                 # v3 nested keys .../c/i/j/k: trailing numeric components
                 nums = []
                 for part in reversed(path.rstrip("/").split("/")):
@@ -369,7 +369,10 @@ def zarr_to_grid(
                     else:
                         break
                 return list(reversed(nums))
-            return [int(p) for p in _os.path.basename(path).split(".")]
+            parts = _os.path.basename(path).split(key_sep)
+            if key_kind == "default":  # flat "c<sep>i<sep>j" keys
+                parts = parts[1:]
+            return [int(p) for p in parts]
 
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -402,9 +405,12 @@ def zarr_to_grid(
                 )
 
     schema = f"time timestamp, y double, x double, {variable} double"
+    # leaf chunk-file names: digits for v2 dotted and v3 nested keys,
+    # "c<sep>i<sep>j" for the flat v3 default encoding
+    glob = "c*" if (key_kind == "default" and key_sep != "/") else "[0-9]*"
     binf = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "[0-9]*")
+        .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(os.path.join(store, variable))
     )
