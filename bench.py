@@ -133,6 +133,11 @@ def main() -> None:
         g.limit(1000).groupBy("time").pivot("x").agg(F.first("t2m")).write.format(
             "noop"
         ).mode("overwrite").save()
+        # axis-derivation aggregation (collect_set over the cached grid) —
+        # the nearest-cell-match prologue every extraction query runs
+        from xarray_dataaccessor_spark.operators.spatial import grid_axes
+
+        grid_axes(g)
     except Exception:
         pass
     # 2. Python worker pool (one Arrow-batched worker per core; first use
