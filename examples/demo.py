@@ -133,6 +133,39 @@ def main() -> None:
     for r in topk.collect():
         print(f"  query {r['query_id']} -> {r['neighbor_id']} (cos={r['cos']:.4f})")
 
+    # 7. training-data curation: quality gate -> PII scrub -> split ->
+    #    decontaminate -> pack into fixed-token training shards
+    from xarray_dataaccessor_spark.operators.sampling import (
+        deterministic_split,
+        ngram_contamination,
+        sequence_packing,
+    )
+    from xarray_dataaccessor_spark.operators.text import (
+        gopher_repetition_signals,
+        pii_scrub,
+        token_counts,
+    )
+
+    corpus = docs.select("doc_id", "text")
+    keep = gopher_repetition_signals(corpus).filter(F.col("keep")).select("doc_id")
+    gated = corpus.join(keep, "doc_id")
+    print("gopher quality gate kept:", gated.count(), "/", corpus.count())
+
+    scrubbed = pii_scrub(gated).select("doc_id", F.col("scrubbed").alias("text"))
+    split = deterministic_split(scrubbed, eval_per_mille=50)
+    train = split.filter(F.col("split") == "train").drop("split")
+    ev = split.filter(F.col("split") == "eval").drop("split")
+    contaminated = ngram_contamination(train, ev).filter(F.col("contamination") > 0.5)
+    clean = train.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    packed = sequence_packing(
+        token_counts(clean).select("doc_id", "bpe_tokens"), "bpe_tokens", budget=2048
+    )
+    n_packs = packed.select("pack_id").distinct().count()
+    print(
+        f"curated training set: {clean.count()} docs "
+        f"({contaminated.count()} decontaminated) -> {n_packs} packs of <=2048 tokens"
+    )
+
 
 if __name__ == "__main__":
     main()
