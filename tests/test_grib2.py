@@ -1,0 +1,114 @@
+"""Pure-Python GRIB2: writer/parser round-trips (simple packing,
+signed-magnitude scales, bitmaps, multi-message files) and the
+distributed glob-ingest path — same discipline as the NetCDF3/HDF5/
+GeoTIFF/Zarr suites."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.sources.grib2 import parse_grib2, write_grib2
+from xarray_dataaccessor_spark.sources.ingest import grib_glob_to_grid
+
+LATS = np.array([42.883 - 0.25 * j for j in range(7)])
+LONS = np.array([-83.476 + 0.25 * i for i in range(19)])
+T0 = dt.datetime(2019, 1, 30, 0)
+
+
+def _field(scale=1.0, hour=0, **kw):
+    data = (270.0 + np.arange(7)[:, None] * 0.25 + np.arange(19)[None, :] * 0.25) * scale
+    return {
+        "ref_time": T0, "forecast_hour": hour, "category": 0, "number": 0,
+        "lats": LATS, "lons": LONS, "data": data, "e_scale": -2, **kw,
+    }
+
+
+def test_multimessage_roundtrip(tmp_path):
+    p = str(tmp_path / "era5.grib2")
+    write_grib2(p, [_field(hour=h, scale=1 + h) for h in range(3)])
+    msgs = parse_grib2(open(p, "rb").read())
+    assert len(msgs) == 3
+    for h, m in enumerate(msgs):
+        assert m["forecast_hour"] == h
+        assert m["ref_time"] == T0
+        np.testing.assert_allclose(m["lats"], LATS)
+        np.testing.assert_allclose(m["lons"], LONS)
+        np.testing.assert_array_equal(m["data"], _field(scale=1 + h)["data"])
+
+
+def test_parameter_identity_and_decimal_scaling(tmp_path):
+    p = str(tmp_path / "p.grib2")
+    data = np.round(np.linspace(0, 1, 7 * 19), 3).reshape(7, 19)
+    write_grib2(p, [{
+        "ref_time": T0, "forecast_hour": 6, "category": 2, "number": 17,
+        "lats": LATS, "lons": LONS, "data": data, "e_scale": 0, "d_scale": 3,
+    }])
+    (m,) = parse_grib2(open(p, "rb").read())
+    assert (m["category"], m["number"]) == (2, 17)
+    np.testing.assert_allclose(m["data"], data, atol=5e-4)
+
+
+def test_non_grib_rejected():
+    with pytest.raises(ValueError):
+        parse_grib2(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="edition"):
+        parse_grib2(b"GRIB\x00\x00\x00\x01" + b"\x00" * 16)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.tuples(st.integers(2, 8), st.integers(2, 12)),
+    st.integers(0, 2**16 - 1),
+    st.sampled_from([0, -1, -3]),
+)
+def test_roundtrip_property(tmp_path_factory, hw, seed, e_scale):
+    nj, ni = hw
+    rng = np.random.RandomState(seed)
+    # values on the 2^e_scale grid so simple packing is lossless
+    data = rng.randint(0, 5000, size=(nj, ni)).astype("f8") * (2.0**e_scale)
+    lats = 50.0 - 0.5 * np.arange(nj)
+    lons = -100.0 + 0.5 * np.arange(ni)
+    p = str(tmp_path_factory.mktemp("gb") / "f.grib2")
+    write_grib2(p, [{
+        "ref_time": T0, "forecast_hour": 0, "category": 0, "number": 0,
+        "lats": lats, "lons": lons, "data": data, "e_scale": e_scale,
+    }])
+    (m,) = parse_grib2(open(p, "rb").read())
+    np.testing.assert_array_equal(m["data"], data)
+
+
+def test_distributed_glob_ingest(spark, tmp_path):
+    """Two GRIB files x three messages each -> one long-form grid; the
+    message timestamp is ref_time + forecast_hour."""
+    for fi in range(2):
+        write_grib2(
+            str(tmp_path / f"g{fi}.grib2"),
+            [_field(hour=fi * 3 + h, scale=1.0) for h in range(3)],
+        )
+    grid = grib_glob_to_grid(spark, str(tmp_path / "*.grib2"), "t2m")
+    assert grid.columns == ["time", "y", "x", "t2m"]
+    assert grid.count() == 6 * 7 * 19
+    assert grid.select("time").distinct().count() == 6
+    row = grid.filter(
+        (F.col("x") == LONS[0]) & (F.col("y") == LATS[0])
+    ).orderBy("time").first()
+    assert row["t2m"] == pytest.approx(270.0)
+    assert str(row["time"]) == "2019-01-30 00:00:00"
+
+
+def test_category_filter(spark, tmp_path):
+    write_grib2(str(tmp_path / "multi.grib2"), [
+        _field(hour=0, category=0, number=0),
+        _field(hour=0, category=2, number=2, scale=2.0),
+    ])
+    wind = grib_glob_to_grid(
+        spark, str(tmp_path / "multi.grib2"), "u10", category=2, number=2
+    )
+    assert wind.count() == 7 * 19
+    assert wind.agg(F.min("u10")).first()[0] == pytest.approx(540.0)

@@ -255,6 +255,61 @@ def geotiff_glob_to_grid(
     return binf.select("content").mapInPandas(decode, schema)
 
 
+def grib_glob_to_grid(
+    spark,
+    pattern: str,
+    variable: str,
+    category: int | None = None,
+    number: int | None = None,
+) -> DataFrame:
+    """Distributed GRIB2 ingestion — the wire format the reference's CDS
+    accessor can download instead of NetCDF (``era5_from_cds.py``
+    request ``format`` param): ``binaryFile`` source (one GRIB file per
+    task, each holding one message per timestep) -> ``mapInPandas``
+    decode with the pure GRIB2 reader -> long-form grid rows. A message
+    timestamp is ``ref_time + forecast_hour``; ``category``/``number``
+    filter multi-parameter files to the requested variable. The parser
+    ships by value; executors need no package install."""
+    from xarray_dataaccessor_spark.sources import grib2 as _gb
+
+    try:
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_gb)
+    except Exception:  # pragma: no cover - older pickler fallback
+        pass
+
+    parse = _gb.parse_grib2
+
+    def decode(batches):
+        import datetime as _dt
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                for m in parse(bytes(content)):
+                    if category is not None and m["category"] != category:
+                        continue
+                    if number is not None and m["number"] != number:
+                        continue
+                    ts = m["ref_time"] + _dt.timedelta(hours=int(m["forecast_hour"]))
+                    ny, nx = m["data"].shape
+                    yield _pd.DataFrame(
+                        {
+                            "time": _np.repeat(_np.datetime64(ts, "us"), ny * nx),
+                            "y": _np.repeat(m["lats"], nx),
+                            "x": _np.tile(m["lons"], ny),
+                            variable: m["data"].reshape(-1),
+                        }
+                    )
+
+    schema = f"time timestamp, y double, x double, {variable} double"
+    binf = spark.read.format("binaryFile").load(pattern)
+    return binf.select("content").mapInPandas(decode, schema)
+
+
 def _zarr_nodata_sentinel(meta: Mapping) -> float | int | None:
     """Resolve the value to mask to NaN for a Zarr variable (see
     zarr_to_grid's scale note). Returns None when nothing should be
