@@ -112,3 +112,30 @@ def test_category_filter(spark, tmp_path):
     )
     assert wind.count() == 7 * 19
     assert wind.agg(F.min("u10")).first()[0] == pytest.approx(540.0)
+
+
+def test_repeated_section_runs_one_message(tmp_path):
+    """One message, three (4,5,6,7) section runs (the operational
+    multi-field layout): every field decodes, nothing silently dropped."""
+    p = str(tmp_path / "multi_field.grib2")
+    write_grib2(
+        p, [_field(hour=h, scale=1 + h) for h in range(3)], fields_per_message=3
+    )
+    buf = open(p, "rb").read()
+    assert buf.count(b"GRIB") == 1  # truly one message
+    msgs = parse_grib2(buf)
+    assert len(msgs) == 3
+    for h, m in enumerate(msgs):
+        assert m["forecast_hour"] == h
+        np.testing.assert_array_equal(m["data"], _field(scale=1 + h)["data"])
+
+
+def test_float32_reference_rounding(tmp_path):
+    """A non-f32-representable minimum must not shift decoded values:
+    the writer rounds the wire reference down to f32 before packing."""
+    p = str(tmp_path / "refval.grib2")
+    base = 270.13  # not exactly representable in float32
+    data = base + (np.arange(7 * 19, dtype="f8").reshape(7, 19) * 0.25)
+    write_grib2(p, [_field() | {"data": data, "e_scale": -4}])
+    (m,) = parse_grib2(open(p, "rb").read())
+    np.testing.assert_allclose(m["data"], data, rtol=0, atol=2**-4)

@@ -288,3 +288,37 @@ def test_agg_expr_threads_time_col(spark):
         df, "1D", "last", value_cols=["v"], time_col="ts", group_cols=()
     ).orderBy("ts").collect()
     assert [r["v"] for r in last] == [9.0, 3.0]
+
+
+def test_nearest_cell_match_null_coordinate_raises(spark):
+    from xarray_dataaccessor_spark.operators.joins import nearest_cell_match
+
+    from tests.grid_fixture import grid_df
+
+    grid = grid_df(spark, with_nulls=False)
+    pts = spark.createDataFrame(
+        [("a", -83.0, 42.0), ("b", None, 41.9)],
+        "point_id string, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="NULL coordinate"):
+        nearest_cell_match(pts, grid)
+
+
+def test_spread_small_input_suffixed_partition_bytes(spark):
+    """'128m'-style maxPartitionBytes values must parse as bytes, not as
+    the literal 128 — otherwise the small-input spread silently never
+    fires."""
+    from xarray_dataaccessor_spark.operators.dedup import spread_small_input
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="spread_sfx_")
+        spark.range(0, 100, 1, 1).write.mode("overwrite").parquet(d)
+        out = spread_small_input(spark.read.parquet(d))
+        # a tiny single-file input must be spread to session parallelism
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

@@ -147,6 +147,30 @@ def test_save_dataframe_xlsx_roundtrip(spark, tmp_path):
     assert empty.find("m:v", ns) is None and empty.find("m:is", ns) is None
 
 
+def test_save_dataframe_xlsx_numeric_frame_and_nat(spark, tmp_path):
+    """All-numeric frames must not upcast int columns to float (the
+    iterrows trap), and null timestamps must write as EMPTY cells, not
+    the literal string 'NaT'."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "2024-01-01 00:00:00"), (2, 2.5, None)],
+        "id bigint, score double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = save_dataframe(df.orderBy("id"), tmp_path, "numeric_nat", "xlsx")
+    with zipfile.ZipFile(path) as zf:
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = sheet.findall(".//m:row", ns)
+    r1 = rows[1].findall("m:c", ns)
+    assert r1[0].find("m:v", ns).text == "1"  # bigint stays integer-rendered
+    assert r1[2].find(".//m:t", ns).text.startswith("2024-01-01")
+    r2 = rows[2].findall("m:c", ns)
+    nat_cell = r2[2]
+    assert nat_cell.find("m:v", ns) is None and nat_cell.find("m:is", ns) is None
+
+
 def test_precipitation_gag_output_epsg(small_grid, tmp_path):
     # coordinates in the COORD header reprojected to Web Mercator
     path = make_precipitation_input(

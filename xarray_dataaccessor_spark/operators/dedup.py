@@ -74,8 +74,12 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         # tiny by construction — spread it
         return df.repartition(target)
     max_pb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    m = re.match(r"\d+", str(max_pb_raw))
-    max_pb = int(m.group()) if m else 134217728
+    m = re.match(r"(\d+)\s*([kmgt]?)b?$", str(max_pb_raw).strip().lower())
+    if m:
+        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        max_pb = int(m.group(1)) * mult[m.group(2)]
+    else:
+        max_pb = 134217728
     est_parts = 0
     for uri in files:
         parsed = urlparse(uri)
@@ -227,10 +231,10 @@ def jaccard_pairs(
     contribute 10^12 join rows by default.
 
     The capped path drops high-df shingles with a heavy-hitter
-    broadcast anti-join (see :func:`_jaccard_pairs_capped`): only the
-    distinct-shingle count table ever shuffles, the heavy-hitter set is
-    corpus-size-independent in size, and the occurrence table reaches
-    the pair join without a preparatory shuffle or sort. After the
+    anti-join (see :func:`_jaccard_pairs_capped`): only the
+    distinct-shingle count table ever shuffles, and with the auto cap
+    the heavy-hitter set is corpus-size-independent in size (AQE turns
+    the anti-join into a broadcast at runtime when it fits). After the
     filter the plan is exactly the uncapped inverted-index join over a
     smaller table."""
     sh = word_shingles(df, text_col, id_col, k).select(
@@ -273,10 +277,13 @@ def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
     aggregate per-shingle counts (map-side partial agg, so only the
     distinct-shingle table shuffles — far smaller than the occurrence
     table), keep the shingles whose document frequency EXCEEDS the cap,
-    and anti-join them away from the shingle table. The heavy-hitter
-    set is provably tiny: at most total_occurrences / cap rows — with
-    the auto cap (n_docs/20) that is <= 20 x avg-shingles-per-doc,
-    a corpus-size-INDEPENDENT bound, so the broadcast is always safe.
+    and anti-join them away from the shingle table. With the AUTO cap
+    the heavy-hitter set is provably tiny: at most total_occurrences /
+    cap rows — <= 20 x avg-shingles-per-doc, a corpus-size-INDEPENDENT
+    bound. An explicit small ``max_df`` on a huge corpus grows the set
+    as total_occurrences/max_df, which is why the join carries no
+    broadcast HINT: AQE promotes it to a broadcast at runtime only when
+    the built side actually fits.
 
     This beats the r2 window-count formulation (``count() over
     (partition by h)``), which shuffled AND sorted the entire
@@ -299,7 +306,11 @@ def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
         )
     else:
         hot = counts.filter(F.col("__df") > max_df).select("h")
-    kept = sh.join(F.broadcast(hot), "h", "left_anti").cache()
+    # no forced broadcast: with max_df="auto" the hot set is provably
+    # tiny, but an explicit small cap on a huge corpus grows it as
+    # total_occurrences/max_df — let AQE convert the anti-join to a
+    # broadcast at runtime when (and only when) the built side is small
+    kept = sh.join(hot, "h", "left_anti").cache()
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")

@@ -116,6 +116,12 @@ def nearest_cell_match(
     # (distance asc, then smaller axis value), zero extra Spark jobs vs the
     # four (2 crossJoin+window, 2 join) the DataFrame formulation needs.
     pt_rows = points.collect()
+    for row in pt_rows:
+        if row[lon_col] is None or row[lat_col] is None:
+            raise ValueError(
+                f"point {row.asDict()} has a NULL coordinate; drop or fill "
+                "the points table before extraction"
+            )
     data = [
         row.asDict()
         | {

@@ -17,6 +17,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """12g on boxes that can afford it (the pre-touched heap below needs
+    the physical pages up front), stepping down on small hosts so the
+    library default never fails JVM launch on an 8-16 GB machine."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = next(
+                int(line.split()[1]) for line in f if line.startswith("MemAvailable")
+            )
+        avail_g = kb / 1024 / 1024
+    except Exception:
+        return "4g"
+    for want in (12, 8, 4, 2):
+        if avail_g >= want * 1.5:
+            return f"{want}g"
+    return "1g"
+
+
 def get_spark(
     app_name: str = "xarray-dataaccessor-spark",
     cpus: int | str | None = None,
@@ -30,7 +48,7 @@ def get_spark(
       stores UTC and converts on request, ``utility_functions.py:53-74``)
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem()
     # Shuffle/spill files on tmpfs when available: local[n] in a VM pays
     # heavy syscall + virtio overhead on /tmp, and shuffle-file I/O is
     # the dominant variance source for small-stage workloads. On a real

@@ -87,36 +87,37 @@ def _cell_xml(ref: str, value) -> str:
 def write_xlsx(pdf, path: str | Path) -> Path:
     """Write a pandas DataFrame to ``path`` as a single-sheet .xlsx
     (header row + data rows). Returns the path."""
-    try:
-        import numpy as np
+    import numpy as np
+    import pandas as pd
 
-        def _plain(v):
-            if v is None:
-                return None
-            if isinstance(v, np.bool_):
-                return bool(v)
-            if isinstance(v, np.integer):
-                return int(v)
-            if isinstance(v, np.floating):
-                return float(v)
-            return v
-
-    except ImportError:  # pragma: no cover - numpy is baked in
-
-        def _plain(v):
-            return v
+    def _plain(v):
+        # pd.isna catches None, float NaN, AND pd.NaT (which would
+        # otherwise fall through to the text branch as the string 'NaT')
+        if v is None or (np.isscalar(v) or isinstance(v, type(pd.NaT))) and pd.isna(v):
+            return None
+        if isinstance(v, (bool, np.bool_)):
+            return bool(v)
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, (float, np.floating)):
+            return float(v)
+        return v
 
     rows_xml: list[str] = []
     header = [
         _cell_xml(f"{_col_letter(c)}1", str(name)) for c, name in enumerate(pdf.columns)
     ]
     rows_xml.append(f'<row r="1">{"".join(header)}</row>')
-    for r, (_, row) in enumerate(pdf.iterrows(), start=2):
+    # column-wise scalar access (iat) preserves each column's dtype —
+    # iterrows() would upcast every row to one common dtype, turning
+    # bigint ids into floats in all-numeric frames
+    ncols = len(pdf.columns)
+    for r in range(len(pdf)):
         cells = [
-            _cell_xml(f"{_col_letter(c)}{r}", _plain(row.iloc[c]))
-            for c in range(len(pdf.columns))
+            _cell_xml(f"{_col_letter(c)}{r + 2}", _plain(pdf.iat[r, c]))
+            for c in range(ncols)
         ]
-        rows_xml.append(f'<row r="{r}">{"".join(cells)}</row>')
+        rows_xml.append(f'<row r="{r + 2}">{"".join(cells)}</row>')
     sheet = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'

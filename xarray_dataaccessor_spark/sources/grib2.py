@@ -74,24 +74,40 @@ def parse_grib2(buf: bytes) -> list[dict]:
         msg = buf[pos : pos + total_len]
         if msg[-4:] != b"7777":
             raise ValueError("GRIB message missing 7777 trailer")
-        messages.append(_parse_message(msg))
+        messages.extend(_parse_message(msg))
         pos += total_len
     return messages
 
 
-def _parse_message(msg: bytes) -> dict:
-    import datetime as dt
-
+def _parse_message(msg: bytes) -> list[dict]:
+    """All fields of one message. Sections 2-7 may legally REPEAT —
+    one (4,5,6,7) run per field, with earlier sections carried forward
+    — so the walk emits a field at every section-7 boundary from the
+    latest-seen state instead of keying a dict by section number."""
     pos = 16  # past section 0
     sec: dict[int, bytes] = {}
+    fields: list[dict] = []
     while pos < len(msg) - 4:
         ln = _u(msg, pos, 4)
         num = msg[pos + 4]
         sec[num] = msg[pos : pos + ln]
         pos += ln
-    for required in (1, 3, 5, 7):
-        if required not in sec:
-            raise ValueError(f"GRIB message missing section {required}")
+        if num == 7:
+            for required in (1, 3, 5):
+                if required not in sec:
+                    raise ValueError(f"GRIB field missing section {required}")
+            fields.append(_parse_field(sec))
+            # bitmap indicator 254 means "reuse previous"; our reader
+            # treats each field independently, so drop 6/7 between fields
+            sec.pop(7, None)
+            sec.pop(6, None)
+    if not fields:
+        raise ValueError("GRIB message contains no data section")
+    return fields
+
+
+def _parse_field(sec: dict[int, bytes]) -> dict:
+    import datetime as dt
 
     s1 = sec[1]
     ref_time = dt.datetime(
@@ -197,22 +213,49 @@ def _pack_bits(vals: np.ndarray, nbits: int) -> bytes:
 def write_grib2(
     path: str,
     fields: list[dict],
+    fields_per_message: int = 1,
 ) -> str:
-    """Write a multi-message GRIB2 file. Each field dict:
+    """Write a GRIB2 file. Each field dict:
     ``{ref_time, forecast_hour, category, number, lats, lons, data,
     e_scale?, d_scale?}`` — ``lats`` north-to-south, ``data`` shaped
     (nlat, nlon). Values are simple-packed with the given binary/decimal
     scales (defaults 0/0: integers-only exact; use e_scale=-2 for
-    quarter-degree-style payloads)."""
+    quarter-degree-style payloads). ``fields_per_message`` > 1 groups
+    consecutive fields into one message with repeated (4,5,6,7) section
+    runs — the multi-field layout operational products use."""
     out = bytearray()
-    for f in fields:
-        out += _write_message(f)
+    for i in range(0, len(fields), fields_per_message):
+        out += _write_message_multi(fields[i : i + fields_per_message])
     with open(path, "wb") as fh:
         fh.write(bytes(out))
     return path
 
 
-def _write_message(f: dict) -> bytes:
+def _write_message_multi(fields: list[dict]) -> bytes:
+    """One GRIB2 message holding ``fields`` as repeated section runs.
+    Section 1 comes from the first field (one reference time per
+    message, per spec)."""
+    t = fields[0]["ref_time"]
+    s1 = _sec(
+        1,
+        struct.pack(">HHBBB", 0, 0, 2, 1, 1)
+        + struct.pack(">HBBBBB", t.year, t.month, t.day, t.hour, t.minute, t.second)
+        + bytes([0, 1]),
+    )
+    body = s1
+    for f in fields:
+        body += _field_sections(f)
+    body += b"7777"
+    total = 16 + len(body)
+    s0 = b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total)
+    return s0 + body
+
+
+def _sec(num: int, body: bytes) -> bytes:
+    return struct.pack(">IB", len(body) + 5, num) + body
+
+
+def _field_sections(f: dict) -> bytes:
     lats = np.asarray(f["lats"], dtype="float64")
     lons = np.asarray(f["lons"], dtype="float64")
     data = np.asarray(f["data"], dtype="float64")
@@ -221,20 +264,17 @@ def _write_message(f: dict) -> bytes:
     e_scale = int(f.get("e_scale", 0))
     d_scale = int(f.get("d_scale", 0))
     scaled = data * (10.0**d_scale)
-    ref = float(np.nanmin(scaled))
+    # the wire reference value is IEEE float32: round it DOWN to f32
+    # before computing offsets, or every decoded value shifts by the
+    # f64->f32 rounding error of the minimum
+    ref32 = np.float32(np.nanmin(scaled))
+    if float(ref32) > float(np.nanmin(scaled)):
+        ref32 = np.nextafter(ref32, np.float32("-inf"), dtype=np.float32)
+    ref = float(ref32)
     ints = np.round((scaled.reshape(-1) - ref) / (2.0**e_scale)).astype("int64")
     nbits = max(1, int(ints.max()).bit_length()) if ints.size else 1
 
-    def sec(num: int, body: bytes) -> bytes:
-        return struct.pack(">IB", len(body) + 5, num) + body
-
-    t = f["ref_time"]
-    s1 = sec(
-        1,
-        struct.pack(">HHBBB", 0, 0, 2, 1, 1)
-        + struct.pack(">HBBBBB", t.year, t.month, t.day, t.hour, t.minute, t.second)
-        + bytes([0, 1]),
-    )
+    sec = _sec
 
     def smag(v: int, n: int) -> bytes:
         return (abs(v) | ((1 << (8 * n - 1)) if v < 0 else 0)).to_bytes(n, "big")
@@ -281,7 +321,4 @@ def _write_message(f: dict) -> bytes:
     s6 = sec(6, bytes([255]))
     s7 = sec(7, _pack_bits(ints, nbits))
 
-    body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
-    total = 16 + len(body)
-    s0 = b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total)
-    return s0 + body
+    return s3 + s4 + s5 + s6 + s7

@@ -407,11 +407,16 @@ def _read_dataset(buf: bytes, ohdr: int, addr_names: dict) -> dict:
             pos = 8 if ver == 1 else 2
             for _ in range(nf):
                 fid = struct.unpack_from("<H", body, pos)[0]
-                nlen = struct.unpack_from("<H", body, pos + 2)[0]
-                ncv = struct.unpack_from("<H", body, pos + 6)[0]
-                pos += 8
+                # v1: (id, nlen, flags, ncv) always; v2 OMITS the Name
+                # Length field entirely for predefined filters (id < 256)
                 if ver == 1 or fid >= 256:
+                    nlen = struct.unpack_from("<H", body, pos + 2)[0]
+                    ncv = struct.unpack_from("<H", body, pos + 6)[0]
+                    pos += 8
                     pos += (nlen + 7) & ~7 if ver == 1 else nlen
+                else:
+                    ncv = struct.unpack_from("<H", body, pos + 4)[0]
+                    pos += 6
                 cvals = [
                     struct.unpack_from("<I", body, pos + 4 * i)[0] for i in range(ncv)
                 ]
@@ -754,16 +759,30 @@ def write_hdf5(
                 body += struct.pack("<I", c)
             body += struct.pack("<I", esize)
             parts.append((0x0008, body))
+            # filter descriptions; v1 entries carry a name-length field
+            # and pad client data to 8 bytes (odd ncv -> 4 zero bytes);
+            # v2 entries omit BOTH for predefined filter ids < 256
+            def _filter_entry(fid: int, cvals: list[int]) -> bytes:
+                if v2:
+                    e = struct.pack("<HHH", fid, 1, len(cvals))
+                else:
+                    e = struct.pack("<HHHH", fid, 0, 1, len(cvals))
+                e += struct.pack("<" + "I" * len(cvals), *cvals)
+                if not v2 and len(cvals) % 2:
+                    e += b"\x00" * 4
+                return e
+
             pipeline = b""
             nf = 0
             if shuffle:
-                pipeline += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<II", esize, 0)
+                pipeline += _filter_entry(2, [esize])
                 nf += 1
             if compress:
-                pipeline += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<II", 6, 0)
+                pipeline += _filter_entry(1, [6])
                 nf += 1
             if nf:
-                parts.append((0x000B, bytes([1, nf, 0, 0, 0, 0, 0, 0]) + pipeline))
+                hdr = bytes([2, nf]) if v2 else bytes([1, nf, 0, 0, 0, 0, 0, 0])
+                parts.append((0x000B, hdr + pipeline))
         if name in dims:
             cls = b"DIMENSION_SCALE\x00"
             parts.append((
