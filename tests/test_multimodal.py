@@ -1,0 +1,81 @@
+"""Multimodal plumbing: real mapInPandas batch shapes and real
+resize/resample/sampling array math around deterministic fake codecs
+(the image/audio/video libraries are not in this container — that
+absence is the point of the fake-codec gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.operators.multimodal import (
+    attach_binary_column,
+    binary_features,
+    decode_binary,
+    decode_image,
+    resample_audio,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 + 40 * i)) for i in range(8)], "doc_id bigint, text string"
+    )
+    return attach_binary_column(docs)
+
+
+def test_decode_image_resize_math(spark, media):
+    out = decode_image(media, out_size=(4, 4)).orderBy("doc_id").collect()
+    assert len(out) == 8
+    for r in out:
+        assert (r["height"], r["width"]) == (4, 4)
+        assert len(r["pixels"]) == 16
+    # verify the block-mean numerics against numpy on one payload
+    payload = bytes("x" * 100, "utf-8")
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    img = np.resize(raw, (32, 32)).astype("float64")
+    expect = img.reshape(4, 8, 4, 8).mean(axis=(1, 3)).reshape(-1)
+    got = np.array(out[0]["pixels"])
+    np.testing.assert_allclose(got, expect)
+    assert out[0]["mean_pixel"] == pytest.approx(img.mean())
+
+
+def test_resample_audio_ratio(spark, media):
+    out = resample_audio(media, rate=16000, source_rate=32000).orderBy("doc_id").collect()
+    for r in out:
+        # downsample by 2: output count tracks the rate ratio
+        assert r["n_samples_out"] == max(2, round(r["n_samples_in"] / 2))
+        assert r["rms"] >= 0.0
+
+
+def test_sample_frames_one_to_many(spark, media):
+    # 1 fps sampling of a 25 fps fake stream: every 25th frame
+    out = sample_frames(media, every_ms=1000, fps=25)
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "ts_ms", "frame_md5"}
+    assert (pdf["frame_idx"] % 25 == 0).all()
+    assert (pdf.groupby("doc_id").size() >= 1).all()
+    # deterministic digests: same payload -> same frame hash
+    again = sample_frames(media, every_ms=1000, fps=25).toPandas()
+    assert pdf.sort_values(["doc_id", "frame_idx"])["frame_md5"].tolist() == \
+        again.sort_values(["doc_id", "frame_idx"])["frame_md5"].tolist()
+
+
+def test_real_codecs_gated(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(media, codec="pil")
+    with pytest.raises(NotImplementedError, match="librosa"):
+        resample_audio(media, codec="soundfile")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_frames(media, codec="av")
+
+
+def test_binary_fast_path_jvm_side(spark, media):
+    feats = binary_features(media)
+    assert feats.filter(F.col("n_bytes") <= 0).count() == 0
+    decoded = decode_binary(media)
+    assert decoded.count() == 8
+    assert decoded.columns == ["doc_id", "n_bytes", "first_byte", "last_byte", "byte_sum"]

@@ -4,10 +4,12 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct beside them. The Spark-side plumbing — schema, partition-friendly
 batch iteration, Arrow-batched ``mapInPandas`` UDF signatures — is real
 and tested; the actual codec step is STUBBED (image/audio libraries are
-not installed in this container): ``decode_binary`` computes deterministic
-fake features (byte stats) and ``decode_image``/``resample_audio``/
-``sample_frames`` raise NotImplementedError at the exact point a codec
-would be called.
+not installed in this container): every operator runs a deterministic
+fake codec by default — the decode is fake, but the array math around it
+(block-mean resize, linear-interpolation resample, frame sampling) and
+the Spark-side batch shapes are real. Passing ``codec="pil"`` /
+``"soundfile"`` / ``"ffmpeg"`` raises NotImplementedError at the exact
+point the real library would be called.
 """
 
 from __future__ import annotations
@@ -85,25 +87,137 @@ def decode_binary(
     return df.select("doc_id", payload_col).mapInPandas(decode_batches, out_schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode (resize / pixel stats) — requires a codec library
-    (PIL/opencv), not installed here. The mapInPandas plumbing is the same
-    as :func:`decode_binary`."""
-    raise NotImplementedError(
-        "Image decoding requires PIL/opencv which are not installed; "
-        "use decode_binary() for the tested plumbing with fake features."
-    )
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_size: tuple[int, int] = (8, 8),
+    codec: str = "fake",
+) -> DataFrame:
+    """Image decode + resize over mapInPandas. ``codec="fake"`` (this
+    container) interprets the payload bytes as a deterministic grayscale
+    raster (tiled to 32x32); the RESIZE is real array math — block-mean
+    pooling to ``out_size`` — so batch shape, schema, and the
+    downsampling numerics are all testable. ``codec="pil"`` marks where
+    a real decoder plugs in."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"image codec {codec!r} requires PIL/opencv, not installed; "
+            "codec='fake' exercises the full plumbing"
+        )
+    oh, ow = out_size
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                img = np.resize(raw, (32, 32)).astype("float64")  # fake decode
+                bh, bw = 32 // oh, 32 // ow
+                resized = img.reshape(oh, bh, ow, bw).mean(axis=(1, 3))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "height": oh,
+                        "width": ow,
+                        "mean_pixel": float(img.mean()),
+                        "pixels": [float(v) for v in resized.reshape(-1)],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id bigint, height int, width int, mean_pixel double, pixels array<double>"
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
-def resample_audio(df: DataFrame, payload_col: str = "payload", rate: int = 16000):
-    """Audio resample stub — requires an audio library (librosa/soundfile)."""
-    raise NotImplementedError(
-        "Audio resampling requires librosa/soundfile which are not installed."
-    )
+def resample_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    rate: int = 16000,
+    source_rate: int = 44100,
+    codec: str = "fake",
+) -> DataFrame:
+    """Audio resample over mapInPandas. ``codec="fake"`` interprets the
+    payload as an int16 waveform; the RESAMPLE is real linear
+    interpolation onto the target rate's time grid. ``codec="soundfile"``
+    marks the real-decoder entry point."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"audio codec {codec!r} requires librosa/soundfile, not installed"
+        )
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                wave = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(
+                    "float64"
+                )
+                if wave.size < 2:
+                    wave = np.zeros(2)
+                n_out = max(2, int(round(wave.size * rate / source_rate)))
+                t_in = np.arange(wave.size) / source_rate
+                t_out = np.arange(n_out) / rate
+                out = np.interp(t_out, t_in, wave)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples_in": int(wave.size),
+                        "n_samples_out": int(out.size),
+                        "rms": float(np.sqrt((out**2).mean())),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id bigint, n_samples_in bigint, n_samples_out bigint, rms double"
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
-def sample_frames(df: DataFrame, payload_col: str = "payload", every_ms: int = 1000):
-    """Video frame sampling stub — requires a video decoder (ffmpeg/av)."""
-    raise NotImplementedError(
-        "Video frame sampling requires ffmpeg/av which are not installed."
-    )
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    fps: int = 25,
+    codec: str = "fake",
+) -> DataFrame:
+    """Video frame sampling over mapInPandas — a one-to-MANY decode (one
+    output row per sampled frame), the batch shape a real ffmpeg probe
+    produces. ``codec="fake"`` treats each 64-byte slice of the payload
+    as one frame at ``fps``; frames on the ``every_ms`` grid are emitted
+    with a content digest."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"video codec {codec!r} requires ffmpeg/av, not installed"
+        )
+    step = max(1, int(round(fps * every_ms / 1000.0)))
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // 64)
+                for fi in range(0, n_frames, step):
+                    frame = raw[fi * 64 : (fi + 1) * 64]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": fi,
+                            "ts_ms": int(fi * 1000 / fps),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id bigint, frame_idx int, ts_ms bigint, frame_md5 string"
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
