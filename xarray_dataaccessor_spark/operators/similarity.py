@@ -97,13 +97,39 @@ def plane_weight_py(plane: int, dim: int) -> float:
     return ((seed * _LCG_A + _LCG_C) % _LCG_M) / float(_LCG_M) * 2.0 - 1.0
 
 
-def plane_dot(vec: Column, plane: int, dims: int | None = None) -> Column:
+def _dbl_sql(v: float) -> str:
+    """Shortest round-trip SQL double literal: Python ``repr`` emits the
+    shortest decimal string that parses back to the same IEEE double, and
+    Java's ``Double.parseDouble`` (Spark's literal parser) uses the same
+    round-to-nearest — so the JVM sees bit-identical weights."""
+    return f"{v!r}D"
+
+
+def _plane_dot_sql(vec_sql: str, plane: int, dims: int) -> str:
+    """SQL text for the sequential-fold dot of ``vec_sql`` with the
+    deterministic plane — identical arithmetic to :func:`plane_dot`, but
+    one driver-side string instead of ``dims`` py4j ``lit`` calls."""
+    arr = ",".join(_dbl_sql(plane_weight_py(plane, d)) for d in range(dims))
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), (x, w) -> x * w), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def plane_dot(vec: Column | str, plane: int, dims: int | None = None) -> Column:
     """Dot product of ``vec`` with deterministic hyperplane ``plane``
     (sequential fold — stays JVM-side, bit-reproducible). With ``dims``
-    known (fixed-width embedding columns — the normal case) the plane is
-    a constant literal array; otherwise each row regenerates the weights
-    with higher-order expressions, which costs ~3x in interpreted
-    per-element work."""
+    known and ``vec`` given as a column NAME (fixed-width embedding
+    columns — the normal case) the whole fold is built as ONE ``F.expr``
+    string: the literal plane array otherwise costs ``dims`` py4j
+    round-trips per plane, which dominates wall time for multi-band
+    plans (measured ~2.7 s of driver-side build for a 2x8-plane query).
+    Otherwise each row regenerates the weights with higher-order
+    expressions, which costs ~3x in interpreted per-element work."""
+    if dims is not None and isinstance(vec, str):
+        return F.expr(_plane_dot_sql(vec, plane, dims))
+    if isinstance(vec, str):
+        vec = F.col(vec)
     if dims is not None:
         weights = F.array(*[F.lit(plane_weight_py(plane, d)) for d in range(dims)])
     else:
@@ -119,11 +145,25 @@ def plane_dot(vec: Column, plane: int, dims: int | None = None) -> Column:
 
 
 def lsh_bucket(
-    vec: Column, n_planes: int = 8, plane_offset: int = 0, dims: int | None = None
+    vec: Column | str,
+    n_planes: int = 8,
+    plane_offset: int = 0,
+    dims: int | None = None,
 ) -> Column:
     """Sign-bit bucket id from n deterministic hyperplanes
     (``plane_offset`` selects which planes, so bands draw disjoint
-    plane sets)."""
+    plane sets). With ``dims`` known and ``vec`` a column name, the
+    whole bucket (n_planes folds + sign bits) is ONE ``F.expr`` —
+    a single py4j call instead of ~``n_planes * dims``."""
+    if dims is not None and isinstance(vec, str):
+        terms = " + ".join(
+            f"(CASE WHEN {_plane_dot_sql(vec, plane_offset + j, dims)} > 0.0D "
+            f"THEN {2 ** j}L ELSE 0L END)"
+            for j in range(n_planes)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
+    if isinstance(vec, str):
+        vec = F.col(vec)
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
         d = plane_dot(vec, plane_offset + j, dims=dims)
@@ -150,11 +190,11 @@ def lsh_ann(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qe"),
-    ).withColumn("bucket", lsh_bucket(F.col("qe"), n_planes, dims=dims))
+    ).withColumn("bucket", lsh_bucket("qe", n_planes, dims=dims))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("ce"),
-    ).withColumn("bucket", lsh_bucket(F.col("ce"), n_planes, dims=dims))
+    ).withColumn("bucket", lsh_bucket("ce", n_planes, dims=dims))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -203,7 +243,7 @@ def lsh_ann_banded(
             F.struct(
                 F.lit(b).alias("band"),
                 lsh_bucket(
-                    F.col(vcol), planes_per_band, plane_offset=b * planes_per_band,
+                    vcol, planes_per_band, plane_offset=b * planes_per_band,
                     dims=dims,
                 ).alias("val"),
             )
@@ -262,7 +302,7 @@ def embedding_near_duplicates(
         F.struct(
             F.lit(bidx).alias("band"),
             lsh_bucket(
-                F.col("e"), planes_per_band, plane_offset=bidx * planes_per_band,
+                "e", planes_per_band, plane_offset=bidx * planes_per_band,
                 dims=dims,
             ).alias("val"),
         )
