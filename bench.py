@@ -50,6 +50,35 @@ def _warm_jvm(spark) -> None:
     # broadcast join
     dim = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     base.join(F.broadcast(dim), "k").write.format("noop").mode("overwrite").save()
+    # as-of shape: unionByName + ordered window with last(ignorenulls)
+    # + max_by aggregation (first measured query is alphabetically the
+    # as-of join, which otherwise absorbs this codepath's C2 compile)
+    ts = spark.range(0, 500_000, 1, 32).select(
+        (F.col("id") % 40_000).alias("k"), F.col("id").alias("t")
+    )
+    l = ts.select("k", "t", F.lit(None).cast("string").alias("rv"))
+    r = ts.limit(10_000).select("k", "t", F.md5(F.col("t").cast("string")).alias("rv"))
+    u = l.unionByName(r)
+    wu = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u.withColumn("c", F.last("rv", ignorenulls=True).over(wu)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    ts.groupBy("k").agg(F.max_by("t", "t").alias("m")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # higher-order array fold (aggregate/zip_with) — the similarity dot
+    vec = spark.range(0, 5_000, 1, 32).select(
+        F.col("id"), F.array(*[(F.col("id") % (i + 7)).cast("double") for i in range(8)]).alias("e")
+    )
+    vec.select(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        ).alias("d")
+    ).write.format("noop").mode("overwrite").save()
 
 
 def _warm_streaming(spark) -> None:

@@ -1,0 +1,151 @@
+"""Connected components over duplicate-pair graphs — the last step of a
+real dedup pipeline (SURVEY §7.8 extension): near-dup detectors emit
+PAIRS (minhash/simhash/jaccard/embedding ops in ``dedup.py`` /
+``similarity.py``); resolving which documents to KEEP requires grouping
+the pairs into duplicate clusters and electing one canonical document
+per cluster.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+standard MapReduce-era formulation), expressed as pure DataFrame ops:
+
+- ``large_star``: every node connects its strictly-larger neighbors to
+  the minimum of its neighborhood (including itself).
+- ``small_star``: every node connects its smaller-or-equal neighbors to
+  the minimum of its neighborhood.
+
+Each round is two groupBy-join passes (two shuffles, keyed on node id);
+the edge set converges to a star forest in O(log^2 n) rounds — at 100 TB
+this beats min-label propagation, whose round count is the graph
+DIAMETER (adversarial duplicate chains make that O(n)). Lineage is
+truncated every round with ``localCheckpoint`` (a real cluster job would
+use a reliable checkpoint dir); convergence is detected by an
+(edge-count, xxhash64-sum) signature — two tiny actions per round, never
+a driver-side edge collect.
+
+Determinism: the fixpoint labels each node with the MINIMUM id in its
+component — unique regardless of partitioning, iteration order, or
+engine, so results compare bit-exactly against a recursive-CTE SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over a symmetric edge set ``(u, v)``: emit
+    ``(v, min(N(u) + {u}))`` for every neighbor ``v > u``."""
+    nbr_min = edges.groupBy("u").agg(F.min("v").alias("__mn"))
+    return (
+        edges.join(nbr_min, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("__mn")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward the larger endpoint,
+    then connect every smaller neighbor (and the center) to the minimum
+    neighbor."""
+    directed = edges.filter(F.col("v") < F.col("u"))
+    nbr_min = directed.groupBy("u").agg(F.min("v").alias("__mn"))
+    moved = (
+        directed.join(nbr_min, "u")
+        .filter(F.col("v") != F.col("__mn"))
+        .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    )
+    center = nbr_min.select("u", F.col("__mn").alias("v"))
+    return moved.union(center).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (a SUM of xxhash64 values overflows long)
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Label every node of the (undirected) pair graph with the MINIMUM
+    node id in its connected component.
+
+    Returns ``(node, component)`` with one row per distinct node that
+    appears in ``edges`` (roots label themselves). ``max_iters`` bounds
+    the alternating-star rounds (O(log^2 n) needed; 25 covers any
+    realistic graph) — hitting the bound raises rather than returning a
+    partially-contracted labeling.
+    """
+    sym = _symmetrize(edges, src, dst)
+    nodes = sym.select("u").distinct()
+    e = sym.distinct().localCheckpoint(eager=True)
+    prev_sig = _signature(e)
+    if prev_sig[0] == 0:
+        return nodes.select(
+            F.col("u").alias("node"), F.col("u").alias("component")
+        )
+    for _ in range(max_iters):
+        # large_star expects a symmetric view; its output (and
+        # small_star's) is directed toward the minimum, so re-symmetrize
+        # on entry to each round.
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e = small_star(large_star(both)).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    # star forest: every non-root u appears exactly once as (u -> root)
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(
+        e.select("u"), nodes["u"] == e["u"], "left_anti"
+    ).select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return labels.union(roots)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate clusters: one row per
+    clustered document with its cluster id (the minimum doc id in the
+    component), the cluster size, and whether this document is the
+    canonical keeper (``doc_id == cluster_id`` — the standard
+    keep-the-smallest-id policy, deterministic)."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -125,40 +125,12 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
 
 
-# ---------------------------------------------------------------------------
-# J2 — time-concat union (xr.concat, era5_from_aws.py:244-261)
-# ---------------------------------------------------------------------------
-@query(
-    "union_concat_time",
-    oracle="""
-    WITH u AS (
-        SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-                                 AND l_shipdate < TIMESTAMP '1996-01-01'
-        UNION ALL
-        SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                                 AND l_shipdate < TIMESTAMP '1997-01-01'
-    )
-    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
-           COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM u GROUP BY 1
-    """,
-)
-def union_concat_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    li = load(spark, sf_dir, "lineitem")
-    y95 = li.filter(
-        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
-    )
-    y96 = li.filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
-    )
-    from xarray_dataaccessor_spark.operators.joins import concat_time
-
-    u = concat_time([y95, y96])
-    return u.groupBy(F.year("l_shipdate").cast("int").alias("ship_year")).agg(
-        F.count(F.lit(1)).alias("n_rows"), _dec_sum("l_quantity", 2, "sum_qty")
-    )
+# (J2 time-concat union — xr.concat, era5_from_aws.py:244-261 — is
+# consolidated into merge_variables_outer below: the order aggregate is
+# built from a concat_time union of two per-year slices before the outer
+# variable merge, so one query evidences both operators on one scan
+# spine. Its former separate registration freed an oracle slot for
+# dedup_duplicate_clusters.)
 
 
 # ---------------------------------------------------------------------------
@@ -440,11 +412,18 @@ def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> Dat
 @query(
     "merge_variables_outer",
     oracle="""
-    WITH agg AS (
+    WITH u AS (
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                               AND o_orderdate < TIMESTAMP '1996-01-01'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                               AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    agg AS (
         SELECT o_custkey AS custkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total,
                COUNT(*) AS n_orders
-        FROM orders GROUP BY 1
+        FROM u GROUP BY 1
     ),
     bal AS (SELECT c_custkey AS custkey, c_acctbal FROM customer)
     SELECT custkey, order_total, n_orders, c_acctbal
@@ -452,12 +431,25 @@ def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> Dat
     """,
 )
 def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 outer variable merge over a J2 time-concat spine: the order
+    aggregate is built from a concat_time union of the 1995 and 1996
+    slices (xr.concat, era5_from_aws.py:244-261), then outer-merged with
+    the customer balance variable (xr.merge, shared_functions.py:64-97).
+    One query, both join operators — formerly the separate
+    union_concat_time query."""
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.joins import merge_variables
+    from xarray_dataaccessor_spark.operators.joins import concat_time, merge_variables
 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    u = concat_time([y95, y96])
+    agg = u.groupBy(F.col("o_custkey").alias("custkey")).agg(
         _dec_sum("o_totalprice", 2, "order_total"),
         F.count(F.lit(1)).alias("n_orders"),
     )

@@ -306,6 +306,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup PAIRS -> connected components ->
+# canonical-document election. The oracle computes the same fixpoint with
+# a recursive CTE (min reachable label per node); the Spark side runs
+# alternating large-star/small-star contraction (operators/graph.py), so
+# an adversarial duplicate CHAIN converges in O(log^2 n) rounds, not
+# O(diameter).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs_all AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a, id_b FROM pairs_all WHERE est_jaccard >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    reach(u, label) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT s.v AS u, r.label FROM reach r JOIN sym s ON s.u = r.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the MinHash LSH pair graph (est_jaccard
+    >= 0.5 — agree/16 is an exact binary fraction, so the threshold
+    compares identically cross-engine): one row per clustered document
+    with (cluster_id = min doc id in component, cluster_size,
+    is_canonical). The keep-the-smallest-id policy is the deterministic
+    canonical election every dedup pipeline needs after pair detection."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.graph import duplicate_clusters
+
+    pairs = minhash_near_duplicates(
+        _corpus(spark, sf_dir), num_perm=16, rows_per_band=2
+    )
+    edges = pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    return duplicate_clusters(edges)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = ",\n               ".join(
         f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
