@@ -98,9 +98,13 @@ def connected_components(
     partially-contracted labeling.
     """
     sym = _symmetrize(edges, src, dst)
-    nodes = sym.select("u").distinct()
-    e = sym.distinct().localCheckpoint(eager=True)
+    # lazy checkpoint: the signature aggregate materializes it in the
+    # same job (eager=True would spend a separate job per round)
+    e = sym.distinct().localCheckpoint(eager=False)
     prev_sig = _signature(e)
+    # derive the node set from the CHECKPOINTED edges — reading it off
+    # `sym` would re-run the whole upstream pair pipeline a second time
+    nodes = e.select("u").distinct()
     if prev_sig[0] == 0:
         return nodes.select(
             F.col("u").alias("node"), F.col("u").alias("component")
@@ -110,7 +114,7 @@ def connected_components(
         # small_star's) is directed toward the minimum, so re-symmetrize
         # on entry to each round.
         both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        e = small_star(large_star(both)).localCheckpoint(eager=True)
+        e = small_star(large_star(both)).localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev_sig:
             break
