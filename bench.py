@@ -167,6 +167,16 @@ def main() -> None:
         from xarray_dataaccessor_spark.operators.spatial import grid_axes
 
         grid_axes(g)
+        # full point-extraction path (nearest match + broadcast join +
+        # pivot) on a sliver of the grid — JITs the codepath whose cold
+        # cost otherwise lands inside the measured extraction query
+        from xarray_dataaccessor_spark.catalog import points_df
+        from xarray_dataaccessor_spark.operators.extraction import points_to_table
+
+        pts = points_df(spark, coords=[(41.63, -82.98), (42.88, -79.43)])
+        points_to_table(g.limit(2000), pts, "t2m").write.format("noop").mode(
+            "overwrite"
+        ).save()
     except Exception:
         pass
     # 2. Python worker pool (one Arrow-batched worker per core; first use

@@ -128,3 +128,107 @@ def test_range_join_left_outer_keeps_unmatched_probes(spark):
 
     with _pytest.raises(ValueError, match="inner"):
         range_join_binned(probes, intervals, "ts", "lo", "hi", how="full")
+
+
+# ---------------------------------------------------------------------------
+# nearest / tolerance — pandas merge_asof is the semantic oracle (same
+# inclusive bounds, same backward-preferred tie on equidistant nearest)
+# ---------------------------------------------------------------------------
+def _pd_oracle(lrows, rrows, direction, tolerance=None, by=None):
+    import pandas as pd
+
+    lcols = ["k", "t"] if by else ["t"]
+    l = pd.DataFrame(lrows, columns=lcols + ["lid"]).sort_values("t", kind="stable")
+    r = pd.DataFrame(rrows, columns=lcols + ["v"]).sort_values("t", kind="stable")
+    kw = dict(on="t", direction=direction)
+    if by:
+        kw["by"] = "k"
+    if tolerance is not None:
+        kw["tolerance"] = tolerance
+    m = pd.merge_asof(l, r, **kw)
+    return {int(row.lid): (None if pd.isna(row.v) else float(row.v)) for row in m.itertuples()}
+
+
+def _lcg_rows(seed, n, key_mod=None, t_mod=1000):
+    s, rows = seed, []
+    for i in range(n):
+        s = (s * 1103515245 + 12345) % (2**31)
+        t = float(s % t_mod)
+        if key_mod:
+            s = (s * 1103515245 + 12345) % (2**31)
+            rows.append((s % key_mod, t))
+        else:
+            rows.append((t,))
+    return rows
+
+
+def test_asof_nearest_and_tolerance_vs_pandas_keyed(spark):
+    lraw = _lcg_rows(3, 60, key_mod=4)
+    rraw = _lcg_rows(17, 40, key_mod=4)
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lraw)]
+    rrows = []
+    seen = set()
+    for k, t in rraw:
+        if (k, t) not in seen:  # dedupe right instants per key
+            seen.add((k, t))
+            rrows.append((k, t, float(len(rrows))))
+    ldf = spark.createDataFrame(lrows, "k bigint, t double, lid bigint")
+    rdf = spark.createDataFrame(rrows, "k bigint, t double, v double")
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50.0):
+            got = {
+                int(r["lid"]): (None if r["v"] is None else float(r["v"]))
+                for r in asof_join(
+                    ldf, rdf, on="t", by="k", value_cols=["v"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            want = _pd_oracle(lrows, rrows, direction, tol, by="k")
+            assert got == want, (direction, tol)
+
+
+def test_asof_nearest_and_tolerance_vs_pandas_keyless(spark):
+    lraw = _lcg_rows(5, 50)
+    rraw = _lcg_rows(23, 30)
+    lrows = [(t, i) for i, (t,) in enumerate(lraw)]
+    rrows = []
+    seen = set()
+    for (t,) in rraw:
+        if t not in seen:
+            seen.add(t)
+            rrows.append((t, float(len(rrows))))
+    ldf = spark.createDataFrame(lrows, "t double, lid bigint")
+    rdf = spark.createDataFrame(rrows, "t double, v double")
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 80.0):
+            got = {
+                int(r["lid"]): (None if r["v"] is None else float(r["v"]))
+                for r in asof_join(
+                    ldf, rdf, on="t", value_cols=["v"],
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            want = _pd_oracle(lrows, rrows, direction, tol)
+            assert got == want, (direction, tol)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    ldf = spark.createDataFrame([(10.0, 0)], "t double, lid bigint")
+    rdf = spark.createDataFrame(
+        [(8.0, 1.0), (12.0, 2.0)], "t double, v double"
+    )
+    [row] = asof_join(ldf, rdf, on="t", value_cols=["v"], direction="nearest").collect()
+    assert row["v"] == 1.0
+
+
+def test_asof_tolerance_timestamps_seconds(spark):
+    ldf = spark.createDataFrame([(_t(10), 0)], "ts timestamp, lid bigint")
+    rdf = spark.createDataFrame([(_t(9), 7.0)], "ts timestamp, v double")
+    [hit] = asof_join(
+        ldf, rdf, on="ts", value_cols=["v"], tolerance=3600.0
+    ).collect()
+    assert hit["v"] == 7.0
+    [miss] = asof_join(
+        ldf, rdf, on="ts", value_cols=["v"], tolerance=3599.0
+    ).collect()
+    assert miss["v"] is None

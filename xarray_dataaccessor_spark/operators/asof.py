@@ -27,6 +27,14 @@ from pyspark.sql.window import Window
 from xarray_dataaccessor_spark.functions.datetime_fns import epoch_micros
 
 
+def _on_num(on: str, dtypes: dict[str, str]):
+    """Numeric view of the ordering column (epoch micros for timestamps)
+    for distance/tolerance arithmetic."""
+    if dtypes[on].startswith("timestamp"):
+        return epoch_micros(F.col(on)).cast("double")
+    return F.col(on).cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,50 +42,127 @@ def asof_join(
     by: str | None = None,
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right-side values with
-    ``right.on <= left.on`` (backward; ``forward`` mirrors), optionally
-    per ``by`` key. Right-side duplicates at the same instant must be
-    pre-deduplicated for determinism (as any as-of semantics requires).
+    """For each left row, attach the right-side values of the closest
+    match per ``direction`` (pandas ``merge_asof`` semantics, inclusive):
+
+    - ``backward``: most recent right row with ``right.on <= left.on``
+    - ``forward``: earliest right row with ``right.on >= left.on``
+    - ``nearest``: whichever of the two is closer in ``on``; an
+      equidistant tie prefers the backward match (deterministic)
+
+    ``tolerance`` (same units as ``on``; SECONDS for timestamp columns)
+    drops matches farther than the bound — the attached values become
+    null, the left row survives. Right-side duplicates at the same
+    instant must be pre-deduplicated for determinism (as any as-of
+    semantics requires).
+
+    One shuffle on the key either way: both directional carries run over
+    the same hash partitioning (two sorts of the same exchange for
+    ``nearest``).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"Unsupported direction {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by)
     ]
     keys = [by] if by else []
     l_tag = left.withColumn("__is_left", F.lit(1))
+    # carry the right-side ordering value alongside the payload: the
+    # nearest/tolerance decisions need the matched row's distance
     r_tag = right.select(
-        *keys, on, *[F.col(v).alias(f"__r_{v}") for v in value_cols]
+        *keys,
+        on,
+        F.col(on).alias("__r_on"),
+        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
     ).withColumn("__is_left", F.lit(0))
     combined = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    dtypes = dict(combined.dtypes)
+    carry_cols = ["__r_on", *[f"__r_{v}" for v in value_cols]]
 
     if not keys:
         # a global Window.orderBy would serialize everything through ONE
         # task; the keyless path instead range-buckets on time and
         # carries boundary values across buckets (see _keyless_asof)
-        return _keyless_asof(combined, on, value_cols, direction, left.columns)
-
-    # order right rows before left rows at the same instant so an exact
-    # timestamp match is visible to the left row (inclusive as-of)
-    if direction == "backward":
-        w = Window.partitionBy(*keys).orderBy(
-            F.col(on).asc(), F.col("__is_left").asc()
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        carried = {v: F.last(f"__r_{v}", ignorenulls=True).over(w) for v in value_cols}
+        out = _keyless_asof_raw(combined, on, carry_cols, direction)
     else:
-        w = Window.partitionBy(*keys).orderBy(
-            F.col(on).asc(), F.col("__is_left").desc()
-        ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carried = {v: F.first(f"__r_{v}", ignorenulls=True).over(w) for v in value_cols}
+        out = combined
+        if direction in ("backward", "nearest"):
+            # right rows sort before left rows at the same instant so an
+            # exact timestamp match is visible to the left row
+            wb = Window.partitionBy(*keys).orderBy(
+                F.col(on).asc(), F.col("__is_left").asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            for c in carry_cols:
+                out = out.withColumn(
+                    f"__b_{c}", F.last(c, ignorenulls=True).over(wb)
+                )
+        if direction in ("forward", "nearest"):
+            wf = Window.partitionBy(*keys).orderBy(
+                F.col(on).asc(), F.col("__is_left").desc()
+            ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            for c in carry_cols:
+                out = out.withColumn(
+                    f"__f_{c}", F.first(c, ignorenulls=True).over(wf)
+                )
+    return _asof_project(out, on, value_cols, direction, tolerance,
+                         dtypes, left.columns)
 
-    out = combined
-    for v, expr in carried.items():
-        out = out.withColumn(v, expr)
-    return out.filter(F.col("__is_left") == 1).select(*left.columns, *value_cols)
+
+def _asof_project(
+    out: DataFrame,
+    on: str,
+    value_cols: list[str],
+    direction: str,
+    tolerance: float | None,
+    dtypes: dict[str, str],
+    left_cols: list[str],
+) -> DataFrame:
+    """Pick the directional carry per left row, apply the tolerance
+    bound, and project the left schema + matched values."""
+    tnum = _on_num(on, dtypes)
+    is_ts = dtypes[on].startswith("timestamp")
+    tol = None
+    if tolerance is not None:
+        tol = float(tolerance) * (1_000_000.0 if is_ts else 1.0)
+
+    def carried_num(pfx: str):
+        c = F.col(f"{pfx}__r_on")
+        return epoch_micros(c).cast("double") if is_ts else c.cast("double")
+
+    if direction == "nearest":
+        d_b = tnum - carried_num("__b_")
+        d_f = carried_num("__f_") - tnum
+        use_b = F.when(
+            F.col("__b___r_on").isNotNull()
+            & (F.col("__f___r_on").isNull() | (d_b <= d_f)),
+            F.lit(True),
+        ).otherwise(F.lit(False))
+        dist = F.when(use_b, d_b).otherwise(d_f)
+        sel = {
+            v: F.when(use_b, F.col(f"__b___r_{v}")).otherwise(
+                F.col(f"__f___r_{v}")
+            )
+            for v in value_cols
+        }
+    else:
+        pfx = "__b_" if direction == "backward" else "__f_"
+        dist = (
+            (tnum - carried_num(pfx))
+            if direction == "backward"
+            else (carried_num(pfx) - tnum)
+        )
+        sel = {v: F.col(f"{pfx}__r_{v}") for v in value_cols}
+    if tol is not None:
+        sel = {
+            v: F.when(dist <= F.lit(tol), e) for v, e in sel.items()
+        }
+    projected = [sel[v].alias(v) for v in value_cols]
+    return out.filter(F.col("__is_left") == 1).select(*left_cols, *projected)
 
 
-def _keyless_asof(combined, on, value_cols, direction, left_cols, n_buckets=64):
+def _keyless_asof_raw(combined, on, carry_cols, direction, n_buckets=64):
     """Scalable keyless as-of: time-range buckets + boundary carry.
 
     1. Bucket boundaries from ``approxQuantile`` on the time column
@@ -89,6 +174,9 @@ def _keyless_asof(combined, on, value_cols, direction, left_cols, n_buckets=64):
        scanned with a tiny single-partition window, broadcast back, and
        coalesced under the within-bucket value.
 
+    Attaches ``__b_<c>`` (and/or ``__f_<c>`` — both for ``nearest``)
+    columns for every carried right-side column ``c`` and returns the
+    combined frame unprojected; :func:`_asof_project` finishes the job.
     Equivalent to the repartitionByRange + boundary-carry merge, built
     from declarative ops only.
     """
@@ -100,68 +188,73 @@ def _keyless_asof(combined, on, value_cols, direction, left_cols, n_buckets=64):
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(tnum.cast("double") >= F.lit(b), 1).otherwise(0)
-    df = combined.withColumn("__bucket", bucket)
-
-    backward = direction == "backward"
-    # a null ordering key makes max_by/min_by skip the row, matching the
-    # window carry's ignorenulls semantics for null right-side values
-    def _ord(v):
-        return F.when(F.col(f"__r_{v}").isNotNull(), F.col(on))
-
-    if backward:
-        w_in = Window.partitionBy("__bucket").orderBy(
-            F.col(on).asc(), F.col("__is_left").asc()
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        in_carry = {v: F.last(f"__r_{v}", ignorenulls=True).over(w_in) for v in value_cols}
-        edge_agg = [
-            F.max_by(F.col(f"__r_{v}"), _ord(v)).alias(f"__edge_{v}")
-            for v in value_cols
-        ]
-        w_carry = Window.orderBy("__bucket").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-    else:
-        w_in = Window.partitionBy("__bucket").orderBy(
-            F.col(on).asc(), F.col("__is_left").desc()
-        ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        in_carry = {v: F.first(f"__r_{v}", ignorenulls=True).over(w_in) for v in value_cols}
-        edge_agg = [
-            F.min_by(F.col(f"__r_{v}"), _ord(v)).alias(f"__edge_{v}")
-            for v in value_cols
-        ]
-        w_carry = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-
-    # per-bucket boundary values over a DENSE bucket spine (buckets with
-    # no right rows still need the carry from earlier buckets); the
-    # single-partition prefix window below runs over <= n_buckets rows
+    out = combined.withColumn("__bucket", bucket)
     spine = (
         combined.sparkSession.range(len(bounds) + 1)
         .select(F.col("id").cast("int").alias("__bucket"))
     )
-    edges = spine.join(
-        df.filter(F.col("__is_left") == 0).groupBy("__bucket").agg(*edge_agg),
-        "__bucket",
-        "left",
-    )
-    carry_cols = [
-        F.last(f"__edge_{v}", ignorenulls=True).over(w_carry).alias(f"__carry_{v}")
-        for v in value_cols
-    ]
-    carries = edges.select("__bucket", *carry_cols)
+    rights = out.filter(F.col("__is_left") == 0)
 
-    out = df
-    for v in value_cols:
-        out = out.withColumn(f"__in_{v}", in_carry[v])
-    out = out.join(F.broadcast(carries), "__bucket", "left")
-    projected = [
-        F.coalesce(F.col(f"__in_{v}"), F.col(f"__carry_{v}")).alias(v)
-        for v in value_cols
-    ]
-    return (
-        out.filter(F.col("__is_left") == 1).select(*left_cols, *projected)
-    )
+    # a null ordering key makes max_by/min_by skip the row, matching the
+    # window carry's ignorenulls semantics for null right-side values
+    def _ord(c):
+        return F.when(F.col(c).isNotNull(), F.col(on))
+
+    dirs = {"backward": ["__b_"], "forward": ["__f_"], "nearest": ["__b_", "__f_"]}
+    for pfx in dirs[direction]:
+        if pfx == "__b_":
+            w_in = Window.partitionBy("__bucket").orderBy(
+                F.col(on).asc(), F.col("__is_left").asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            in_carry = {
+                c: F.last(c, ignorenulls=True).over(w_in) for c in carry_cols
+            }
+            edge_agg = [
+                F.max_by(F.col(c), _ord(c)).alias(f"__edge_{c}")
+                for c in carry_cols
+            ]
+            w_carry = Window.orderBy("__bucket").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        else:
+            w_in = Window.partitionBy("__bucket").orderBy(
+                F.col(on).asc(), F.col("__is_left").desc()
+            ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            in_carry = {
+                c: F.first(c, ignorenulls=True).over(w_in) for c in carry_cols
+            }
+            edge_agg = [
+                F.min_by(F.col(c), _ord(c)).alias(f"__edge_{c}")
+                for c in carry_cols
+            ]
+            w_carry = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+
+        # per-bucket boundary values over a DENSE bucket spine (buckets
+        # with no right rows still need the carry from earlier buckets);
+        # the single-partition prefix window runs over <= n_buckets rows
+        edges = spine.join(
+            rights.groupBy("__bucket").agg(*edge_agg), "__bucket", "left"
+        )
+        carries = edges.select(
+            "__bucket",
+            *[
+                F.last(f"__edge_{c}", ignorenulls=True)
+                .over(w_carry)
+                .alias(f"__carry_{pfx}{c}")
+                for c in carry_cols
+            ],
+        )
+        for c in carry_cols:
+            out = out.withColumn(f"__in_{pfx}{c}", in_carry[c])
+        out = out.join(F.broadcast(carries), "__bucket", "left")
+        for c in carry_cols:
+            out = out.withColumn(
+                f"{pfx}{c}",
+                F.coalesce(F.col(f"__in_{pfx}{c}"), F.col(f"__carry_{pfx}{c}")),
+            )
+    return out
 
 
 def range_join_binned(
