@@ -33,9 +33,13 @@ def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in list(parent)}
 
 
-def _spark_cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _spark_cc(
+    spark, edges: list[tuple[int, int]], threshold: int | None = None
+) -> dict[int, int]:
+    """Default threshold=None forces pure star rounds; tests that cover
+    the hybrid endgame pass the library default explicitly."""
     df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
-    out = connected_components(df).collect()
+    out = connected_components(df, small_edge_threshold=threshold).collect()
     return {int(r["node"]): int(r["component"]) for r in out}
 
 
@@ -75,11 +79,26 @@ def test_random_graphs_match_union_find(spark):
             b = s % n_nodes
             if a != b:
                 edges.append((a, b))
-        assert _spark_cc(spark, edges) == _uf_components(edges), (
+        want = _uf_components(edges)
+        # star rounds and the union-find endgame must agree with the
+        # oracle AND each other
+        assert _spark_cc(spark, edges) == want, (seed, n_nodes, n_edges)
+        assert _spark_cc(spark, edges, threshold=1 << 21) == want, (
             seed,
             n_nodes,
             n_edges,
         )
+
+
+def test_endgame_after_contraction_rounds(spark):
+    # threshold below the initial symmetric edge count: the first star
+    # rounds run distributed, then the contracted set drops under the
+    # threshold and the union-find endgame finishes — including nodes
+    # the contracted edges no longer mention (root fill-in)
+    edges = [(i, i + 1) for i in range(60)] + [(100, 101)]
+    want = _uf_components(edges)
+    got = _spark_cc(spark, edges, threshold=40)
+    assert got == want
 
 
 def test_duplicate_clusters_canonical_and_sizes(spark):

@@ -72,6 +72,62 @@ def small_star(edges: DataFrame) -> DataFrame:
     return moved.union(center).distinct()
 
 
+def _endgame_cc(edges: DataFrame) -> DataFrame:
+    """Finish a SMALL edge set with a single-partition union-find.
+
+    Iterative star contraction shrinks the edge set geometrically, so on
+    any input the fixpoint is reached through an endgame of tiny rounds
+    whose cost is pure job/shuffle overhead — on a 1000-executor cluster
+    just as much as on local[32]. Once the measured edge count is below
+    ``SMALL_EDGE_THRESHOLD`` the remaining work fits one task: repartition
+    to a single partition and run path-compressed union-find there
+    (executor-side — never a driver collect). Emits ``(node, component)``
+    with component = min id, identical to the star-round fixpoint.
+    """
+
+    def part(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min: the smaller id becomes the root, so
+                    # the final root IS the component minimum
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"node": nodes, "component": [find(n) for n in nodes]}
+            )
+
+    return edges.repartition(1).mapInPandas(part, "node bigint, component bigint")
+
+
+#: Below this many (deduplicated, symmetric) edges the union-find endgame
+#: replaces star rounds. 1<<21 edges is ~32 MB of longs — trivially within
+#: one task's memory, far above the contracted edge sets real dedup graphs
+#: produce after a round or two.
+SMALL_EDGE_THRESHOLD = 1 << 21
+
+
 def _signature(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
@@ -87,6 +143,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    small_edge_threshold: int | None = SMALL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Label every node of the (undirected) pair graph with the MINIMUM
     node id in its connected component.
@@ -96,6 +153,12 @@ def connected_components(
     the alternating-star rounds (O(log^2 n) needed; 25 covers any
     realistic graph) — hitting the bound raises rather than returning a
     partially-contracted labeling.
+
+    Hybrid endgame: each round's signature already measures the edge
+    count; once it is at or below ``small_edge_threshold`` the remaining
+    contraction runs as a single-task union-find (:func:`_endgame_cc`)
+    instead of paying whole-cluster job overhead for tiny rounds. Pass
+    ``small_edge_threshold=None`` to force pure star rounds.
     """
     sym = _symmetrize(edges, src, dst)
     # lazy checkpoint: the signature aggregate materializes it in the
@@ -110,6 +173,16 @@ def connected_components(
             F.col("u").alias("node"), F.col("u").alias("component")
         )
     for _ in range(max_iters):
+        if (
+            small_edge_threshold is not None
+            and prev_sig[0] <= small_edge_threshold
+        ):
+            labels = _endgame_cc(e)
+            # nodes the contracted edge set no longer mentions are roots
+            roots = nodes.join(
+                labels.select(F.col("node").alias("u")), "u", "left_anti"
+            ).select(F.col("u").alias("node"), F.col("u").alias("component"))
+            return labels.union(roots)
         # large_star expects a symmetric view; its output (and
         # small_star's) is directed toward the minimum, so re-symmetrize
         # on entry to each round.
