@@ -322,3 +322,93 @@ def test_spread_small_input_suffixed_partition_bytes(spark):
         assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+# ---------------------------------------------------------------------------
+# raster_pyramid — multi-level overview cascade
+# ---------------------------------------------------------------------------
+
+
+def _pyramid_numpy(rows, levels, method):
+    """Brute-force oracle: block-aggregate the BASE grid at each level
+    (cascade must equal base aggregation for decomposable methods)."""
+    import numpy as np
+
+    from tests.grid_fixture import XS, YS
+
+    xs, ys = sorted(XS), sorted(YS)
+    by_time = {}
+    for t, y, x, t2m, u100 in rows:
+        by_time.setdefault(t, {})[(round(y, 6), round(x, 6))] = (t2m, u100)
+    out = {}
+    for lvl in range(1, levels + 1):
+        f = 2**lvl
+        for t, cells in by_time.items():
+            for (y, x), (t2m, u100) in cells.items():
+                iy = round((y - ys[0]) / 0.25)
+                ix = round((x - xs[0]) / 0.25)
+                key = (lvl, t, iy // f, ix // f)
+                out.setdefault(key, []).append((t2m, u100))
+    res = {}
+    for (lvl, t, by, bx), vals in out.items():
+        f = 2**lvl
+        cy = ys[0] + ((by + 0.5) * f - 0.5) * 0.25
+        cx = xs[0] + ((bx + 0.5) * f - 0.5) * 0.25
+        t2ms = [v[0] for v in vals if v[0] is not None]
+        u100s = [v[1] for v in vals if v[1] is not None]
+        if method == "mean":
+            agg = (
+                float(np.sum(t2ms)) / len(t2ms) if t2ms else None,
+                float(np.sum(u100s)) / len(u100s) if u100s else None,
+            )
+        elif method == "max":
+            agg = (max(t2ms) if t2ms else None, max(u100s) if u100s else None)
+        res[(lvl, t, round(cy, 9), round(cx, 9))] = agg
+    return res
+
+
+def test_raster_pyramid_matches_base_blocks(spark):
+    from tests.grid_fixture import grid_df, grid_rows
+    from xarray_dataaccessor_spark.operators.spatial import raster_pyramid
+
+    # with_nulls=True also exercises the (sum, count) mean state: a block
+    # whose u100 cells are all null must yield null, partial blocks must
+    # average the present cells only
+    nulled = grid_df(spark, with_nulls=True)
+    for method in ("mean", "max"):
+        want = _pyramid_numpy(grid_rows(with_nulls=True), 2, method)
+        got = {
+            (
+                int(r["level"]),
+                r["time"],
+                round(r["y"], 9),
+                round(r["x"], 9),
+            ): (r["t2m"], r["u100"])
+            for r in raster_pyramid(nulled, levels=2, method=method).collect()
+        }
+        assert set(got) == set(want), method
+        for k, (t2m, u100) in want.items():
+            gt, gu = got[k]
+            assert gt == __import__("pytest").approx(t2m, abs=1e-9), (method, k)
+            if u100 is None:
+                assert gu is None, (method, k)
+            else:
+                assert gu == __import__("pytest").approx(u100, abs=1e-9), (method, k)
+
+
+def test_raster_pyramid_shapes_and_validation(grid):
+    import pytest as _pytest
+
+    from xarray_dataaccessor_spark.operators.spatial import raster_pyramid
+
+    out = raster_pyramid(grid, levels=3, method="max")
+    counts = {
+        int(r["level"]): int(r["n"])
+        for r in out.groupBy("level").count().withColumnRenamed("count", "n").collect()
+    }
+    # 19x7 base: ceil-div blocks per level x 73 timesteps
+    assert counts == {1: 10 * 4 * 73, 2: 5 * 2 * 73, 3: 3 * 1 * 73}
+    with _pytest.raises(ValueError, match="decomposable"):
+        raster_pyramid(grid, levels=2, method="median")
+    with _pytest.raises(ValueError, match="levels"):
+        raster_pyramid(grid, levels=0)

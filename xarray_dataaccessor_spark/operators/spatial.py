@@ -459,6 +459,134 @@ def _resample_convolutional(df, xs, ys, fx, fy, method, value_cols, time_col, x_
     return out.select(time_col, y_col, x_col, *value_cols)
 
 
+#: Pyramid methods whose per-level state merges exactly under cascading
+#: (level L computed from level L-1 equals level L computed from the base).
+PYRAMID_METHODS = ("max", "min", "sum", "count", "mean")
+
+
+def raster_pyramid(
+    df: DataFrame,
+    levels: int = 3,
+    method: str = "mean",
+    value_cols: Sequence[str] | None = None,
+    time_col: str = "time",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Multi-level raster overview pyramid: level L downsamples the base
+    grid by 2^L per axis via 2x2 block aggregation of level L-1 — the
+    standard tiled-raster overview structure (GDAL overviews / COG; the
+    reference's one-shot ``spatial_resample`` rebuilds each resolution
+    from the base, ``core_functions.py:258-347``).
+
+    Cascading is the 100 TB shape: each level aggregates the PREVIOUS
+    level (4x fewer rows per step), so the whole pyramid costs ~1.33x one
+    downsample pass instead of ``levels`` full passes, and the per-level
+    shuffles shrink geometrically. All levels' level-1 exchange is reused
+    by Catalyst (one scan of the base — see test_plans.py). Methods are
+    restricted to the decomposable set (``PYRAMID_METHODS``): mean is
+    carried as (sum, count) state and finalized per level, so cascaded
+    means are exact, not means-of-means.
+
+    Returns ``level, time, y, x, <value_cols>`` with block-center
+    coordinates computed arithmetically from the axis origin/step.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if method not in PYRAMID_METHODS:
+        raise ValueError(
+            f"Unsupported pyramid method {method!r}; decomposable methods: "
+            f"{PYRAMID_METHODS}"
+        )
+    value_cols = value_cols or [
+        c for c in df.columns if c not in (time_col, x_col, y_col)
+    ]
+    xs, ys = grid_axes(df, x_col, y_col)
+    x0, sx = xs[0], axis_step(xs) or 1.0
+    y0, sy = ys[0], axis_step(ys) or 1.0
+
+    # level-0 state at cell grain: integer cell indices + per-column state
+    ix = F.round((F.col(x_col) - F.lit(x0)) / F.lit(sx)).cast("long")
+    iy = F.round((F.col(y_col) - F.lit(y0)) / F.lit(sy)).cast("long")
+    if method == "mean":
+        state = [
+            e
+            for v in value_cols
+            for e in (
+                F.col(v).cast("double").alias(f"__s_{v}"),
+                F.when(F.col(v).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                .cast("long")
+                .alias(f"__n_{v}"),
+            )
+        ]
+    elif method == "count":
+        state = [
+            F.when(F.col(v).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"__n_{v}")
+            for v in value_cols
+        ]
+    else:
+        state = [F.col(v).cast("double").alias(f"__s_{v}") for v in value_cols]
+    cur = df.select(F.col(time_col), ix.alias("__ix"), iy.alias("__iy"), *state)
+
+    merge = {"max": F.max, "min": F.min, "sum": F.sum, "count": F.sum, "mean": F.sum}[
+        method
+    ]
+    out_levels = []
+    for lvl in range(1, levels + 1):
+        if method == "mean":
+            aggs = [
+                a
+                for v in value_cols
+                for a in (
+                    F.sum(f"__s_{v}").alias(f"__s_{v}"),
+                    F.sum(f"__n_{v}").alias(f"__n_{v}"),
+                )
+            ]
+        elif method == "count":
+            aggs = [F.sum(f"__n_{v}").alias(f"__n_{v}") for v in value_cols]
+        else:
+            aggs = [merge(f"__s_{v}").alias(f"__s_{v}") for v in value_cols]
+        cur = (
+            cur.groupBy(
+                time_col,
+                F.floor(F.col("__ix") / 2).alias("__ix"),
+                F.floor(F.col("__iy") / 2).alias("__iy"),
+            )
+            .agg(*aggs)
+            # materialize each level once: Catalyst does not reuse the
+            # union branches' exchanges, so without this every level
+            # re-scans and re-shuffles the BASE grid (verified on the
+            # executed plan: 3 scans / 6 exchanges for 3 levels). The
+            # lazy local checkpoint makes it 1 scan + 1 geometric shuffle
+            # per level — same pattern as graph.connected_components.
+            .localCheckpoint(eager=False)
+        )
+        scale = float(2**lvl)
+        # block of 2^lvl cells starting at b*2^lvl: center in cell units
+        # is (b + 0.5)*2^lvl - 0.5
+        cx = (F.lit(x0) + ((F.col("__ix") + F.lit(0.5)) * F.lit(scale) - F.lit(0.5)) * F.lit(sx)).alias(x_col)
+        cy = (F.lit(y0) + ((F.col("__iy") + F.lit(0.5)) * F.lit(scale) - F.lit(0.5)) * F.lit(sy)).alias(y_col)
+        if method == "mean":
+            final = [
+                (F.col(f"__s_{v}") / F.col(f"__n_{v}")).alias(v) for v in value_cols
+            ]
+        elif method == "count":
+            final = [F.col(f"__n_{v}").alias(v) for v in value_cols]
+        else:
+            final = [F.col(f"__s_{v}").alias(v) for v in value_cols]
+        out_levels.append(
+            cur.select(
+                F.lit(lvl).cast("int").alias("level"), time_col, cy, cx, *final
+            )
+        )
+    out = out_levels[0]
+    for nxt in out_levels[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
 def normalize_longitude(df: DataFrame, x_col: str = "x") -> DataFrame:
     """R6: wrap 0..360 longitudes to -180..180 (the reference's AWS path
     shifts ``ds['lon'] - 180``, ``era5_from_aws.py:361-362``; we use the
