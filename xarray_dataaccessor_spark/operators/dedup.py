@@ -122,6 +122,58 @@ def word_shingles(
     )
 
 
+def minhash_band_structs(
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+):
+    """The whole shingle -> minhash -> band-bucket pipeline as ONE
+    map-side column expression: an array of ``(band, bucket)`` structs,
+    or NULL for a document with no shingles.
+
+    Bit-identical to the batch path (``word_shingles`` ->
+    ``minhash_signatures`` -> ``lsh_candidate_pairs`` band keys): same
+    shingle rule, same portable md5 hash, same ``(a*h+b) % p``
+    permutations, same ``_``-joined bucket string. Exists for operators
+    that cannot shuffle per shingle — the STREAMING near-dup keys its
+    state store on these buckets, and a stream cannot run the batch
+    groupBy(doc) signature aggregation per micro-batch."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+    n_bands = num_perm // rows_per_band
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(words, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    sh = F.filter(F.array_distinct(shingle), lambda s: F.length(s) > 0)
+    h = F.transform(sh, lambda s: portable_hash32(s))
+    mhs = [
+        F.array_min(
+            F.transform(
+                h,
+                lambda x: (x * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                % F.lit(HASH_PRIME),
+            )
+        )
+        for i in range(num_perm)
+    ]
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[mhs[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return F.when(F.size(sh) > 0, F.array(*bands))
+
+
 def minhash_signatures(
     shingle_df: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:

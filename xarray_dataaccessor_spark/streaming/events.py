@@ -239,3 +239,129 @@ def interval_join(
     ).select(
         F.col("l_key").alias(key), "l_ts", "r_ts", "l_value", "r_value"
     )
+
+
+def _duration_micros(s: str) -> int:
+    """Parse a watermark-style duration ('2 hours', '90 seconds') to
+    microseconds."""
+    n, unit = s.strip().split()
+    mult = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[unit.rstrip("s").lower()]
+    return int(n) * mult
+
+
+def stream_neardup_minhash(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """In-flight MinHash+LSH near-duplicate detection — the streaming
+    twin of the batch ``dedup.lsh_candidate_pairs``: emit a candidate
+    pair as soon as a document shares an LSH band bucket with an earlier
+    document no more than the watermark horizon older.
+
+    Shape: the whole shingle→minhash→band pipeline runs MAP-SIDE per row
+    (``dedup.minhash_band_structs`` — bit-identical to the batch band
+    keys), the stream is keyed on ``(band, bucket)``, and an
+    ``applyInPandasWithState`` operator holds the bucket's recent
+    ``(doc_id, ts)`` members. The pair horizon is enforced exactly
+    per-pair (``ts_new - ts_old <= horizon``); state is pruned against
+    the watermark (an entry older than ``watermark - horizon`` can never
+    pair again) and evicted wholesale by event-time timeout, so state is
+    bounded by bucket occupancy per horizon — never stream lifetime.
+
+    At 100 TB/day this is the standard streaming-dedup layout: the state
+    store shards on the band-bucket key, hot buckets are the skew to
+    watch (cap member lists; a bucket with thousands of members within
+    one horizon is a degenerate shingle — log and drop, don't quadratic).
+    Pairs are emitted once per shared band; distinct/cluster resolution
+    happens downstream exactly as in the batch pipeline."""
+    from xarray_dataaccessor_spark.operators.dedup import minhash_band_structs
+
+    horizon_us = _duration_micros(watermark)
+    rows = (
+        stream.withColumn(
+            "__bb", minhash_band_structs(text_col, k, num_perm, rows_per_band)
+        )
+        .filter(F.col("__bb").isNotNull())
+        .select(id_col, time_col, F.explode("__bb").alias("bb"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(time_col).alias("ts"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        .withWatermark("ts", watermark)
+    )
+
+    out_schema = "id_a bigint, id_b bigint, band int, bucket string"
+    state_schema = "ids array<bigint>, tss array<bigint>"
+
+    def update(
+        key: Tuple[int, str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, tss = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            # event-time order within the micro-batch (ties on id) so
+            # "earlier doc" is well-defined regardless of arrival order
+            raw = batch["ts"].astype("int64")
+            if "[us" not in str(batch["ts"].dtype):
+                raw = raw // 1000
+            batch = batch.assign(__us=raw).sort_values(["__us", "doc_id"])
+        out_a, out_b = [], []
+        for doc, t in zip(batch["doc_id"], batch["__us"] if len(batch) else []):
+            doc, t = int(doc), int(t)
+            for i, tt in zip(ids, tss):
+                if i != doc and t - tt <= horizon_us:
+                    out_a.append(min(i, doc))
+                    out_b.append(max(i, doc))
+            ids.append(doc)
+            tss.append(t)
+        # watermark prune: future rows have ts >= wm, so entries older
+        # than wm - horizon can never satisfy the pair horizon again
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0:
+            kept = [(i, tt) for i, tt in zip(ids, tss) if tt >= wm_us - horizon_us]
+            ids = [i for i, _ in kept]
+            tss = [tt for _, tt in kept]
+        if ids:
+            state.update((ids, tss))
+            # evict the whole bucket once nothing in it can pair again
+            timeout_ms = max(tss) // 1000 + horizon_us // 1000 + 1000
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1000))
+        else:
+            state.remove()
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": out_a,
+                    "id_b": out_b,
+                    "band": [key[0]] * len(out_a),
+                    "bucket": [key[1]] * len(out_a),
+                }
+            )
+
+    return rows.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
