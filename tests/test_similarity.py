@@ -236,3 +236,61 @@ def test_pq_codebook_shapes_and_validation(planted):
     assert codes.filter((F.col("code_id") < 0) | (F.col("code_id") >= 8)).count() == 0
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks(v, m_subspaces=5, dims=64)
+
+
+def test_int8_quantized_cosine_error_and_recall(spark):
+    """Quantized cosine within 0.02 of exact on the bench corpus, and
+    int8-scored top-5 keeps recall >= 0.9 vs exact scoring (the
+    candidate-generation contract)."""
+    from xarray_dataaccessor_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        int8_cosine,
+        quantize_embeddings_int8,
+    )
+    from xarray_dataaccessor_spark.sources.tables import load
+    from pyspark.sql.window import Window
+
+    emb = quantize_embeddings_int8(load(spark, "/root/testdata/sf0.01", "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        F.col("q").alias("qa"), F.col("q_scale").alias("sa"),
+    ).filter(F.col("ia") < 5)
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+        F.col("q").alias("qb"), F.col("q_scale").alias("sb"),
+    )
+    both = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "ib",
+        cosine(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")).alias("c"),
+        int8_cosine(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")).alias("cq"),
+    )
+    worst = both.agg(F.max(F.abs(F.col("c") - F.col("cq")))).first()[0]
+    assert worst < 0.02, f"int8 cosine error {worst:.4f}"
+
+    w = Window.partitionBy("ia").orderBy(F.desc("cq"), F.asc("ib"))
+    got = {
+        (r["ia"], r["ib"])
+        for r in both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    q = load(spark, "/root/testdata/sf0.01", "embeddings").filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, load(spark, "/root/testdata/sf0.01", "embeddings"), k=5).collect()
+    }
+    r = len(got & truth) / len(truth)
+    assert r >= 0.9, f"int8 top-5 recall {r:.2f}"
+
+
+def test_int8_quantization_roundtrip_bounds(spark):
+    from xarray_dataaccessor_spark.operators.similarity import quantize_embeddings_int8
+
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert out[1]["q"] == [64, -127, 32, 0]
+    assert abs(out[1]["q_scale"] - 1.0 / 127.0) < 1e-12
+    # all-zero vector: scale guard keeps codes finite
+    assert out[2]["q"] == [0, 0, 0, 0]

@@ -701,3 +701,52 @@ def ivf_ann(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = round(v[i]/s)``
+    with ``s = max|v| / 127`` stored beside the codes. 4x smaller than
+    float32 (8x vs the double arrays Spark surfaces) — at 100 TB the
+    embedding column is usually the widest thing in the table, and ANN
+    candidate generation only needs ~2 significant digits; re-rank joins
+    the raw vectors back for the short list (same discipline as
+    :func:`pq_ann`). Pure built-ins, stays in codegen."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / safe).cast("tinyint"))
+    return df.withColumns({out_col: q, f"{out_col}_scale": safe})
+
+
+def int8_cosine(
+    qa: Column,
+    sa: Column,
+    qb: Column,
+    sb: Column,
+) -> Column:
+    """Cosine from int8 codes + scales: integer dot products folded in
+    bigint (exact — 64 * 127^2 is far inside int64), scaled back at the
+    end. ``cos = (sa*sb*dot_q) / (sa*sqrt(qq_a) * sb*sqrt(qq_b))`` —
+    the scales cancel in cosine but are kept for the general dot case."""
+    dq = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.zip_with(qa, qa, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.zip_with(qb, qb, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return dq.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
