@@ -683,35 +683,59 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # R1 — spatial downsample by block aggregation (spatial_resample,
-# core_functions.py:258-347; factor 0.5 halves both axes). The oracle
-# mirrors the engine's block-index arithmetic with the grid's literal
-# origin/step (x0=-83.476, y0=41.383, s=0.25 from GRID_SQL_BODY).
+# core_functions.py:258-347; factor 0.5 halves both axes), upgraded to
+# the full overview PYRAMID: level 1 IS the old factor-0.5 block max,
+# level 2 cascades 2x2 blocks of level 1 (operators/spatial.py::
+# raster_pyramid — 1 scan + geometric shuffles). The oracle mirrors the
+# cascade with two chained GROUP BYs over the engine's block-index
+# arithmetic and the grid's literal origin/step (x0=-83.476, y0=41.383,
+# s=0.25 from GRID_SQL_BODY); MAX is order-insensitive so the cascaded
+# level 2 equals base aggregation exactly.
 # ---------------------------------------------------------------------------
-_DOWNSAMPLE_ORACLE = f"""
+_PYRAMID_ORACLE = f"""
     WITH grid AS ({GRID_SQL_BODY}),
     b AS (
         SELECT time,
-               floor(round((x - CAST(-83.476 AS DOUBLE)) / CAST(0.25 AS DOUBLE), 6) * CAST(0.5 AS DOUBLE)) AS bx,
-               floor(round((y - CAST(41.383 AS DOUBLE)) / CAST(0.25 AS DOUBLE), 6) * CAST(0.5 AS DOUBLE)) AS by,
+               CAST(round((x - CAST(-83.476 AS DOUBLE)) / CAST(0.25 AS DOUBLE), 0) AS BIGINT) AS ix,
+               CAST(round((y - CAST(41.383 AS DOUBLE)) / CAST(0.25 AS DOUBLE), 0) AS BIGINT) AS iy,
                t2m, u100
         FROM grid
+    ),
+    l1 AS (
+        SELECT time,
+               CAST(floor(ix / 2.0) AS BIGINT) AS ix,
+               CAST(floor(iy / 2.0) AS BIGINT) AS iy,
+               MAX(t2m) AS t2m, MAX(u100) AS u100
+        FROM b GROUP BY 1, 2, 3
+    ),
+    l2 AS (
+        SELECT time,
+               CAST(floor(ix / 2.0) AS BIGINT) AS ix,
+               CAST(floor(iy / 2.0) AS BIGINT) AS iy,
+               MAX(t2m) AS t2m, MAX(u100) AS u100
+        FROM l1 GROUP BY 1, 2, 3
     )
-    SELECT time,
-           CAST(41.383 AS DOUBLE) + ((by + 0.5) / CAST(0.5 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS y,
-           CAST(-83.476 AS DOUBLE) + ((bx + 0.5) / CAST(0.5 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS x,
-           MAX(t2m) AS t2m,
-           MAX(u100) AS u100
-    FROM b GROUP BY time, by, bx
+    SELECT CAST(1 AS INT) AS level, time,
+           CAST(41.383 AS DOUBLE) + ((iy + 0.5) * CAST(2 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS y,
+           CAST(-83.476 AS DOUBLE) + ((ix + 0.5) * CAST(2 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS x,
+           t2m, u100
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS level, time,
+           CAST(41.383 AS DOUBLE) + ((iy + 0.5) * CAST(4 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS y,
+           CAST(-83.476 AS DOUBLE) + ((ix + 0.5) * CAST(4 AS DOUBLE) - 0.5) * CAST(0.25 AS DOUBLE) AS x,
+           t2m, u100
+    FROM l2
 """
 
 
-@query("spatial_downsample_max", oracle=_DOWNSAMPLE_ORACLE)
+@query("spatial_downsample_max", oracle=_PYRAMID_ORACLE)
 def spatial_downsample_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.spatial import spatial_resample
+    from xarray_dataaccessor_spark.operators.spatial import raster_pyramid
 
     grid = _grid(spark, sf_dir)
-    return spatial_resample(grid, resolution_factor=0.5, resample_method="max")
+    return raster_pyramid(grid, levels=2, method="max")
 
 
 # ---------------------------------------------------------------------------
