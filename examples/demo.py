@@ -166,6 +166,38 @@ def main() -> None:
         f"({contaminated.count()} decontaminated) -> {n_packs} packs of <=2048 tokens"
     )
 
+    # --- round-3 surfaces: real BPE, duplicate clusters, PQ ANN,
+    #     overview pyramid, Z-ordered layout -------------------------
+    from xarray_dataaccessor_spark.operators.tokenize import bpe_encode, bpe_train
+    merges = bpe_train(clean, n_merges=80, max_words=5000)
+    toks = bpe_encode(clean, merges)
+    print("BPE:", len(merges), "merges; avg tokens/doc:",
+          round(toks.agg(F.avg("n_tokens")).first()[0], 1))
+
+    from xarray_dataaccessor_spark.operators.graph import duplicate_clusters
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    canon = clusters.filter(F.col("is_canonical")).count()
+    print("duplicate clusters:", clusters.select("cluster_id").distinct().count(),
+          "| canonical keepers:", canon)
+
+    from xarray_dataaccessor_spark.operators.similarity import pq_ann
+    emb = load(spark, sf_dir, "embeddings")
+    pq = pq_ann(emb.filter(F.col("vec_id") < 2), emb, k=3, dims=64)
+    print("PQ ANN top-3 (ADC + exact re-rank):")
+    for r in pq.collect():
+        print(f"  query {r['query_id']} -> {r['neighbor_id']} (cos={r['cos']:.4f})")
+
+    from xarray_dataaccessor_spark.operators.spatial import raster_pyramid
+    pyr = raster_pyramid(gf.df, levels=2, method="mean")
+    print("overview pyramid cells/level:",
+          {int(r["level"]): int(r["n"]) for r in
+           pyr.groupBy("level").count().withColumnRenamed("count", "n").collect()})
+
+    from xarray_dataaccessor_spark.operators.layout import cluster_spatially
+    zdir = tempfile.mkdtemp(prefix="xda_zorder_")
+    cluster_spatially(gf.df, n_files=4).write.mode("overwrite").parquet(zdir)
+    print("Z-ordered grid landed:", spark.read.parquet(zdir).count(), "rows in 4 spatial tiles")
+
 
 if __name__ == "__main__":
     main()
