@@ -218,3 +218,27 @@ def test_gopher_signals_shuffle_on_doc_id_only(spark, sf_dir):
     assert "partial" in plan.lower()  # map-side combine before the shuffle
     # bounded number of exchanges: 2 per gram profile + the join
     assert count_exchanges(df) <= 6
+
+
+def test_pyramid_executes_one_base_scan(spark, tmp_path):
+    """The cascade materializes each level once (lazy local checkpoint),
+    so the EXECUTED plan reads the base parquet exactly once — without it
+    every level's union branch re-scans and re-shuffles the base (3
+    scans / 6 exchanges for 3 levels, measured)."""
+    import re
+
+    from tests.grid_fixture import grid_df
+    from xarray_dataaccessor_spark.operators.spatial import raster_pyramid
+
+    d = str(tmp_path / "pyr_base")
+    grid_df(spark, with_nulls=False).write.mode("overwrite").parquet(d)
+    out = raster_pyramid(spark.read.parquet(d), levels=3, method="mean")
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every level reads its own checkpointed (already-aggregated) RDD;
+    # the base parquet was scanned once inside the level-1 checkpoint
+    # job and never appears in the final union plan, which is also
+    # exchange-free (no re-shuffle of anything)
+    assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"Scan ExistingRDD", plan)) == 3, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]

@@ -99,3 +99,37 @@ def test_pair_horizon_enforced_exactly(spark):
         .collect()
     }
     assert got == {(1, 2)}
+
+
+def test_hot_bucket_cap_batch_and_stream(spark):
+    """20 identical docs form a degenerate bucket (190 pairs uncapped);
+    with a member cap both the batch and streaming paths suppress the
+    quadratic bucket while an ordinary pair elsewhere survives."""
+    rows = [(i, "lorem ipsum dolor sit amet consectetur", i) for i in range(20)]
+    rows += [(100, "totally different words here entirely now", 100),
+             (101, "totally different words here entirely now", 101)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, off bigint").select(
+        "doc_id", "text",
+        F.timestamp_micros((F.lit(1_600_000_000) + F.col("off")) * 1_000_000).alias("ts"),
+    )
+    # batch
+    sig = minhash_signatures(word_shingles(df), 16)
+    uncapped = lsh_candidate_pairs(sig, 16, 2).count()
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig, 16, 2, max_bucket=5).collect()
+    }
+    assert uncapped >= 190
+    assert capped == {(100, 101)}
+    # streaming
+    d = tempfile.mkdtemp(prefix="xda_hotbucket_src_")
+    df.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = stream_neardup_minhash(stream, watermark="1 hour", max_bucket=5)
+    got = run_available_now(out, output_mode="append", shuffle_partitions=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.select("id_a", "id_b").distinct().collect()}
+    # the saturated bucket emits at most cap*(cap-1)/2 pairs; the
+    # ordinary pair is untouched
+    assert (100, 101) in pairs
+    hot = [p for p in pairs if p[0] < 100]
+    assert len(hot) <= 5 * 4 // 2

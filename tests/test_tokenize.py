@@ -91,3 +91,30 @@ def test_histogram_deterministic_and_bounded(spark):
     # descending by count, ties ascending by word
     for (wa, na), (wb, nb) in zip(h1, h1[1:]):
         assert (na > nb) or (na == nb and wa < wb)
+
+
+def test_bpe_roundtrip_property():
+    """Hypothesis: for ANY histogram and ANY word, encoding never alters
+    the character stream and merges never cross word boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        hist=st.lists(
+            st.tuples(word, st.integers(min_value=1, max_value=50)),
+            min_size=1,
+            max_size=12,
+        ),
+        probe=word,
+    )
+    def run(hist, probe):
+        merges = train_merges_from_histogram(hist, n_merges=20)
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+        toks = encode_word(probe, ranks)
+        assert "".join(toks) == probe
+        assert all(toks)
+
+    run()

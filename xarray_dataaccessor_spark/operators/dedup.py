@@ -193,11 +193,21 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into bands of ``rows_per_band``
     minhashes; documents sharing any band bucket become candidate pairs.
     The join key is (band_idx, band_value-string) — an equi-join Catalyst
-    shuffles on, never an O(n^2) comparison."""
+    shuffles on, never an O(n^2) comparison.
+
+    ``max_bucket`` is the hot-bucket guard for corpus scale: a band
+    bucket with m members contributes m^2/2 candidate pairs, so one
+    degenerate bucket (boilerplate text collapsing many documents onto
+    one signature band) can dominate the whole job. Buckets larger than
+    the cap are DROPPED from candidate generation (the same df-cap
+    discipline as ``jaccard_pairs``; the members almost certainly
+    collide in other, more selective bands). Implemented as a window
+    count over the bucket partition — no extra aggregation join."""
     n_bands = num_perm // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -208,6 +218,15 @@ def lsh_candidate_pairs(
     exploded = sig_df.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        exploded = (
+            exploded.withColumn("__m", F.count(F.lit(1)).over(w))
+            .filter(F.col("__m") <= max_bucket)
+            .drop("__m")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

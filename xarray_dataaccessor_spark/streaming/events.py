@@ -263,6 +263,7 @@ def stream_neardup_minhash(
     num_perm: int = 16,
     rows_per_band: int = 2,
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """In-flight MinHash+LSH near-duplicate detection — the streaming
     twin of the batch ``dedup.lsh_candidate_pairs``: emit a candidate
@@ -281,8 +282,11 @@ def stream_neardup_minhash(
 
     At 100 TB/day this is the standard streaming-dedup layout: the state
     store shards on the band-bucket key, hot buckets are the skew to
-    watch (cap member lists; a bucket with thousands of members within
-    one horizon is a degenerate shingle — log and drop, don't quadratic).
+    watch — a bucket with thousands of members within one horizon is a
+    degenerate signature band (boilerplate), and pairing against all of
+    them is quadratic. ``max_bucket`` caps the member list: a saturated
+    bucket stops pairing and stops growing (the batch twin's
+    ``lsh_candidate_pairs(max_bucket=...)`` drops the same buckets).
     Pairs are emitted once per shared band; distinct/cluster resolution
     happens downstream exactly as in the batch pipeline."""
     from xarray_dataaccessor_spark.operators.dedup import minhash_band_structs
@@ -328,6 +332,10 @@ def stream_neardup_minhash(
         out_a, out_b = [], []
         for doc, t in zip(batch["doc_id"], batch["__us"] if len(batch) else []):
             doc, t = int(doc), int(t)
+            if max_bucket is not None and len(ids) >= max_bucket:
+                # saturated (degenerate) bucket: stop pairing AND stop
+                # growing — bounded state, no quadratic blow-up
+                continue
             for i, tt in zip(ids, tss):
                 if i != doc and t - tt <= horizon_us:
                     out_a.append(min(i, doc))
