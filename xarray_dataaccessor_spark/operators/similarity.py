@@ -363,6 +363,22 @@ def ivf_assign(
     scored = vectors.join(F.broadcast(centroids)).withColumn(
         "__d", l2sq(F.col(vec_col), F.col(centroid_vec), dims)
     )
+    if rank == 1:
+        # argmin as an aggregation, not a window: min over a
+        # (distance, centroid_id, payload) struct is lexicographic, so
+        # the tie-break (smaller centroid id) is identical to the window
+        # ordering below — but partial aggregation combines map-side,
+        # where the window would shuffle and sort all |centroids| scored
+        # rows per vector
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct("__d", centroid_id, vec_col)).alias("__b")
+        )
+        return best.select(
+            id_col,
+            F.col(f"__b.{vec_col}").alias(vec_col),
+            F.col(f"__b.{centroid_id}").alias(centroid_id),
+            F.lit(1).cast("int").alias("probe_rank"),
+        )
     w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc(centroid_id))
     return (
         scored.withColumn("__rk", F.row_number().over(w))
@@ -402,23 +418,47 @@ def kmeans_centroids(
         assigned = ivf_assign(
             vectors, cent, id_col=id_col, vec_col=vec_col, rank=1, dims=dims
         )
-        dim_means = (
-            assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
-            .groupBy("centroid_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("col").cast("decimal(28,14)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mv")
-            )
-        )
-        cent = dim_means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s["mv"],
-            ).alias("ce")
-        )
+        cent = _centroid_means(assigned, ["centroid_id"], vec_col, dims)
     return cent
+
+
+def _centroid_means(
+    assigned: DataFrame, group_cols: list, vec_col: str, dims: int | None
+) -> DataFrame:
+    """Element-wise exact centroid means. With ``dims`` known: one
+    aggregation with ``dims`` per-dimension DECIMAL-sum expressions —
+    partial aggregation combines map-side, so the shuffle carries
+    (groups x dims) decimals, NOT the posexploded (rows x dims) stream
+    the fallback pays. Identical numbers either way (same decimal sums,
+    same counts)."""
+    if dims is not None:
+        # ONE F.expr for all dims: per-element Column construction costs
+        # ~6 py4j round-trips per dimension per iteration, which lands as
+        # driver-side plan-build wall time (memory: py4j-literal-cost)
+        sums = ", ".join(
+            f"CAST(sum(CAST(element_at({vec_col}, {i + 1}) AS DECIMAL(28,14)))"
+            f" AS DOUBLE) / count(1)"
+            for i in range(dims)
+        )
+        return assigned.groupBy(*group_cols).agg(
+            F.expr(f"array({sums})").alias("ce")
+        )
+    dim_means = (
+        assigned.select(*group_cols, F.posexplode(F.col(vec_col)))
+        .groupBy(*group_cols, "pos")
+        .agg(
+            (
+                F.sum(F.col("col").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+    )
+    return dim_means.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("ce")
+    )
 
 
 def pq_codebooks(
@@ -483,21 +523,8 @@ def pq_codebooks(
             .withColumn("__rk", F.row_number().over(w_assign))
             .filter(F.col("__rk") == 1)
         )
-        dim_means = (
-            assigned.select("m", "code_id", F.posexplode(F.col("sv")))
-            .groupBy("m", "code_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("col").cast("decimal(28,14)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mv")
-            )
-        )
-        cent = dim_means.groupBy("m", "code_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s["mv"],
-            ).alias("ce")
+        cent = _centroid_means(
+            assigned.select("m", "code_id", "sv"), ["m", "code_id"], "sv", sub
         )
     return cent
 
