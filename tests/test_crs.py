@@ -374,3 +374,83 @@ def test_conic_polar_columns_match_scalar_and_stay_codegen(spark):
         for b, (lon, lat) in zip(back, sorted(pts)):
             assert b[0] == pytest.approx(lon, abs=1e-7)
             assert b[1] == pytest.approx(lat, abs=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Rotated pole (CF rotated_latitude_longitude, CORDEX/COSMO)
+# ---------------------------------------------------------------------------
+
+
+def test_rotated_pole_cf_fixed_points():
+    from xarray_dataaccessor_spark.operators.crs import rotated_pole_crs
+
+    rp = rotated_pole_crs("EUR-11")  # pole (-162, 39.25)
+    # rotated origin lies at true (np_lon + 180, 90 - np_lat)
+    assert rp.forward(18.0, 50.75) == pytest.approx((0.0, 0.0), abs=1e-9)
+    assert rp.inverse(0.0, 0.0) == pytest.approx((18.0, 50.75), abs=1e-9)
+    # the true north pole sits on the rotated central meridian at np_lat
+    lon, lat = rp.forward(0.0, 90.0)
+    assert lat == pytest.approx(39.25, abs=1e-9)
+    # unrotated domain (pole at the pole) is the identity
+    noop = rotated_pole_crs("AFR-44")
+    assert noop.forward(12.3, -45.6) == pytest.approx((12.3, -45.6), abs=1e-9)
+    with pytest.raises(ValueError, match="CORDEX"):
+        rotated_pole_crs("XYZ-99")
+
+
+def test_rotated_pole_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xarray_dataaccessor_spark.operators.crs import RotatedPole
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lon=st.floats(min_value=-179.9, max_value=179.9),
+        lat=st.floats(min_value=-89.9, max_value=89.9),
+        np_lon=st.floats(min_value=-179.0, max_value=179.0),
+        np_lat=st.floats(min_value=1.0, max_value=89.0),
+    )
+    def run(lon, lat, np_lon, np_lat):
+        rp = RotatedPole(np_lon=np_lon, np_lat=np_lat)
+        rlon, rlat = rp.forward(lon, lat)
+        assert -180.0 <= rlon <= 180.0 and -90.0 <= rlat <= 90.0
+        lon2, lat2 = rp.inverse(rlon, rlat)
+        # compare on the sphere (longitude is degenerate near the poles)
+        import math
+
+        d = math.sin(math.radians(lat)) * math.sin(math.radians(lat2)) + math.cos(
+            math.radians(lat)
+        ) * math.cos(math.radians(lat2)) * math.cos(math.radians(lon - lon2))
+        assert d >= 1.0 - 1e-9
+
+    run()
+
+
+def test_rotated_pole_columns_match_scalars(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.operators.crs import rotated_pole_crs
+    from xarray_dataaccessor_spark.operators.spatial import rotate_pole_grid
+
+    rp = rotated_pole_crs("EUR-11")
+    pts = [(float(lo), float(la)) for lo in range(-30, 61, 10) for la in range(20, 81, 10)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = {
+        (r["x0"], r["y0"]): (r["x"], r["y"])
+        for r in rotate_pole_grid(
+            df.withColumn("x0", F.col("x")).withColumn("y0", F.col("y")), "EUR-11"
+        ).collect()
+    }
+    for lo, la in pts:
+        want = rp.forward(lo, la)
+        got = out[(lo, la)]
+        assert abs(got[0] - want[0]) < 1e-9 and abs(got[1] - want[1]) < 1e-9
+    # and the column inverse undoes the column forward
+    back = rotate_pole_grid(
+        rotate_pole_grid(df, "EUR-11"), "EUR-11", inverse=True
+    ).collect()
+    for r in back:
+        assert math.isclose(r["x"] % 360, r["x"] % 360) and abs(r["y"]) <= 90

@@ -648,3 +648,85 @@ def transform_point(lon_or_x: float, lat_or_y: float, from_epsg: int, to_epsg: i
         lon, lat = proj_from.inverse(lon_or_x, lat_or_y)
         return proj_to.forward(lon, lat)
     raise KeyError(f"No closed-form transform {from_epsg} -> {to_epsg}")
+
+
+@dataclass(frozen=True)
+class RotatedPole:
+    """CF ``rotated_latitude_longitude`` (COSMO / CORDEX regional climate
+    grids — e.g. EUR-11's pole at lon -162, lat 39.25): a pure spherical
+    rotation, no projection. The rotated frame's north pole sits at true
+    ``(np_lon, np_lat)``; per the CF convention the true pole gets
+    rotated longitude 0, so rotated (0, 0) lies at true
+    ``(np_lon + 180, 90 - np_lat)``.
+
+    Written as the explicit rotation Ry(np_lat - 90) . Rz(-np_lon) on
+    unit vectors (plus the conventional 180-degree longitude shift), one
+    formula for the scalar and column paths via the ops shim — no
+    hand-expanded trig identities to get sign conventions wrong."""
+
+    np_lon: float
+    np_lat: float
+
+    def _fwd(self, ops, lon_deg, lat_deg, rad, deg, lit):
+        lam = rad(lon_deg - lit(self.np_lon))
+        phi = rad(lat_deg)
+        beta = math.radians(self.np_lat - 90.0)
+        cb, sb = math.cos(beta), math.sin(beta)
+        x, y, z = ops.cos(lam) * ops.cos(phi), ops.sin(lam) * ops.cos(phi), ops.sin(phi)
+        x2 = x * lit(cb) + z * lit(sb)
+        z2 = -x * lit(sb) + z * lit(cb)
+        rlon = deg(ops.atan2(y, x2)) - lit(180.0)
+        return _norm_lon(rlon), deg(ops.asin(z2))
+
+    def _inv(self, ops, rlon_deg, rlat_deg, rad, deg, lit):
+        lam = rad(rlon_deg + lit(180.0))
+        phi = rad(rlat_deg)
+        gamma = math.radians(90.0 - self.np_lat)
+        cg, sg = math.cos(gamma), math.sin(gamma)
+        x, y, z = ops.cos(lam) * ops.cos(phi), ops.sin(lam) * ops.cos(phi), ops.sin(phi)
+        x2 = x * lit(cg) + z * lit(sg)
+        z2 = -x * lit(sg) + z * lit(cg)
+        lon = deg(ops.atan2(y, x2)) + lit(self.np_lon)
+        return _norm_lon(lon), deg(ops.asin(z2))
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._fwd(
+            _ScalarOps, lon, lat, math.radians, math.degrees, lambda v: v
+        )
+
+    def inverse(self, rlon: float, rlat: float) -> tuple[float, float]:
+        return self._inv(
+            _ScalarOps, rlon, rlat, math.radians, math.degrees, lambda v: v
+        )
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        return self._fwd(_ColumnOps, lon, lat, F.radians, F.degrees, F.lit)
+
+    def inverse_cols(self, rlon: Column, rlat: Column) -> tuple[Column, Column]:
+        return self._inv(_ColumnOps, rlon, rlat, F.radians, F.degrees, F.lit)
+
+
+#: Published CORDEX rotated-pole domains (CF grid_north_pole_* params).
+CORDEX_ROTATED_POLES = {
+    "EUR-11": dict(np_lon=-162.0, np_lat=39.25),
+    "EUR-44": dict(np_lon=-162.0, np_lat=39.25),
+    "NAM-44": dict(np_lon=83.0, np_lat=42.5),
+    "AFR-44": dict(np_lon=180.0, np_lat=90.0),  # unrotated (pole at pole)
+}
+
+
+def rotated_pole_crs(domain_or_params) -> RotatedPole:
+    """CORDEX domain name ('EUR-11', ...) or a dict of CF params
+    (``np_lon``/``np_lat`` = grid_north_pole_longitude/latitude) ->
+    :class:`RotatedPole`."""
+    if isinstance(domain_or_params, str):
+        try:
+            params = CORDEX_ROTATED_POLES[domain_or_params]
+        except KeyError:
+            raise ValueError(
+                f"Unknown CORDEX domain {domain_or_params!r}; known: "
+                f"{sorted(CORDEX_ROTATED_POLES)} (or pass CF params)"
+            ) from None
+    else:
+        params = domain_or_params
+    return RotatedPole(**params)

@@ -703,3 +703,24 @@ def bbox_to_crs(bbox, from_epsg: int, to_epsg: int):
                 "4326<->UTM; other CRS pairs need pyproj (geo extras)."
             ) from exc
     return BoundingBox(west=min(w, e), south=min(s, n), east=max(w, e), north=max(s, n))
+
+
+def rotate_pole_grid(
+    df: DataFrame,
+    domain_or_params,
+    inverse: bool = False,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """CF rotated-pole transform over the grid's lon/lat columns
+    (CORDEX/COSMO regional climate grids): ``inverse=False`` takes true
+    lon/lat to rotated-grid coordinates, ``inverse=True`` goes back.
+    Pure column expressions (one spherical rotation) — whole-stage
+    codegen, no UDF, same discipline as the projection registry in
+    ``operators/crs.py``."""
+    from xarray_dataaccessor_spark.operators.crs import rotated_pole_crs
+
+    rp = rotated_pole_crs(domain_or_params)
+    fn = rp.inverse_cols if inverse else rp.forward_cols
+    nx, ny = fn(F.col(x_col), F.col(y_col))
+    return df.withColumns({x_col: nx, y_col: ny})
