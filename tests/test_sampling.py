@@ -158,3 +158,37 @@ def test_sequence_packing_oversized_doc_isolated(spark):
     big_pack = pdf.loc[pdf.doc_id == 2, "pack_id"].iloc[0]
     after = pdf.loc[pdf.doc_id == 3, "pack_id"].iloc[0]
     assert big_pack != after
+
+
+def test_shuffle_rows_deterministic_permutation(spark):
+    from xarray_dataaccessor_spark.operators.sampling import shuffle_rows
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    a = [r["doc_id"] for r in shuffle_rows(docs, seed=1).collect()]
+    b = [r["doc_id"] for r in shuffle_rows(docs, seed=1).collect()]
+    c = [r["doc_id"] for r in shuffle_rows(docs, seed=2).collect()]
+    assert a == b  # reproducible
+    assert sorted(a) == sorted(c)  # a permutation
+    assert a != c  # seeds independent
+    assert a != sorted(a)  # actually shuffled
+    # partition-layout independence: a different input split, same order
+    d = [
+        r["doc_id"]
+        for r in shuffle_rows(docs.repartition(7), seed=1).collect()
+    ]
+    assert d == a
+
+
+def test_shard_shuffled_balance_and_coverage(spark):
+    from xarray_dataaccessor_spark.operators.sampling import shard_shuffled
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    n = docs.count()
+    out = shard_shuffled(docs, n_shards=8, seed=3)
+    sizes = {r["shard"]: r["count"] for r in out.groupBy("shard").count().collect()}
+    assert set(sizes) == set(range(8))
+    assert sum(sizes.values()) == n
+    # hash-mod balance: no shard more than 2x the mean
+    assert max(sizes.values()) <= 2 * (n // 8 + 1)

@@ -195,3 +195,38 @@ def sequence_packing(
         F.concat_ws("-", F.col("__shard"), F.col("__pk")).alias("pack_id"),
         F.row_number().over(wp).alias("pack_pos"),
     )
+
+
+def shuffle_rows(
+    df: DataFrame, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle for training order: total-order the
+    rows by ``xxhash64(id, seed)`` (ties broken by the id itself, so the
+    permutation is total even under hash collisions). Changing ``seed``
+    gives an independent permutation; the same seed reproduces the same
+    order on any cluster/partitioning — the property per-partition
+    ``rand()`` shuffles lose the moment the input splits differently.
+
+    One range-partitioned sort (Spark samples the hash space, so output
+    partitions are balanced regardless of id distribution). At 100 TB
+    this is the standard epoch-shuffle pass; write the result sharded
+    once per epoch seed rather than re-sorting per consumer."""
+    return df.orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+
+
+def shard_shuffled(
+    df: DataFrame, n_shards: int, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Epoch-sharded shuffle: assign each row a deterministic shard
+    (hash-mod over a seed-keyed hash — balanced and reproducible) and
+    order within shards by an independent hash, ready for
+    ``.write.partitionBy('shard')``. Consumers stream shard files in
+    name order and get a reproducible global permutation without any
+    consumer-side sort."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col)
+    )
