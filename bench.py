@@ -70,6 +70,22 @@ def _warm_jvm(spark) -> None:
     ts.groupBy("k").agg(F.max_by("t", "t").alias("m")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # min-over-struct argmin aggregation (the IVF/PQ rank-1 assignment
+    # shape) and a decimal element_at aggregation (centroid means)
+    ts.groupBy("k").agg(F.min(F.struct("t", "k")).alias("m")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    vecw = spark.range(0, 2_000, 1, 8).select(
+        (F.col("id") % 50).alias("k"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(4)]).alias("e"),
+    )
+    vecw.groupBy("k").agg(
+        F.expr(
+            "array(CAST(sum(CAST(element_at(e, 1) AS DECIMAL(28,14))) AS DOUBLE)"
+            " / count(1), CAST(sum(CAST(element_at(e, 2) AS DECIMAL(28,14)))"
+            " AS DOUBLE) / count(1))"
+        ).alias("m")
+    ).write.format("noop").mode("overwrite").save()
     # higher-order array fold (aggregate/zip_with) — the similarity dot
     vec = spark.range(0, 5_000, 1, 32).select(
         F.col("id"), F.array(*[(F.col("id") % (i + 7)).cast("double") for i in range(8)]).alias("e")
@@ -184,6 +200,40 @@ def main() -> None:
     spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # 2b. connected-components substrate: signature aggregate (bit_xor of
+    #     xxhash64), the localCheckpoint path, and the single-partition
+    #     union-find endgame (repartition(1) + mapInPandas)
+    try:
+        from xarray_dataaccessor_spark.operators.graph import connected_components
+
+        cc_edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+        )
+        connected_components(cc_edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+    # 2c. IVF/k-means generated classes (min-struct argmin + the 64-wide
+    #     decimal element_at mean aggregation): the generated source for
+    #     a 64-dim aggregate is large enough that its first C2 compile
+    #     costs seconds; running the operator once on a tiny 64-dim
+    #     corpus populates the codegen cache with the exact classes
+    try:
+        from xarray_dataaccessor_spark.operators.similarity import ivf_ann
+
+        tiny = spark.range(0, 64, 1, 8).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[((F.col("id") + i) % 17).cast("double") for i in range(64)]
+            ).alias("embedding"),
+        )
+        ivf_ann(
+            tiny.filter(F.col("vec_id") < 2), tiny, k=3, n_centroids=8,
+            n_probe=2, n_iters=2, dims=64,
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
     # 3. micro-batch engine + state store + stateful-Python path (JIT of
     #    the streaming codepath otherwise lands on the first streaming query)
     _warm_streaming(spark)
