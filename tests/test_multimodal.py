@@ -55,7 +55,7 @@ def test_sample_frames_one_to_many(spark, media):
     # 1 fps sampling of a 25 fps fake stream: every 25th frame
     out = sample_frames(media, every_ms=1000, fps=25)
     pdf = out.toPandas()
-    assert set(pdf.columns) == {"doc_id", "frame_idx", "ts_ms", "frame_md5"}
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "ts_ms", "frame_md5", "mean_luma"}
     assert (pdf["frame_idx"] % 25 == 0).all()
     assert (pdf.groupby("doc_id").size() >= 1).all()
     # deterministic digests: same payload -> same frame hash

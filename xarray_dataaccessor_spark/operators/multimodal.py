@@ -16,8 +16,31 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.sources.media import (
+    parse_bmp,
+    parse_netpbm,
+    parse_wav,
+    parse_y4m,
+)
+
+
+def _ship_by_value() -> None:
+    """Executors may not have this package installed; ship the decoders
+    by value (same pattern as the format readers, ``ingest.py:187``)."""
+    try:
+        from pyspark import cloudpickle as _cp
+
+        import xarray_dataaccessor_spark.operators.multimodal as _mm
+        from xarray_dataaccessor_spark.sources import media as _media
+
+        _cp.register_pickle_by_value(_media)
+        _cp.register_pickle_by_value(_mm)
+    except Exception:
+        pass
 
 BINARY_META_SCHEMA = (
     "media_type string, width int, height int, n_channels int, duration_ms bigint"
@@ -87,36 +110,76 @@ def decode_binary(
     return df.select("doc_id", payload_col).mapInPandas(decode_batches, out_schema)
 
 
+def _decode_gray(raw: bytes, codec: str):
+    """Decode payload bytes to a float64 grayscale array. Real parsers
+    for the pure formats; 'fake' tiles the raw bytes to 32x32."""
+    if codec == "netpbm":
+        img = parse_netpbm(raw).astype("float64")
+    elif codec == "bmp":
+        img = parse_bmp(raw).astype("float64")
+    else:
+        return np.resize(
+            np.frombuffer(raw, dtype=np.uint8), (32, 32)
+        ).astype("float64")
+    if img.ndim == 3:  # color -> luma, ITU-R 601
+        img = img @ np.array([0.299, 0.587, 0.114])
+    return img
+
+
+def _resize_area(img, oh: int, ow: int):
+    """Area-mean resize to (oh, ow) for ARBITRARY source shapes: mean of
+    the source cells whose centers fall in each target cell (prefix-sum
+    formulation, exact, no loops over pixels)."""
+    h, w = img.shape
+    ys = (np.arange(oh + 1) * h) // oh
+    xs = (np.arange(ow + 1) * w) // ow
+    # 2-D prefix sums with a zero border
+    ps = np.zeros((h + 1, w + 1))
+    ps[1:, 1:] = img.cumsum(0).cumsum(1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    tot = (
+        ps[ys[1:], :][:, xs[1:]]
+        - ps[ys[:-1], :][:, xs[1:]]
+        - ps[ys[1:], :][:, xs[:-1]]
+        + ps[ys[:-1], :][:, xs[:-1]]
+    )
+    return tot / np.maximum(area, 1)
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
     out_size: tuple[int, int] = (8, 8),
     codec: str = "fake",
 ) -> DataFrame:
-    """Image decode + resize over mapInPandas. ``codec="fake"`` (this
-    container) interprets the payload bytes as a deterministic grayscale
-    raster (tiled to 32x32); the RESIZE is real array math — block-mean
-    pooling to ``out_size`` — so batch shape, schema, and the
-    downsampling numerics are all testable. ``codec="pil"`` marks where
-    a real decoder plugs in."""
-    if codec != "fake":
+    """Image decode + resize over mapInPandas.
+
+    REAL codecs (pure spec parsers, ``sources/media.py``):
+    ``codec="netpbm"`` (PGM/PPM, ASCII + binary, 8/16-bit) and
+    ``codec="bmp"`` (uncompressed 8/24-bit). Color images collapse to
+    luma (ITU-R 601 weights) before the resize. ``codec="fake"``
+    interprets the payload bytes as a deterministic grayscale raster
+    (tiled to 32x32) for plumbing tests without fixtures. The RESIZE is
+    the same real array math for every codec — area-mean pooling to
+    ``out_size``. ``codec="pil"`` marks where a compressed-format
+    decoder (JPEG/PNG) would plug in."""
+    if codec not in ("fake", "netpbm", "bmp"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
-            "codec='fake' exercises the full plumbing"
+            "'netpbm'/'bmp' decode purely, 'fake' exercises the plumbing"
         )
+    _ship_by_value()
     oh, ow = out_size
+    dec, rz = _decode_gray, _resize_area
 
     def batches_fn(batches: "Iterator") -> "Iterator":
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                img = np.resize(raw, (32, 32)).astype("float64")  # fake decode
-                bh, bw = 32 // oh, 32 // ow
-                resized = img.reshape(oh, bh, ow, bw).mean(axis=(1, 3))
+                img = dec(bytes(payload), codec)
+                resized = rz(img, oh, ow)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -139,14 +202,23 @@ def resample_audio(
     source_rate: int = 44100,
     codec: str = "fake",
 ) -> DataFrame:
-    """Audio resample over mapInPandas. ``codec="fake"`` interprets the
-    payload as an int16 waveform; the RESAMPLE is real linear
-    interpolation onto the target rate's time grid. ``codec="soundfile"``
-    marks the real-decoder entry point."""
-    if codec != "fake":
+    """Audio resample over mapInPandas.
+
+    ``codec="wav"`` is a REAL decode: RIFF/WAVE PCM and float streams
+    parse purely (``sources/media.py::parse_wav``), multi-channel mixes
+    to mono, and the header's actual sample rate overrides
+    ``source_rate``. ``codec="fake"`` interprets the payload as a raw
+    int16 waveform at ``source_rate`` (plumbing tests, no fixture).
+    Either way the RESAMPLE is real linear interpolation onto the target
+    rate's time grid. ``codec="soundfile"`` marks where a compressed-
+    format decoder (MP3/OGG) would plug in."""
+    if codec not in ("fake", "wav"):
         raise NotImplementedError(
-            f"audio codec {codec!r} requires librosa/soundfile, not installed"
+            f"audio codec {codec!r} requires librosa/soundfile, not installed; "
+            "'wav' decodes PCM purely, 'fake' exercises the plumbing"
         )
+    _ship_by_value()
+    wav_parse = parse_wav
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import numpy as np
@@ -156,13 +228,18 @@ def resample_audio(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 raw = bytes(payload)
-                wave = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(
-                    "float64"
-                )
+                src_rate = source_rate
+                if codec == "wav":
+                    src_rate, chans = wav_parse(raw)
+                    wave = chans.mean(axis=1)  # mix to mono
+                else:
+                    wave = np.frombuffer(
+                        raw[: len(raw) // 2 * 2], dtype="<i2"
+                    ).astype("float64")
                 if wave.size < 2:
                     wave = np.zeros(2)
-                n_out = max(2, int(round(wave.size * rate / source_rate)))
-                t_in = np.arange(wave.size) / source_rate
+                n_out = max(2, int(round(wave.size * rate / src_rate)))
+                t_in = np.arange(wave.size) / src_rate
                 t_out = np.arange(n_out) / rate
                 out = np.interp(t_out, t_in, wave)
                 rows.append(
@@ -188,14 +265,21 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling over mapInPandas — a one-to-MANY decode (one
     output row per sampled frame), the batch shape a real ffmpeg probe
-    produces. ``codec="fake"`` treats each 64-byte slice of the payload
-    as one frame at ``fps``; frames on the ``every_ms`` grid are emitted
-    with a content digest."""
-    if codec != "fake":
+    produces.
+
+    ``codec="y4m"`` is a REAL decode: YUV4MPEG2 (the uncompressed video
+    interchange format) parses purely (``sources/media.py::parse_y4m``);
+    the header's frame rate overrides ``fps`` and each sampled frame
+    reports its true luma mean + digest. ``codec="fake"`` treats each
+    64-byte payload slice as a frame. ``codec="ffmpeg"`` marks where a
+    compressed-container decoder plugs in."""
+    if codec not in ("fake", "y4m"):
         raise NotImplementedError(
-            f"video codec {codec!r} requires ffmpeg/av, not installed"
+            f"video codec {codec!r} requires ffmpeg/av, not installed; "
+            "'y4m' decodes purely, 'fake' exercises the plumbing"
         )
-    step = max(1, int(round(fps * every_ms / 1000.0)))
+    _ship_by_value()
+    y4m_parse = parse_y4m
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import hashlib
@@ -206,6 +290,22 @@ def sample_frames(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 raw = bytes(payload)
+                if codec == "y4m":
+                    real_fps, frames = y4m_parse(raw)
+                    step_f = max(1, int(round(real_fps * every_ms / 1000.0)))
+                    for fi in range(0, len(frames), step_f):
+                        f = frames[fi]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "frame_idx": fi,
+                                "ts_ms": int(fi * 1000 / real_fps),
+                                "frame_md5": hashlib.md5(f.tobytes()).hexdigest(),
+                                "mean_luma": float(f.mean()),
+                            }
+                        )
+                    continue
+                step = max(1, int(round(fps * every_ms / 1000.0)))
                 n_frames = max(1, len(raw) // 64)
                 for fi in range(0, n_frames, step):
                     frame = raw[fi * 64 : (fi + 1) * 64]
@@ -215,9 +315,13 @@ def sample_frames(
                             "frame_idx": fi,
                             "ts_ms": int(fi * 1000 / fps),
                             "frame_md5": hashlib.md5(frame).hexdigest(),
+                            "mean_luma": float(sum(frame) / max(1, len(frame))),
                         }
                     )
             yield pd.DataFrame(rows)
 
-    schema = "doc_id bigint, frame_idx int, ts_ms bigint, frame_md5 string"
+    schema = (
+        "doc_id bigint, frame_idx int, ts_ms bigint, frame_md5 string, "
+        "mean_luma double"
+    )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)

@@ -1,0 +1,273 @@
+"""Pure-Python decoders for UNCOMPRESSED media containers — the real
+codec step behind the multimodal operators, same discipline as the other
+format readers in this package (``netcdf3.py``/``geotiff.py``/
+``grib2.py``: parse the public spec with stdlib + numpy, gate what needs
+an external library).
+
+Covered (all public specs, no codec libraries):
+
+- WAV / RIFF PCM (8/16/32-bit integer, 32/64-bit float; multi-channel)
+- netpbm PGM/PPM (P2/P3 ASCII and P5/P6 binary, 8- and 16-bit maxval)
+- BMP (BITMAPINFOHEADER, uncompressed 8-bit palette/gray and 24-bit BGR,
+  bottom-up or top-down)
+- Y4M (YUV4MPEG2) uncompressed video — C420/C422/C444, luma plane per
+  frame
+
+Compressed codecs (MP3/JPEG/PNG/H.264...) raise NotImplementedError at
+the exact entry point a real library would plug into; the Spark-side
+plumbing in ``operators/multimodal.py`` is identical either way.
+
+Writers exist for every reader so tests and fixtures round-trip without
+any media library in the container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV / RIFF PCM
+# ---------------------------------------------------------------------------
+
+_WAV_FORMATS = {1: "pcm", 3: "float"}
+
+
+def parse_wav(data: bytes):
+    """RIFF/WAVE -> (sample_rate, channels ndarray float64 shape (n, ch)).
+
+    Integer PCM is scaled to [-1, 1) by its bit depth; float stays as-is.
+    Compressed format tags (MP3=0x55, ADPCM, a-law...) are gated."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _, _, bits = fmt
+    kind = _WAV_FORMATS.get(tag)
+    if kind is None:
+        raise NotImplementedError(
+            f"WAV format tag {tag} (compressed) requires an audio library; "
+            "only PCM/float streams decode purely"
+        )
+    if kind == "pcm":
+        if bits == 8:  # 8-bit WAV is unsigned
+            samples = np.frombuffer(raw, dtype="<u1").astype("float64") / 128.0 - 1.0
+        elif bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+        elif bits == 32:
+            samples = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits} not supported")
+    else:
+        samples = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
+            "float64"
+        )
+    n = samples.size // n_ch * n_ch
+    return rate, samples[:n].reshape(-1, n_ch)
+
+
+def write_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """Float samples in [-1, 1] (shape (n,) or (n, ch)) -> PCM WAV bytes."""
+    arr = np.asarray(samples, dtype="float64")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    if bits != 16:
+        raise NotImplementedError("writer emits PCM16 (the common fixture case)")
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    block = n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# netpbm (PGM/PPM)
+# ---------------------------------------------------------------------------
+
+
+def _pnm_tokens(data: bytes, n: int, pos: int):
+    """Read n whitespace/comment-delimited header tokens from pos."""
+    out = []
+    while len(out) < n:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        out.append(data[start:pos])
+    return out, pos
+
+
+def parse_netpbm(data: bytes) -> np.ndarray:
+    """PGM/PPM -> ndarray (h, w) gray or (h, w, 3) RGB, dtype uint8/uint16."""
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"not a PGM/PPM stream (magic {magic!r})")
+    color = magic in (b"P3", b"P6")
+    binary = magic in (b"P5", b"P6")
+    (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
+    w, h, maxval = int(w), int(h), int(maxval)
+    n_vals = w * h * (3 if color else 1)
+    if binary:
+        pos += 1  # exactly one whitespace byte after maxval
+        dt = ">u2" if maxval > 255 else "u1"
+        arr = np.frombuffer(data, dtype=dt, count=n_vals, offset=pos)
+    else:
+        toks, _ = _pnm_tokens(data, n_vals, pos)
+        arr = np.array([int(t) for t in toks], dtype="u2" if maxval > 255 else "u1")
+    shape = (h, w, 3) if color else (h, w)
+    return arr.reshape(shape)
+
+
+def write_netpbm(img: np.ndarray, binary: bool = True) -> bytes:
+    """ndarray (h, w) or (h, w, 3) uint8/uint16 -> PGM/PPM bytes."""
+    img = np.asarray(img)
+    color = img.ndim == 3
+    maxval = 65535 if img.dtype.itemsize == 2 else 255
+    magic = (b"P6" if color else b"P5") if binary else (b"P3" if color else b"P2")
+    h, w = img.shape[:2]
+    head = magic + f"\n{w} {h}\n{maxval}\n".encode()
+    if binary:
+        body = img.astype(">u2" if maxval > 255 else "u1").tobytes()
+    else:
+        body = " ".join(str(int(v)) for v in img.reshape(-1)) .encode()
+    return head + body
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def parse_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed BMP -> (h, w, 3) RGB uint8 (24-bit) or (h, w) uint8
+    (8-bit via palette/gray). RLE/bitfields compression is gated."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0:
+        raise NotImplementedError(
+            f"BMP compression {comp} requires an image library; only "
+            "BI_RGB decodes purely"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        off = pix_off + src * row_bytes
+        row = np.frombuffer(data, dtype="u1", count=w * bpp // 8, offset=off)
+        rows.append(row)
+    raw = np.stack(rows)
+    if bpp == 24:
+        return raw.reshape(h, w, 3)[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 8:
+        # palette lookup (gray palettes collapse to the index itself)
+        pal = np.frombuffer(
+            data, dtype="u1", count=256 * 4, offset=14 + hdr_size
+        ).reshape(256, 4)[:, :3][:, ::-1]
+        idx = raw.reshape(h, w)
+        if np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2]):
+            return pal[idx][:, :, 0]
+        return pal[idx]
+    raise NotImplementedError(f"BMP bit depth {bpp} not supported")
+
+
+def write_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 -> 24-bit uncompressed BMP bytes."""
+    img = np.asarray(img, dtype="u1")
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("writer emits 24-bit RGB")
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = img[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) uncompressed video
+# ---------------------------------------------------------------------------
+
+_Y4M_CHROMA_DIV = {"420": 4, "420jpeg": 4, "420mpeg2": 4, "422": 2, "444": 1}
+
+
+def parse_y4m(data: bytes):
+    """YUV4MPEG2 -> (fps, [luma ndarray (h, w) uint8 per frame]).
+
+    The only mainstream UNCOMPRESSED video interchange format — plane
+    dumps behind a text header, no codec. Chroma subsampling only
+    affects the per-frame stride; the luma plane is returned (the part
+    feature extractors consume)."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = 25.0
+    chroma = "420"
+    for tok in data[10:nl].split():
+        t = tok.decode()
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = float(num) / float(den)
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    div = _Y4M_CHROMA_DIV.get(chroma)
+    if div is None:
+        raise NotImplementedError(f"Y4M chroma mode {chroma!r} not supported")
+    luma_n = w * h
+    frame_n = luma_n + 2 * (luma_n // div)
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(data, dtype="u1", count=luma_n, offset=pos).reshape(h, w)
+        )
+        pos += frame_n
+    return fps, frames
+
+
+def write_y4m(frames, fps: int = 25) -> bytes:
+    """List of (h, w) uint8 luma frames -> Y4M C420 bytes (flat chroma)."""
+    h, w = frames[0].shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode())
+    chroma = b"\x80" * ((w * h) // 4)
+    for f in frames:
+        out += b"FRAME\n" + np.asarray(f, dtype="u1").tobytes() + chroma + chroma
+    return bytes(out)
