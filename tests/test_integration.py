@@ -92,3 +92,37 @@ def test_load_with_resample_step(spark, catalog):
     )
     assert gf.df.select("x").distinct().count() == 38
     assert gf.df.select("y").distinct().count() == 14
+
+
+def test_to_dense_arrays_export(spark):
+    from tests.grid_fixture import XS, YS, grid_df
+    from xarray_dataaccessor_spark.gridframe import GridFrame
+
+    gf = GridFrame(grid_df(spark, with_nulls=True))
+    times, ys, xs, arrs = gf.to_dense_arrays()
+    assert len(times) == 73 and len(ys) == 7 and len(xs) == 19
+    assert ys == sorted(YS) and xs == sorted(XS)
+    assert set(arrs) == {"t2m", "u100"}
+    assert arrs["t2m"].shape == (73, 7, 19)
+    # values land at the right cell: cross-check one row
+    row = grid_df(spark).limit(1).collect()[0]
+    t_i, y_i, x_i = times.index(row["time"]), ys.index(row["y"]), xs.index(row["x"])
+    assert arrs["t2m"][t_i, y_i, x_i] == row["t2m"]
+    # nulls surface as NaN
+    import numpy as np
+
+    assert np.isnan(arrs["u100"]).sum() > 0
+
+    with __import__("pytest").raises(ValueError, match="max_cells"):
+        gf.to_dense_arrays(max_cells=10)
+
+    # xarray gate (not installed in this container)
+    try:
+        import xarray  # noqa: F401
+
+        has_xr = True
+    except ImportError:
+        has_xr = False
+    if not has_xr:
+        with __import__("pytest").raises(NotImplementedError, match="xarray"):
+            gf.to_xarray()

@@ -142,3 +142,67 @@ class GridFrame:
 
     def count(self) -> int:
         return self.df.count()
+
+    def to_dense_arrays(self, max_cells: int = 50_000_000):
+        """Final-mile export: collect THIS (already filtered/aggregated)
+        grid to dense numpy arrays — ``(times, ys, xs, {var: ndarray
+        (t, y, x)})`` with NaN where a cell is absent.
+
+        This is the boundary where the reference LIVES (everything is an
+        in-memory ``xr.Dataset``); here it is the documented exit ramp
+        for plotting/modeling on a cropped AOI, guarded by ``max_cells``
+        (t*y*x) so a whole-corpus collect fails loudly instead of
+        OOM-ing the driver — the reference's own spatial_resample defect
+        (``core_functions.py:280``) was exactly an unguarded dense
+        materialization.
+        """
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        axes = self.df.agg(
+            F.array_sort(F.collect_set("time")).alias("ts"),
+            F.array_sort(F.collect_set("y")).alias("ys"),
+            F.array_sort(F.collect_set("x")).alias("xs"),
+        ).first()
+        times, ys, xs = list(axes["ts"]), list(axes["ys"]), list(axes["xs"])
+        n_cells = len(times) * len(ys) * len(xs)
+        if n_cells > max_cells:
+            raise ValueError(
+                f"dense export of {len(times)}x{len(ys)}x{len(xs)} = "
+                f"{n_cells} cells exceeds max_cells={max_cells}; filter "
+                "further or raise the bound explicitly"
+            )
+        ti = {t: i for i, t in enumerate(times)}
+        yi = {v: i for i, v in enumerate(ys)}
+        xi = {v: i for i, v in enumerate(xs)}
+        variables = self.variables
+        out = {
+            v: np.full((len(times), len(ys), len(xs)), np.nan) for v in variables
+        }
+        for row in self.df.toLocalIterator():
+            t, y, x = ti[row["time"]], yi[row["y"]], xi[row["x"]]
+            for v in variables:
+                val = row[v]
+                if val is not None:
+                    out[v][t, y, x] = float(val)
+        return times, ys, xs, out
+
+    def to_xarray(self, max_cells: int = 50_000_000):
+        """``xr.Dataset`` export (the reference's native currency,
+        ``shared_functions.py``) when xarray is installed; otherwise the
+        gate names the extra. The dense collect is :meth:`to_dense_arrays`
+        with the same driver-memory guard."""
+        try:
+            import xarray as xr
+        except ImportError as exc:
+            raise NotImplementedError(
+                "to_xarray requires the 'xarray' extra (pip install "
+                "xarray); to_dense_arrays provides the same data as "
+                "plain numpy"
+            ) from exc
+        times, ys, xs, arrs = self.to_dense_arrays(max_cells)
+        return xr.Dataset(
+            {v: (("time", "y", "x"), a) for v, a in arrs.items()},
+            coords={"time": times, "y": ys, "x": xs},
+            attrs={"epsg": getattr(self.meta, "epsg", None)},
+        )
