@@ -151,3 +151,75 @@ def test_spark_real_codecs_end_to_end(spark):
     # compressed codecs still gate loudly
     with pytest.raises(NotImplementedError):
         decode_image(df, codec="pil")
+
+
+def test_media_roundtrip_properties():
+    """Hypothesis round-trips, same discipline as the NetCDF/GeoTIFF/Zarr
+    readers (test_reader_properties.py): any samples/raster survive the
+    write->parse cycle within format precision."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        ch=st.integers(min_value=1, max_value=3),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def wav_rt(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = np.clip(rng.standard_normal((n, ch)) * 0.4, -1, 1)
+        got_rate, got = parse_wav(write_wav(s, rate))
+        assert got_rate == rate and got.shape == (n, ch)
+        assert np.max(np.abs(got - s)) <= 1.0 / 32768.0
+
+    wav_rt()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        color=st.booleans(),
+        wide=st.booleans(),
+        binary=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def pnm_rt(h, w, color, wide, binary, seed):
+        rng = np.random.default_rng(seed)
+        hi, dt = (65535, "u2") if wide else (255, "u1")
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, hi + 1, shape).astype(dt)
+        assert np.array_equal(parse_netpbm(write_netpbm(img, binary)), img)
+
+    pnm_rt()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=20),
+        w=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def bmp_rt(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3)).astype("u1")
+        assert np.array_equal(parse_bmp(write_bmp(img)), img)
+
+    bmp_rt()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(min_value=2, max_value=16).map(lambda v: v * 2),
+        w=st.integers(min_value=2, max_value=16).map(lambda v: v * 2),
+        n=st.integers(min_value=1, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def y4m_rt(h, w, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, (h, w)).astype("u1") for _ in range(n)]
+        fps, got = parse_y4m(write_y4m(frames))
+        assert len(got) == n
+        for a, b in zip(frames, got):
+            assert np.array_equal(a, b)
+
+    y4m_rt()
