@@ -223,3 +223,93 @@ def test_media_roundtrip_properties():
             assert np.array_equal(a, b)
 
     y4m_rt()
+
+
+def _unfilter_reference(raw, h, stride, bpp):
+    """Independent scalar PNG unfilter written directly from spec §9
+    prose — guards the vectorized decoder against a matched encode/
+    decode bug (a round-trip alone cannot catch a formula both sides
+    share)."""
+    out, prev = [], [0] * stride
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = list(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        cur = [0] * stride
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                rec = line[i]
+            elif ft == 1:
+                rec = line[i] + a
+            elif ft == 2:
+                rec = line[i] + b
+            elif ft == 3:
+                rec = line[i] + (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec = line[i] + pred
+            cur[i] = rec % 256
+        out.append(cur)
+        prev = cur
+    return out
+
+
+def test_png_all_filters_roundtrip_and_spec_reference():
+    import zlib
+
+    from xarray_dataaccessor_spark.sources.media import parse_png, write_png
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (9, 7, 3)).astype("u1")
+    for ft in range(5):
+        data = write_png(img, filter_type=ft)
+        assert np.array_equal(parse_png(data), img), ft
+        # cross-check the decoder against the independent scalar
+        # reference on the actual compressed stream
+        import struct as _st
+
+        pos, idat = 8, []
+        while pos + 8 <= len(data):
+            size = _st.unpack_from(">I", data, pos)[0]
+            if data[pos + 4 : pos + 8] == b"IDAT":
+                idat.append(data[pos + 8 : pos + 8 + size])
+            pos += 12 + size
+        raw = zlib.decompress(b"".join(idat))
+        ref = np.array(_unfilter_reference(raw, 9, 21, 3), dtype="u1").reshape(9, 7, 3)
+        assert np.array_equal(ref, img), ft
+
+
+def test_png_color_types_and_gates():
+    from xarray_dataaccessor_spark.sources.media import parse_png, write_png
+
+    rng = np.random.default_rng(4)
+    gray = rng.integers(0, 256, (5, 6)).astype("u1")
+    assert np.array_equal(parse_png(write_png(gray, 4)), gray)
+    rgba = rng.integers(0, 256, (4, 4, 4)).astype("u1")
+    assert np.array_equal(parse_png(write_png(rgba, 2)), rgba)
+    with pytest.raises(ValueError, match="PNG"):
+        parse_png(b"garbage")
+    # interlace gate
+    data = bytearray(write_png(gray))
+    data[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        parse_png(bytes(data))
+
+
+def test_png_spark_decode(spark):
+    from xarray_dataaccessor_spark.operators.multimodal import decode_image
+    from xarray_dataaccessor_spark.sources.media import parse_png, write_png
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 12, 3)).astype("u1")
+    payload = write_png(img, filter_type=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    out = decode_image(df, out_size=(4, 4), codec="png").collect()[0]
+    want = parse_png(payload).astype("float64") @ np.array([0.299, 0.587, 0.114])
+    assert out["mean_pixel"] == pytest.approx(float(want.mean()))

@@ -3,13 +3,13 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct beside them. The Spark-side plumbing — schema, partition-friendly
 batch iteration, Arrow-batched ``mapInPandas`` UDF signatures — is real
-and tested; the actual codec step is STUBBED (image/audio libraries are
-not installed in this container): every operator runs a deterministic
-fake codec by default — the decode is fake, but the array math around it
-(block-mean resize, linear-interpolation resample, frame sampling) and
-the Spark-side batch shapes are real. Passing ``codec="pil"`` /
-``"soundfile"`` / ``"ffmpeg"`` raises NotImplementedError at the exact
-point the real library would be called.
+and tested, and the codec step is REAL for the formats that parse purely
+(``sources/media.py``): WAV/RIFF PCM+float audio, netpbm and
+uncompressed BMP images, PNG (zlib + spec filters), and Y4M video. The
+``codec="fake"`` default keeps plumbing tests fixture-free; passing
+``codec="pil"`` / ``"soundfile"`` / ``"ffmpeg"`` raises
+NotImplementedError at the exact point a compressed-format library
+(JPEG/MP3/H.264) would plug in.
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from xarray_dataaccessor_spark.sources.media import (
     parse_bmp,
     parse_netpbm,
+    parse_png,
     parse_wav,
     parse_y4m,
 )
@@ -117,6 +118,10 @@ def _decode_gray(raw: bytes, codec: str):
         img = parse_netpbm(raw).astype("float64")
     elif codec == "bmp":
         img = parse_bmp(raw).astype("float64")
+    elif codec == "png":
+        img = parse_png(raw).astype("float64")
+        if img.ndim == 3 and img.shape[2] == 4:  # drop alpha before luma
+            img = img[:, :, :3]
     else:
         return np.resize(
             np.frombuffer(raw, dtype=np.uint8), (32, 32)
@@ -155,18 +160,21 @@ def decode_image(
     """Image decode + resize over mapInPandas.
 
     REAL codecs (pure spec parsers, ``sources/media.py``):
-    ``codec="netpbm"`` (PGM/PPM, ASCII + binary, 8/16-bit) and
-    ``codec="bmp"`` (uncompressed 8/24-bit). Color images collapse to
-    luma (ITU-R 601 weights) before the resize. ``codec="fake"``
+    ``codec="netpbm"`` (PGM/PPM, ASCII + binary, 8/16-bit),
+    ``codec="bmp"`` (uncompressed 8/24-bit), and ``codec="png"``
+    (zlib + spec filters, 8/16-bit, all color types, Adam7 gated).
+    Color images collapse to luma (ITU-R 601 weights) before the
+    resize. ``codec="fake"``
     interprets the payload bytes as a deterministic grayscale raster
     (tiled to 32x32) for plumbing tests without fixtures. The RESIZE is
     the same real array math for every codec — area-mean pooling to
     ``out_size``. ``codec="pil"`` marks where a compressed-format
-    decoder (JPEG/PNG) would plug in."""
-    if codec not in ("fake", "netpbm", "bmp"):
+    decoder (JPEG) would plug in."""
+    if codec not in ("fake", "netpbm", "bmp", "png"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
-            "'netpbm'/'bmp' decode purely, 'fake' exercises the plumbing"
+            "'netpbm'/'bmp'/'png' decode purely, 'fake' exercises the "
+            "plumbing"
         )
     _ship_by_value()
     oh, ow = out_size

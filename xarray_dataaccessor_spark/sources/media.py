@@ -12,8 +12,10 @@ Covered (all public specs, no codec libraries):
   bottom-up or top-down)
 - Y4M (YUV4MPEG2) uncompressed video — C420/C422/C444, luma plane per
   frame
+- PNG (zlib IS stdlib; filters 0-4 per spec §9; 8/16-bit gray/RGB/
+  palette/alpha; Adam7 gated)
 
-Compressed codecs (MP3/JPEG/PNG/H.264...) raise NotImplementedError at
+Compressed codecs (MP3/JPEG/H.264...) raise NotImplementedError at
 the exact entry point a real library would plug into; the Spark-side
 plumbing in ``operators/multimodal.py`` is identical either way.
 
@@ -271,3 +273,153 @@ def write_y4m(frames, fps: int = 25) -> bytes:
     for f in frames:
         out += b"FRAME\n" + np.asarray(f, dtype="u1").tobytes() + chroma + chroma
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PNG (zlib is stdlib, filters are spec arithmetic — same reasoning that
+# made DEFLATE GeoTIFFs a pure parser)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def parse_png(data: bytes) -> np.ndarray:
+    """PNG -> ndarray (h, w[, channels]) uint8/uint16.
+
+    Bit depths 8/16; color types gray / RGB / palette / gray+alpha /
+    RGBA; filters 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec
+    §9. Adam7 interlacing and bit depths < 8 are gated."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, idat, pal = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            pal = np.frombuffer(body, dtype="u1").reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # size + id + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNGs not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    n_ch = _PNG_CHANNELS.get(ctype)
+    if n_ch is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    bpp = n_ch * depth // 8  # filter unit: bytes per pixel
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    out = np.zeros((h, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="int64")
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype="u1", count=stride, offset=r * (stride + 1) + 1
+        ).astype("int64")
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            cur = np.zeros(stride, dtype="int64")
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (line[i] + _paeth(int(a), int(prev[i]), int(c))) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[r] = cur
+        prev = cur
+    if depth == 16:
+        arr = out.reshape(h, w, n_ch, 2).astype("u2")
+        img = (arr[..., 0] << 8) | arr[..., 1]
+    else:
+        img = out.reshape(h, w, n_ch)
+    if ctype == 3:
+        if pal is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = pal[img[:, :, 0]]
+    if img.shape[2] == 1:
+        return img[:, :, 0].copy()
+    return img.copy()
+
+
+def write_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """ndarray (h, w) gray or (h, w, 3/4) uint8 -> PNG bytes.
+    ``filter_type`` selects the per-row filter (0-4) so tests can
+    exercise every unfilter path."""
+    import zlib
+
+    img = np.asarray(img, dtype="u1")
+    gray = img.ndim == 2
+    if gray:
+        img = img[:, :, None]
+    h, w, n_ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
+    bpp = n_ch
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype("int64")
+    lines = bytearray()
+    prev = np.zeros(stride, dtype="int64")
+    for r in range(h):
+        cur = flat[r]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type in (1, 3, 4):
+            enc = np.zeros(stride, dtype="int64")
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if filter_type == 1:
+                    enc[i] = (cur[i] - a) & 0xFF
+                elif filter_type == 3:
+                    enc[i] = (cur[i] - (a + prev[i]) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    enc[i] = (cur[i] - _paeth(int(a), int(prev[i]), int(c))) & 0xFF
+        else:
+            raise ValueError(f"invalid filter type {filter_type}")
+        lines += bytes([filter_type]) + bytes(enc.astype("u1"))
+        prev = cur
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
