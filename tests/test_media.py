@@ -313,3 +313,57 @@ def test_png_spark_decode(spark):
     out = decode_image(df, out_size=(4, 4), codec="png").collect()[0]
     want = parse_png(payload).astype("float64") @ np.array([0.299, 0.587, 0.114])
     assert out["mean_pixel"] == pytest.approx(float(want.mean()))
+
+
+def test_gif_animated_roundtrip_and_compositing():
+    from xarray_dataaccessor_spark.sources.media import parse_gif, write_gif
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (16, 3)).astype("u1")
+    frames = [pal[rng.integers(0, 16, (10, 12))] for _ in range(4)]
+    delays, got = parse_gif(write_gif(frames, [40, 40, 100, 40]))
+    assert delays == [40, 40, 100, 40]
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError, match="GIF"):
+        parse_gif(b"nope")
+
+
+def test_gif_lzw_property():
+    """Hypothesis: any index stream round-trips LZW, including the KwKwK
+    case and 12-bit dictionary growth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xarray_dataaccessor_spark.sources.media import _lzw_decode, _lzw_encode
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        idx=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=600),
+    )
+    def run(idx):
+        assert _lzw_decode(_lzw_encode(idx, 4), 4) == idx
+
+    run()
+
+
+def test_gif_spark_frame_sampling(spark):
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        decode_image,
+        sample_frames,
+    )
+    from xarray_dataaccessor_spark.sources.media import write_gif
+
+    pal = np.array([[v, v, v] for v in range(0, 160, 10)], dtype="u1")
+    frames = [np.full((6, 6, 3), pal[i], dtype="u1") for i in range(10)]
+    payload = write_gif(frames, [500] * 10)  # 10 frames x 0.5 s
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    out = sample_frames(df, every_ms=1000, codec="gif").collect()
+    # 0.5 s frames, 1 s grid -> frames 0, 2, 4, 6, 8
+    assert [r["frame_idx"] for r in out] == [0, 2, 4, 6, 8]
+    assert [round(r["mean_luma"]) for r in out] == [0, 20, 40, 60, 80]
+
+    img = decode_image(df, out_size=(3, 3), codec="gif").collect()[0]
+    assert img["mean_pixel"] == pytest.approx(0.0)  # first frame is black

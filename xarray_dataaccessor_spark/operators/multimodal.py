@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from xarray_dataaccessor_spark.sources.media import (
     parse_bmp,
+    parse_gif,
     parse_netpbm,
     parse_png,
     parse_wav,
@@ -122,6 +123,8 @@ def _decode_gray(raw: bytes, codec: str):
         img = parse_png(raw).astype("float64")
         if img.ndim == 3 and img.shape[2] == 4:  # drop alpha before luma
             img = img[:, :, :3]
+    elif codec == "gif":
+        img = parse_gif(raw)[1][0].astype("float64")  # first frame
     else:
         return np.resize(
             np.frombuffer(raw, dtype=np.uint8), (32, 32)
@@ -170,11 +173,11 @@ def decode_image(
     the same real array math for every codec — area-mean pooling to
     ``out_size``. ``codec="pil"`` marks where a compressed-format
     decoder (JPEG) would plug in."""
-    if codec not in ("fake", "netpbm", "bmp", "png"):
+    if codec not in ("fake", "netpbm", "bmp", "png", "gif"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
-            "'netpbm'/'bmp'/'png' decode purely, 'fake' exercises the "
-            "plumbing"
+            "'netpbm'/'bmp'/'png'/'gif' decode purely, 'fake' exercises "
+            "the plumbing"
         )
     _ship_by_value()
     oh, ow = out_size
@@ -281,13 +284,13 @@ def sample_frames(
     reports its true luma mean + digest. ``codec="fake"`` treats each
     64-byte payload slice as a frame. ``codec="ffmpeg"`` marks where a
     compressed-container decoder plugs in."""
-    if codec not in ("fake", "y4m"):
+    if codec not in ("fake", "y4m", "gif"):
         raise NotImplementedError(
             f"video codec {codec!r} requires ffmpeg/av, not installed; "
-            "'y4m' decodes purely, 'fake' exercises the plumbing"
+            "'y4m'/'gif' decode purely, 'fake' exercises the plumbing"
         )
     _ship_by_value()
-    y4m_parse = parse_y4m
+    y4m_parse, gif_parse = parse_y4m, parse_gif
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import hashlib
@@ -312,6 +315,29 @@ def sample_frames(
                                 "mean_luma": float(f.mean()),
                             }
                         )
+                    continue
+                if codec == "gif":
+                    delays, frames = gif_parse(raw)
+                    # frames carry their OWN timestamps (variable frame
+                    # durations); sample the first frame at or past each
+                    # every_ms tick
+                    t, next_tick = 0, 0
+                    for fi, (f, d) in enumerate(zip(frames, delays)):
+                        if t >= next_tick:
+                            luma = f.astype("float64") @ [0.299, 0.587, 0.114]
+                            rows.append(
+                                {
+                                    "doc_id": doc_id,
+                                    "frame_idx": fi,
+                                    "ts_ms": t,
+                                    "frame_md5": hashlib.md5(
+                                        f.tobytes()
+                                    ).hexdigest(),
+                                    "mean_luma": float(luma.mean()),
+                                }
+                            )
+                            next_tick += every_ms
+                        t += max(d, 10)
                     continue
                 step = max(1, int(round(fps * every_ms / 1000.0)))
                 n_frames = max(1, len(raw) // 64)

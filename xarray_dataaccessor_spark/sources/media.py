@@ -423,3 +423,209 @@ def write_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW is spec arithmetic; GIF87a/89a, animated frames + delays)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-variant LZW: variable code width starting at min+1 bits,
+    clear/end codes, dictionary grows to 4096 entries."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list = []
+    table: list = []
+    width = prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(table[prev] + entry[:1])
+            else:  # the KwKwK case
+                entry = table[prev] + table[prev][:1]
+                table.append(entry)
+            out.extend(entry)
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            prev = code
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Matching GIF-LZW encoder (fixture writer)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    buf = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def parse_gif(data: bytes):
+    """GIF87a/89a -> (delays_ms list, [RGB uint8 (h, w, 3) frames]).
+
+    Animated streams composite each frame onto the logical-screen canvas
+    at its (left, top) with GCE transparency honored (disposal mode
+    'paste over' — the common case; restore-to-background/previous are
+    approximated by paste-over). Interlaced images are gated."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, flags, _, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype="u1", count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype="u1")
+    frames, delays = [], []
+    delay_ms, transparent = 0, None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = data[pos]
+                gflags, delay_cs, tindex = struct.unpack_from(
+                    "<BHB", data, pos + 1
+                )
+                delay_ms = delay_cs * 10
+                transparent = tindex if gflags & 1 else None
+                pos += size + 1
+            while data[pos] != 0:  # skip (remaining) sub-blocks
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF frames not supported")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    data, dtype="u1", count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += size + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode(bytes(lzw), min_code)[: iw * ih], dtype="int64"
+            ).reshape(ih, iw)
+            tile = pal[idx]
+            region = canvas[top : top + ih, left : left + iw]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region[...] = np.where(mask, tile, region)
+            else:
+                region[...] = tile
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    return delays, frames
+
+
+def write_gif(frames, delays_ms=None, palette=None) -> bytes:
+    """RGB uint8 frames (same shape) -> animated GIF89a. Colors are
+    mapped to the provided (or auto-built, <=256-color) palette by exact
+    match — a fixture writer, not a quantizer."""
+    frames = [np.asarray(f, dtype="u1") for f in frames]
+    h, w = frames[0].shape[:2]
+    if palette is None:
+        colors = np.unique(
+            np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0
+        )
+        if len(colors) > 256:
+            raise ValueError("fixture writer needs <=256 distinct colors")
+        palette = colors
+    n_pal = len(palette)
+    bits = max(1, int(np.ceil(np.log2(max(2, n_pal)))))
+    table = np.zeros((2 ** bits, 3), dtype="u1")
+    table[:n_pal] = palette
+    lut = {tuple(c): i for i, c in enumerate(palette)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    delays_ms = delays_ms or [100] * len(frames)
+    min_code = max(2, bits)
+    for f, d in zip(frames, delays_ms):
+        out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, d // 10, 0, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        idx = [lut[tuple(px)] for px in f.reshape(-1, 3)]
+        lzw = _lzw_encode(idx, min_code)
+        out.append(min_code)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
