@@ -191,3 +191,43 @@ def test_float_predictor2_rejected(tmp_path):
     )
     with pytest.raises(NotImplementedError, match="floating-point"):
         parse_geotiff(open(p, "rb").read())
+
+
+def test_lzw_compressed_geotiff_roundtrip(tmp_path):
+    """TIFF-variant LZW (MSB-first, early change): strips with the
+    horizontal predictor, tiles with float samples, and a hypothesis
+    property over the raw codec."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.geotiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(8)
+    data = (rng.standard_normal((50, 60)) * 100).astype("int16")
+    p = write_geotiff(
+        str(tmp_path / "lzw.tif"), data, -83.0, 43.0, (0.1, 0.1),
+        compress="lzw", predictor=2,
+    )
+    got = parse_geotiff(open(p, "rb").read())
+    assert np.array_equal(got["data"], data)
+
+    fl = rng.standard_normal((40, 30)).astype("float32")
+    p2 = write_geotiff(
+        str(tmp_path / "lzwf.tif"), fl, -83.0, 43.0, (0.1, 0.1),
+        compress="lzw", tile_size=16,
+    )
+    assert np.array_equal(parse_geotiff(open(p2, "rb").read())["data"], fl)
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(blob=st.binary(min_size=0, max_size=3000))
+    def rt(blob):
+        assert _lzw_decode_tiff(_lzw_encode_tiff(blob)) == blob
+
+    rt()

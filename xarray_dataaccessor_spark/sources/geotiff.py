@@ -60,6 +60,96 @@ def _read_ifd_values(buf, bo, ftype, count, value_field, big=False):
     return list(vals)
 
 
+def _lzw_decode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 section 13): MSB-first bit packing,
+    Clear=256 / EOI=257, code width 9->12 with the EARLY-CHANGE
+    convention (width grows when the table reaches 2^w - 1 — one code
+    earlier than GIF's LZW; libtiff's convention)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == CLEAR:
+                reset()
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(table[prev] + entry[:1])
+            else:  # KwKwK
+                entry = table[prev] + table[prev][:1]
+                table.append(entry)
+            out += entry
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by one entry (the first code after a clear adds
+            # nothing), so it must widen one entry before 2^w - 1
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+            prev = code
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Matching TIFF-LZW encoder (fixture writer; same early-change
+    convention as the decoder)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code, w):
+        nonlocal acc, bits
+        acc = (acc << w) | code
+        bits += w
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    buf = b""
+    for b in bytes(data):
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # spec: clear before the table fills
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(EOI, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
 def parse_geotiff(buf: bytes) -> dict:
     """Parse GeoTIFF bytes into ``{width, height, data, x_axis, y_axis,
     nodata, epsg}`` with pixel-CENTER coordinate axes (the convention a
@@ -109,9 +199,9 @@ def parse_geotiff(buf: bytes) -> dict:
     spp = int(tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
     if spp != 1:
         raise NotImplementedError("Multi-sample TIFFs need the geo extras (rasterio)")
-    if compression not in (1, 8, 32946):
+    if compression not in (1, 5, 8, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} unsupported (only none/DEFLATE); "
+            f"TIFF compression {compression} unsupported (none/LZW/DEFLATE); "
             "install the geo extras (rasterio)."
         )
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_format)
@@ -129,7 +219,9 @@ def parse_geotiff(buf: bytes) -> dict:
         )
 
     def decode_block(raw, rows, cols):
-        if compression != 1:
+        if compression == 5:
+            raw = _lzw_decode_tiff(raw)
+        elif compression != 1:
             raw = zlib.decompress(raw)
         arr = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
         if predictor == 2:
@@ -244,7 +336,7 @@ def write_geotiff(
     pixel_size: tuple[float, float],
     epsg: int | None = 4326,
     nodata: float | None = None,
-    compress: bool = False,
+    compress: bool | str = False,
     tile_size: int | None = None,
     predictor: int = 1,
     big: bool = False,
@@ -297,13 +389,15 @@ def write_geotiff(
                 blocks.append(_enc(tile))
     else:
         blocks = [_enc(data)]
-    if compress:
+    if compress == "lzw":
+        blocks = [_lzw_encode_tiff(b) for b in blocks]
+    elif compress:
         blocks = [zlib.compress(b) for b in blocks]
 
     add(TAG_WIDTH, 4, width)
     add(TAG_HEIGHT, 4, height)
     add(TAG_BITS, 3, bits)
-    add(TAG_COMPRESSION, 3, 8 if compress else 1)
+    add(TAG_COMPRESSION, 3, (5 if compress == "lzw" else 8) if compress else 1)
     add(TAG_PHOTOMETRIC, 3, 1)
     add(TAG_SAMPLES_PER_PIXEL, 3, 1)
     add(TAG_SAMPLE_FORMAT, 3, kind)
