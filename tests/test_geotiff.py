@@ -231,3 +231,32 @@ def test_lzw_compressed_geotiff_roundtrip(tmp_path):
         assert _lzw_decode_tiff(_lzw_encode_tiff(blob)) == blob
 
     rt()
+
+
+def test_packbits_compressed_geotiff_roundtrip(tmp_path):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.geotiff import (
+        _packbits_decode,
+        _packbits_encode,
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 5, (30, 40)).astype("uint8")  # runs to compress
+    p = write_geotiff(
+        str(tmp_path / "pb.tif"), data, -83.0, 43.0, (0.1, 0.1),
+        compress="packbits",
+    )
+    assert np.array_equal(parse_geotiff(open(p, "rb").read())["data"], data)
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(blob=st.binary(min_size=0, max_size=2000))
+    def rt(blob):
+        assert _packbits_decode(_packbits_encode(blob)) == blob
+
+    rt()

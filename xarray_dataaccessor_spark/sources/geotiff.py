@@ -4,8 +4,8 @@ ingestion runnable in minimal containers, completing the NetCDF3 move
 (``_get_tiff_granule``, ``nasa_from_LPDAAC.py:491-516``).
 
 Implements the published baseline TIFF 6.0 format (both byte orders,
-strip and tile layouts, uncompressed + DEFLATE with the horizontal
-predictor) and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
+strip and tile layouts, uncompressed + DEFLATE/LZW/PackBits with the
+horizontal predictor) and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
 ModelTiepoint 33922, GeoKeyDirectory 34735 for the EPSG code, GDAL's
 nodata tag 42113) plus the BigTIFF (v43) container — 8-byte offsets,
 20-byte IFD entries, LONG8/SLONG8/IFD8 field types. Exotic compressions
@@ -63,8 +63,8 @@ def _read_ifd_values(buf, bo, ftype, count, value_field, big=False):
 def _lzw_decode_tiff(data: bytes) -> bytes:
     """TIFF-variant LZW (TIFF 6.0 section 13): MSB-first bit packing,
     Clear=256 / EOI=257, code width 9->12 with the EARLY-CHANGE
-    convention (width grows when the table reaches 2^w - 1 — one code
-    earlier than GIF's LZW; libtiff's convention)."""
+    convention (libtiff's): the encoder widens when its table reaches
+    2^w - 1, the decoder — whose table lags one entry — at 2^w - 2."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list = []
@@ -150,6 +150,46 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 section 9)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if n >= 0:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n != -128:  # -128 is a no-op
+            out += data[pos : pos + 1] * (1 - n)
+            pos += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Matching PackBits encoder (runs >= 3 become repeats)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 128:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
 def parse_geotiff(buf: bytes) -> dict:
     """Parse GeoTIFF bytes into ``{width, height, data, x_axis, y_axis,
     nodata, epsg}`` with pixel-CENTER coordinate axes (the convention a
@@ -199,9 +239,9 @@ def parse_geotiff(buf: bytes) -> dict:
     spp = int(tags.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
     if spp != 1:
         raise NotImplementedError("Multi-sample TIFFs need the geo extras (rasterio)")
-    if compression not in (1, 5, 8, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} unsupported (none/LZW/DEFLATE); "
+            f"TIFF compression {compression} unsupported (none/LZW/PackBits/DEFLATE); "
             "install the geo extras (rasterio)."
         )
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_format)
@@ -221,6 +261,8 @@ def parse_geotiff(buf: bytes) -> dict:
     def decode_block(raw, rows, cols):
         if compression == 5:
             raw = _lzw_decode_tiff(raw)
+        elif compression == 32773:
+            raw = _packbits_decode(raw)
         elif compression != 1:
             raw = zlib.decompress(raw)
         arr = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
@@ -391,13 +433,16 @@ def write_geotiff(
         blocks = [_enc(data)]
     if compress == "lzw":
         blocks = [_lzw_encode_tiff(b) for b in blocks]
+    elif compress == "packbits":
+        blocks = [_packbits_encode(b) for b in blocks]
     elif compress:
         blocks = [zlib.compress(b) for b in blocks]
 
     add(TAG_WIDTH, 4, width)
     add(TAG_HEIGHT, 4, height)
     add(TAG_BITS, 3, bits)
-    add(TAG_COMPRESSION, 3, (5 if compress == "lzw" else 8) if compress else 1)
+    comp_tag = {False: 1, True: 8, "deflate": 8, "lzw": 5, "packbits": 32773}[compress]
+    add(TAG_COMPRESSION, 3, comp_tag)
     add(TAG_PHOTOMETRIC, 3, 1)
     add(TAG_SAMPLES_PER_PIXEL, 3, 1)
     add(TAG_SAMPLE_FORMAT, 3, kind)
