@@ -293,11 +293,17 @@ def test_png_color_types_and_gates():
     assert np.array_equal(parse_png(write_png(rgba, 2)), rgba)
     with pytest.raises(ValueError, match="PNG"):
         parse_png(b"garbage")
-    # interlace gate
-    data = bytearray(write_png(gray))
-    data[8 + 8 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        parse_png(bytes(data))
+
+
+def test_png_adam7_interlace_roundtrip():
+    from xarray_dataaccessor_spark.sources.media import parse_png, write_png
+
+    rng = np.random.default_rng(13)
+    for shape in [(9, 7, 3), (5, 11), (1, 1), (8, 8, 4), (3, 17), (16, 2)]:
+        img = rng.integers(0, 256, shape).astype("u1")
+        for ft in (0, 1, 2, 3, 4):
+            got = parse_png(write_png(img, filter_type=ft, interlace=True))
+            assert np.array_equal(got, img), (shape, ft)
 
 
 def test_png_spark_decode(spark):

@@ -13,7 +13,7 @@ Covered (all public specs, no codec libraries):
 - Y4M (YUV4MPEG2) uncompressed video — C420/C422/C444, luma plane per
   frame
 - PNG (zlib IS stdlib; filters 0-4 per spec §9; 8/16-bit gray/RGB/
-  palette/alpha; Adam7 gated)
+  palette/alpha; Adam7 interlacing)
 
 Compressed codecs (MP3/JPEG/H.264...) raise NotImplementedError at
 the exact entry point a real library would plug into; the Spark-side
@@ -292,12 +292,54 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 pass offsets/strides: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, offset: int = 0):
+    """Undo PNG spec §9 row filters over ``h`` rows of ``stride`` bytes
+    starting at ``offset`` in the decompressed stream. Returns (rows
+    uint8 array (h, stride), bytes consumed)."""
+    out = np.zeros((h, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="int64")
+    for r in range(h):
+        base = offset + r * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype="u1", count=stride, offset=base + 1).astype(
+            "int64"
+        )
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            cur = np.zeros(stride, dtype="int64")
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (line[i] + _paeth(int(a), int(prev[i]), int(c))) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[r] = cur
+        prev = cur
+    return out, h * (stride + 1)
+
+
 def parse_png(data: bytes) -> np.ndarray:
     """PNG -> ndarray (h, w[, channels]) uint8/uint16.
 
     Bit depths 8/16; color types gray / RGB / palette / gray+alpha /
-    RGBA; filters 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec
-    §9. Adam7 interlacing and bit depths < 8 are gated."""
+    RGBA; filters 0-4 (None/Sub/Up/Average/Paeth) per spec §9; Adam7
+    interlacing (7 sub-image passes, each independently filtered).
+    Bit depths < 8 are gated."""
     import zlib
 
     if data[:8] != _PNG_MAGIC:
@@ -319,8 +361,6 @@ def parse_png(data: bytes) -> np.ndarray:
         pos += 12 + size  # size + id + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNGs not supported")
     if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} not supported")
     n_ch = _PNG_CHANNELS.get(ctype)
@@ -329,32 +369,20 @@ def parse_png(data: bytes) -> np.ndarray:
     bpp = n_ch * depth // 8  # filter unit: bytes per pixel
     stride = w * bpp
     raw = zlib.decompress(b"".join(idat))
-    out = np.zeros((h, stride), dtype="u1")
-    prev = np.zeros(stride, dtype="int64")
-    for r in range(h):
-        ftype = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype="u1", count=stride, offset=r * (stride + 1) + 1
-        ).astype("int64")
-        if ftype == 0:
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
-            cur = np.zeros(stride, dtype="int64")
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                if ftype == 1:
-                    cur[i] = (line[i] + a) & 0xFF
-                elif ftype == 3:
-                    cur[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-                else:
-                    c = prev[i - bpp] if i >= bpp else 0
-                    cur[i] = (line[i] + _paeth(int(a), int(prev[i]), int(c))) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[r] = cur
-        prev = cur
+    if interlace:
+        out = np.zeros((h, stride), dtype="u1")
+        off = 0
+        full = out.reshape(h, w, bpp)
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _png_unfilter(raw, ph, pw * bpp, bpp, off)
+            off += used
+            full[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+    else:
+        out, _ = _png_unfilter(raw, h, stride, bpp)
     if depth == 16:
         arr = out.reshape(h, w, n_ch, 2).astype("u2")
         img = (arr[..., 0] << 8) | arr[..., 1]
@@ -369,25 +397,12 @@ def parse_png(data: bytes) -> np.ndarray:
     return img.copy()
 
 
-def write_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """ndarray (h, w) gray or (h, w, 3/4) uint8 -> PNG bytes.
-    ``filter_type`` selects the per-row filter (0-4) so tests can
-    exercise every unfilter path."""
-    import zlib
-
-    img = np.asarray(img, dtype="u1")
-    gray = img.ndim == 2
-    if gray:
-        img = img[:, :, None]
-    h, w, n_ch = img.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
-    bpp = n_ch
-    stride = w * bpp
-    flat = img.reshape(h, stride).astype("int64")
+def _png_filter_rows(flat, bpp, filter_type) -> bytearray:
+    """Apply one spec filter to every row of (h, stride) int64 data."""
+    stride = flat.shape[1]
     lines = bytearray()
     prev = np.zeros(stride, dtype="int64")
-    for r in range(h):
-        cur = flat[r]
+    for cur in flat:
         if filter_type == 0:
             enc = cur
         elif filter_type == 2:
@@ -407,6 +422,39 @@ def write_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"invalid filter type {filter_type}")
         lines += bytes([filter_type]) + bytes(enc.astype("u1"))
         prev = cur
+    return lines
+
+
+def write_png(
+    img: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """ndarray (h, w) gray or (h, w, 3/4) uint8 -> PNG bytes.
+    ``filter_type`` selects the per-row filter (0-4) and ``interlace``
+    emits the 7 Adam7 passes, so tests exercise every decode path."""
+    import zlib
+
+    img = np.asarray(img, dtype="u1")
+    gray = img.ndim == 2
+    if gray:
+        img = img[:, :, None]
+    h, w, n_ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
+    bpp = n_ch
+    stride = w * bpp
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            lines += _png_filter_rows(
+                sub.reshape(ph, pw * bpp).astype("int64"), bpp, filter_type
+            )
+    else:
+        lines = _png_filter_rows(
+            img.reshape(h, stride).astype("int64"), bpp, filter_type
+        )
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return (
@@ -416,7 +464,7 @@ def write_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
