@@ -373,3 +373,21 @@ def test_gif_spark_frame_sampling(spark):
 
     img = decode_image(df, out_size=(3, 3), codec="gif").collect()[0]
     assert img["mean_pixel"] == pytest.approx(0.0)  # first frame is black
+
+
+def test_gif_gce_scope_is_one_image():
+    """A Graphic Control Extension applies only to the next image: a
+    frame without its own GCE gets delay 0 and no transparency."""
+    import struct as _st
+
+    from xarray_dataaccessor_spark.sources.media import parse_gif, write_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype="u1")
+    frames = [pal[np.zeros((3, 3), dtype=int)], pal[np.ones((3, 3), dtype=int)]]
+    data = bytearray(write_gif(frames, [250, 250]))
+    # strip the SECOND frame's GCE (8 bytes: 21 f9 04 .. .. .. .. 00)
+    idx = data.find(b"\x21\xf9", data.find(b"\x21\xf9") + 1)
+    del data[idx : idx + 8]
+    delays, got = parse_gif(bytes(data))
+    assert delays == [250, 0]
+    assert np.array_equal(got[1], frames[1])

@@ -636,6 +636,8 @@ def parse_gif(data: bytes):
                 region[...] = tile
             frames.append(canvas.copy())
             delays.append(delay_ms)
+            # a GCE applies only to the ONE rendering block that follows
+            delay_ms, transparent = 0, None
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     return delays, frames
