@@ -373,3 +373,51 @@ def stream_neardup_minhash(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def grid_stream(spark: SparkSession, landed_dir: str) -> DataFrame:
+    """File-source stream over a landed grid dataset (the
+    ``ingest.land_grid_parquet`` layout): new granule files appearing
+    under the directory become micro-batches — the streaming twin of the
+    catalog's batch read, for continuously-arriving reanalysis/forecast
+    cycles. Schema sniffed from a batch read (file streams require one);
+    partition columns (year=/month=) surface exactly as in batch."""
+    schema = spark.read.parquet(landed_dir).schema
+    return spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 8
+    ).parquet(landed_dir)
+
+
+def stream_collapse_spatial(
+    stream: DataFrame,
+    how: str = "mean",
+    watermark: str = "2 hours",
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming A3 (the reference's per-timestep spatial collapse,
+    ``to_gssha.py:552-571``, fed continuously): watermarked aggregation
+    keyed on the timestep — each grid timestep's spatial mean/min/max/sum
+    finalizes once the watermark passes it, so a GSSHA/HMET export can
+    trail a live ingest. Decomposable aggs only (the batch ``median``
+    path needs all values; at scale stream percentile needs a sketch).
+    State is O(open timesteps), bounded by the watermark horizon.
+    Append-mode sinks only see a timestep once the watermark passes it —
+    timesteps inside the trailing horizon stay open (use update/complete
+    sinks, or accept the trailing lag, for live exports)."""
+    if how in ("median", "med", "q1", "q3"):
+        raise ValueError(
+            f"spatial collapse {how!r} is not decomposable for streaming; "
+            "use mean/min/max/sum/count or a batch pass"
+        )
+    from xarray_dataaccessor_spark.operators.aggregate import spatial_agg_expr
+
+    value_cols = [
+        c for c in stream.columns
+        if c not in (time_col, "y", "x", "year", "month")
+    ]
+    aggs = [spatial_agg_expr(how, v).alias(v) for v in value_cols]
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(time_col)
+        .agg(*aggs)
+    )
