@@ -260,3 +260,10 @@ def test_packbits_compressed_geotiff_roundtrip(tmp_path):
         assert _packbits_decode(_packbits_encode(blob)) == blob
 
     rt()
+
+    # regression: a 2-byte pair landing at literal offset 127 used to
+    # produce a 129-byte literal whose header 0x80 decodes as a no-op
+    tricky = bytes(range(127)) + b"\xaa\xaa" + bytes(range(50))
+    assert _packbits_decode(_packbits_encode(tricky)) == tricky
+    tricky2 = bytes(range(126)) + b"\xbb\xbb" + b"\x01\x02\x03"
+    assert _packbits_decode(_packbits_encode(tricky2)) == tricky2

@@ -125,3 +125,15 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iters=0)
+
+
+def test_string_ids_through_endgame(spark):
+    """Non-numeric ids must work through BOTH paths: the star rounds are
+    type-agnostic and the union-find endgame now derives its schema from
+    the edge column type (previously hard-coded bigint)."""
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    for threshold in (None, 1 << 21):
+        out = connected_components(df, small_edge_threshold=threshold).collect()
+        got = {r["node"]: r["component"] for r in out}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

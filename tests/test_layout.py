@@ -76,3 +76,14 @@ def test_clustered_write_prunes_row_groups(spark, tmp_path):
     a = spark.read.parquet(scattered).agg(F.sum("v"), F.count("*")).first()
     b = spark.read.parquet(clustered).agg(F.sum("v"), F.count("*")).first()
     assert a[1] == b[1] and abs(a[0] - b[0]) < 1e-6
+
+
+def test_cluster_spatially_empty_and_all_null(spark):
+    """No envelope (empty input or all-null coords) returns the frame
+    unchanged instead of raising TypeError on a None bound."""
+    empty = spark.createDataFrame([], "x double, y double, v bigint")
+    assert cluster_spatially(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(None, None, 1), (None, None, 2)], "x double, y double, v bigint"
+    )
+    assert cluster_spatially(nulls).count() == 2

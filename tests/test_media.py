@@ -72,6 +72,28 @@ def test_bmp_roundtrip_and_gates():
         parse_bmp(bytes(bad))
 
 
+def test_bmp_short_palette():
+    """8-bit BMP with biClrUsed=16 stores only 16 palette entries —
+    spec-conforming, previously crashed the fixed 256-entry read."""
+    import struct
+
+    h, w, n_pal = 3, 5, 16
+    row_bytes = (w + 3) & ~3
+    idx = (np.arange(h * w).reshape(h, w) % n_pal).astype("u1")
+    # gray palette: entry i -> (i*16, i*16, i*16, 0) stored as BGRA
+    pal = b"".join(struct.pack("<BBBB", i * 16, i * 16, i * 16, 0) for i in range(n_pal))
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += idx[r].tobytes() + b"\x00" * (row_bytes - w)
+    pix_off = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, n_pal, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    out = parse_bmp(head + info + pal + bytes(body))
+    assert np.array_equal(out, idx * 16)  # gray palette collapses to values
+
+
 def test_y4m_roundtrip():
     frames = [np.full((4, 6), v, dtype="u1") for v in (10, 20, 30)]
     fps, got = parse_y4m(write_y4m(frames, fps=25))

@@ -128,8 +128,9 @@ def test_hot_bucket_cap_batch_and_stream(spark):
     out = stream_neardup_minhash(stream, watermark="1 hour", max_bucket=5)
     got = run_available_now(out, output_mode="append", shuffle_partitions=4)
     pairs = {(r["id_a"], r["id_b"]) for r in got.select("id_a", "id_b").distinct().collect()}
-    # the saturated bucket emits at most cap*(cap-1)/2 pairs; the
-    # ordinary pair is untouched
+    # the bucket saturates within this single micro-batch, so the
+    # streaming path drops it ENTIRELY — exact parity with the batch
+    # twin's bucket-drop semantics; the ordinary pair is untouched
     assert (100, 101) in pairs
     hot = [p for p in pairs if p[0] < 100]
-    assert len(hot) <= 5 * 4 // 2
+    assert hot == []

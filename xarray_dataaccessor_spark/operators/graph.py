@@ -100,7 +100,6 @@ def _endgame_cc(edges: DataFrame) -> DataFrame:
 
         for pdf in batches:
             for u, v in zip(pdf["u"], pdf["v"]):
-                u, v = int(u), int(v)
                 if u not in parent:
                     parent[u] = u
                 if v not in parent:
@@ -118,7 +117,10 @@ def _endgame_cc(edges: DataFrame) -> DataFrame:
                 {"node": nodes, "component": [find(n) for n in nodes]}
             )
 
-    return edges.repartition(1).mapInPandas(part, "node bigint, component bigint")
+    # schema follows the edge column type so string / arbitrary orderable
+    # ids work the same as through the pure star-round path
+    dt = edges.schema["u"].dataType.simpleString()
+    return edges.repartition(1).mapInPandas(part, f"node {dt}, component {dt}")
 
 
 #: Below this many (deduplicated, symmetric) edges the union-find endgame

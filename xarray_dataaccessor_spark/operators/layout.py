@@ -86,6 +86,10 @@ def cluster_spatially(
     lo_hi = df.agg(
         F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
     ).first()
+    if lo_hi is None or any(v is None for v in lo_hi):
+        # empty input or all-null coordinates: no envelope to quantize
+        # against — the identity ordering is the only sensible answer
+        return df
     key = morton_key(
         F.col(x_col), F.col(y_col), lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3], bits
     )

@@ -185,6 +185,10 @@ def _packbits_encode(data: bytes) -> bytes:
                 run += 1
             if run >= 3:
                 break
+            if i - lit + run > 128:
+                # flush: a 2-byte step at offset 127 would make the
+                # literal 129 bytes and the header 0x80 (a no-op).
+                break
             i += run
         out += bytes([i - lit - 1]) + data[lit:i]
     return bytes(out)

@@ -186,10 +186,18 @@ def parse_bmp(data: bytes) -> np.ndarray:
     if bpp == 24:
         return raw.reshape(h, w, 3)[:, :, ::-1].copy()  # BGR -> RGB
     if bpp == 8:
-        # palette lookup (gray palettes collapse to the index itself)
-        pal = np.frombuffer(
-            data, dtype="u1", count=256 * 4, offset=14 + hdr_size
-        ).reshape(256, 4)[:, :3][:, ::-1]
+        # palette lookup (gray palettes collapse to the index itself);
+        # biClrUsed (offset 46) < 256 means a short palette — clamp to
+        # what the header declares AND what physically fits before the
+        # pixel data, padding the lookup table back to 256 entries
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        avail = (pix_off - (14 + hdr_size)) // 4
+        n_pal = min(clr_used or 256, avail if avail > 0 else 256, 256)
+        pal = np.zeros((256, 4), dtype="u1")
+        pal[:n_pal] = np.frombuffer(
+            data, dtype="u1", count=n_pal * 4, offset=14 + hdr_size
+        ).reshape(n_pal, 4)
+        pal = pal[:, :3][:, ::-1]
         idx = raw.reshape(h, w)
         if np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2]):
             return pal[idx][:, :, 0]

@@ -284,9 +284,15 @@ def stream_neardup_minhash(
     store shards on the band-bucket key, hot buckets are the skew to
     watch — a bucket with thousands of members within one horizon is a
     degenerate signature band (boilerplate), and pairing against all of
-    them is quadratic. ``max_bucket`` caps the member list: a saturated
-    bucket stops pairing and stops growing (the batch twin's
-    ``lsh_candidate_pairs(max_bucket=...)`` drops the same buckets).
+    them is quadratic. ``max_bucket`` caps the member list: once a
+    bucket exceeds the cap it is marked SATURATED in state — pairs from
+    the saturating micro-batch are suppressed and the bucket never emits
+    again (state collapses to the flag, so no growth either). This
+    matches the batch twin's ``lsh_candidate_pairs(max_bucket=...)``
+    bucket-drop semantics as closely as streaming allows: pairs already
+    emitted in EARLIER micro-batches (before the bucket crossed the cap)
+    cannot be retracted — exact stream/batch parity on hot buckets holds
+    only when the bucket saturates within one micro-batch.
     Pairs are emitted once per shared band; distinct/cluster resolution
     happens downstream exactly as in the batch pipeline."""
     from xarray_dataaccessor_spark.operators.dedup import minhash_band_structs
@@ -308,7 +314,7 @@ def stream_neardup_minhash(
     )
 
     out_schema = "id_a bigint, id_b bigint, band int, bucket string"
-    state_schema = "ids array<bigint>, tss array<bigint>"
+    state_schema = "ids array<bigint>, tss array<bigint>, sat boolean"
 
     def update(
         key: Tuple[int, str],
@@ -318,9 +324,19 @@ def stream_neardup_minhash(
         if state.hasTimedOut:
             state.remove()
             return
-        ids, tss = (
-            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        ids, tss, sat = (
+            (list(state.get[0]), list(state.get[1]), bool(state.get[2]))
+            if state.exists
+            else ([], [], False)
         )
+        if sat:
+            # saturated bucket: never pairs again; hold the flag until
+            # the watermark passes the horizon, then let timeout evict
+            for _ in pdfs:
+                pass
+            state.update(([], [], True))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_us // 1000 + 1000)
+            return
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             # event-time order within the micro-batch (ties on id) so
@@ -333,15 +349,22 @@ def stream_neardup_minhash(
         for doc, t in zip(batch["doc_id"], batch["__us"] if len(batch) else []):
             doc, t = int(doc), int(t)
             if max_bucket is not None and len(ids) >= max_bucket:
-                # saturated (degenerate) bucket: stop pairing AND stop
-                # growing — bounded state, no quadratic blow-up
-                continue
+                # crossing the cap saturates the bucket: suppress this
+                # whole invocation's pairs (batch-twin drop semantics)
+                # and collapse state to the flag — bounded state, no
+                # quadratic blow-up
+                sat = True
+                break
             for i, tt in zip(ids, tss):
                 if i != doc and t - tt <= horizon_us:
                     out_a.append(min(i, doc))
                     out_b.append(max(i, doc))
             ids.append(doc)
             tss.append(t)
+        if sat:
+            state.update(([], [], True))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_us // 1000 + 1000)
+            return
         # watermark prune: future rows have ts >= wm, so entries older
         # than wm - horizon can never satisfy the pair horizon again
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -350,7 +373,7 @@ def stream_neardup_minhash(
             ids = [i for i, _ in kept]
             tss = [tt for _, tt in kept]
         if ids:
-            state.update((ids, tss))
+            state.update((ids, tss, False))
             # evict the whole bucket once nothing in it can pair again
             timeout_ms = max(tss) // 1000 + horizon_us // 1000 + 1000
             state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1000))
