@@ -67,6 +67,44 @@ def attach_binary_column(
     return df.withColumn("payload", payload).withColumn("media_meta", meta)
 
 
+def attach_media_column(
+    df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """Attach REAL image payloads built with the pure codecs
+    (``sources/media.py``): pixel ``k`` (row-major) of document ``d`` is
+    ``(d * 7 + k) % 256`` — deterministic and SQL-derivable, so a DuckDB
+    oracle can reproduce decoded statistics exactly. Even ids encode as
+    binary netpbm (P5), odd ids as PNG, so one query exercises both real
+    decoders end-to-end. Output: ``(doc_id, payload binary,
+    img_codec string)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import write_netpbm, write_png
+
+    h, w = size
+    wn, wp = write_netpbm, write_png
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        k = np.arange(h * w, dtype="int64")
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                img = ((d * 7 + k) % 256).astype("u1").reshape(h, w)
+                if d % 2 == 0:
+                    payload, codec = wn(img, binary=True), "netpbm"
+                else:
+                    payload, codec = wp(img), "png"
+                rows.append({"doc_id": d, "payload": payload, "img_codec": codec})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary, img_codec string"
+    )
+
+
 def binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Deterministic byte-level features, pure built-ins: size, 256-byte
     chunk count, md5 checksum. This is the JVM-side fast path; anything
@@ -165,7 +203,8 @@ def decode_image(
     REAL codecs (pure spec parsers, ``sources/media.py``):
     ``codec="netpbm"`` (PGM/PPM, ASCII + binary, 8/16-bit),
     ``codec="bmp"`` (uncompressed 8/24-bit), and ``codec="png"``
-    (zlib + spec filters, 8/16-bit, all color types, Adam7 gated).
+    (zlib + spec filters, 8/16-bit, all color types, incl. Adam7
+    interlace).
     Color images collapse to luma (ITU-R 601 weights) before the
     resize. ``codec="fake"``
     interprets the payload bytes as a deterministic grayscale raster

@@ -17,7 +17,6 @@ from xarray_dataaccessor_spark.operators.dedup import (
     dedup_exact,
     jaccard_pairs,
     minhash_near_duplicates,
-    simhash_duplicate_pairs,
 )
 from xarray_dataaccessor_spark.functions.hashing import HASH_PRIME
 from xarray_dataaccessor_spark.operators.similarity import (
@@ -398,21 +397,44 @@ def _simhash_hamming_oracle(bits: int = 32, max_hamming: int = 2) -> str:
     )
 
 
-@query("dedup_simhash_pairs", oracle=_simhash_oracle())
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    return simhash_duplicate_pairs(_corpus(spark, sf_dir))
-
-
 @query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hamming<=2 SimHash near-dup search (pigeonhole: 3 bands of
     10/10/12 bits; candidates via (band, value) equi-join, exact
-    popcount refine)."""
+    popcount refine). Subsumes the former ``dedup_simhash_pairs`` query:
+    the hamming=0 rows ARE the exact-duplicate pairs
+    (``simhash_duplicate_pairs``), so one oracle slot covers both
+    operators — the subset identity is asserted in
+    ``tests/test_dedup_simhash.py``."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(_corpus(spark, sf_dir), max_hamming=2)
+
+
+def _jaccard_branch_sql(keep_having: str, variant: str) -> str:
+    """One Jaccard pipeline branch (shared sh0/hashed0 CTEs assumed) for
+    a given df-cap HAVING clause, labeled with a variant literal."""
+    tag = variant  # short unique CTE suffix
+    return f"""
+    keep_{tag} AS (SELECT h FROM hashed0 GROUP BY h HAVING {keep_having}),
+    hashed_{tag} AS (SELECT hashed0.* FROM hashed0 JOIN keep_{tag} USING (h)),
+    sizes_{tag} AS (SELECT doc_id, COUNT(*) AS sz FROM hashed_{tag} GROUP BY doc_id),
+    common_{tag} AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM hashed_{tag} a JOIN hashed_{tag} b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    res_{tag} AS (
+        SELECT '{variant}' AS variant, id_a, id_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE)
+                   AS jaccard
+        FROM common_{tag}
+        JOIN sizes_{tag} sa ON sa.doc_id = id_a
+        JOIN sizes_{tag} sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.6
+    )"""
 
 
 @query(
@@ -429,29 +451,27 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hashed0 AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh),
     cap AS (SELECT greatest(50, COUNT(DISTINCT doc_id) // 20) AS c FROM hashed0),
-    keep AS (SELECT h FROM hashed0 GROUP BY h
-             HAVING COUNT(*) <= (SELECT c FROM cap)),
-    hashed AS (SELECT hashed0.* FROM hashed0 JOIN keep USING (h)),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.6
+    {_jaccard_branch_sql("COUNT(*) <= (SELECT c FROM cap)", "auto")},
+    {_jaccard_branch_sql("COUNT(*) <= 20", "df20")}
+    SELECT * FROM res_auto UNION ALL SELECT * FROM res_df20
     """,
 )
 def dedup_jaccard_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Default-path Jaccard: the corpus-size-derived df cap
-    (``max_df="auto"``) is the silent default — the O(Σ df²) uncapped
-    join is an explicit opt-in (``max_df=None``)."""
+    """Exact n-gram Jaccard, both df-cap modes under one oracle slot
+    (former separate ``dedup_jaccard_capped`` query consolidated here):
+    'auto' = the corpus-size-derived cap (``max_df="auto"``, the silent
+    default — the O(Σ df²) uncapped join is an explicit opt-in
+    ``max_df=None``); 'df20' = an explicit absolute cap, the scale path
+    for boilerplate-heavy corpora."""
     configure_session(spark)
-    return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+    corpus = _corpus(spark, sf_dir)
+    auto = jaccard_pairs(corpus, threshold=0.6).withColumn(
+        "variant", F.lit("auto")
+    )
+    df20 = jaccard_pairs(corpus, threshold=0.6, max_df=20).withColumn(
+        "variant", F.lit("df20")
+    )
+    return auto.unionByName(df20).select("variant", "id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -621,26 +641,45 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_binary_features",
     oracle="""
-    WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents)
-    SELECT doc_id,
+    WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
+    px AS (
+        SELECT d.doc_id, (d.doc_id * 7 + t.k) % 256 AS p
+        FROM documents d, range(64) t(k)
+    ),
+    m AS (
+        SELECT doc_id, CAST(SUM(p) AS DOUBLE) / 64 AS mean_pixel
+        FROM px GROUP BY doc_id
+    )
+    SELECT b.doc_id,
            CAST(octet_length(payload) AS BIGINT) AS n_bytes,
            CAST(ceil(octet_length(payload) / 256.0) AS BIGINT) AS n_chunks,
            md5(text) AS checksum,
            CAST(octet_length(payload) % 640 AS INT) AS width,
-           CAST(octet_length(payload) % 480 AS INT) AS height
-    FROM b
+           CAST(octet_length(payload) % 480 AS INT) AS height,
+           CASE WHEN b.doc_id % 2 = 0 THEN 'netpbm' ELSE 'png' END AS img_codec,
+           m.mean_pixel
+    FROM b JOIN m ON m.doc_id = b.doc_id
     """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column features (JVM-side byte stats) + REAL distributed
+    image decode: each document gets a real netpbm-P5 (even ids) or PNG
+    (odd ids) payload built by the pure writers, decoded back through
+    the Arrow-batched ``decode_image`` path, and the decoded
+    ``mean_pixel`` is verified against the SQL-derived pixel rule
+    (pixel k of doc d = (d*7+k) % 256). One oracle slot covers the
+    byte-feature fast path AND two real image codecs end-to-end; the
+    ``fake`` plumbing codec now lives only in unit tests."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.multimodal import (
         attach_binary_column,
+        attach_media_column,
         binary_features,
+        decode_image,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    out = binary_features(attach_binary_column(docs))
-    return out.select(
+    feats = binary_features(attach_binary_column(docs)).select(
         "doc_id",
         "n_bytes",
         "n_chunks",
@@ -648,20 +687,17 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
     )
-
-
-@query("multimodal_decode_noracle")
-def multimodal_decode_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing (rows-only check: the
-    fake-codec output is Python-side by design, SURVEY §7.8 multimodal)."""
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.multimodal import (
-        attach_binary_column,
-        decode_binary,
+    media = attach_media_column(docs)
+    decoded = None
+    for codec in ("netpbm", "png"):
+        part = decode_image(
+            media.filter(F.col("img_codec") == codec), codec=codec
+        ).select("doc_id", "mean_pixel").withColumn("img_codec", F.lit(codec))
+        decoded = part if decoded is None else decoded.unionByName(part)
+    return feats.join(decoded, "doc_id").select(
+        "doc_id", "n_bytes", "n_chunks", "checksum", "width", "height",
+        "img_codec", "mean_pixel",
     )
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return decode_binary(attach_binary_column(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -669,29 +705,6 @@ def multimodal_decode_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SURVEY §2.8): the streaming engine must reproduce the batch answer over
 # an availableNow replay of the events table.
 # ---------------------------------------------------------------------------
-@query(
-    "streaming_windowed_counts",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.streaming.events import (
-        run_available_now,
-        stream_events,
-        windowed_counts,
-    )
-
-    stream = stream_events(spark, sf_dir)
-    return run_available_now(
-        windowed_counts(stream), output_mode="complete", shuffle_partitions=8
-    )
-
-
 @query(
     "streaming_user_stats",
     oracle="""
@@ -874,47 +887,11 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Jaccard with a document-frequency cap — the scale path for exact
-# n-gram similarity: shingles with df > max_df contribute df^2 join rows
-# and no dedup signal, so they are dropped before the pair join.
-# ---------------------------------------------------------------------------
-@query(
-    "dedup_jaccard_capped",
-    oracle=f"""
-    WITH corpus AS ({CORPUS_SQL}),
-    sh0 AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
-        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
-    ),
-    hashed0 AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh0),
-    keep AS (SELECT h FROM hashed0 GROUP BY h HAVING COUNT(*) <= 20),
-    hashed AS (SELECT hashed0.* FROM hashed0 JOIN keep USING (h)),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.6
-    """,
-)
-def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    return jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6, max_df=20)
-
-
-# ---------------------------------------------------------------------------
-# Sliding (overlapping) windows through the streaming engine: 2-hour
-# windows sliding hourly — each event lands in exactly two windows.
+# Windowed aggregation through the streaming engine, both window shapes
+# under one oracle slot (former separate streaming_windowed_counts query
+# consolidated here): 'tumbling' = 1-hour fixed windows via the
+# windowed_counts operator; 'sliding' = 2-hour windows sliding hourly —
+# each event lands in exactly two windows.
 # ---------------------------------------------------------------------------
 @query(
     "streaming_sliding_counts",
@@ -923,14 +900,17 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('hour', ts) AS h0, event_type, value FROM events
     ),
     w AS (
-        SELECT h0 AS win_start, event_type, value FROM e2
+        SELECT 'sliding' AS variant, h0 AS win_start, event_type, value FROM e2
         UNION ALL
-        SELECT h0 - INTERVAL 1 HOUR AS win_start, event_type, value FROM e2
+        SELECT 'sliding' AS variant, h0 - INTERVAL 1 HOUR AS win_start,
+               event_type, value FROM e2
+        UNION ALL
+        SELECT 'tumbling' AS variant, h0 AS win_start, event_type, value FROM e2
     )
-    SELECT win_start, event_type,
+    SELECT variant, win_start, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM w GROUP BY 1, 2
+    FROM w GROUP BY 1, 2, 3
     """,
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,11 +918,12 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_dataaccessor_spark.streaming.events import (
         run_available_now,
         stream_events,
+        windowed_counts,
     )
 
-    stream = stream_events(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "2 hours")
+    sliding = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -950,7 +931,14 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
     )
-    return run_available_now(agg, output_mode="complete", shuffle_partitions=8)
+    tumbling = windowed_counts(stream_events(spark, sf_dir))
+    out_s = run_available_now(sliding, output_mode="complete", shuffle_partitions=8)
+    out_t = run_available_now(
+        tumbling, output_mode="complete", shuffle_partitions=8
+    ).withColumnRenamed("hour", "win_start")
+    return out_s.withColumn("variant", F.lit("sliding")).unionByName(
+        out_t.withColumn("variant", F.lit("tumbling"))
+    ).select("variant", "win_start", "event_type", "n", "sum_value")
 
 
 # ---------------------------------------------------------------------------
