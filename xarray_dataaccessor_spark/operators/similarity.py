@@ -653,7 +653,10 @@ def pq_ann(
         codes.join(F.broadcast(lut), ["m", "code_id"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("adist"))
+        # DECIMAL sum: m per-subspace distances add in nondeterministic
+        # shuffle order — decimal makes the ADC score (and therefore the
+        # shortlist cut) reproducible across runs and engines
+        .agg(F.sum(F.col("d").cast("decimal(28,14)")).cast("double").alias("adist"))
     )
     w_a = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     short = (

@@ -1369,3 +1369,228 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         session_counts(stream), output_mode="complete", shuffle_partitions=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the pretraining concat-and-chunk layout
+# (operators/sampling.py::sequence_packing). Everything is a pure
+# function of the portable id hash, so the oracle replicates the shard
+# assignment, the shuffled order, the clamped prefix sum, and the pack
+# attribution exactly.
+# ---------------------------------------------------------------------------
+_SP_H = _H32.format(expr="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+               {_SP_H} % 64 AS shard,
+               {_SP_H} % 65536 AS ord
+        FROM documents
+    ),
+    c AS (
+        SELECT *, SUM(LEAST(n_tokens, 256)) OVER (
+                      PARTITION BY shard ORDER BY ord, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    ),
+    p AS (SELECT *, CAST(FLOOR((cum - 1) / 256) AS BIGINT) AS pk FROM c)
+    SELECT doc_id, n_tokens,
+           CAST(shard AS VARCHAR) || '-' || CAST(pk AS VARCHAR) AS pack_id,
+           CAST(row_number() OVER (PARTITION BY shard, pk
+                                   ORDER BY ord, doc_id) AS INT) AS pack_pos
+    FROM p
+    """,
+)
+def sequence_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the documents table onto a 256-token
+    budget grid in the deterministic shuffled training order (the id-hash
+    order an epoch consumes): one prefix-sum window per hash shard, no
+    driver loop. The oracle recomputes shard, order, clamped cumulative
+    tokens, and pack attribution from the same portable md5 hash."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.sampling import sequence_packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    return sequence_packing(docs, "n_tok", budget=256).select(
+        "doc_id", "n_tokens", "pack_id", "pack_pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (operators/tokenize.py): encode with a FIXED merge
+# list so a DuckDB recursive CTE can replay the exact GPT-2 application
+# order (lowest-rank adjacent pair first, one occurrence per step) and
+# verify per-document subword counts. Training stays covered by unit
+# tests (merge parity vs a reference implementation); the encode path —
+# the part that touches the whole corpus at scale — is what the oracle
+# pins down.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+    ("e", "n"), ("a", "t"), ("er", "s"), ("the", "r"),
+]
+
+
+def _bpe_oracle() -> str:
+    case = (
+        "CASE s[i] || chr(1) || s[i+1] "
+        + " ".join(
+            f"WHEN '{a}' || chr(1) || '{b}' THEN {r}"
+            for r, (a, b) in enumerate(_BPE_MERGES)
+        )
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    tokf AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+    w0 AS (SELECT DISTINCT w FROM tokf),
+    chars AS (
+        SELECT w, list_transform(range(1, length(w)+1), i -> w[i]) AS s FROM w0
+    ),
+    bpe AS (
+        SELECT w, s FROM chars
+        UNION ALL
+        SELECT w,
+               s[1:cands[1].i-1] || [s[cands[1].i] || s[cands[1].i+1]]
+                   || s[cands[1].i+2:] AS s
+        FROM (
+            SELECT w, s,
+                   list_sort(list_filter(
+                       list_transform(range(1, len(s)),
+                                      i -> {{'r': {case}, 'i': i}}),
+                       x -> x.r IS NOT NULL)) AS cands
+            FROM bpe
+        )
+        WHERE len(cands) > 0
+    ),
+    final AS (SELECT w, MIN(len(s)) AS n FROM bpe GROUP BY w)
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(f.n), 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN tokf t ON t.doc_id = d.doc_id
+    LEFT JOIN final f ON f.w = t.w
+    GROUP BY d.doc_id
+    """
+
+
+@query("token_counts_bpe", oracle=_bpe_oracle())
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts from the real BPE encoder
+    (Arrow-batched ``bpe_encode`` with a per-worker word cache) under a
+    fixed 14-rule merge table; the oracle replays the same merges in a
+    recursive CTE — every rank-priority decision the encoder makes is
+    cross-engine verified."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.tokenize import bpe_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_encode(docs, _BPE_MERGES, out_col="toks")
+    return out.select("doc_id", F.col("n_toks").alias("n_bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (similarity.py::pq_ann): the oracle replays
+# the ENTIRE pipeline in SQL — normalization, per-subspace Lloyd
+# codebook training (decimal means, the kmeans-oracle discipline),
+# encoding, the broadcast ADC LUT, decimal ADC sums, shortlist cut, and
+# exact-cosine re-rank — so every quantization decision is cross-engine
+# verified, mirroring the similarity_ivf_ann pattern.
+# ---------------------------------------------------------------------------
+def _pq_assign_sql(src_cb: str, out: str, keep: str = "vec_id, m, sv") -> str:
+    return f"""{out} AS (
+        SELECT {keep}, code_id FROM (
+            SELECT s.vec_id, s.m, s.sv, c.code_id,
+                   row_number() OVER (
+                       PARTITION BY s.m, s.vec_id
+                       ORDER BY {_L2.format(a="s.sv", b="c.ce")}, c.code_id
+                   ) AS rk
+            FROM sub s JOIN {src_cb} c USING (m)
+        ) WHERE rk = 1
+    )"""
+
+
+def _pq_mean_sql(assigned: str, out: str) -> str:
+    return f"""{out} AS (
+        SELECT m, code_id, list(mv ORDER BY pos) AS ce FROM (
+            SELECT m, code_id, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mv
+            FROM (SELECT m, code_id, unnest(sv) AS val,
+                         generate_subscripts(sv, 1) AS pos FROM {assigned})
+            GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "similarity_pq_ann",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   list_transform(e0, x -> x / sqrt({_DOT.format(a="e0", b="e0")}))
+                       AS e
+            FROM v0),
+    sub AS (SELECT vec_id, t.m AS m, e[t.m*16+1 : t.m*16+16] AS sv
+            FROM nrm, range(4) t(m)),
+    cb0 AS (SELECT m, CAST(rk - 1 AS INT) AS code_id, sv AS ce FROM (
+                SELECT m, sv,
+                       row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rk
+                FROM sub)
+            WHERE rk <= 8),
+    {_pq_assign_sql("cb0", "a1")},
+    {_pq_mean_sql("a1", "cb1")},
+    {_pq_assign_sql("cb1", "a2")},
+    {_pq_mean_sql("a2", "cb2")},
+    {_pq_assign_sql("cb2", "codes", keep="vec_id, m")},
+    qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5),
+    lut AS (SELECT q.query_id, q.m, c.code_id,
+                   {_L2.format(a="q.qsv", b="c.ce")} AS d
+            FROM qsub q JOIN cb2 c USING (m)),
+    ad AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                  CAST(SUM(CAST(l.d AS DECIMAL(28,14))) AS DOUBLE) AS adist
+           FROM codes co JOIN lut l ON l.m = co.m AND l.code_id = co.code_id
+           WHERE l.query_id <> co.vec_id
+           GROUP BY 1, 2),
+    short AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adist, neighbor_id) AS rk
+                 FROM ad)
+              WHERE rk <= 20),
+    resc AS (SELECT s.query_id, s.neighbor_id,
+                    {_DOT.format(a="qn.e", b="cn.e")} AS cos
+             FROM short s
+             JOIN nrm qn ON qn.vec_id = s.query_id
+             JOIN nrm cn ON cn.vec_id = s.neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rk
+          FROM resc)
+    SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def similarity_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN end-to-end: 4x16-dim subspaces, 8-entry codebooks trained
+    with 2 deterministic Lloyd iterations on the normalized corpus,
+    codes-only ADC scan (the corpus side of the join carries 4 small
+    code ids per vector, never raw embeddings — the 100 TB memory-
+    bandwidth shape), shortlist of refine*k=20 by decimal ADC distance,
+    exact-cosine re-rank to top-5."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.similarity import pq_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_ann(
+        emb.filter(F.col("vec_id") < 5), emb,
+        k=5, m_subspaces=4, n_codes=8, n_iters=2, refine=4, dims=64,
+    )
