@@ -294,3 +294,20 @@ def test_int8_quantization_roundtrip_bounds(spark):
     assert abs(out[1]["q_scale"] - 1.0 / 127.0) < 1e-12
     # all-zero vector: scale guard keeps codes finite
     assert out[2]["q"] == [0, 0, 0, 0]
+
+
+def test_training_sample_partition_invariant(spark):
+    """The hash-ordered training sample picks the SAME rows under any
+    input partitioning (the property per-partition limits lack)."""
+    from xarray_dataaccessor_spark.operators.similarity import training_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("e"),
+    )
+    a = {r["vec_id"] for r in training_sample(df, "vec_id", 64).collect()}
+    b = {
+        r["vec_id"]
+        for r in training_sample(df.repartition(13), "vec_id", 64).collect()
+    }
+    assert a == b and len(a) == 64

@@ -387,6 +387,21 @@ def ivf_assign(
     )
 
 
+def training_sample(
+    vectors: DataFrame, id_col: str, train_limit: int
+) -> DataFrame:
+    """Deterministic bounded training sample: the ``train_limit`` rows
+    with the smallest ``(portable_hash32(id), id)`` key. A hash-ordered
+    top-K is partition-layout independent (the same rows win on any
+    cluster), engine-portable (the oracle replays it in SQL), and runs
+    as a map-side partial top-K — no full shuffle of the corpus."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+    return vectors.orderBy(
+        portable_hash32(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(train_limit)
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 8,
@@ -394,6 +409,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "e",
     dims: int | None = None,
+    train_limit: int | None = 4096,
 ) -> DataFrame:
     """Deterministic Lloyd iterations as pure DataFrame aggregations:
     init = first ``n_centroids`` vectors by id (reproducible seed), then
@@ -404,19 +420,26 @@ def kmeans_centroids(
     and everything downstream — are bit-reproducible across runs and
     engines (the SQL-oracle convention, memory: oracle-exactness).
 
-    Scale note: two shuffles per iteration, both keyed on small ids; at
-    100 TB train the quantizer on a deterministic sample
-    (``vectors.filter(id % s == 0)``) like any real IVF build — Lloyd on
-    the full corpus buys nothing past a representative sample.
+    ``train_limit`` (the DEFAULT path) bounds Lloyd to a deterministic
+    hash-ordered sample (:func:`training_sample`): at 100 TB the two
+    shuffles per iteration touch a few thousand rows instead of the
+    corpus — Lloyd on the full corpus buys nothing past a representative
+    sample. Pass ``train_limit=None`` to train on every vector (the
+    exact-replication mode the SQL oracles use at test scale).
 
     A centroid that captures no vectors drops out of the next iteration
     (standard Lloyd degeneracy; deterministic here)."""
-    cent = vectors.orderBy(id_col).limit(n_centroids).select(
+    train = vectors
+    if train_limit is not None:
+        # cache: the sample feeds init + one assignment per iteration,
+        # and it is train_limit rows — trivially cacheable
+        train = training_sample(vectors, id_col, train_limit).cache()
+    cent = train.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
     )
     for _ in range(n_iters):
         assigned = ivf_assign(
-            vectors, cent, id_col=id_col, vec_col=vec_col, rank=1, dims=dims
+            train, cent, id_col=id_col, vec_col=vec_col, rank=1, dims=dims
         )
         cent = _centroid_means(assigned, ["centroid_id"], vec_col, dims)
     return cent
@@ -469,6 +492,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "e",
     dims: int | None = None,
+    train_limit: int | None = 4096,
 ) -> DataFrame:
     """Product-quantization codebooks: split each ``dims``-wide vector
     into ``m_subspaces`` contiguous sub-vectors and train an independent
@@ -484,13 +508,18 @@ def pq_codebooks(
     subspace. Returns ``(m, code_id, ce)`` with ``code_id`` in
     ``[0, n_codes)``.
 
-    Scale: codebooks are (m * n_codes) rows — broadcast-sized. Train on a
-    deterministic sample at 100 TB, like any PQ build."""
+    Scale: codebooks are (m * n_codes) rows — broadcast-sized, and
+    ``train_limit`` (the default) bounds Lloyd to a deterministic
+    hash-ordered sample (:func:`training_sample`) like any real PQ
+    build; ``train_limit=None`` trains on every vector (the oracle's
+    exact-replication mode)."""
     if dims is None or dims % m_subspaces != 0:
         raise ValueError(
             f"dims ({dims}) must be known and divisible by m_subspaces "
             f"({m_subspaces})"
         )
+    if train_limit is not None:
+        vectors = training_sample(vectors, id_col, train_limit).cache()
     sub = dims // m_subspaces
     subv = vectors.select(
         F.col(id_col),
@@ -581,6 +610,7 @@ def pq_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_limit: int | None = 4096,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-rank — the third ANN strategy beside :func:`lsh_ann_banded`
@@ -628,6 +658,7 @@ def pq_ann(
         id_col="neighbor_id",
         vec_col="ce",
         dims=dims,
+        train_limit=train_limit,
     ).cache()
     codes = pq_encode(cn, books, id_col="neighbor_id", vec_col="ce", dims=dims)
 
@@ -687,6 +718,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    train_limit: int | None = 4096,
 ) -> DataFrame:
     """IVF-style approximate nearest neighbors: a deterministic k-means
     coarse quantizer (:func:`kmeans_centroids` — Lloyd iterations seeded
@@ -704,7 +736,8 @@ def ivf_ann(
         id_col, F.col(vec_col).cast("array<double>").alias("e")
     )
     cent = kmeans_centroids(
-        vecs, n_centroids, n_iters, id_col=id_col, dims=dims
+        vecs, n_centroids, n_iters, id_col=id_col, dims=dims,
+        train_limit=train_limit,
     ).cache()
     c_assigned = ivf_assign(
         vecs,

@@ -809,22 +809,28 @@ _L2 = (
 )
 
 
-def _kmeans_assign_body(cent: str, rank: int = 1, where: str = "") -> str:
+def _kmeans_assign_body(
+    cent: str, rank: int = 1, where: str = "", src: str = "v"
+) -> str:
     """One Lloyd assignment: rank-``rank`` nearest centroid(s) by squared
     L2, ties toward the smaller centroid id (mirrors
-    ``similarity.ivf_assign``)."""
+    ``similarity.ivf_assign``). ``src`` selects the vector table —
+    the training sample for Lloyd rounds, the full corpus for the final
+    inverted-list assignment."""
     return f"""SELECT vec_id, e, centroid_id FROM (
             SELECT v.vec_id, v.e, c.centroid_id,
                    row_number() OVER (
                        PARTITION BY v.vec_id
                        ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
                    ) AS rk
-            FROM v CROSS JOIN {cent} c {where}
+            FROM {src} v CROSS JOIN {cent} c {where}
         ) WHERE rk <= {rank}"""
 
 
-def _kmeans_assign_sql(cent: str, out: str, rank: int = 1, where: str = "") -> str:
-    return f"{out} AS ({_kmeans_assign_body(cent, rank, where)})"
+def _kmeans_assign_sql(
+    cent: str, out: str, rank: int = 1, where: str = "", src: str = "v"
+) -> str:
+    return f"{out} AS ({_kmeans_assign_body(cent, rank, where, src)})"
 
 
 def _kmeans_mean_sql(assigned: str, out: str) -> str:
@@ -846,13 +852,18 @@ def _kmeans_mean_sql(assigned: str, out: str) -> str:
     "similarity_ivf_ann",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    smp AS (
+        SELECT vec_id, e FROM v
+        ORDER BY {_H32.format(expr="CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT 256
+    ),
     cent0 AS (
         SELECT vec_id AS centroid_id, e AS ce
-        FROM v ORDER BY vec_id LIMIT 8
+        FROM smp ORDER BY vec_id LIMIT 8
     ),
-    {_kmeans_assign_sql("cent0", "a1")},
+    {_kmeans_assign_sql("cent0", "a1", src="smp")},
     {_kmeans_mean_sql("a1", "cent1")},
-    {_kmeans_assign_sql("cent1", "a2")},
+    {_kmeans_assign_sql("cent1", "a2", src="smp")},
     {_kmeans_mean_sql("a2", "cent2")},
     c_assigned AS (
         SELECT vec_id AS neighbor_id, e AS nbr, centroid_id
@@ -874,15 +885,18 @@ def _kmeans_mean_sql(assigned: str, out: str) -> str:
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the deterministic k-means quantizer (2 Lloyd
-    iterations seeded by the first 8 vectors; VERDICT r2 #4/#6 — the
-    by-id quantizer skews inverted lists on clustered corpora)."""
+    iterations seeded by the first 8 sampled vectors; VERDICT r2 #4/#6 —
+    the by-id quantizer skews inverted lists on clustered corpora).
+    Lloyd trains on the deterministic hash-ordered 256-vector sample
+    (the 100 TB default, VERDICT r3 wrong-#2) and the oracle replays the
+    SAME sample selection in SQL, so sampling costs no exactness."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.similarity import ivf_ann
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_ann(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2,
-        n_iters=2, dims=64,
+        n_iters=2, dims=64, train_limit=256,
     )
 
 
@@ -1509,7 +1523,9 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-cosine re-rank — so every quantization decision is cross-engine
 # verified, mirroring the similarity_ivf_ann pattern.
 # ---------------------------------------------------------------------------
-def _pq_assign_sql(src_cb: str, out: str, keep: str = "vec_id, m, sv") -> str:
+def _pq_assign_sql(
+    src_cb: str, out: str, keep: str = "vec_id, m, sv", src: str = "sub"
+) -> str:
     return f"""{out} AS (
         SELECT {keep}, code_id FROM (
             SELECT s.vec_id, s.m, s.sv, c.code_id,
@@ -1517,7 +1533,7 @@ def _pq_assign_sql(src_cb: str, out: str, keep: str = "vec_id, m, sv") -> str:
                        PARTITION BY s.m, s.vec_id
                        ORDER BY {_L2.format(a="s.sv", b="c.ce")}, c.code_id
                    ) AS rk
-            FROM sub s JOIN {src_cb} c USING (m)
+            FROM {src} s JOIN {src_cb} c USING (m)
         ) WHERE rk = 1
     )"""
 
@@ -1544,14 +1560,18 @@ def _pq_mean_sql(assigned: str, out: str) -> str:
             FROM v0),
     sub AS (SELECT vec_id, t.m AS m, e[t.m*16+1 : t.m*16+16] AS sv
             FROM nrm, range(4) t(m)),
+    smp AS (SELECT vec_id FROM nrm
+            ORDER BY {_H32.format(expr="CAST(vec_id AS VARCHAR)")}, vec_id
+            LIMIT 256),
+    ssub AS (SELECT s.* FROM sub s JOIN smp USING (vec_id)),
     cb0 AS (SELECT m, CAST(rk - 1 AS INT) AS code_id, sv AS ce FROM (
                 SELECT m, sv,
                        row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rk
-                FROM sub)
+                FROM ssub)
             WHERE rk <= 8),
-    {_pq_assign_sql("cb0", "a1")},
+    {_pq_assign_sql("cb0", "a1", src="ssub")},
     {_pq_mean_sql("a1", "cb1")},
-    {_pq_assign_sql("cb1", "a2")},
+    {_pq_assign_sql("cb1", "a2", src="ssub")},
     {_pq_mean_sql("a2", "cb2")},
     {_pq_assign_sql("cb2", "codes", keep="vec_id, m")},
     qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5),
@@ -1585,7 +1605,9 @@ def similarity_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes-only ADC scan (the corpus side of the join carries 4 small
     code ids per vector, never raw embeddings — the 100 TB memory-
     bandwidth shape), shortlist of refine*k=20 by decimal ADC distance,
-    exact-cosine re-rank to top-5."""
+    exact-cosine re-rank to top-5. Codebooks train on the deterministic
+    hash-ordered 256-vector sample (the scale default) and the oracle
+    replays the same sample selection."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.similarity import pq_ann
 
@@ -1593,4 +1615,5 @@ def similarity_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann(
         emb.filter(F.col("vec_id") < 5), emb,
         k=5, m_subspaces=4, n_codes=8, n_iters=2, refine=4, dims=64,
+        train_limit=256,
     )
