@@ -7,6 +7,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced through the `noop` sink (full execution, no driver
 collect) after a warm-up of the session; time is wall-clock per query.
+
+Methodology note (grid): the derived grid is LANDED as a real parquet
+table in the prologue and grid queries read it like any other input
+table (`queries.GRID_PARQUET`), so their times include a real scan; the
+warm-up touches its page cache exactly as it does every other input
+table. Outside bench (correctness driver, tests) the grid derives
+in-plan from lineitem as before.
 """
 
 from __future__ import annotations
@@ -165,15 +172,25 @@ def main() -> None:
         p = f"{sf_dir}/{tbl}.parquet"
         if os.path.exists(p):
             spark.read.parquet(p).write.format("noop").mode("overwrite").save()
-    # 1d. materialize the shared derived-grid cache (a deployment would
-    #     have this as a real table; ~15 grid queries share it) and
-    #     JIT the pivot/window codepath it feeds
+    # 1d. land the derived grid as a REAL parquet table (a deployment
+    #     would have this as a real table; ~15 grid queries read it) so
+    #     every timed grid query pays a real scan — not an in-memory
+    #     cache hit — then warm its page cache exactly like the other
+    #     input tables in 1c, and JIT the pivot/window codepath it feeds
     try:
+        import tempfile
+
         from pyspark.sql import functions as F
 
-        from xarray_dataaccessor_spark.queries import _grid
+        import xarray_dataaccessor_spark.queries as Q
 
-        g = _grid(spark, sf_dir)
+        grid_path = os.path.join(
+            tempfile.mkdtemp(prefix="xda_bench_grid_"), "grid.parquet"
+        )
+        Q._grid(spark, sf_dir).write.mode("overwrite").parquet(grid_path)
+        Q.GRID_PARQUET = grid_path
+        print(f"# grid landed as parquet fixture: {grid_path}", file=sys.stderr)
+        g = Q._grid(spark, sf_dir)
         g.write.format("noop").mode("overwrite").save()
         g.limit(1000).groupBy("time").pivot("x").agg(F.first("t2m")).write.format(
             "noop"
@@ -220,7 +237,7 @@ def main() -> None:
     #     costs seconds; running the operator once on a tiny 64-dim
     #     corpus populates the codegen cache with the exact classes
     try:
-        from xarray_dataaccessor_spark.operators.similarity import ivf_ann
+        from xarray_dataaccessor_spark.operators.similarity import ivf_ann, pq_ann
 
         tiny = spark.range(0, 64, 1, 8).select(
             F.col("id").alias("vec_id"),
@@ -231,6 +248,12 @@ def main() -> None:
         ivf_ann(
             tiny.filter(F.col("vec_id") < 2), tiny, k=3, n_centroids=8,
             n_probe=2, n_iters=2, dims=64,
+        ).write.format("noop").mode("overwrite").save()
+        # PQ stage shapes: subspace slice-explode, LUT broadcast join,
+        # decimal ADC sum, exact re-rank — same codegen-cache rationale
+        pq_ann(
+            tiny.filter(F.col("vec_id") < 2), tiny, k=3, m_subspaces=4,
+            n_codes=8, n_iters=2, refine=2, dims=64,
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass

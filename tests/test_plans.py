@@ -155,12 +155,21 @@ def test_utm_transform_plan_is_pure_projection(spark):
 
 
 def test_multimodal_decode_single_python_stage(spark, sf_dir):
-    """VERDICT r2 #9: the Python-boundary queries must keep exactly ONE
-    Arrow-batched Python stage and no extra Exchange — plan-level guard
-    against regressions like r2's 3.8x multimodal slowdown."""
+    """VERDICT r2 #9: the Python-boundary decode plumbing must keep
+    exactly ONE Arrow-batched Python stage per operator and no extra
+    Exchange — plan-level guard against regressions like r2's 3.8x
+    multimodal slowdown. (The fused oracle query unions two codec
+    branches; the per-operator chain is what this guards.)"""
     import re
 
-    df = QUERIES["multimodal_decode_noracle"](spark, sf_dir)
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        attach_binary_column,
+        decode_binary,
+    )
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    df = decode_binary(attach_binary_column(docs))
     plan = plan_string(df)
     # formatted mode repeats each node in the detail section; count the
     # numbered detail headers only

@@ -544,17 +544,22 @@ def pq_codebooks(
             "m", (F.col("__rk") - 1).cast("int").alias("code_id"), F.col("sv").alias("ce")
         )
     )
-    w_assign = Window.partitionBy("m", id_col).orderBy(F.asc("__d"), F.asc("code_id"))
     for _ in range(n_iters):
+        # argmin as a min-struct aggregation (the ivf_assign discipline):
+        # partial aggregation combines map-side where a window would
+        # shuffle and sort all |codes| scored rows per (m, vector)
         assigned = (
             subv.join(F.broadcast(cent), "m")
             .withColumn("__d", l2sq(F.col("sv"), F.col("ce"), sub))
-            .withColumn("__rk", F.row_number().over(w_assign))
-            .filter(F.col("__rk") == 1)
+            .groupBy("m", id_col)
+            .agg(F.min(F.struct("__d", "code_id", "sv")).alias("__b"))
+            .select(
+                "m",
+                F.col("__b.code_id").alias("code_id"),
+                F.col("__b.sv").alias("sv"),
+            )
         )
-        cent = _centroid_means(
-            assigned.select("m", "code_id", "sv"), ["m", "code_id"], "sv", sub
-        )
+        cent = _centroid_means(assigned, ["m", "code_id"], "sv", sub)
     return cent
 
 
@@ -589,13 +594,15 @@ def pq_encode(
             )
         ).alias("b"),
     ).select(id_col, F.col("b.m").alias("m"), F.col("b.sv").alias("sv"))
-    w = Window.partitionBy("m", id_col).orderBy(F.asc("__d"), F.asc("code_id"))
+    # min-struct argmin: map-side combinable, no per-(m, vector) window
+    # sort shuffle (same tie-break — smaller code_id — as the ordered
+    # window it replaces)
     return (
         subv.join(F.broadcast(codebooks), "m")
         .withColumn("__d", l2sq(F.col("sv"), F.col("ce"), sub))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, "m", "code_id")
+        .groupBy("m", id_col)
+        .agg(F.min(F.struct("__d", "code_id")).alias("__b"))
+        .select(id_col, "m", F.col("__b.code_id").alias("code_id"))
     )
 
 

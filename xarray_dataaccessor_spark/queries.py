@@ -50,7 +50,16 @@ def _dec_sum(col: str, scale: int = 2, alias: str | None = None):
     )
 
 
+#: When set (bench.py lands the derived grid as a real parquet table in
+#: its prologue), grid queries READ that table like any other input —
+#: every timed grid query pays a real scan instead of hitting an
+#: in-memory cache (VERDICT r3 wrong-#3: bench honesty).
+GRID_PARQUET: str | None = None
+
+
 def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if GRID_PARQUET:
+        return spark.read.parquet(GRID_PARQUET)
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     # cache(): the derived grid feeds several queries (and axis scans
     # within one query); Spark keys the cache on the logical plan, so all
@@ -1057,16 +1066,58 @@ def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical ROLLUP totals + distinct aggregates in one pass (the
-    former separate distinct_counts query folded in — same scan, same
-    grouping family, one query slot)."""
+    """Hierarchical ROLLUP totals + distinct aggregates (the former
+    separate distinct_counts query folded in — one query slot).
+
+    Two-level plan (VERDICT r3 wrong-#5): a naive
+    ``rollup().agg(countDistinct, countDistinct)`` expands the FULL
+    lineitem scan x (3 grouping sets x 2 distinct columns). Instead the
+    scan pre-aggregates once per (flag, status) — decimal partials, so
+    the rolled-up total is bit-identical to a single-level decimal sum —
+    and each distinct count rolls up over its deduplicated
+    (flag, status, key) triples; the expands run over group-sized /
+    key-sized tables, never the fact scan, and the three tiny rollups
+    broadcast-join back together on null-safe keys (ROLLUP totals are
+    NULL-keyed rows)."""
     configure_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        _dec_sum("l_quantity", 2, "sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
+    f, s = "l_returnflag", "l_linestatus"
+    base = li.groupBy(f, s).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    tot = base.rollup(f, s).agg(
+        F.sum("__q").cast("double").alias("sum_qty"),
+        F.sum("__c").alias("n"),
+    )
+    parts = (
+        li.select(f, s, "l_partkey").distinct()
+        .rollup(f, s)
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+    supps = (
+        li.select(f, s, "l_suppkey").distinct()
+        .rollup(f, s)
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"))
+    )
+    t, p, u = tot.alias("t"), parts.alias("p"), supps.alias("u")
+    key_tp = F.col(f"t.{f}").eqNullSafe(F.col(f"p.{f}")) & F.col(
+        f"t.{s}"
+    ).eqNullSafe(F.col(f"p.{s}"))
+    key_tu = F.col(f"t.{f}").eqNullSafe(F.col(f"u.{f}")) & F.col(
+        f"t.{s}"
+    ).eqNullSafe(F.col(f"u.{s}"))
+    return (
+        t.join(F.broadcast(p), key_tp)
+        .join(F.broadcast(u), key_tu)
+        .select(
+            F.col(f"t.{f}").alias(f),
+            F.col(f"t.{s}").alias(s),
+            "sum_qty",
+            "n",
+            "n_parts",
+            "n_supps",
+        )
     )
 
 
