@@ -189,3 +189,67 @@ def test_conv_axis_zero_denominator_yields_null(spark):
     out = {r["x"]: r["v"] for r in _conv_axis(df, taps, "x", ("time", "y"), ["v"]).collect()}
     assert out[5.0] is None
     assert out[6.0] == pytest.approx(0.25 * 10.0 + 0.75 * 20.0)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: sparse-input property — random null holes must never produce
+# Inf/NaN from the negative-lobe kernels (cubic a=-0.5, lanczos): the
+# near-zero / sign-flipped present-weight denominators yield NULL via the
+# |den| <= eps guard, everything else stays finite.
+# ---------------------------------------------------------------------------
+def test_sparse_holes_never_inf_nan_property(spark):
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        data=st.data(),
+        kernel=st.sampled_from(sorted(CONVOLUTIONAL_KERNELS)),
+        factor=st.sampled_from([2.0, 0.5]),
+    )
+    def run(data, kernel, factor):
+        nx = data.draw(st.integers(4, 6), label="nx")
+        ny = data.draw(st.integers(4, 6), label="ny")
+        vals = np.array(
+            data.draw(
+                st.lists(
+                    st.floats(0.0, 1.0, allow_nan=False),
+                    min_size=nx * ny, max_size=nx * ny,
+                ),
+                label="vals",
+            )
+        ).reshape(ny, nx)
+        mask = np.array(
+            data.draw(
+                st.lists(st.booleans(), min_size=nx * ny, max_size=nx * ny),
+                label="mask",
+            )
+        ).reshape(ny, nx)
+        xs = [float(i) * 0.25 for i in range(nx)]
+        ys = [float(i) * 0.25 for i in range(ny)]
+        rows = [
+            (T, ys[i], xs[j], None if mask[i, j] else float(vals[i, j]))
+            for i in range(ny)
+            for j in range(nx)
+        ]
+        df = spark.createDataFrame(
+            rows, "time timestamp, y double, x double, v double"
+        )
+        out = spatial_resample(
+            df, resolution_factor=factor, resample_method=kernel
+        ).collect()
+        assert out, "resample produced no rows"
+        for r in out:
+            if r["v"] is not None:
+                assert math.isfinite(r["v"]), (kernel, factor, r)
+        # an entirely-null input slice must come back entirely NULL
+        if mask.all():
+            assert all(r["v"] is None for r in out)
+        # a hole-free input slice must be fully populated (partition of
+        # unity -> every target has full present weight)
+        if not mask.any():
+            assert all(r["v"] is not None for r in out)
+
+    run()
