@@ -3,13 +3,16 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct beside them. The Spark-side plumbing — schema, partition-friendly
 batch iteration, Arrow-batched ``mapInPandas`` UDF signatures — is real
-and tested, and the codec step is REAL for the formats that parse purely
-(``sources/media.py``): WAV/RIFF PCM+float audio, netpbm and
-uncompressed BMP images, PNG (zlib + spec filters), and Y4M video. The
-``codec="fake"`` default keeps plumbing tests fixture-free; passing
-``codec="pil"`` / ``"soundfile"`` / ``"ffmpeg"`` raises
-NotImplementedError at the exact point a compressed-format library
-(JPEG/MP3/H.264) would plug in.
+and tested, and the codec step is REAL for the formats that parse purely:
+WAV/RIFF PCM+float audio, netpbm and uncompressed BMP images, PNG
+(zlib + spec filters incl. Adam7), GIF, Y4M video
+(``sources/media.py``) and baseline JPEG — SOF0 sequential DCT,
+Huffman, restart markers, 4:4:4/4:2:2/4:2:0 chroma
+(``sources/jpeg.py``). The ``codec="fake"`` default keeps plumbing
+tests fixture-free; passing ``codec="pil"`` / ``"soundfile"`` /
+``"ffmpeg"`` raises NotImplementedError at the exact point a remaining
+compressed-format library (WebP/progressive JPEG/MP3/H.264) would
+plug in.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xarray_dataaccessor_spark.sources.jpeg import parse_jpeg
 from xarray_dataaccessor_spark.sources.media import (
     parse_bmp,
     parse_gif,
@@ -37,9 +41,11 @@ def _ship_by_value() -> None:
         from pyspark import cloudpickle as _cp
 
         import xarray_dataaccessor_spark.operators.multimodal as _mm
+        from xarray_dataaccessor_spark.sources import jpeg as _jpeg
         from xarray_dataaccessor_spark.sources import media as _media
 
         _cp.register_pickle_by_value(_media)
+        _cp.register_pickle_by_value(_jpeg)
         _cp.register_pickle_by_value(_mm)
     except Exception:
         pass
@@ -153,7 +159,9 @@ def decode_binary(
 def _decode_gray(raw: bytes, codec: str):
     """Decode payload bytes to a float64 grayscale array. Real parsers
     for the pure formats; 'fake' tiles the raw bytes to 32x32."""
-    if codec == "netpbm":
+    if codec == "jpeg":
+        img = parse_jpeg(raw).astype("float64")
+    elif codec == "netpbm":
         img = parse_netpbm(raw).astype("float64")
     elif codec == "bmp":
         img = parse_bmp(raw).astype("float64")
@@ -206,17 +214,20 @@ def decode_image(
     (zlib + spec filters, 8/16-bit, all color types, incl. Adam7
     interlace).
     Color images collapse to luma (ITU-R 601 weights) before the
-    resize. ``codec="fake"``
+    resize. ``codec="jpeg"`` is the pure baseline JPEG decoder
+    (``sources/jpeg.py``: SOF0 sequential DCT, Huffman + restart
+    markers, 4:4:4/4:2:2/4:2:0 chroma; progressive SOF2 gated).
+    ``codec="fake"``
     interprets the payload bytes as a deterministic grayscale raster
     (tiled to 32x32) for plumbing tests without fixtures. The RESIZE is
     the same real array math for every codec — area-mean pooling to
-    ``out_size``. ``codec="pil"`` marks where a compressed-format
-    decoder (JPEG) would plug in."""
-    if codec not in ("fake", "netpbm", "bmp", "png", "gif"):
+    ``out_size``. ``codec="pil"`` marks where a general compressed-
+    format library (WebP/AVIF/progressive JPEG) would plug in."""
+    if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
-            "'netpbm'/'bmp'/'png'/'gif' decode purely, 'fake' exercises "
-            "the plumbing"
+            "'netpbm'/'bmp'/'png'/'gif'/'jpeg' decode purely, 'fake' "
+            "exercises the plumbing"
         )
     _ship_by_value()
     oh, ow = out_size

