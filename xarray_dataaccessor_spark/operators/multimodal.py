@@ -76,18 +76,24 @@ def attach_binary_column(
 def attach_media_column(
     df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (8, 8)
 ) -> DataFrame:
-    """Attach REAL image payloads built with the pure codecs
-    (``sources/media.py``): pixel ``k`` (row-major) of document ``d`` is
-    ``(d * 7 + k) % 256`` — deterministic and SQL-derivable, so a DuckDB
-    oracle can reproduce decoded statistics exactly. Even ids encode as
-    binary netpbm (P5), odd ids as PNG, so one query exercises both real
-    decoders end-to-end. Output: ``(doc_id, payload binary,
-    img_codec string)``."""
+    """Attach REAL image payloads built with the pure codecs so a DuckDB
+    oracle can reproduce decoded statistics exactly. Codec rotates on
+    ``doc_id % 3``:
+
+    - 0 -> binary netpbm (P5), gradient pixels ``(d*7 + k) % 256``
+    - 1 -> PNG, the same gradient
+    - 2 -> baseline JPEG at quality 100, SOLID color ``(d*7) % 256``
+      (the DC-only path is exactly lossless at q=100 for every uint8
+      value — property-verified in ``tests/test_jpeg.py`` — so even the
+      lossy codec has a SQL-derivable decoded mean)
+
+    Output: ``(doc_id, payload binary, img_codec string)``."""
     _ship_by_value()
+    from xarray_dataaccessor_spark.sources.jpeg import write_jpeg
     from xarray_dataaccessor_spark.sources.media import write_netpbm, write_png
 
     h, w = size
-    wn, wp = write_netpbm, write_png
+    wn, wp, wj = write_netpbm, write_png, write_jpeg
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import numpy as np
@@ -98,11 +104,15 @@ def attach_media_column(
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                img = ((d * 7 + k) % 256).astype("u1").reshape(h, w)
-                if d % 2 == 0:
+                if d % 3 == 0:
+                    img = ((d * 7 + k) % 256).astype("u1").reshape(h, w)
                     payload, codec = wn(img, binary=True), "netpbm"
-                else:
+                elif d % 3 == 1:
+                    img = ((d * 7 + k) % 256).astype("u1").reshape(h, w)
                     payload, codec = wp(img), "png"
+                else:
+                    img = np.full((h, w), (d * 7) % 256, dtype="u1")
+                    payload, codec = wj(img, quality=100), "jpeg"
                 rows.append({"doc_id": d, "payload": payload, "img_codec": codec})
             yield pd.DataFrame(rows)
 

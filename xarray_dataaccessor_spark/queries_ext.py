@@ -656,20 +656,25 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text) AS checksum,
            CAST(octet_length(payload) % 640 AS INT) AS width,
            CAST(octet_length(payload) % 480 AS INT) AS height,
-           CASE WHEN b.doc_id % 2 = 0 THEN 'netpbm' ELSE 'png' END AS img_codec,
-           m.mean_pixel
+           CASE b.doc_id % 3 WHEN 0 THEN 'netpbm' WHEN 1 THEN 'png'
+                             ELSE 'jpeg' END AS img_codec,
+           CASE WHEN b.doc_id % 3 = 2
+                THEN CAST((b.doc_id * 7) % 256 AS DOUBLE)
+                ELSE m.mean_pixel END AS mean_pixel
     FROM b JOIN m ON m.doc_id = b.doc_id
     """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column features (JVM-side byte stats) + REAL distributed
-    image decode: each document gets a real netpbm-P5 (even ids) or PNG
-    (odd ids) payload built by the pure writers, decoded back through
-    the Arrow-batched ``decode_image`` path, and the decoded
-    ``mean_pixel`` is verified against the SQL-derived pixel rule
-    (pixel k of doc d = (d*7+k) % 256). One oracle slot covers the
-    byte-feature fast path AND two real image codecs end-to-end; the
-    ``fake`` plumbing codec now lives only in unit tests."""
+    image decode: each document gets a real netpbm-P5 / PNG / baseline-
+    JPEG payload (rotating on doc_id%3) built by the pure writers,
+    decoded back through the Arrow-batched ``decode_image`` path, and
+    the decoded ``mean_pixel`` is verified against the SQL-derived pixel
+    rule (gradient (d*7+k)%256 for netpbm/PNG; solid (d*7)%256 for the
+    q=100 JPEG, whose DC-only path is exactly lossless). One oracle slot
+    covers the byte-feature fast path AND three real image codecs
+    end-to-end; the ``fake`` plumbing codec now lives only in unit
+    tests."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.multimodal import (
         attach_binary_column,
@@ -689,7 +694,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media_column(docs)
     decoded = None
-    for codec in ("netpbm", "png"):
+    for codec in ("netpbm", "png", "jpeg"):
         part = decode_image(
             media.filter(F.col("img_codec") == codec), codec=codec
         ).select("doc_id", "mean_pixel").withColumn("img_codec", F.lit(codec))
