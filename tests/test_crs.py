@@ -454,3 +454,98 @@ def test_rotated_pole_columns_match_scalars(spark):
     ).collect()
     for r in back:
         assert math.isclose(r["x"] % 360, r["x"] % 360) and abs(r["y"]) <= 90
+
+
+# ---------------------------------------------------------------------------
+# Equal-area families (round 4): LAEA (EPSG:3035, EASE-Grid 2.0 polar
+# 6931/6932) and cylindrical equal-area (EASE-Grid 2.0 global 6933)
+# ---------------------------------------------------------------------------
+
+
+def test_laea_epsg_guidance_worked_example():
+    """EPSG Guidance Note 7-2, method 9820 example (ETRS89-LAEA,
+    EPSG:3035): 50N 5E -> E 3962799.45, N 2999718.85."""
+    from xarray_dataaccessor_spark.operators.crs import conic_polar_crs
+
+    p = conic_polar_crs(3035)
+    x, y = p.forward(5.0, 50.0)
+    assert x == pytest.approx(3962799.45, abs=0.02)
+    assert y == pytest.approx(2999718.85, abs=0.02)
+    lon, lat = p.inverse(x, y)
+    assert lon == pytest.approx(5.0, abs=1e-7)
+    assert lat == pytest.approx(50.0, abs=1e-7)
+
+
+def test_ease_grid2_published_extent_constant():
+    """EASE-Grid 2.0 global (EPSG:6933): the NSIDC-published map x at the
+    antimeridian is 17367530.445161 m."""
+    from xarray_dataaccessor_spark.operators.crs import conic_polar_crs
+
+    x, y = conic_polar_crs(6933).forward(180.0, 0.0)
+    assert x == pytest.approx(17367530.445161, abs=1e-3)
+    assert y == pytest.approx(0.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("code,pts", [
+    (3035, [(10, 52), (5, 50), (25, 35), (-10, 70), (31.17, 34.9)]),
+    (6931, [(0, 45), (90, 30), (-135, 10), (179.0, 0.5)]),
+    (6932, [(10, -45), (-90, -30), (135, -10)]),
+    (6933, [(0, 0), (100, 20), (-179, 85), (45, -60)]),
+])
+def test_equal_area_roundtrip(code, pts):
+    from xarray_dataaccessor_spark.operators.crs import conic_polar_crs
+
+    p = conic_polar_crs(code)
+    for lon, lat in pts:
+        x, y = p.forward(lon, lat)
+        lon2, lat2 = p.inverse(x, y)
+        assert lon2 == pytest.approx(lon, abs=1e-5)
+        assert lat2 == pytest.approx(lat, abs=1e-5)
+
+
+@pytest.mark.parametrize("code,pt", [
+    (3035, (15, 48)), (6931, (40, 60)), (6932, (-60, -50)), (6933, (100, 20)),
+])
+def test_equal_area_property(code, pt):
+    """The defining invariant: the finite-difference Jacobian equals the
+    ellipsoidal area element (|distortion| = 1 everywhere)."""
+    import math
+
+    from xarray_dataaccessor_spark.operators.crs import conic_polar_crs
+
+    p = conic_polar_crs(code)
+    a, f = p.a, p.f
+    e2 = f * (2 - f)
+    lon, lat = pt
+    h = 1e-6
+    x0, y0 = p.forward(lon, lat)
+    xl, yl = p.forward(lon + h, lat)
+    xp, yp = p.forward(lon, lat + h)
+    J = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (h * h)
+    rad = math.pi / 180
+    s = math.sin(lat * rad)
+    dA = a * a * (1 - e2) * math.cos(lat * rad) / (1 - e2 * s * s) ** 2 * rad * rad
+    assert J / dA == pytest.approx(1.0, abs=1e-6)
+
+
+def test_equal_area_columns_match_scalar_and_stay_codegen(spark):
+    from xarray_dataaccessor_spark.operators.crs import projected_crs, transform_grid
+    from xarray_dataaccessor_spark.plans.explain import plan_string
+
+    pts = [(10.0, 52.0), (25.0, 35.0), (-10.0, 70.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    for code in (3035, 6931, 6933):
+        out = transform_grid(df, 4326, code)
+        plan = plan_string(out)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        proj = projected_crs(code)
+        got = sorted((r["x"], r["y"]) for r in out.collect())
+        want = sorted(proj.forward(lon, lat) for lon, lat in pts)
+        for g, w in zip(got, want):
+            assert g[0] == pytest.approx(w[0], abs=1e-6)
+            assert g[1] == pytest.approx(w[1], abs=1e-6)
+        back = sorted((r["x"], r["y"]) for r in transform_grid(out, code, 4326).collect())
+        for b, (lon, lat) in zip(back, sorted(pts)):
+            assert b[0] == pytest.approx(lon, abs=1e-5)
+            assert b[1] == pytest.approx(lat, abs=1e-5)

@@ -18,6 +18,9 @@ closed-form transforms that run as **pure Spark column expressions**
 - Lambert conformal conic 2SP (Snyder ch. 15): Canada Atlas 3978,
   Lambert-93 2154
 - Albers equal-area 2SP (Snyder ch. 14): Conus Albers 5070
+- Lambert azimuthal equal-area (Snyder ch. 24 / EPSG method 9820):
+  ETRS89-LAEA Europe 3035, EASE-Grid 2.0 polar 6931/6932 (SMAP/AMSR)
+- Cylindrical equal-area (Snyder ch. 10): EASE-Grid 2.0 global 6933
 
 Any pair of the above also composes through the geographic pivot, still
 closed-form. Anything else falls back to the pyproj-gated pandas UDF in
@@ -530,6 +533,186 @@ def _log_ratio(ops, es):
     return math.log((1 - es) / (1 + es))
 
 
+def _beta_to_phi(ops, beta, e):
+    """Authalic -> geodetic latitude series (Snyder eq. 3-18)."""
+    e2 = e * e
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * ops.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * ops.sin(4 * beta)
+        + (761 * e6 / 45360) * ops.sin(6 * beta)
+    )
+
+
+@dataclass(frozen=True)
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal Lambert azimuthal equal-area (Snyder ch. 24, eqs.
+    24-2..24-31 / EPSG method 9820): the CRS of the European reference
+    grid (EPSG:3035 ETRS89-LAEA) and the EASE-Grid 2.0 polar hemispheres
+    (EPSG:6931 north / 6932 south) that SMAP / AMSR snow-and-ice
+    products ship in (reference reprojects these via rio,
+    ``shared_functions.py:132-157``). Oblique aspect via the authalic
+    sphere; polar aspects (lat0 = +/-90) use the exact polar form where
+    the oblique D constant degenerates."""
+
+    lat0: float
+    lon0_deg: float
+    a: float = GRS80_A
+    f: float = GRS80_F
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    @property
+    def _consts(self):
+        e = math.sqrt(self.f * (2 - self.f))
+        qp = AlbersEqualArea._q(_ScalarOps, math.pi / 2, e)
+        polar = 1 if self.lat0 >= 89.999999 else (-1 if self.lat0 <= -89.999999 else 0)
+        if polar:
+            return e, qp, polar, None, None, None, None
+        p0 = math.radians(self.lat0)
+        q0 = AlbersEqualArea._q(_ScalarOps, p0, e)
+        beta0 = math.asin(q0 / qp)
+        rq = self.a * math.sqrt(qp / 2.0)
+        m0 = _m_snyder(_ScalarOps, p0, e)
+        d = self.a * m0 / (rq * math.cos(beta0))
+        return e, qp, 0, beta0, rq, d, None
+
+    def _fwd(self, ops, lon, lat):
+        e, qp, polar, beta0, rq, d, _ = self._consts
+        rad = math.pi / 180.0
+        phi = lat * rad
+        lam = (lon - self.lon0_deg) * rad
+        q = AlbersEqualArea._q(ops, phi, e)
+        if polar:
+            # Snyder 24-23/24-25: rho = a*sqrt(qp -/+ q)
+            rho = self.a * ops.sqrt(qp - q if polar > 0 else qp + q)
+            x = rho * ops.sin(lam)
+            y = (-rho if polar > 0 else rho) * ops.cos(lam)
+        else:
+            beta = ops.asin(q / qp)
+            sb, cb = ops.sin(beta), ops.cos(beta)
+            sb0, cb0 = math.sin(beta0), math.cos(beta0)
+            b = rq * ops.sqrt(
+                2.0 / (1.0 + sb0 * sb + cb0 * cb * ops.cos(lam))
+            )
+            x = b * d * cb * ops.sin(lam)
+            y = (b / d) * (cb0 * sb - sb0 * cb * ops.cos(lam))
+        return x + self.false_easting, y + self.false_northing
+
+    def _inv(self, ops, x, y):
+        e, qp, polar, beta0, rq, d, _ = self._consts
+        deg = 180.0 / math.pi
+        xs = x - self.false_easting
+        ys = y - self.false_northing
+        if polar:
+            rho = ops.sqrt(xs * xs + ys * ys)
+            q = qp - (rho / self.a) ** 2
+            if polar < 0:
+                q = -q
+            beta = ops.asin(q / qp)
+            lon = _norm_lon(
+                self.lon0_deg
+                + ops.atan2(xs, -ys if polar > 0 else ys) * deg
+            )
+            return lon, _beta_to_phi(ops, beta, e) * deg
+        sb0, cb0 = math.sin(beta0), math.cos(beta0)
+        rho = ops.sqrt((xs / d) ** 2 + (d * ys) ** 2)
+        # guard rho=0 (the projection center): ce=0, beta=beta0, lam=0
+        ce = 2.0 * ops.asin(_clip1(ops, rho / (2.0 * rq)))
+        sc, cc = ops.sin(ce), ops.cos(ce)
+        safe_rho = _nonzero(ops, rho)
+        beta = ops.asin(
+            _clip1(ops, cc * sb0 + (d * ys * sc * cb0) / safe_rho)
+        )
+        lam = ops.atan2(xs * sc, d * safe_rho * cb0 * cc - d * d * ys * sb0 * sc)
+        return (
+            _norm_lon(self.lon0_deg + lam * deg),
+            _beta_to_phi(ops, beta, e) * deg,
+        )
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._fwd(_ScalarOps, lon, lat)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        return self._inv(_ScalarOps, x, y)
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        return self._fwd(_ColumnOps, lon, lat)
+
+    def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
+        return self._inv(_ColumnOps, x, y)
+
+
+@dataclass(frozen=True)
+class CylindricalEqualArea:
+    """Ellipsoidal Lambert cylindrical equal-area (Snyder ch. 10, eqs.
+    10-1/10-2/10-6..10-8): EPSG:6933, the EASE-Grid 2.0 global grid of
+    SMAP/SMOS soil-moisture products. x is linear in longitude; y maps
+    the authalic latitude — both directions close-form, no iteration."""
+
+    lat_ts: float
+    lon0_deg: float = 0.0
+    a: float = WGS84_A
+    f: float = WGS84_F
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    @property
+    def _consts(self):
+        e = math.sqrt(self.f * (2 - self.f))
+        pts = math.radians(self.lat_ts)
+        k0 = math.cos(pts) / math.sqrt(1 - (e * math.sin(pts)) ** 2)
+        return e, k0
+
+    def _fwd(self, ops, lon, lat):
+        e, k0 = self._consts
+        rad = math.pi / 180.0
+        q = AlbersEqualArea._q(ops, lat * rad, e)
+        x = self.a * k0 * ((lon - self.lon0_deg) * rad)
+        y = self.a * q / (2.0 * k0)
+        return x + self.false_easting, y + self.false_northing
+
+    def _inv(self, ops, x, y):
+        e, k0 = self._consts
+        deg = 180.0 / math.pi
+        qp = AlbersEqualArea._q(_ScalarOps, math.pi / 2, e)
+        q = 2.0 * k0 * (y - self.false_northing) / self.a
+        beta = ops.asin(_clip1(ops, q / qp))
+        lon = _norm_lon(
+            self.lon0_deg + (x - self.false_easting) / (self.a * k0) * deg
+        )
+        return lon, _beta_to_phi(ops, beta, e) * deg
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._fwd(_ScalarOps, lon, lat)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        return self._inv(_ScalarOps, x, y)
+
+    def forward_cols(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        return self._fwd(_ColumnOps, lon, lat)
+
+    def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
+        return self._inv(_ColumnOps, x, y)
+
+
+def _clip1(ops, v):
+    """Clamp to [-1, 1] before asin (floating fuzz at the domain edge)."""
+    if isinstance(v, Column):
+        return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))
+    return max(-1.0, min(1.0, v))
+
+
+def _nonzero(ops, v, eps: float = 1e-12):
+    """Replace |v| < eps with eps (guards x/rho at the projection
+    center; the atan2/asin arguments there are 0 anyway)."""
+    if isinstance(v, Column):
+        return F.when(F.abs(v) < eps, F.lit(eps)).otherwise(v)
+    return eps if abs(v) < eps else v
+
+
 # EPSG registry for the conic/polar families. All parameters are the
 # published EPSG definitions; NAD83/RGF93 grids use the GRS80 ellipsoid
 # (datum shift to WGS84 is zero to within the projections' own accuracy).
@@ -557,17 +740,34 @@ _ALBERS = {
     # NAD83 / Conus Albers — US land cover / soils rasters
     5070: dict(sp1=29.5, sp2=45.5, lat0=23.0, lon0_deg=-96.0),
 }
+_LAEA = {
+    # ETRS89-extended / LAEA Europe — the EU reference grid (GRS80)
+    3035: dict(lat0=52.0, lon0_deg=10.0,
+               false_easting=4_321_000.0, false_northing=3_210_000.0),
+    # EASE-Grid 2.0 North / South (WGS84) — SMAP/AMSR polar products
+    6931: dict(lat0=90.0, lon0_deg=0.0, a=WGS84_A, f=WGS84_F),
+    6932: dict(lat0=-90.0, lon0_deg=0.0, a=WGS84_A, f=WGS84_F),
+}
+_CEA = {
+    # EASE-Grid 2.0 Global (WGS84, lat_ts=30) — SMAP/SMOS soil moisture
+    6933: dict(lat_ts=30.0, lon0_deg=0.0),
+}
 
 
 def conic_polar_crs(code: int):
     """EPSG -> PolarStereographic / LambertConformalConic /
-    AlbersEqualArea, or None."""
+    AlbersEqualArea / LambertAzimuthalEqualArea / CylindricalEqualArea,
+    or None."""
     if code in _POLAR_STEREO:
         return PolarStereographic(**_POLAR_STEREO[code])
     if code in _LCC:
         return LambertConformalConic(**_LCC[code])
     if code in _ALBERS:
         return AlbersEqualArea(**_ALBERS[code])
+    if code in _LAEA:
+        return LambertAzimuthalEqualArea(**_LAEA[code])
+    if code in _CEA:
+        return CylindricalEqualArea(**_CEA[code])
     return None
 
 
