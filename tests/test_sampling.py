@@ -192,3 +192,27 @@ def test_shard_shuffled_balance_and_coverage(spark):
     assert sum(sizes.values()) == n
     # hash-mod balance: no shard more than 2x the mean
     assert max(sizes.values()) <= 2 * (n // 8 + 1)
+
+
+def test_portable_shuffle_matches_duckdb_replay(spark):
+    """shuffle_rows(portable=True) keys on the md5-derived hash, so the
+    exact permutation is replayable in DuckDB — the cross-engine
+    reproducibility contract the xxhash64 fast path cannot offer."""
+    import duckdb
+
+    from xarray_dataaccessor_spark.operators.sampling import shuffle_rows
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id bigint")
+    got = [r["doc_id"] for r in shuffle_rows(df, seed=3, portable=True).collect()]
+    want = [
+        r[0]
+        for r in duckdb.connect().execute(
+            """
+            SELECT doc_id FROM range(97) t(doc_id)
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT,
+                     doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    assert sorted(got) == list(range(97)) and got != list(range(97))

@@ -197,23 +197,38 @@ def sequence_packing(
     )
 
 
+def _shuffle_key(id_col: str, seed: int, portable: bool):
+    if portable:
+        # md5-derived: replayable in any engine (DuckDB:
+        # ('0x'||substr(md5(id||':'||seed),1,15))::BIGINT)
+        from xarray_dataaccessor_spark.functions.hashing import portable_hash64
+
+        return portable_hash64(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+        )
+    return F.xxhash64(F.col(id_col), F.lit(seed))
+
+
 def shuffle_rows(
-    df: DataFrame, seed: int = 0, id_col: str = "doc_id"
+    df: DataFrame, seed: int = 0, id_col: str = "doc_id", portable: bool = False
 ) -> DataFrame:
     """Deterministic global shuffle for training order: total-order the
-    rows by ``xxhash64(id, seed)`` (ties broken by the id itself, so the
+    rows by ``hash(id, seed)`` (ties broken by the id itself, so the
     permutation is total even under hash collisions). Changing ``seed``
     gives an independent permutation; the same seed reproduces the same
     order on any cluster/partitioning — the property per-partition
     ``rand()`` shuffles lose the moment the input splits differently.
 
+    ``portable=False`` (default) keys on ``xxhash64`` — the fast JVM
+    path. ``portable=True`` keys on the md5-derived portable hash so the
+    exact permutation is replayable in any other engine (the oracle /
+    cross-engine-reproducibility mode; ~2x the hash cost).
+
     One range-partitioned sort (Spark samples the hash space, so output
     partitions are balanced regardless of id distribution). At 100 TB
     this is the standard epoch-shuffle pass; write the result sharded
     once per epoch seed rather than re-sorting per consumer."""
-    return df.orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
-    )
+    return df.orderBy(_shuffle_key(id_col, seed, portable), F.col(id_col))
 
 
 def shard_shuffled(
