@@ -1,9 +1,12 @@
-"""Pure baseline JPEG codec (sources/jpeg.py).
+"""Pure JPEG codec (sources/jpeg.py), baseline + progressive.
 
 JPEG is lossy, so round trips assert PSNR bounds rather than equality;
 the codec internals (canonical Huffman assignment, DCT matrix, zigzag,
 quality scaling) are checked against independent formulations so the
-encoder and decoder cannot share a compensating bug.
+encoder and decoder cannot share a compensating bug, and progressive
+streams must decode bit-identically to the baseline encoding of the
+same image (same quantized coefficients, two independent scan
+machineries).
 """
 
 from __future__ import annotations
@@ -169,7 +172,7 @@ def test_gates():
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(write_jpeg(img))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # pretend progressive
+    data[sof + 1] = 0xC3  # pretend lossless sequential
     with pytest.raises(NotImplementedError, match="SOF"):
         parse_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
@@ -232,3 +235,87 @@ def test_spark_distributed_jpeg_decode(spark):
         luma = img.astype(float) @ np.array([0.299, 0.587, 0.114])
         assert out[i]["mean_pixel"] == pytest.approx(luma.mean(), abs=3.0)
         assert len(out[i]["pixels"]) == 16
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """Progressive and baseline encode the SAME quantized coefficients,
+    so decoding the two streams must agree bit for bit — the cross-mode
+    check that keeps both scan machineries honest."""
+    from xarray_dataaccessor_spark.sources.jpeg import write_jpeg_progressive
+
+    for shape in [(40, 56), (29, 37), (8, 8), (17, 9)]:
+        img = _smooth_rgb(*shape)
+        for ss in ("444", "420"):
+            for q in (70, 90):
+                base = parse_jpeg(write_jpeg(img, q, ss))
+                prog = parse_jpeg(write_jpeg_progressive(img, q, ss))
+                assert np.array_equal(base, prog), (shape, ss, q)
+        gray = img[:, :, 0]
+        assert np.array_equal(
+            parse_jpeg(write_jpeg(gray, 85)),
+            parse_jpeg(write_jpeg_progressive(gray, 85)),
+        ), shape
+
+
+def test_progressive_long_eob_runs_and_sparse_blocks():
+    """Mostly-flat image with isolated features: long cross-block EOB
+    runs in the AC-first scans and ZRL/correction-bit paths in the
+    refinement scan."""
+    from xarray_dataaccessor_spark.sources.jpeg import write_jpeg_progressive
+
+    img = np.full((64, 96), 128, np.uint8)
+    img[5, 7] = 255
+    img[40:42, 60:90] = 30
+    img[63, 95] = 0
+    assert np.array_equal(
+        parse_jpeg(write_jpeg(img, 90)),
+        parse_jpeg(write_jpeg_progressive(img, 90)),
+    )
+    # color variant with hard edges (many newly-significant refinements)
+    rgb = np.stack([img, 255 - img, np.roll(img, 3, 1)], axis=2)
+    assert np.array_equal(
+        parse_jpeg(write_jpeg(rgb, 80, "420")),
+        parse_jpeg(write_jpeg_progressive(rgb, 80, "420")),
+    )
+
+
+def test_progressive_parity_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xarray_dataaccessor_spark.sources.jpeg import write_jpeg_progressive
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(4, 32),
+        w=st.integers(4, 32),
+        q=st.integers(40, 98),
+        seed=st.integers(0, 10_000),
+        color=st.booleans(),
+        ss=st.sampled_from(["444", "420"]),
+    )
+    def rt(h, w, q, seed, color, ss):
+        rng = np.random.default_rng(seed)
+        # mixture of flat areas and noise patches: exercises EOB runs,
+        # ZRL, and dense-coefficient blocks together
+        img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+        for _ in range(3):
+            y0, x0 = rng.integers(0, h), rng.integers(0, w)
+            hh, ww = int(rng.integers(1, h - y0 + 1)), int(rng.integers(1, w - x0 + 1))
+            img[y0 : y0 + hh, x0 : x0 + ww] = rng.integers(
+                0, 256, (hh, ww), dtype=np.uint8
+            )
+        if color:
+            img = np.stack([img, np.roll(img, 1, 0), 255 - img], axis=2)
+        base = parse_jpeg(write_jpeg(img, q, ss if color else "444"))
+        prog = parse_jpeg(
+            write_jpeg_progressive(img, q, ss if color else "444")
+        )
+        assert np.array_equal(base, prog)
+
+    rt()

@@ -224,9 +224,9 @@ def decode_image(
     (zlib + spec filters, 8/16-bit, all color types, incl. Adam7
     interlace).
     Color images collapse to luma (ITU-R 601 weights) before the
-    resize. ``codec="jpeg"`` is the pure baseline JPEG decoder
-    (``sources/jpeg.py``: SOF0 sequential DCT, Huffman + restart
-    markers, 4:4:4/4:2:2/4:2:0 chroma; progressive SOF2 gated).
+    resize. ``codec="jpeg"`` is the pure JPEG decoder
+    (``sources/jpeg.py``: baseline SOF0/1 AND progressive SOF2,
+    Huffman + restart markers, 4:4:4/4:2:2/4:2:0 chroma).
     ``codec="fake"``
     interprets the payload bytes as a deterministic grayscale raster
     (tiled to 32x32) for plumbing tests without fixtures. The RESIZE is

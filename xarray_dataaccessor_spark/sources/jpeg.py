@@ -1,25 +1,28 @@
-"""Pure-Python baseline JPEG codec (numpy only).
+"""Pure-Python JPEG codec (numpy only): baseline AND progressive.
 
 Erases the largest remaining media gate (VERDICT r3 missing-#1): real
 multimodal training corpora are overwhelmingly JPEG, and the engine
-could byte-feature JPEG payloads but not decode them. Scope is the
-baseline profile that covers the overwhelming majority of corpus
-images:
+could byte-feature JPEG payloads but not decode them. Scope covers the
+profiles real corpus images actually use:
 
-- decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker stream, 8-bit
-  baseline sequential DCT (SOF0), Huffman entropy coding with byte
-  stuffing and RSTn restart markers, 1- or 3-component scans, chroma
-  subsampling up to 2x2 (4:4:4, 4:2:2, 4:2:0), dequant + 8x8 IDCT
-  (separable orthonormal DCT-III matrix), nearest-neighbor chroma
-  upsample, YCbCr -> RGB (JFIF/BT.601 full-range).
-- encoder: the matching writer — Annex K.1 quantization tables scaled
-  by a libjpeg-style quality factor, Annex K.3 standard Huffman tables,
-  4:4:4 or 4:2:0 — so tests can build fixtures and assert
-  decode(encode(x)) ~ x without any external library (the same
-  fixture-writer discipline as the PNG/GIF/netpbm codecs in
-  ``media.py``; JPEG is lossy, so parity is PSNR-bounded, not exact).
+- decoder: SOI/APPn/COM/DQT/SOF/DHT/DRI/SOS/EOI marker stream; 8-bit
+  baseline sequential DCT (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral
+  selection, successive approximation, EOB runs, per-scan coefficient
+  accumulation); Huffman entropy coding with byte stuffing and RSTn
+  restart markers; 1- or 3-component scans; chroma subsampling up to
+  2x2 (4:4:4, 4:2:2, 4:2:0); dequant + 8x8 IDCT (separable orthonormal
+  DCT-III matrix); nearest-neighbor chroma upsample; YCbCr -> RGB
+  (JFIF/BT.601 full-range).
+- encoders: matching writers for BOTH modes — Annex K.1 quantization
+  tables with libjpeg-style quality scaling, Annex K.3 (baseline) or an
+  EOBn-complete flat table (progressive), 4:4:4 or 4:2:0 — so tests
+  build their own fixtures (the fixture-writer discipline of the
+  PNG/GIF/netpbm codecs in ``media.py``). JPEG is lossy, so round trips
+  are PSNR-bounded; but progressive and baseline encode IDENTICAL
+  quantized coefficients, so cross-mode decode parity is exact — the
+  self-check that keeps the two scan machineries honest.
 
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+Lossless (SOF3), arithmetic coding, 12-bit, and hierarchical modes
 raise ``NotImplementedError`` with the marker that triggered the gate.
 
 Reference parity note: the reference delegates all image IO to
@@ -249,7 +252,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def parse_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> (h, w) gray or (h, w, 3) RGB uint8."""
+    """Decode baseline (SOF0/SOF1) or progressive (SOF2) JPEG bytes ->
+    (h, w) gray or (h, w, 3) RGB uint8. Progressive streams accumulate
+    coefficients across scans (spectral selection + successive
+    approximation, EOB runs, restart markers) and render once at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("Not a JPEG (missing SOI)")
     pos = 2
@@ -258,7 +264,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     ac_tables: dict[int, dict] = {}
     frame = None
     restart_interval = 0
-    out = None
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -297,7 +303,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 p += n
                 dec, _ = _build_huffman(bits, huffval)
                 (dc_tables if tc == 0 else ac_tables)[th] = dec
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
@@ -305,86 +311,117 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h, "w": w, "comps": comps, "progressive": marker == 0xC2
+            }
+            _alloc_coeffs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X}: only baseline sequential "
-                "(SOF0) is supported — progressive/arithmetic/hierarchical gated"
+                f"JPEG SOF marker 0x{marker:02X}: baseline (SOF0/1) and "
+                "progressive (SOF2) are supported — "
+                "lossless/arithmetic/hierarchical gated"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG: SOS before SOF0")
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            out = _decode_scan(
-                data, pos + seg_len, frame, scan, qt, dc_tables, ac_tables,
-                restart_interval,
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_scan_coeffs(
+                data, pos + seg_len, frame, scan, dc_tables, ac_tables,
+                restart_interval, ss, se, a >> 4, a & 0x0F,
             )
-            break
+            saw_scan = True
+            continue
         pos += seg_len
-    if out is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG: no scan decoded")
-    return out
+    return _render(frame, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables, restart):
+def _alloc_coeffs(frame) -> None:
+    """Per-component coefficient stores (transmission/zigzag order),
+    sized to the interleaved MCU padding; non-interleaved scans address
+    the leading ceil(comp/8) block grid."""
     h, w = frame["h"], frame["w"]
-    comps = [c for c, _, _ in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        )
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    for c in frame["comps"]:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+
+
+def _decode_scan_coeffs(
+    data, pos, frame, scan, dc_tables, ac_tables, restart, ss, se, ah, al
+):
+    """One entropy-coded scan into the coefficient stores. Returns the
+    byte position where the entropy segment ended (next marker)."""
     reader = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                reader.align_restart()
-                preds = [0] * len(comps)
-            for ci, (c, td, ta) in enumerate(scan):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(
-                            reader, dc_tables[td], ac_tables[ta], preds, ci
-                        )
-                        coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = blk
-                        px = (_C.T @ (coef.reshape(8, 8) * qt[c["tq"]]) @ _C)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
-            n_mcu += 1
-    # upsample to full resolution (nearest-neighbor) and crop
-    full = []
-    for c, p in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
+    progressive = frame["progressive"]
+
+    def decode_one(ci, comp, td, ta, by, bx):
+        blk = comp["coef"][by, bx]
+        if not progressive:
+            _block_full(reader, dc_tables[td], ac_tables[ta], preds, ci, blk)
+        elif ss == 0:
+            if ah == 0:
+                t = reader.decode_symbol(dc_tables[td])
+                diff = _extend(reader.read_bits(t), t)
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            else:
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+        elif ah == 0:
+            _ac_first(reader, ac_tables[ta], blk, ss, se, al, state)
+        else:
+            _ac_refine(reader, ac_tables[ta], blk, ss, se, al, state)
+
+    n_unit = 0
+    if len(scan) > 1:  # interleaved (baseline full scans / DC scans)
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if restart and n_unit and n_unit % restart == 0:
+                    reader.align_restart()
+                    preds[:] = [0] * len(scan)
+                    state["eobrun"] = 0
+                for ci, (c, td, ta) in enumerate(scan):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_one(
+                                ci, c, td, ta, my * c["v"] + by, mx * c["h"] + bx
+                            )
+                n_unit += 1
+    else:  # non-interleaved: one block per MCU over the component grid
+        c, td, ta = scan[0]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if restart and n_unit and n_unit % restart == 0:
+                    reader.align_restart()
+                    preds[:] = [0]
+                    state["eobrun"] = 0
+                decode_one(0, c, td, ta, by, bx)
+                n_unit += 1
+    return reader.pos
 
 
-def _decode_block(reader, dc_tbl, ac_tbl, preds, ci):
-    blk = np.zeros(64, np.int32)
+def _block_full(reader, dc_tbl, ac_tbl, preds, ci, blk):
+    """Baseline full-band block decode into a zigzag-order int32 view."""
     t = reader.decode_symbol(dc_tbl)
     diff = _extend(reader.read_bits(t), t)
     preds[ci] += diff
@@ -403,7 +440,103 @@ def _decode_block(reader, dc_tbl, ac_tbl, preds, ci):
             raise ValueError("JPEG: AC run past end of block")
         blk[k] = _extend(reader.read_bits(s), s)
         k += 1
-    return blk
+
+
+def _ac_first(reader, ac_tbl, blk, ss, se, al, state):
+    """Progressive AC first scan (Ah=0) with EOB-run accounting
+    (spec G.1.2.2 / the jdphuff AC-first algorithm)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: progressive AC run past band end")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            k += 16
+
+
+def _ac_refine(reader, ac_tbl, blk, ss, se, al, state):
+    """Progressive AC refinement scan (Ah=Al+1): correction bits for
+    history-nonzero coefficients, newly-significant +/-1<<Al insertions,
+    EOB runs carrying corrections (spec G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+            else:
+                val = p1 if reader.read_bit() else m1
+            # pass r zero-history coefficients, correcting nonzero ones
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _render(frame, qt):
+    """Dequantize + IDCT every block, assemble planes, upsample chroma,
+    convert to gray/RGB."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    full = []
+    for c in frame["comps"]:
+        bh, bw = c["coef"].shape[:2]
+        plane = np.empty((bh * 8, bw * 8))
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                nat = np.zeros(64)
+                nat[ZIGZAG] = c["coef"][by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ (nat.reshape(8, 8) * q) @ _C + 128.0
+                )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -630,3 +763,290 @@ def _box2(p: np.ndarray) -> np.ndarray:
     if w % 2:
         p = np.hstack([p, p[:, -1:]])
     return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2): spectral selection + successive
+# approximation, so tests can exercise every progressive decode path
+# (DC first/refine, AC first with EOB runs, AC refinement with
+# correction bits) without an external library. The coefficient data is
+# IDENTICAL to the baseline encoding at the same quality, so
+# parse_jpeg(progressive) must equal parse_jpeg(baseline) bit for bit.
+# ---------------------------------------------------------------------------
+
+#: Huffman table containing every RS symbol (incl. the EOBn codes the
+#: Annex K tables lack): 255 symbols at 8 bits + symbol 255 at 9 bits —
+#: canonical, complete, and free of an all-ones code.
+FLAT_HUFF = ([0] * 7 + [255, 1] + [0] * 7, list(range(255)) + [255])
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (spec A.4)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _quantized_components(img, quality, subsample):
+    """Forward DCT + quantize every block; returns (gray, samp, qtabs,
+    coef arrays in zigzag order, mcux, mcuy)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _quality_scale(K1_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(K1_CHROMA, quality).reshape(8, 8)
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qtabs = [qy]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        if subsample == "420":
+            cb, cr = _box2(cb), _box2(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb, cr]
+        qtabs = [qy, qc, qc]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    for (sh, sv), p, qtab in zip(samp, planes, qtabs):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.empty((ph, pw))
+        pp[: p.shape[0], : p.shape[1]] = p
+        if p.shape[0] < ph:
+            pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        if p.shape[1] < pw:
+            pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+        arr = np.empty((mcuy * sv, mcux * sh, 64), np.int32)
+        for by in range(mcuy * sv):
+            for bx in range(mcux * sh):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.round((_C @ blk @ _C.T) / qtab).astype(np.int32)
+                arr[by, bx] = q.reshape(-1)[ZIGZAG]
+        coefs.append(arr)
+    return gray, samp, (qy, qc), coefs, mcux, mcuy
+
+
+class _ProgEnc:
+    """Per-scan progressive entropy encoder state (EOB run + buffered
+    correction bits), mirroring the spec G.1.2 algorithms."""
+
+    def __init__(self, bw: _BitWriter, ac_enc):
+        self.bw = bw
+        self.ac = ac_enc
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.ac[n << 4]
+            self.bw.write(code, length)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            for bit in self.be:
+                self.bw.write(bit, 1)
+            self.be = []
+            self.eobrun = 0
+
+    def ac_first_block(self, blk, ss, se, al) -> None:
+        vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = self.ac[0xF0]
+                self.bw.write(code, length)
+                r -= 16
+            s, bits = _encode_coeff(v)
+            code, length = self.ac[(r << 4) | s]
+            self.bw.write(code, length)
+            self.bw.write(bits, s)
+            r = 0
+        if nz[-1] < se - ss:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine_block(self, blk, ss, se, al) -> None:
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        absv = [_pt_ac(abs(v), al) for v in vals]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush_eobrun()
+                code, length = self.ac[0xF0]
+                self.bw.write(code, length)
+                r -= 16
+                for bit in br:
+                    self.bw.write(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            self.flush_eobrun()
+            code, length = self.ac[(r << 4) | 1]
+            self.bw.write(code, length)
+            self.bw.write(1 if vals[i] > 0 else 0, 1)
+            for bit in br:
+                self.bw.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF or len(self.be) > 900:
+                self.flush_eobrun()
+
+
+def write_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: str = "444"
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> progressive (SOF2) JFIF
+    bytes: interleaved DC-first (Al=1) + DC refinement, then per
+    component a split-band AC-first pass at Al=1 and an AC refinement
+    pass to Al=0 — the same coefficients as :func:`write_jpeg`, so the
+    decoded image is bit-identical to the baseline encoding."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("write_jpeg expects uint8")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("write_jpeg expects (h,w) gray or (h,w,3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = img.shape[:2]
+    gray, samp, (qy, qc), coefs, mcux, mcuy = _quantized_components(
+        img, quality, subsample
+    )
+    nc = 1 if gray else 3
+
+    _, dc_l_enc = _build_huffman(*K3_DC_LUMA)
+    _, dc_c_enc = _build_huffman(*K3_DC_CHROMA)
+    _, flat_enc = _build_huffman(*FLAT_HUFF)
+    dc_encs = [dc_l_enc] + [dc_c_enc] * (nc - 1)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+
+    def dqt(tid, tbl):
+        zz = tbl.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tc, th, spec):
+        bits, huffval = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, K3_DC_LUMA)
+    if not gray:
+        out += dht(0, 1, K3_DC_CHROMA)
+    out += dht(1, 0, FLAT_HUFF)  # AC: the EOBn-complete flat table
+
+    def sos_header(comp_tabs, ss, se, ah, al):
+        body = bytes([len(comp_tabs)])
+        for cid, td, ta in comp_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # --- scan 1: DC first, all components interleaved, Al=1 ---
+    out += sos_header([(i + 1, (0 if i == 0 else 1), 0) for i in range(nc)],
+                      0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t, bits = _encode_coeff(diff)
+                        code, length = dc_encs[ci][t]
+                        bw.write(code, length)
+                        if t:
+                            bw.write(bits, t)
+    bw.flush()
+    out += bw.out
+
+    # --- scan 2: DC refinement to Al=0 (raw bits, no Huffman) ---
+    out += sos_header([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # --- per component: AC first (split bands for luma) + AC refine ---
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        # non-interleaved scans traverse ceil(comp/8) blocks (the MCU
+        # padding columns/rows carry no AC scan data — cropped anyway)
+        bh = (-(-(h * sv) // vmax) + 7) // 8
+        bw_blocks = (-(-(w * sh) // hmax) + 7) // 8
+        bands = [(1, 5), (6, 63)] if ci == 0 else [(1, 63)]
+        for ss, se in bands:
+            out += sos_header([(ci + 1, 0, 0)], ss, se, 0, 1)
+            bw = _BitWriter()
+            enc = _ProgEnc(bw, flat_enc)
+            for by in range(bh):
+                for bx in range(bw_blocks):
+                    enc.ac_first_block(coefs[ci][by, bx], ss, se, 1)
+            enc.flush_eobrun()
+            bw.flush()
+            out += bw.out
+        out += sos_header([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        enc = _ProgEnc(bw, flat_enc)
+        for by in range(bh):
+            for bx in range(bw_blocks):
+                enc.ac_refine_block(coefs[ci][by, bx], 1, 63, 0)
+        enc.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
