@@ -434,7 +434,9 @@ def zarr_to_grid(
                 idx = parse_idx(path)
                 block = decode(bytes(content), {"compressor": meta["compressor"],
                                                 "dtype": meta["dtype"],
-                                                "chunks": chunks})
+                                                "chunks": chunks,
+                                                "sharding": meta.get("sharding"),
+                                                "fill_value": meta.get("fill_value")})
                 lo = [i * c for i, c in zip(idx, chunks)]
                 keep = tuple(
                     slice(0, min(c, s - l)) for c, s, l in zip(chunks, shape, lo)

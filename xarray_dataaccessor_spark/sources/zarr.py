@@ -11,9 +11,12 @@ Implements the published Zarr v2 spec — ``.zarray`` JSON metadata
 files named ``i.j.k`` compressed with zlib/gzip, blosc-lz4/zlib, or raw —
 AND the published Zarr v3 spec: per-node ``zarr.json`` metadata
 (``data_type`` + ``chunk_grid`` + ``codecs`` + ``dimension_names``),
-the ``bytes`` endian codec, gzip/blosc compressor codecs, and both
-chunk-key encodings (``default`` nested ``c/i/j/k`` and ``v2`` dotted).
-Sharding/zstd/transpose codecs are detected and rejected. v3 metadata is
+the ``bytes`` endian codec, gzip/blosc compressor codecs, both
+chunk-key encodings (``default`` nested ``c/i/j/k`` and ``v2`` dotted),
+AND the ``sharding_indexed`` codec — chunk-of-chunks shard objects with
+a CRC-32C-protected binary index, the layout large cloud arrays use to
+bound object count (read and write; missing inner chunks fill).
+Zstd/transpose codecs are detected and rejected. v3 metadata is
 normalized into the same meta dict at parse time, so every downstream
 consumer (chunk decode, distributed ingest) is version-blind. Like the
 sibling readers, everything here is stdlib (``json``/``zlib``) + numpy
@@ -44,20 +47,35 @@ _V3_DTYPES = {
 }
 
 
-def _read_zarr_v3(store: str, var: str) -> dict:
-    """Parse a Zarr v3 array node (``<var>/zarr.json``) into the same
-    normalized meta dict the v2 path produces."""
-    with open(os.path.join(store, var, "zarr.json")) as f:
-        meta = json.load(f)
-    if meta.get("node_type") != "array":
-        raise ValueError(f"{var}/zarr.json is not an array node")
-    grid = meta.get("chunk_grid", {})
-    if grid.get("name") != "regular":
-        raise NotImplementedError(f"Zarr v3 chunk grid {grid.get('name')!r}")
-    chunks = grid["configuration"]["chunk_shape"]
+#: CRC-32C (Castagnoli), the checksum the Zarr v3 ``crc32c`` codec
+#: appends to shard indexes — reflected polynomial 0x1EDC6F41.
+_CRC32C_TABLE = None
+
+
+def crc32c(data: bytes) -> int:
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _parse_v3_codecs(codecs: list) -> tuple[str, str | None, dict | None]:
+    """Normalize a v3 codec chain -> (endian, compressor id, sharding
+    config or None). The sharding codec's inner chain parses with the
+    same rules (one level — nested sharding is rejected)."""
     endian = "<"
     comp_id = None
-    for codec in meta.get("codecs", [{"name": "bytes"}]):
+    sharding = None
+    for codec in codecs or [{"name": "bytes"}]:
         cname = codec.get("name")
         conf = codec.get("configuration") or {}
         if cname == "bytes":
@@ -71,11 +89,49 @@ def _read_zarr_v3(store: str, var: str) -> dict:
                     f"Blosc inner compressor {inner!r} unsupported"
                 )
             comp_id = f"blosc:{inner}"
+        elif cname == "sharding_indexed":
+            in_endian, in_comp, in_shard = _parse_v3_codecs(conf.get("codecs"))
+            if in_shard is not None:
+                raise NotImplementedError("nested Zarr v3 sharding unsupported")
+            idx_names = [c.get("name") for c in conf.get("index_codecs", [])]
+            for n in idx_names:
+                if n not in ("bytes", "crc32c"):
+                    raise NotImplementedError(
+                        f"shard index codec {n!r} unsupported (bytes/crc32c)"
+                    )
+            sharding = {
+                "chunks": [int(c) for c in conf["chunk_shape"]],
+                "endian": in_endian,
+                "compressor": in_comp,
+                "index_location": conf.get("index_location", "end"),
+                "index_crc": "crc32c" in idx_names,
+            }
         else:
             raise NotImplementedError(
-                f"Zarr v3 codec {cname!r} unsupported (bytes/gzip/blosc); "
+                f"Zarr v3 codec {cname!r} unsupported "
+                "(bytes/gzip/blosc/sharding_indexed); "
                 "install the optional zarr extras."
             )
+    return endian, comp_id, sharding
+
+
+def _read_zarr_v3(store: str, var: str) -> dict:
+    """Parse a Zarr v3 array node (``<var>/zarr.json``) into the same
+    normalized meta dict the v2 path produces."""
+    with open(os.path.join(store, var, "zarr.json")) as f:
+        meta = json.load(f)
+    if meta.get("node_type") != "array":
+        raise ValueError(f"{var}/zarr.json is not an array node")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"Zarr v3 chunk grid {grid.get('name')!r}")
+    chunks = grid["configuration"]["chunk_shape"]
+    endian, comp_id, sharding = _parse_v3_codecs(
+        meta.get("codecs", [{"name": "bytes"}])
+    )
+    if sharding is not None:
+        endian = sharding["endian"]
+        comp_id = sharding["compressor"]
     dt = meta["data_type"]
     if dt not in _V3_DTYPES:
         raise NotImplementedError(f"Zarr v3 data type {dt!r} unsupported")
@@ -93,6 +149,7 @@ def _read_zarr_v3(store: str, var: str) -> dict:
         "dims": meta.get("dimension_names") or attrs.get("_ARRAY_DIMENSIONS"),
         "attrs": attrs,
         "key_encoding": (key.get("name", "default"), sep),
+        "sharding": sharding,
     }
 
 
@@ -154,7 +211,11 @@ def read_zarray(store: str, var: str) -> dict:
 
 def decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     """One chunk file -> full-size C-order block (edge chunks are stored
-    padded; the caller trims to the array bounds)."""
+    padded; the caller trims to the array bounds). A sharded store's
+    "chunk" is a SHARD: inner chunks + a binary index, reassembled here
+    so the distributed ingest path is layout-agnostic."""
+    if meta.get("sharding"):
+        return _decode_shard(raw, meta)
     comp = meta["compressor"]
     if comp is not None and comp.startswith("blosc"):
         raw = _blosc.decode_blosc(raw)
@@ -163,6 +224,55 @@ def decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     block = np.frombuffer(raw, dtype=meta["dtype"], count=int(np.prod(meta["chunks"])))
     block = block.reshape(meta["chunks"])
     return block.astype(block.dtype.newbyteorder("="))
+
+
+_SHARD_MISSING = 2**64 - 1
+
+
+def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
+    """Zarr v3 ``sharding_indexed`` shard -> full shard-shaped block.
+
+    Layout (public spec): concatenated encoded inner chunks plus a
+    binary index of ``(offset, nbytes)`` uint64 pairs — one per inner
+    chunk position in C order — at ``index_location`` (end by default),
+    optionally CRC-32C-suffixed. Offset/nbytes 2^64-1 marks a missing
+    inner chunk (fill value). This is the chunk-of-chunks layout large
+    cloud arrays use so object count stays bounded while read
+    granularity stays small."""
+    cfg = meta["sharding"]
+    inner = cfg["chunks"]
+    outer = meta["chunks"]
+    n_per_dim = [o // i for o, i in zip(outer, inner)]
+    n = int(np.prod(n_per_dim))
+    idx_len = n * 16 + (4 if cfg["index_crc"] else 0)
+    if len(raw) < idx_len:
+        raise ValueError("Zarr shard shorter than its index")
+    if cfg["index_location"] == "start":
+        idx_raw, body_base = raw[:idx_len], 0
+    else:
+        idx_raw, body_base = raw[-idx_len:], 0
+    if cfg["index_crc"]:
+        want = int.from_bytes(idx_raw[-4:], "little")
+        if crc32c(idx_raw[:-4]) != want:
+            raise ValueError("Zarr shard index CRC-32C mismatch")
+        idx_raw = idx_raw[:-4]
+    pairs = np.frombuffer(idx_raw, dtype="<u8").reshape(n, 2)
+    inner_meta = {
+        "compressor": cfg["compressor"],
+        "dtype": meta["dtype"],
+        "chunks": inner,
+        "sharding": None,
+    }
+    fill = meta.get("fill_value") or 0
+    block = np.full(outer, fill, dtype=np.dtype(meta["dtype"]).newbyteorder("="))
+    for flat, idx in enumerate(np.ndindex(*n_per_dim)):
+        off, nbytes = int(pairs[flat, 0]), int(pairs[flat, 1])
+        if off == _SHARD_MISSING and nbytes == _SHARD_MISSING:
+            continue
+        piece = decode_chunk(raw[body_base + off : body_base + off + nbytes], inner_meta)
+        sel = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, inner))
+        block[sel] = piece
+    return block
 
 
 def read_small_array(store: str, var: str) -> np.ndarray:
@@ -204,6 +314,7 @@ def write_zarr(
     compress: bool = True,
     compressor: str | None = None,
     zarr_format: int = 2,
+    shards: list[int] | None = None,
 ) -> str:
     """Minimal Zarr v2/v3 writer (C order; zlib/gzip, raw, or Blosc1
     with an lz4/zlib inner codec) for fixtures and small-grid export;
@@ -211,11 +322,19 @@ def write_zarr(
     ``compress`` flag: one of 'zlib', 'blosc-lz4', 'blosc-zlib', None.
     ``zarr_format=3`` writes per-node ``zarr.json`` metadata, the
     bytes+gzip codec chain, ``dimension_names``, and default nested
-    ``c/i/j/k`` chunk keys."""
+    ``c/i/j/k`` chunk keys. ``shards`` (v3 only) selects the
+    ``sharding_indexed`` layout: each stored object is a shard of
+    ``shards`` elements containing ``chunks``-sized inner chunks plus a
+    CRC-32C-protected binary index."""
     os.makedirs(os.path.join(store, var), exist_ok=True)
     chunks = chunks or list(data.shape)
+    if shards is not None and zarr_format != 3:
+        raise ValueError("sharding is a Zarr v3 layout (zarr_format=3)")
     if zarr_format == 3:
-        return _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor or ("zlib" if compress else None))
+        return _write_zarr_v3(
+            store, var, data, dims, chunks, attrs,
+            compressor or ("zlib" if compress else None), shards,
+        )
     if not os.path.exists(os.path.join(store, ".zgroup")):
         with open(os.path.join(store, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
@@ -275,8 +394,11 @@ def write_zarr(
     return store
 
 
-def _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor) -> str:
-    """Zarr v3 array node: zarr.json metadata + nested c/ chunk keys."""
+def _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor,
+                   shards=None) -> str:
+    """Zarr v3 array node: zarr.json metadata + nested c/ chunk keys.
+    With ``shards``, the chunk grid is the shard grid and each object
+    packs the inner chunks behind a ``sharding_indexed`` codec."""
     if not os.path.exists(os.path.join(store, "zarr.json")):
         with open(os.path.join(store, "zarr.json"), "w") as f:
             json.dump({"zarr_format": 3, "node_type": "group"}, f)
@@ -299,13 +421,34 @@ def _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor) -> str:
         })
     elif compressor is not None:
         raise ValueError(f"Unsupported v3 writer compressor {compressor!r}")
+    outer = list(chunks)
+    if shards is not None:
+        for s_, c in zip(shards, chunks):
+            if s_ % c:
+                raise ValueError(
+                    f"shard shape {shards} must be a whole multiple of the "
+                    f"inner chunk shape {chunks}"
+                )
+        outer = list(shards)
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(chunks),
+                "codecs": codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }]
     meta = {
         "zarr_format": 3,
         "node_type": "array",
         "shape": list(data.shape),
         "data_type": kind_names[code],
         "chunk_grid": {
-            "name": "regular", "configuration": {"chunk_shape": list(chunks)}
+            "name": "regular", "configuration": {"chunk_shape": outer}
         },
         "chunk_key_encoding": {
             "name": "default", "configuration": {"separator": "/"}
@@ -319,25 +462,56 @@ def _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor) -> str:
         json.dump(meta, f)
     import gzip as _gzip
 
-    grid = [(s_ + c - 1) // c for s_, c in zip(data.shape, chunks)]
-    for idx in np.ndindex(*grid):
-        padded = np.zeros(chunks, dtype=data.dtype)
-        sel = tuple(
-            slice(i * c, min((i + 1) * c, s_))
-            for i, c, s_ in zip(idx, chunks, data.shape)
-        )
-        piece = data[sel]
-        padded[tuple(slice(0, p) for p in piece.shape)] = piece
-        raw = padded.tobytes()
+    def encode_piece(raw: bytes) -> bytes:
         if compressor == "zlib":
-            raw = _gzip.compress(raw, 6)
-        elif compressor in ("blosc-lz4", "blosc-zlib"):
+            return _gzip.compress(raw, 6)
+        if compressor in ("blosc-lz4", "blosc-zlib"):
             from xarray_dataaccessor_spark.sources.blosc import encode_blosc
 
-            raw = encode_blosc(
+            return encode_blosc(
                 raw, typesize=data.dtype.itemsize,
                 cname=compressor.split("-")[1], shuffle=True,
             )
+        return raw
+
+    grid = [(s_ + c - 1) // c for s_, c in zip(data.shape, outer)]
+    for idx in np.ndindex(*grid):
+        if shards is None:
+            padded = np.zeros(outer, dtype=data.dtype)
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s_))
+                for i, c, s_ in zip(idx, outer, data.shape)
+            )
+            piece = data[sel]
+            padded[tuple(slice(0, p) for p in piece.shape)] = piece
+            raw = encode_piece(padded.tobytes())
+        else:
+            # shard object: encoded inner chunks + (offset, nbytes)
+            # index; inner chunks wholly outside the array bounds are
+            # MISSING entries (2^64-1), exercising the fill path
+            body = bytearray()
+            index = []
+            n_per_dim = [o // c for o, c in zip(outer, chunks)]
+            for in_idx in np.ndindex(*n_per_dim):
+                origin = [
+                    oi * o + ii * c
+                    for oi, o, ii, c in zip(idx, outer, in_idx, chunks)
+                ]
+                if any(og >= s_ for og, s_ in zip(origin, data.shape)):
+                    index.append((_SHARD_MISSING, _SHARD_MISSING))
+                    continue
+                padded = np.zeros(chunks, dtype=data.dtype)
+                sel = tuple(
+                    slice(og, min(og + c, s_))
+                    for og, c, s_ in zip(origin, chunks, data.shape)
+                )
+                piece = data[sel]
+                padded[tuple(slice(0, p) for p in piece.shape)] = piece
+                enc = encode_piece(padded.tobytes())
+                index.append((len(body), len(enc)))
+                body += enc
+            idx_raw = np.array(index, dtype="<u8").tobytes()
+            raw = bytes(body) + idx_raw + crc32c(idx_raw).to_bytes(4, "little")
         key = os.path.join(store, var, *chunk_relpath(
             {"key_encoding": ("default", "/")}, idx
         ).split("/"))
