@@ -635,12 +635,21 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_cosine",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                      {_bucket_sql("(embedding::DOUBLE[])", 8, 0)} AS b0,
-                      {_bucket_sql("(embedding::DOUBLE[])", 8, 8)} AS b1,
-                      {_bucket_sql("(embedding::DOUBLE[])", 8, 16)} AS b2,
-                      {_bucket_sql("(embedding::DOUBLE[])", 8, 24)} AS b3
-               FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    corpus AS (
+        SELECT vec_id, e FROM base
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(e, x -> x * 1.01)
+        FROM base WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 200000, e FROM base WHERE vec_id % 17 = 0
+    ),
+    v AS (SELECT vec_id, e,
+                 {_bucket_sql("e", 8, 0)} AS b0,
+                 {_bucket_sql("e", 8, 8)} AS b1,
+                 {_bucket_sql("e", 8, 16)} AS b2,
+                 {_bucket_sql("e", 8, 24)} AS b3
+          FROM corpus),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cos_sql("a.e", "b.e")} AS cos
@@ -656,11 +665,29 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     band) instead of one global 256-bucket split whose within-bucket
     self-join is quadratic; ~0.89 recall at cos 0.95 vs ~0.43 for the
     single 8-plane bucket. The oracle mirrors the banding with an OR
-    join (exact same candidate set)."""
+    join (exact same candidate set).
+
+    The corpus plants deterministic near-duplicates (scaled copies for
+    vec_id%10, exact copies for vec_id%17 — the embedding analogue of
+    the text `_corpus` fuzzing) so the green row proves the operator
+    FINDS pairs rather than agreeing on an empty result (the synthetic
+    embeddings alone have none above 0.95)."""
     configure_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scaled = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * 1.01).alias("e"),
+    )
+    exact = base.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "e"
+    )
+    corpus = base.unionByName(scaled).unionByName(exact).select(
+        "vec_id", F.col("e").alias("embedding")
+    )
     return embedding_near_duplicates(
-        emb, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
+        corpus, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
     )
 
 
