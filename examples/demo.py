@@ -198,6 +198,49 @@ def main() -> None:
     cluster_spatially(gf.df, n_files=4).write.mode("overwrite").parquet(zdir)
     print("Z-ordered grid landed:", spark.read.parquet(zdir).count(), "rows in 4 spatial tiles")
 
+    # distributed JPEG decode (pure codec, baseline + progressive)
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.multimodal import decode_image
+    from xarray_dataaccessor_spark.sources.jpeg import (
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+    yy, xx = np.mgrid[0:24, 0:32]
+    im = (128 + 60 * np.sin(yy / 6.0) + 50 * np.cos(xx / 7.0)).clip(0, 255).astype("uint8")
+    payloads = [(0, bytearray(write_jpeg(im, 85))),
+                (1, bytearray(write_jpeg_progressive(im, 85)))]
+    jd = decode_image(
+        spark.createDataFrame(payloads, "doc_id bigint, payload binary"),
+        codec="jpeg",
+    ).collect()
+    print("JPEG decode (baseline, progressive) mean pixels:",
+          [round(r["mean_pixel"], 2) for r in sorted(jd, key=lambda r: r["doc_id"])],
+          "| source mean:", round(float(im.mean()), 2))
+
+    # sharded Zarr v3 store -> distributed shard-per-task ingest
+    from xarray_dataaccessor_spark.sources.ingest import zarr_to_grid
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+    zs = tempfile.mkdtemp(prefix="xda_shard_") + "/s.zarr"
+    cube = 270.0 + np.arange(24)[:, None, None] * 0.1 \
+        + np.arange(5)[None, :, None] * 0.01 + np.arange(9)[None, None, :] * 0.001
+    write_zarr(zs, "t2m", cube, ["time", "latitude", "longitude"],
+               chunks=[4, 4, 4], zarr_format=3, shards=[8, 8, 8], compressor="zlib")
+    write_zarr(zs, "time", np.arange(24, dtype="i4") + 1043832, ["time"],
+               attrs={"units": "hours since 1900-01-01 00:00:00"},
+               compress=False, zarr_format=3)
+    write_zarr(zs, "latitude", 42.883 - 0.25 * np.arange(5), ["latitude"],
+               compress=False, zarr_format=3)
+    write_zarr(zs, "longitude", -83.476 + 0.25 * np.arange(9), ["longitude"],
+               compress=False, zarr_format=3)
+    print("sharded Zarr v3 ingest rows:", zarr_to_grid(spark, zs, "t2m").count())
+
+    # EASE-Grid 2.0 reprojection (closed-form equal-area CRS)
+    from xarray_dataaccessor_spark.operators.crs import transform_grid
+    ease = transform_grid(gf.df.select("x", "y").distinct(), 4326, 6933)
+    print("EASE-Grid 2.0 x-range (m):",
+          tuple(round(v) for v in ease.agg(F.min("x"), F.max("x")).first()))
+
 
 if __name__ == "__main__":
     main()
