@@ -294,3 +294,67 @@ def pii_scrub(
             "scrubbed": scrubbed,
         }
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add-one-smoothed bigram language-model fluency score per document
+    — the CCNet-style quality signal (Wenzek et al. 2020 score documents
+    with an LM and keep the low-perplexity tail; here the LM is a bigram
+    model trained ON the corpus itself, so boilerplate scores fluent and
+    word salad scores high):
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = |vocab| + 1
+
+    Returns ``(id, lm_bigrams, lm_neg_log2p)`` where ``lm_neg_log2p`` is
+    the mean negative log2 probability over the document's bigram
+    occurrences (lower = more predictable text).
+
+    Scale shape: two corpus-wide count aggregations (unigrams, bigrams —
+    partial-aggregated map-side, shuffled on the gram key), then the
+    occurrence stream joins the two count tables (AQE broadcasts them
+    when the vocabulary fits) and one per-document aggregation. No
+    driver participation; the model IS the count tables.
+
+    Exactness ([[oracle-exactness]]): counts and the probability
+    division are exact cross-engine, but ``log2`` differs in the last
+    ulp between engines — each term is therefore ROUNDED to 6 decimals
+    before the order-independent DECIMAL sum, which makes the score
+    deterministic and engine-portable (1e-9 flip margin per term)."""
+    warr = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0
+    )
+    words = df.select(F.col(id_col), F.explode(warr).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = uni.agg((F.count(F.lit(1)) + 1).alias("v"))
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    warr,
+                    F.slice(warr, 2, 2_000_000_000),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni1 = uni.select(F.col("w").alias("w1"), "cw")
+    p = (F.col("cb") + 1) / (F.col("cw") + F.col("v")).cast("double")
+    term = F.round(-F.log2(p), 6).cast("decimal(28,14)")
+    return (
+        occ.join(big, ["w1", "w2"])
+        .join(uni1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("lm_bigrams"),
+            (F.sum(term).cast("double") / F.count(F.lit(1))).alias(
+                "lm_neg_log2p"
+            ),
+        )
+    )

@@ -1325,6 +1325,28 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM w)
               GROUP BY doc_id, bg)
         GROUP BY doc_id
+    ),
+    lm_words AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+    lm_uni AS (SELECT wd, COUNT(*) AS cw FROM lm_words GROUP BY wd),
+    lm_v AS (SELECT COUNT(*) + 1 AS v FROM lm_uni),
+    lm_occ AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws), 1)),
+                          i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+            FROM w
+        ) WHERE b.w2 IS NOT NULL
+    ),
+    lm_big AS (SELECT w1, w2, COUNT(*) AS cb FROM lm_occ GROUP BY w1, w2),
+    lm_doc AS (
+        SELECT doc_id, COUNT(*) AS lm_bigrams,
+               CAST(SUM(CAST(ROUND(-log2((cb + 1) / CAST(cw + v AS DOUBLE)), 6)
+                             AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+                   AS lm_neg_log2p
+        FROM lm_occ
+        JOIN lm_big USING (w1, w2)
+        JOIN lm_uni ON lm_uni.wd = lm_occ.w1, lm_v
+        GROUP BY doc_id
     )
     SELECT uni.doc_id,
            CAST(n_words AS BIGINT) AS n_words,
@@ -1341,20 +1363,34 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  END) <= 0.18
             AND n_unique / CAST(n_words AS DOUBLE) >= 0.30
             AND sum_word_len / CAST(n_words AS DOUBLE) >= 2.0
-            AND sum_word_len / CAST(n_words AS DOUBLE) <= 12.0) AS keep
-    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+            AND sum_word_len / CAST(n_words AS DOUBLE) <= 12.0) AS keep,
+           CAST(COALESCE(lm_doc.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
+           lm_doc.lm_neg_log2p AS lm_neg_log2p
+    FROM uni
+    LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    LEFT JOIN lm_doc ON uni.doc_id = lm_doc.doc_id
     """,
 )
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition/quality gate (Rae et al. 2021 app. A):
+    """Gopher-style repetition/quality gate (Rae et al. 2021 app. A) —
     top-word fraction, top-bigram fraction, unique-word fraction, mean
-    word length, composite keep verdict. Two keyed aggregations over one
-    corpus scan — see operators.text.gopher_repetition_signals."""
+    word length, composite keep verdict — PLUS the CCNet-style bigram
+    language-model fluency score (``operators.text.bigram_lm_scores``:
+    corpus-trained add-one bigram model, mean -log2 p per document,
+    6-decimal per-term rounding for engine portability). One oracle slot
+    covers both quality-scoring families."""
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.text import gopher_repetition_signals
+    from xarray_dataaccessor_spark.operators.text import (
+        bigram_lm_scores,
+        gopher_repetition_signals,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return gopher_repetition_signals(docs)
+    gopher = gopher_repetition_signals(docs)
+    lm = bigram_lm_scores(docs)
+    return gopher.join(lm, "doc_id", "left").withColumn(
+        "lm_bigrams", F.coalesce(F.col("lm_bigrams"), F.lit(0)).cast("bigint")
+    )
 
 
 @query(
