@@ -1,0 +1,126 @@
+"""Pure FLAC codec (sources/flac.py).
+
+FLAC is lossless, so every round trip asserts exact equality; the CRC
+polynomials and zigzag Rice coding are pinned independently, and the
+STREAMINFO MD5 (computed over the decoded PCM) keeps encoder and
+decoder honest against a shared framing bug.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xarray_dataaccessor_spark.sources.flac import (
+    _Bits,
+    _BitsW,
+    _rice_read,
+    _rice_write,
+    crc8,
+    crc16,
+    parse_flac,
+    write_flac,
+)
+
+
+def test_crc_polynomials_known_vectors():
+    # CRC-8 poly 0x07 and CRC-16/BUYPASS poly 0x8005 (init 0, no
+    # reflection) published check values for "123456789"
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+    assert crc8(b"") == 0 and crc16(b"") == 0
+
+
+def test_rice_roundtrip_all_ks():
+    for k in range(0, 12):
+        bw = _BitsW()
+        vals = list(range(-40, 41)) + [1000, -1000]
+        for v in vals:
+            _rice_write(bw, v, k)
+        bw.align()
+        bits = _Bits(bytes(bw.out))
+        got = [_rice_read(bits, k) for _ in vals]
+        assert got == vals, k
+
+
+def test_mono_sine_lossless():
+    t = np.arange(5000)
+    mono = (10000 * np.sin(t / 50.0)).astype(np.int64)
+    sr, dec = parse_flac(write_flac(mono, 16000, 16))
+    assert sr == 16000
+    assert np.array_equal(dec[:, 0], mono)
+
+
+@pytest.mark.parametrize("mid_side", [False, True])
+def test_stereo_lossless(mid_side):
+    t = np.arange(3000)
+    left = (12000 * np.sin(t / 30.0)).astype(np.int64)
+    right = (9000 * np.cos(t / 44.0)).astype(np.int64)
+    st = np.stack([left, right], axis=1)
+    sr, dec = parse_flac(write_flac(st, 44100, 16, mid_side=mid_side))
+    assert sr == 44100
+    assert np.array_equal(dec, st)
+
+
+@pytest.mark.parametrize("bps,lim", [(8, 127), (16, 32000), (24, 5_000_000)])
+def test_bit_depths_and_noise(bps, lim):
+    rng = np.random.default_rng(bps)
+    x = rng.integers(-lim, lim, 4097).astype(np.int64)  # odd tail block
+    sr, dec = parse_flac(write_flac(x, 8000, bps))
+    assert np.array_equal(dec[:, 0], x)
+
+
+def test_corruption_detected():
+    x = (1000 * np.sin(np.arange(2000) / 20.0)).astype(np.int64)
+    raw = bytearray(write_flac(x, 16000, 16))
+    raw[-10] ^= 0x01  # flip a bit in the last frame body
+    with pytest.raises(ValueError, match="CRC|MD5"):
+        parse_flac(bytes(raw))
+    with pytest.raises(ValueError, match="fLaC"):
+        parse_flac(b"RIFFxxxx")
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(1, 3000),
+        seed=st.integers(0, 10_000),
+        stereo=st.booleans(),
+        ms=st.booleans(),
+        smooth=st.booleans(),
+        block=st.sampled_from([256, 1024, 4096]),
+    )
+    def rt(n, seed, stereo, ms, smooth, block):
+        rng = np.random.default_rng(seed)
+        if smooth:
+            x = (8000 * np.sin(np.arange(n) / rng.uniform(5, 60))).astype(np.int64)
+        else:
+            x = rng.integers(-30000, 30000, n).astype(np.int64)
+        if stereo:
+            x = np.stack([x, np.roll(x, 1)], axis=1)
+        sr, dec = parse_flac(
+            write_flac(x, 16000, 16, block_size=block, mid_side=stereo and ms)
+        )
+        want = x if x.ndim == 2 else x[:, None]
+        assert np.array_equal(dec, want)
+
+    rt()
+
+
+def test_spark_distributed_flac_resample(spark):
+    """Real FLAC payloads through the Arrow-batched resample_audio path,
+    closures shipped by value."""
+    from xarray_dataaccessor_spark.operators.multimodal import resample_audio
+
+    t = np.arange(8000)
+    wave = (9000 * np.sin(t / 40.0)).astype(np.int64)
+    rows = [(i, bytearray(write_flac(wave, 32000, 16))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in resample_audio(df, rate=16000, codec="flac").collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r["n_samples_in"] == 8000
+        assert r["n_samples_out"] == 4000  # 32k -> 16k halves the samples

@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xarray_dataaccessor_spark.sources.flac import parse_flac
 from xarray_dataaccessor_spark.sources.jpeg import parse_jpeg
 from xarray_dataaccessor_spark.sources.media import (
     parse_bmp,
@@ -41,11 +42,13 @@ def _ship_by_value() -> None:
         from pyspark import cloudpickle as _cp
 
         import xarray_dataaccessor_spark.operators.multimodal as _mm
+        from xarray_dataaccessor_spark.sources import flac as _flac
         from xarray_dataaccessor_spark.sources import jpeg as _jpeg
         from xarray_dataaccessor_spark.sources import media as _media
 
         _cp.register_pickle_by_value(_media)
         _cp.register_pickle_by_value(_jpeg)
+        _cp.register_pickle_by_value(_flac)
         _cp.register_pickle_by_value(_mm)
     except Exception:
         pass
@@ -278,18 +281,22 @@ def resample_audio(
     ``codec="wav"`` is a REAL decode: RIFF/WAVE PCM and float streams
     parse purely (``sources/media.py::parse_wav``), multi-channel mixes
     to mono, and the header's actual sample rate overrides
-    ``source_rate``. ``codec="fake"`` interprets the payload as a raw
+    ``source_rate``. ``codec="flac"`` is the REAL lossless decoder
+    (``sources/flac.py``: Rice/LPC/fixed predictors, all channel
+    decorrelations, CRC + MD5 verified) — the format speech corpora
+    actually ship. ``codec="fake"`` interprets the payload as a raw
     int16 waveform at ``source_rate`` (plumbing tests, no fixture).
     Either way the RESAMPLE is real linear interpolation onto the target
-    rate's time grid. ``codec="soundfile"`` marks where a compressed-
-    format decoder (MP3/OGG) would plug in."""
-    if codec not in ("fake", "wav"):
+    rate's time grid. ``codec="soundfile"`` marks where a remaining
+    compressed-format decoder (MP3/OGG) would plug in."""
+    if codec not in ("fake", "wav", "flac"):
         raise NotImplementedError(
             f"audio codec {codec!r} requires librosa/soundfile, not installed; "
-            "'wav' decodes PCM purely, 'fake' exercises the plumbing"
+            "'wav'/'flac' decode purely, 'fake' exercises the plumbing"
         )
     _ship_by_value()
     wav_parse = parse_wav
+    flac_parse = parse_flac
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import numpy as np
@@ -303,6 +310,9 @@ def resample_audio(
                 if codec == "wav":
                     src_rate, chans = wav_parse(raw)
                     wave = chans.mean(axis=1)  # mix to mono
+                elif codec == "flac":
+                    src_rate, chans = flac_parse(raw)
+                    wave = chans.astype("float64").mean(axis=1)
                 else:
                     wave = np.frombuffer(
                         raw[: len(raw) // 2 * 2], dtype="<i2"
