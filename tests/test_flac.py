@@ -124,3 +124,70 @@ def test_spark_distributed_flac_resample(spark):
     for r in out.values():
         assert r["n_samples_in"] == 8000
         assert r["n_samples_out"] == 4000  # 32k -> 16k halves the samples
+
+
+# ---------------------------------------------------------------------------
+# decoder-path coverage via encoder knobs: LPC subframes, left/side and
+# right/side decorrelation, multi-partition Rice, escape-coded residuals
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["indep", "mid", "left", "right"])
+def test_all_channel_decorrelations(mode):
+    t = np.arange(6000)
+    st = np.stack(
+        [(12000 * np.sin(t / 30.0)).astype(np.int64),
+         (9000 * np.cos(t / 44.0)).astype(np.int64)], axis=1
+    )
+    sr, dec = parse_flac(write_flac(st, 44100, 16, stereo_mode=mode))
+    assert np.array_equal(dec, st), mode
+
+
+@pytest.mark.parametrize("order", [1, 2, 8, 16, 32])
+def test_lpc_subframes(order):
+    t = np.arange(5000)
+    x = (12000 * np.sin(t / 30.0) + 2000 * np.sin(t / 7.0)).astype(np.int64)
+    sr, dec = parse_flac(write_flac(x, 16000, 16, lpc_order=order))
+    assert np.array_equal(dec[:, 0], x), order
+
+
+@pytest.mark.parametrize("po", [1, 2, 4, 6])
+def test_rice_partitions(po):
+    x = (10000 * np.sin(np.arange(4096) / 25.0)).astype(np.int64)
+    sr, dec = parse_flac(
+        write_flac(x, 16000, 16, partition_order=po, block_size=1024)
+    )
+    assert np.array_equal(dec[:, 0], x), po
+
+
+def test_escape_coded_residuals():
+    rng = np.random.default_rng(7)
+    big = rng.integers(-4_000_000, 4_000_000, 2048).astype(np.int64)
+    sr, dec = parse_flac(write_flac(big, 8000, 24, partition_order=2))
+    assert np.array_equal(dec[:, 0], big)
+
+
+def test_combined_lpc_partitions_side_stereo_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st_.integers(0, 1000),
+        mode=st_.sampled_from(["indep", "mid", "left", "right"]),
+        lpc=st_.sampled_from([0, 4, 8]),
+        po=st_.sampled_from([0, 2]),
+        n=st_.integers(100, 2500),
+    )
+    def rt(seed, mode, lpc, po, n):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        base = (8000 * np.sin(t / rng.uniform(10, 60))).astype(np.int64)
+        x = np.stack([base, base + rng.integers(-50, 50, n)], axis=1)
+        sr, dec = parse_flac(
+            write_flac(x, 16000, 16, stereo_mode=mode, lpc_order=lpc,
+                       partition_order=po, block_size=1024)
+        )
+        assert np.array_equal(dec, x)
+
+    rt()

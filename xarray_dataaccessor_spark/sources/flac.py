@@ -404,10 +404,22 @@ def write_flac(
     bps: int = 16,
     block_size: int = 4096,
     mid_side: bool = False,
+    stereo_mode: str | None = None,
+    lpc_order: int = 0,
+    partition_order: int = 0,
 ) -> bytes:
-    """(n,) or (n, ch) int -> FLAC bytes. FIXED predictor per subframe
-    (order chosen by residual magnitude), one Rice partition with a
-    fitted parameter, optional mid/side for stereo. Lossless."""
+    """(n,) or (n, ch) int -> FLAC bytes. Lossless.
+
+    Defaults encode FIXED predictors (order chosen by residual
+    magnitude) with one fitted Rice partition. The extra knobs exist so
+    round-trip tests exercise every DECODER path: ``stereo_mode`` in
+    {'indep', 'mid', 'left', 'right'} selects the channel
+    decorrelation (``mid_side=True`` is shorthand for 'mid');
+    ``lpc_order`` > 0 encodes LPC subframes (autocorrelation +
+    Levinson-Durbin, 12-bit quantized coefficients);
+    ``partition_order`` splits each residual into 2^p Rice partitions
+    with per-partition parameters (escape-coded raw residuals when the
+    fitted parameter saturates)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
@@ -418,8 +430,12 @@ def write_flac(
     if s.min() < -lim or s.max() >= lim:
         raise ValueError(f"samples exceed {bps}-bit range")
     n, nch = s.shape
-    if mid_side and nch != 2:
-        raise ValueError("mid_side requires exactly 2 channels")
+    if stereo_mode is None:
+        stereo_mode = "mid" if mid_side else "indep"
+    if stereo_mode not in ("indep", "mid", "left", "right"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if stereo_mode != "indep" and nch != 2:
+        raise ValueError("stereo decorrelation requires exactly 2 channels")
 
     out = bytearray(b"fLaC")
     si = _BitsW()
@@ -438,7 +454,10 @@ def write_flac(
 
     for fi, start in enumerate(range(0, n, block_size)):
         blk = s[start : start + block_size]
-        out += _write_frame(blk, fi, sample_rate, bps, block_size, mid_side)
+        out += _write_frame(
+            blk, fi, sample_rate, bps, block_size, stereo_mode,
+            lpc_order, partition_order,
+        )
     return bytes(out)
 
 
@@ -459,7 +478,8 @@ def _utf8_number(v: int) -> bytes:
     return bytes(parts)
 
 
-def _write_frame(blk, fi, sr, bps, nominal_block, mid_side):
+def _write_frame(blk, fi, sr, bps, nominal_block, stereo_mode,
+                 lpc_order, partition_order):
     block = blk.shape[0]
     nch = blk.shape[1]
     bw = _BitsW()
@@ -467,7 +487,7 @@ def _write_frame(blk, fi, sr, bps, nominal_block, mid_side):
     bw.write(0, 1)
     bw.write(0, 1)  # fixed blocksize strategy
     bs_code = {v: k for k, v in _BLOCK_SIZES.items()}.get(block)
-    ch_code = 10 if mid_side else nch - 1
+    ch_code = {"indep": nch - 1, "left": 8, "right": 9, "mid": 10}[stereo_mode]
     ss_code = {v: k for k, v in _SAMPLE_SIZES.items()}[bps]
     bw.write(bs_code if bs_code is not None else 7, 4)
     bw.write({v: k for k, v in _SAMPLE_RATES.items()}.get(sr, 0), 4)
@@ -483,22 +503,80 @@ def _write_frame(blk, fi, sr, bps, nominal_block, mid_side):
     head.append(crc8(bytes(head)))
 
     body = _BitsW()
-    if mid_side:
+    if stereo_mode != "indep":
         left = blk[:, 0]
         right = blk[:, 1]
-        mid = (left + right) >> 1
         side = left - right
-        _write_subframe(body, mid, bps)
-        _write_subframe(body, side, bps + 1)
+        if stereo_mode == "mid":
+            subs = [((left + right) >> 1, bps), (side, bps + 1)]
+        elif stereo_mode == "left":
+            subs = [(left, bps), (side, bps + 1)]
+        else:  # right (side, right)
+            subs = [(side, bps + 1), (right, bps)]
+        for x, b in subs:
+            _write_subframe(body, x, b, lpc_order, partition_order)
     else:
         for c in range(nch):
-            _write_subframe(body, blk[:, c], bps)
+            _write_subframe(body, blk[:, c], bps, lpc_order, partition_order)
     body.align()
     frame = bytes(head) + bytes(body.out)
     return frame + crc16(frame).to_bytes(2, "big")
 
 
-def _write_subframe(bw: _BitsW, x: np.ndarray, bps: int) -> None:
+def _lpc_coeffs(x: np.ndarray, order: int, precision: int = 12):
+    """Quantized LPC coefficients via autocorrelation + Levinson-Durbin
+    (the standard FLAC analysis); returns (coefs, shift) or None when
+    the signal is degenerate."""
+    xf = x.astype(np.float64)
+    r = np.array([np.dot(xf[: len(xf) - i], xf[i:]) for i in range(order + 1)])
+    if r[0] == 0:
+        return None
+    a = np.zeros(order)
+    err = r[0]
+    for i in range(order):
+        acc = r[i + 1] - np.dot(a[:i], r[i:0:-1][:i])
+        kref = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - kref * a[:i][::-1], [kref]])
+        err *= 1 - kref * kref
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if cmax == 0:
+        return None
+    shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(1, min(15, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    q = np.clip(q, -(1 << (precision - 1)), (1 << (precision - 1)) - 1)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _write_subframe(
+    bw: _BitsW, x: np.ndarray, bps: int, lpc_order: int = 0,
+    partition_order: int = 0,
+) -> None:
+    if lpc_order and len(x) > lpc_order:
+        got = _lpc_coeffs(x, lpc_order)
+        if got is not None:
+            q, shift = got
+            resid = np.empty(len(x) - lpc_order, np.int64)
+            for i in range(lpc_order, len(x)):
+                p = 0
+                for j in range(lpc_order):
+                    p += int(q[j]) * int(x[i - 1 - j])
+                resid[i - lpc_order] = int(x[i]) - (p >> shift)
+            bw.write(0, 1)
+            bw.write(32 + lpc_order - 1, 6)
+            bw.write(0, 1)  # no wasted bits
+            for v in x[:lpc_order]:
+                bw.write(int(v), bps)
+            bw.write(12 - 1, 4)  # precision 12
+            bw.write(shift, 5)
+            for c in q:
+                bw.write(int(c), 12)
+            _write_residual(bw, resid, len(x), lpc_order, partition_order)
+            return
     # pick the FIXED order with the smallest absolute residual sum
     best_order, best_resid, best_cost = 0, None, None
     for order in range(min(4, len(x) - 1) + 1):
@@ -515,13 +593,39 @@ def _write_subframe(bw: _BitsW, x: np.ndarray, bps: int) -> None:
     bw.write(0, 1)  # no wasted bits
     for v in x[:order]:
         bw.write(int(v), bps)
-    # one partition, fitted rice parameter
-    mean = (int(np.abs(resid).sum()) // max(len(resid), 1)) if len(resid) else 0
-    k = 0
-    while (1 << k) < mean + 1 and k < 14:
-        k += 1
+    _write_residual(bw, resid, len(x), order, partition_order)
+
+
+def _write_residual(bw: _BitsW, resid, block, order, partition_order):
+    # partitions must divide the block evenly with the first shortened
+    # by the predictor order (spec); fall back to order 0 otherwise
+    while partition_order > 0 and (
+        block % (1 << partition_order) != 0
+        or (block >> partition_order) <= order
+    ):
+        partition_order -= 1
     bw.write(0, 2)  # method 0 (4-bit rice params)
-    bw.write(0, 4)  # partition order 0
-    bw.write(k, 4)
-    for v in resid:
-        _rice_write(bw, int(v), k)
+    bw.write(partition_order, 4)
+    w = 0
+    for p in range(1 << partition_order):
+        n = block >> partition_order
+        if p == 0:
+            n -= order
+        part = resid[w : w + n]
+        mean = (int(np.abs(part).sum()) // max(len(part), 1)) if len(part) else 0
+        k = 0
+        while (1 << k) < mean + 1 and k < 14:
+            k += 1
+        if k >= 14 and mean >= (1 << 14):
+            # escape: raw binary residuals at a fixed width
+            raw = max(int(v).bit_length() + 1 for v in part) if len(part) else 1
+            raw = min(raw, 31)
+            bw.write(0xF, 4)
+            bw.write(raw, 5)
+            for v in part:
+                bw.write(int(v), raw)
+        else:
+            bw.write(k, 4)
+            for v in part:
+                _rice_write(bw, int(v), k)
+        w += n
