@@ -216,3 +216,28 @@ def test_portable_shuffle_matches_duckdb_replay(spark):
     ]
     assert got == want
     assert sorted(got) == list(range(97)) and got != list(range(97))
+
+
+def test_contamination_span_detects_planted_passage(spark):
+    """A verbatim eval passage inside a train doc must surface with the
+    passage's token length; scattered single-shingle overlap must not."""
+    from xarray_dataaccessor_spark.operators.sampling import contamination_spans
+
+    passage = "the quick brown fox jumps over the lazy dog tonight again"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " trailing text follows now"),
+            # only one isolated shared 3-gram ("quick brown fox")
+            (2, "some quick brown fox unrelated padding words everywhere"),
+            (3, "completely clean text with nothing shared at all today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame([(100, passage)], "doc_id bigint, text string")
+    out = {r["doc_id"]: r["max_span_tokens"] for r in
+           contamination_spans(train, ev).collect()}
+    # doc 1 contains the full 11-token passage -> span = 11 tokens
+    assert out[1] == len(passage.split())
+    # doc 2 shares exactly one 3-gram -> span = 3 tokens
+    assert out[2] == 3
+    assert 3 not in out

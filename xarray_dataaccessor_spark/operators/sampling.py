@@ -245,3 +245,59 @@ def shard_shuffled(
     return out.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col)
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Longest CONTIGUOUS contaminated span per train document: the
+    maximum run of consecutive shingle positions whose k-grams all
+    appear in the eval set, reported in tokens (run + k - 1).
+
+    Benchmarks leak as contiguous passages, not scattered n-grams — a
+    doc with 3% scattered overlap is noise, a doc containing a 40-token
+    verbatim eval passage is contamination; this is the signal
+    decontamination actually acts on (the Lee et al. substring-dedup
+    insight applied to train/eval overlap).
+
+    Plan shape: positional shingles (map-side posexplode — duplicates
+    and positions KEPT, unlike the distinct-shingle overlap pass), one
+    equi-join against the deduped eval hash set, then gaps-and-islands
+    per document (island = pos - row_number, one window keyed on the
+    doc) and a max. Shuffles on the hash join + the doc key only."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+    from xarray_dataaccessor_spark.operators.dedup import word_shingles
+    from pyspark.sql.window import Window
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(words, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    pos_sh = (
+        train.select(F.col(id_col), F.posexplode(shingles).alias("pos", "shingle"))
+        .filter(F.length("shingle") > 0)
+        .select(id_col, "pos", portable_hash32(F.col("shingle")).alias("h"))
+    )
+    eval_h = (
+        word_shingles(eval_df, text_col, id_col, k)
+        .select(portable_hash32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    matched = pos_sh.join(eval_h, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        matched.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy(id_col)
+        .agg((F.max("__run") + F.lit(k - 1)).alias("max_span_tokens"))
+    )
+    return runs

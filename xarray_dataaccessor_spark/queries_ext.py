@@ -1270,20 +1270,50 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eh AS (SELECT DISTINCT {_H32.format(expr="shingle")} AS h FROM esh),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM th GROUP BY doc_id),
     ov AS (SELECT th.doc_id, COUNT(*) AS n_overlap
-           FROM th JOIN eh USING (h) GROUP BY th.doc_id)
+           FROM th JOIN eh USING (h) GROUP BY th.doc_id),
+    tpos AS (
+        SELECT doc_id, b.pos AS pos,
+               {_H32.format(expr="b.sh")} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> {{'pos': i,
+                                 'sh': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}}))
+                       AS b
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM split WHERE split = 'train')
+        ) WHERE b.sh IS NOT NULL AND length(b.sh) > 0
+    ),
+    mpos AS (SELECT doc_id, pos FROM tpos JOIN eh USING (h)),
+    runs AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM mpos
+    ),
+    spans AS (
+        SELECT doc_id, MAX(run) + 2 AS max_span_tokens FROM (
+            SELECT doc_id, isl, COUNT(*) AS run FROM runs GROUP BY doc_id, isl
+        ) GROUP BY doc_id
+    )
     SELECT ov.doc_id, n_shingles, n_overlap,
-           CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
-    FROM ov JOIN sizes USING (doc_id)
+           CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
+           CAST(spans.max_span_tokens AS BIGINT) AS max_span_tokens
+    FROM ov JOIN sizes USING (doc_id) JOIN spans USING (doc_id)
     """,
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: hash-split the corpus into train/eval
     (deterministic_split, 5%), then report each train document whose
     word-3-gram set overlaps the eval set's — overlap count, shingle
-    count, contamination fraction. One equi-join on the shingle hash;
-    the eval side is small by construction."""
+    count, contamination fraction, and the LONGEST CONTIGUOUS
+    contaminated span in tokens (``contamination_spans`` —
+    gaps-and-islands over matched shingle positions; benchmarks leak as
+    passages, and span length is the signal removal acts on). One
+    equi-join on the shingle hash per pass; the eval side is small by
+    construction."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
+        contamination_spans,
         deterministic_split,
         ngram_contamination,
     )
@@ -1292,7 +1322,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = deterministic_split(docs, "doc_id", eval_per_mille=50)
     train = split.filter(F.col("split") == "train").drop("split")
     eval_df = split.filter(F.col("split") == "eval").drop("split")
-    return ngram_contamination(train, eval_df, "text", "doc_id", k=3)
+    overlap = ngram_contamination(train, eval_df, "text", "doc_id", k=3)
+    spans = contamination_spans(train, eval_df, "text", "doc_id", k=3)
+    return overlap.join(spans, "doc_id").select(
+        "doc_id", "n_shingles", "n_overlap", "contamination",
+        F.col("max_span_tokens").cast("bigint").alias("max_span_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
