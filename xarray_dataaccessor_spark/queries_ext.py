@@ -683,8 +683,15 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = base.filter(F.col("vec_id") % 17 == 0).select(
         (F.col("vec_id") + 200000).alias("vec_id"), "e"
     )
-    corpus = base.unionByName(scaled).unionByName(exact).select(
-        "vec_id", F.col("e").alias("embedding")
+    # cache the fuzzed corpus: Catalyst pushes projections through
+    # unions, so without the materialization boundary the 32 plane-dot
+    # fold expressions would be cloned into (and codegen-compiled for)
+    # every union branch (memory: spark-plan-quirks — no reuse across
+    # union branches)
+    corpus = (
+        base.unionByName(scaled).unionByName(exact)
+        .select("vec_id", F.col("e").alias("embedding"))
+        .cache()
     )
     return embedding_near_duplicates(
         corpus, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
