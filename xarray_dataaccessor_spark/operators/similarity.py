@@ -569,6 +569,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "e",
     dims: int | None = None,
+    m_subspaces: int | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m_subspaces`` one-byte-ish code ids: the
     nearest codebook entry per subspace. Output is EXPLODED —
@@ -576,7 +577,10 @@ def pq_encode(
     code array (the ADC scan consumes it directly; ``m_subspaces * 8``
     bytes per vector in long form, vs ``dims * 8`` for the raw
     embedding)."""
-    m_subspaces = codebooks.select("m").distinct().count()
+    if m_subspaces is None:
+        # fallback: derive from the codebook table (one small job);
+        # callers that know m pass it and skip the action
+        m_subspaces = codebooks.select("m").distinct().count()
     if dims is None or dims % m_subspaces != 0:
         raise ValueError("dims must be known and divisible by the codebook's m")
     sub = dims // m_subspaces
@@ -667,7 +671,10 @@ def pq_ann(
         dims=dims,
         train_limit=train_limit,
     ).cache()
-    codes = pq_encode(cn, books, id_col="neighbor_id", vec_col="ce", dims=dims)
+    codes = pq_encode(
+        cn, books, id_col="neighbor_id", vec_col="ce", dims=dims,
+        m_subspaces=m_subspaces,
+    )
 
     sub = dims // m_subspaces
     q_sub = qn.select(
