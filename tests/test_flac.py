@@ -191,3 +191,26 @@ def test_combined_lpc_partitions_side_stereo_property():
         assert np.array_equal(dec, x)
 
     rt()
+
+
+def test_audio_spectrogram_finds_tone_frequency(spark):
+    """A pure tone's dominant_hz must land on the true frequency (within
+    one FFT bin) through the full FLAC decode -> STFT path."""
+    from xarray_dataaccessor_spark.operators.multimodal import audio_spectrogram
+
+    sr = 16000
+    for hz in (500.0, 2000.0):
+        t = np.arange(16000)
+        wave = (12000 * np.sin(2 * np.pi * hz * t / sr)).astype(np.int64)
+        df = spark.createDataFrame(
+            [(1, bytearray(write_flac(wave, sr, 16)))],
+            "doc_id bigint, payload binary",
+        )
+        row = audio_spectrogram(df, codec="flac").collect()[0]
+        assert row["sample_rate"] == sr
+        bin_hz = sr / 256
+        assert abs(row["dominant_hz"] - hz) <= bin_hz, hz
+        assert len(row["log_band_energy"]) == 8
+        # energy concentrates in the band containing the tone
+        band = int(hz / (sr / 2) * 8)
+        assert int(np.argmax(row["log_band_energy"])) == band

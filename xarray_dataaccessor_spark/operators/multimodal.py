@@ -6,13 +6,12 @@ batch iteration, Arrow-batched ``mapInPandas`` UDF signatures — is real
 and tested, and the codec step is REAL for the formats that parse purely:
 WAV/RIFF PCM+float audio, netpbm and uncompressed BMP images, PNG
 (zlib + spec filters incl. Adam7), GIF, Y4M video
-(``sources/media.py``) and baseline JPEG — SOF0 sequential DCT,
-Huffman, restart markers, 4:4:4/4:2:2/4:2:0 chroma
-(``sources/jpeg.py``). The ``codec="fake"`` default keeps plumbing
-tests fixture-free; passing ``codec="pil"`` / ``"soundfile"`` /
-``"ffmpeg"`` raises NotImplementedError at the exact point a remaining
-compressed-format library (WebP/progressive JPEG/MP3/H.264) would
-plug in.
+(``sources/media.py``), JPEG — baseline SOF0/1 AND progressive SOF2
+(``sources/jpeg.py``) — and FLAC lossless audio (``sources/flac.py``).
+The ``codec="fake"`` default keeps plumbing tests fixture-free; passing
+``codec="pil"`` / ``"soundfile"`` / ``"ffmpeg"`` raises
+NotImplementedError at the exact point a remaining compressed-format
+library (WebP/MP3/H.264) would plug in.
 """
 
 from __future__ import annotations
@@ -427,5 +426,97 @@ def sample_frames(
     schema = (
         "doc_id bigint, frame_idx int, ts_ms bigint, frame_md5 string, "
         "mean_luma double"
+    )
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+    source_rate: int = 16000,
+    codec: str = "fake",
+) -> DataFrame:
+    """Log-magnitude spectrogram features over mapInPandas — the speech
+    pre-processing step between decode and model input (the pipeline's
+    "feature-extract" stage for audio).
+
+    Per document: Hann-windowed STFT (numpy rfft, ``n_fft`` samples
+    every ``hop``), power spectrum, then ``n_bands`` equal-width band
+    energies averaged over time plus the dominant frequency (argmax bin
+    of the mean spectrum, in Hz at the stream's sample rate). Decodes
+    like :func:`resample_audio`: ``codec='wav'`` / ``'flac'`` are the
+    real pure parsers (header rate overrides ``source_rate``),
+    ``'fake'`` reads raw int16.
+
+    Scale shape: the FFT is per-row numpy inside an Arrow batch —
+    embarrassingly parallel, no shuffle; output is (doc, small fixed
+    vector), so the wide waveform never leaves the task."""
+    if codec not in ("fake", "wav", "flac"):
+        raise NotImplementedError(
+            f"audio codec {codec!r} requires librosa/soundfile, not installed; "
+            "'wav'/'flac' decode purely, 'fake' exercises the plumbing"
+        )
+    _ship_by_value()
+    wav_parse = parse_wav
+    flac_parse = parse_flac
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                sr = source_rate
+                if codec == "wav":
+                    sr, chans = wav_parse(raw)
+                    wave = chans.mean(axis=1)
+                elif codec == "flac":
+                    sr, chans = flac_parse(raw)
+                    wave = chans.astype("float64").mean(axis=1)
+                else:
+                    wave = np.frombuffer(
+                        raw[: len(raw) // 2 * 2], dtype="<i2"
+                    ).astype("float64")
+                n_frames = max(0, (wave.size - n_fft) // hop + 1)
+                if n_frames == 0:
+                    pad = np.zeros(n_fft)
+                    pad[: wave.size] = wave
+                    frames = pad[None, :]
+                    n_frames = 1
+                else:
+                    idx = (
+                        np.arange(n_frames)[:, None] * hop
+                        + np.arange(n_fft)[None, :]
+                    )
+                    frames = wave[idx]
+                spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+                mean_spec = spec.mean(axis=0)
+                n_bins = mean_spec.size
+                band_w = n_bins // n_bands
+                bands = [
+                    float(np.log1p(mean_spec[b * band_w : (b + 1) * band_w].mean()))
+                    for b in range(n_bands)
+                ]
+                peak_bin = int(mean_spec[1:].argmax()) + 1  # skip DC
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": int(sr),
+                        "n_frames": int(n_frames),
+                        "dominant_hz": float(peak_bin * sr / n_fft),
+                        "log_band_energy": bands,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, sample_rate int, n_frames int, dominant_hz double, "
+        "log_band_energy array<double>"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
