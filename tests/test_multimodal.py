@@ -79,3 +79,34 @@ def test_binary_fast_path_jvm_side(spark, media):
     decoded = decode_binary(media)
     assert decoded.count() == 8
     assert decoded.columns == ["doc_id", "n_bytes", "first_byte", "last_byte", "byte_sum"]
+
+
+def test_image_channel_stats_color_and_gray(spark):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.multimodal import image_channel_stats
+    from xarray_dataaccessor_spark.sources.jpeg import write_jpeg
+    from xarray_dataaccessor_spark.sources.media import write_png
+
+    rgb = np.zeros((10, 12, 3), np.uint8)
+    rgb[:, :, 0] = 200  # red-dominant image
+    rgb[:, :, 1] = 50
+    gray = np.full((6, 8), 77, np.uint8)
+    rows = [
+        (1, bytearray(write_png(rgb))),
+        (2, bytearray(write_png(gray))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in image_channel_stats(df, codec="png").collect()}
+    assert out[1]["n_channels"] == 3
+    assert out[1]["channel_means"] == [200.0, 50.0, 0.0]
+    assert out[2]["n_channels"] == 1
+    assert out[2]["channel_means"] == [77.0]
+    assert out[2]["channel_stds"] == [0.0]
+    # solid-color JPEG at q100 decodes exactly -> exact channel mean
+    jdf = spark.createDataFrame(
+        [(3, bytearray(write_jpeg(np.full((8, 8), 130, np.uint8), 100)))],
+        "doc_id bigint, payload binary",
+    )
+    j = image_channel_stats(jdf, codec="jpeg").collect()[0]
+    assert j["channel_means"] == [130.0] and j["channel_stds"] == [0.0]

@@ -66,3 +66,40 @@ def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
     # the documented-contract outcomes only
     assert 1 in kept and 3 in kept and 2 not in kept
     assert kept in ([1, 3], [1, 3, 4])
+
+
+def test_labeled_dedup_matches_batch_keep_first(spark, tmp_path):
+    """stream_dedup_labeled must reproduce the batch keep-first policy:
+    the earliest (ts, doc_id) per fingerprint is the keeper, later
+    copies are labeled duplicates pointing at it."""
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        stream_dedup_labeled,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", 100),
+        (2, "alpha  BETA gamma", 200),   # same after normalize+lower
+        (3, "other text entirely", 150),
+        (4, "alpha beta gamma", 50),     # EARLIEST copy -> the keeper
+        (5, "other text entirely", 400),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, off bigint").select(
+        "doc_id", "text",
+        F.timestamp_micros((F.lit(1_600_000_000) + F.col("off")) * 1_000_000).alias("ts"),
+    )
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = run_available_now(
+        stream_dedup_labeled(stream, watermark="1 hour"),
+        output_mode="append", shuffle_partitions=4,
+    )
+    got = {r["doc_id"]: (r["is_duplicate"], r["first_doc_id"]) for r in out.collect()}
+    assert got[4] == (False, 4)   # earliest alpha-beta-gamma
+    assert got[1] == (True, 4)
+    assert got[2] == (True, 4)    # normalization collapses case/space
+    assert got[3] == (False, 3)
+    assert got[5] == (True, 3)

@@ -168,26 +168,32 @@ def decode_binary(
     return df.select("doc_id", payload_col).mapInPandas(decode_batches, out_schema)
 
 
-def _decode_gray(raw: bytes, codec: str):
-    """Decode payload bytes to a float64 grayscale array. Real parsers
-    for the pure formats; 'fake' tiles the raw bytes to 32x32."""
+def _decode_raw(raw: bytes, codec: str):
+    """Decode payload bytes to the parser's native array — (h, w) gray
+    or (h, w, 3/4) color float64; 'fake' tiles the raw bytes to 32x32."""
     if codec == "jpeg":
-        img = parse_jpeg(raw).astype("float64")
-    elif codec == "netpbm":
-        img = parse_netpbm(raw).astype("float64")
-    elif codec == "bmp":
-        img = parse_bmp(raw).astype("float64")
-    elif codec == "png":
+        return parse_jpeg(raw).astype("float64")
+    if codec == "netpbm":
+        return parse_netpbm(raw).astype("float64")
+    if codec == "bmp":
+        return parse_bmp(raw).astype("float64")
+    if codec == "png":
         img = parse_png(raw).astype("float64")
-        if img.ndim == 3 and img.shape[2] == 4:  # drop alpha before luma
+        if img.ndim == 3 and img.shape[2] == 4:  # drop alpha
             img = img[:, :, :3]
-    elif codec == "gif":
-        img = parse_gif(raw)[1][0].astype("float64")  # first frame
-    else:
-        return np.resize(
-            np.frombuffer(raw, dtype=np.uint8), (32, 32)
-        ).astype("float64")
-    if img.ndim == 3:  # color -> luma, ITU-R 601
+        return img
+    if codec == "gif":
+        return parse_gif(raw)[1][0].astype("float64")  # first frame
+    return np.resize(np.frombuffer(raw, dtype=np.uint8), (32, 32)).astype(
+        "float64"
+    )
+
+
+def _decode_gray(raw: bytes, codec: str):
+    """Decode payload bytes to a float64 grayscale array (color
+    collapses to ITU-R 601 luma)."""
+    img = _decode_raw(raw, codec)
+    if img.ndim == 3:
         img = img @ np.array([0.299, 0.587, 0.114])
     return img
 
@@ -518,5 +524,57 @@ def audio_spectrogram(
     schema = (
         "doc_id bigint, sample_rate int, n_frames int, dominant_hz double, "
         "log_band_energy array<double>"
+    )
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
+
+
+def image_channel_stats(
+    df: DataFrame, payload_col: str = "payload", codec: str = "fake"
+) -> DataFrame:
+    """Per-channel image statistics WITHOUT the luma collapse — the
+    color-aware sibling of :func:`decode_image` (a vision pipeline
+    filters on per-channel distributions: solid-color detection,
+    color-cast screening, alpha-content checks). Emits
+    ``(doc_id, height, width, n_channels, channel_means array<double>,
+    channel_stds array<double>)``; grayscale inputs report one channel.
+    Same codec dispatch and Arrow batch shape as the other decoders."""
+    if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg"):
+        raise NotImplementedError(
+            f"image codec {codec!r} requires PIL/opencv, not installed; "
+            "'netpbm'/'bmp'/'png'/'gif'/'jpeg' decode purely, 'fake' "
+            "exercises the plumbing"
+        )
+    _ship_by_value()
+    dec = _decode_raw
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                img = dec(bytes(payload), codec)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "height": int(img.shape[0]),
+                        "width": int(img.shape[1]),
+                        "n_channels": int(img.shape[2]),
+                        "channel_means": [
+                            float(v) for v in img.mean(axis=(0, 1))
+                        ],
+                        "channel_stds": [
+                            float(v) for v in img.std(axis=(0, 1))
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, height int, width int, n_channels int, "
+        "channel_means array<double>, channel_stds array<double>"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)

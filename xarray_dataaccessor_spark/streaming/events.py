@@ -444,3 +444,97 @@ def stream_collapse_spatial(
         .groupBy(time_col)
         .agg(*aggs)
     )
+
+
+def stream_dedup_labeled(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """In-flight LABELED exact deduplication — the audit-trail sibling
+    of :func:`stream_dedup_exact` (which silently drops): every arriving
+    document is emitted with an ``is_duplicate`` verdict and the
+    first-seen document id, matching the batch ``dedup.dedup_exact``
+    keep-first policy. Use this when the pipeline needs the dedup
+    DECISIONS (provenance, cluster accounting) rather than just the
+    survivors.
+
+    Shape: the fingerprint (60-bit portable hash of the normalized
+    text, identical to ``text.fingerprint``) is computed MAP-SIDE; the
+    stream keys on it and an ``applyInPandasWithState`` operator holds
+    ``(first_id, last_seen_us)`` per fingerprint. Within a micro-batch,
+    rows process in event-time order (ties on id) so "first" is
+    well-defined regardless of arrival order. State is one tiny tuple
+    per distinct fingerprint per horizon, evicted by event-time timeout
+    once the watermark passes ``last_seen + horizon`` — bounded by
+    stream rate x horizon, never stream lifetime. This is the standard
+    streaming-ingest dedup layout: the state store shards on the
+    fingerprint, the common case (unique doc) is one state lookup."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash64
+
+    horizon_us = _duration_micros(watermark)
+    normalized = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    rows = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(time_col).alias("ts"),
+        portable_hash64(normalized).alias("fp_num"),
+    ).withWatermark("ts", watermark)
+
+    out_schema = (
+        "doc_id bigint, ts timestamp, fp_num bigint, "
+        "is_duplicate boolean, first_doc_id bigint"
+    )
+    state_schema = "first_id bigint, last_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_id, last_us = (
+            (int(state.get[0]), int(state.get[1])) if state.exists else (None, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            raw = batch["ts"].astype("int64")
+            if "[us" not in str(batch["ts"].dtype):
+                raw = raw // 1000
+            batch = batch.assign(__us=raw).sort_values(["__us", "doc_id"])
+        ids, tss, dups, firsts = [], [], [], []
+        for doc, ts, us in zip(batch["doc_id"], batch["ts"], batch["__us"] if len(batch) else []):
+            doc, us = int(doc), int(us)
+            if first_id is None:
+                first_id = doc
+                dup = False
+            else:
+                dup = True
+            last_us = max(last_us, us)
+            ids.append(doc)
+            tss.append(ts)
+            dups.append(dup)
+            firsts.append(first_id)
+        if first_id is not None:
+            state.update((first_id, last_us))
+            timeout_ms = last_us // 1000 + horizon_us // 1000 + 1000
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1000)
+            )
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ts": tss,
+                    "fp_num": [key[0]] * len(ids),
+                    "is_duplicate": dups,
+                    "first_doc_id": firsts,
+                }
+            )
+
+    return rows.groupBy("fp_num").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
