@@ -251,3 +251,23 @@ def test_pyramid_executes_one_base_scan(spark, tmp_path):
     assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
     assert len(re.findall(r"Scan ExistingRDD", plan)) == 3, plan[:2000]
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_no_cartesian_product_in_any_query_plan(spark, sf_dir):
+    """Standing guard over the whole registry: an unconditioned
+    large-large join planned as CartesianProduct is the classic
+    scale-killer; 1-row broadcast crossJoins plan as
+    BroadcastNestedLoopJoin and stay allowed. Streaming queries are
+    skipped (building them executes the stream)."""
+    bad = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming"):
+            continue
+        try:
+            plan = plan_string(fn(spark, sf_dir), "simple")
+        except Exception as exc:  # pragma: no cover - surface broken builds
+            bad.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct in plan"))
+    assert not bad, bad
