@@ -147,17 +147,17 @@ def test_nan_string_fill_value_handled(spark, tmp_path):
     assert vals[(2.0, 5.0)] == 3.0
 
 
-def test_blosc_zstd_store_gated(tmp_path):
-    """blosc-lz4/zlib now decode pure-Python; the remaining inner codecs
-    (zstd/snappy/blosclz) stay loudly gated."""
+def test_blosc_snappy_store_gated(tmp_path):
+    """blosc-lz4/zlib/zstd now decode pure-Python; the remaining inner
+    codecs (snappy/blosclz) stay loudly gated."""
     store = tmp_path / "b.zarr" / "v"
     store.mkdir(parents=True)
     (store / ".zarray").write_text(json.dumps({
         "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
         "order": "C", "filters": None, "fill_value": None,
-        "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5},
+        "compressor": {"id": "blosc", "cname": "snappy", "clevel": 5},
     }))
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="snappy"):
         read_zarray(str(tmp_path / "b.zarr"), "v")
 
 
@@ -254,12 +254,12 @@ def test_v3_unknown_codec_gated(tmp_path):
         "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         "chunk_key_encoding": {"name": "default"},
         "fill_value": 0,
-        "codecs": [{"name": "bytes"}, {"name": "zstd", "configuration": {}}],
+        "codecs": [{"name": "bytes"}, {"name": "transpose", "configuration": {}}],
         "dimension_names": ["x"],
     }
     with open(os.path.join(store, "v", "zarr.json"), "w") as f:
         json.dump(meta, f)
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="transpose"):
         read_zarray(store, "v")
 
 
@@ -379,3 +379,40 @@ def test_sharded_distributed_decode(spark, tmp_path):
         (F.col("y") == LATS[3]) & (F.col("x") == LONS[11])
     ).orderBy("time").first()
     assert row["t2m"] == pytest.approx(t2m[0, 3, 11])
+
+
+@pytest.mark.parametrize("compressor", ["zstd", "blosc-zstd"])
+def test_zstd_store_roundtrip_v2_and_v3(spark, tmp_path, compressor):
+    """Pure-zstd and blosc-zstd chunks decode through the same
+    distributed path (sources/zstd.py — no zstd binding in the
+    container)."""
+    if compressor == "blosc-zstd":
+        # v2 writer accepts blosc-zstd; v3 writer keeps lz4/zlib inner
+        formats = [2]
+    else:
+        formats = [2, 3]
+    t2m = (
+        270.0
+        + np.arange(24)[:, None, None] * 0.1
+        + np.arange(5)[None, :, None] * 0.01
+        + np.arange(9)[None, None, :] * 0.001
+    )
+    for fmt in formats:
+        store = str(tmp_path / f"z{fmt}_{compressor}.zarr")
+        write_zarr(store, "t2m", t2m, ["time", "latitude", "longitude"],
+                   chunks=[8, 4, 8], compressor=compressor, zarr_format=fmt)
+        write_zarr(store, "time", np.arange(24, dtype="i4") + 1043832,
+                   ["time"], attrs={"units": "hours since 1900-01-01 00:00:00"},
+                   compress=False, zarr_format=fmt)
+        write_zarr(store, "latitude", 42.883 - 0.25 * np.arange(5),
+                   ["latitude"], compress=False, zarr_format=fmt)
+        write_zarr(store, "longitude", -83.476 + 0.25 * np.arange(9),
+                   ["longitude"], compress=False, zarr_format=fmt)
+        meta = read_zarray(store, "t2m")
+        assert "zstd" in (meta["compressor"] or "")
+        out = zarr_to_grid(spark, store, "t2m")
+        assert out.count() == 24 * 5 * 9
+        row = out.filter(
+            (F.col("y") == 42.883 - 0.25 * 2) & (F.col("x") == -83.476 + 0.25 * 3)
+        ).orderBy("time").first()
+        assert row["t2m"] == pytest.approx(t2m[0, 2, 3])

@@ -1,0 +1,160 @@
+"""Pure zstd codec (sources/zstd.py).
+
+Round trips are exact by construction; the spec constants are pinned by
+invariants (predefined distributions sum to their table sizes, xxhash64
+published vectors, Kraft completeness), and every decoder path the
+encoder can reach is reached: Raw/RLE/Compressed blocks, Huffman
+literals in 1 and 4 streams, FSE-compressed weight descriptions,
+predefined-FSE sequences, repeat offsets, overlapping matches.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from xarray_dataaccessor_spark.sources.zstd import (
+    LL_DEFAULT,
+    LL_DEFAULT_ALOG,
+    ML_DEFAULT,
+    ML_DEFAULT_ALOG,
+    OF_DEFAULT,
+    OF_DEFAULT_ALOG,
+    _BackWriter,
+    _FwdBits,
+    _fse_compress_2state,
+    _fse_decompress_2state,
+    _huff_decode_stream,
+    _huff_encode_table,
+    _huff_table_from_weights,
+    _read_huff_weights,
+    fse_build_decode_table,
+    fse_read_distribution,
+    fse_write_distribution,
+    huff_weights_fse_section,
+    xxhash64,
+    zstd_compress,
+    zstd_decompress,
+)
+
+
+def test_predefined_distributions_sum_to_table_size():
+    for norm, alog, nsym in (
+        (LL_DEFAULT, LL_DEFAULT_ALOG, 36),
+        (OF_DEFAULT, OF_DEFAULT_ALOG, 29),
+        (ML_DEFAULT, ML_DEFAULT_ALOG, 53),
+    ):
+        assert len(norm) == nsym
+        assert sum(v if v > 0 else 1 for v in norm) == 1 << alog
+        fse_build_decode_table(norm, alog)  # spread must close
+
+
+def test_xxhash64_published_vectors():
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+    # >=32-byte path
+    assert xxhash64(b"x" * 100) == xxhash64(b"x" * 100)
+    assert xxhash64(b"x" * 100) != xxhash64(b"x" * 99 + b"y")
+
+
+def test_fse_distribution_writer_reader_roundtrip():
+    for norm, alog in (
+        (LL_DEFAULT, LL_DEFAULT_ALOG),
+        (OF_DEFAULT, OF_DEFAULT_ALOG),
+        (ML_DEFAULT, ML_DEFAULT_ALOG),
+        ([16, 8, 4, 2, 1, 1], 5),
+        ([1, 0, 0, 0, 30, 1], 5),
+    ):
+        enc = fse_write_distribution(norm, alog)
+        got, galog = fse_read_distribution(_FwdBits(enc), len(norm) + 10)
+        a, b = list(norm), list(got)
+        while a and a[-1] == 0:
+            a.pop()
+        while b and b[-1] == 0:
+            b.pop()
+        assert galog == alog and a == b
+
+
+def test_two_state_fse_roundtrip():
+    norm = [16, 8, 4, 2, 1, 1]
+    table = fse_build_decode_table(norm, 5)
+    rng = random.Random(1)
+    for _ in range(100):
+        n = rng.choice([4, 6, 8, 20, 60])
+        syms = [rng.choice([0, 0, 0, 1, 1, 2, 3, 4, 5]) for _ in range(n)]
+        enc = _fse_compress_2state(syms, norm, 5)
+        assert list(_fse_decompress_2state(table, 5, enc, 255)) == syms
+
+
+def test_huffman_weight_sections_and_streams():
+    weights = [2, 2, 2, 1]  # + implicit 1 completes 2^3
+    sec = huff_weights_fse_section(weights)
+    got, used = _read_huff_weights(sec)
+    assert used == len(sec) and got == [2, 2, 2, 1, 1]
+    mb, lookup = _huff_table_from_weights(got)
+    mb2, enc = _huff_encode_table(got)
+    assert mb == mb2 == 3
+    data = [0, 1, 2, 3, 4, 0, 0, 2, 4, 1]
+    bw = _BackWriter()
+    for s in data:
+        c, nb = enc[s]
+        bw.write(c, nb)
+    assert list(_huff_decode_stream(bw.bytes(), mb, lookup, len(data))) == data
+
+
+def test_frame_roundtrips():
+    rng = random.Random(0)
+    cases = [
+        b"",
+        b"a",
+        b"hello world " * 50,
+        bytes(range(256)) * 10,
+        b"abcabcabc" * 60,            # short-offset overlapping matches
+        b"\x00" * 5000,               # RLE block
+        rng.randbytes(5000),          # incompressible -> Raw block
+        bytes(rng.choices(b"abcdefgh entresio", k=4000)),   # huffman 4-stream
+        bytes(rng.choices(b"etaoin", k=900)),               # huffman 1-stream
+        (b"the quick brown fox. " * 40 + rng.randbytes(200)) * 3,
+        rng.randbytes(300_000),       # multi-block
+        (b"block-spanning repeated content 12345678 " * 8000),  # matches across 128K blocks
+    ]
+    for c in cases:
+        enc = zstd_compress(c)
+        assert zstd_decompress(enc) == c, len(c)
+
+
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 100000),
+        n=st.integers(0, 4000),
+        alphabet=st.sampled_from([2, 8, 64, 256]),
+        runs=st.booleans(),
+    )
+    def rt(seed, n, alphabet, runs):
+        rng = random.Random(seed)
+        if runs:
+            out = bytearray()
+            while len(out) < n:
+                out += bytes([rng.randrange(alphabet)]) * rng.randrange(1, 30)
+            data = bytes(out[:n])
+        else:
+            data = bytes(rng.randrange(alphabet) for _ in range(n))
+        assert zstd_decompress(zstd_compress(data)) == data
+
+    rt()
+
+
+def test_corruption_detected():
+    data = b"payload " * 200
+    enc = bytearray(zstd_compress(data))
+    enc[-2] ^= 0xFF  # checksum byte
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(enc))
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x00\x00\x00rest")

@@ -202,10 +202,16 @@ def decode_blosc(raw: bytes) -> bytes:
         dec = lz4_decompress_block
     elif cname == "zlib":
         dec = lambda b, size: zlib.decompress(b)  # noqa: E731
+    elif cname == "zstd":
+        # blosc compresses each split with the codec's one-shot API,
+        # which emits complete zstd frames — the pure decoder applies
+        from xarray_dataaccessor_spark.sources.zstd import zstd_decompress
+
+        dec = lambda b, size: zstd_decompress(b)  # noqa: E731
     else:
         raise NotImplementedError(
-            f"Blosc inner compressor {cname!r} unsupported (lz4/zlib decode "
-            "here); install the zarr extras."
+            f"Blosc inner compressor {cname!r} unsupported (lz4/zlib/zstd "
+            "decode here); install the zarr extras."
         )
     nblocks = (nbytes + blocksize - 1) // blocksize
     starts = struct.unpack_from(f"<{nblocks}I", raw, 16)
@@ -239,13 +245,15 @@ def encode_blosc(
 ) -> bytes:
     """Blosc1 chunk encoder (fixture writer / small-grid export twin of
     :func:`decode_blosc`)."""
-    if cname not in ("lz4", "zlib"):
-        raise NotImplementedError(f"encode_blosc supports lz4/zlib, not {cname!r}")
+    if cname not in ("lz4", "zlib", "zstd"):
+        raise NotImplementedError(
+            f"encode_blosc supports lz4/zlib/zstd, not {cname!r}"
+        )
     nbytes = len(data)
     blocksize = blocksize or min(max(nbytes, typesize), 64 * 1024)
     if blocksize % typesize:
         blocksize += typesize - blocksize % typesize
-    code = 1 if cname == "lz4" else 3
+    code = {"lz4": 1, "zlib": 3, "zstd": 4}[cname]
     flags = (code << 5) | (_FLAG_SHUFFLE if shuffle and typesize > 1 else 0)
     nblocks = (nbytes + blocksize - 1) // blocksize
     header = bytearray(16)
@@ -263,9 +271,14 @@ def encode_blosc(
         starts.append(base + len(body))
         for si in range(nsp):
             split = block[si * neblock : (si + 1) * neblock]
-            comp = (
-                lz4_compress_block(split) if cname == "lz4" else zlib.compress(split, 5)
-            )
+            if cname == "lz4":
+                comp = lz4_compress_block(split)
+            elif cname == "zlib":
+                comp = zlib.compress(split, 5)
+            else:
+                from xarray_dataaccessor_spark.sources.zstd import zstd_compress
+
+                comp = zstd_compress(split)
             if len(comp) >= neblock:  # incompressible: store raw per the format
                 body += struct.pack("<i", neblock) + split
             else:

@@ -368,9 +368,11 @@ def zarr_to_grid(
         from pyspark import cloudpickle as _cp
 
         from xarray_dataaccessor_spark.sources import blosc as _bl
+        from xarray_dataaccessor_spark.sources import zstd as _zs
 
         _cp.register_pickle_by_value(_z)
         _cp.register_pickle_by_value(_bl)
+        _cp.register_pickle_by_value(_zs)
     except Exception:  # pragma: no cover - older pickler fallback
         pass
 

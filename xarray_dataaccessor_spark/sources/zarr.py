@@ -8,7 +8,8 @@ byte-range protocol, no footer, no global lock).
 Implements the published Zarr v2 spec — ``.zarray`` JSON metadata
 (shape/chunks/dtype/order/fill_value), ``.zattrs`` (with xarray's
 ``_ARRAY_DIMENSIONS`` convention for dimension names), C-order chunk
-files named ``i.j.k`` compressed with zlib/gzip, blosc-lz4/zlib, or raw —
+files named ``i.j.k`` compressed with zlib/gzip, zstd (pure decoder in
+``sources/zstd.py``), blosc-lz4/zlib/zstd, or raw —
 AND the published Zarr v3 spec: per-node ``zarr.json`` metadata
 (``data_type`` + ``chunk_grid`` + ``codecs`` + ``dimension_names``),
 the ``bytes`` endian codec, gzip/blosc compressor codecs, both
@@ -16,7 +17,7 @@ chunk-key encodings (``default`` nested ``c/i/j/k`` and ``v2`` dotted),
 AND the ``sharding_indexed`` codec — chunk-of-chunks shard objects with
 a CRC-32C-protected binary index, the layout large cloud arrays use to
 bound object count (read and write; missing inner chunks fill).
-Zstd/transpose codecs are detected and rejected. v3 metadata is
+The transpose codec is detected and rejected. v3 metadata is
 normalized into the same meta dict at parse time, so every downstream
 consumer (chunk decode, distributed ingest) is version-blind. Like the
 sibling readers, everything here is stdlib (``json``/``zlib``) + numpy
@@ -37,6 +38,7 @@ import numpy as np
 # in-function import would resolve on the executor, where the package
 # need not be importable)
 from xarray_dataaccessor_spark.sources import blosc as _blosc
+from xarray_dataaccessor_spark.sources import zstd as _zstd
 
 
 _V3_DTYPES = {
@@ -82,9 +84,11 @@ def _parse_v3_codecs(codecs: list) -> tuple[str, str | None, dict | None]:
             endian = "<" if conf.get("endian", "little") == "little" else ">"
         elif cname == "gzip":
             comp_id = "zlib"  # gzip wrapper; decoder accepts both
+        elif cname == "zstd":
+            comp_id = "zstd"
         elif cname == "blosc":
             inner = conf.get("cname", "blosclz")
-            if inner not in ("lz4", "zlib"):
+            if inner not in ("lz4", "zlib", "zstd"):
                 raise NotImplementedError(
                     f"Blosc inner compressor {inner!r} unsupported"
                 )
@@ -179,16 +183,18 @@ def read_zarray(store: str, var: str) -> dict:
     comp_id = (comp or {}).get("id")
     if comp_id == "blosc":
         cname = (comp or {}).get("cname", "blosclz")
-        if cname not in ("lz4", "zlib"):
+        if cname not in ("lz4", "zlib", "zstd"):
             raise NotImplementedError(
-                f"Blosc inner compressor {cname!r} unsupported (lz4/zlib "
-                "decode pure-Python here); install the optional zarr extras."
+                f"Blosc inner compressor {cname!r} unsupported (lz4/zlib/"
+                "zstd decode pure-Python here); install the optional zarr "
+                "extras."
             )
         comp_id = f"blosc:{cname}"
-    elif comp_id not in (None, "zlib", "gzip"):
+    elif comp_id not in (None, "zlib", "gzip", "zstd"):
         raise NotImplementedError(
-            f"Zarr compressor {comp_id!r} unsupported (zlib/gzip/raw/"
-            "blosc-lz4/blosc-zlib); install the optional zarr extras."
+            f"Zarr compressor {comp_id!r} unsupported (zlib/gzip/zstd/raw/"
+            "blosc-lz4/blosc-zlib/blosc-zstd); install the optional zarr "
+            "extras."
         )
     if meta.get("order", "C") != "C":
         raise NotImplementedError("Fortran-order Zarr chunks unsupported")
@@ -221,6 +227,8 @@ def decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
         raw = _blosc.decode_blosc(raw)
     elif comp in ("zlib", "gzip"):
         raw = zlib.decompress(raw, zlib.MAX_WBITS | 32)  # accepts both wrappers
+    elif comp == "zstd":
+        raw = _zstd.zstd_decompress(raw)
     block = np.frombuffer(raw, dtype=meta["dtype"], count=int(np.prod(meta["chunks"])))
     block = block.reshape(meta["chunks"])
     return block.astype(block.dtype.newbyteorder("="))
@@ -344,7 +352,9 @@ def write_zarr(
         comp_meta = None
     elif compressor == "zlib":
         comp_meta = {"id": "zlib", "level": 6}
-    elif compressor in ("blosc-lz4", "blosc-zlib"):
+    elif compressor == "zstd":
+        comp_meta = {"id": "zstd", "level": 3}
+    elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd"):
         comp_meta = {
             "id": "blosc",
             "cname": compressor.split("-")[1],
@@ -382,7 +392,9 @@ def write_zarr(
         raw = padded.tobytes()
         if compressor == "zlib":
             raw = zlib.compress(raw, 6)
-        elif compressor in ("blosc-lz4", "blosc-zlib"):
+        elif compressor == "zstd":
+            raw = _zstd.zstd_compress(raw)
+        elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd"):
             from xarray_dataaccessor_spark.sources.blosc import encode_blosc
 
             raw = encode_blosc(
@@ -410,7 +422,11 @@ def _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor,
     codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
     if compressor == "zlib":
         codecs.append({"name": "gzip", "configuration": {"level": 6}})
-    elif compressor in ("blosc-lz4", "blosc-zlib"):
+    elif compressor == "zstd":
+        codecs.append({
+            "name": "zstd", "configuration": {"level": 3, "checksum": True}
+        })
+    elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd"):
         codecs.append({
             "name": "blosc",
             "configuration": {
@@ -465,6 +481,8 @@ def _write_zarr_v3(store, var, data, dims, chunks, attrs, compressor,
     def encode_piece(raw: bytes) -> bytes:
         if compressor == "zlib":
             return _gzip.compress(raw, 6)
+        if compressor == "zstd":
+            return _zstd.zstd_compress(raw)
         if compressor in ("blosc-lz4", "blosc-zlib"):
             from xarray_dataaccessor_spark.sources.blosc import encode_blosc
 
