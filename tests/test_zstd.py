@@ -158,3 +158,48 @@ def test_corruption_detected():
         zstd_decompress(bytes(enc))
     with pytest.raises(ValueError, match="magic"):
         zstd_decompress(b"\x00\x00\x00\x00rest")
+
+
+def test_treeless_literals_reuse_previous_tree():
+    """Literals type 3 (Treeless) reuses the previous block's Huffman
+    table — decoded here through two hand-assembled compressed blocks."""
+    from xarray_dataaccessor_spark.sources.zstd import _decode_block
+
+    # block 1: compressed literals with a direct-weight tree, no sequences
+    weights = [2, 2, 2, 1]  # symbols 0..3 explicit, 4 implicit -> 2^3
+    tree = bytes([127 + len(weights), 0x22, 0x21])  # nibbles 2,2 / 2,1
+    from xarray_dataaccessor_spark.sources.zstd import (
+        _huff_table_from_weights,
+        _huff_encode_table,
+    )
+
+    full = weights + [1]
+    mb, enc = _huff_encode_table(full)
+    data1 = [0, 1, 2, 3, 4, 0, 1, 2]
+    bw = _BackWriter()
+    for s in data1:
+        c, nb = enc[s]
+        bw.write(c, nb)
+    stream1 = bw.bytes()
+    csize1 = len(tree) + len(stream1)
+    hdr1 = 2 | (0 << 2) | ((len(data1) | (csize1 << 10)) << 4)
+    blk1 = hdr1.to_bytes(3, "little") + tree + stream1 + b"\x00"
+    # block 2: treeless literals, same stream encoding, no tree bytes
+    data2 = [4, 3, 2, 1, 0, 0]
+    bw = _BackWriter()
+    for s in data2:
+        c, nb = enc[s]
+        bw.write(c, nb)
+    stream2 = bw.bytes()
+    hdr2 = 3 | (0 << 2) | ((len(data2) | (len(stream2) << 10)) << 4)
+    blk2 = hdr2.to_bytes(3, "little") + stream2 + b"\x00"
+
+    out = bytearray()
+    tables: dict = {}
+    huff = _decode_block(blk1, out, None, tables)
+    assert list(out) == data1
+    _decode_block(blk2, out, huff, tables)
+    assert list(out) == data1 + data2
+    # treeless without a previous tree must refuse
+    with pytest.raises(ValueError, match="treeless"):
+        _decode_block(blk2, bytearray(), None, {})
