@@ -57,7 +57,7 @@ AGGREGATION_METHODS = (
     "min",
     "sum",
 )
-INTERP_METHODS = ("linear", "nearest", "zero", "slinear", "quadratic", "cubic")
+INTERP_METHODS = ("linear", "nearest", "zero", "slinear", "quadratic", "cubic", "catmull")
 
 _PANDAS_ALIAS = {
     "T": "minute",
@@ -283,19 +283,21 @@ def _value_columns(df, time_col, group_cols):
     return [c for c in df.columns if c != time_col and c not in group_cols]
 
 
-def _with_asof_neighbors(joined, value_cols, time_col, groups):
+def _with_asof_neighbors(joined, value_cols, time_col, groups, extended=False):
     """Attach prev/next observation value + epoch for each value column
-    via as-of windows (one hash partitioning, two sort-based windows)."""
-    wprev = (
+    via as-of windows (one hash partitioning; the window specs share the
+    partitioning and ordering, so Spark reuses one sort). With
+    ``extended``, also attach the SECOND previous / second next
+    observation (the p0/p3 anchors Catmull-Rom tangents need): each
+    observation row first records its own strictly-before/after
+    neighbor, then the as-of pass carries that to every spine row."""
+    base = (
         Window.partitionBy(*groups).orderBy(time_col)
         if groups
         else Window.orderBy(time_col)
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wnext = (
-        Window.partitionBy(*groups).orderBy(time_col)
-        if groups
-        else Window.orderBy(time_col)
-    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    wprev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     epoch = (epoch_micros(F.col(time_col)) / F.lit(1_000_000.0)).alias("__t")
     out = joined.withColumn("__t", epoch)
     for v in value_cols:
@@ -306,6 +308,40 @@ def _with_asof_neighbors(joined, value_cols, time_col, groups):
             .withColumn(f"__nv_{v}", F.first(v, ignorenulls=True).over(wnext))
             .withColumn(f"__nt_{v}", F.first(obs_t, ignorenulls=True).over(wnext))
         )
+        if extended:
+            wprev_x = base.rowsBetween(Window.unboundedPreceding, -1)
+            wnext_x = base.rowsBetween(1, Window.unboundedFollowing)
+            on_obs = F.col(v).isNotNull()
+            out = (
+                out.withColumn(
+                    f"__opv_{v}",
+                    F.when(on_obs, F.last(v, ignorenulls=True).over(wprev_x)),
+                )
+                .withColumn(
+                    f"__opt_{v}",
+                    F.when(on_obs, F.last(obs_t, ignorenulls=True).over(wprev_x)),
+                )
+                .withColumn(
+                    f"__onv_{v}",
+                    F.when(on_obs, F.first(v, ignorenulls=True).over(wnext_x)),
+                )
+                .withColumn(
+                    f"__ont_{v}",
+                    F.when(on_obs, F.first(obs_t, ignorenulls=True).over(wnext_x)),
+                )
+                .withColumn(
+                    f"__ppv_{v}", F.last(f"__opv_{v}", ignorenulls=True).over(wprev)
+                )
+                .withColumn(
+                    f"__ppt_{v}", F.last(f"__opt_{v}", ignorenulls=True).over(wprev)
+                )
+                .withColumn(
+                    f"__nnv_{v}", F.first(f"__onv_{v}", ignorenulls=True).over(wnext)
+                )
+                .withColumn(
+                    f"__nnt_{v}", F.first(f"__ont_{v}", ignorenulls=True).over(wnext)
+                )
+            )
     return out
 
 
@@ -333,6 +369,33 @@ def _interp_expr(method: str, v: str) -> Column:
         return pv if method == "ffill" else F.when(nt.isNotNull(), pv)
     if method == "bfill":
         return nv
+    if method == "catmull":
+        # cubic Hermite with Catmull-Rom tangents on the non-uniform
+        # knot grid: m1 = (p2-p0)/(t2-t0), m2 = (p3-p1)/(t3-t1) with
+        # one-sided secants at the series edges. Closed-form per
+        # segment (no tridiagonal solve), so it stays a pure column
+        # expression — the scale path for smooth upsampling; the global
+        # natural spline remains the applyInPandas 'cubic'.
+        ppv, ppt = F.col(f"__ppv_{v}"), F.col(f"__ppt_{v}")
+        nnv, nnt = F.col(f"__nnv_{v}"), F.col(f"__nnt_{v}")
+        d = nt - pt
+        s = (t - pt) / d
+        h00 = s * s * (F.lit(2.0) * s - F.lit(3.0)) + F.lit(1.0)
+        h10 = s * (s * (s - F.lit(2.0)) + F.lit(1.0))
+        h01 = s * s * (F.lit(3.0) - F.lit(2.0) * s)
+        h11 = s * s * (s - F.lit(1.0))
+        m1 = F.when(ppt.isNotNull(), (nv - ppv) / (nt - ppt)).otherwise(
+            (nv - pv) / (nt - pt)
+        )
+        m2 = F.when(nnt.isNotNull(), (nnv - pv) / (nnt - pt)).otherwise(
+            (nv - pv) / (nt - pt)
+        )
+        val = h00 * pv + h10 * d * m1 + h01 * nv + h11 * d * m2
+        return (
+            F.when(pt == nt, pv)
+            .when(pt.isNotNull() & nt.isNotNull(), val)
+            .otherwise(F.lit(None))
+        )
     raise ValueError(f"Unsupported interpolation method: {method!r}")
 
 
@@ -384,7 +447,10 @@ def resample_interpolate(
     groups = [c for c in group_cols if c in df.columns]
     spine = time_spine(df, interval, time_col, group_cols)
     joined = spine.join(df, on=[time_col, *groups], how="left")
-    enriched = _with_asof_neighbors(joined, value_cols, time_col, groups)
+    enriched = _with_asof_neighbors(
+        joined, value_cols, time_col, groups,
+        extended="catmull" in methods,
+    )
     return enriched.select(
         time_col, *groups, *_multi_method_projection(methods, value_cols)
     )

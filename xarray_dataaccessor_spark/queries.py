@@ -370,17 +370,47 @@ def flagship_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(epoch_us(g.time) AS DOUBLE) / 1000000.0 AS t
         FROM grid g LEFT JOIN obs o ON g.time = o.time AND g.event_type = o.event_type
     ),
+    n0 AS (
+        SELECT time, event_type, t, v,
+               CASE WHEN v IS NOT NULL
+                    THEN last_value(v IGNORE NULLS) OVER w_prev_x END AS opv,
+               CASE WHEN v IS NOT NULL
+                    THEN last_value(CASE WHEN v IS NOT NULL THEN t END
+                                    IGNORE NULLS) OVER w_prev_x END AS opt,
+               CASE WHEN v IS NOT NULL
+                    THEN first_value(v IGNORE NULLS) OVER w_next_x END AS onv,
+               CASE WHEN v IS NOT NULL
+                    THEN first_value(CASE WHEN v IS NOT NULL THEN t END
+                                     IGNORE NULLS) OVER w_next_x END AS ont
+        FROM j
+        WINDOW w_prev_x AS (PARTITION BY event_type ORDER BY time
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w_next_x AS (PARTITION BY event_type ORDER BY time
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
     n AS (
         SELECT time, event_type, t,
                last_value(v IGNORE NULLS) OVER w_prev AS pv,
                last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_prev AS pt,
                first_value(v IGNORE NULLS) OVER w_next AS nv,
-               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt
-        FROM j
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_next AS nt,
+               last_value(opv IGNORE NULLS) OVER w_prev AS ppv,
+               last_value(opt IGNORE NULLS) OVER w_prev AS ppt,
+               first_value(onv IGNORE NULLS) OVER w_next AS nnv,
+               first_value(ont IGNORE NULLS) OVER w_next AS nnt
+        FROM n0
         WINDOW w_prev AS (PARTITION BY event_type ORDER BY time
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                w_next AS (PARTITION BY event_type ORDER BY time
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    c AS (
+        SELECT *, (t - pt) / (nt - pt) AS s,
+               CASE WHEN ppt IS NOT NULL THEN (nv - ppv) / (nt - ppt)
+                    ELSE (nv - pv) / (nt - pt) END AS m1,
+               CASE WHEN nnt IS NOT NULL THEN (nnv - pv) / (nnt - pt)
+                    ELSE (nv - pv) / (nt - pt) END AS m2
+        FROM n
     )
     SELECT time, event_type,
            CAST(CASE WHEN pt = nt THEN pv
@@ -391,11 +421,24 @@ def flagship_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN nt IS NULL THEN pv
                      WHEN (t - pt) <= (nt - t) THEN pv
                      ELSE nv
-                END AS DOUBLE) AS v_nearest
-    FROM n
+                END AS DOUBLE) AS v_nearest,
+           CAST(CASE WHEN pt = nt THEN pv
+                     WHEN pt IS NOT NULL AND nt IS NOT NULL
+                     THEN (s * s * (2.0 * s - 3.0) + 1.0) * pv
+                        + (s * (s * (s - 2.0) + 1.0)) * (nt - pt) * m1
+                        + (s * s * (3.0 - 2.0 * s)) * nv
+                        + (s * s * (s - 1.0)) * (nt - pt) * m2
+                END AS DOUBLE) AS v_catmull
+    FROM c
     """,
 )
 def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample interpolation family under one oracle slot: linear,
+    nearest, and the closed-form cubic Hermite with Catmull-Rom tangents
+    ('catmull') — the pure-column cubic-family method that stays inside
+    whole-stage codegen (the global natural spline remains the
+    applyInPandas 'cubic', rows-only). All three share ONE spine +
+    neighbor window pass."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.resample import resample_interpolate
 
@@ -409,8 +452,8 @@ def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> Dat
         ).alias("v")
     )
     return resample_interpolate(
-        obs, "1H", ["linear", "nearest"], value_cols=["v"], time_col="time",
-        group_cols=("event_type",),
+        obs, "1H", ["linear", "nearest", "catmull"], value_cols=["v"],
+        time_col="time", group_cols=("event_type",),
     )
 
 
