@@ -311,3 +311,37 @@ def test_training_sample_partition_invariant(spark):
         for r in training_sample(df.repartition(13), "vec_id", 64).collect()
     }
     assert a == b and len(a) == 64
+
+
+def test_persisted_ivf_index_matches_in_plan_ivf(spark, tmp_path):
+    """build_ivf_index + query_ivf_index must return exactly what the
+    one-plan ivf_ann returns for the same quantizer parameters, and the
+    probe scan must read only the probed inverted-list partitions."""
+    from xarray_dataaccessor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann,
+        query_ivf_index,
+    )
+
+    corpus = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 3) + i + 1) % 23).cast("double")
+                for i in range(16)
+            ]
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_centroids=8, n_iters=2, dims=16,
+                    train_limit=None)
+    got = query_ivf_index(spark, path, queries, k=4, n_probe=2, dims=16)
+    want = ivf_ann(queries, corpus, k=4, n_centroids=8, n_probe=2,
+                   n_iters=2, dims=16, train_limit=None)
+    g = sorted((r["query_id"], r["rk"], r["neighbor_id"]) for r in got.collect())
+    w = sorted((r["query_id"], r["rk"], r["neighbor_id"]) for r in want.collect())
+    assert g == w and len(g) == 12
+    # the probed join must carry a dynamic partition pruning subquery
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull" in plan, plan[:2000]

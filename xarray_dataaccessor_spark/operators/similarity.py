@@ -827,3 +827,78 @@ def int8_cosine(
     return dq.cast("double") / (
         F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    train_limit: int | None = 4096,
+) -> None:
+    """Persist an IVF index: the deployment shape of :func:`ivf_ann`,
+    which trains and probes in one plan (right for tests and one-off
+    queries, wasteful when the same corpus serves many query batches).
+
+    Writes ``<path>/centroids`` (the broadcast-sized quantizer) and
+    ``<path>/lists`` — the corpus PARTITIONED BY ``centroid_id``, i.e.
+    the inverted lists as physical parquet partitions. Probing then
+    reads only the probed lists: the query join on ``centroid_id``
+    triggers Spark's dynamic partition pruning, so a 100 TB corpus
+    serves a query batch by scanning n_probe/n_centroids of its files.
+    """
+    vecs = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e")
+    )
+    cent = kmeans_centroids(
+        vecs, n_centroids, n_iters, id_col=id_col, dims=dims,
+        train_limit=train_limit,
+    ).cache()
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(vecs, F.broadcast(cent), id_col=id_col, rank=1, dims=dims)
+    assigned.select(id_col, "e", "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/lists")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ivf_index`): assign each
+    query to its ``n_probe`` nearest centroids (broadcast quantizer),
+    join the inverted-list table on ``centroid_id`` — dynamic partition
+    pruning keeps unprobed lists unread — and rank candidates by exact
+    cosine. Same output contract as :func:`ivf_ann`:
+    ``(query_id, neighbor_id, cos, rk)``."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q_assigned = ivf_assign(
+        queries.select(id_col, F.col(vec_col).cast("array<double>").alias("e")),
+        F.broadcast(cent),
+        id_col=id_col,
+        rank=n_probe,
+        dims=dims,
+    ).select(F.col(id_col).alias("query_id"), F.col("e").alias("qe"), "centroid_id")
+    lists = spark.read.parquet(f"{path}/lists").select(
+        F.col(id_col).alias("neighbor_id"), F.col("e").alias("nbr"), "centroid_id"
+    )
+    scored = (
+        lists.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("nbr"), dims))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
