@@ -241,6 +241,32 @@ def main() -> None:
     print("EASE-Grid 2.0 x-range (m):",
           tuple(round(v) for v in ease.agg(F.min("x"), F.max("x")).first()))
 
+    # FLAC audio: distributed decode + STFT features (pure codec)
+    from xarray_dataaccessor_spark.operators.multimodal import audio_spectrogram
+    from xarray_dataaccessor_spark.sources.flac import write_flac
+    tone = (9000 * np.sin(2 * np.pi * 1000.0 * np.arange(16000) / 16000)).astype("int64")
+    adf = spark.createDataFrame(
+        [(0, bytearray(write_flac(tone, 16000, 16)))],
+        "doc_id bigint, payload binary",
+    )
+    spec = audio_spectrogram(adf, codec="flac").collect()[0]
+    print("FLAC -> spectrogram dominant Hz:", round(spec["dominant_hz"], 1),
+          "(true 1000.0)")
+
+    # zstd-compressed Zarr store through the same shard/chunk ingest
+    zs2 = tempfile.mkdtemp(prefix="xda_zstd_") + "/z.zarr"
+    write_zarr(zs2, "t2m", cube, ["time", "latitude", "longitude"],
+               chunks=[8, 5, 9], compressor="zstd", zarr_format=3)
+    write_zarr(zs2, "time", np.arange(24, dtype="i4") + 1043832, ["time"],
+               attrs={"units": "hours since 1900-01-01 00:00:00"},
+               compress=False, zarr_format=3)
+    write_zarr(zs2, "latitude", 42.883 - 0.25 * np.arange(5), ["latitude"],
+               compress=False, zarr_format=3)
+    write_zarr(zs2, "longitude", -83.476 + 0.25 * np.arange(9), ["longitude"],
+               compress=False, zarr_format=3)
+    print("zstd Zarr ingest rows (pure RFC 8878 decoder):",
+          zarr_to_grid(spark, zs2, "t2m").count())
+
 
 if __name__ == "__main__":
     main()
