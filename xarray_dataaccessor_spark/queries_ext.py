@@ -1327,8 +1327,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     split = deterministic_split(docs, "doc_id", eval_per_mille=50)
-    train = split.filter(F.col("split") == "train").drop("split")
-    eval_df = split.filter(F.col("split") == "eval").drop("split")
+    # cache both sides: the overlap and span passes each shingle the
+    # corpus, and without the boundary the split scan + hash predicate
+    # re-run per pass per join side
+    train = split.filter(F.col("split") == "train").drop("split").cache()
+    eval_df = split.filter(F.col("split") == "eval").drop("split").cache()
     overlap = ngram_contamination(train, eval_df, "text", "doc_id", k=3)
     spans = contamination_spans(train, eval_df, "text", "doc_id", k=3)
     return overlap.join(spans, "doc_id").select(
