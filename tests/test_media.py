@@ -413,3 +413,15 @@ def test_gif_gce_scope_is_one_image():
     delays, got = parse_gif(bytes(data))
     assert delays == [250, 0]
     assert np.array_equal(got[1], frames[1])
+
+
+def test_gif_interlaced_roundtrip():
+    from xarray_dataaccessor_spark.sources.media import parse_gif, write_gif
+
+    rng = np.random.default_rng(2)
+    for h, w in ((13, 7), (16, 5), (1, 4), (9, 3)):
+        img = (rng.integers(0, 6, (h, w, 1)) * 40).astype("u1").repeat(3, axis=2)
+        frames = parse_gif(write_gif([img], interlace=True))[1]
+        assert np.array_equal(frames[0], img), (h, w)
+        # non-interlaced stays identical too
+        assert np.array_equal(parse_gif(write_gif([img]))[1][0], img)

@@ -613,8 +613,7 @@ def parse_gif(data: bytes):
         elif b == 0x2C:  # image descriptor
             left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF frames not supported")
+            interlaced = bool(iflags & 0x40)
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 7)
@@ -635,6 +634,8 @@ def parse_gif(data: bytes):
             idx = np.array(
                 _lzw_decode(bytes(lzw), min_code)[: iw * ih], dtype="int64"
             ).reshape(ih, iw)
+            if interlaced:
+                idx = idx[_gif_deinterlace_order(ih)]
             tile = pal[idx]
             region = canvas[top : top + ih, left : left + iw]
             if transparent is not None:
@@ -651,10 +652,27 @@ def parse_gif(data: bytes):
     return delays, frames
 
 
-def write_gif(frames, delays_ms=None, palette=None) -> bytes:
+def _gif_deinterlace_order(h: int) -> list:
+    """Inverse of the GIF 4-pass interlace permutation: for each display
+    row, the storage row that holds it (passes start at rows 0/4/2/1
+    with strides 8/8/4/2)."""
+    storage_to_display = [
+        r
+        for p in (range(0, h, 8), range(4, h, 8), range(2, h, 4), range(1, h, 2))
+        for r in p
+    ]
+    inv = [0] * h
+    for storage_i, display_r in enumerate(storage_to_display):
+        inv[display_r] = storage_i
+    return inv
+
+
+def write_gif(frames, delays_ms=None, palette=None, interlace=False) -> bytes:
     """RGB uint8 frames (same shape) -> animated GIF89a. Colors are
     mapped to the provided (or auto-built, <=256-color) palette by exact
-    match — a fixture writer, not a quantizer."""
+    match — a fixture writer, not a quantizer. ``interlace`` stores rows
+    in the 4-pass order (and sets the flag) so the deinterlacing decode
+    path is round-trip testable."""
     frames = [np.asarray(f, dtype="u1") for f in frames]
     h, w = frames[0].shape[:2]
     if palette is None:
@@ -676,7 +694,15 @@ def write_gif(frames, delays_ms=None, palette=None) -> bytes:
     min_code = max(2, bits)
     for f, d in zip(frames, delays_ms):
         out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, d // 10, 0, 0)
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        if interlace:
+            order = [
+                r
+                for p in (range(0, h, 8), range(4, h, 8),
+                          range(2, h, 4), range(1, h, 2))
+                for r in p
+            ]
+            f = f[order]
         idx = [lut[tuple(px)] for px in f.reshape(-1, 3)]
         lzw = _lzw_encode(idx, min_code)
         out.append(min_code)
