@@ -254,12 +254,12 @@ def test_v3_unknown_codec_gated(tmp_path):
         "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         "chunk_key_encoding": {"name": "default"},
         "fill_value": 0,
-        "codecs": [{"name": "bytes"}, {"name": "transpose", "configuration": {}}],
+        "codecs": [{"name": "bytes"}, {"name": "delta", "configuration": {}}],
         "dimension_names": ["x"],
     }
     with open(os.path.join(store, "v", "zarr.json"), "w") as f:
         json.dump(meta, f)
-    with pytest.raises(NotImplementedError, match="transpose"):
+    with pytest.raises(NotImplementedError, match="delta"):
         read_zarray(store, "v")
 
 
@@ -416,3 +416,37 @@ def test_zstd_store_roundtrip_v2_and_v3(spark, tmp_path, compressor):
             (F.col("y") == 42.883 - 0.25 * 2) & (F.col("x") == -83.476 + 0.25 * 3)
         ).orderBy("time").first()
         assert row["t2m"] == pytest.approx(t2m[0, 2, 3])
+
+
+def test_v3_transpose_codec_decodes(tmp_path):
+    """v3 `transpose` codec: chunks stored in permuted (e.g. F-order)
+    layout come back in C order."""
+    import json
+    import os
+
+    from xarray_dataaccessor_spark.sources.zarr import decode_chunk
+
+    store = str(tmp_path / "zt")
+    os.makedirs(os.path.join(store, "v", "c", "0"))
+    data = np.arange(24, dtype="<f8").reshape(4, 6)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [4, 6],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 6]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+        "dimension_names": ["y", "x"],
+    }
+    with open(os.path.join(store, "v", "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    stored = data.T.copy()  # order [1, 0]: x-major storage
+    with open(os.path.join(store, "v", "c", "0", "0"), "wb") as f:
+        f.write(stored.tobytes())
+    m = read_zarray(store, "v")
+    assert m["transpose"] == [1, 0]
+    block = decode_chunk(stored.tobytes(), m)
+    assert np.array_equal(block, data)

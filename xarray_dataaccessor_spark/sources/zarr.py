@@ -17,7 +17,8 @@ chunk-key encodings (``default`` nested ``c/i/j/k`` and ``v2`` dotted),
 AND the ``sharding_indexed`` codec — chunk-of-chunks shard objects with
 a CRC-32C-protected binary index, the layout large cloud arrays use to
 bound object count (read and write; missing inner chunks fill).
-The transpose codec is detected and rejected. v3 metadata is
+The ``transpose`` codec decodes (stored permuted layouts come back in
+C order). v3 metadata is
 normalized into the same meta dict at parse time, so every downstream
 consumer (chunk decode, distributed ingest) is version-blind. Like the
 sibling readers, everything here is stdlib (``json``/``zlib``) + numpy
@@ -70,18 +71,22 @@ def crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
-def _parse_v3_codecs(codecs: list) -> tuple[str, str | None, dict | None]:
+def _parse_v3_codecs(codecs: list):
     """Normalize a v3 codec chain -> (endian, compressor id, sharding
-    config or None). The sharding codec's inner chain parses with the
-    same rules (one level — nested sharding is rejected)."""
+    config or None, transpose order or None). The sharding codec's inner
+    chain parses with the same rules (one level — nested sharding is
+    rejected)."""
     endian = "<"
     comp_id = None
     sharding = None
+    order = None
     for codec in codecs or [{"name": "bytes"}]:
         cname = codec.get("name")
         conf = codec.get("configuration") or {}
         if cname == "bytes":
             endian = "<" if conf.get("endian", "little") == "little" else ">"
+        elif cname == "transpose":
+            order = [int(x) for x in conf.get("order", [])]
         elif cname == "gzip":
             comp_id = "zlib"  # gzip wrapper; decoder accepts both
         elif cname == "zstd":
@@ -94,9 +99,15 @@ def _parse_v3_codecs(codecs: list) -> tuple[str, str | None, dict | None]:
                 )
             comp_id = f"blosc:{inner}"
         elif cname == "sharding_indexed":
-            in_endian, in_comp, in_shard = _parse_v3_codecs(conf.get("codecs"))
+            in_endian, in_comp, in_shard, in_order = _parse_v3_codecs(
+                conf.get("codecs")
+            )
             if in_shard is not None:
                 raise NotImplementedError("nested Zarr v3 sharding unsupported")
+            if in_order is not None:
+                raise NotImplementedError(
+                    "transpose inside a shard's inner chain unsupported"
+                )
             idx_names = [c.get("name") for c in conf.get("index_codecs", [])]
             for n in idx_names:
                 if n not in ("bytes", "crc32c"):
@@ -113,10 +124,10 @@ def _parse_v3_codecs(codecs: list) -> tuple[str, str | None, dict | None]:
         else:
             raise NotImplementedError(
                 f"Zarr v3 codec {cname!r} unsupported "
-                "(bytes/gzip/blosc/sharding_indexed); "
+                "(bytes/gzip/zstd/blosc/transpose/sharding_indexed); "
                 "install the optional zarr extras."
             )
-    return endian, comp_id, sharding
+    return endian, comp_id, sharding, order
 
 
 def _read_zarr_v3(store: str, var: str) -> dict:
@@ -130,7 +141,7 @@ def _read_zarr_v3(store: str, var: str) -> dict:
     if grid.get("name") != "regular":
         raise NotImplementedError(f"Zarr v3 chunk grid {grid.get('name')!r}")
     chunks = grid["configuration"]["chunk_shape"]
-    endian, comp_id, sharding = _parse_v3_codecs(
+    endian, comp_id, sharding, order = _parse_v3_codecs(
         meta.get("codecs", [{"name": "bytes"}])
     )
     if sharding is not None:
@@ -154,6 +165,7 @@ def _read_zarr_v3(store: str, var: str) -> dict:
         "attrs": attrs,
         "key_encoding": (key.get("name", "default"), sep),
         "sharding": sharding,
+        "transpose": order,
     }
 
 
@@ -230,7 +242,14 @@ def decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     elif comp == "zstd":
         raw = _zstd.zstd_decompress(raw)
     block = np.frombuffer(raw, dtype=meta["dtype"], count=int(np.prod(meta["chunks"])))
-    block = block.reshape(meta["chunks"])
+    order = meta.get("transpose")
+    if order:
+        # stored layout is the chunk shape PERMUTED by `order`; undo it
+        stored_shape = [meta["chunks"][d] for d in order]
+        inv = np.argsort(order)
+        block = block.reshape(stored_shape).transpose(inv)
+    else:
+        block = block.reshape(meta["chunks"])
     return block.astype(block.dtype.newbyteorder("="))
 
 
