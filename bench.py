@@ -255,6 +255,16 @@ def main() -> None:
             tiny.filter(F.col("vec_id") < 2), tiny, k=3, m_subspaces=4,
             n_codes=8, n_iters=2, refine=2, dims=64,
         ).write.format("noop").mode("overwrite").save()
+        # banded hyperplane LSH (4x8 planes over dims=64): the literal
+        # plane folds generate large per-band expressions whose first
+        # C2 compile otherwise lands inside the measured near-dup query
+        from xarray_dataaccessor_spark.operators.similarity import (
+            embedding_near_duplicates,
+        )
+
+        embedding_near_duplicates(
+            tiny, threshold=0.99, n_bands=4, planes_per_band=8, dims=64
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
     # 3. micro-batch engine + state store + stateful-Python path (JIT of
