@@ -61,3 +61,31 @@ def test_blosc_rejects_corrupt_header():
     good = encode_blosc(b"abcdefgh" * 100, typesize=8)
     with pytest.raises(ValueError, match="cbytes"):
         decode_blosc(good[:-1])
+
+
+def test_snappy_roundtrip_and_property():
+    import random
+
+    from xarray_dataaccessor_spark.sources.blosc import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    rng = random.Random(0)
+    for c in (b"", b"a", b"hello hello hello world " * 40,
+              bytes(range(256)) * 8, rng.randbytes(3000), b"\x00" * 70000,
+              rng.randbytes(100) * 700):
+        assert snappy_decompress(snappy_compress(c)) == c
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(0, 10000), n=st.integers(0, 3000),
+           alphabet=st.sampled_from([2, 16, 256]))
+    def rt(seed, n, alphabet):
+        r = random.Random(seed)
+        data = bytes(r.randrange(alphabet) for _ in range(n))
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    rt()

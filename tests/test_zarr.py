@@ -147,17 +147,17 @@ def test_nan_string_fill_value_handled(spark, tmp_path):
     assert vals[(2.0, 5.0)] == 3.0
 
 
-def test_blosc_snappy_store_gated(tmp_path):
-    """blosc-lz4/zlib/zstd now decode pure-Python; the remaining inner
-    codecs (snappy/blosclz) stay loudly gated."""
+def test_blosc_blosclz_store_gated(tmp_path):
+    """blosc-lz4/zlib/zstd/snappy now decode pure-Python; the remaining
+    inner codec (blosclz) stays loudly gated."""
     store = tmp_path / "b.zarr" / "v"
     store.mkdir(parents=True)
     (store / ".zarray").write_text(json.dumps({
         "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
         "order": "C", "filters": None, "fill_value": None,
-        "compressor": {"id": "blosc", "cname": "snappy", "clevel": 5},
+        "compressor": {"id": "blosc", "cname": "blosclz", "clevel": 5},
     }))
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="blosclz"):
         read_zarray(str(tmp_path / "b.zarr"), "v")
 
 
@@ -381,13 +381,13 @@ def test_sharded_distributed_decode(spark, tmp_path):
     assert row["t2m"] == pytest.approx(t2m[0, 3, 11])
 
 
-@pytest.mark.parametrize("compressor", ["zstd", "blosc-zstd"])
+@pytest.mark.parametrize("compressor", ["zstd", "blosc-zstd", "blosc-snappy"])
 def test_zstd_store_roundtrip_v2_and_v3(spark, tmp_path, compressor):
     """Pure-zstd and blosc-zstd chunks decode through the same
     distributed path (sources/zstd.py — no zstd binding in the
     container)."""
-    if compressor == "blosc-zstd":
-        # v2 writer accepts blosc-zstd; v3 writer keeps lz4/zlib inner
+    if compressor.startswith("blosc-"):
+        # v2 writer accepts all blosc inners; v3 writer keeps lz4/zlib
         formats = [2]
     else:
         formats = [2, 3]
@@ -409,7 +409,7 @@ def test_zstd_store_roundtrip_v2_and_v3(spark, tmp_path, compressor):
         write_zarr(store, "longitude", -83.476 + 0.25 * np.arange(9),
                    ["longitude"], compress=False, zarr_format=fmt)
         meta = read_zarray(store, "t2m")
-        assert "zstd" in (meta["compressor"] or "")
+        assert meta["compressor"] in ("zstd", "blosc:zstd", "blosc:snappy")
         out = zarr_to_grid(spark, store, "t2m")
         assert out.count() == 24 * 5 * 9
         row = out.filter(

@@ -208,10 +208,12 @@ def decode_blosc(raw: bytes) -> bytes:
         from xarray_dataaccessor_spark.sources.zstd import zstd_decompress
 
         dec = lambda b, size: zstd_decompress(b)  # noqa: E731
+    elif cname == "snappy":
+        dec = snappy_decompress
     else:
         raise NotImplementedError(
-            f"Blosc inner compressor {cname!r} unsupported (lz4/zlib/zstd "
-            "decode here); install the zarr extras."
+            f"Blosc inner compressor {cname!r} unsupported (lz4/zlib/zstd/"
+            "snappy decode here); install the zarr extras."
         )
     nblocks = (nbytes + blocksize - 1) // blocksize
     starts = struct.unpack_from(f"<{nblocks}I", raw, 16)
@@ -245,15 +247,15 @@ def encode_blosc(
 ) -> bytes:
     """Blosc1 chunk encoder (fixture writer / small-grid export twin of
     :func:`decode_blosc`)."""
-    if cname not in ("lz4", "zlib", "zstd"):
+    if cname not in ("lz4", "zlib", "zstd", "snappy"):
         raise NotImplementedError(
-            f"encode_blosc supports lz4/zlib/zstd, not {cname!r}"
+            f"encode_blosc supports lz4/zlib/zstd/snappy, not {cname!r}"
         )
     nbytes = len(data)
     blocksize = blocksize or min(max(nbytes, typesize), 64 * 1024)
     if blocksize % typesize:
         blocksize += typesize - blocksize % typesize
-    code = {"lz4": 1, "zlib": 3, "zstd": 4}[cname]
+    code = {"lz4": 1, "zlib": 3, "zstd": 4, "snappy": 5}[cname]
     flags = (code << 5) | (_FLAG_SHUFFLE if shuffle and typesize > 1 else 0)
     nblocks = (nbytes + blocksize - 1) // blocksize
     header = bytearray(16)
@@ -275,10 +277,12 @@ def encode_blosc(
                 comp = lz4_compress_block(split)
             elif cname == "zlib":
                 comp = zlib.compress(split, 5)
-            else:
+            elif cname == "zstd":
                 from xarray_dataaccessor_spark.sources.zstd import zstd_compress
 
                 comp = zstd_compress(split)
+            else:
+                comp = snappy_compress(split)
             if len(comp) >= neblock:  # incompressible: store raw per the format
                 body += struct.pack("<i", neblock) + split
             else:
@@ -286,3 +290,111 @@ def encode_blosc(
     chunk = bytes(header) + struct.pack(f"<{nblocks}I", *starts) + bytes(body)
     struct.pack_into("<I", header, 12, len(chunk))
     return bytes(header) + chunk[16:]
+
+
+# ---------------------------------------------------------------------------
+# Snappy raw format (blosc compressor codes 2/5): uvarint uncompressed
+# length, then tagged elements — literals (tag 00) and copies with
+# 1/2/4-byte offsets (tags 01/10/11).
+# ---------------------------------------------------------------------------
+def snappy_decompress(src: bytes, dst_size: int | None = None) -> bytes:
+    src = bytes(src)
+    n = len(src)
+    # uvarint total length
+    total = 0
+    shift = 0
+    i = 0
+    while True:
+        b = src[i]
+        total |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not b & 0x80:
+            break
+    dst = bytearray()
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            dst += src[i : i + ln]
+            i += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            off = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = src[i] | (src[i + 1] << 8)
+            i += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(dst):
+            raise ValueError("corrupt snappy stream (bad copy offset)")
+        start = len(dst) - off
+        for k in range(ln):  # overlapping copies are byte-sequential
+            dst.append(dst[start + k])
+    if len(dst) != total:
+        raise ValueError(f"snappy decoded {len(dst)} bytes, expected {total}")
+    if dst_size is not None and len(dst) != dst_size:
+        raise ValueError(f"snappy decoded {len(dst)} bytes, expected {dst_size}")
+    return bytes(dst)
+
+
+def snappy_compress(src: bytes) -> bytes:
+    """Greedy snappy encoder (4-byte hash matches, 2-byte-offset copies;
+    64-byte copy cap per the format)."""
+    src = bytes(src)
+    n = len(src)
+    out = bytearray()
+    v = n
+    while True:  # uvarint
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo
+        while ln > 0:
+            take = min(ln, 0x10000)
+            if take <= 60:
+                out.append(((take - 1) << 2) | 0)
+            else:
+                nb = (take - 1).bit_length() + 7 >> 3
+                out.append(((59 + nb) << 2) | 0)
+                out.extend((take - 1).to_bytes(nb, "little"))
+            out.extend(src[lo : lo + take])
+            lo += take
+            ln -= take
+
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    while i + 4 <= n:
+        key = src[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF:
+            ml = 4
+            while i + ml < n and src[j + ml] == src[i + ml] and ml < 64:
+                ml += 1
+            emit_literal(anchor, i)
+            out.append(((ml - 1) << 2) | 2)
+            out.extend((i - j).to_bytes(2, "little"))
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    emit_literal(anchor, n)
+    return bytes(out)

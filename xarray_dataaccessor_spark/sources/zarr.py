@@ -93,7 +93,7 @@ def _parse_v3_codecs(codecs: list):
             comp_id = "zstd"
         elif cname == "blosc":
             inner = conf.get("cname", "blosclz")
-            if inner not in ("lz4", "zlib", "zstd"):
+            if inner not in ("lz4", "zlib", "zstd", "snappy"):
                 raise NotImplementedError(
                     f"Blosc inner compressor {inner!r} unsupported"
                 )
@@ -195,11 +195,11 @@ def read_zarray(store: str, var: str) -> dict:
     comp_id = (comp or {}).get("id")
     if comp_id == "blosc":
         cname = (comp or {}).get("cname", "blosclz")
-        if cname not in ("lz4", "zlib", "zstd"):
+        if cname not in ("lz4", "zlib", "zstd", "snappy"):
             raise NotImplementedError(
                 f"Blosc inner compressor {cname!r} unsupported (lz4/zlib/"
-                "zstd decode pure-Python here); install the optional zarr "
-                "extras."
+                "zstd/snappy decode pure-Python here); install the optional "
+                "zarr extras."
             )
         comp_id = f"blosc:{cname}"
     elif comp_id not in (None, "zlib", "gzip", "zstd"):
@@ -373,7 +373,8 @@ def write_zarr(
         comp_meta = {"id": "zlib", "level": 6}
     elif compressor == "zstd":
         comp_meta = {"id": "zstd", "level": 3}
-    elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd"):
+    elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd",
+                        "blosc-snappy"):
         comp_meta = {
             "id": "blosc",
             "cname": compressor.split("-")[1],
@@ -413,7 +414,8 @@ def write_zarr(
             raw = zlib.compress(raw, 6)
         elif compressor == "zstd":
             raw = _zstd.zstd_compress(raw)
-        elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd"):
+        elif compressor in ("blosc-lz4", "blosc-zlib", "blosc-zstd",
+                            "blosc-snappy"):
             from xarray_dataaccessor_spark.sources.blosc import encode_blosc
 
             raw = encode_blosc(
