@@ -319,3 +319,15 @@ def test_progressive_parity_property():
         assert np.array_equal(base, prog)
 
     rt()
+
+
+def test_unknown_app_and_comment_markers_are_skipped():
+    """Real-world JPEGs carry EXIF/APPn/COM segments the decoder must
+    skip by length: inject them after SOI and assert identical pixels."""
+    img = _smooth_rgb(24, 16)
+    data = write_jpeg(img, 85)
+    base = parse_jpeg(data)
+    exif = b"\xff\xe1" + (2 + 10).to_bytes(2, "big") + b"Exif\x00\x00ABCD"
+    com = b"\xff\xfe" + (2 + 7).to_bytes(2, "big") + b"comment"
+    injected = data[:2] + exif + com + data[2:]
+    assert np.array_equal(parse_jpeg(injected), base)

@@ -203,3 +203,14 @@ def test_treeless_literals_reuse_previous_tree():
     # treeless without a previous tree must refuse
     with pytest.raises(ValueError, match="treeless"):
         _decode_block(blk2, bytearray(), None, {})
+
+
+def test_concatenated_and_skippable_frames():
+    """Real zstd streams concatenate frames and may embed skippable
+    frames (magic 0x184D2A5x); both decode transparently."""
+    import struct
+
+    a, b = b"first frame " * 30, b"second frame content " * 20
+    skippable = struct.pack("<II", 0x184D2A50, 5) + b"metaX"
+    stream = zstd_compress(a) + skippable + zstd_compress(b)
+    assert zstd_decompress(stream) == a + b

@@ -437,12 +437,25 @@ ML_TABLE = [(i + 3, 0) for i in range(32)] + [
 
 
 def zstd_decompress(data: bytes) -> bytes:
-    """Decode one zstd frame (RFC 8878). Verifies the content checksum
-    when present."""
-    (magic,) = struct.unpack_from("<I", data, 0)
-    if magic != ZSTD_MAGIC:
-        raise ValueError("Not a zstd frame (bad magic)")
-    pos = 4
+    """Decode a zstd stream (RFC 8878): one or more concatenated frames,
+    with skippable frames (magic 0x184D2A5x) skipped. Content checksums
+    are verified when present."""
+    out_all = bytearray()
+    pos = 0
+    while pos < len(data):
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            (skip,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + skip
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError("Not a zstd frame (bad magic)")
+        pos = _decode_frame(data, pos, out_all)
+    return bytes(out_all)
+
+
+def _decode_frame(data: bytes, pos: int, out_all: bytearray) -> int:
+    pos += 4
     fhd = data[pos]
     pos += 1
     dict_flag = fhd & 0x03
@@ -487,9 +500,11 @@ def zstd_decompress(data: bytes) -> bytes:
         (want,) = struct.unpack_from("<I", data, pos)
         if xxhash64(bytes(out)) & 0xFFFFFFFF != want:
             raise ValueError("zstd: content checksum mismatch")
+        pos += 4
     if content_size is not None and len(out) != content_size:
         raise ValueError("zstd: content size mismatch")
-    return bytes(out)
+    out_all += out
+    return pos
 
 
 def _decode_block(blk: bytes, out: bytearray, prev_huff, prev_tables):
