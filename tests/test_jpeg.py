@@ -331,3 +331,80 @@ def test_unknown_app_and_comment_markers_are_skipped():
     com = b"\xff\xfe" + (2 + 7).to_bytes(2, "big") + b"comment"
     injected = data[:2] + exif + com + data[2:]
     assert np.array_equal(parse_jpeg(injected), base)
+
+
+def test_three_level_successive_approximation():
+    """Real encoders refine over several Al levels; a hand-built SOF2
+    stream with DC/AC first passes at Al=2 and two refinement passes
+    (2->1->0) must decode bit-identically to the baseline encoding."""
+    import struct
+
+    from xarray_dataaccessor_spark.sources.jpeg import (
+        FLAT_HUFF,
+        _BitWriter,
+        _ProgEnc,
+        _build_huffman,
+        _encode_coeff,
+        _quantized_components,
+    )
+
+    img = (128 + 60 * np.sin(np.mgrid[0:24, 0:24][0] / 5.0)).clip(0, 255).astype(np.uint8)
+    gray, samp, (qy, qc), coefs, mcux, mcuy = _quantized_components(img, 85, "444")
+    h, w = img.shape
+    _, dc_enc = _build_huffman(*K3_DC_LUMA)
+    _, flat_enc = _build_huffman(*FLAT_HUFF)
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes([1, 1, 0])
+            + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qy.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0]) + bytes(K3_DC_LUMA[0]) + bytes(K3_DC_LUMA[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    body = bytes([0x10]) + bytes(FLAT_HUFF[0]) + bytes(FLAT_HUFF[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(ss, se, ah, al):
+        b = bytes([1, 1, 0x00]) + bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(b)) + b
+
+    bh, bwn = coefs[0].shape[:2]
+    bw = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bwn):
+            v = int(coefs[0][by, bx, 0]) >> 2
+            diff, pred = v - pred, v
+            t, bits = _encode_coeff(diff)
+            c, ln = dc_enc[t]
+            bw.write(c, ln)
+            if t:
+                bw.write(bits, t)
+    bw.flush()
+    out += sos(0, 0, 0, 2) + bw.out
+    for al in (1, 0):
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwn):
+                bw.write((int(coefs[0][by, bx, 0]) >> al) & 1, 1)
+        bw.flush()
+        out += sos(0, 0, al + 1, al) + bw.out
+    bw = _BitWriter()
+    enc = _ProgEnc(bw, flat_enc)
+    for by in range(bh):
+        for bx in range(bwn):
+            enc.ac_first_block(coefs[0][by, bx], 1, 63, 2)
+    enc.flush_eobrun()
+    bw.flush()
+    out += sos(1, 63, 0, 2) + bw.out
+    for al in (1, 0):
+        bw = _BitWriter()
+        enc = _ProgEnc(bw, flat_enc)
+        for by in range(bh):
+            for bx in range(bwn):
+                enc.ac_refine_block(coefs[0][by, bx], 1, 63, al)
+        enc.flush_eobrun()
+        bw.flush()
+        out += sos(1, 63, al + 1, al) + bw.out
+    out += b"\xff\xd9"
+    assert np.array_equal(parse_jpeg(bytes(out)), parse_jpeg(write_jpeg(img, 85)))
