@@ -565,6 +565,11 @@ def _decode_block(blk: bytes, out: bytearray, prev_huff, prev_tables):
         if streams == 1:
             literals = _huff_decode_stream(section, max_bits, lookup, rsize)
         else:
+            if rsize < 4:
+                raise ValueError(
+                    "zstd: 4-stream Huffman literals with regenerated "
+                    f"size {rsize} (spec requires streams of >= 1 byte)"
+                )
             s1, s2, s3 = struct.unpack_from("<HHH", section, 0)
             body = section[6:]
             sizes = [s1, s2, s3, len(body) - s1 - s2 - s3]
