@@ -214,3 +214,18 @@ def test_audio_spectrogram_finds_tone_frequency(spark):
         # energy concentrates in the band containing the tone
         band = int(hz / (sr / 2) * 8)
         assert int(np.argmax(row["log_band_energy"])) == band
+
+
+def test_wasted_bits_roundtrip():
+    """Samples sharing trailing zero bits exercise the wasted-bits
+    subframe header (shift signalled, samples stored narrowed)."""
+    x = ((np.arange(3000) % 97) * 16).astype(np.int64)
+    sr, dec = parse_flac(write_flac(x, 16000, 16))
+    assert np.array_equal(dec[:, 0], x)
+    st = np.stack([x, ((np.arange(3000) % 53) * 8).astype(np.int64)], axis=1)
+    for mode in ("indep", "mid", "left", "right"):
+        sr, dec = parse_flac(
+            write_flac(st, 16000, 16, stereo_mode=mode, lpc_order=4,
+                       partition_order=2, block_size=1024)
+        )
+        assert np.array_equal(dec, st), mode

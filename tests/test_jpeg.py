@@ -185,7 +185,9 @@ def test_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=20, deadline=None)
+    # derandomized: the assertion is a heuristic PSNR bound, not an
+    # exactness property — pin the corpus so the bound can't flake
+    @settings(max_examples=20, deadline=None, derandomize=True)
     @given(
         h=st.integers(4, 24),
         w=st.integers(4, 24),

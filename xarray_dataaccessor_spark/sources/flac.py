@@ -556,6 +556,19 @@ def _write_subframe(
     bw: _BitsW, x: np.ndarray, bps: int, lpc_order: int = 0,
     partition_order: int = 0,
 ) -> None:
+    # wasted-bits detection (spec: common trailing zero bits are shifted
+    # out and signalled in the subframe header)
+    wasted = 0
+    if np.any(x):
+        ored = 0
+        for v in x:
+            ored |= int(v)
+        while not ored & 1:
+            wasted += 1
+            ored >>= 1
+        if wasted:
+            x = x >> wasted
+            bps -= wasted
     if lpc_order and len(x) > lpc_order:
         got = _lpc_coeffs(x, lpc_order)
         if got is not None:
@@ -568,7 +581,7 @@ def _write_subframe(
                 resid[i - lpc_order] = int(x[i]) - (p >> shift)
             bw.write(0, 1)
             bw.write(32 + lpc_order - 1, 6)
-            bw.write(0, 1)  # no wasted bits
+            _write_wasted(bw, wasted)
             for v in x[:lpc_order]:
                 bw.write(int(v), bps)
             bw.write(12 - 1, 4)  # precision 12
@@ -590,10 +603,20 @@ def _write_subframe(
     order, resid = best_order, best_resid
     bw.write(0, 1)
     bw.write(8 + order, 6)
-    bw.write(0, 1)  # no wasted bits
+    _write_wasted(bw, wasted)
     for v in x[:order]:
         bw.write(int(v), bps)
     _write_residual(bw, resid, len(x), order, partition_order)
+
+
+def _write_wasted(bw: _BitsW, wasted: int) -> None:
+    """Subframe wasted-bits field: flag bit, then unary k-1 (the decoder
+    reads unary and adds 1)."""
+    if wasted == 0:
+        bw.write(0, 1)
+    else:
+        bw.write(1, 1)
+        bw.write_unary(wasted - 1)
 
 
 def _write_residual(bw: _BitsW, resid, block, order, partition_order):
