@@ -183,7 +183,7 @@ def test_int_predictor2_roundtrip(tmp_path):
 def test_float_predictor2_rejected(tmp_path):
     """Predictor 2 is integer differencing; on float samples the int64
     cumsum would truncate deltas and decode garbage — reject loudly
-    (ADVICE r2). Float TIFFs use predictor 3, also gated."""
+    (ADVICE r2). Float TIFFs use predictor 3, now supported."""
     vals = _granule()
     p = write_geotiff(
         str(tmp_path / "pf.tif"), vals, UL_X, UL_Y, (STEP, STEP),
@@ -267,3 +267,30 @@ def test_packbits_compressed_geotiff_roundtrip(tmp_path):
     assert _packbits_decode(_packbits_encode(tricky)) == tricky
     tricky2 = bytes(range(126)) + b"\xbb\xbb" + b"\x01\x02\x03"
     assert _packbits_decode(_packbits_encode(tricky2)) == tricky2
+
+
+def test_float_predictor3_roundtrip(tmp_path):
+    """TIFF TechNote 3 floating-point horizontal differencing
+    (predictor 3) — what GDAL writes for compressed float rasters:
+    plane-separated big-endian bytes, byte-wise differenced per row."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.geotiff import (
+        parse_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(0)
+    data = (270.0 + rng.standard_normal((23, 31))).astype("float32")
+    for kwargs in (dict(), dict(tile_size=16)):
+        p = write_geotiff(
+            str(tmp_path / f"p3_{len(kwargs)}.tif"), data, -83.0, 43.0,
+            (0.1, 0.1), compress="deflate", predictor=3, **kwargs,
+        )
+        got = parse_geotiff(open(p, "rb").read())["data"]
+        assert np.array_equal(got, data)
+    # float64 path (8 byte planes)
+    d64 = (1.5 + rng.standard_normal((9, 140))).astype("float64")  # long rows
+    p = write_geotiff(str(tmp_path / "p3_64.tif"), d64, -83.0, 43.0,
+                      (0.1, 0.1), compress="deflate", predictor=3)
+    assert np.array_equal(parse_geotiff(open(p, "rb").read())["data"], d64)

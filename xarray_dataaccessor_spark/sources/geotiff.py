@@ -5,7 +5,8 @@ ingestion runnable in minimal containers, completing the NetCDF3 move
 
 Implements the published baseline TIFF 6.0 format (both byte orders,
 strip and tile layouts, uncompressed + DEFLATE/LZW/PackBits with the
-horizontal predictor) and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
+integer horizontal predictor AND the TechNote-3 floating-point
+predictor) and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
 ModelTiepoint 33922, GeoKeyDirectory 34735 for the EPSG code, GDAL's
 nodata tag 42113) plus the BigTIFF (v43) container — 8-byte offsets,
 20-byte IFD entries, LONG8/SLONG8/IFD8 field types. Exotic compressions
@@ -256,7 +257,7 @@ def parse_geotiff(buf: bytes) -> dict:
     if predictor == 2 and kind == "f":
         # predictor 2 is INTEGER horizontal differencing; running it through
         # an int64 cumsum on float samples truncates the deltas and decodes
-        # garbage. (Float TIFFs use predictor 3, handled as unsupported.)
+        # garbage. (Float TIFFs use predictor 3, supported below.)
         raise NotImplementedError(
             "TIFF predictor 2 with floating-point samples is invalid input "
             "for the built-in reader; install the geo extras (rasterio)."
@@ -269,14 +270,27 @@ def parse_geotiff(buf: bytes) -> dict:
             raw = _packbits_decode(raw)
         elif compression != 1:
             raw = zlib.decompress(raw)
+        if predictor == 3:
+            # TIFF TechNote 3 floating-point differencing: per row the
+            # float bytes are stored plane-separated (all MSBs first,
+            # big-endian order) and byte-wise horizontally differenced;
+            # undo = byte cumsum across the row, then re-interleave
+            nb = dtype.itemsize
+            b = np.frombuffer(raw, dtype="u1", count=rows * cols * nb)
+            b = b.reshape(rows, nb * cols)
+            # byte-wise cumsum mod 256 (uint16 wraparound preserves the
+            # low byte, so any row length is safe)
+            b = np.cumsum(b.astype(np.uint16), axis=1).astype(np.uint8)
+            planes = b.reshape(rows, nb, cols)
+            inter = np.moveaxis(planes, 1, 2).reshape(rows, cols * nb)
+            return (
+                np.frombuffer(inter.tobytes(), dtype=np.dtype(f">f{nb}"))
+                .reshape(rows, cols)
+                .astype(dtype)
+            )
         arr = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
         if predictor == 2:
             arr = np.cumsum(arr.astype(np.int64), axis=1, dtype=np.int64).astype(dtype)
-        elif predictor == 3:
-            raise NotImplementedError(
-                "TIFF predictor 3 (floating-point differencing) unsupported; "
-                "install the geo extras (rasterio)."
-            )
         elif predictor != 1:
             raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
         return arr
@@ -423,6 +437,15 @@ def write_geotiff(
             diffed = arr.copy()
             diffed[:, 1:] = arr[:, 1:] - arr[:, :-1]
             arr = diffed
+        elif predictor == 3 and arr.dtype.kind == "f":
+            nb = arr.dtype.itemsize
+            rows, cols = arr.shape
+            be = arr.astype(f">f{nb}").tobytes()
+            b = np.frombuffer(be, dtype="u1").reshape(rows, cols, nb)
+            planes = np.moveaxis(b, 2, 1).reshape(rows, nb * cols)
+            diffed = planes.astype(np.int16)
+            diffed[:, 1:] = diffed[:, 1:] - diffed[:, :-1]
+            return diffed.astype(np.uint8).tobytes()
         return arr.astype(arr.dtype.newbyteorder("<")).tobytes()
 
     if tile_size:
