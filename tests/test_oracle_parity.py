@@ -32,3 +32,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) >= 2
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The correctness driver verifies the FIRST 50 queries() entries;
+    every one of them must carry an oracle (rows-only entries must sort
+    after) and the window must be exactly full — a regression here would
+    silently drop hard verification from an operator."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    window = names[:50]
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], f"driver window entries without oracles: {missing}"
+    assert len(oracles) == 50, (
+        f"{len(oracles)} oracle-backed queries; the 50-slot window should "
+        "be exactly full (fuse or split queries to keep hard coverage)"
+    )
+    for n in names[50:]:
+        assert n not in oracles, f"oracle-backed {n} outside the window"
