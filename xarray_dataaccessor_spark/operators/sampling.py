@@ -1,18 +1,24 @@
 """Deterministic sampling / splitting for training-data pipelines.
 
-Large-corpus curation needs three primitives the reference (an
-xarray-based geo engine) never had but a 100 TB documents pipeline uses
-constantly:
+Large-corpus curation primitives the reference (an xarray-based geo
+engine) never had but a 100 TB documents pipeline uses constantly:
 
 - ``deterministic_split``: hash-range train/eval assignment — stable
   under re-runs, re-partitioning, and incremental appends (a row's
   split never depends on what other rows exist).
 - ``stratified_downsample``: per-stratum hash-threshold sampling to a
   common target (domain/language rebalancing before training).
-- ``ngram_contamination``: eval-set n-gram containment per train doc —
-  the standard decontamination check before benchmark evaluation.
+- ``ngram_contamination`` / ``contamination_spans``: eval-set n-gram
+  containment per train doc plus the longest CONTIGUOUS contaminated
+  passage — the standard decontamination checks before benchmark
+  evaluation.
+- ``sequence_packing``: concat-and-chunk pretraining layout on a token
+  budget grid, per-shard prefix sums.
+- ``shuffle_rows`` / ``shard_shuffled``: deterministic epoch shuffles
+  (xxhash fast path; md5-keyed ``portable=True`` for engine-replayable
+  permutations) and sharded export layouts.
 
-All three are built on the md5-derived portable hash (see
+All of the verifiable ones are built on the md5-derived portable hash (see
 ``functions/hashing.py``), so a DuckDB oracle reproduces the exact kept
 set: sampling DECISIONS, not just sample rates, are verifiable
 cross-engine. Scale shapes: splits/sampling are pure map-side column

@@ -1,6 +1,10 @@
 """Similarity search over embedding columns (SURVEY §7.8 extension):
-brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
-(random-hyperplane) variant as the 100 TB scale path.
+brute-force cosine top-k as the correctness baseline, plus the three
+standard ANN scale paths — banded hyperplane LSH, IVF (deterministic
+k-means quantizer, sampled training, persisted inverted-list index with
+partition-pruned probes), and product quantization (codes-only ADC scan
+with exact re-rank) — alongside embedding near-dup detection and int8
+embedding compression.
 
 Scale design:
 

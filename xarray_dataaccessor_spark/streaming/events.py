@@ -6,10 +6,14 @@ Patterns provided:
 
 - file-source ``readStream`` with an explicit schema (nanosecond int64
   timestamps converted exactly like the batch loader),
-- watermarked tumbling-window aggregation (late-data bound),
-- ``applyInPandasWithState`` custom stateful operator (per-user running
-  aggregates) — the escape hatch for operators Spark's built-in windowed
-  aggs can't express,
+- watermarked tumbling/sliding/session-window aggregation (late-data
+  bound),
+- ``applyInPandasWithState`` custom stateful operators: per-user running
+  aggregates, in-flight MinHash LSH near-dup pairing (hot-bucket
+  saturation matching the batch cap semantics), labeled exact dedup
+  with first-seen attribution,
+- ``dropDuplicatesWithinWatermark`` exact dedup, stream-stream interval
+  joins, file-source grid ingest with per-timestep spatial collapse,
 - ``availableNow`` trigger + memory sink for deterministic batch-parity
   testing: the same rows a batch groupBy produces, computed by the
   streaming engine.
