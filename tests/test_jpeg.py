@@ -410,3 +410,30 @@ def test_three_level_successive_approximation():
         out += sos(1, 63, al + 1, al) + bw.out
     out += b"\xff\xd9"
     assert np.array_equal(parse_jpeg(bytes(out)), parse_jpeg(write_jpeg(img, 85)))
+
+
+def test_dimension_bomb_rejected_and_entropy_corruption_bounded():
+    """Corrupt headers declaring huge dimensions raise instead of
+    becoming a CPU sink; seeded flips in the entropy segment terminate
+    with an error or a (wrong) image."""
+    import random
+    import struct
+
+    img = _smooth_rgb(24, 24)
+    data = bytearray(write_jpeg(img, 85))
+    sof = bytes(data).find(b"\xff\xc0")
+    bomb = bytearray(data)
+    bomb[sof + 5 : sof + 7] = struct.pack(">H", 30000)  # height
+    bomb[sof + 7 : sof + 9] = struct.pack(">H", 30000)  # width
+    with pytest.raises(ValueError, match="max_pixels"):
+        parse_jpeg(bytes(bomb))
+    sos = bytes(data).find(b"\xff\xda")
+    rng = random.Random(3)
+    for _ in range(60):
+        buf = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(sos + 14, len(buf))] ^= 1 << rng.randrange(8)
+        try:
+            parse_jpeg(bytes(buf))
+        except (ValueError, IndexError, KeyError):
+            pass

@@ -214,3 +214,22 @@ def test_concatenated_and_skippable_frames():
     skippable = struct.pack("<II", 0x184D2A50, 5) + b"metaX"
     stream = zstd_compress(a) + skippable + zstd_compress(b)
     assert zstd_decompress(stream) == a + b
+
+
+def test_corruption_fuzz_terminates_with_errors():
+    """Seeded bit-flip sweep: every corruption must either decode (the
+    flip landed somewhere checked later) or raise a normal error —
+    never loop unboundedly (truncated block headers used to)."""
+    rng = random.Random(7)
+    base = zstd_compress(b"compressible payload text " * 40)
+    for _ in range(150):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        try:
+            zstd_decompress(bytes(buf))
+        except (ValueError, IndexError, KeyError, struct_error, OverflowError):
+            pass
+
+
+from struct import error as struct_error  # noqa: E402

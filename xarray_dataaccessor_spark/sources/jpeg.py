@@ -251,11 +251,14 @@ def _extend(v: int, t: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def parse_jpeg(data: bytes) -> np.ndarray:
+def parse_jpeg(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
     """Decode baseline (SOF0/SOF1) or progressive (SOF2) JPEG bytes ->
     (h, w) gray or (h, w, 3) RGB uint8. Progressive streams accumulate
     coefficients across scans (spectral selection + successive
-    approximation, EOB runs, restart markers) and render once at EOI."""
+    approximation, EOB runs, restart markers) and render once at EOI.
+    ``max_pixels`` (default 2^27 ~ 134 MP, above any normal photo) caps
+    the declared dimensions — corrupt or adversarial headers otherwise
+    turn one payload into an unbounded CPU sink on an executor."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("Not a JPEG (missing SOI)")
     pos = 2
@@ -276,6 +279,8 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 break
             continue
         (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        if seg_len < 2:
+            raise ValueError(f"JPEG: segment length {seg_len} < 2 (corrupt)")
         seg = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -311,6 +316,11 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if max_pixels is not None and h * w > max_pixels:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed max_pixels={max_pixels} "
+                    "(corrupt header or decompression bomb)"
+                )
             frame = {
                 "h": h, "w": w, "comps": comps, "progressive": marker == 0xC2
             }

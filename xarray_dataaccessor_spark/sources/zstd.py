@@ -476,6 +476,8 @@ def _decode_frame(data: bytes, pos: int, out_all: bytearray) -> int:
     prev_huff = None
     prev_tables = {}
     while True:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated block header")
         hdr = int.from_bytes(data[pos : pos + 3], "little")
         pos += 3
         last = hdr & 1
