@@ -425,3 +425,30 @@ def test_gif_interlaced_roundtrip():
         assert np.array_equal(frames[0], img), (h, w)
         # non-interlaced stays identical too
         assert np.array_equal(parse_gif(write_gif([img]))[1][0], img)
+
+
+def test_gif_corruption_fuzz_bounded():
+    """Seeded bit-flip sweep over a valid GIF: every corruption must
+    raise a normal error or decode (a corrupt LZW minimum-code-size used
+    to allocate a 2^255-entry table; frame data now also stops at the
+    declared frame size)."""
+    import random
+
+    from xarray_dataaccessor_spark.sources.media import parse_gif, write_gif
+
+    rng0 = np.random.default_rng(0)
+    img = (rng0.integers(0, 6, (16, 16, 1)) * 40).astype("u1").repeat(3, axis=2)
+    base = write_gif([img])
+    rng = random.Random(0)
+    for _ in range(150):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        try:
+            parse_gif(bytes(buf))
+        except (ValueError, IndexError, KeyError, NotImplementedError, OverflowError):
+            pass
+    with pytest.raises(ValueError, match="minimum code size"):
+        from xarray_dataaccessor_spark.sources.media import _lzw_decode
+
+        _lzw_decode(b"\x00\x01", 200)

@@ -486,9 +486,16 @@ def write_png(
 # ---------------------------------------------------------------------------
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list:
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int | None = None) -> list:
     """GIF-variant LZW: variable code width starting at min+1 bits,
-    clear/end codes, dictionary grows to 4096 entries."""
+    clear/end codes, dictionary grows to 4096 entries. ``max_out`` stops
+    decoding once enough pixels exist (a corrupt stream can otherwise
+    expand far past the declared frame size)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(
+            f"GIF LZW minimum code size {min_code_size} outside 2..11 "
+            "(corrupt stream)"
+        )
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out: list = []
     table: list = []
@@ -523,6 +530,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
                 entry = table[prev] + table[prev][:1]
                 table.append(entry)
             out.extend(entry)
+            if max_out is not None and len(out) >= max_out:
+                return out
             if len(table) == (1 << width) and width < 12:
                 width += 1
             prev = code
@@ -631,9 +640,10 @@ def parse_gif(data: bytes):
                 lzw += data[pos + 1 : pos + 1 + size]
                 pos += size + 1
             pos += 1
-            idx = np.array(
-                _lzw_decode(bytes(lzw), min_code)[: iw * ih], dtype="int64"
-            ).reshape(ih, iw)
+            decoded = _lzw_decode(bytes(lzw), min_code, max_out=iw * ih)
+            if len(decoded) < iw * ih:
+                raise ValueError("GIF frame data shorter than the frame")
+            idx = np.array(decoded[: iw * ih], dtype="int64").reshape(ih, iw)
             if interlaced:
                 idx = idx[_gif_deinterlace_order(ih)]
             tile = pal[idx]
