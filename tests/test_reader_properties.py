@@ -146,3 +146,60 @@ def test_hdf5_roundtrip_property(
     np.testing.assert_array_equal(
         parsed["variables"]["x"]["data"], np.arange(shape[2]) * 0.25
     )
+
+
+def test_granule_reader_corruption_sweeps_terminate(tmp_path):
+    """Seeded bit-flip sweeps over valid granules: every corruption must
+    raise a normal error or parse — never hang. (Found and fixed: a
+    corrupt TIFF IFD count built a multi-GB struct format string; a
+    GRIB2 section length of 0 stalled the section walk; unbounded
+    zlib inflates could balloon before any size check.)"""
+    import datetime
+    import os
+    import random
+
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.geotiff import (
+        parse_geotiff,
+        write_geotiff,
+    )
+    from xarray_dataaccessor_spark.sources.grib2 import parse_grib2, write_grib2
+    from xarray_dataaccessor_spark.sources.netcdf3 import (
+        parse_netcdf3,
+        write_netcdf3,
+    )
+
+    rng0 = np.random.default_rng(0)
+    data2d = (270 + rng0.standard_normal((6, 9))).astype("f4")
+    base_tif = open(
+        write_geotiff(str(tmp_path / "t.tif"), data2d, -83.0, 43.0,
+                      (0.25, 0.25), compress=True), "rb",
+    ).read()
+    write_netcdf3(
+        str(tmp_path / "t.nc"), {"time": 3, "lat": 6, "lon": 9},
+        {"t2m": (["time", "lat", "lon"], np.tile(data2d, (3, 1, 1)), {}),
+         "lat": (["lat"], np.arange(6.0), {}),
+         "lon": (["lon"], np.arange(9.0), {})},
+    )
+    base_nc = open(str(tmp_path / "t.nc"), "rb").read()
+    pg = write_grib2(str(tmp_path / "t.grib2"), [dict(
+        ref_time=datetime.datetime(2024, 1, 1), forecast_hour=0, category=0,
+        number=0, lats=43.0 - 0.25 * np.arange(6),
+        lons=-83.0 + 0.25 * np.arange(9), data=data2d,
+    )])
+    base_grib = open(pg, "rb").read()
+    for base, fn in ((base_tif, parse_geotiff), (base_nc, parse_netcdf3),
+                     (base_grib, parse_grib2)):
+        rng = random.Random(0)
+        for _ in range(120):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            try:
+                fn(bytes(buf))
+            except (ValueError, IndexError, KeyError, NotImplementedError,
+                    OverflowError, MemoryError):
+                pass
+            except Exception as exc:  # struct.error and friends
+                assert type(exc).__name__ in ("error",), exc

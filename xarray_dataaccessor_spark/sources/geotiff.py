@@ -46,6 +46,11 @@ GEOKEY_GEOGRAPHIC_CRS, GEOKEY_PROJECTED_CRS = 2048, 3072
 
 def _read_ifd_values(buf, bo, ftype, count, value_field, big=False):
     size = _TYPE_SIZES[ftype] * count
+    if count < 0 or size > len(buf):
+        raise ValueError(
+            f"TIFF IFD entry count {count} exceeds the file size "
+            "(corrupt directory)"
+        )
     inline = 8 if big else 4
     raw = value_field[:size] if size <= inline else None
     if raw is None:
@@ -252,6 +257,11 @@ def parse_geotiff(buf: bytes) -> dict:
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_format)
     if kind is None:
         raise NotImplementedError(f"TIFF sample format {sample_format} unsupported")
+    if bits not in (8, 16, 32, 64) or (kind == "f" and bits < 32):
+        raise ValueError(
+            f"TIFF bits-per-sample {bits} with sample format {kind!r} "
+            "unsupported (corrupt header?)"
+        )
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
     if predictor == 2 and kind == "f":
@@ -269,7 +279,10 @@ def parse_geotiff(buf: bytes) -> dict:
         elif compression == 32773:
             raw = _packbits_decode(raw)
         elif compression != 1:
-            raw = zlib.decompress(raw)
+            # bounded inflate: a corrupt/hostile deflate stream can
+            # otherwise expand without limit before any length check
+            want = rows * cols * dtype.itemsize
+            raw = zlib.decompressobj().decompress(raw, want)
         if predictor == 3:
             # TIFF TechNote 3 floating-point differencing: per row the
             # float bytes are stored plane-separated (all MSBs first,
@@ -295,6 +308,11 @@ def parse_geotiff(buf: bytes) -> dict:
             raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
         return arr
 
+    if height <= 0 or width <= 0 or height * width > (1 << 28):
+        raise ValueError(
+            f"TIFF dimensions {width}x{height} invalid or beyond the "
+            "2^28-pixel sanity cap (corrupt header)"
+        )
     data = np.zeros((height, width), dtype=dtype)
     if TAG_TILE_OFFSETS in tags:
         tw = int(tags[TAG_TILE_WIDTH][0])

@@ -89,6 +89,10 @@ def _parse_message(msg: bytes) -> list[dict]:
     fields: list[dict] = []
     while pos < len(msg) - 4:
         ln = _u(msg, pos, 4)
+        if ln < 5:
+            raise ValueError(
+                f"GRIB2 section length {ln} < 5 (corrupt message)"
+            )
         num = msg[pos + 4]
         sec[num] = msg[pos : pos + ln]
         pos += ln
@@ -177,6 +181,11 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
     values = (ref_val + packed.astype("float64") * (2.0**e_scale)) / (10.0**d_scale)
 
     if bitmap is not None:
+        if ni <= 0 or nj <= 0 or ni * nj > (1 << 28):
+            raise ValueError(
+                f"GRIB2 grid {ni}x{nj} invalid or beyond the 2^28-point "
+                "sanity cap (corrupt section 3)"
+            )
         full = np.full(ni * nj, np.nan)
         full[bitmap] = values
         values = full

@@ -268,14 +268,22 @@ def _walk_chunk_btree(buf: bytes, addr: int, ndims: int) -> list[tuple[list[int]
     return out
 
 
-def _apply_filters(raw: bytes, filters: list[tuple[int, list[int]]], mask: int) -> bytes:
-    """Reverse pipeline order; ``mask`` bit i set -> filter i skipped."""
+def _apply_filters(
+    raw: bytes, filters: list[tuple[int, list[int]]], mask: int,
+    max_out: int | None = None,
+) -> bytes:
+    """Reverse pipeline order; ``mask`` bit i set -> filter i skipped.
+    ``max_out`` bounds the inflate (a corrupt deflate stream can expand
+    without limit before any size check)."""
     for i in range(len(filters) - 1, -1, -1):
         fid, cvals = filters[i]
         if mask & (1 << i):
             continue
         if fid == 1:
-            raw = zlib.decompress(raw)
+            if max_out is not None:
+                raw = zlib.decompressobj().decompress(raw, max_out)
+            else:
+                raw = zlib.decompress(raw)
         elif fid == 2:
             esize = cvals[0] if cvals else 1
             nitems = len(raw) // esize
@@ -441,7 +449,10 @@ def _read_dataset(buf: bytes, ohdr: int, addr_names: dict) -> dict:
         _, btree, cdims, esize = layout
         full = np.zeros(shape, dtype=dt["dtype"]) if shape else np.zeros((), dt["dtype"])
         for offs, caddr, csize, fmask in _walk_chunk_btree(buf, btree, len(cdims)):
-            raw_c = _apply_filters(buf[caddr : caddr + csize], filters, fmask)
+            want = int(np.prod(cdims)) * dt["dtype"].itemsize
+            raw_c = _apply_filters(
+                buf[caddr : caddr + csize], filters, fmask, max_out=want
+            )
             block = np.frombuffer(raw_c, dtype=dt["dtype"], count=int(np.prod(cdims)))
             block = block.reshape(cdims)
             sel = tuple(

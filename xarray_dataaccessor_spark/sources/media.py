@@ -376,7 +376,13 @@ def parse_png(data: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG color type {ctype}")
     bpp = n_ch * depth // 8  # filter unit: bytes per pixel
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
+    if h <= 0 or w <= 0 or h * w > (1 << 28):
+        raise ValueError(f"PNG dimensions {w}x{h} invalid or beyond the "
+                         "2^28-pixel sanity cap")
+    # bounded inflate: raster bytes + one filter byte per (sub)row; the
+    # Adam7 pass structure never exceeds 2x the plain budget
+    budget = 2 * h * (stride + 1) + 1024
+    raw = zlib.decompressobj().decompress(b"".join(idat), budget)
     if interlace:
         out = np.zeros((h, stride), dtype="u1")
         off = 0

@@ -238,7 +238,9 @@ def decode_chunk(raw: bytes, meta: dict) -> np.ndarray:
     if comp is not None and comp.startswith("blosc"):
         raw = _blosc.decode_blosc(raw)
     elif comp in ("zlib", "gzip"):
-        raw = zlib.decompress(raw, zlib.MAX_WBITS | 32)  # accepts both wrappers
+        # bounded inflate (accepts zlib and gzip wrappers)
+        want = int(np.prod(meta["chunks"])) * np.dtype(meta["dtype"]).itemsize
+        raw = zlib.decompressobj(zlib.MAX_WBITS | 32).decompress(raw, want)
     elif comp == "zstd":
         raw = _zstd.zstd_decompress(raw)
     block = np.frombuffer(raw, dtype=meta["dtype"], count=int(np.prod(meta["chunks"])))
