@@ -89,3 +89,21 @@ def test_snappy_roundtrip_and_property():
         assert snappy_decompress(snappy_compress(data)) == data
 
     rt()
+
+
+def test_snappy_compressor_code_is_2():
+    """Regression (r4 ADVICE): the c-blosc header assigns snappy format
+    code 2 (5 is unused); emitted chunks must conform so real blosc
+    readers accept them."""
+    from xarray_dataaccessor_spark.sources.blosc import (
+        _COMPRESSOR_CODES,
+        decode_blosc,
+        encode_blosc,
+    )
+
+    data = (b"0123456789abcdef" * 256)
+    chunk = encode_blosc(data, typesize=8, cname="snappy")
+    assert (chunk[2] >> 5) == 2  # header flags bits 5-7 = compressor code
+    assert _COMPRESSOR_CODES[2] == "snappy"
+    assert 5 not in _COMPRESSOR_CODES
+    assert decode_blosc(chunk) == data

@@ -437,3 +437,19 @@ def test_dimension_bomb_rejected_and_entropy_corruption_bounded():
             parse_jpeg(bytes(buf))
         except (ValueError, IndexError, KeyError):
             pass
+
+
+def test_bitreader_buffer_stays_bounded():
+    """Regression (r4 ADVICE): _BitReader must truncate consumed bits on
+    refill; otherwise bitbuf grows with every bit read and a no-restart
+    entropy segment decodes in O(n^2)."""
+    from xarray_dataaccessor_spark.sources.jpeg import _BitReader
+
+    data = bytes([0x55, 0xAA] * 50_000)  # 100 KB, no 0xFF markers
+    br = _BitReader(data, 0)
+    total = 0
+    for _ in range(len(data)):
+        total += br.read_bits(8)
+        # buffer must stay a few bytes wide for the whole run
+        assert br.bitbuf.bit_length() <= 40
+    assert total == (0x55 + 0xAA) * 50_000

@@ -450,3 +450,43 @@ def test_v3_transpose_codec_decodes(tmp_path):
     assert m["transpose"] == [1, 0]
     block = decode_chunk(stored.tobytes(), m)
     assert np.array_equal(block, data)
+
+
+def test_v3_transpose_store_through_zarr_to_grid(spark, tmp_path):
+    """Regression (r4 ADVICE high): zarr_to_grid's executor-side decode
+    meta must carry the `transpose` key — a transposed v3 store ingested
+    distributed must match the driver-side decode, not a scrambled
+    reshape."""
+    import json
+    import os
+
+    store = str(tmp_path / "zt_ingest")
+    os.makedirs(os.path.join(store, "v", "c", "0"))
+    ny, nx = 4, 6
+    data = (np.arange(ny * nx, dtype="<f8") * 1.5).reshape(ny, nx)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [ny, nx],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [ny, nx]}},
+        "chunk_key_encoding": {"name": "default"},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+        "dimension_names": ["latitude", "longitude"],
+    }
+    with open(os.path.join(store, "v", "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(store, "v", "c", "0", "0"), "wb") as f:
+        f.write(data.T.copy().tobytes())  # stored permuted per order [1,0]
+    write_zarr(store, "latitude", 40.0 + np.arange(ny) * 0.5,
+               ["latitude"], compress=False, zarr_format=3)
+    write_zarr(store, "longitude", -80.0 + np.arange(nx) * 0.5,
+               ["longitude"], compress=False, zarr_format=3)
+    out = zarr_to_grid(spark, store, "v").toPandas()
+    assert len(out) == ny * nx
+    got = (out.sort_values(["y", "x"])["v"].to_numpy()
+           .reshape(ny, nx))
+    assert np.array_equal(got, data)

@@ -233,3 +233,45 @@ def test_corruption_fuzz_terminates_with_errors():
 
 
 from struct import error as struct_error  # noqa: E402
+
+
+def test_repeat_mode_after_predefined_tables():
+    """Regression (r4 ADVICE): Repeat_Mode (3) repeats whatever sequence
+    table was last USED — including Predefined_Mode tables — not only
+    FSE_Compressed ones (RFC 8878 §4.2.2)."""
+    from xarray_dataaccessor_spark.sources.zstd import (
+        _decode_block,
+        _encode_block_body,
+        _encode_literals,
+        _find_sequences,
+    )
+
+    block = b"abcdefgh" * 8 + b"tail-literals"
+    body = _encode_block_body(block)
+    seqs, _trail, lits = _find_sequences(block, 0)
+    assert seqs, "fixture must produce at least one sequence"
+    mpos = len(_encode_literals(lits)) + 1  # n_seq < 128 -> 1 header byte
+    assert body[mpos] == 0  # encoder emits all-predefined modes
+    # same bitstream, modes byte patched to repeat/repeat/repeat
+    body_repeat = body[:mpos] + bytes([0xFC]) + body[mpos + 1:]
+
+    out = bytearray()
+    tables: dict = {}
+    _decode_block(body, out, None, tables)
+    assert bytes(out) == block
+    _decode_block(body_repeat, out, None, tables)
+    assert bytes(out) == block + block
+    # repeat with NO previous table at all must still refuse
+    with pytest.raises(ValueError, match="repeat mode"):
+        _decode_block(body_repeat, bytearray(), None, {})
+
+
+def test_huffman_weight_bound_rejected():
+    """Regression (r4 ADVICE): weights above HUF max (11) must be
+    rejected before the 2^max_bits lookup allocation."""
+    from xarray_dataaccessor_spark.sources.zstd import _read_huff_weights
+
+    # direct header: 2 explicit weights, first is 12 (> 11)
+    data = bytes([127 + 2, (12 << 4) | 1])
+    with pytest.raises(ValueError, match="weight exceeds"):
+        _read_huff_weights(data)

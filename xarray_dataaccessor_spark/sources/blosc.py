@@ -11,8 +11,8 @@ spec in the c-blosc repository docs/README_HEADER.rst):
     12-15    cbytes (LE u32)
 
 flags: bit0 byte-shuffle, bit1 memcpy (stored raw), bit2 bit-shuffle,
-bits 5-7 compressor code (0 blosclz, 1 lz4/lz4hc, 3 zlib, 4 zstd, 5
-snappy). Non-memcpy chunks carry ``nblocks`` LE u32 block-start offsets,
+bits 5-7 compressor code (0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib,
+4 zstd). Non-memcpy chunks carry ``nblocks`` LE u32 block-start offsets,
 then per block the c-blosc split layout: ``nsplits`` (typesize splits
 for lz4/blosclz when ``blocksize/typesize >= 128`` and
 ``typesize <= 16``, else 1) of ``[LE i32 csize][payload]``, where
@@ -38,7 +38,7 @@ import numpy as np
 _FLAG_SHUFFLE = 0x1
 _FLAG_MEMCPY = 0x2
 _FLAG_BITSHUFFLE = 0x4
-_COMPRESSOR_CODES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd", 5: "snappy"}
+_COMPRESSOR_CODES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _MIN_BUFFERSIZE = 128
 _MAX_SPLITS = 16
 
@@ -255,7 +255,7 @@ def encode_blosc(
     blocksize = blocksize or min(max(nbytes, typesize), 64 * 1024)
     if blocksize % typesize:
         blocksize += typesize - blocksize % typesize
-    code = {"lz4": 1, "zlib": 3, "zstd": 4, "snappy": 5}[cname]
+    code = {"lz4": 1, "snappy": 2, "zlib": 3, "zstd": 4}[cname]
     flags = (code << 5) | (_FLAG_SHUFFLE if shuffle and typesize > 1 else 0)
     nblocks = (nbytes + blocksize - 1) // blocksize
     header = bytearray(16)

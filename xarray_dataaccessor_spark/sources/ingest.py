@@ -438,7 +438,8 @@ def zarr_to_grid(
                                                 "dtype": meta["dtype"],
                                                 "chunks": chunks,
                                                 "sharding": meta.get("sharding"),
-                                                "fill_value": meta.get("fill_value")})
+                                                "fill_value": meta.get("fill_value"),
+                                                "transpose": meta.get("transpose")})
                 lo = [i * c for i, c in zip(idx, chunks)]
                 keep = tuple(
                     slice(0, min(c, s - l)) for c, s, l in zip(chunks, shape, lo)

@@ -175,6 +175,9 @@ class _BitReader:
         self.marker: int | None = None
 
     def _fill(self) -> None:
+        # drop already-consumed high bits so bitbuf stays a few bytes wide
+        # (otherwise each shift is O(bits-read-so-far) on the Python int)
+        self.bitbuf &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.marker is not None:
                 self.bitbuf = (self.bitbuf << 8) | 0  # pad past marker

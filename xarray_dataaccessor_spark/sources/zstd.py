@@ -336,6 +336,8 @@ def _huff_table_from_weights(weights: list[int]):
     if total & (total - 1):
         raise ValueError("zstd: corrupted Huffman weights (not a power of 2)")
     max_bits = total.bit_length() - 1  # total == 2^max_bits
+    if max_bits > 11:  # HUF_TABLELOG_MAX — bounds the 2^max_bits lookup
+        raise ValueError("zstd: Huffman table log exceeds spec maximum (11)")
     # number of bits per symbol = max_bits + 1 - weight
     ranked = sorted(
         (s for s, w in enumerate(weights) if w > 0),
@@ -376,6 +378,10 @@ def _read_huff_weights(data: bytes):
         stream = data[1 + fb.bytes_consumed() : 1 + hb]
         weights = list(_fse_decompress_2state(table, alog, stream, 255))
         used = 1 + hb
+    # HUF_TABLELOG_MAX is 11: any larger weight is corrupt and would drive
+    # a 2^weight lookup allocation downstream — reject before building it
+    if any(w > 11 for w in weights):
+        raise ValueError("zstd: Huffman weight exceeds spec maximum (11)")
     # implicit last weight completes the next power of two
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
@@ -609,11 +615,15 @@ def _decode_block(blk: bytes, out: bytearray, prev_huff, prev_tables):
     def load_table(mode, key, default, default_alog, max_sym, max_alog):
         nonlocal q
         if mode == 0:
-            return fse_build_decode_table(default, default_alog), default_alog
+            t = fse_build_decode_table(default, default_alog), default_alog
+            prev_tables[key] = t  # Repeat_Mode repeats the LAST-USED table,
+            return t              # whatever mode loaded it (RFC 8878 §4.2.2)
         if mode == 1:  # RLE: single symbol, 0-bit table
             sym = seq[q]
             q += 1
-            return [(sym, 0, 0)], 0
+            t = [(sym, 0, 0)], 0
+            prev_tables[key] = t
+            return t
         if mode == 2:
             fb = _FwdBits(seq[q:])
             norm, alog = fse_read_distribution(fb, max_sym)
