@@ -14,15 +14,19 @@ decodes the common ERA5 shape:
   the standard north-to-south row order
 - Section 4 product definition template 4.0 (parameter category/number,
   forecast hour)
-- Section 5 data representation template 5.0 (simple packing:
-  ``value = (R + packed * 2^E) / 10^D`` with signed-magnitude E/D)
+- Section 5 data representation templates 5.0 (simple packing:
+  ``value = (R + packed * 2^E) / 10^D`` with signed-magnitude E/D),
+  5.2 (complex packing, general group splitting) and 5.3 (complex
+  packing with first/second-order spatial differencing) — the layouts
+  operational ECMWF/NOAA GRIB overwhelmingly ships
 - Section 6 bitmap (indicator 255 = none; a present bitmap masks
   missing points to NaN)
 - Section 7 bit-packed data, unpacked vectorized via numpy
 
-Everything else (complex/jpeg/png packing, spectral grids, ensemble
-templates) raises NotImplementedError naming the construct —
-detect-and-reject, never misread.
+Everything else (jpeg2000/png/CCSDS packing, spectral grids, ensemble
+templates, missing-value management inside complex groups) raises
+NotImplementedError naming the construct — detect-and-reject, never
+misread.
 """
 
 from __future__ import annotations
@@ -155,10 +159,10 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
     s5 = sec[5]
     npoints = _u(s5, 5, 4)
     template5 = _u(s5, 9, 2)
-    if template5 != 0:
+    if template5 not in (0, 2, 3):
         raise NotImplementedError(
-            f"GRIB data representation template 5.{template5} (only 5.0 "
-            "simple packing)"
+            f"GRIB data representation template 5.{template5} (5.0 simple, "
+            "5.2 complex, 5.3 complex+spatial-differencing)"
         )
     (ref_val,) = struct.unpack(">f", s5[11:15])
     e_scale = _s_mag(s5, 15, 2)
@@ -177,7 +181,10 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
             raise NotImplementedError(f"GRIB bitmap indicator {indicator}")
 
     s7 = sec[7]
-    packed = _unpack_bits(s7[5:], nbits, npoints)
+    if template5 == 0:
+        packed = _unpack_bits(s7[5:], nbits, npoints)
+    else:
+        packed = _unpack_complex(s5, s7, npoints, template5 == 3)
     values = (ref_val + packed.astype("float64") * (2.0**e_scale)) / (10.0**d_scale)
 
     if bitmap is not None:
@@ -207,6 +214,96 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
         "lons": lons,
         "data": data,
     }
+
+
+def _unpack_complex(
+    s5: bytes, s7: bytes, npoints: int, spatial_diff: bool
+) -> np.ndarray:
+    """Data representation templates 5.2/5.3: complex packing (general
+    group splitting), optionally with first/second-order spatial
+    differencing. Returns the scaled-integer field (the caller applies
+    the R/E/D simple-packing formula).
+
+    Wire layout (WMO FM92 §5.2/5.3 + data template 7.2/7.3): section 7
+    carries, for 5.3, ``order+1`` signed-magnitude extra descriptors
+    (initial value(s) then the overall minimum of the differences),
+    then four bit-streams — group reference values, group widths,
+    scaled group lengths, and the per-group packed values — the first
+    three each padded to a byte boundary."""
+    if s5[22] != 0:
+        raise NotImplementedError(
+            "GRIB complex packing missing-value management "
+            f"{s5[22]} (only 0 = none)"
+        )
+    nbits = s5[19]
+    ng = _u(s5, 31, 4)
+    if ng == 0 or ng > npoints:
+        raise ValueError(f"GRIB complex packing group count {ng} invalid")
+    wref, wbits = s5[35], s5[36]
+    lref = _u(s5, 37, 4)
+    linc = s5[41]
+    last_len = _u(s5, 42, 4)
+    lbits = s5[46]
+    body = s7[5:]
+    off = 0
+    ivals: list[int] = []
+    gmin = 0
+    if spatial_diff:
+        od, ww = s5[47], s5[48]
+        if od not in (1, 2):
+            raise NotImplementedError(f"GRIB spatial differencing order {od}")
+        if ww == 0 or len(body) < (od + 1) * ww:
+            raise ValueError("GRIB spatial-differencing descriptors truncated")
+        extras = [_s_mag(body, i * ww, ww) for i in range(od + 1)]
+        ivals, gmin = extras[:-1], extras[-1]
+        off = (od + 1) * ww
+
+    bits = np.unpackbits(np.frombuffer(body[off:], dtype=np.uint8))
+    bp = 0
+
+    def take(n: int, w: int, pad: bool) -> np.ndarray:
+        nonlocal bp
+        if w == 0:
+            return np.zeros(n, dtype="int64")
+        need = n * w
+        if bp + need > bits.size:
+            raise ValueError("GRIB complex data section truncated")
+        weights = 1 << np.arange(w - 1, -1, -1, dtype="int64")
+        out = bits[bp : bp + need].reshape(n, w).astype("int64") @ weights
+        bp += need
+        if pad and bp % 8:  # streams are byte-aligned on the wire
+            bp += 8 - bp % 8
+        return out
+
+    grefs = take(ng, nbits, pad=True)
+    widths = wref + take(ng, wbits, pad=True)
+    lens = lref + linc * take(ng, lbits, pad=True)
+    lens[-1] = last_len
+    if int(lens.sum()) != npoints:
+        raise ValueError(
+            f"GRIB group lengths sum to {int(lens.sum())}, expected {npoints}"
+        )
+    if int((widths * lens).sum()) > bits.size:
+        raise ValueError("GRIB complex data section truncated")
+    v = np.empty(npoints, dtype="int64")
+    i0 = 0
+    for g in range(ng):
+        ln = int(lens[g])
+        v[i0 : i0 + ln] = grefs[g] + take(ln, int(widths[g]), pad=False)
+        i0 += ln
+
+    if not spatial_diff:
+        return v
+    od = len(ivals)
+    if npoints <= od:
+        return np.asarray(ivals[:npoints], dtype="int64")
+    # undo the differencing: first `od` values come from the descriptors,
+    # the rest are differences offset by gmin
+    d = v + gmin
+    if od == 1:
+        return np.cumsum(np.concatenate([[ivals[0]], d[1:]]))
+    first = np.cumsum(np.concatenate([[ivals[1] - ivals[0]], d[2:]]))
+    return np.cumsum(np.concatenate([[ivals[0]], first]))
 
 
 # ---------------------------------------------------------------------------
@@ -319,15 +416,125 @@ def _field_sections(f: dict) -> bytes:
     )
     s4 = sec(4, struct.pack(">HH", 0, 0) + tmpl4)
 
-    s5 = sec(
-        5,
-        struct.pack(">IH", ni * nj, 0)
-        + struct.pack(">f", ref)
-        + smag(e_scale, 2)
-        + smag(d_scale, 2)
-        + bytes([nbits, 0]),
-    )
+    packing = f.get("packing", "simple")
+    if packing == "simple":
+        s5 = sec(
+            5,
+            struct.pack(">IH", ni * nj, 0)
+            + struct.pack(">f", ref)
+            + smag(e_scale, 2)
+            + smag(d_scale, 2)
+            + bytes([nbits, 0]),
+        )
+        s7 = sec(7, _pack_bits(ints, nbits))
+    elif packing in ("complex", "complex_diff"):
+        tmpl5, body7 = _pack_complex(
+            ints,
+            ref,
+            e_scale,
+            d_scale,
+            spatial_diff=(packing == "complex_diff"),
+            order=int(f.get("diff_order", 2)),
+            group_len=int(f.get("group_len", 20)),
+        )
+        s5 = sec(5, struct.pack(">IH", ni * nj,
+                                3 if packing == "complex_diff" else 2) + tmpl5)
+        s7 = sec(7, body7)
+    else:
+        raise NotImplementedError(f"write_grib2 packing {packing!r}")
     s6 = sec(6, bytes([255]))
-    s7 = sec(7, _pack_bits(ints, nbits))
 
     return s3 + s4 + s5 + s6 + s7
+
+
+def _pack_complex(
+    ints: np.ndarray,
+    ref: float,
+    e_scale: int,
+    d_scale: int,
+    spatial_diff: bool,
+    order: int = 2,
+    group_len: int = 20,
+) -> tuple[bytes, bytes]:
+    """Template 5.2/5.3 encoder half of :func:`_unpack_complex` —
+    returns (section-5 template octets 12+, section-7 body octets 6+).
+    Groups are fixed-length (``group_len``, ragged tail via the
+    true-length-of-last-group field); each group stores min + residual
+    widths, the layout real complex-packed ERA5/NOAA files use."""
+
+    def smag(v: int, n: int) -> bytes:
+        return (abs(v) | ((1 << (8 * n - 1)) if v < 0 else 0)).to_bytes(n, "big")
+
+    v = np.asarray(ints, dtype="int64")
+    npts = v.size
+    extras = b""
+    od = 0
+    if spatial_diff:
+        if order not in (1, 2):
+            raise ValueError("spatial differencing order must be 1 or 2")
+        od = min(order, npts)
+        ivals = [int(x) for x in v[:od]]
+        d = np.zeros(npts, dtype="int64")
+        if npts > od:
+            d[od:] = np.diff(v, n=od)
+        gmin = int(d[od:].min()) if npts > od else 0
+        w = d.copy()
+        w[od:] -= gmin
+        w[:od] = 0  # overwritten from the descriptors on decode
+        v = w
+        ww = max(
+            (max(abs(x) for x in ivals + [gmin]).bit_length() + 1 + 7) // 8, 1
+        )
+        extras = b"".join(smag(x, ww) for x in ivals + [gmin])
+
+    ng = max(1, (npts + group_len - 1) // group_len)
+    grefs, widths, gvals = [], [], []
+    for g in range(ng):
+        grp = v[g * group_len : (g + 1) * group_len]
+        lo = int(grp.min())
+        resid = grp - lo
+        grefs.append(lo)
+        widths.append(int(resid.max()).bit_length())
+        gvals.append(resid)
+    last_len = npts - (ng - 1) * group_len
+    nbits = max(int(r).bit_length() for r in grefs)
+    wref = min(widths)
+    wbits = max(w - wref for w in widths).bit_length()
+    lref, linc, lbits = group_len, 1, 0  # uniform groups, ragged tail
+
+    # each of the three group streams is emitted byte-aligned, matching
+    # the decoder's per-stream padding (_pack_bits emits whole bytes)
+    body = bytearray(extras)
+    body += _pack_bits(np.asarray(grefs, dtype="int64"), nbits)
+    body += _pack_bits(np.asarray([w - wref for w in widths], dtype="int64"), wbits)
+    body += _pack_bits(np.zeros(ng, dtype="int64"), lbits)
+    # values: one continuous bit-stream across groups (no per-group pad)
+    bitbuf: list[np.ndarray] = []
+    for wdt, resid in zip(widths, gvals):
+        if wdt == 0:
+            continue
+        bitbuf.append(
+            ((resid[:, None] >> np.arange(wdt - 1, -1, -1, dtype="int64")) & 1)
+            .astype(np.uint8)
+            .reshape(-1)
+        )
+    if bitbuf:
+        body += np.packbits(np.concatenate(bitbuf)).tobytes()
+
+    tmpl = (
+        struct.pack(">f", ref)
+        + smag(e_scale, 2)
+        + smag(d_scale, 2)
+        + bytes([nbits, 0])  # octets 20-21: bits/group-ref, field type
+        + bytes([1, 0])  # octets 22-23: general splitting, no missing mgmt
+        + bytes(8)  # octets 24-31: missing substitutes (unused)
+        + struct.pack(">I", ng)
+        + bytes([wref, wbits])
+        + struct.pack(">I", lref)
+        + bytes([linc])
+        + struct.pack(">I", last_len)
+        + bytes([lbits])
+    )
+    if spatial_diff:
+        tmpl += bytes([od, ww])
+    return tmpl, bytes(body)
