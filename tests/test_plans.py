@@ -271,3 +271,14 @@ def test_no_cartesian_product_in_any_query_plan(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct in plan"))
     assert not bad, bad
+
+
+def test_contamination_report_single_shingling(spark, sf_dir):
+    """The fused contamination query shingles the train corpus ONCE:
+    exactly two Generate (explode) nodes in the executed plan — the
+    train positional posexplode and the eval shingle explode — where
+    the naive overlap+span composition had four."""
+    df = QUERIES["contamination_ngram_overlap"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert plan.count("Generate") == 2, plan
+    assert "CartesianProduct" not in plan

@@ -241,3 +241,38 @@ def test_contamination_span_detects_planted_passage(spark):
     # doc 2 shares exactly one 3-gram -> span = 3 tokens
     assert out[2] == 3
     assert 3 not in out
+
+
+def test_contamination_report_fused_matches_composition(spark):
+    """The fused single-pass report must agree with composing
+    ngram_contamination + contamination_spans (collision-free small
+    corpus: distinct-string and distinct-hash counts coincide)."""
+    from xarray_dataaccessor_spark.operators.sampling import (
+        contamination_report,
+        contamination_spans,
+        ngram_contamination,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight again"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " trailing text follows now"),
+            (2, "some quick brown fox unrelated padding words everywhere"),
+            (3, "completely clean text with nothing shared at all today"),
+            # duplicate shingles inside one doc (repeated phrase)
+            (4, passage + " and then " + passage),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame([(100, passage)], "doc_id bigint, text string")
+    fused = {r["doc_id"]: r for r in contamination_report(train, ev).collect()}
+    ov = {r["doc_id"]: r for r in ngram_contamination(train, ev).collect()}
+    sp = {r["doc_id"]: r["max_span_tokens"] for r in
+          contamination_spans(train, ev).collect()}
+    assert set(fused) == set(ov) == {1, 2, 4}
+    for d in fused:
+        assert fused[d]["n_shingles"] == ov[d]["n_shingles"]
+        assert fused[d]["n_overlap"] == ov[d]["n_overlap"]
+        assert fused[d]["contamination"] == pytest.approx(ov[d]["contamination"])
+        assert fused[d]["max_span_tokens"] == sp[d]
+    assert fused[1]["max_span_tokens"] == len(passage.split())

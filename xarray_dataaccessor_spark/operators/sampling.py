@@ -253,6 +253,111 @@ def shard_shuffled(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Fused decontamination report: overlap counts AND the longest
+    contiguous contaminated span from ONE positional shingling of the
+    train corpus (``ngram_contamination`` + ``contamination_spans``
+    composed naively shingle the corpus twice — at 100 TB the second
+    pass over the fact table is the single largest avoidable cost).
+
+    Per train document with any eval overlap:
+    ``(id, n_shingles, n_overlap, contamination, max_span_tokens)``
+    where the counts are DISTINCT shingle hashes (the hash-set
+    semantics decontamination at scale uses) and ``max_span_tokens``
+    is the longest run of consecutive positions whose k-grams all
+    appear in the eval set, in tokens (run + k - 1).
+
+    Plan shape — one linear pipeline, no cache, no windows, no Expand:
+    positional shingles (map-side posexplode, duplicates and positions
+    kept) -> LEFT join the deduped eval hash set (AQE broadcasts it
+    when small) -> two-level aggregation: level 1 on ``(doc, hash)``
+    compacts to distinct shingles (map-side combine) while collecting
+    the MATCHED positions; level 2 on the doc key counts distincts as
+    plain ``count``s (the distinctness is structural, so no Expand
+    rewrite) and folds the span directly — longest run of consecutive
+    values in the sorted matched-position array via ``F.aggregate``,
+    a pure codegen expression over an array bounded by doc length.
+    Shuffles: the hash join + the two aggregation exchanges, all on
+    compacted keys; per-doc sorting is gone entirely. The CPU-bound
+    shingling is spread to session parallelism when the input arrives
+    as a single small file (``spread_small_input`` — a no-op on
+    production block-split inputs)."""
+    from xarray_dataaccessor_spark.operators.dedup import (
+        spread_small_input,
+        word_shingles,
+    )
+
+    train = spread_small_input(train)
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(words, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    pos_sh = (
+        train.select(F.col(id_col), F.posexplode(shingles).alias("pos", "shingle"))
+        .filter(F.length("shingle") > 0)
+        .select(id_col, "pos", portable_hash32(F.col("shingle")).alias("h"))
+    )
+    eval_h = (
+        word_shingles(eval_df, text_col, id_col, k)
+        .select(portable_hash32(F.col("shingle")).alias("h"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    joined = pos_sh.join(eval_h, "h", "left")  # eval distinct on h: no fan-out
+    hit = F.col("__m").isNotNull()
+    per_shingle = joined.groupBy(id_col, "h").agg(
+        F.max(F.coalesce(F.col("__m"), F.lit(0))).alias("__hit"),
+        F.collect_list(F.when(hit, F.col("pos"))).alias("__mpos"),
+    )
+    per_doc = per_shingle.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("__hit").alias("n_overlap"),
+        F.sort_array(F.flatten(F.collect_list("__mpos"))).alias("__pos"),
+    )
+    # longest run of consecutive positions, folded in one array pass
+    zero = F.lit(0).cast("long")
+    run = F.aggregate(
+        F.col("__pos"),
+        F.struct(
+            F.lit(-2).cast("long").alias("prev"),
+            zero.alias("cur"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.cast("long").alias("prev"),
+            F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).cast("long").alias("cur"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).cast("long"),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return (
+        per_doc.filter(F.col("n_overlap") > 0)
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+            (run + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
+        )
+    )
+
+
 def contamination_spans(
     train: DataFrame,
     eval_df: DataFrame,

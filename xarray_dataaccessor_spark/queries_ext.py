@@ -1256,15 +1256,6 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
     ),
-    tsh AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-            FROM (SELECT doc_id, string_split(text, ' ') AS w
-                  FROM split WHERE split = 'train')
-        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
-    ),
     esh AS (
         SELECT DISTINCT shingle FROM (
             SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -1273,11 +1264,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM split WHERE split = 'eval')
         ) WHERE shingle IS NOT NULL AND length(shingle) > 0
     ),
-    th AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM tsh),
     eh AS (SELECT DISTINCT {_H32.format(expr="shingle")} AS h FROM esh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM th GROUP BY doc_id),
-    ov AS (SELECT th.doc_id, COUNT(*) AS n_overlap
-           FROM th JOIN eh USING (h) GROUP BY th.doc_id),
     tpos AS (
         SELECT doc_id, b.pos AS pos,
                {_H32.format(expr="b.sh")} AS h
@@ -1291,53 +1278,51 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM split WHERE split = 'train')
         ) WHERE b.sh IS NOT NULL AND length(b.sh) > 0
     ),
-    mpos AS (SELECT doc_id, pos FROM tpos JOIN eh USING (h)),
+    m AS (SELECT t.doc_id, t.pos, t.h, (eh.h IS NOT NULL) AS hit
+          FROM tpos t LEFT JOIN eh ON t.h = eh.h),
+    agg AS (
+        SELECT doc_id, COUNT(DISTINCT h) AS n_shingles,
+               COUNT(DISTINCT CASE WHEN hit THEN h END) AS n_overlap
+        FROM m GROUP BY doc_id
+    ),
     runs AS (
         SELECT doc_id,
                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-        FROM mpos
+        FROM m WHERE hit
     ),
     spans AS (
         SELECT doc_id, MAX(run) + 2 AS max_span_tokens FROM (
             SELECT doc_id, isl, COUNT(*) AS run FROM runs GROUP BY doc_id, isl
         ) GROUP BY doc_id
     )
-    SELECT ov.doc_id, n_shingles, n_overlap,
+    SELECT agg.doc_id, n_shingles, n_overlap,
            CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
            CAST(spans.max_span_tokens AS BIGINT) AS max_span_tokens
-    FROM ov JOIN sizes USING (doc_id) JOIN spans USING (doc_id)
+    FROM agg JOIN spans USING (doc_id)
+    WHERE n_overlap > 0
     """,
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: hash-split the corpus into train/eval
     (deterministic_split, 5%), then report each train document whose
-    word-3-gram set overlaps the eval set's — overlap count, shingle
-    count, contamination fraction, and the LONGEST CONTIGUOUS
-    contaminated span in tokens (``contamination_spans`` —
-    gaps-and-islands over matched shingle positions; benchmarks leak as
-    passages, and span length is the signal removal acts on). One
-    equi-join on the shingle hash per pass; the eval side is small by
-    construction."""
+    word-3-gram hash set overlaps the eval set's — overlap count,
+    shingle count, contamination fraction, and the LONGEST CONTIGUOUS
+    contaminated span in tokens (benchmarks leak as passages, and span
+    length is the signal removal acts on). ``contamination_report``
+    fuses all four columns into ONE positional shingling of the train
+    corpus — one hash equi-join, one doc-key exchange, no cache — where
+    the naive overlap+span composition shingles the corpus twice."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
-        contamination_spans,
+        contamination_report,
         deterministic_split,
-        ngram_contamination,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     split = deterministic_split(docs, "doc_id", eval_per_mille=50)
-    # cache both sides: the overlap and span passes each shingle the
-    # corpus, and without the boundary the split scan + hash predicate
-    # re-run per pass per join side
-    train = split.filter(F.col("split") == "train").drop("split").cache()
-    eval_df = split.filter(F.col("split") == "eval").drop("split").cache()
-    overlap = ngram_contamination(train, eval_df, "text", "doc_id", k=3)
-    spans = contamination_spans(train, eval_df, "text", "doc_id", k=3)
-    return overlap.join(spans, "doc_id").select(
-        "doc_id", "n_shingles", "n_overlap", "contamination",
-        F.col("max_span_tokens").cast("bigint").alias("max_span_tokens"),
-    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    eval_df = split.filter(F.col("split") == "eval").drop("split")
+    return contamination_report(train, eval_df, "text", "doc_id", k=3)
 
 
 # ---------------------------------------------------------------------------
