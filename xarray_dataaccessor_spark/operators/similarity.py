@@ -573,18 +573,18 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "e",
     dims: int | None = None,
-    m_subspaces: int | None = None,
+    *,
+    m_subspaces: int,
 ) -> DataFrame:
     """Encode each vector as ``m_subspaces`` one-byte-ish code ids: the
     nearest codebook entry per subspace. Output is EXPLODED —
     ``(id, m, code_id)`` — which is the join-ready inverted form of the
     code array (the ADC scan consumes it directly; ``m_subspaces * 8``
     bytes per vector in long form, vs ``dims * 8`` for the raw
-    embedding)."""
-    if m_subspaces is None:
-        # fallback: derive from the codebook table (one small job);
-        # callers that know m pass it and skip the action
-        m_subspaces = codebooks.select("m").distinct().count()
+    embedding). ``m_subspaces`` must match the codebook's ``m`` count —
+    the caller always knows it (it parameterized ``pq_codebooks``), and
+    requiring it keeps this a pure plan builder: no Spark job fires
+    before the encode plan exists."""
     if dims is None or dims % m_subspaces != 0:
         raise ValueError("dims must be known and divisible by the codebook's m")
     sub = dims // m_subspaces
@@ -903,6 +903,163 @@ def query_ivf_index(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    train_limit: int | None = 4096,
+) -> None:
+    """Persist an IVF-PQ index — the composed 100 TB ANN serving layout:
+    the coarse quantizer prunes WHICH FILES are read (inverted lists as
+    parquet partitions, probed via dynamic partition pruning) and PQ
+    codes shrink WHAT is read (m short codes per vector instead of the
+    raw embedding on the scan path). FAISS calls this IVFADC; here both
+    halves are the already-tested pieces (:func:`build_ivf_index`'s
+    layout + :func:`pq_ann`'s codebooks/ADC) composed at rest.
+
+    Layout under ``path``:
+
+    - ``centroids``  (centroid_id, ce) — broadcast-sized quantizer
+    - ``codebooks``  (m, code_id, ce) — global PQ codebooks trained on
+      the unit-normalized corpus (non-residual IVFADC flavor, so codes
+      are exactly :func:`pq_ann`'s and full-probe results are
+      bit-identical to it)
+    - ``lists``      (vec_id, m, code_id) partitioned by centroid_id —
+      the codes-only ADC scan table
+    - ``vectors``    (vec_id, e) partitioned by centroid_id — raw
+      normalized embeddings, read only for the short-list re-rank (the
+      candidate rows carry their centroid_id, so this scan prunes to
+      the probed partitions too)
+    """
+    if dims is None or dims % m_subspaces != 0:
+        raise ValueError("dims must be known and divisible by m_subspaces")
+    cn = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("e", F.transform("e", lambda x: x / norm(F.col("e"), dims)))
+    cent = kmeans_centroids(
+        cn, n_centroids, n_iters, id_col="vec_id", vec_col="e", dims=dims,
+        train_limit=train_limit,
+    ).cache()
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    books = pq_codebooks(
+        cn, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
+        id_col="vec_id", vec_col="e", dims=dims, train_limit=train_limit,
+    ).cache()
+    books.write.mode("overwrite").parquet(f"{path}/codebooks")
+    assigned = ivf_assign(cn, F.broadcast(cent), id_col="vec_id", rank=1,
+                          dims=dims).select("vec_id", "e", "centroid_id")
+    assigned = assigned.cache()  # one assignment feeds both writes
+    assigned.select("vec_id", "e", "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/vectors")
+    codes = pq_encode(
+        assigned, books, id_col="vec_id", vec_col="e", dims=dims,
+        m_subspaces=m_subspaces,
+    ).join(assigned.select("vec_id", "centroid_id"), "vec_id")
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+    assigned.unpersist()
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    m_subspaces: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (:func:`build_ivfpq_index`):
+    coarse-assign each query to ``n_probe`` lists (broadcast quantizer),
+    ADC-scan ONLY those lists' codes (dynamic partition pruning keeps
+    unprobed partitions unread; the scan touches codes, never raw
+    embeddings), take the ``refine * k`` shortest by approximate
+    distance, then exact-cosine re-rank the short list against the
+    (equally partition-pruned) raw vectors. Output contract matches
+    :func:`pq_ann` / :func:`ivf_ann`: ``(query_id, neighbor_id, cos,
+    rk)``; with ``n_probe = n_centroids`` the result is bit-identical
+    to :func:`pq_ann` on the same training parameters."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    if m_subspaces is None:
+        m_subspaces = 1 + books.agg(F.max("m")).collect()[0][0]
+    if dims is None or dims % m_subspaces != 0:
+        raise ValueError("dims must be known and divisible by m_subspaces")
+    sub = dims // m_subspaces
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qe"),
+    ).withColumn("qe", F.transform("qe", lambda x: x / norm(F.col("qe"), dims)))
+    q_probe = ivf_assign(
+        qn, F.broadcast(cent), id_col="query_id", vec_col="qe",
+        rank=n_probe, dims=dims,
+    ).select("query_id", "qe", "centroid_id")
+    q_sub = qn.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("qe"), m * sub + 1, sub).alias("qsv"),
+                    )
+                    for m in range(m_subspaces)
+                ]
+            )
+        ).alias("b"),
+    ).select("query_id", F.col("b.m").alias("m"), F.col("b.qsv").alias("qsv"))
+    lut = q_sub.join(F.broadcast(books), "m").select(
+        "query_id", "m", "code_id", l2sq(F.col("qsv"), F.col("ce"), sub).alias("d")
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    # probed codes: the centroid_id equi-join against the broadcast
+    # probe table is what DPP turns into a partition filter on `lists`
+    adist = (
+        lists.join(
+            F.broadcast(q_probe.select("query_id", "centroid_id")), "centroid_id"
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"),
+                 "centroid_id")
+        # DECIMAL sum: reproducible ADC scores across shuffle orders
+        .agg(F.sum(F.col("d").cast("decimal(28,14)")).cast("double").alias("adist"))
+    )
+    w_a = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    short = (
+        adist.withColumn("__rk", F.row_number().over(w_a))
+        .filter(F.col("__rk") <= refine * k)
+        .select("query_id", "neighbor_id", "centroid_id")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    rescored = (
+        short.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"), "e", "centroid_id"),
+            ["neighbor_id", "centroid_id"],
+        )
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cos", dot(F.col("qe"), F.col("e"), dims))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
     )
