@@ -1,0 +1,117 @@
+"""Incremental (append-batch) dedup: a new batch classified against a
+LANDED corpus's persisted fingerprints + MinHash signatures, without
+recomputing the old side. The contract is equivalence: the incremental
+decisions equal a full-corpus rerun restricted to the new ids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.functions.hashing import portable_hash64
+from xarray_dataaccessor_spark.operators.dedup import (
+    build_dedup_state,
+    incremental_dedup,
+    minhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    """Landed corpus (ids 0-49) + append batch (ids 100-119) with planted
+    duplicates: exact copies of corpus docs, near-copies (one word
+    changed), exact and near dups WITHIN the batch, and fresh docs."""
+    base = [
+        (i, f"document number {i} talks about topic {i % 7} in long "
+            f"rambling sentences with enough words to shingle properly "
+            f"plus unique tail {i * 31}")
+        for i in range(50)
+    ]
+    batch = [
+        # exact copy of corpus doc 3
+        (100, base[3][1]),
+        # near copy of corpus doc 7 (one word changed)
+        (101, base[7][1].replace("rambling", "winding")),
+        # fresh
+        (102, "completely novel content about volcanoes and tides with "
+              "plenty of additional words for shingles here today"),
+        # exact copy of batch doc 102
+        (103, "completely novel content about volcanoes and tides with "
+              "plenty of additional words for shingles here today"),
+        # near copy of batch doc 102
+        (104, "completely novel content about volcanoes and waves with "
+              "plenty of additional words for shingles here today"),
+        # fresh
+        (105, "yet another entirely different text on glaciers melting "
+              "slowly over geological ages and ice cores drilled deep"),
+    ]
+    cdf = spark.createDataFrame(base, "doc_id bigint, text string")
+    bdf = spark.createDataFrame(batch, "doc_id bigint, text string")
+    return cdf, bdf
+
+
+def test_incremental_matches_full_rerun(spark, corpus_and_batch, tmp_path):
+    cdf, bdf = corpus_and_batch
+    path = str(tmp_path / "state")
+    build_dedup_state(cdf, path, num_perm=16)
+    inc = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            spark, bdf, path, num_perm=16, rows_per_band=2, threshold=0.5
+        ).collect()
+    }
+    assert set(inc) == {100, 101, 102, 103, 104, 105}
+
+    # full rerun over corpus+batch, restricted to new ids
+    full = cdf.unionByName(bdf)
+    fp = full.select("doc_id", portable_hash64(F.col("text")).alias("fp"))
+    fa, fb = fp.alias("a"), fp.alias("b")
+    exact_of = {
+        r["id"]: r["dup_of"]
+        for r in (
+            fa.join(fb, F.col("a.fp") == F.col("b.fp"))
+            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("id"))
+            .agg(F.min("b.doc_id").alias("dup_of"))
+            .collect()
+        )
+    }
+    nd = minhash_near_duplicates(full, num_perm=16, rows_per_band=2)
+    near = {}
+    for r in nd.filter(F.col("est_jaccard") >= 0.5).collect():
+        lo, hi = sorted((r["id_a"], r["id_b"]))
+        cur = near.get(hi)
+        cand = (r["est_jaccard"], -lo)
+        if cur is None or cand > cur:
+            near[hi] = cand
+
+    for nid, row in inc.items():
+        if nid in exact_of:
+            assert row["status"] == "exact_dup", (nid, row)
+            assert row["dup_of"] == exact_of[nid]
+        elif nid in near:
+            assert row["status"] == "near_dup", (nid, row)
+            est, neg = near[nid]
+            assert row["dup_of"] == -neg and row["est_jaccard"] == est
+        else:
+            assert row["status"] == "unique", (nid, row)
+
+    # the planted structure itself
+    assert inc[100]["status"] == "exact_dup" and inc[100]["dup_of"] == 3
+    assert inc[101]["status"] == "near_dup" and inc[101]["dup_of"] == 7
+    assert inc[102]["status"] == "unique"
+    assert inc[103]["status"] == "exact_dup" and inc[103]["dup_of"] == 102
+    assert inc[104]["status"] == "near_dup" and inc[104]["dup_of"] == 102
+    assert inc[105]["status"] == "unique"
+
+
+def test_incremental_never_reads_corpus_text(spark, corpus_and_batch, tmp_path):
+    """The whole point of the state: the plan must scan only the
+    persisted fingerprint/signature parquet, never the corpus text."""
+    cdf, bdf = corpus_and_batch
+    path = str(tmp_path / "state2")
+    build_dedup_state(cdf, path, num_perm=16)
+    out = incremental_dedup(spark, bdf, path, num_perm=16)
+    files = out.inputFiles()
+    assert files, "expected file-backed state scans"
+    assert all("fingerprints" in f or "signatures" in f for f in files), files

@@ -507,3 +507,178 @@ def simhash_hamming_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _band_keys(
+    sig_df: DataFrame, num_perm: int, rows_per_band: int, id_col: str
+) -> DataFrame:
+    """Explode a signature table to its LSH band keys:
+    ``(id, band, bucket)`` — the persisted-state twin of the banding
+    inside :func:`lsh_candidate_pairs` (same ``_``-joined buckets)."""
+    n_bands = num_perm // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig_df.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _sig_agreement(num_perm: int) -> Column:
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return agree.cast("double") / F.lit(float(num_perm))
+
+
+def build_dedup_state(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 3,
+) -> None:
+    """Persist the dedup state a production corpus maintains so that a
+    daily append batch dedups against it WITHOUT recomputing the old
+    side: ``<path>/fingerprints`` (id, 60-bit exact fingerprint) and
+    ``<path>/signatures`` (id, mh0..mh{num_perm-1} MinHash signature).
+    Both are id-keyed small-per-row tables — at 100 TB they are the
+    only state the nightly dedup job reads, a few per-doc longs vs the
+    corpus text."""
+    fp = portable_hash64(F.col(text_col)).alias("fp")
+    corpus.select(F.col(id_col), fp).write.mode("overwrite").parquet(
+        f"{path}/fingerprints"
+    )
+    sh = word_shingles(corpus, text_col, id_col, k)
+    minhash_signatures(sh, num_perm, id_col).write.mode("overwrite").parquet(
+        f"{path}/signatures"
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_batch: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Append-batch dedup against a landed corpus — the operation a
+    production pipeline runs daily: classify each NEW document as
+    ``exact_dup`` (fingerprint already present in the corpus state or
+    on a smaller-id batch sibling), ``near_dup`` (shares an LSH band
+    bucket with a corpus/smaller-id-batch document and the signature
+    agreement estimates Jaccard >= ``threshold``), else ``unique`` —
+    WITHOUT touching the old corpus text (only its persisted
+    fingerprints + signatures, :func:`build_dedup_state`).
+
+    Returns ``(id, status, dup_of, est_jaccard)`` — ``dup_of`` is the
+    smallest matching id for exact dups, the best (highest-agreement,
+    then smallest-id) candidate for near dups; landed corpus documents
+    always win over batch documents (they cannot be un-landed).
+
+    Equivalence contract (pinned by test): the decisions equal a full
+    rerun of exact + MinHash dedup over corpus+batch restricted to the
+    new ids, because the batch band keys joined against (persisted ∪
+    batch) band keys produce exactly the full run's candidate pairs
+    that involve a new id.
+
+    Scale shape: the new batch is shingled/hashed once; every join is
+    an equi-join on fp or (band, bucket) in which the BATCH side is
+    small (a day's append vs the corpus) — AQE broadcasts it, so the
+    corpus-state scan never shuffles. Nothing old is recomputed."""
+    fps = spark.read.parquet(f"{state_path}/fingerprints")
+    sigs = spark.read.parquet(f"{state_path}/signatures")
+    new = spread_small_input(new_batch).select(F.col(id_col), F.col(text_col))
+
+    nfp = new.select(id_col, portable_hash64(F.col(text_col)).alias("fp")).cache()
+    prior_fp = fps.select(F.col(id_col).alias("__prior"), "fp").unionByName(
+        nfp.select(F.col(id_col).alias("__prior"), "fp")
+    )
+    # a batch doc is prior only when its id is smaller; corpus docs are
+    # prior regardless — mark batch rows to tell the two cases apart
+    batch_ids = nfp.select(F.col(id_col).alias("__prior"))
+    exact = (
+        nfp.join(prior_fp, "fp")
+        .join(
+            batch_ids.withColumn("__is_batch", F.lit(1)), "__prior", "left"
+        )
+        .filter(
+            (F.col("__is_batch").isNull()) | (F.col("__prior") < F.col(id_col))
+        )
+        .groupBy(id_col)
+        .agg(F.min("__prior").alias("__exact_of"))
+    )
+
+    nsig = minhash_signatures(
+        word_shingles(new, text_col, id_col, k), num_perm, id_col
+    ).cache()
+    prior_sig = sigs.unionByName(nsig)
+    nb = _band_keys(nsig, num_perm, rows_per_band, id_col)
+    pb = _band_keys(prior_sig, num_perm, rows_per_band, id_col).select(
+        F.col(id_col).alias("__prior"), "band", "bucket"
+    )
+    cand = (
+        nb.join(pb, ["band", "bucket"])
+        .join(batch_ids.withColumn("__is_batch", F.lit(1)), "__prior", "left")
+        .filter(
+            (F.col("__is_batch").isNull()) | (F.col("__prior") < F.col(id_col))
+        )
+        .select(id_col, "__prior")
+        .distinct()
+    )
+    a = nsig.select(
+        F.col(id_col), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)]
+    )
+    b = prior_sig.select(
+        F.col(id_col).alias("__prior"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
+    )
+    near = (
+        cand.join(a, id_col)
+        .join(b, "__prior")
+        .withColumn("__est", _sig_agreement(num_perm))
+        .filter(F.col("__est") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__est").alias("est"),
+                    (-F.col("__prior")).alias("neg_id"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            id_col,
+            F.col("__b.est").alias("__near_est"),
+            (-F.col("__b.neg_id")).alias("__near_of"),
+        )
+    )
+    return (
+        new.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce(F.col("__exact_of"), F.col("__near_of")).alias("dup_of"),
+            F.when(
+                F.col("__exact_of").isNull(), F.col("__near_est")
+            ).alias("est_jaccard"),
+        )
+    )
