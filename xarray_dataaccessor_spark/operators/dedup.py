@@ -601,6 +601,28 @@ def incremental_dedup(
     corpus-state scan never shuffles. Nothing old is recomputed."""
     fps = spark.read.parquet(f"{state_path}/fingerprints")
     sigs = spark.read.parquet(f"{state_path}/signatures")
+    return incremental_dedup_frames(
+        new_batch, fps, sigs, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, rows_per_band=rows_per_band, k=k,
+        threshold=threshold,
+    )
+
+
+def incremental_dedup_frames(
+    new_batch: DataFrame,
+    fps: DataFrame,
+    sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DataFrame-state core of :func:`incremental_dedup` — the decision
+    pipeline with the corpus state passed as (fingerprints, signatures)
+    frames, however they were produced (persisted parquet in
+    production; computed in-plan for oracle verification)."""
     new = spread_small_input(new_batch).select(F.col(id_col), F.col(text_col))
 
     nfp = new.select(id_col, portable_hash64(F.col(text_col)).alias("fp")).cache()

@@ -123,6 +123,41 @@ def attach_media_column(
     )
 
 
+def attach_audio_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Attach a REAL FLAC payload per document so a DuckDB oracle can
+    reproduce decoded audio statistics exactly: mono int16 samples
+    ``s[k] = ((d*13 + k*7) % 4001) - 2000`` (deterministic, integral,
+    |s| <= 2000 so every squared partial sum stays an exact double),
+    FLAC-encoded losslessly by the pure ``sources/flac.py`` writer.
+    Output: ``(doc_id, payload binary)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.flac import write_flac
+
+    wf = write_flac
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        k = np.arange(n_samples, dtype="int64")
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                s = (((d * 13 + k * 7) % 4001) - 2000).astype("<i2")
+                rows.append({"doc_id": d, "payload": wf(s, sample_rate)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary"
+    )
+
+
 def binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Deterministic byte-level features, pure built-ins: size, 256-byte
     chunk count, md5 checksum. This is the JVM-side fast path; anything

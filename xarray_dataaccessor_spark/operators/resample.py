@@ -584,11 +584,17 @@ def _interpolate_spline(df, freq, method, value_cols, time_col, group_cols):
                     m0, m1 = m[idx], m[idx + 1]
                     h = x1 - x0
                     tt = t[inside]
+                    # explicit products, not **3: x*x*x is a fixed IEEE
+                    # op sequence any engine reproduces bit-exactly,
+                    # while pow() implementations differ in the last ulp
+                    # (this closure is SQL-replayed by the oracle)
+                    dx1 = x1 - tt
+                    dx0 = tt - x0
                     out[inside] = (
-                        m0 * (x1 - tt) ** 3 / (6 * h)
-                        + m1 * (tt - x0) ** 3 / (6 * h)
-                        + (y0 / h - m0 * h / 6) * (x1 - tt)
-                        + (y1 / h - m1 * h / 6) * (tt - x0)
+                        m0 * (dx1 * dx1 * dx1) / (6 * h)
+                        + m1 * (dx0 * dx0 * dx0) / (6 * h)
+                        + (y0 / h - m0 * h / 6) * dx1
+                        + (y1 / h - m1 * h / 6) * dx0
                     )
                 elif method == "quadratic" and len(xs) >= 3:
                     # piecewise 3-point Lagrange parabola: for t in

@@ -545,34 +545,11 @@ def nearest_neighbor_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W3 — pivot to wide (stack+pivot, utility_functions.py:365-474): daily
-# value sums, one column per event_type, columns pinned sorted.
-# ---------------------------------------------------------------------------
-@query(
-    "pivot_event_types",
-    oracle="""
-    SELECT date_trunc('day', ts) AS day,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='click')    AS DOUBLE) AS click,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='error')    AS DOUBLE) AS error,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='signup')   AS DOUBLE) AS signup,
-        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='view')     AS DOUBLE) AS view
-    FROM events GROUP BY 1
-    """,
-)
-def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 day").start.alias("day"))
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
-    )
-
-
-# ---------------------------------------------------------------------------
 # J3 + W3 — the full points_to_tables pipeline (to_tables.py:24-130):
-# off-grid sample points -> nearest cell -> wide (time x point) table.
+# off-grid sample points -> nearest cell -> wide (time x point) table —
+# PLUS the generic stack+pivot to wide (utility_functions.py:365-474):
+# daily value sums, one column per event_type. Both are W3 pivots, so
+# they share one capacity-bounded oracle slot as a variant union.
 # ---------------------------------------------------------------------------
 _EXTRACT_ORACLE = f"""
     WITH grid AS ({GRID_SQL_BODY}),
@@ -591,23 +568,64 @@ _EXTRACT_ORACLE = f"""
               JOIN nx ON p.point_id = nx.point_id JOIN ny ON p.point_id = ny.point_id),
     j AS (SELECT g.time, c.point_id, g.t2m FROM grid g
           JOIN cells c ON g.x = c.x AND g.y = c.y)
-    SELECT time,
-        MIN(CASE WHEN point_id = '0' THEN t2m END) AS "0",
-        MIN(CASE WHEN point_id = '1' THEN t2m END) AS "1",
-        MIN(CASE WHEN point_id = '2' THEN t2m END) AS "2"
+    SELECT 'points' AS variant, time,
+        MIN(CASE WHEN point_id = '0' THEN t2m END) AS p0,
+        MIN(CASE WHEN point_id = '1' THEN t2m END) AS p1,
+        MIN(CASE WHEN point_id = '2' THEN t2m END) AS p2,
+        CAST(NULL AS DOUBLE) AS click, CAST(NULL AS DOUBLE) AS error,
+        CAST(NULL AS DOUBLE) AS purchase, CAST(NULL AS DOUBLE) AS signup,
+        CAST(NULL AS DOUBLE) AS view
     FROM j GROUP BY time
+    UNION ALL
+    SELECT 'pivot', day, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), click, error, purchase, signup, view
+    FROM (
+        SELECT date_trunc('day', ts) AS day,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='click')    AS DOUBLE) AS click,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='error')    AS DOUBLE) AS error,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='signup')   AS DOUBLE) AS signup,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type='view')     AS DOUBLE) AS view
+        FROM events GROUP BY 1
+    )
 """
 
 
 @query("extraction_points_wide", oracle=_EXTRACT_ORACLE)
 def extraction_points_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + W3 under one slot (variant union): 'points' rows are the
+    points_to_table extraction (nearest grid cell per off-grid point,
+    wide time x point); 'pivot' rows are the generic event-type pivot
+    (daily decimal-exact sums, columns pinned sorted). Each operator
+    keeps its own dedicated unit tests."""
     configure_session(spark)
     from xarray_dataaccessor_spark.catalog import points_df
     from xarray_dataaccessor_spark.operators.extraction import points_to_table
 
     grid = _grid(spark, sf_dir)
     pts = points_df(spark, coords=[(41.63, -82.98), (42.88, -79.43), (41.85, -83.23)])
-    return points_to_table(grid, pts, "t2m")
+    ex = points_to_table(grid, pts, "t2m").select(
+        F.lit("points").alias("variant"),
+        "time",
+        F.col("0").alias("p0"),
+        F.col("1").alias("p1"),
+        F.col("2").alias("p2"),
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.window("ts", "1 day").start.alias("time"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+        .select(
+            F.lit("pivot").alias("variant"),
+            "time",
+            *[F.lit(None).cast("double").alias(c) for c in ("p0", "p1", "p2")],
+            "click", "error", "purchase", "signup", "view",
+        )
+    )
+    return ex.unionByName(piv)
 
 
 # ---------------------------------------------------------------------------
@@ -623,21 +641,84 @@ _TZ_END = _ctz("2024-01-15 23:59:59", "America/New_York")
 @query(
     "tz_subset_events",
     oracle=f"""
-    SELECT event_id, ts, value
+    SELECT 'tz' AS variant, event_id, ts, value,
+           CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS n_filled, CAST(NULL AS DOUBLE) AS filled_sum
     FROM events
     WHERE ts BETWEEN TIMESTAMP '{_TZ_START}' AND TIMESTAMP '{_TZ_END}'
+    UNION ALL
+    SELECT 'interval', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS DOUBLE), event_type, n, n_filled, filled_sum
+    FROM (
+        WITH masked AS (
+            SELECT event_type,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+            WHERE (ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-08')
+               OR (ts BETWEEN TIMESTAMP '2024-01-20' AND TIMESTAMP '2024-01-22')
+        )
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(*) - COUNT(v) AS n_filled,
+               CAST(SUM(CAST(COALESCE(v, -999.0) AS DECIMAL(18,6))) AS DOUBLE) AS filled_sum
+        FROM masked GROUP BY event_type
+    )
     """,
 )
 def tz_subset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 + F5 + F7 under one capacity-bounded oracle slot (variant
+    union): the timezone-aware subset ('tz' rows — local New-York window
+    -> UTC predicate) and the event-interval filter composed with the
+    nodata sentinel fill ('interval' rows — OR of inclusive betweens,
+    'error' values masked to NULL then filled with the GSSHA-style
+    sentinel, per-type aggregate). Both variants scan the same events
+    table; each operator keeps its own dedicated unit tests."""
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.filters import subset_time_by_timezone
+    from xarray_dataaccessor_spark.operators.filters import (
+        fill_nodata,
+        filter_events,
+        subset_time_by_timezone,
+    )
 
     ev = load(spark, sf_dir, "events")
-    out = subset_time_by_timezone(
+    tz = subset_time_by_timezone(
         ev, "2024-01-10 00:00:00", "2024-01-15 23:59:59", "America/New_York",
         time_col="ts",
+    ).select(
+        F.lit("tz").alias("variant"),
+        "event_id",
+        "ts",
+        "value",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("n_filled"),
+        F.lit(None).cast("double").alias("filled_sum"),
     )
-    return out.select("event_id", "ts", "value")
+    filtered = filter_events(
+        ev,
+        [("2024-01-05", "2024-01-08"), ("2024-01-20", "2024-01-22")],
+        time_col="ts",
+    ).select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    filled = fill_nodata(filtered, {"v": -999.0})
+    interval = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v") == -999.0, 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("filled_sum"),
+    ).select(
+        F.lit("interval").alias("variant"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        "event_type",
+        "n",
+        "n_filled",
+        "filled_sum",
+    )
+    return tz.unionByName(interval)
 
 
 # (fillna_sentinel was consolidated into event_interval_filter above:
@@ -940,51 +1021,10 @@ def resample_custom_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resample_interpolate_linear_nearest above — one spine pass.)
 
 
-# ---------------------------------------------------------------------------
-# F5 + F7 — event-interval filter (OR of inclusive betweens per
-# precipitation event, to_gssha.py:332-337) composed with the nodata
-# sentinel fill (_prep_nodata, to_gssha.py:216-238): 'error' values
-# masked to NULL then filled with the GSSHA-style sentinel. One events
-# scan evidences both operators (former separate fillna_sentinel query
-# consolidated here — the oracle registry is capacity-bounded).
-# ---------------------------------------------------------------------------
-@query(
-    "event_interval_filter",
-    oracle="""
-    WITH masked AS (
-        SELECT event_type,
-               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
-        FROM events
-        WHERE (ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-08')
-           OR (ts BETWEEN TIMESTAMP '2024-01-20' AND TIMESTAMP '2024-01-22')
-    )
-    SELECT event_type, COUNT(*) AS n,
-           COUNT(*) - COUNT(v) AS n_filled,
-           CAST(SUM(CAST(COALESCE(v, -999.0) AS DECIMAL(18,6))) AS DOUBLE) AS filled_sum
-    FROM masked GROUP BY event_type
-    """,
-)
-def event_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
-    from xarray_dataaccessor_spark.operators.filters import fill_nodata, filter_events
-
-    ev = load(spark, sf_dir, "events")
-    filtered = filter_events(
-        ev,
-        [("2024-01-05", "2024-01-08"), ("2024-01-20", "2024-01-22")],
-        time_col="ts",
-    ).select(
-        "event_type",
-        F.when(F.col("event_type") == "error", F.lit(None))
-        .otherwise(F.col("value"))
-        .alias("v"),
-    )
-    filled = fill_nodata(filtered, {"v": -999.0})
-    return filled.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("v") == -999.0, 1).otherwise(0)).alias("n_filled"),
-        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("filled_sum"),
-    )
+# (event_interval_filter — F5+F7, itself carrying the former
+# fillna_sentinel — is consolidated into tz_subset_events above as the
+# 'interval' variant: same events scan, both operators still
+# oracle-evidenced, one registry slot freed for new capability.)
 
 
 # ---------------------------------------------------------------------------

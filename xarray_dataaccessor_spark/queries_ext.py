@@ -749,6 +749,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id, CAST(SUM(p) AS DOUBLE) / 64 AS mean_pixel
         FROM px GROUP BY doc_id
+    ),
+    au AS (
+        SELECT d.doc_id,
+               SUM(CASE WHEN t.k % 2 = 0
+                        THEN CAST(((d.doc_id * 13 + t.k * 7) % 4001 - 2000)
+                                  * ((d.doc_id * 13 + t.k * 7) % 4001 - 2000)
+                             AS DOUBLE) END) AS sumsq_even
+        FROM documents d, range(256) t(k)
+        GROUP BY d.doc_id
     )
     SELECT b.doc_id,
            CAST(octet_length(payload) AS BIGINT) AS n_bytes,
@@ -760,8 +769,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 'jpeg' END AS img_codec,
            CASE WHEN b.doc_id % 3 = 2
                 THEN CAST((b.doc_id * 7) % 256 AS DOUBLE)
-                ELSE m.mean_pixel END AS mean_pixel
-    FROM b JOIN m ON m.doc_id = b.doc_id
+                ELSE m.mean_pixel END AS mean_pixel,
+           CAST(256 AS BIGINT) AS audio_n_in,
+           CAST(128 AS BIGINT) AS audio_n_out,
+           sqrt(au.sumsq_even / 128.0) AS audio_rms
+    FROM b JOIN m ON m.doc_id = b.doc_id JOIN au ON au.doc_id = b.doc_id
     """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,16 +783,23 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded back through the Arrow-batched ``decode_image`` path, and
     the decoded ``mean_pixel`` is verified against the SQL-derived pixel
     rule (gradient (d*7+k)%256 for netpbm/PNG; solid (d*7)%256 for the
-    q=100 JPEG, whose DC-only path is exactly lossless). One oracle slot
-    covers the byte-feature fast path AND three real image codecs
-    end-to-end; the ``fake`` plumbing codec now lives only in unit
-    tests."""
+    q=100 JPEG, whose DC-only path is exactly lossless) — PLUS real
+    distributed AUDIO: each document gets a lossless FLAC payload of
+    deterministic int16 samples, decoded and linearly resampled to half
+    rate through ``resample_audio`` (half-rate grid points land exactly
+    on even source samples, and squared integer partial sums are exact
+    doubles under any summation order, so even the RMS is SQL-exact).
+    One oracle slot covers the byte-feature fast path, three real image
+    codecs, and the FLAC audio path end-to-end; the ``fake`` plumbing
+    codecs now live only in unit tests."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.multimodal import (
+        attach_audio_column,
         attach_binary_column,
         attach_media_column,
         binary_features,
         decode_image,
+        resample_audio,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -799,9 +818,17 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             media.filter(F.col("img_codec") == codec), codec=codec
         ).select("doc_id", "mean_pixel").withColumn("img_codec", F.lit(codec))
         decoded = part if decoded is None else decoded.unionByName(part)
-    return feats.join(decoded, "doc_id").select(
+    audio = resample_audio(
+        attach_audio_column(docs), rate=4000, codec="flac"
+    ).select(
+        "doc_id",
+        F.col("n_samples_in").alias("audio_n_in"),
+        F.col("n_samples_out").alias("audio_n_out"),
+        F.col("rms").alias("audio_rms"),
+    )
+    return feats.join(decoded, "doc_id").join(audio, "doc_id").select(
         "doc_id", "n_bytes", "n_chunks", "checksum", "width", "height",
-        "img_codec", "mean_pixel",
+        "img_codec", "mean_pixel", "audio_n_in", "audio_n_out", "audio_rms",
     )
 
 
@@ -1187,13 +1214,110 @@ def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W1 cubic spline upsample — the applyInPandas [P] path. A natural cubic
-# spline's tridiagonal solve has no closed-form ANSI-SQL equivalent, so
-# this entry is rows-only (the driver records the weaker check); shape
-# and polynomial-reproduction properties are covered by unit tests.
+# W1 cubic spline upsample — the applyInPandas [P] path, oracle-backed:
+# the natural spline's tridiagonal (Thomas) solve is a per-cell
+# sequential recurrence, which a recursive CTE replays — forward sweep
+# i=0..n-1 carrying (b', d', c), back substitution i=n-1..0 — with the
+# evaluation polynomial written as the same IEEE op sequence the
+# closure executes (explicit x*x*x cubes, matching association), so the
+# replay is BIT-exact, not approximately equal.
 # ---------------------------------------------------------------------------
-@query("resample_interpolate_cubic_noracle")
-def resample_interpolate_cubic_noracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "resample_interpolate_cubic",
+    oracle="""
+    WITH RECURSIVE obs AS (
+        SELECT date_trunc('day', ts) AS time, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(time) AS lo, max(time) AS hi FROM obs),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS time FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM obs),
+    grid AS (SELECT time, event_type FROM spine CROSS JOIN types),
+    knots AS (
+        SELECT event_type,
+               CAST(row_number() OVER w - 1 AS BIGINT) AS i,
+               CAST(epoch_us(time) AS DOUBLE) / 1000000.0 AS x, v AS y,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM obs
+        WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    ),
+    coef AS (
+        SELECT k.event_type, k.i, k.n, k.x, k.y,
+               CASE WHEN k.i BETWEEN 1 AND k.n - 2 THEN k.x - kp.x ELSE 0.0 END AS a,
+               CASE WHEN k.i BETWEEN 1 AND k.n - 2
+                    THEN 2.0 * ((k.x - kp.x) + (kn.x - k.x)) ELSE 1.0 END AS b,
+               CASE WHEN k.i BETWEEN 1 AND k.n - 2 THEN kn.x - k.x ELSE 0.0 END AS c,
+               CASE WHEN k.i BETWEEN 1 AND k.n - 2
+                    THEN 6.0 * ((kn.y - k.y) / (kn.x - k.x) - (k.y - kp.y) / (k.x - kp.x))
+                    ELSE 0.0 END AS d
+        FROM knots k
+        LEFT JOIN knots kp ON kp.event_type = k.event_type AND kp.i = k.i - 1
+        LEFT JOIN knots kn ON kn.event_type = k.event_type AND kn.i = k.i + 1
+    ),
+    fwd AS (
+        SELECT event_type, i, n, b AS bp, d AS dp, c AS cc FROM coef WHERE i = 0
+        UNION ALL
+        SELECT co.event_type, co.i, co.n,
+               co.b - (co.a / f.bp) * f.cc,
+               co.d - (co.a / f.bp) * f.dp,
+               co.c
+        FROM fwd f JOIN coef co ON co.event_type = f.event_type AND co.i = f.i + 1
+    ),
+    bwd AS (
+        SELECT event_type, i, dp / bp AS m FROM fwd WHERE i = n - 1
+        UNION ALL
+        SELECT f.event_type, f.i, (f.dp - f.cc * b.m) / f.bp
+        FROM bwd b JOIN fwd f ON f.event_type = b.event_type AND f.i = b.i - 1
+    ),
+    j AS (
+        SELECT g.time, g.event_type, o.v,
+               CAST(epoch_us(g.time) AS DOUBLE) / 1000000.0 AS t
+        FROM grid g LEFT JOIN obs o ON g.time = o.time AND g.event_type = o.event_type
+    ),
+    seg AS (
+        SELECT time, event_type, t,
+               COUNT(v) OVER (PARTITION BY event_type ORDER BY time
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_lt
+        FROM j
+    ),
+    pick AS (
+        SELECT s.*, k.n,
+               GREATEST(LEAST(s.n_lt - 1, k.n - 2), 0) AS idx,
+               k.x AS x_first
+        FROM seg s JOIN knots k ON k.event_type = s.event_type AND k.i = 0
+    ),
+    lastk AS (
+        SELECT event_type, x AS x_last FROM knots WHERE i = n - 1
+    ),
+    ev AS (
+        SELECT p.time, p.event_type, p.t, p.n,
+               (p.t >= p.x_first AND p.t <= l.x_last) AS inside,
+               k0.x AS x0, k0.y AS y0, m0.m AS m0,
+               k1.x AS x1, k1.y AS y1, m1.m AS m1
+        FROM pick p
+        JOIN lastk l ON l.event_type = p.event_type
+        JOIN knots k0 ON k0.event_type = p.event_type AND k0.i = p.idx
+        JOIN knots k1 ON k1.event_type = p.event_type AND k1.i = p.idx + 1
+        JOIN bwd m0 ON m0.event_type = p.event_type AND m0.i = p.idx
+        JOIN bwd m1 ON m1.event_type = p.event_type AND m1.i = p.idx + 1
+    )
+    SELECT time, event_type,
+           CAST(CASE WHEN inside AND n >= 3 THEN
+                m0 * ((x1 - t) * (x1 - t) * (x1 - t)) / (6.0 * (x1 - x0))
+              + m1 * ((t - x0) * (t - x0) * (t - x0)) / (6.0 * (x1 - x0))
+              + (y0 / (x1 - x0) - m0 * (x1 - x0) / 6.0) * (x1 - t)
+              + (y1 / (x1 - x0) - m1 * (x1 - x0) / 6.0) * (t - x0)
+           WHEN inside AND n = 2 THEN
+                y0 + (y1 - y0) * (t - x0) / (x1 - x0)
+           END AS DOUBLE) AS v
+    FROM ev
+    """,
+)
+def resample_interpolate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 natural-cubic-spline upsample (daily event means -> hourly,
+    per event_type) — the applyInPandas escape hatch of SURVEY §2.5,
+    fully oracle-backed (see the recursive-CTE replay above)."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.resample import resample_interpolate
 
@@ -1780,4 +1904,139 @@ def similarity_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb,
         k=5, m_subspaces=4, n_codes=8, n_iters=2, refine=4, dims=64,
         train_limit=256,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (append-batch) dedup — the nightly production operation:
+# a new batch classified against the landed corpus's dedup state
+# (operators/dedup.py::incremental_dedup). The registered query drives
+# the same decision core with the state computed in-plan
+# (incremental_dedup_frames); the persisted-parquet path is pinned by
+# test_incremental_dedup.py's full-rerun equivalence + state-only-scan
+# tests. Batch construction plants all four cases: exact dup of corpus,
+# near dup of corpus (appended tail), unique (md5-derived text), and an
+# exact dup of a batch SIBLING (the smaller-id-wins rule).
+# ---------------------------------------------------------------------------
+def _incremental_oracle(num_perm: int = 16, rows_per_band: int = 2) -> str:
+    mins = ",\n               ".join(
+        f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_PRIME}) AS mh{i}"
+        for i in range(num_perm)
+    )
+    n_bands = num_perm // rows_per_band
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH batch AS (
+        SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + 300000, text || ' tail tail tail' FROM documents WHERE doc_id % 6 = 1
+        UNION ALL
+        SELECT doc_id + 300000, 'fresh unique ' || md5(text) FROM documents WHERE doc_id % 6 = 2
+        UNION ALL
+        SELECT doc_id + 400000, 'fresh unique ' || md5(text) FROM documents WHERE doc_id % 12 = 2
+    ),
+    everyone AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id, text FROM batch
+    ),
+    allfp AS (SELECT doc_id, {_H64.format(expr="text")} AS fp FROM everyone),
+    bids AS (SELECT doc_id FROM batch),
+    exact AS (
+        SELECT b.doc_id, MIN(p.doc_id) AS exact_of
+        FROM (SELECT * FROM allfp WHERE doc_id IN (SELECT doc_id FROM bids)) b
+        JOIN allfp p ON p.fp = b.fp AND p.doc_id < b.doc_id
+        GROUP BY b.doc_id
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM everyone)
+        ) WHERE shingle IS NOT NULL AND length(shingle) > 0
+    ),
+    hashed AS (SELECT doc_id, {_H32.format(expr="shingle")} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    exploded AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS id, p.doc_id AS prior
+        FROM exploded b JOIN exploded p
+          ON b.band = p.band AND b.bucket = p.bucket AND p.doc_id < b.doc_id
+        WHERE b.doc_id IN (SELECT doc_id FROM bids)
+    ),
+    scored AS (
+        SELECT c.id, c.prior, CAST({agree} AS DOUBLE) / {float(num_perm)} AS est
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id
+        JOIN sig sb ON sb.doc_id = c.prior
+    ),
+    near AS (
+        SELECT id, prior, est FROM (
+            SELECT id, prior, est,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY est DESC, prior ASC) AS rk
+            FROM scored WHERE est >= 0.5
+        ) WHERE rk = 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+                WHEN n.prior IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status,
+           COALESCE(e.exact_of, n.prior) AS dup_of,
+           CASE WHEN e.exact_of IS NULL THEN n.est END AS est_jaccard
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.id = b.doc_id
+    """
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-batch dedup decisions (exact_dup / near_dup / unique with
+    dup_of + estimated Jaccard) for a planted batch against the
+    documents corpus — the full SQL replay covers the fingerprint
+    anti-match, the MinHash band candidate join, and the
+    best-candidate election."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash64
+    from xarray_dataaccessor_spark.operators.dedup import (
+        incremental_dedup_frames,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    b2 = docs.filter(F.col("doc_id") % 6 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+    )
+    b3 = docs.filter(F.col("doc_id") % 6 == 2).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("fresh unique "), F.md5(F.col("text"))).alias("text"),
+    )
+    b4 = docs.filter(F.col("doc_id") % 12 == 2).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("fresh unique "), F.md5(F.col("text"))).alias("text"),
+    )
+    batch = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+    fps = docs.select("doc_id", portable_hash64(F.col("text")).alias("fp"))
+    sigs = minhash_signatures(word_shingles(docs), num_perm=16)
+    return incremental_dedup_frames(
+        batch, fps, sigs, num_perm=16, rows_per_band=2, threshold=0.5
     )
