@@ -7,11 +7,12 @@ and tested, and the codec step is REAL for the formats that parse purely:
 WAV/RIFF PCM+float audio, netpbm and uncompressed BMP images, PNG
 (zlib + spec filters incl. Adam7), GIF, Y4M video
 (``sources/media.py``), JPEG — baseline SOF0/1 AND progressive SOF2
-(``sources/jpeg.py``) — and FLAC lossless audio (``sources/flac.py``).
+(``sources/jpeg.py``) — WebP lossless / VP8L (``sources/webp.py``), and
+FLAC lossless audio (``sources/flac.py``).
 The ``codec="fake"`` default keeps plumbing tests fixture-free; passing
 ``codec="pil"`` / ``"soundfile"`` / ``"ffmpeg"`` raises
 NotImplementedError at the exact point a remaining compressed-format
-library (WebP/MP3/H.264) would plug in.
+library (lossy WebP/MP3/H.264) would plug in.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from pyspark.sql import functions as F
 
 from xarray_dataaccessor_spark.sources.flac import parse_flac
 from xarray_dataaccessor_spark.sources.jpeg import parse_jpeg
+from xarray_dataaccessor_spark.sources.webp import parse_webp
 from xarray_dataaccessor_spark.sources.media import (
     parse_bmp,
     parse_gif,
@@ -44,8 +46,10 @@ def _ship_by_value() -> None:
         from xarray_dataaccessor_spark.sources import flac as _flac
         from xarray_dataaccessor_spark.sources import jpeg as _jpeg
         from xarray_dataaccessor_spark.sources import media as _media
+        from xarray_dataaccessor_spark.sources import webp as _webp
 
         _cp.register_pickle_by_value(_media)
+        _cp.register_pickle_by_value(_webp)
         _cp.register_pickle_by_value(_jpeg)
         _cp.register_pickle_by_value(_flac)
         _cp.register_pickle_by_value(_mm)
@@ -219,6 +223,11 @@ def _decode_raw(raw: bytes, codec: str):
         return img
     if codec == "gif":
         return parse_gif(raw)[1][0].astype("float64")  # first frame
+    if codec == "webp":
+        img = parse_webp(raw).astype("float64")
+        if img.ndim == 3 and img.shape[2] == 4:  # drop alpha
+            img = img[:, :, :3]
+        return img
     return np.resize(np.frombuffer(raw, dtype=np.uint8), (32, 32)).astype(
         "float64"
     )
@@ -276,11 +285,11 @@ def decode_image(
     the same real array math for every codec — area-mean pooling to
     ``out_size``. ``codec="pil"`` marks where a general compressed-
     format library (WebP/AVIF/progressive JPEG) would plug in."""
-    if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg"):
+    if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg", "webp"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
-            "'netpbm'/'bmp'/'png'/'gif'/'jpeg' decode purely, 'fake' "
-            "exercises the plumbing"
+            "'netpbm'/'bmp'/'png'/'gif'/'jpeg'/'webp' decode purely, "
+            "'fake' exercises the plumbing"
         )
     _ship_by_value()
     oh, ow = out_size
@@ -573,11 +582,11 @@ def image_channel_stats(
     ``(doc_id, height, width, n_channels, channel_means array<double>,
     channel_stds array<double>)``; grayscale inputs report one channel.
     Same codec dispatch and Arrow batch shape as the other decoders."""
-    if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg"):
+    if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg", "webp"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
-            "'netpbm'/'bmp'/'png'/'gif'/'jpeg' decode purely, 'fake' "
-            "exercises the plumbing"
+            "'netpbm'/'bmp'/'png'/'gif'/'jpeg'/'webp' decode purely, "
+            "'fake' exercises the plumbing"
         )
     _ship_by_value()
     dec = _decode_raw
