@@ -793,6 +793,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs, and the FLAC audio path end-to-end; the ``fake`` plumbing
     codecs now live only in unit tests."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.dedup import spread_small_input
     from xarray_dataaccessor_spark.operators.multimodal import (
         attach_audio_column,
         attach_binary_column,
@@ -802,7 +803,11 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_audio,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the per-doc pure-Python codec work (encode + decode) is CPU-bound:
+    # spread a single-file input to session parallelism (no-op at scale)
+    docs = spread_small_input(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     feats = binary_features(attach_binary_column(docs)).select(
         "doc_id",
         "n_bytes",
