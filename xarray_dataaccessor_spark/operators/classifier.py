@@ -1,0 +1,207 @@
+"""In-engine trained quality classifier (DCLM/fastText-style distill).
+
+The modern pretraining-data recipe (DCLM, FineWeb-Edu) filters with a
+LEARNED quality classifier rather than hand rules: train a cheap linear
+model on weak labels, score the whole corpus, keep the top slice. This
+module implements that loop entirely inside Spark — no external model
+artifact, no driver-side training, no sklearn:
+
+- :func:`hashed_text_features` — hashed bag-of-words features (the
+  fastText trick: portable 32-bit hash of each word modulo ``B``
+  buckets, count-normalized per document) plus a bias feature, as a
+  long-form ``(id, bucket, x)`` frame. One explode + one two-level
+  aggregation; at 100 TB this is the same shape as the shingle
+  pipeline, shuffled on (id, bucket) then id.
+- :func:`train_logreg` — full-batch logistic-regression gradient
+  descent for a FIXED number of epochs, built as a single lazy plan
+  (each epoch: broadcast the bucket-sized weight frame into a score
+  join, one per-doc aggregation, one per-bucket gradient aggregation —
+  the same nested-plan discipline as ``kmeans_centroids``; nothing is
+  collected and no job fires at plan-build time).
+- :func:`score_logreg` — inference as a broadcast join + per-doc
+  fold; output is a 6-decimal-rounded sigmoid score and a >= 0.5 keep
+  flag.
+
+Engine-portability discipline (the whole pipeline replays in DuckDB
+under the driver's hash-exact oracle): epoch 0 starts from zero
+weights, so its sigmoid is exactly 0.5 with no libm involvement; every
+per-doc / per-bucket float sum goes through DECIMAL(28,14) casts so
+shuffle order cannot flip a low bit; the only transcendental (exp in
+the sigmoid) is rounded to 6 decimals immediately, the same 1e-9-flip-
+margin treatment as the bigram-LM fluency score. Weight updates are
+pure IEEE +/-/* on deterministic inputs, so the learned weights are
+bit-identical across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+#: decimal type used for order-independent float accumulation
+_DEC = "decimal(28,14)"
+
+
+def hashed_text_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, bucket, x): count-normalized hashed unigram features plus a
+    constant bias feature at bucket -1. ``x = count(words in bucket) /
+    n_words`` — an int/int division, identical in any engine."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = (
+        df.select(F.col(id_col), F.explode(words).alias("w"))
+        .filter(F.length("w") > 0)
+        .select(
+            id_col,
+            F.pmod(portable_hash32(F.col("w")), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    per_bucket = base.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_bucket.groupBy(id_col).agg(F.sum("c").alias("n"))
+    feats = per_bucket.join(per_doc, id_col).select(
+        id_col,
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("c") / F.col("n").cast("double")).alias("x"),
+    )
+    bias = per_doc.select(
+        id_col, F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("x")
+    )
+    return feats.unionByName(bias)
+
+
+def _scores(feats: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc linear score: decimal-summed broadcast join; docs whose
+    buckets all miss the weight table score 0 (cold start)."""
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).cast(_DEC)
+            )
+            .cast("double")
+            .alias("__s")
+        )
+    )
+
+
+def _sigmoid6(s):
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6)
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    epochs: int = 2,
+    lr: float = 4.0,
+) -> DataFrame:
+    """Weights frame ``(bucket, w)`` after ``epochs`` of full-batch
+    gradient descent (bias at bucket -1). Entirely lazy; epoch 0's
+    gradient uses the exact sigmoid(0) = 0.5, so only epochs >= 1
+    touch exp (rounded to 6 decimals)."""
+    y = labels.select(id_col, F.col(label_col).cast("double").alias("__y"))
+    n_docs = y.agg(F.count(F.lit(1)).alias("__n"))
+
+    def grad_step(weights: DataFrame | None) -> DataFrame:
+        if weights is None:
+            err = y.select(id_col, (F.lit(0.5) - F.col("__y")).alias("__e"))
+        else:
+            err = (
+                _scores(feats, weights, id_col)
+                .join(y, id_col)
+                .select(
+                    id_col, (_sigmoid6(F.col("__s")) - F.col("__y")).alias("__e")
+                )
+            )
+        grad = (
+            feats.join(err, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum((F.col("__e") * F.col("x")).cast(_DEC))
+                .cast("double")
+                .alias("__g")
+            )
+            .join(F.broadcast(n_docs))
+            .select(
+                "bucket", (F.col("__g") / F.col("__n").cast("double")).alias("__g")
+            )
+        )
+        if weights is None:
+            return grad.select(
+                "bucket", (-F.lit(lr) * F.col("__g")).alias("w")
+            )
+        return (
+            weights.join(grad, "bucket", "outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("w"), F.lit(0.0))
+                    - F.lit(lr) * F.coalesce(F.col("__g"), F.lit(0.0))
+                ).alias("w"),
+            )
+        )
+
+    w = None
+    for i in range(max(1, epochs)):
+        w = grad_step(w)
+        if i < epochs - 1:
+            # weights are bucket-sized; caching each epoch keeps the
+            # nested plan linear in epochs instead of exponential
+            w = w.cache()
+    return w
+
+
+def score_logreg(
+    feats: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id, clf_score, clf_keep): rounded sigmoid of the linear score
+    and the threshold verdict."""
+    return _scores(feats, weights, id_col).select(
+        id_col,
+        _sigmoid6(F.col("__s")).alias("clf_score"),
+        (_sigmoid6(F.col("__s")) >= F.lit(threshold)).alias("clf_keep"),
+    )
+
+
+def distill_quality_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    n_buckets: int = 64,
+    epochs: int = 2,
+    lr: float = 4.0,
+    extra_features: DataFrame | None = None,
+) -> DataFrame:
+    """The DCLM loop in one call: hash features (optionally augmented
+    with caller-supplied ``(id, bucket, x)`` rows — e.g. the teacher's
+    own quality signals at negative bucket ids, the standard
+    distillation setup), train on the weak labels, score every
+    document. The feature frame feeds training (twice per epoch) and
+    inference, so it is cached — it is (docs x <= B+extras) rows of
+    three narrow columns, orders of magnitude smaller than the corpus
+    text."""
+    feats = hashed_text_features(docs, text_col, id_col, n_buckets)
+    if extra_features is not None:
+        feats = feats.unionByName(
+            extra_features.select(
+                F.col(id_col),
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("x").cast("double").alias("x"),
+            )
+        )
+    feats = feats.cache()
+    w = train_logreg(feats, labels, id_col, label_col, epochs, lr)
+    return score_logreg(feats, w, id_col)

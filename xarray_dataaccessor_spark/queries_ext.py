@@ -1506,39 +1506,109 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN lm_big USING (w1, w2)
         JOIN lm_uni ON lm_uni.wd = lm_occ.w1, lm_v
         GROUP BY doc_id
+    ),
+    base AS (
+        SELECT uni.doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               top_word_n / CAST(n_words AS DOUBLE) AS top_word_frac,
+               CASE WHEN n_bigrams IS NOT NULL AND n_bigrams > 0
+                    THEN top_bigram_n / CAST(n_bigrams AS DOUBLE) ELSE 0.0
+               END AS top_bigram_frac,
+               n_unique / CAST(n_words AS DOUBLE) AS unique_word_frac,
+               sum_word_len / CAST(n_words AS DOUBLE) AS mean_word_len,
+               (n_words >= 50
+                AND top_word_n / CAST(n_words AS DOUBLE) <= 0.30
+                AND (CASE WHEN n_bigrams IS NOT NULL AND n_bigrams > 0
+                          THEN top_bigram_n / CAST(n_bigrams AS DOUBLE) ELSE 0.0
+                     END) <= 0.18
+                AND n_unique / CAST(n_words AS DOUBLE) >= 0.30
+                AND sum_word_len / CAST(n_words AS DOUBLE) >= 2.0
+                AND sum_word_len / CAST(n_words AS DOUBLE) <= 12.0) AS keep,
+               CAST(COALESCE(lm_doc.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
+               lm_doc.lm_neg_log2p AS lm_neg_log2p
+        FROM uni
+        LEFT JOIN bi ON uni.doc_id = bi.doc_id
+        LEFT JOIN lm_doc ON uni.doc_id = lm_doc.doc_id
+    ),
+    yl AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y FROM base),
+    fb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(wd), 1, 8))::BIGINT % 64 AS INT) AS bucket
+        FROM (SELECT doc_id, unnest(ws) AS wd FROM w) WHERE length(wd) > 0
+    ),
+    fcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY doc_id, bucket),
+    fn AS (SELECT doc_id, SUM(c) AS n FROM fcnt GROUP BY doc_id),
+    feat AS (
+        SELECT fcnt.doc_id, bucket, c / CAST(n AS DOUBLE) AS x
+        FROM fcnt JOIN fn ON fcnt.doc_id = fn.doc_id
+        UNION ALL
+        SELECT doc_id, -1, 1.0 FROM fn
+        UNION ALL
+        SELECT doc_id, -2, top_word_frac FROM base
+        UNION ALL
+        SELECT doc_id, -3, unique_word_frac FROM base
+        UNION ALL
+        SELECT doc_id, -4, mean_word_len / 12.0 FROM base
+        UNION ALL
+        SELECT doc_id, -5, CAST(LEAST(n_words, 500) AS DOUBLE) / 500.0 FROM base
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM yl),
+    g1 AS (
+        SELECT bucket,
+               CAST(SUM(CAST((0.5 - y) * x AS DECIMAL(28,14))) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS g
+        FROM feat JOIN yl USING (doc_id), nd GROUP BY bucket, n
+    ),
+    w1 AS (SELECT bucket, -4.0 * g AS w FROM g1),
+    s2 AS (
+        SELECT f.doc_id,
+               CAST(SUM(CAST(COALESCE(w1.w, 0.0) * f.x AS DECIMAL(28,14))) AS DOUBLE) AS s
+        FROM feat f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id
+    ),
+    p2 AS (SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 6) AS p FROM s2),
+    g2 AS (
+        SELECT bucket,
+               CAST(SUM(CAST((p - y) * x AS DECIMAL(28,14))) AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS g
+        FROM feat JOIN p2 USING (doc_id) JOIN yl USING (doc_id), nd
+        GROUP BY bucket, n
+    ),
+    w2 AS (
+        SELECT COALESCE(w1.bucket, g2.bucket) AS bucket,
+               COALESCE(w1.w, 0.0) - 4.0 * COALESCE(g2.g, 0.0) AS w
+        FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket
+    ),
+    s3 AS (
+        SELECT f.doc_id,
+               CAST(SUM(CAST(COALESCE(w2.w, 0.0) * f.x AS DECIMAL(28,14))) AS DOUBLE) AS s
+        FROM feat f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id
+    ),
+    clf AS (
+        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 6) AS clf_score,
+               ROUND(1.0 / (1.0 + exp(-s)), 6) >= 0.5 AS clf_keep
+        FROM s3
     )
-    SELECT uni.doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           top_word_n / CAST(n_words AS DOUBLE) AS top_word_frac,
-           CASE WHEN n_bigrams IS NOT NULL AND n_bigrams > 0
-                THEN top_bigram_n / CAST(n_bigrams AS DOUBLE) ELSE 0.0
-           END AS top_bigram_frac,
-           n_unique / CAST(n_words AS DOUBLE) AS unique_word_frac,
-           sum_word_len / CAST(n_words AS DOUBLE) AS mean_word_len,
-           (n_words >= 50
-            AND top_word_n / CAST(n_words AS DOUBLE) <= 0.30
-            AND (CASE WHEN n_bigrams IS NOT NULL AND n_bigrams > 0
-                      THEN top_bigram_n / CAST(n_bigrams AS DOUBLE) ELSE 0.0
-                 END) <= 0.18
-            AND n_unique / CAST(n_words AS DOUBLE) >= 0.30
-            AND sum_word_len / CAST(n_words AS DOUBLE) >= 2.0
-            AND sum_word_len / CAST(n_words AS DOUBLE) <= 12.0) AS keep,
-           CAST(COALESCE(lm_doc.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
-           lm_doc.lm_neg_log2p AS lm_neg_log2p
-    FROM uni
-    LEFT JOIN bi ON uni.doc_id = bi.doc_id
-    LEFT JOIN lm_doc ON uni.doc_id = lm_doc.doc_id
+    SELECT base.*, clf.clf_score, clf.clf_keep
+    FROM base JOIN clf ON base.doc_id = clf.doc_id
     """,
 )
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality gate (Rae et al. 2021 app. A) —
     top-word fraction, top-bigram fraction, unique-word fraction, mean
     word length, composite keep verdict — PLUS the CCNet-style bigram
-    language-model fluency score (``operators.text.bigram_lm_scores``:
-    corpus-trained add-one bigram model, mean -log2 p per document,
-    6-decimal per-term rounding for engine portability). One oracle slot
-    covers both quality-scoring families."""
+    language-model fluency score (``operators.text.bigram_lm_scores``)
+    — PLUS the DCLM-style DISTILLED quality classifier
+    (``operators.classifier``): a hashed-bag-of-words logistic
+    regression trained IN-PLAN for two full-batch epochs on the gopher
+    verdict as weak labels, then scoring every document. The oracle
+    replays the entire training loop (epoch-0 sigmoid is exactly 0.5;
+    decimal-cast accumulations; 6-decimal-rounded sigmoids), so the
+    learned weights and scores hash-match across engines. One oracle
+    slot covers all three quality-scoring families."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.classifier import (
+        distill_quality_classifier,
+    )
     from xarray_dataaccessor_spark.operators.text import (
         bigram_lm_scores,
         gopher_repetition_signals,
@@ -1547,9 +1617,33 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     gopher = gopher_repetition_signals(docs)
     lm = bigram_lm_scores(docs)
-    return gopher.join(lm, "doc_id", "left").withColumn(
+    # base feeds the output, the weak labels AND the teacher features:
+    # cache the doc-sized signal table instead of recomputing the
+    # gopher+lm pipeline three times
+    base = gopher.join(lm, "doc_id", "left").withColumn(
         "lm_bigrams", F.coalesce(F.col("lm_bigrams"), F.lit(0)).cast("bigint")
+    ).cache()
+    labels = base.select("doc_id", F.col("keep").cast("double").alias("y"))
+    sig = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(-2).cast("int").alias("bucket"),
+                         F.col("top_word_frac").alias("x")),
+                F.struct(F.lit(-3).cast("int").alias("bucket"),
+                         F.col("unique_word_frac").alias("x")),
+                F.struct(F.lit(-4).cast("int").alias("bucket"),
+                         (F.col("mean_word_len") / F.lit(12.0)).alias("x")),
+                F.struct(F.lit(-5).cast("int").alias("bucket"),
+                         (F.least(F.col("n_words"), F.lit(500)).cast("double")
+                          / F.lit(500.0)).alias("x")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bucket", "b.x")
+    clf = distill_quality_classifier(
+        docs, labels, n_buckets=64, epochs=2, lr=4.0, extra_features=sig
     )
+    return base.join(clf, "doc_id")
 
 
 @query(
