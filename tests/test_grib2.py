@@ -254,3 +254,38 @@ def test_complex_packing_corrupt_rejected(tmp_path):
     bmm[s5 + 22] = 1  # primary missing-value management
     with pytest.raises(NotImplementedError, match="missing-value"):
         parse_grib2(bytes(bmm))
+
+
+def test_corruption_fuzz_terminates_with_errors(tmp_path):
+    """Seeded bit-flip sweep over all three packings: every corrupt
+    stream must raise a bounded error promptly — no hangs, no
+    dimension-sized allocations from flipped count fields (the ni/nj
+    and npoints caps fire BEFORE any linspace/zeros)."""
+    import random
+    import struct as _struct
+    import time
+    import warnings
+
+    rng = np.random.RandomState(5)
+    data = np.cumsum(rng.randint(-3, 4, size=54)).reshape(6, 9).astype("f8")
+    lats = 50.0 - 0.5 * np.arange(6)
+    lons = np.arange(9) * 0.5
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for packing in ("simple", "complex", "complex_diff"):
+            p = str(tmp_path / f"{packing}.grib2")
+            write_grib2(p, [{"ref_time": T0, "lats": lats, "lons": lons,
+                             "data": data, "packing": packing}])
+            base = open(p, "rb").read()
+            random.seed(1)
+            t0 = time.time()
+            for _ in range(400):
+                b = bytearray(base)
+                for _f in range(random.randint(1, 6)):
+                    b[random.randrange(len(b))] = random.randrange(256)
+                try:
+                    parse_grib2(bytes(b))
+                except (ValueError, NotImplementedError, IndexError,
+                        _struct.error, OverflowError, KeyError):
+                    pass
+            assert time.time() - t0 < 30, f"{packing} fuzz too slow"

@@ -118,3 +118,29 @@ def test_distributed_decode_image_webp(spark):
         luma = (img @ np.array([0.299, 0.587, 0.114])).mean()
         assert out[d]["mean_pixel"] == pytest.approx(luma)
         assert len(out[d]["pixels"]) == 64
+
+
+def test_corruption_fuzz_terminates_with_errors():
+    """Seeded bit-flip sweep: corrupt VP8L streams raise bounded errors
+    promptly (prefix-code walks, repeat runs, backrefs and the pixel
+    cap all bounded); crafted 14-bit dimensions beyond max_pixels are
+    rejected before allocation."""
+    import random
+    import struct as _struct
+    import time
+
+    base = write_webp(RUNS, use_lz77=True, cache_bits=4)
+    random.seed(1)
+    t0 = time.time()
+    for _ in range(600):
+        b = bytearray(base)
+        for _f in range(random.randint(1, 6)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        try:
+            parse_webp(bytes(b))
+        except (ValueError, NotImplementedError, IndexError, _struct.error,
+                OverflowError, KeyError):
+            pass
+    assert time.time() - t0 < 30
+    with pytest.raises(ValueError, match="max_pixels"):
+        parse_webp(write_webp(np.zeros((1, 1, 3), "u1")), max_pixels=0)

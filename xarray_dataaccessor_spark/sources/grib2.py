@@ -131,6 +131,13 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
         )
     ni = _u(s3, 30, 4)  # points along a parallel (lon count)
     nj = _u(s3, 34, 4)  # points along a meridian (lat count)
+    # bound BEFORE any dimension-sized allocation (linspace/zeros):
+    # corrupt 4-byte counts would otherwise drive multi-GB numpy allocs
+    if not (0 < ni <= (1 << 24) and 0 < nj <= (1 << 24)) or ni * nj > (1 << 28):
+        raise ValueError(
+            f"GRIB2 grid {ni}x{nj} invalid or beyond the 2^28-point "
+            "sanity cap (corrupt section 3)"
+        )
     lat1 = _s_mag(s3, 46, 4) / 1e6
     lon1 = _s_mag(s3, 50, 4) / 1e6
     lat2 = _s_mag(s3, 55, 4) / 1e6
@@ -158,6 +165,11 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
 
     s5 = sec[5]
     npoints = _u(s5, 5, 4)
+    if npoints > ni * nj:
+        raise ValueError(
+            f"GRIB2 point count {npoints} exceeds the {ni}x{nj} grid "
+            "(corrupt section 5)"
+        )
     template5 = _u(s5, 9, 2)
     if template5 not in (0, 2, 3):
         raise NotImplementedError(
@@ -188,12 +200,7 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
     values = (ref_val + packed.astype("float64") * (2.0**e_scale)) / (10.0**d_scale)
 
     if bitmap is not None:
-        if ni <= 0 or nj <= 0 or ni * nj > (1 << 28):
-            raise ValueError(
-                f"GRIB2 grid {ni}x{nj} invalid or beyond the 2^28-point "
-                "sanity cap (corrupt section 3)"
-            )
-        full = np.full(ni * nj, np.nan)
+        full = np.full(ni * nj, np.nan)  # bounds checked at section 3
         full[bitmap] = values
         values = full
     elif npoints != ni * nj:

@@ -347,10 +347,12 @@ def _ct_delta(t: int, c: int) -> int:
     return (ts * cs) >> 5
 
 
-def parse_webp(data: bytes) -> np.ndarray:
+def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
     """WebP bytes -> ndarray (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when
     any alpha < 255. Lossless (VP8L) only; lossy VP8/VP8X-compressed
-    frames are detect-and-reject."""
+    frames are detect-and-reject. ``max_pixels`` (same 2^27 cap as the
+    JPEG parser) bounds the decode allocation against crafted headers —
+    the 14-bit dimension fields allow 16384^2 = 268M pixels."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos = 12
@@ -378,6 +380,10 @@ def parse_webp(data: bytes) -> np.ndarray:
     version = br.read(3)
     if version != 0:
         raise NotImplementedError(f"VP8L version {version}")
+    if max_pixels is not None and w * h > max_pixels:
+        raise ValueError(
+            f"VP8L dimensions {w}x{h} exceed max_pixels={max_pixels}"
+        )
 
     # transforms, recorded in read order then inverted in reverse
     transforms = []
