@@ -376,15 +376,23 @@ def _field_sections(f: dict) -> bytes:
     assert len(lats) == nj and len(lons) == ni
     e_scale = int(f.get("e_scale", 0))
     d_scale = int(f.get("d_scale", 0))
+    # NaN cells -> section-6 bitmap (present-points mask); only present
+    # values are packed, the reader re-expands to NaN
+    mask = ~np.isnan(data.reshape(-1))
+    has_gaps = not mask.all()
+    if has_gaps and not mask.any():
+        raise ValueError("GRIB field has no present data points")
+    data = np.where(np.isnan(data), 0.0, data)  # packed values come from mask
     scaled = data * (10.0**d_scale)
     # the wire reference value is IEEE float32: round it DOWN to f32
     # before computing offsets, or every decoded value shifts by the
     # f64->f32 rounding error of the minimum
-    ref32 = np.float32(np.nanmin(scaled))
-    if float(ref32) > float(np.nanmin(scaled)):
+    present = scaled.reshape(-1)[mask]
+    ref32 = np.float32(present.min())
+    if float(ref32) > float(present.min()):
         ref32 = np.nextafter(ref32, np.float32("-inf"), dtype=np.float32)
     ref = float(ref32)
-    ints = np.round((scaled.reshape(-1) - ref) / (2.0**e_scale)).astype("int64")
+    ints = np.round((present - ref) / (2.0**e_scale)).astype("int64")
     nbits = max(1, int(ints.max()).bit_length()) if ints.size else 1
 
     sec = _sec
@@ -424,10 +432,11 @@ def _field_sections(f: dict) -> bytes:
     s4 = sec(4, struct.pack(">HH", 0, 0) + tmpl4)
 
     packing = f.get("packing", "simple")
+    npoints = int(mask.sum())
     if packing == "simple":
         s5 = sec(
             5,
-            struct.pack(">IH", ni * nj, 0)
+            struct.pack(">IH", npoints, 0)
             + struct.pack(">f", ref)
             + smag(e_scale, 2)
             + smag(d_scale, 2)
@@ -444,12 +453,15 @@ def _field_sections(f: dict) -> bytes:
             order=int(f.get("diff_order", 2)),
             group_len=int(f.get("group_len", 20)),
         )
-        s5 = sec(5, struct.pack(">IH", ni * nj,
+        s5 = sec(5, struct.pack(">IH", npoints,
                                 3 if packing == "complex_diff" else 2) + tmpl5)
         s7 = sec(7, body7)
     else:
         raise NotImplementedError(f"write_grib2 packing {packing!r}")
-    s6 = sec(6, bytes([255]))
+    if has_gaps:
+        s6 = sec(6, bytes([0]) + np.packbits(mask).tobytes())
+    else:
+        s6 = sec(6, bytes([255]))
 
     return s3 + s4 + s5 + s6 + s7
 
