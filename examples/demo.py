@@ -267,6 +267,70 @@ def main() -> None:
     print("zstd Zarr ingest rows (pure RFC 8878 decoder):",
           zarr_to_grid(spark, zs2, "t2m").count())
 
+    # round-5 surface: WebP-lossless decode, distilled quality
+    # classifier, incremental dedup, distributed Zarr + GRIB2 sinks
+    from xarray_dataaccessor_spark.sources.webp import write_webp
+    wp = spark.createDataFrame(
+        [(0, bytearray(write_webp(np.dstack([im, im, im]), use_lz77=True)))],
+        "doc_id bigint, payload binary",
+    )
+    wrow = decode_image(wp, codec="webp").collect()[0]
+    print("WebP (VP8L) decode mean pixel:", round(wrow["mean_pixel"], 2),
+          "| source:", round(float(im.mean()), 2))
+
+    from xarray_dataaccessor_spark.operators.classifier import (
+        distill_quality_classifier,
+    )
+    from xarray_dataaccessor_spark.operators.text import (
+        gopher_repetition_signals,
+    )
+    docs_txt = docs.select("doc_id", "text")
+    gop = gopher_repetition_signals(docs_txt)
+    lbl = gop.select("doc_id", F.col("keep").cast("double").alias("y"))
+    sig = gop.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(-2).cast("int").alias("bucket"),
+                     F.col("top_word_frac").alias("x")),
+            F.struct(F.lit(-3).cast("int").alias("bucket"),
+                     F.col("unique_word_frac").alias("x")),
+        )).alias("b"),
+    ).select("doc_id", "b.bucket", "b.x")
+    clf = distill_quality_classifier(docs_txt, lbl, n_buckets=32,
+                                     extra_features=sig)
+    agree = clf.join(lbl, "doc_id").select(
+        F.avg((F.col("clf_keep").cast("double") == F.col("y")).cast("double"))
+    ).first()[0]
+    print(f"distilled quality classifier vs gopher verdict: {agree:.2f} agreement")
+
+    from xarray_dataaccessor_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+    state = tempfile.mkdtemp(prefix="xda_dedup_")
+    build_dedup_state(docs_txt, state)
+    batch = docs_txt.limit(20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    inc = incremental_dedup(spark, batch, state)
+    counts = {r["status"]: r["count"]
+              for r in inc.groupBy("status").count().collect()}
+    print("incremental dedup of a re-appended batch:", counts)
+
+    from xarray_dataaccessor_spark.sinks.grib2_sink import grid_to_grib2
+    from xarray_dataaccessor_spark.sinks.zarr_sink import grid_to_zarr
+    from xarray_dataaccessor_spark.sources.ingest import grib_glob_to_grid
+    small = zarr_to_grid(spark, zs2, "t2m")
+    zout = tempfile.mkdtemp(prefix="xda_zsink_") + "/store"
+    print("distributed Zarr sink:",
+          grid_to_zarr(small, zout, "t2m", chunks=(8, 5, 9)))
+    gout = tempfile.mkdtemp(prefix="xda_gsink_") + "/gribs"
+    print("distributed GRIB2 sink:",
+          grid_to_grib2(small, gout, "t2m", packing="complex_diff",
+                        e_scale=-6))
+    print("GRIB glob re-ingest rows:",
+          grib_glob_to_grid(spark, gout + "/*.grib2", "t2m").count())
+
 
 if __name__ == "__main__":
     main()
