@@ -1533,7 +1533,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     yl AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y FROM base),
     fb AS (
         SELECT doc_id,
-               CAST(('0x' || substr(md5(wd), 1, 8))::BIGINT % 64 AS INT) AS bucket
+               CAST(('0x' || substr(md5(wd), 1, 8))::BIGINT % 32 AS INT) AS bucket
         FROM (SELECT doc_id, unnest(ws) AS wd FROM w) WHERE length(wd) > 0
     ),
     fcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY doc_id, bucket),
@@ -1641,7 +1641,7 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.bucket", "b.x")
     clf = distill_quality_classifier(
-        docs, labels, n_buckets=64, epochs=2, lr=4.0, extra_features=sig
+        docs, labels, n_buckets=32, epochs=2, lr=4.0, extra_features=sig
     )
     return base.join(clf, "doc_id")
 
