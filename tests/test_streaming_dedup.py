@@ -103,3 +103,74 @@ def test_labeled_dedup_matches_batch_keep_first(spark, tmp_path):
     assert got[2] == (True, 4)    # normalization collapses case/space
     assert got[3] == (False, 3)
     assert got[5] == (True, 3)
+
+
+def test_stream_incremental_matches_batch_exact(spark, tmp_path):
+    """stream_incremental_dedup == incremental_dedup's exact verdicts on
+    the same append batch (corpus ids below stream ids; the stream
+    arrives in id order so first-seen == smallest id)."""
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        stream_incremental_dedup,
+    )
+
+    corpus_rows = [
+        (i, f"corpus document number {i} with several words to hash")
+        for i in range(20)
+    ]
+    cdf = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    state = str(tmp_path / "state")
+    build_dedup_state(cdf, state)
+
+    batch_rows = [
+        (100, corpus_rows[3][1]),           # corpus dup
+        (101, "a genuinely new document with fresh content here"),
+        (102, corpus_rows[7][1]),           # corpus dup
+        (103, "a genuinely new document with fresh content here"),  # stream dup of 101
+        (104, "another novel text that nobody has seen before now"),
+    ]
+    bdf = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+
+    # batch reference: exact verdicts from incremental_dedup
+    batch = {
+        r["doc_id"]: r
+        for r in incremental_dedup(spark, bdf, state).collect()
+    }
+
+    src = str(tmp_path / "src")
+    bdf.select(
+        "doc_id", "text",
+        F.timestamp_micros(
+            (F.lit(1_600_000_000) + F.col("doc_id")) * 1_000_000
+        ).alias("ts"),
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    fps = spark.read.parquet(state + "/fingerprints")
+    out = {
+        r["doc_id"]: r
+        for r in run_available_now(
+            stream_incremental_dedup(stream, fps, watermark="1 hour"),
+            output_mode="append", shuffle_partitions=4,
+        ).collect()
+    }
+    assert set(out) == set(batch)
+    for d, row in out.items():
+        b = batch[d]
+        if b["status"] == "exact_dup":
+            assert row["status"] in ("corpus_dup", "stream_dup"), (d, row)
+            assert row["dup_of"] == b["dup_of"], (d, row, b)
+        else:
+            # near/unique in batch == not an exact dup in stream
+            assert row["status"] == "unique", (d, row, b)
+    assert out[100]["status"] == "corpus_dup" and out[100]["dup_of"] == 3
+    assert out[102]["status"] == "corpus_dup" and out[102]["dup_of"] == 7
+    assert out[103]["status"] == "stream_dup" and out[103]["dup_of"] == 101
+    assert out[101]["status"] == "unique" and out[104]["status"] == "unique"

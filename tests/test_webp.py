@@ -144,3 +144,24 @@ def test_corruption_fuzz_terminates_with_errors():
     assert time.time() - t0 < 30
     with pytest.raises(ValueError, match="max_pixels"):
         parse_webp(write_webp(np.zeros((1, 1, 3), "u1")), max_pixels=0)
+
+
+def test_depth_capped_huffman_is_complete():
+    """Fibonacci-skewed frequencies push the unconstrained Huffman tree
+    past 15 levels; the capped lengths must still form an exactly
+    complete code (the decoder rejects Kraft != 1) and such images must
+    round-trip."""
+    from fractions import Fraction
+
+    from xarray_dataaccessor_spark.sources.webp import _Huff, _huff_lengths
+
+    fib = [1, 1]
+    for _ in range(25):
+        fib.append(fib[-1] + fib[-2])
+    lens = _huff_lengths({i: f for i, f in enumerate(fib)}, max_len=15)
+    assert max(lens.values()) <= 15
+    assert sum(Fraction(1, 1 << l) for l in lens.values()) == 1
+    arr = [0] * (max(lens) + 1)
+    for s, l in lens.items():
+        arr[s] = l
+    _Huff(arr)  # complete: must not raise

@@ -550,10 +550,15 @@ def _canonical_codes(lengths):
 
 
 def _huff_lengths(freqs: dict, max_len: int = 15) -> dict:
-    """Package-merge-free simple Huffman (freq heap); falls back to
-    balanced lengths if the depth cap is exceeded (tiny alphabets here,
-    so the cap never binds in practice)."""
+    """Huffman code lengths with a depth cap. When the unconstrained
+    tree exceeds ``max_len`` (skewed frequencies on large images), the
+    lengths are clamped and then repaired to an EXACTLY complete code
+    (Kraft sum == 1): over-full codes lengthen their deepest
+    still-shortenable symbol; under-full codes shorten a deepest
+    symbol whose mass fits the deficit. The decoder rejects incomplete
+    codes, so completeness is a hard requirement, optimality is not."""
     import heapq
+    from fractions import Fraction
 
     syms = sorted(freqs)
     if len(syms) == 1:
@@ -569,10 +574,27 @@ def _huff_lengths(freqs: dict, max_len: int = 15) -> dict:
             depth[s] += 1
         heapq.heappush(heap, (f1 + f2, i, s1 + s2))
         i += 1
-    if max(depth.values()) > max_len:
-        nbits = max(1, (len(syms) - 1).bit_length())
-        return {s: nbits for s in syms}
-    return depth
+    if max(depth.values()) <= max_len:
+        return depth
+    lens = {s: min(d, max_len) for s, d in depth.items()}
+
+    def kraft():
+        return sum(Fraction(1, 1 << l) for l in lens.values())
+
+    k = kraft()
+    while k > 1:  # over-full after clamping: push a shallow symbol down
+        s = max((s for s, l in lens.items() if l < max_len),
+                key=lambda s: lens[s])
+        k -= Fraction(1, 1 << (lens[s] + 1))
+        lens[s] += 1
+    while k < 1:  # under-full: pull up the deepest symbol that fits
+        deficit = 1 - k
+        s = max((s for s, l in lens.items()
+                 if l > 1 and Fraction(1, 1 << l) <= deficit),
+                key=lambda s: lens[s])
+        k += Fraction(1, 1 << lens[s])
+        lens[s] -= 1
+    return lens
 
 
 def _emit_prefix_code(bw: _BitWriter, lengths, alphabet_size: int) -> None:

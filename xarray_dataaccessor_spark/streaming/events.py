@@ -456,6 +456,7 @@ def stream_dedup_labeled(
     id_col: str = "doc_id",
     time_col: str = "ts",
     watermark: str = "2 hours",
+    normalize: bool = True,
 ) -> DataFrame:
     """In-flight LABELED exact deduplication — the audit-trail sibling
     of :func:`stream_dedup_exact` (which silently drops): every arriving
@@ -479,7 +480,11 @@ def stream_dedup_labeled(
     from xarray_dataaccessor_spark.functions.hashing import portable_hash64
 
     horizon_us = _duration_micros(watermark)
-    normalized = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    if normalize:
+        fp_src = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    else:  # raw-text fingerprints: the build_dedup_state convention
+        fp_src = F.col(text_col)
+    normalized = fp_src
     rows = stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(time_col).alias("ts"),
@@ -541,4 +546,57 @@ def stream_dedup_labeled(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_dedup``'s exact half: an
+    unbounded feed of new documents classified against the LANDED
+    corpus's persisted fingerprint state (``build_dedup_state``) while
+    also deduping within the stream itself.
+
+    Per arriving document: ``corpus_dup`` (raw-text fingerprint already
+    present in the corpus state; ``dup_of`` = the smallest matching
+    corpus id), ``stream_dup`` (first seen earlier in the stream within
+    the watermark horizon; ``dup_of`` = the first-seen stream id), else
+    ``unique``. Near-dup streaming stays with
+    :func:`stream_neardup_minhash` — the MinHash band join is a
+    different state layout.
+
+    Shape: the in-stream verdict is the labeled stateful dedup (one
+    tiny state tuple per fingerprint per horizon); the corpus check is
+    a STREAM-STATIC equi-join on the 60-bit fingerprint — Spark
+    re-resolves the static side per micro-batch, so a nightly
+    state-rebuild is picked up without restarting the query, and at
+    100 TB the static side is the id+fp table, not the corpus text.
+    Contract (pinned by the batch-parity test): when corpus ids sort
+    below stream ids, the verdicts equal ``incremental_dedup``'s
+    exact-dup decisions on the same batch."""
+    labeled = stream_dedup_labeled(
+        stream, text_col=text_col, id_col=id_col, time_col=time_col,
+        watermark=watermark, normalize=False,
+    )
+    corpus = fingerprints.groupBy("fp").agg(
+        F.min(id_col).alias("__corpus_of")
+    ).withColumnRenamed("fp", "fp_num")
+    joined = labeled.join(F.broadcast(corpus), "fp_num", "left")
+    return joined.select(
+        "doc_id",
+        "ts",
+        "fp_num",
+        F.when(F.col("__corpus_of").isNotNull(), F.lit("corpus_dup"))
+        .when(F.col("is_duplicate"), F.lit("stream_dup"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+        F.coalesce(
+            F.col("__corpus_of"),
+            F.when(F.col("is_duplicate"), F.col("first_doc_id")),
+        ).alias("dup_of"),
     )
