@@ -919,6 +919,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     dims: int | None = None,
     train_limit: int | None = 4096,
+    by_residual: bool = False,
 ) -> None:
     """Persist an IVF-PQ index — the composed 100 TB ANN serving layout:
     the coarse quantizer prunes WHICH FILES are read (inverted lists as
@@ -928,20 +929,30 @@ def build_ivfpq_index(
     halves are the already-tested pieces (:func:`build_ivf_index`'s
     layout + :func:`pq_ann`'s codebooks/ADC) composed at rest.
 
+    ``by_residual=False`` trains global codebooks on the unit-normalized
+    vectors, so codes are exactly :func:`pq_ann`'s and full-probe
+    results are bit-identical to it. ``by_residual=True`` is the FAISS
+    default flavor: codebooks are trained on (vector - its centroid)
+    RESIDUALS, which concentrate near zero, so the same code budget
+    quantizes finer; the query side then builds one ADC lookup table
+    per (query, probed centroid).
+
     Layout under ``path``:
 
     - ``centroids``  (centroid_id, ce) — broadcast-sized quantizer
-    - ``codebooks``  (m, code_id, ce) — global PQ codebooks trained on
-      the unit-normalized corpus (non-residual IVFADC flavor, so codes
-      are exactly :func:`pq_ann`'s and full-probe results are
-      bit-identical to it)
+    - ``codebooks``  (m, code_id, ce) — PQ codebooks (global or
+      residual per ``by_residual``)
     - ``lists``      (vec_id, m, code_id) partitioned by centroid_id —
       the codes-only ADC scan table
     - ``vectors``    (vec_id, e) partitioned by centroid_id — raw
       normalized embeddings, read only for the short-list re-rank (the
       candidate rows carry their centroid_id, so this scan prunes to
       the probed partitions too)
+    - ``meta.json``  the build parameters the prober needs
     """
+    import json
+    import os
+
     if dims is None or dims % m_subspaces != 0:
         raise ValueError("dims must be known and divisible by m_subspaces")
     cn = corpus.select(
@@ -953,25 +964,40 @@ def build_ivfpq_index(
         train_limit=train_limit,
     ).cache()
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(cn, F.broadcast(cent), id_col="vec_id", rank=1,
+                          dims=dims).select("vec_id", "e", "centroid_id")
+    assigned = assigned.cache()  # one assignment feeds training + writes
+    if by_residual:
+        enc_input = assigned.join(
+            F.broadcast(cent), "centroid_id"
+        ).select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(F.col("e"), F.col("ce"), lambda a, b: a - b).alias("e"),
+        )
+    else:
+        enc_input = assigned
     books = pq_codebooks(
-        cn, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
+        enc_input, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
         id_col="vec_id", vec_col="e", dims=dims, train_limit=train_limit,
     ).cache()
     books.write.mode("overwrite").parquet(f"{path}/codebooks")
-    assigned = ivf_assign(cn, F.broadcast(cent), id_col="vec_id", rank=1,
-                          dims=dims).select("vec_id", "e", "centroid_id")
-    assigned = assigned.cache()  # one assignment feeds both writes
     assigned.select("vec_id", "e", "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(f"{path}/vectors")
     codes = pq_encode(
-        assigned, books, id_col="vec_id", vec_col="e", dims=dims,
+        enc_input, books, id_col="vec_id", vec_col="e", dims=dims,
         m_subspaces=m_subspaces,
     ).join(assigned.select("vec_id", "centroid_id"), "vec_id")
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/lists"
     )
     assigned.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"by_residual": by_residual, "m_subspaces": m_subspaces,
+                   "n_centroids": n_centroids, "n_codes": n_codes,
+                   "dims": dims}, fh)
 
 
 def query_ivfpq_index(
@@ -994,10 +1020,25 @@ def query_ivfpq_index(
     distance, then exact-cosine re-rank the short list against the
     (equally partition-pruned) raw vectors. Output contract matches
     :func:`pq_ann` / :func:`ivf_ann`: ``(query_id, neighbor_id, cos,
-    rk)``; with ``n_probe = n_centroids`` the result is bit-identical
-    to :func:`pq_ann` on the same training parameters."""
+    rk)``; for a non-residual index with ``n_probe = n_centroids`` the
+    result is bit-identical to :func:`pq_ann` on the same training
+    parameters. Residual indexes (``by_residual=True`` at build) build
+    one ADC lookup table per (query, probed centroid) from the
+    centered query ``q - c``; the LUT stays broadcast-sized
+    (queries x n_probe x m x n_codes)."""
+    import json
+    import os
+
     cent = spark.read.parquet(f"{path}/centroids")
     books = spark.read.parquet(f"{path}/codebooks")
+    by_residual = False
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        by_residual = bool(meta.get("by_residual", False))
+        if m_subspaces is None:
+            m_subspaces = int(meta["m_subspaces"])
     if m_subspaces is None:
         m_subspaces = 1 + books.agg(F.max("m")).collect()[0][0]
     if dims is None or dims % m_subspaces != 0:
@@ -1011,37 +1052,71 @@ def query_ivfpq_index(
         qn, F.broadcast(cent), id_col="query_id", vec_col="qe",
         rank=n_probe, dims=dims,
     ).select("query_id", "qe", "centroid_id")
-    q_sub = qn.select(
-        "query_id",
-        F.explode(
+
+    def subspaces(vec_col_name: str):
+        return F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(m).alias("m"),
-                        F.slice(F.col("qe"), m * sub + 1, sub).alias("qsv"),
+                        F.slice(F.col(vec_col_name), m * sub + 1, sub).alias("qsv"),
                     )
                     for m in range(m_subspaces)
                 ]
             )
-        ).alias("b"),
-    ).select("query_id", F.col("b.m").alias("m"), F.col("b.qsv").alias("qsv"))
-    lut = q_sub.join(F.broadcast(books), "m").select(
-        "query_id", "m", "code_id", l2sq(F.col("qsv"), F.col("ce"), sub).alias("d")
-    )
-    lists = spark.read.parquet(f"{path}/lists")
-    # probed codes: the centroid_id equi-join against the broadcast
-    # probe table is what DPP turns into a partition filter on `lists`
-    adist = (
-        lists.join(
-            F.broadcast(q_probe.select("query_id", "centroid_id")), "centroid_id"
         )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .join(F.broadcast(lut), ["query_id", "m", "code_id"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"),
-                 "centroid_id")
-        # DECIMAL sum: reproducible ADC scores across shuffle orders
-        .agg(F.sum(F.col("d").cast("decimal(28,14)")).cast("double").alias("adist"))
-    )
+
+    lists = spark.read.parquet(f"{path}/lists")
+    if by_residual:
+        # centered query per probed centroid -> LUT keyed by centroid too
+        q_res = q_probe.join(F.broadcast(cent), "centroid_id").select(
+            "query_id",
+            "centroid_id",
+            F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: a - b).alias("qr"),
+        )
+        q_sub = q_res.select(
+            "query_id", "centroid_id", subspaces("qr").alias("b")
+        ).select(
+            "query_id", "centroid_id",
+            F.col("b.m").alias("m"), F.col("b.qsv").alias("qsv"),
+        )
+        lut = q_sub.join(F.broadcast(books), "m").select(
+            "query_id", "centroid_id", "m", "code_id",
+            l2sq(F.col("qsv"), F.col("ce"), sub).alias("d"),
+        )
+        adist = (
+            lists.join(
+                F.broadcast(q_probe.select("query_id", "centroid_id")),
+                "centroid_id",
+            )
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .join(F.broadcast(lut), ["query_id", "centroid_id", "m", "code_id"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"),
+                     "centroid_id")
+            .agg(F.sum(F.col("d").cast("decimal(28,14)")).cast("double").alias("adist"))
+        )
+    else:
+        q_sub = qn.select("query_id", subspaces("qe").alias("b")).select(
+            "query_id", F.col("b.m").alias("m"), F.col("b.qsv").alias("qsv")
+        )
+        lut = q_sub.join(F.broadcast(books), "m").select(
+            "query_id", "m", "code_id",
+            l2sq(F.col("qsv"), F.col("ce"), sub).alias("d"),
+        )
+        # probed codes: the centroid_id equi-join against the broadcast
+        # probe table is what DPP turns into a partition filter on `lists`
+        adist = (
+            lists.join(
+                F.broadcast(q_probe.select("query_id", "centroid_id")),
+                "centroid_id",
+            )
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .join(F.broadcast(lut), ["query_id", "m", "code_id"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"),
+                     "centroid_id")
+            # DECIMAL sum: reproducible ADC scores across shuffle orders
+            .agg(F.sum(F.col("d").cast("decimal(28,14)")).cast("double").alias("adist"))
+        )
     w_a = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     short = (
         adist.withColumn("__rk", F.row_number().over(w_a))

@@ -678,7 +678,7 @@ def _emit_prefix_code(bw: _BitWriter, lengths, alphabet_size: int) -> None:
             bw.write(extra, ebits)
 
 
-def _prefix_encode(bw_pending, value: int):
+def _prefix_encode(value: int):
     """LZ77 value -> (prefix_symbol, extra_value, extra_bits)."""
     if value <= 4:
         return value - 1, 0, 0
@@ -900,9 +900,9 @@ def _write_entropy_image(
             bfreq[v & 0xFF] = bfreq.get(v & 0xFF, 0) + 1
             afreq[(v >> 24) & 0xFF] = afreq.get((v >> 24) & 0xFF, 0) + 1
         elif kind == "ref":
-            sym, _, _ = _prefix_encode(None, v)
+            sym, _, _ = _prefix_encode(v)
             gfreq[256 + sym] = gfreq.get(256 + sym, 0) + 1
-            dsym, _, _ = _prefix_encode(None, 121)  # dist_code 121 = distance 1
+            dsym, _, _ = _prefix_encode(121)  # dist_code 121 = distance 1
             dfreq[dsym] = dfreq.get(dsym, 0) + 1
         else:
             gfreq[280 + v] = gfreq.get(280 + v, 0) + 1
@@ -943,11 +943,11 @@ def _write_entropy_image(
             emit(bc, bsingle, v & 0xFF)
             emit(ac, asingle, (v >> 24) & 0xFF)
         elif kind == "ref":
-            sym, extra, ebits = _prefix_encode(None, v)
+            sym, extra, ebits = _prefix_encode(v)
             emit(gc, gsingle, 256 + sym)
             if ebits:
                 bw.write(extra, ebits)
-            dsym, dextra, debits = _prefix_encode(None, 121)
+            dsym, dextra, debits = _prefix_encode(121)
             emit(dc, dsingle, dsym)
             if debits:
                 bw.write(dextra, debits)
