@@ -165,3 +165,17 @@ def test_depth_capped_huffman_is_complete():
     for s, l in lens.items():
         arr[s] = l
     _Huff(arr)  # complete: must not raise
+
+
+def test_cross_codec_parity_with_png():
+    """Two independent machineries, one pixel truth: the same image
+    encoded as PNG (media.py) and WebP-lossless (webp.py) must decode
+    to identical arrays — the JPEG progressive-vs-baseline discipline
+    applied across formats."""
+    from xarray_dataaccessor_spark.sources.media import parse_png, write_png
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(21, 13, 3)).astype("u1")
+    from_png = parse_png(write_png(img))
+    from_webp = parse_webp(write_webp(img, use_lz77=True, cache_bits=5))
+    np.testing.assert_array_equal(from_png, from_webp)

@@ -110,3 +110,35 @@ def test_unsupported_options_rejected(grid, tmp_path):
         grid_to_zarr(grid, str(tmp_path / "x"), "t2m", zarr_format=4)
     with pytest.raises(ValueError, match="compressor"):
         grid_to_zarr(grid, str(tmp_path / "y"), "t2m", compressor="lzma")
+
+
+def test_roundtrip_property(spark, tmp_path_factory):
+    """Random shapes x chunk grids x compressors round-trip exactly
+    (ragged edge chunks, chunk sizes larger than the axis, v2 and v3)."""
+    import itertools
+    import random
+
+    random.seed(4)
+    cases = []
+    for fmt, comp in [(2, "zlib"), (3, "zstd"), (2, "blosc-zlib")]:
+        nt, ny, nx = random.randint(1, 7), random.randint(1, 6), random.randint(1, 6)
+        ct, cy, cx = random.randint(1, 8), random.randint(1, 8), random.randint(1, 8)
+        cases.append((fmt, comp, (nt, ny, nx), (ct, cy, cx)))
+    for fmt, comp, (nt, ny, nx), chunks in cases:
+        rows = [
+            (dt.datetime(2021, 3, 1) + dt.timedelta(hours=h),
+             50.0 - 0.5 * j, 10.0 + 0.5 * i,
+             float(h * 10000 + j * 100 + i) * 0.125)
+            for h in range(nt) for j in range(ny) for i in range(nx)
+        ]
+        grid = spark.createDataFrame(
+            rows, "time timestamp, y double, x double, v double"
+        )
+        store = str(tmp_path_factory.mktemp("zp") / "s")
+        grid_to_zarr(grid, store, "v", chunks=chunks, compressor=comp,
+                     zarr_format=fmt)
+        back = zarr_to_grid(spark, store, "v").toPandas()
+        src = grid.toPandas().merge(back, on=["time", "y", "x"],
+                                    suffixes=("", "_rt"))
+        assert len(src) == nt * ny * nx, (fmt, comp, (nt, ny, nx), chunks)
+        assert (src["v"] == src["v_rt"]).all(), (fmt, comp, chunks)
