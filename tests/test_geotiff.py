@@ -294,3 +294,72 @@ def test_float_predictor3_roundtrip(tmp_path):
     p = write_geotiff(str(tmp_path / "p3_64.tif"), d64, -83.0, 43.0,
                       (0.1, 0.1), compress="deflate", predictor=3)
     assert np.array_equal(parse_geotiff(open(p, "rb").read())["data"], d64)
+
+
+def test_cog_layout_and_roundtrip(tmp_path):
+    """write_cog: the full-resolution image round-trips through
+    parse_geotiff (first IFD), the overview chain parses with halved
+    dimensions and doubled pixel scale, and the COG property holds —
+    every IFD byte precedes every tile byte, and overview tiles
+    precede full-resolution tiles."""
+    import struct
+
+    from xarray_dataaccessor_spark.sources.geotiff import (
+        parse_geotiff_overviews,
+        write_cog,
+    )
+
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 1000, size=(137, 211)).astype("i4")
+    p = str(tmp_path / "c.tif")
+    write_cog(p, data, x_origin=-80.0, y_origin=45.0, pixel_size=(0.01, 0.01),
+              epsg=4326, nodata=-9, tile_size=64, overview_levels=(2, 4))
+    buf = open(p, "rb").read()
+    main = parse_geotiff(buf)
+    np.testing.assert_array_equal(main["data"], data)
+    assert main["epsg"] == 4326 and main["nodata"] == -9.0
+    ovs = parse_geotiff_overviews(buf)
+    assert [(o["width"], o["height"], o["subfile_type"]) for o in ovs] == [
+        (211, 137, 0), (106, 69, 1), (53, 35, 1)
+    ]
+    # overview pixels are 2x2 block means of the level above
+    lvl1 = ovs[1]["data"]
+    assert lvl1[0, 0] == np.round(data[0:2, 0:2].mean()).astype("i4")
+    assert abs((ovs[1]["x_axis"][1] - ovs[1]["x_axis"][0]) - 0.02) < 1e-12
+    # structural COG checks: walk the IFD chain offsets and collect the
+    # minimum tile offset per level
+    def ifd_info(off):
+        (n,) = struct.unpack("<H", buf[off:off + 2])
+        tags = {}
+        for i in range(n):
+            e = buf[off + 2 + 12 * i: off + 2 + 12 * (i + 1)]
+            tag, ftype, count = struct.unpack("<HHI", e[:8])
+            tags[tag] = (ftype, count, e[8:12])
+        (nxt,) = struct.unpack("<I", buf[off + 2 + 12 * n: off + 6 + 12 * n])
+        return tags, nxt, off + 6 + 12 * n
+    (first,) = struct.unpack("<I", buf[4:8])
+    offs, ifd_ends = [], []
+    off = first
+    while off:
+        tags, off, end = ifd_info(off)
+        ifd_ends.append(end)
+        ftype, count, vf = tags[324]  # tile offsets
+        (ptr,) = struct.unpack("<I", vf)
+        vals = struct.unpack("<" + "I" * count, buf[ptr:ptr + 4 * count]) \
+            if count > 1 else (ptr,)
+        offs.append(min(vals))
+    assert len(offs) == 3
+    assert max(ifd_ends) < min(offs), "IFDs must precede all tile data"
+    assert offs[1] < offs[0] and offs[2] < offs[0], \
+        "overview tiles must precede full-resolution tiles"
+
+
+def test_overview_walk_on_plain_tiff(tmp_path):
+    """A single-IFD TIFF walks as a one-element chain."""
+    from xarray_dataaccessor_spark.sources.geotiff import parse_geotiff_overviews
+
+    p = str(tmp_path / "p.tif")
+    write_geotiff(p, np.arange(12, dtype="u2").reshape(3, 4), -80.0, 45.0,
+                  (0.5, 0.5))
+    ovs = parse_geotiff_overviews(open(p, "rb").read())
+    assert len(ovs) == 1 and ovs[0]["subfile_type"] == 0

@@ -35,6 +35,7 @@ _TYPE_FMT = {
     16: "Q", 17: "q", 18: "Q",
 }
 
+TAG_SUBFILE_TYPE = 254
 TAG_WIDTH, TAG_HEIGHT = 256, 257
 TAG_BITS, TAG_COMPRESSION, TAG_PHOTOMETRIC = 258, 259, 262
 TAG_STRIP_OFFSETS, TAG_SAMPLES_PER_PIXEL, TAG_ROWS_PER_STRIP = 273, 277, 278
@@ -200,11 +201,8 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_geotiff(buf: bytes) -> dict:
-    """Parse GeoTIFF bytes into ``{width, height, data, x_axis, y_axis,
-    nodata, epsg}`` with pixel-CENTER coordinate axes (the convention a
-    rioxarray open yields for a PixelIsArea granule); classic TIFF and
-    BigTIFF. Raises on unsupported compression."""
+def _tiff_header(buf: bytes):
+    """TIFF header -> (byte order, is_bigtiff, first IFD offset)."""
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
@@ -219,14 +217,47 @@ def parse_geotiff(buf: bytes) -> dict:
         if off_size != 8 or pad != 0:
             raise ValueError(f"BigTIFF with unsupported offset size {off_size}")
         (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
-        (n_entries,) = struct.unpack(bo + "Q", buf[ifd_off : ifd_off + 8])
-        entry_base, entry_len = ifd_off + 8, 20
     elif magic == 42:
         (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
-        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
-        entry_base, entry_len = ifd_off + 2, 12
     else:
         raise ValueError(f"Not a TIFF file (magic {magic})")
+    return bo, big, int(ifd_off)
+
+
+def parse_geotiff(buf: bytes) -> dict:
+    """Parse GeoTIFF bytes into ``{width, height, data, x_axis, y_axis,
+    nodata, epsg}`` with pixel-CENTER coordinate axes (the convention a
+    rioxarray open yields for a PixelIsArea granule); classic TIFF and
+    BigTIFF. Raises on unsupported compression. Reads the FIRST IFD
+    (the full-resolution image of a COG); :func:`parse_geotiff_overviews`
+    walks the whole chain."""
+    bo, big, ifd_off = _tiff_header(buf)
+    return _decode_ifd(buf, bo, big, ifd_off)[0]
+
+
+def parse_geotiff_overviews(buf: bytes) -> list[dict]:
+    """Every image in the IFD chain, in chain order — for a
+    Cloud-Optimized GeoTIFF: ``[full resolution, overview/2,
+    overview/4, ...]`` (each dict shaped like :func:`parse_geotiff`'s,
+    plus ``subfile_type``)."""
+    bo, big, off = _tiff_header(buf)
+    out: list[dict] = []
+    seen: set[int] = set()
+    while off and off not in seen and len(out) < 64:
+        seen.add(off)
+        parsed, off = _decode_ifd(buf, bo, big, off)
+        out.append(parsed)
+    return out
+
+
+def _decode_ifd(buf: bytes, bo: str, big: bool, ifd_off: int):
+    """Decode ONE IFD -> (parsed dict, next IFD offset or 0)."""
+    if big:
+        (n_entries,) = struct.unpack(bo + "Q", buf[ifd_off : ifd_off + 8])
+        entry_base, entry_len = ifd_off + 8, 20
+    else:
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        entry_base, entry_len = ifd_off + 2, 12
     tags: dict[int, object] = {}
     for i in range(int(n_entries)):
         entry = buf[entry_base + entry_len * i : entry_base + entry_len * (i + 1)]
@@ -367,6 +398,13 @@ def parse_geotiff(buf: bytes) -> dict:
                 epsg = int(val)
                 if key_id == GEOKEY_PROJECTED_CRS:
                     break
+    next_pos = entry_base + entry_len * int(n_entries)
+    fmt = "Q" if big else "I"
+    width_b = 8 if big else 4
+    if next_pos + width_b <= len(buf):
+        (next_off,) = struct.unpack(bo + fmt, buf[next_pos : next_pos + width_b])
+    else:
+        next_off = 0
     return {
         "width": width,
         "height": height,
@@ -375,7 +413,8 @@ def parse_geotiff(buf: bytes) -> dict:
         "y_axis": y_axis,
         "nodata": nodata,
         "epsg": epsg,
-    }
+        "subfile_type": int(tags.get(TAG_SUBFILE_TYPE, [0])[0]),
+    }, int(next_off)
 
 
 def geotiff_fragment_to_pandas(content: bytes, variable: str, year: int | None = None):
@@ -565,4 +604,164 @@ def write_geotiff(
         out += b + (b"\x00" * (len(b) % 2))
     with open(path, "wb") as f:
         f.write(out)
+    return path
+
+
+def write_cog(
+    path: str,
+    data: np.ndarray,
+    x_origin: float,
+    y_origin: float,
+    pixel_size: tuple[float, float],
+    epsg: int | None = 4326,
+    nodata: float | None = None,
+    tile_size: int = 256,
+    overview_levels: tuple[int, ...] = (2, 4),
+    compress: bool = True,
+) -> str:
+    """Cloud-Optimized GeoTIFF writer: the single-file layout range
+    readers want — ALL metadata at the head (main IFD followed by the
+    overview IFDs, before any pixel bytes), square DEFLATE tiles, and
+    reduced-resolution overviews (NewSubfileType=1, 2x2 block means)
+    whose tile data is stored BEFORE the full-resolution tiles so a
+    zoomed-out client reads only the file's head. The reference opens
+    rasters through rioxarray, which serves COGs natively
+    (``nasa_from_LPDAAC.py:491-516``); this is the export-side twin.
+
+    Layout: ``header | IFD_0(full) .. IFD_L | tag data | tiles of
+    overview_L .. overview_1 | tiles of full res``. Readable back by
+    :func:`parse_geotiff` (first IFD = full resolution) and
+    :func:`parse_geotiff_overviews` (the whole chain)."""
+    data = np.ascontiguousarray(data)
+    if data.ndim != 2:
+        raise ValueError("write_cog expects a single-band 2-D array")
+    kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
+    bits = data.dtype.itemsize * 8
+
+    def reduce2(arr: np.ndarray, factor: int) -> np.ndarray:
+        """Block mean over factor x factor cells (ragged edges use the
+        available cells), cast back to the source dtype."""
+        h, w = arr.shape
+        oh, ow = (h + factor - 1) // factor, (w + factor - 1) // factor
+        pad = np.zeros((oh * factor, ow * factor))
+        cnt = np.zeros((oh * factor, ow * factor))
+        pad[:h, :w] = arr.astype("float64")
+        cnt[:h, :w] = 1.0
+        blocks = pad.reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+        counts = cnt.reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+        means = blocks / np.maximum(counts, 1.0)
+        if arr.dtype.kind in "iu":
+            return np.round(means).astype(arr.dtype)
+        return means.astype(arr.dtype)
+
+    images = [data] + [reduce2(data, f) for f in overview_levels]
+
+    def tiles_of(arr: np.ndarray) -> list[bytes]:
+        out = []
+        h, w = arr.shape
+        for r0 in range(0, h, tile_size):
+            for c0 in range(0, w, tile_size):
+                tile = np.zeros((tile_size, tile_size), dtype=arr.dtype)
+                chunk = arr[r0 : r0 + tile_size, c0 : c0 + tile_size]
+                tile[: chunk.shape[0], : chunk.shape[1]] = chunk
+                raw = tile.astype(tile.dtype.newbyteorder("<")).tobytes()
+                out.append(zlib.compress(raw) if compress else raw)
+        return out
+
+    all_tiles = [tiles_of(img) for img in images]
+
+    def ifd_entries(level_idx: int, img: np.ndarray, n_blocks: int):
+        entries: list[tuple[int, int, int, bytes]] = []
+
+        def add(tag, ftype, values):
+            if ftype == 2:
+                raw = values.encode("ascii") + b"\x00"
+                count = len(raw)
+            else:
+                fmt = {3: "H", 4: "I", 12: "d"}[ftype]
+                vals = values if isinstance(values, (list, tuple)) else [values]
+                raw = struct.pack("<" + fmt * len(vals), *vals)
+                count = len(vals)
+            entries.append((tag, ftype, count, raw))
+
+        h, w = img.shape
+        factor = 1 if level_idx == 0 else overview_levels[level_idx - 1]
+        if level_idx > 0:
+            add(TAG_SUBFILE_TYPE, 4, 1)  # reduced-resolution subfile
+        add(TAG_WIDTH, 4, w)
+        add(TAG_HEIGHT, 4, h)
+        add(TAG_BITS, 3, bits)
+        add(TAG_COMPRESSION, 3, 8 if compress else 1)
+        add(TAG_PHOTOMETRIC, 3, 1)
+        add(TAG_SAMPLES_PER_PIXEL, 3, 1)
+        add(TAG_SAMPLE_FORMAT, 3, kind)
+        add(TAG_TILE_WIDTH, 3, tile_size)
+        add(TAG_TILE_HEIGHT, 3, tile_size)
+        add(TAG_PIXEL_SCALE, 12,
+            [pixel_size[0] * factor, pixel_size[1] * factor, 0.0])
+        add(TAG_TIEPOINT, 12, [0.0, 0.0, 0.0, x_origin, y_origin, 0.0])
+        if epsg is not None:
+            model = 2 if epsg == 4326 else 1
+            crs_key = GEOKEY_GEOGRAPHIC_CRS if epsg == 4326 else GEOKEY_PROJECTED_CRS
+            add(TAG_GEO_KEYS, 3,
+                [1, 1, 0, 2, 1024, 0, 1, model, crs_key, 0, 1, epsg])
+        if nodata is not None:
+            add(TAG_GDAL_NODATA, 2, f"{nodata:g}")
+        add(TAG_TILE_OFFSETS, 4, [0] * n_blocks)   # patched later
+        add(TAG_TILE_COUNTS, 4, [len(b) for b in all_tiles[level_idx]])
+        return sorted(entries)
+
+    per_ifd = [
+        ifd_entries(i, img, len(all_tiles[i])) for i, img in enumerate(images)
+    ]
+
+    # ---- layout pass: header | IFDs | out-of-line tag data | tiles ----
+    header_size = 8
+    ifd_sizes = [2 + 12 * len(e) + 4 for e in per_ifd]
+    ifd_offsets = []
+    cur = header_size
+    for s in ifd_sizes:
+        ifd_offsets.append(cur)
+        cur += s
+    # out-of-line tag data
+    oo_offsets: list[dict] = []
+    for entries in per_ifd:
+        m = {}
+        for tag, ftype, count, raw in entries:
+            if len(raw) > 4:
+                m[tag] = cur
+                cur += len(raw) + (len(raw) % 2)
+        oo_offsets.append(m)
+    # tile data: overviews (deepest first) BEFORE full resolution
+    tile_offsets: list[list[int]] = [[] for _ in images]
+    for li in list(range(len(images) - 1, 0, -1)) + [0]:
+        for b in all_tiles[li]:
+            tile_offsets[li].append(cur)
+            cur += len(b) + (len(b) % 2)
+
+    # ---- emit ----
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_offsets[0])
+    tag_tail = bytearray()
+    for li, entries in enumerate(per_ifd):
+        out += struct.pack("<H", len(entries))
+        for tag, ftype, count, raw in entries:
+            if tag == TAG_TILE_OFFSETS:
+                raw = struct.pack("<" + "I" * len(tile_offsets[li]),
+                                  *tile_offsets[li])
+            if len(raw) <= 4:
+                out += struct.pack("<HHI", tag, ftype, count) + raw.ljust(4, b"\x00")
+            else:
+                out += struct.pack("<HHI", tag, ftype, count) + struct.pack(
+                    "<I", oo_offsets[li][tag]
+                )
+                tag_tail += raw + (b"\x00" * (len(raw) % 2))
+        nxt = ifd_offsets[li + 1] if li + 1 < len(per_ifd) else 0
+        out += struct.pack("<I", nxt)
+    out += tag_tail
+    for li in list(range(len(images) - 1, 0, -1)) + [0]:
+        for b in all_tiles[li]:
+            out += b + (b"\x00" * (len(b) % 2))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
     return path
