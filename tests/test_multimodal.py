@@ -110,3 +110,35 @@ def test_image_channel_stats_color_and_gray(spark):
     )
     j = image_channel_stats(jdf, codec="jpeg").collect()[0]
     assert j["channel_means"] == [130.0] and j["channel_stds"] == [0.0]
+
+
+def test_audio_probe_mixed_formats(spark):
+    """audio_probe auto-detects MP3 (header-only walk, incl. VBR and
+    ID3 tags), WAV and FLAC payloads in one distributed pass; corrupt
+    bytes yield a null 'unknown' row, never a task failure."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.multimodal import audio_probe
+    from xarray_dataaccessor_spark.sources.flac import write_flac
+    from xarray_dataaccessor_spark.sources.media import (
+        write_mp3_frames,
+        write_wav,
+    )
+
+    tone = (2000 * np.sin(np.arange(8000) / 10.0)).astype("int64")
+    rows = [
+        (0, bytearray(write_mp3_frames(25, kbps=128, rate=44100))),
+        (1, bytearray(write_mp3_frames(8, kbps=128, vbr_alt_kbps=192,
+                                       id3v2=b"\x00" * 30, id3v1=True))),
+        (2, bytearray(write_wav(tone, 8000))),
+        (3, bytearray(write_flac(tone.astype("<i2"), 8000))),
+        (4, bytearray(b"definitely not audio " * 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_probe(df).collect()}
+    assert out[0]["fmt"] == "mp3" and out[0]["vbr"] is False
+    assert out[0]["duration_ms"] == round(25 * 1152 * 1000 / 44100)
+    assert out[1]["fmt"] == "mp3" and out[1]["vbr"] is True
+    assert out[2]["fmt"] == "wav" and out[2]["duration_ms"] == 1000
+    assert out[3]["fmt"] == "flac" and out[3]["sample_rate"] == 8000
+    assert out[4]["fmt"] == "unknown" and out[4]["sample_rate"] is None

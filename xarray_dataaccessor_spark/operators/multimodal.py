@@ -622,3 +622,74 @@ def image_channel_stats(
         "channel_means array<double>, channel_stds array<double>"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
+
+
+def audio_probe(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio metadata extraction over mapInPandas — the envelope a
+    curation pipeline FILTERS on (duration, sample rate, channel count,
+    bitrate profile) without decoding samples where the container
+    allows it. Format is auto-detected per payload:
+
+    - MPEG audio (MP3; ID3 tags skipped): pure frame-header walk
+      (``sources/media.py::mp3_probe``) — no Huffman/IMDCT decode, so
+      the per-document cost is O(n_frames), not O(samples). This is
+      deliberately the only MP3 surface: filtering a 100 TB scrape
+      needs the envelope, and full decode stays behind the
+      ``soundfile`` gate.
+    - RIFF/WAVE and FLAC: the existing pure parsers supply the stream
+      parameters (these decode; both are cheap linear formats).
+
+    Output: ``(doc_id, fmt, sample_rate, channels, duration_ms,
+    bitrate_kbps, vbr)`` — unknown formats yield fmt='unknown' with
+    nulls, never an executor exception."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import mp3_probe
+
+    wav_parse, flac_parse, probe = parse_wav, parse_flac, mp3_probe
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                rec = {"doc_id": int(doc_id), "fmt": "unknown",
+                       "sample_rate": None, "channels": None,
+                       "duration_ms": None, "bitrate_kbps": None,
+                       "vbr": None}
+                try:
+                    if raw[:4] == b"RIFF":
+                        rate, chans = wav_parse(raw)
+                        rec.update(fmt="wav", sample_rate=rate,
+                                   channels=int(chans.shape[1]),
+                                   duration_ms=int(round(
+                                       chans.shape[0] * 1000.0 / rate)),
+                                   vbr=False)
+                    elif raw[:4] == b"fLaC":
+                        rate, chans = flac_parse(raw)
+                        rec.update(fmt="flac", sample_rate=rate,
+                                   channels=int(chans.shape[1]),
+                                   duration_ms=int(round(
+                                       chans.shape[0] * 1000.0 / rate)),
+                                   vbr=False)
+                    else:
+                        p = probe(raw)
+                        rec.update(fmt="mp3", sample_rate=p["sample_rate"],
+                                   channels=p["channels"],
+                                   duration_ms=p["duration_ms"],
+                                   bitrate_kbps=p["bitrate_kbps"],
+                                   vbr=p["vbr"])
+                except Exception:
+                    pass  # unknown/corrupt: emit the null record
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, fmt string, sample_rate int, channels int, "
+        "duration_ms bigint, bitrate_kbps double, vbr boolean"
+    )
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)

@@ -729,3 +729,148 @@ def write_gif(frames, delays_ms=None, palette=None, interlace=False) -> bytes:
         out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio) frame-header probe — metadata WITHOUT audio decode
+# ---------------------------------------------------------------------------
+_MP3_BITRATES = {  # kbps per (version_group, layer); index 1..14
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def mp3_probe(data: bytes) -> dict:
+    """MPEG-audio stream probe: frame-header walk yielding the metadata
+    a curation pipeline filters on — duration, bitrate profile, sample
+    rate, channel mode, VBR flag — WITHOUT decoding audio (the Huffman/
+    IMDCT decode stays behind the ``soundfile`` gate; filtering a 100 TB
+    scrape needs the envelope, not the samples). Skips ID3v2 (syncsafe
+    size) and ID3v1 tags; tolerates leading junk by scanning to the
+    first valid sync whose SECOND frame also parses (the standard
+    false-sync defence). Raises ValueError when no coherent frame
+    sequence exists."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    end = len(data)
+    if end >= 128 and data[end - 128 : end - 125] == b"TAG":
+        end -= 128
+
+    def frame_at(p):
+        """Parse a frame header at p -> (frame_bytes, samples, rate,
+        kbps, channels) or None."""
+        if p + 4 > end:
+            return None
+        b0, b1, b2, b3 = data[p : p + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None
+        ver_bits = (b1 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_bits = (b1 >> 1) & 3        # 3=Layer I, 2=II, 1=III
+        if ver_bits == 1 or layer_bits == 0:
+            return None
+        layer = 4 - layer_bits            # 1/2/3
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / invalid
+        group = "1" if ver_bits == 3 else "2"
+        kbps = _MP3_BITRATES[(group, layer)][br_idx - 1]
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        padding = (b2 >> 1) & 1
+        channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+        if layer == 1:
+            size = (12 * kbps * 1000 // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or ver_bits == 3) else 576
+            coef = samples // 8
+            size = coef * kbps * 1000 // rate + padding
+        if size < 4:
+            return None
+        return size, samples, rate, kbps, channels
+
+    # find the first sync whose successor frame also parses
+    start = None
+    scan_limit = min(end, pos + (1 << 16))
+    p = pos
+    while p < scan_limit:
+        f = frame_at(p)
+        if f is not None:
+            nxt = p + f[0]
+            if nxt >= end or frame_at(nxt) is not None:
+                start = p
+                break
+        p += 1
+    if start is None:
+        raise ValueError("no MPEG audio frame sequence found")
+
+    n_frames = 0
+    total_samples = 0
+    kbps_seen = set()
+    kbps_sum = 0
+    rate = channels = None
+    p = start
+    while p + 4 <= end:
+        f = frame_at(p)
+        if f is None:
+            break
+        size, samples, rate, kbps, channels = f
+        n_frames += 1
+        total_samples += samples
+        kbps_seen.add(kbps)
+        kbps_sum += kbps
+        p += size
+    if n_frames == 0 or rate is None:
+        raise ValueError("no MPEG audio frame sequence found")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": int(round(total_samples * 1000.0 / rate)),
+        "bitrate_kbps": kbps_sum / n_frames,
+        "vbr": len(kbps_seen) > 1,
+    }
+
+
+def write_mp3_frames(
+    n_frames: int = 10,
+    kbps: int = 128,
+    rate: int = 44100,
+    vbr_alt_kbps: int | None = None,
+    id3v2: bytes | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Fixture writer for :func:`mp3_probe`: syntactically valid MPEG-1
+    Layer III frame HEADERS with zero-filled payloads (the probe never
+    decodes audio). ``vbr_alt_kbps`` alternates bitrates per frame."""
+    br_table = _MP3_BITRATES[("1", 3)]
+    sr_idx = _MP3_RATES[3].index(rate)
+    out = bytearray()
+    if id3v2 is not None:
+        size = len(id3v2)
+        out += b"ID3" + bytes([4, 0, 0,
+                               (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                               (size >> 7) & 0x7F, size & 0x7F]) + id3v2
+    for i in range(n_frames):
+        k = kbps if (vbr_alt_kbps is None or i % 2 == 0) else vbr_alt_kbps
+        br_idx = br_table.index(k) + 1
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,   # MPEG1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            (0 << 6) | 0,                     # stereo
+        ])
+        size = 144 * k * 1000 // rate
+        out += hdr + b"\x00" * (size - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
