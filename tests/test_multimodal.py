@@ -142,3 +142,38 @@ def test_audio_probe_mixed_formats(spark):
     assert out[2]["fmt"] == "wav" and out[2]["duration_ms"] == 1000
     assert out[3]["fmt"] == "flac" and out[3]["sample_rate"] == 8000
     assert out[4]["fmt"] == "unknown" and out[4]["sample_rate"] is None
+
+
+def test_probe_images_mixed_formats(spark):
+    """probe_images: header-only dimensions across every format the
+    pure writers emit — including LOSSY WebP, whose pixel decode is
+    gated but whose frame-tag dimensions parse fine."""
+    import numpy as np
+    import struct
+
+    from xarray_dataaccessor_spark.operators.multimodal import probe_images
+    from xarray_dataaccessor_spark.sources.jpeg import write_jpeg_progressive
+    from xarray_dataaccessor_spark.sources.media import write_png
+    from xarray_dataaccessor_spark.sources.webp import write_webp
+
+    img = (np.arange(15 * 11) % 256).astype("u1").reshape(15, 11)
+    rgb = np.dstack([img, img // 2, 255 - img])
+    # synthetic lossy-VP8 header (dimensions only; payload gated)
+    vp8 = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 11, 15) + b"\x00" * 8)
+    riff = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    lossy = b"RIFF" + struct.pack("<I", len(riff) + 4) + b"WEBP" + riff
+    rows = [
+        (0, bytearray(write_png(rgb))),
+        (1, bytearray(write_jpeg_progressive(img, 85))),
+        (2, bytearray(write_webp(rgb))),
+        (3, bytearray(lossy)),
+        (4, bytearray(b"not an image" * 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in probe_images(df).collect()}
+    assert out[0]["fmt"] == "png" and (out[0]["width"], out[0]["height"]) == (11, 15)
+    assert out[1]["fmt"] == "jpeg_progressive"
+    assert out[2]["fmt"] == "webp_lossless"
+    assert out[3]["fmt"] == "webp_lossy" and out[3]["width"] == 11
+    assert out[4]["fmt"] == "unknown" and out[4]["width"] is None

@@ -693,3 +693,42 @@ def audio_probe(
         "duration_ms bigint, bitrate_kbps double, vbr boolean"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
+
+
+def probe_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image metadata extraction over mapInPandas — header-only
+    dimension/format detection (``sources/media.py::image_probe``:
+    PNG, baseline/progressive JPEG, GIF, BMP, netpbm, TIFF, and all
+    three WebP container flavors incl. LOSSY VP8 dimensions) for the
+    resolution/format filters a curation pipeline applies before any
+    pixel decode. O(header bytes) per document; corrupt payloads yield
+    a null 'unknown' row, never a task failure."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import image_probe
+
+    probe = image_probe
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                rec = {"doc_id": int(doc_id), "fmt": "unknown",
+                       "width": None, "height": None,
+                       "bit_depth": None, "n_channels": None}
+                try:
+                    rec.update(probe(bytes(payload)))
+                except Exception:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, fmt string, width int, height int, "
+        "bit_depth int, n_channels int"
+    )
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)

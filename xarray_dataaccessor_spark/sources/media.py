@@ -874,3 +874,124 @@ def write_mp3_frames(
     if id3v1:
         out += b"TAG" + b"\x00" * 125
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# image header probe — dimensions/format WITHOUT pixel decode
+# ---------------------------------------------------------------------------
+def image_probe(data: bytes) -> dict:
+    """Image metadata from headers only — the resolution/format filter a
+    curation pipeline applies before any decode: ``{fmt, width, height,
+    bit_depth, n_channels}``. Detects PNG, JPEG (marker walk to SOFn,
+    baseline or progressive), GIF, BMP, binary netpbm, TIFF (first-IFD
+    tag scan), and WebP (VP8L lossless, VP8 lossy frame tag, VP8X
+    extended canvas — the LOSSY variant's dimensions parse fine even
+    though its DCT payload stays gated). Raises ValueError when no
+    known signature matches."""
+    import struct as _st
+
+    n = len(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and n >= 26:
+        w, h = _st.unpack(">II", data[16:24])
+        depth, ctype = data[24], data[25]
+        chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype, 0)
+        return {"fmt": "png", "width": w, "height": h,
+                "bit_depth": depth, "n_channels": chans}
+    if data[:2] == b"\xff\xd8":  # JPEG
+        pos = 2
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = _st.unpack(">H", data[pos + 2 : pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                depth = data[pos + 4]
+                h, w = _st.unpack(">HH", data[pos + 5 : pos + 9])
+                chans = data[pos + 9]
+                return {"fmt": "jpeg_progressive" if marker == 0xC2 else "jpeg",
+                        "width": w, "height": h,
+                        "bit_depth": depth, "n_channels": chans}
+            if seglen < 2:
+                break
+            pos += 2 + seglen
+        raise ValueError("JPEG without SOF marker")
+    if data[:6] in (b"GIF87a", b"GIF89a") and n >= 10:
+        w, h = _st.unpack("<HH", data[6:10])
+        return {"fmt": "gif", "width": w, "height": h,
+                "bit_depth": 8, "n_channels": 3}
+    if data[:2] == b"BM" and n >= 26:
+        w, h = _st.unpack("<ii", data[18:26])
+        bits = _st.unpack("<H", data[28:30])[0] if n >= 30 else 8
+        return {"fmt": "bmp", "width": w, "height": abs(h),
+                "bit_depth": min(bits, 8), "n_channels": max(1, bits // 8)}
+    if data[:2] in (b"P5", b"P6") and n > 2:
+        toks = []
+        pos = 2
+        while len(toks) < 3 and pos < n:
+            while pos < n and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < n and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not data[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(data[start:pos]))
+        w, h, maxval = toks
+        return {"fmt": "netpbm", "width": w, "height": h,
+                "bit_depth": 16 if maxval > 255 else 8,
+                "n_channels": 3 if data[:2] == b"P6" else 1}
+    if data[:4] in (b"II*\x00", b"MM\x00*") or data[:4] in (b"II+\x00", b"MM\x00+"):
+        bo = "<" if data[:2] == b"II" else ">"
+        big = data[2:4] in (b"+\x00", b"\x00+")
+        if big:
+            (off,) = _st.unpack(bo + "Q", data[8:16])
+            (cnt,) = _st.unpack(bo + "Q", data[off : off + 8])
+            base, elen = off + 8, 20
+        else:
+            (off,) = _st.unpack(bo + "I", data[4:8])
+            (cnt,) = _st.unpack(bo + "H", data[off : off + 2])
+            base, elen = off + 2, 12
+        w = h = depth = None
+        for i in range(int(cnt)):
+            e = data[base + elen * i : base + elen * (i + 1)]
+            tag, ftype = _st.unpack(bo + "HH", e[:4])
+            vf = e[12:20] if big else e[8:12]
+            fmt = {3: "H", 4: "I"}.get(ftype)
+            if fmt is None:
+                continue
+            val = _st.unpack(bo + fmt, vf[: _st.calcsize(fmt)])[0]
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            elif tag == 258:
+                depth = val
+        if w is None or h is None:
+            raise ValueError("TIFF without dimension tags")
+        return {"fmt": "tiff", "width": w, "height": h,
+                "bit_depth": depth or 8, "n_channels": 1}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and n >= 30:
+        cid = data[12:16]
+        if cid == b"VP8L" and data[20] == 0x2F:
+            bits = _st.unpack("<I", data[21:25])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {"fmt": "webp_lossless", "width": w, "height": h,
+                    "bit_depth": 8, "n_channels": 4 if (bits >> 28) & 1 else 3}
+        if cid == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+            w = _st.unpack("<H", data[26:28])[0] & 0x3FFF
+            h = _st.unpack("<H", data[28:30])[0] & 0x3FFF
+            return {"fmt": "webp_lossy", "width": w, "height": h,
+                    "bit_depth": 8, "n_channels": 3}
+        if cid == b"VP8X":
+            w = 1 + int.from_bytes(data[24:27], "little")
+            h = 1 + int.from_bytes(data[27:30], "little")
+            return {"fmt": "webp_extended", "width": w, "height": h,
+                    "bit_depth": 8, "n_channels": 4}
+    raise ValueError("unrecognized image signature")
