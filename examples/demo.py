@@ -331,6 +331,27 @@ def main() -> None:
     print("GRIB glob re-ingest rows:",
           grib_glob_to_grid(spark, gout + "/*.grib2", "t2m").count())
 
+    from xarray_dataaccessor_spark.sinks.cog_sink import grid_to_cog
+    cout = tempfile.mkdtemp(prefix="xda_cog_") + "/cogs"
+    print("distributed COG sink:",
+          grid_to_cog(small, cout, "t2m", tile_size=16, overview_levels=(2,)))
+
+    # header-only media probes (the curation filters before any decode)
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        audio_probe,
+        probe_images,
+    )
+    from xarray_dataaccessor_spark.sources.media import write_mp3_frames
+    mdf = spark.createDataFrame(
+        [(0, bytearray(write_mp3_frames(25, kbps=128, vbr_alt_kbps=192)))],
+        "doc_id long, payload binary",
+    )
+    ar = audio_probe(mdf).collect()[0]
+    print(f"MP3 probe (no decode): {ar['duration_ms']}ms "
+          f"~{ar['bitrate_kbps']:.0f}kbps vbr={ar['vbr']}")
+    ir = probe_images(wp).collect()[0]
+    print(f"image probe: {ir['fmt']} {ir['width']}x{ir['height']}")
+
 
 if __name__ == "__main__":
     main()
