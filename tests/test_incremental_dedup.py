@@ -115,3 +115,91 @@ def test_incremental_never_reads_corpus_text(spark, corpus_and_batch, tmp_path):
     files = out.inputFiles()
     assert files, "expected file-backed state scans"
     assert all("fingerprints" in f or "signatures" in f for f in files), files
+
+
+def test_substring_dedup_removes_cross_doc_passages(spark):
+    """Exact substring dedup (Lee et al.): a verbatim passage pasted
+    into several documents survives in exactly one (keep_first) and is
+    cut from the rest; distinct text and sub-threshold overlaps are
+    untouched; reconstruction preserves token order."""
+    from xarray_dataaccessor_spark.operators.dedup import substring_dedup
+
+    boiler = " ".join(f"boiler{i}" for i in range(25))  # 25-token passage
+    docs = [
+        (1, f"unique head one {boiler} unique tail one"),
+        (2, f"other opening words {boiler} and different ending text"),
+        (3, "completely independent document with its own twenty words "
+            "that nobody else shares at all in any way whatsoever here"),
+        # short shared run (5 tokens) — below min_tokens, untouched
+        (4, "shared five token run here plus its own padding words one"),
+        (5, "shared five token run here plus other padding words two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dedup(df, min_tokens=20, keep_first=True).collect()}
+    # doc 1 (smallest id) keeps the passage
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == docs[0][1]
+    # doc 2 loses exactly the 25 passage tokens, order preserved
+    assert out[2]["n_removed"] == 25
+    assert out[2]["cleaned_text"] == \
+        "other opening words and different ending text"
+    for d in (3, 4, 5):
+        assert out[d]["n_removed"] == 0, d
+        assert out[d]["cleaned_text"] == docs[d - 1][1]
+
+
+def test_substring_dedup_within_one_document(spark):
+    """A passage repeated INSIDE one document is also deduplicated:
+    the first occurrence stays, the repeat is cut."""
+    from xarray_dataaccessor_spark.operators.dedup import substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(22))
+    df = spark.createDataFrame(
+        [(1, f"{passage} middle words in between {passage}")],
+        "doc_id bigint, text string",
+    )
+    out = substring_dedup(df, min_tokens=20).collect()[0]
+    assert out["n_removed"] == 22
+    assert out["cleaned_text"] == f"{passage} middle words in between"
+
+
+def test_substring_dedup_no_keep_first(spark):
+    """keep_first=False removes EVERY occurrence (the scrub-everything
+    policy for contaminated passages)."""
+    from xarray_dataaccessor_spark.operators.dedup import substring_dedup
+
+    passage = " ".join(f"q{i}" for i in range(21))
+    df = spark.createDataFrame(
+        [(1, f"aa bb {passage}"), (2, f"{passage} cc dd")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           substring_dedup(df, min_tokens=21, keep_first=False).collect()}
+    assert out[1]["cleaned_text"] == "aa bb"
+    assert out[2]["cleaned_text"] == "cc dd"
+
+
+def test_substring_dedup_overlapping_runs_counted_once(spark):
+    """Two shared passages separated by a short gap produce overlapping
+    removal spans; n_removed must equal the actual token loss (derived
+    from the kept set), never a double-counted span-length sum."""
+    from xarray_dataaccessor_spark.operators.dedup import substring_dedup
+
+    a = " ".join(f"a{i}" for i in range(20))
+    b = " ".join(f"b{i}" for i in range(20))
+    # gap of 2 tokens between the passages: the two spans overlap
+    docs = [
+        (1, f"{a} g1 g2 {b}"),
+        (2, f"xx {a} yy {b} zz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           substring_dedup(df, min_tokens=20).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 40
+    assert out[2]["cleaned_text"] == "xx yy zz"
+    # conservation: n_tokens - n_removed == len(cleaned tokens)
+    for d in (1, 2):
+        kept = len(out[d]["cleaned_text"].split())
+        assert out[d]["n_tokens"] - out[d]["n_removed"] == kept

@@ -704,3 +704,107 @@ def incremental_dedup_frames(
             ).alias("est_jaccard"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find token runs of
+    at least ``min_tokens`` that appear verbatim in MORE THAN ONE
+    document and cut them from every occurrence except (optionally)
+    the first. Whole-document dedup misses the boilerplate case — the
+    same license header / nav bar / quoted passage pasted into millions
+    of otherwise-distinct pages — which is exactly what inflates
+    memorization.
+
+    Algorithm, suffix-array-free (the shingle machinery already here):
+    positional ``min_tokens``-gram hashes per document (map-side
+    posexplode); a gram is *shared* when it occurs in >1 distinct
+    document (or >1 time in one document); per document, the shared
+    positions collapse into maximal runs via gaps-and-islands, and a
+    run of R consecutive shared grams marks tokens
+    ``[pos, pos+R+min_tokens-1)`` for removal — the union of its grams.
+    With ``keep_first`` the globally smallest (id, pos) occurrence of
+    each gram is exempted, so one canonical copy of every passage
+    survives (the paper's policy).
+
+    Returns ``(id, text, n_tokens, n_removed, cleaned_text)`` — the
+    reconstruction keeps unmarked tokens in order (pure array ops, no
+    UDF). Scale shape: one corpus shingling, one aggregation keyed on
+    the gram hash (map-side combinable), one doc-key window for the
+    islands; the heavy join is hash -> (count, first-occurrence) — a
+    compacted table, never document x document."""
+    from pyspark.sql.window import Window
+
+    k = min_tokens
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    # ONE token array for both gram positions and reconstruction:
+    # whitespace-filtered, so indexes line up exactly
+    words = F.filter(F.split(F.col(text_col), "\\s+"), lambda w: F.length(w) > 0)
+    base = src.select(
+        id_col, text_col, words.alias("__w"), F.size(words).alias("n_tokens")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__w")) - k, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__w"), (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    pos_g = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+        .filter(F.length("g") > 0)
+        .select(id_col, "pos", portable_hash64(F.col("g")).alias("h"))
+    )
+    stats = pos_g.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("__first"),
+    )
+    marked = (
+        pos_g.join(stats.filter(F.col("__n") > 1), "h")
+        .filter(
+            ~(
+                F.lit(keep_first)
+                & (F.col("__first.i") == F.col(id_col))
+                & (F.col("__first.p") == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        marked.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + F.lit(k)).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    # cleaned text: keep token t unless some span has s <= t < e
+    spans = F.coalesce(F.col("__spans"), F.array())
+    keep_tok = lambda t: ~F.exists(  # noqa: E731
+        spans, lambda sp: (sp["s"] <= t) & (t < sp["e"])
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__w"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+        ),
+        lambda s: keep_tok(s["i"]),
+    )
+    # n_removed derives from the kept set (NOT a span-length sum, which
+    # would double-count when nearby runs produce overlapping spans)
+    out = base.join(runs, id_col, "left").select(
+        id_col,
+        text_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s["w"]), " "
+        ).alias("cleaned_text"),
+    )
+    return out
