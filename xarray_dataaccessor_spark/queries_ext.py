@@ -1203,19 +1203,95 @@ _CHUNK_H64 = _H64.format(expr="chunk")
                COUNT(*) AS n_chunks_kept
         FROM kept GROUP BY doc_id
     ),
-    totals AS (SELECT doc_id, COUNT(*) AS n_chunks_total FROM hashed GROUP BY doc_id)
-    SELECT t.doc_id,
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks_total FROM hashed GROUP BY doc_id),
+    -- substring-dedup variant (Lee et al.): positional 8-gram hashes,
+    -- shared-gram islands -> removal spans, keep-first exemption
+    dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> length(x) > 0) AS w
+        FROM corpus
+    ),
+    spos AS (
+        SELECT doc_id, i - 1 AS pos,
+               {_H64.format(expr="array_to_string(w[i : i + 7], ' ')")} AS h
+        FROM dw, unnest(range(1, greatest(len(w) - 8, 0) + 2)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS n_occ,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+        FROM spos
+    ),
+    smarked AS (SELECT doc_id, pos FROM occ WHERE n_occ > 1 AND rk > 1),
+    sruns AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e FROM (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM smarked
+        ) GROUP BY doc_id, isl
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS ti, w[i] AS tok
+        FROM dw, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    skept AS (
+        SELECT t.doc_id, t.ti, t.tok FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sruns r
+            WHERE r.doc_id = t.doc_id AND r.s <= t.ti AND t.ti < r.e
+        )
+    ),
+    sout AS (
+        SELECT dw.doc_id,
+               COALESCE(kk.text, '') AS text,
+               len(dw.w) AS n_total,
+               COALESCE(kk.n_kept, 0) AS n_kept
+        FROM dw LEFT JOIN (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text,
+                   COUNT(*) AS n_kept
+            FROM skept GROUP BY doc_id
+        ) kk ON kk.doc_id = dw.doc_id
+    )
+    SELECT 'chunks' AS variant, t.doc_id,
            COALESCE(r.text, '') AS text,
-           t.n_chunks_total,
-           COALESCE(r.n_chunks_kept, 0) AS n_chunks_kept
+           CAST(t.n_chunks_total AS BIGINT) AS n_total,
+           CAST(COALESCE(r.n_chunks_kept, 0) AS BIGINT) AS n_kept
     FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id
+    UNION ALL
+    SELECT 'substrings', doc_id, text, CAST(n_total AS BIGINT),
+           CAST(n_kept AS BIGINT)
+    FROM sout
     """,
 )
 def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passage-level dedup families under one slot (variant union):
+    'chunks' rows are the C4-style fixed-chunk dedup + reassembly
+    (``text.remove_duplicate_chunks``); 'substrings' rows are the exact
+    substring dedup of Lee et al. (``dedup.substring_dedup``,
+    min_tokens=8, keep-first) — maximal shared token runs cut from all
+    but their first occurrence, text rebuilt from the kept tokens."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.dedup import substring_dedup
     from xarray_dataaccessor_spark.operators.text import remove_duplicate_chunks
 
-    return remove_duplicate_chunks(_corpus(spark, sf_dir))
+    corpus = _corpus(spark, sf_dir)
+    chunks = remove_duplicate_chunks(corpus).select(
+        F.lit("chunks").alias("variant"),
+        "doc_id",
+        "text",
+        F.col("n_chunks_total").cast("bigint").alias("n_total"),
+        F.col("n_chunks_kept").cast("bigint").alias("n_kept"),
+    )
+    subs = substring_dedup(corpus, min_tokens=8, keep_first=True).select(
+        F.lit("substrings").alias("variant"),
+        "doc_id",
+        F.col("cleaned_text").alias("text"),
+        F.col("n_tokens").cast("bigint").alias("n_total"),
+        (F.col("n_tokens") - F.col("n_removed")).cast("bigint").alias("n_kept"),
+    )
+    return chunks.unionByName(subs)
 
 
 # ---------------------------------------------------------------------------
