@@ -286,6 +286,13 @@ def main() -> None:
         distill_quality_classifier(
             tdocs, tlbl, n_buckets=32
         ).write.format("noop").mode("overwrite").save()
+        # substring-dedup stage shapes (k-wide gram concat, span
+        # exists-lambda reconstruction) — same first-compile rationale
+        from xarray_dataaccessor_spark.operators.dedup import substring_dedup
+
+        substring_dedup(
+            tdocs, min_tokens=8
+        ).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
     except Exception:
         pass
