@@ -276,3 +276,56 @@ def test_contamination_report_fused_matches_composition(spark):
         assert fused[d]["contamination"] == pytest.approx(ov[d]["contamination"])
         assert fused[d]["max_span_tokens"] == sp[d]
     assert fused[1]["max_span_tokens"] == len(passage.split())
+
+
+def test_mixture_resample_hits_targets_and_is_deterministic(spark):
+    """mixture_resample materializes a target mixture: per-stratum token
+    mass lands within sampling noise of target * p, up-sampled strata
+    replicate with epoch counters, and the (doc, epoch) set is a pure
+    function of (id, seed) — identical under any partitioning."""
+    import duckdb
+
+    from xarray_dataaccessor_spark.operators.sampling import mixture_resample
+
+    rows = []
+    rng = __import__("numpy").random.default_rng(5)
+    for i in range(600):
+        src = "big" if i < 500 else "small"
+        rows.append((i, src, int(rng.integers(50, 150))))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, tok bigint")
+    w = spark.createDataFrame(
+        [("big", 0.5), ("small", 0.5)], "source string, p double"
+    )
+    out = mixture_resample(df, w, "tok", total_tokens=100_000)
+    agg = {r["source"]: r["t"] for r in
+           out.groupBy("source").agg(F.sum("tok").alias("t")).collect()}
+    for s in ("big", "small"):
+        assert abs(agg[s] - 50_000) / 50_000 < 0.1, agg
+    # 'small' holds ~1/6 of tokens but gets 1/2 of the target: upsampled
+    epochs = out.filter(F.col("source") == "small").agg(
+        F.max("epoch")
+    ).collect()[0][0]
+    assert epochs >= 1
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_resample(
+            df.repartition(13), w, "tok", total_tokens=100_000
+        ).collect()
+    )
+    assert a == b
+    # DuckDB replay of the per-(doc, copy) decision: same kept multiset
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    got = con.execute("""
+        WITH tot AS (SELECT source, SUM(tok) AS st FROM docs GROUP BY source),
+        r AS (SELECT source, 0.5 * 100000 / st AS r FROM tot),
+        d AS (SELECT d.*, r.r,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT % 65536 AS b
+              FROM docs d JOIN r USING (source)),
+        n AS (SELECT *, CAST(floor(r) AS INT) +
+                     CASE WHEN b < (r - floor(r)) * 65536 THEN 1 ELSE 0 END AS nc
+              FROM d)
+        SELECT doc_id, unnest(range(nc)) AS epoch FROM n WHERE nc > 0
+    """).fetchall()
+    assert sorted(got) == a

@@ -412,3 +412,68 @@ def contamination_spans(
         .agg((F.max("__run") + F.lit(k - 1)).alias("max_span_tokens"))
     )
     return runs
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    token_col: str,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    total_tokens: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """MATERIALIZE a training mixture: given per-stratum target weights
+    (e.g. ``token_count_by_source``'s temperature-scaled ``p``), emit a
+    corpus whose per-stratum token mass matches ``total_tokens * p`` in
+    expectation — the step between computing mixture weights and
+    actually writing the epoch. Strata may be UP-sampled (documents
+    replicated with an ``epoch`` counter, the standard small-domain
+    repetition) or down-sampled (hash-threshold kept set).
+
+    ``weights``: ``(strata, p)`` rows summing to ~1. For each stratum,
+    rate r = total_target_tokens * p / stratum_tokens; every document
+    gets ``floor(r)`` full copies plus one more iff its seeded hash
+    bucket < frac(r) * 65536 — so the DECISION per (doc, copy) is a
+    pure function of (id, seed), reproducible across runs, engines and
+    partitionings, and the expected token mass is exact. Output adds
+    ``epoch`` (0-based copy index).
+
+    Scale shape: one broadcast join of a strata-sized rate table + a
+    map-side ``explode(sequence(0, n_copies-1))`` — no shuffle of the
+    corpus at all; at 100 TB this is a pure scan-and-write pass."""
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col)).alias("__tok")
+    )
+    tgt_total = total_tokens
+    if tgt_total is None:
+        # default: preserve the overall corpus size
+        tgt_total_df = df.agg(F.sum(F.col(token_col)).alias("__t"))
+        rates = (
+            totals.join(F.broadcast(weights), strata_col)
+            .join(F.broadcast(tgt_total_df))
+            .select(
+                strata_col,
+                (F.col("p") * F.col("__t") / F.col("__tok")).alias("__r"),
+            )
+        )
+    else:
+        rates = totals.join(F.broadcast(weights), strata_col).select(
+            strata_col,
+            (F.col("p") * F.lit(float(tgt_total)) / F.col("__tok")).alias("__r"),
+        )
+    b = hash_bucket(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    full = F.floor(F.col("__r")).cast("int")
+    frac_keep = (
+        b < ((F.col("__r") - F.floor(F.col("__r"))) * F.lit(BUCKETS))
+    ).cast("int")
+    n_copies = full + frac_keep
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__r", "__n")
+    )
