@@ -203,3 +203,13 @@ def test_substring_dedup_overlapping_runs_counted_once(spark):
     for d in (1, 2):
         kept = len(out[d]["cleaned_text"].split())
         assert out[d]["n_tokens"] - out[d]["n_removed"] == kept
+
+
+def test_state_num_perm_mismatch_is_loud(spark, corpus_and_batch, tmp_path):
+    """A state built with fewer permutations than requested must fail
+    with an actionable message, not silently mis-join."""
+    cdf, bdf = corpus_and_batch
+    path = str(tmp_path / "state8")
+    build_dedup_state(cdf, path, num_perm=8)
+    with pytest.raises(ValueError, match="rebuild the state"):
+        incremental_dedup(spark, bdf, path, num_perm=16)

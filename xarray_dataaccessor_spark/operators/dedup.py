@@ -623,6 +623,14 @@ def incremental_dedup_frames(
     pipeline with the corpus state passed as (fingerprints, signatures)
     frames, however they were produced (persisted parquet in
     production; computed in-plan for oracle verification)."""
+    missing = [c for c in (f"mh{i}" for i in range(num_perm))
+               if c not in sigs.columns]
+    if missing:
+        raise ValueError(
+            f"signature state lacks columns {missing[:3]}...: it was built "
+            f"with fewer permutations than num_perm={num_perm} — rebuild "
+            "the state or pass the num_perm it was built with"
+        )
     new = spread_small_input(new_batch).select(F.col(id_col), F.col(text_col))
 
     nfp = new.select(id_col, portable_hash64(F.col(text_col)).alias("fp")).cache()
