@@ -352,6 +352,29 @@ def main() -> None:
     ir = probe_images(wp).collect()[0]
     print(f"image probe: {ir['fmt']} {ir['width']}x{ir['height']}")
 
+    # exact substring dedup (Lee et al.) + mixture materialization
+    from xarray_dataaccessor_spark.operators.dedup import substring_dedup
+    sd = substring_dedup(docs_txt, min_tokens=8)
+    n_cut = sd.filter(F.col("n_removed") > 0).count()
+    tok_cut = sd.agg(F.sum("n_removed")).first()[0]
+    print(f"substring dedup: {n_cut} docs lose {tok_cut} tokens of "
+          "repeated passages (first occurrence kept)")
+
+    from xarray_dataaccessor_spark.operators.sampling import mixture_resample
+    from xarray_dataaccessor_spark.operators.text import token_counts
+    tk = token_counts(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "bpe_tokens"
+    )
+    base = docs.select("doc_id", "source").join(tk, "doc_id")
+    srcs = [r[0] for r in base.select("source").distinct().collect()]
+    wts = spark.createDataFrame(
+        [(s, 1.0 / len(srcs)) for s in srcs], "source string, p double"
+    )
+    mix = mixture_resample(base, wts, "bpe_tokens", total_tokens=50_000)
+    got = mix.agg(F.sum("bpe_tokens"), F.max("epoch")).first()
+    print(f"mixture materializer: uniform target over {len(srcs)} sources "
+          f"-> {got[0]} tokens, max epoch {got[1]} (small domains upsampled)")
+
 
 if __name__ == "__main__":
     main()
