@@ -162,6 +162,40 @@ def attach_audio_column(
     )
 
 
+def attach_mp3_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a syntactically valid MPEG-audio payload per document
+    (``media.write_mp3_frames``) with SQL-derivable envelope metadata:
+    ``n_frames = 10 + d % 16``; documents with ``d % 5 == 0`` alternate
+    128/192 kbps (VBR), the rest are 128 kbps CBR. Frame headers are
+    real; payloads are zero-filled (the probe never decodes audio).
+    Output: ``(doc_id, payload binary)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import write_mp3_frames
+
+    wm = write_mp3_frames
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 10 + d % 16
+                alt = 192 if d % 5 == 0 else None
+                rows.append(
+                    {"doc_id": d, "payload": wm(n, kbps=128, vbr_alt_kbps=alt)}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary"
+    )
+
+
 def binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Deterministic byte-level features, pure built-ins: size, 256-byte
     chunk count, md5 checksum. This is the JVM-side fast path; anything

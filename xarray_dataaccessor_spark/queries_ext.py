@@ -758,6 +758,19 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AS DOUBLE) END) AS sumsq_even
         FROM documents d, range(256) t(k)
         GROUP BY d.doc_id
+    ),
+    mp3 AS (
+        SELECT doc_id, 10 + (doc_id % 16) AS nf, (doc_id % 5 = 0) AS is_vbr
+        FROM documents
+    ),
+    mp3m AS (
+        SELECT doc_id,
+               CAST(ROUND(nf * 1152 * 1000.0 / 44100.0) AS BIGINT) AS mp3_duration_ms,
+               CASE WHEN is_vbr
+                    THEN CAST(((nf + 1) // 2) * 128 + (nf // 2) * 192 AS DOUBLE) / nf
+                    ELSE 128.0 END AS mp3_kbps,
+               is_vbr AS mp3_vbr
+        FROM mp3
     )
     SELECT b.doc_id,
            CAST(octet_length(payload) AS BIGINT) AS n_bytes,
@@ -772,8 +785,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE m.mean_pixel END AS mean_pixel,
            CAST(256 AS BIGINT) AS audio_n_in,
            CAST(128 AS BIGINT) AS audio_n_out,
-           sqrt(au.sumsq_even / 128.0) AS audio_rms
+           sqrt(au.sumsq_even / 128.0) AS audio_rms,
+           mp3m.mp3_duration_ms, mp3m.mp3_kbps, mp3m.mp3_vbr
     FROM b JOIN m ON m.doc_id = b.doc_id JOIN au ON au.doc_id = b.doc_id
+    JOIN mp3m ON mp3m.doc_id = b.doc_id
     """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,14 +805,18 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     on even source samples, and squared integer partial sums are exact
     doubles under any summation order, so even the RMS is SQL-exact).
     One oracle slot covers the byte-feature fast path, three real image
-    codecs, and the FLAC audio path end-to-end; the ``fake`` plumbing
-    codecs now live only in unit tests."""
+    codecs, the FLAC audio path, AND the MPEG-audio envelope probe
+    (``audio_probe`` over real frame headers — duration/bitrate/VBR
+    derived without decode, replayed from the generation rule); the
+    ``fake`` plumbing codecs now live only in unit tests."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.dedup import spread_small_input
     from xarray_dataaccessor_spark.operators.multimodal import (
         attach_audio_column,
         attach_binary_column,
         attach_media_column,
+        attach_mp3_column,
+        audio_probe,
         binary_features,
         decode_image,
         resample_audio,
@@ -831,9 +850,21 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples_out").alias("audio_n_out"),
         F.col("rms").alias("audio_rms"),
     )
-    return feats.join(decoded, "doc_id").join(audio, "doc_id").select(
-        "doc_id", "n_bytes", "n_chunks", "checksum", "width", "height",
-        "img_codec", "mean_pixel", "audio_n_in", "audio_n_out", "audio_rms",
+    mp3 = audio_probe(attach_mp3_column(docs)).select(
+        "doc_id",
+        F.col("duration_ms").alias("mp3_duration_ms"),
+        F.col("bitrate_kbps").alias("mp3_kbps"),
+        F.col("vbr").alias("mp3_vbr"),
+    )
+    return (
+        feats.join(decoded, "doc_id")
+        .join(audio, "doc_id")
+        .join(mp3, "doc_id")
+        .select(
+            "doc_id", "n_bytes", "n_chunks", "checksum", "width", "height",
+            "img_codec", "mean_pixel", "audio_n_in", "audio_n_out",
+            "audio_rms", "mp3_duration_ms", "mp3_kbps", "mp3_vbr",
+        )
     )
 
 
