@@ -179,3 +179,145 @@ def test_cross_codec_parity_with_png():
     from_png = parse_png(write_png(img))
     from_webp = parse_webp(write_webp(img, use_lz77=True, cache_bits=5))
     np.testing.assert_array_equal(from_png, from_webp)
+
+
+class _SpecBitWriter:
+    """LSB-first bit assembler used to hand-craft spec-order VP8L streams
+    in the golden tests below, independent of write_webp's emitter."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def payload(self):
+        out = bytearray([0x2F])
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _riff(payload: bytes) -> bytes:
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _simple_single(bw, sym):
+    """Emit a simple prefix code with one symbol (0 data bits on use)."""
+    bw.w(1, 1)  # simple
+    bw.w(0, 1)  # num_symbols = 1
+    if sym >= 2:
+        bw.w(1, 1)  # first symbol is 8 bits
+        bw.w(sym, 8)
+    else:
+        bw.w(0, 1)
+        bw.w(sym, 1)
+
+
+def test_golden_spec_order_color_cache_before_meta():
+    """Hand-assembled bitstream in RFC 9649 grammar order
+    (spatially-coded-image ::= color-cache-info meta-prefix data): a 2x1
+    image whose second pixel is a color-cache hit. Pins that the decoder
+    reads color-cache-info FIRST — an order-inverted decoder misparses
+    the stream. (No libwebp in this environment; this is the manual
+    conformance pin.)"""
+    from xarray_dataaccessor_spark.sources.webp import _cache_key
+
+    cache_bits = 2
+    px = 0xFF0A141E  # a=255 r=10 g=20 b=30
+    k = _cache_key(px, cache_bits)
+
+    bw = _SpecBitWriter()
+    bw.w(2 - 1, 14)  # width-1
+    bw.w(1 - 1, 14)  # height-1
+    bw.w(0, 1)  # alpha hint
+    bw.w(0, 3)  # version
+    bw.w(0, 1)  # no transforms
+    # --- spatially-coded image: color-cache-info FIRST ---
+    bw.w(1, 1)
+    bw.w(cache_bits, 4)
+    # --- then meta-prefix bit ---
+    bw.w(0, 1)
+    # green: code-length-coded, two symbols of length 1: 20 and 280+k
+    bw.w(0, 1)  # not simple
+    bw.w(0, 4)  # num_cl = 4 -> lengths for CL syms 17,18,0,1
+    bw.w(0, 3)  # len(17)=0
+    bw.w(1, 3)  # len(18)=1
+    bw.w(0, 3)  # len(0)=0
+    bw.w(1, 3)  # len(1)=1
+    # cl canonical: sym1 -> bit0, sym18 -> bit1
+    bw.w(1, 1)  # explicit max_symbol
+    bw.w(0, 3)  # length_nbits = 2
+    bw.w(3, 2)  # max_symbol = 2+3 = 5 cl reads
+    bw.w(1, 1)  # cl sym 18
+    bw.w(9, 7)  # 11+9 = 20 zeros (positions 0..19)
+    bw.w(0, 1)  # cl sym 1 -> length 1 at position 20
+    bw.w(1, 1)  # cl sym 18
+    bw.w(127, 7)  # 138 zeros
+    bw.w(1, 1)  # cl sym 18
+    bw.w(110 + k, 7)  # 121+k zeros  (total 259+k zeros: 21..279+k)
+    bw.w(0, 1)  # cl sym 1 -> length 1 at position 280+k
+    _simple_single(bw, 10)  # red
+    _simple_single(bw, 30)  # blue
+    _simple_single(bw, 255)  # alpha
+    _simple_single(bw, 0)  # dist
+    # data: pixel0 = literal green sym 20 (code 0), pixel1 = cache sym (code 1)
+    bw.w(0, 1)
+    bw.w(1, 1)
+
+    img = parse_webp(_riff(bw.payload()))
+    assert img.shape == (1, 2, 3)
+    np.testing.assert_array_equal(img, [[[10, 20, 30], [10, 20, 30]]])
+
+
+def test_golden_spec_order_meta_prefix_groups():
+    """Hand-assembled stream with NO color cache and a meta-prefix
+    entropy image selecting two code groups over an 8x1 image (block
+    size 4). First bit 0 = no cache, second bit 1 = meta present: a
+    decoder that reads the meta bit first sees 0 and misdecodes."""
+    bw = _SpecBitWriter()
+    bw.w(8 - 1, 14)
+    bw.w(1 - 1, 14)
+    bw.w(0, 1)
+    bw.w(0, 3)
+    bw.w(0, 1)  # no transforms
+    # --- color-cache-info FIRST: none ---
+    bw.w(0, 1)
+    # --- meta-prefix present ---
+    bw.w(1, 1)
+    bw.w(0, 3)  # meta_bits = 2 -> 2 blocks of 4
+    # meta entropy image (2x1, allow_meta=False): its own cache bit, codes
+    bw.w(0, 1)  # no cache in meta image
+    bw.w(1, 1)  # green: simple
+    bw.w(1, 1)  # two symbols
+    bw.w(0, 1)  # first symbol 1-bit
+    bw.w(0, 1)  # sym0 = 0 (group 0)
+    bw.w(1, 8)  # sym1 = 1 (group 1)
+    _simple_single(bw, 0)  # red
+    _simple_single(bw, 0)  # blue
+    _simple_single(bw, 0)  # alpha
+    _simple_single(bw, 0)  # dist
+    bw.w(0, 1)  # meta pixel 0 -> green 0
+    bw.w(1, 1)  # meta pixel 1 -> green 1
+    # two code groups, all single-symbol codes (0 data bits per pixel)
+    for g in (111, 222):
+        _simple_single(bw, g)  # green
+        _simple_single(bw, 0)  # red
+        _simple_single(bw, 0)  # blue
+        _simple_single(bw, 255)  # alpha
+        _simple_single(bw, 0)  # dist
+    # data: 8 literals, zero bits each
+
+    img = parse_webp(_riff(bw.payload()))
+    assert img.shape == (1, 8, 3)
+    np.testing.assert_array_equal(img[0, :4, 1], [111] * 4)
+    np.testing.assert_array_equal(img[0, 4:, 1], [222] * 4)

@@ -196,6 +196,17 @@ def _cache_key(argb: int, cache_bits: int) -> int:
 def _read_entropy_image(br: _BitReader, w: int, h: int, allow_meta: bool):
     """Decode one entropy-coded image of w*h ARGB pixels (list of ints).
     ``allow_meta`` is True only for the spatially-coded (main) image."""
+    # Spec grammar (RFC 9649 §5): spatially-coded-image ::=
+    #   color-cache-info meta-prefix data; entropy-coded-image ::=
+    #   color-cache-info data.  Color-cache-info is always read FIRST,
+    #   then (main image only) the meta-prefix bit.
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L: color cache bits {cache_bits} out of range")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
     meta_huff = None
     meta_bits = 0
     n_groups = 1
@@ -206,13 +217,6 @@ def _read_entropy_image(br: _BitReader, w: int, h: int, allow_meta: bool):
         meta_px = _read_entropy_image(br, mw, mh, False)[0]
         meta_huff = [((p >> 8) & 0xFFFF) for p in meta_px]  # (r<<8)|g
         n_groups = max(meta_huff) + 1
-
-    cache_bits = 0
-    if br.read(1):
-        cache_bits = br.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError(f"VP8L: color cache bits {cache_bits} out of range")
-    cache = [0] * (1 << cache_bits) if cache_bits else None
 
     groups = []
     for _ in range(n_groups):
@@ -851,8 +855,8 @@ def _write_entropy_image(
 ) -> None:
     """Emit one entropy-coded image: literal/backref/cache symbol stream
     under per-channel Huffman codes built from actual frequencies."""
-    if allow_meta:
-        bw.write(0, 1)  # no meta prefix codes
+    # Emission order mirrors the spec: color-cache-info first, then the
+    # meta-prefix bit (main image only).
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -860,6 +864,8 @@ def _write_entropy_image(
     else:
         bw.write(0, 1)
         cache = None
+    if allow_meta:
+        bw.write(0, 1)  # no meta prefix codes
 
     # tokenize: (kind, payload) with kind 'lit' (pixel), 'ref' (length),
     # 'cache' (index) — distance is always 1 (horizontal runs)
