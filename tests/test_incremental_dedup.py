@@ -213,3 +213,37 @@ def test_state_num_perm_mismatch_is_loud(spark, corpus_and_batch, tmp_path):
     build_dedup_state(cdf, path, num_perm=8)
     with pytest.raises(ValueError, match="rebuild the state"):
         incremental_dedup(spark, bdf, path, num_perm=16)
+
+
+def test_intermediate_caches_tagged_and_releasable(spark):
+    """ADVICE r5: long-lived sessions accumulate the operator's internal
+    caches — the result frame is tagged with them and
+    unpersist_intermediates releases them after the consuming action."""
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        unpersist_intermediates,
+    )
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash64
+    from xarray_dataaccessor_spark.operators.dedup import (
+        incremental_dedup_frames,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "wholly unrelated text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "fresh new content entirely")],
+        "doc_id long, text string",
+    )
+    fps = corpus.select("doc_id", portable_hash64(F.col("text")).alias("fp"))
+    sigs = minhash_signatures(word_shingles(corpus, "text", "doc_id", 3), 8, "doc_id")
+    out = incremental_dedup_frames(batch, fps, sigs, num_perm=8)
+    rows = out.collect()
+    assert len(rows) == 2
+    released = unpersist_intermediates(out)
+    assert released == 2  # nfp + nsig
+    assert unpersist_intermediates(out) == 0  # idempotent
+    # untagged frames are a no-op
+    assert unpersist_intermediates(batch) == 0

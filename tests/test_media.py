@@ -452,3 +452,51 @@ def test_gif_corruption_fuzz_bounded():
         from xarray_dataaccessor_spark.sources.media import _lzw_decode
 
         _lzw_decode(b"\x00\x01", 200)
+
+
+def test_image_probe_rgb_tiff_multivalued_bits():
+    """ADVICE r5: an RGB TIFF stores BitsPerSample as count=3 SHORTs whose
+    value field is an OFFSET in classic TIFF; SamplesPerPixel (tag 277)
+    carries the channel count. Hand-crafted little-endian classic TIFF."""
+    import struct
+
+    from xarray_dataaccessor_spark.sources.media import image_probe
+
+    def entry(tag, ftype, count, value):
+        return struct.pack("<HHII", tag, ftype, count, value)
+
+    # IFD at offset 8 with 5 entries; BitsPerSample array after the IFD
+    n_entries = 5
+    ifd_off = 8
+    bits_off = ifd_off + 2 + n_entries * 12 + 4
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 3, 1, 31)        # ImageWidth
+    ifd += entry(257, 3, 1, 17)        # ImageLength
+    ifd += entry(258, 3, 3, bits_off)  # BitsPerSample -> offset (3 SHORTs)
+    ifd += entry(277, 3, 1, 3)         # SamplesPerPixel
+    ifd += entry(259, 3, 1, 1)         # Compression = none
+    ifd += struct.pack("<I", 0)        # next IFD
+    data = (b"II*\x00" + struct.pack("<I", ifd_off) + ifd
+            + struct.pack("<HHH", 8, 8, 8))
+    p = image_probe(data)
+    assert p == {"fmt": "tiff", "width": 31, "height": 17,
+                 "bit_depth": 8, "n_channels": 3}
+
+
+def test_image_probe_single_band_tiff_via_writer():
+    """Single-band float GeoTIFF from our own writer still probes as one
+    channel with the declared bit depth."""
+    import os
+    import tempfile
+
+    from xarray_dataaccessor_spark.sources.geotiff import write_geotiff
+    from xarray_dataaccessor_spark.sources.media import image_probe
+
+    arr = np.arange(12, dtype="f4").reshape(3, 4)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "a.tif")
+        write_geotiff(path, arr, 0.0, 0.0, (1.0, 1.0))
+        with open(path, "rb") as fh:
+            p = image_probe(fh.read())
+    assert (p["fmt"], p["width"], p["height"], p["n_channels"]) == (
+        "tiff", 4, 3, 1)

@@ -329,3 +329,26 @@ def test_mixture_resample_hits_targets_and_is_deterministic(spark):
         SELECT doc_id, unnest(range(nc)) AS epoch FROM n WHERE nc > 0
     """).fetchall()
     assert sorted(got) == a
+
+
+def test_mixture_resample_missing_stratum_errors(spark):
+    """ADVICE r5: a stratum present in the corpus but absent from the
+    weights table must raise, not be silently dropped; a zero-token
+    stratum must raise, not produce an inf rate."""
+    from xarray_dataaccessor_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "fr", 50), (3, "de", 70)],
+        "doc_id long, source string, n_tokens long",
+    )
+    w = spark.createDataFrame([("en", 0.6), ("fr", 0.4)], "source string, p double")
+    out = mixture_resample(df, w, "n_tokens", total_tokens=200)
+    with pytest.raises(Exception, match="absent from weights: de"):
+        out.collect()
+
+    zero = spark.createDataFrame(
+        [(1, "en", 0)], "doc_id long, source string, n_tokens long"
+    )
+    w2 = spark.createDataFrame([("en", 1.0)], "source string, p double")
+    with pytest.raises(Exception, match="zero token mass: en"):
+        mixture_resample(zero, w2, "n_tokens", total_tokens=100).collect()

@@ -149,14 +149,19 @@ def train_logreg(
             )
         )
 
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
     w = None
+    epoch_caches = []
     for i in range(max(1, epochs)):
         w = grad_step(w)
         if i < epochs - 1:
             # weights are bucket-sized; caching each epoch keeps the
             # nested plan linear in epochs instead of exponential
             w = w.cache()
-    return w
+            epoch_caches.append(w)
+    # caller owns the cache lifecycle: see cachectl.unpersist_intermediates
+    return tag_caches(w, *epoch_caches)
 
 
 def score_logreg(
@@ -202,6 +207,13 @@ def distill_quality_classifier(
                 F.col("x").cast("double").alias("x"),
             )
         )
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        _ATTR,
+        tag_caches,
+    )
+
     feats = feats.cache()
     w = train_logreg(feats, labels, id_col, label_col, epochs, lr)
-    return score_logreg(feats, w, id_col)
+    scored = score_logreg(feats, w, id_col)
+    # caller owns the cache lifecycle: see cachectl.unpersist_intermediates
+    return tag_caches(scored, feats, *getattr(w, _ATTR, ()))

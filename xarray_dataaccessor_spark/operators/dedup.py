@@ -696,7 +696,9 @@ def incremental_dedup_frames(
             (-F.col("__b.neg_id")).alias("__near_of"),
         )
     )
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    result = (
         new.select(id_col)
         .join(exact, id_col, "left")
         .join(near, id_col, "left")
@@ -712,6 +714,8 @@ def incremental_dedup_frames(
             ).alias("est_jaccard"),
         )
     )
+    # caller owns the cache lifecycle: see cachectl.unpersist_intermediates
+    return tag_caches(result, nfp, nsig)
 
 
 def substring_dedup(

@@ -445,22 +445,46 @@ def mixture_resample(
     totals = df.groupBy(strata_col).agg(
         F.sum(F.col(token_col)).alias("__tok")
     )
+    # In-plan validation (no extra job): a stratum observed in the corpus
+    # but absent from ``weights``, or with zero token mass, fails loudly
+    # at execution instead of being silently dropped / yielding inf.
+    p_checked = (
+        F.when(
+            F.col("p").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_resample: stratum absent from weights: "),
+                    F.col(strata_col).cast("string"),
+                )
+            ),
+        )
+        .when(
+            F.col("__tok") <= 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_resample: stratum has zero token mass: "),
+                    F.col(strata_col).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col("p"))
+    )
     tgt_total = total_tokens
     if tgt_total is None:
         # default: preserve the overall corpus size
         tgt_total_df = df.agg(F.sum(F.col(token_col)).alias("__t"))
         rates = (
-            totals.join(F.broadcast(weights), strata_col)
+            totals.join(F.broadcast(weights), strata_col, "left")
             .join(F.broadcast(tgt_total_df))
             .select(
                 strata_col,
-                (F.col("p") * F.col("__t") / F.col("__tok")).alias("__r"),
+                (p_checked * F.col("__t") / F.col("__tok")).alias("__r"),
             )
         )
     else:
-        rates = totals.join(F.broadcast(weights), strata_col).select(
+        rates = totals.join(F.broadcast(weights), strata_col, "left").select(
             strata_col,
-            (F.col("p") * F.lit(float(tgt_total)) / F.col("__tok")).alias("__r"),
+            (p_checked * F.lit(float(tgt_total)) / F.col("__tok")).alias("__r"),
         )
     b = hash_bucket(
         F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))

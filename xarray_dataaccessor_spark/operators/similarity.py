@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # deterministic hyperplane weights: w(plane, dim) in [-1, 1), integer LCG
@@ -994,10 +995,28 @@ def build_ivfpq_index(
     )
     assigned.unpersist()
     os.makedirs(path, exist_ok=True)
+    # Record the on-disk schemas so the prober can plan with ZERO Spark
+    # jobs (no parquet footer-inference reads at plan-build time).
+    part = T.StructField("centroid_id", T.IntegerType())
+    schemas = {
+        "centroids": cent.schema.json(),
+        "codebooks": books.schema.json(),
+        "lists": T.StructType(
+            [f for f in codes.schema.fields if f.name != "centroid_id"]
+            + [part]
+        ).json(),
+        "vectors": T.StructType(
+            [
+                f
+                for f in assigned.select("vec_id", "e").schema.fields
+            ]
+            + [part]
+        ).json(),
+    }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump({"by_residual": by_residual, "m_subspaces": m_subspaces,
                    "n_centroids": n_centroids, "n_codes": n_codes,
-                   "dims": dims}, fh)
+                   "dims": dims, "schemas": schemas}, fh)
 
 
 def query_ivfpq_index(
@@ -1029,18 +1048,35 @@ def query_ivfpq_index(
     import json
     import os
 
-    cent = spark.read.parquet(f"{path}/centroids")
-    books = spark.read.parquet(f"{path}/codebooks")
     by_residual = False
     meta_path = os.path.join(path, "meta.json")
+    schemas = {}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
         by_residual = bool(meta.get("by_residual", False))
+        schemas = meta.get("schemas", {})
         if m_subspaces is None:
             m_subspaces = int(meta["m_subspaces"])
+
+    def read_table(name: str) -> DataFrame:
+        # With the recorded schema the read fires no footer-inference
+        # job — plan building stays a pure driver-side operation.
+        reader = spark.read
+        if name in schemas:
+            reader = reader.schema(T.StructType.fromJson(json.loads(schemas[name])))
+        return reader.parquet(f"{path}/{name}")
+
+    cent = read_table("centroids")
+    books = read_table("codebooks")
     if m_subspaces is None:
-        m_subspaces = 1 + books.agg(F.max("m")).collect()[0][0]
+        # build_ivfpq_index always writes meta.json; a missing value here
+        # means the path is not a composed index — fail fast rather than
+        # firing a Spark job to re-derive what the build recorded.
+        raise ValueError(
+            f"{meta_path} missing or lacks m_subspaces; pass m_subspaces= "
+            "explicitly for indexes built outside build_ivfpq_index"
+        )
     if dims is None or dims % m_subspaces != 0:
         raise ValueError("dims must be known and divisible by m_subspaces")
     sub = dims // m_subspaces
@@ -1066,7 +1102,7 @@ def query_ivfpq_index(
             )
         )
 
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = read_table("lists")
     if by_residual:
         # centered query per probed centroid -> LUT keyed by centroid too
         q_res = q_probe.join(F.broadcast(cent), "centroid_id").select(
@@ -1123,7 +1159,7 @@ def query_ivfpq_index(
         .filter(F.col("__rk") <= refine * k)
         .select("query_id", "neighbor_id", "centroid_id")
     )
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = read_table("vectors")
     rescored = (
         short.join(
             vectors.select(F.col("vec_id").alias("neighbor_id"), "e", "centroid_id"),

@@ -957,25 +957,40 @@ def image_probe(data: bytes) -> dict:
             (off,) = _st.unpack(bo + "I", data[4:8])
             (cnt,) = _st.unpack(bo + "H", data[off : off + 2])
             base, elen = off + 2, 12
-        w = h = depth = None
+        w = h = depth = chans = None
+        cap = 8 if big else 4
         for i in range(int(cnt)):
             e = data[base + elen * i : base + elen * (i + 1)]
             tag, ftype = _st.unpack(bo + "HH", e[:4])
+            count = _st.unpack(bo + ("Q" if big else "I"),
+                               e[4:12] if big else e[4:8])[0]
             vf = e[12:20] if big else e[8:12]
             fmt = {3: "H", 4: "I"}.get(ftype)
             if fmt is None:
                 continue
-            val = _st.unpack(bo + fmt, vf[: _st.calcsize(fmt)])[0]
+            size = _st.calcsize(fmt)
+            if count * size <= cap:
+                # first value of an inline (possibly multi-valued) field
+                val = _st.unpack(bo + fmt, vf[:size])[0]
+            else:
+                # value field holds an offset (e.g. RGB BitsPerSample,
+                # count=3 SHORTs in classic TIFF) — dereference it
+                ptr = _st.unpack(bo + ("Q" if big else "I"), vf[:cap])[0]
+                if ptr + size > n:
+                    continue
+                val = _st.unpack(bo + fmt, data[ptr : ptr + size])[0]
             if tag == 256:
                 w = val
             elif tag == 257:
                 h = val
             elif tag == 258:
                 depth = val
+            elif tag == 277:  # SamplesPerPixel
+                chans = val
         if w is None or h is None:
             raise ValueError("TIFF without dimension tags")
         return {"fmt": "tiff", "width": w, "height": h,
-                "bit_depth": depth or 8, "n_channels": 1}
+                "bit_depth": depth or 8, "n_channels": chans or 1}
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and n >= 30:
         cid = data[12:16]
         if cid == b"VP8L" and data[20] == 0x2F:
