@@ -187,6 +187,53 @@ GOPHER_MIN_UNIQUE_FRAC = 0.30
 GOPHER_WORD_LEN_RANGE = (2.0, 12.0)
 
 
+def word_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word counts ``(id, w, c)`` — the shared tokenized
+    base every unigram-shaped quality signal derives from (gopher
+    profile, bigram-LM vocabulary, hashed classifier features). One
+    corpus scan + one (id, w)-keyed aggregation; callers that consume it
+    more than once should cache it — at 100 TB sharing this table is
+    what keeps the quality stack at two corpus scans total."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    return (
+        df.select(F.col(id_col), F.explode(words).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram counts ``(id, w1, w2, c)`` — the shared
+    adjacency base for the gopher bigram profile and the bigram-LM
+    score. The dangling last ``zip_with`` element (null w2) is dropped,
+    matching the string-bigram rule (words never contain whitespace, so
+    the (w1, w2) pair and the ``'w1 w2'`` string count identically)."""
+    warr = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    warr,
+                    F.slice(warr, 2, 2_000_000_000),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def gopher_repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -194,42 +241,34 @@ def gopher_repetition_signals(
     ``keep`` verdict: most-frequent-word fraction, most-frequent-bigram
     fraction, unique-word fraction, mean word length.
 
-    Plan shape: one explode of the word array feeds BOTH the unigram and
-    the bigram profile; each is a two-level aggregation keyed first on
-    (id, gram) then on id — all partial-aggregated map-side, shuffled on
-    the document id only. Nothing is collected; at 100 TB this is two
-    keyed aggregations over the corpus scan, the same shape as the
-    shingle pipeline ([[oracle-exactness]]: ratios are int/int divisions,
-    so Spark and DuckDB produce identical doubles)."""
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
-    base = df.select(
-        F.col(id_col),
-        F.explode(words).alias("w"),
-    ).filter(F.length("w") > 0)
-    uni = (
-        base.groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.max("c").alias("top_word_n"),
-            F.count(F.lit(1)).alias("n_unique"),
-            F.sum(F.length("w") * F.col("c")).alias("sum_word_len"),
-        )
+    Plan shape: the shared :func:`word_counts` / :func:`bigram_counts`
+    tables each collapse to a per-document profile — all
+    partial-aggregated map-side, shuffled on the document id only.
+    Nothing is collected; at 100 TB this is two keyed aggregations over
+    the corpus scan, the same shape as the shingle pipeline
+    ([[oracle-exactness]]: ratios are int/int divisions, so Spark and
+    DuckDB produce identical doubles)."""
+    return gopher_from_counts(
+        word_counts(df, text_col, id_col),
+        bigram_counts(df, text_col, id_col),
+        id_col,
     )
-    # bigrams from the same word array (map-side; no second scan)
-    warr = F.filter(F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0)
-    bigrams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.zip_with(warr, F.slice(warr, 2, 2_000_000_000), lambda a, b: F.concat_ws(" ", a, b))
-        ).alias("bg"),
-    ).filter(~F.col("bg").rlike("^[^ ]*$"))  # drop the dangling last element
-    bi = (
-        bigrams.groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+
+
+def gopher_from_counts(
+    wc: DataFrame, bc: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`gopher_repetition_signals` from pre-aggregated
+    :func:`word_counts` / :func:`bigram_counts` — lets one tokenized
+    pass feed gopher + LM + classifier features."""
+    uni = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_n"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.length("w") * F.col("c")).alias("sum_word_len"),
+    )
+    bi = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
     )
     j = uni.join(bi, on=id_col, how="left")
     top_word_frac = F.col("top_word_n") / F.col("n_words").cast("double")
@@ -322,39 +361,41 @@ def bigram_lm_scores(
     ulp between engines — each term is therefore ROUNDED to 6 decimals
     before the order-independent DECIMAL sum, which makes the score
     deterministic and engine-portable (1e-9 flip margin per term)."""
-    warr = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0
+    return bigram_lm_from_counts(
+        word_counts(df, text_col, id_col),
+        bigram_counts(df, text_col, id_col),
+        id_col,
     )
-    words = df.select(F.col(id_col), F.explode(warr).alias("w"))
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+
+
+def bigram_lm_from_counts(
+    wc: DataFrame, bc: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`bigram_lm_scores` from pre-aggregated counts. The model
+    tables derive by re-aggregating the per-document counts (strictly
+    smaller input than the raw occurrence stream), and the per-document
+    score folds ``c`` occurrences of a bigram as ``c * term`` — exact,
+    because every occurrence of the same (w1, w2) contributes the same
+    6-decimal-rounded term, so the multiply IS the repeated decimal
+    add. The heavy join therefore runs over distinct (doc, bigram) rows
+    instead of every occurrence — at 100 TB that is the difference
+    between joining the token stream and joining its compacted counts."""
+    uni = wc.groupBy("w").agg(F.sum("c").alias("cw"))
     vocab = uni.agg((F.count(F.lit(1)) + 1).alias("v"))
-    occ = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.zip_with(
-                    warr,
-                    F.slice(warr, 2, 2_000_000_000),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("b"),
-        )
-        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
-    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    big = bc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
     uni1 = uni.select(F.col("w").alias("w1"), "cw")
     p = (F.col("cb") + 1) / (F.col("cw") + F.col("v")).cast("double")
     term = F.round(-F.log2(p), 6).cast("decimal(28,14)")
     return (
-        occ.join(big, ["w1", "w2"])
+        bc.join(big, ["w1", "w2"])
         .join(uni1, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("lm_bigrams"),
-            (F.sum(term).cast("double") / F.count(F.lit(1))).alias(
-                "lm_neg_log2p"
-            ),
+            F.sum("c").alias("lm_bigrams"),
+            (
+                F.sum((term * F.col("c")).cast("decimal(28,14)")).cast("double")
+                / F.sum("c")
+            ).alias("lm_neg_log2p"),
         )
     )
