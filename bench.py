@@ -300,34 +300,59 @@ def main() -> None:
     #    the streaming codepath otherwise lands on the first streaming query)
     _warm_streaming(spark)
 
+    # Median-of-N discipline (VERDICT r6 #2): a single run per slot
+    # cannot distinguish code regressions from machine load or one-time
+    # codegen — each slot runs SPARK_GRAFT_REPEATS times (default 3)
+    # and the recorded number is the per-slot MEDIAN; per-slot min is
+    # emitted alongside as the load-independent floor. Caches are
+    # cleared between runs so every repeat pays the full plan.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the harness alive; flag the query
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # keep the harness alive; flag the query
+                runs.append(-1.0)
+                print(f"# bench error in {name}: {exc}", file=sys.stderr)
+                break
+            # drop caches a query body created for its own execution: the
+            # NEXT run/query should not inherit leftover blocks (memory
+            # pressure and eviction churn otherwise bleed across slots)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        ok = sorted(r for r in runs if r >= 0)
+        if ok:
+            timings[name] = ok[len(ok) // 2] if len(ok) % 2 else round(
+                (ok[len(ok) // 2 - 1] + ok[len(ok) // 2]) / 2, 3
+            )
+            mins[name] = ok[0]
+        else:
             timings[name] = -1.0
-            print(f"# bench error in {name}: {exc}", file=sys.stderr)
-        # drop caches a query body created for its own execution: the
-        # NEXT query should not inherit leftover blocks (memory pressure
-        # and eviction churn otherwise bleed across slots)
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
+            mins[name] = -1.0
+        all_runs[name] = runs
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "declared-query-inventory wall time",
+                "metric": "declared-query-inventory wall time (per-slot median of %d)"
+                % repeats,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "runs_per_slot": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
             }
         )

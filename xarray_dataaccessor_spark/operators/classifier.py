@@ -75,6 +75,39 @@ def hashed_text_features(
     return feats.unionByName(bias)
 
 
+def hashed_features_from_counts(
+    wc: DataFrame, id_col: str = "doc_id", n_buckets: int = 64
+) -> DataFrame:
+    """:func:`hashed_text_features` derived from a pre-aggregated
+    ``operators.text.word_counts`` frame ``(id, w, c)`` instead of
+    re-tokenizing the corpus. Bucket counts sum the per-word counts
+    (``sum(c)`` over words hashing to the bucket == ``count(*)`` over
+    the exploded occurrence stream), ``n = sum(c)`` is the document
+    word count, and ``x = c_bucket / n`` is the same int/int division —
+    bit-identical output, one fewer corpus scan. This is the piece that
+    lets one shared tokenization feed gopher + bigram-LM + the
+    classifier (VERDICT r6 #1)."""
+    per_bucket = (
+        wc.select(
+            id_col,
+            F.pmod(portable_hash32(F.col("w")), F.lit(n_buckets)).alias("bucket"),
+            "c",
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    per_doc = per_bucket.groupBy(id_col).agg(F.sum("c").alias("n"))
+    feats = per_bucket.join(per_doc, id_col).select(
+        id_col,
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("c") / F.col("n").cast("double")).alias("x"),
+    )
+    bias = per_doc.select(
+        id_col, F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("x")
+    )
+    return feats.unionByName(bias)
+
+
 def _scores(feats: DataFrame, weights: DataFrame, id_col: str) -> DataFrame:
     """Per-doc linear score: decimal-summed broadcast join; docs whose
     buckets all miss the weight table score 0 (cold start)."""
@@ -189,6 +222,7 @@ def distill_quality_classifier(
     epochs: int = 2,
     lr: float = 4.0,
     extra_features: DataFrame | None = None,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The DCLM loop in one call: hash features (optionally augmented
     with caller-supplied ``(id, bucket, x)`` rows — e.g. the teacher's
@@ -197,8 +231,16 @@ def distill_quality_classifier(
     document. The feature frame feeds training (twice per epoch) and
     inference, so it is cached — it is (docs x <= B+extras) rows of
     three narrow columns, orders of magnitude smaller than the corpus
-    text."""
-    feats = hashed_text_features(docs, text_col, id_col, n_buckets)
+    text.
+
+    When ``word_counts`` (a pre-aggregated — ideally cached —
+    ``operators.text.word_counts`` frame) is supplied, features derive
+    from it via :func:`hashed_features_from_counts` and the corpus text
+    is never re-tokenized; ``docs`` may then be None."""
+    if word_counts is not None:
+        feats = hashed_features_from_counts(word_counts, id_col, n_buckets)
+    else:
+        feats = hashed_text_features(docs, text_col, id_col, n_buckets)
     if extra_features is not None:
         feats = feats.unionByName(
             extra_features.select(
@@ -208,7 +250,7 @@ def distill_quality_classifier(
             )
         )
     from xarray_dataaccessor_spark.operators.cachectl import (
-        _ATTR,
+        get_tagged_caches,
         tag_caches,
     )
 
@@ -216,4 +258,4 @@ def distill_quality_classifier(
     w = train_logreg(feats, labels, id_col, label_col, epochs, lr)
     scored = score_logreg(feats, w, id_col)
     # caller owns the cache lifecycle: see cachectl.unpersist_intermediates
-    return tag_caches(scored, feats, *getattr(w, _ATTR, ()))
+    return tag_caches(scored, feats, *get_tagged_caches(w))

@@ -1713,17 +1713,32 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned weights and scores hash-match across engines. One oracle
     slot covers all three quality-scoring families."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
     from xarray_dataaccessor_spark.operators.classifier import (
         distill_quality_classifier,
     )
     from xarray_dataaccessor_spark.operators.text import (
-        bigram_lm_scores,
-        gopher_repetition_signals,
+        bigram_counts,
+        bigram_lm_from_counts,
+        gopher_from_counts,
+        word_counts,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    gopher = gopher_repetition_signals(docs)
-    lm = bigram_lm_scores(docs)
+    # the shared-tokenization discipline (VERDICT r6 #1): the corpus is
+    # tokenized exactly twice (once per gram shape — unigrams can't
+    # derive bigram adjacency) into two compacted, cached count tables;
+    # gopher, the bigram LM AND the classifier's hashed features all
+    # read those tables, so no downstream consumer ever re-scans or
+    # re-shuffles the corpus text. At 100 TB this replaces ~5
+    # corpus-sized tokenize+shuffle passes with 2.
+    wc = word_counts(docs).cache()
+    bc = bigram_counts(docs).cache()
+    gopher = gopher_from_counts(wc, bc)
+    lm = bigram_lm_from_counts(wc, bc)
     # base feeds the output, the weak labels AND the teacher features:
     # cache the doc-sized signal table instead of recomputing the
     # gopher+lm pipeline three times
@@ -1748,9 +1763,11 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.bucket", "b.x")
     clf = distill_quality_classifier(
-        docs, labels, n_buckets=32, epochs=2, lr=4.0, extra_features=sig
+        None, labels, n_buckets=32, epochs=2, lr=4.0, extra_features=sig,
+        word_counts=wc,
     )
-    return base.join(clf, "doc_id")
+    out = base.join(clf, "doc_id")
+    return tag_caches(out, wc, bc, base, *get_tagged_caches(clf))
 
 
 @query(
