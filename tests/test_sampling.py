@@ -352,3 +352,13 @@ def test_mixture_resample_missing_stratum_errors(spark):
     w2 = spark.createDataFrame([("en", 1.0)], "source string, p double")
     with pytest.raises(Exception, match="zero token mass: en"):
         mixture_resample(zero, w2, "n_tokens", total_tokens=100).collect()
+
+    # symmetric direction (ADVICE r6): a weight stratum with no corpus
+    # rows means its target mass is undeliverable — raise, don't
+    # silently under-deliver
+    w3 = spark.createDataFrame(
+        [("en", 0.5), ("fr", 0.3), ("de", 0.1), ("zz", 0.1)],
+        "source string, p double",
+    )
+    with pytest.raises(Exception, match="absent from corpus: zz"):
+        mixture_resample(df, w3, "n_tokens", total_tokens=200).collect()

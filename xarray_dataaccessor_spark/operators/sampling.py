@@ -445,9 +445,11 @@ def mixture_resample(
     totals = df.groupBy(strata_col).agg(
         F.sum(F.col(token_col)).alias("__tok")
     )
-    # In-plan validation (no extra job): a stratum observed in the corpus
-    # but absent from ``weights``, or with zero token mass, fails loudly
-    # at execution instead of being silently dropped / yielding inf.
+    # In-plan validation (no extra job), symmetric in both directions
+    # (ADVICE r6): a stratum observed in the corpus but absent from
+    # ``weights``, a stratum present in ``weights`` with no corpus rows
+    # (target mass silently undeliverable otherwise), or a zero-token
+    # stratum all fail loudly at execution.
     p_checked = (
         F.when(
             F.col("p").isNull(),
@@ -469,6 +471,31 @@ def mixture_resample(
         )
         .otherwise(F.col("p"))
     )
+    # The weights→corpus direction can't ride the same join expression:
+    # Catalyst's EliminateOuterJoin + inferred isnotnull(__r) constraints
+    # rewrite a full-outer rates join back to left-outer and silently
+    # drop weights-only rows before the raise can evaluate. A structural
+    # anti-join branch UNIONed into the strata-sized rates table cannot
+    # be optimized away — its raise fires when the broadcast
+    # materializes. The raise is wrapped in coalesce(…, 0.0) to make the
+    # column non-nullable: otherwise the downstream inner join's
+    # inferred isnotnull(__r) constraint is pushed below the anti-join
+    # onto the weights side and fires the raise on EVERY stratum
+    # (observed); non-nullable folds that filter to true instead.
+    violations = weights.join(totals, strata_col, "left_anti").select(
+        F.col(strata_col),
+        F.coalesce(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "mixture_resample: weight stratum absent from corpus: "
+                    ),
+                    F.col(strata_col).cast("string"),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("__r"),
+    )
     tgt_total = total_tokens
     if tgt_total is None:
         # default: preserve the overall corpus size
@@ -486,6 +513,7 @@ def mixture_resample(
             strata_col,
             (p_checked * F.lit(float(tgt_total)) / F.col("__tok")).alias("__r"),
         )
+    rates = rates.unionByName(violations)
     b = hash_bucket(
         F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
     )

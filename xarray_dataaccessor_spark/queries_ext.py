@@ -1462,25 +1462,80 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 65
     oracle=f"""
     WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     m AS (SELECT MIN(n) AS t FROM counts),
-    thr AS (SELECT lang, (t * 65536) // n AS thr FROM counts CROSS JOIN m)
-    SELECT d.lang, d.doc_id, d.source
+    thr AS (SELECT lang, (t * 65536) // n AS thr FROM counts CROSS JOIN m),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    wsum AS (SELECT SUM(CAST(substr(source, 4, 10) AS INT) + 1) AS s FROM srcs),
+    mw AS (SELECT source,
+                  (CAST(substr(source, 4, 10) AS INT) + 1) / CAST(s AS DOUBLE) AS p
+           FROM srcs CROSS JOIN wsum),
+    mtot AS (SELECT source, SUM(length(text)) AS st FROM documents GROUP BY source),
+    mr AS (SELECT source, p * 200000.0 / st AS r
+           FROM mtot JOIN mw USING (source)),
+    md AS (SELECT d.doc_id, d.source, mr.r,
+                  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT % 65536 AS b
+           FROM documents d JOIN mr USING (source)),
+    mn AS (SELECT doc_id, source,
+                  CAST(floor(r) AS INT) +
+                  CASE WHEN b < (r - floor(r)) * 65536 THEN 1 ELSE 0 END AS nc
+           FROM md)
+    SELECT 'strat' AS variant, d.doc_id, d.lang, d.source,
+           CAST(NULL AS INT) AS epoch
     FROM documents d JOIN thr USING (lang)
     WHERE {_BUCKET_SQL.format(expr="d.doc_id")} < thr
+    UNION ALL
+    SELECT 'mixture', doc_id, CAST(NULL AS VARCHAR), source,
+           CAST(unnest(range(nc)) AS INT)
+    FROM mn WHERE nc > 0
     """,
 )
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language rebalancing: deterministically downsample every language
-    to the smallest language's count via per-stratum hash thresholds.
-    Plan: one stratum-count groupBy (strata-sized shuffle), broadcast
-    threshold join, map-side filter — the documents scan itself never
-    shuffles."""
+    """Two sampling primitives under one capacity-bounded oracle slot
+    (variant union, VERDICT r6 #3):
+
+    - ``'strat'`` rows — language rebalancing: deterministically
+      downsample every language to the smallest language's count via
+      per-stratum hash thresholds. Plan: one stratum-count groupBy
+      (strata-sized shuffle), broadcast threshold join, map-side filter
+      — the documents scan itself never shuffles.
+    - ``'mixture'`` rows — ``mixture_resample`` materializing a
+      200k-token epoch under non-uniform per-source weights (p ∝ source
+      index + 1, derived in-plan so the slot is SF-portable): each
+      document gets floor(rate) full copies plus a seeded-hash
+      fractional copy, so the (doc, epoch) multiset — upsampled strata
+      included — replays exactly in the oracle. Plan: strata-sized
+      rate table broadcast into a map-side explode; the corpus never
+      shuffles."""
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.sampling import stratified_downsample
+    from xarray_dataaccessor_spark.operators.sampling import (
+        mixture_resample,
+        stratified_downsample,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    return stratified_downsample(docs, "lang", id_col="doc_id").select(
-        "lang", "doc_id", "source"
+    strat = stratified_downsample(docs, "lang", id_col="doc_id").select(
+        F.lit("strat").alias("variant"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("int").alias("epoch"),
     )
+    srcs = docs.select("source").distinct()
+    idx1 = F.substring("source", 4, 10).cast("int") + F.lit(1)
+    wsum = srcs.agg(F.sum(idx1).alias("s"))
+    weights = srcs.crossJoin(F.broadcast(wsum)).select(
+        "source", (idx1 / F.col("s").cast("double")).alias("p")
+    )
+    toks = docs.select("doc_id", "source", F.length("text").alias("__tok_n"))
+    mix = mixture_resample(
+        toks, weights, "__tok_n", strata_col="source", total_tokens=200_000
+    ).select(
+        F.lit("mixture").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+    return strat.unionByName(mix)
 
 
 @query(
