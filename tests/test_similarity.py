@@ -539,3 +539,156 @@ def test_query_ivfpq_index_is_a_pure_plan_builder(spark, tmp_path):
     os.rename(os.path.join(path, "meta.json"), os.path.join(path, "m.bak"))
     with pytest.raises(ValueError, match="m_subspaces"):
         query_ivfpq_index(spark, path, queries, k=2, n_probe=4, dims=8)
+
+
+def _lin_corpus(spark, n0, n1, dims=16):
+    return spark.range(n0, n1).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 3) + i + 1) % 23).cast("double")
+                for i in range(dims)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def _snapshot_files(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_append_to_ivf_index_parity_and_no_rewrite(spark, tmp_path):
+    """Incremental IVF maintenance (VERDICT r6 #4): appending a batch
+    under the frozen quantizer (a) leaves every pre-existing list file
+    byte-identical on disk — the append is O(batch); (b) writes new
+    files ONLY into the partitions the batch's vectors were assigned
+    to; (c) makes query results exactly equal to a from-scratch index
+    materialized under the same frozen centroids over the full corpus."""
+    from xarray_dataaccessor_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_assign,
+        ivf_index_drift,
+        query_ivf_index,
+    )
+
+    base = _lin_corpus(spark, 0, 300)
+    batch = _lin_corpus(spark, 300, 380)
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(base, path, n_centroids=8, n_iters=2, dims=16,
+                    train_limit=None)
+    before = _snapshot_files(f"{path}/lists")
+    append_to_ivf_index(spark, path, batch, dims=16)
+    after = _snapshot_files(f"{path}/lists")
+    # (a) every old file untouched (same size + mtime)
+    for rel, sig in before.items():
+        assert after.get(rel) == sig, f"pre-existing list file rewritten: {rel}"
+    # (b) new files only under the batch's touched partitions
+    cent = spark.read.parquet(f"{path}/centroids")
+    touched = {
+        r["centroid_id"]
+        for r in ivf_assign(
+            batch.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+            F.broadcast(cent), rank=1, dims=16,
+        ).select("centroid_id").distinct().collect()
+    }
+    new_files = set(after) - set(before)
+    assert new_files
+    for rel in new_files:
+        part = rel.split("/")[0]
+        assert part.startswith("centroid_id=")
+        assert int(part.split("=")[1]) in touched, rel
+    # (c) exact parity vs a frozen-centroid rebuild over the full corpus
+    full = base.unionByName(batch)
+    ref = str(tmp_path / "ivf_ref")
+    cent.write.parquet(f"{ref}/centroids")
+    assigned = ivf_assign(
+        full.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+        F.broadcast(cent), rank=1, dims=16,
+    )
+    assigned.select("vec_id", "e", "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{ref}/lists")
+    queries = full.filter(F.col("vec_id").isin(1, 150, 310))
+    got = query_ivf_index(spark, path, queries, k=4, n_probe=3, dims=16)
+    want = query_ivf_index(spark, ref, queries, k=4, n_probe=3, dims=16)
+    g = sorted((r["query_id"], r["rk"], r["neighbor_id"],
+                round(r["cos"], 12)) for r in got.collect())
+    w = sorted((r["query_id"], r["rk"], r["neighbor_id"],
+                round(r["cos"], 12)) for r in want.collect())
+    assert g == w and len(g) == 12
+    # drift signal sees the grown index
+    d = ivf_index_drift(spark, path)
+    assert d["n_vectors"] == 380
+    assert d["n_lists"] <= 8
+    assert d["imbalance_factor"] >= 1.0
+    assert 0 < d["top_list_frac"] <= 1.0
+
+
+@pytest.mark.parametrize("by_residual", [False, True])
+def test_append_to_ivfpq_index_parity(spark, tmp_path, by_residual):
+    """Incremental IVF-PQ maintenance: appending under the frozen
+    centroids AND codebooks yields codes identical to a frozen-model
+    full encode, so probing the appended index matches probing a
+    model-only index repopulated from scratch with the full corpus —
+    in both the global-codebook and residual flavors. Old code/vector
+    files are never rewritten."""
+    import json
+    import os
+    import shutil
+
+    from xarray_dataaccessor_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    base = _lin_corpus(spark, 0, 250)
+    batch = _lin_corpus(spark, 250, 320)
+    path = str(tmp_path / f"ivfpq_inc_{by_residual}")
+    build_ivfpq_index(
+        base, path, n_centroids=6, m_subspaces=4, n_codes=8, n_iters=2,
+        dims=16, train_limit=None, by_residual=by_residual,
+    )
+    before = {
+        t: _snapshot_files(f"{path}/{t}") for t in ("lists", "vectors")
+    }
+    append_to_ivfpq_index(spark, path, batch)
+    for t in ("lists", "vectors"):
+        after = _snapshot_files(f"{path}/{t}")
+        for rel, sig in before[t].items():
+            assert after.get(rel) == sig, f"{t} file rewritten: {rel}"
+        assert set(after) - set(before[t]), f"no appended files in {t}"
+    # frozen-model rebuild: copy ONLY the model (centroids, codebooks,
+    # meta) and repopulate lists/vectors by appending the full corpus
+    ref = str(tmp_path / f"ivfpq_ref_{by_residual}")
+    os.makedirs(ref)
+    shutil.copytree(f"{path}/centroids", f"{ref}/centroids")
+    shutil.copytree(f"{path}/codebooks", f"{ref}/codebooks")
+    shutil.copy(f"{path}/meta.json", f"{ref}/meta.json")
+    append_to_ivfpq_index(spark, ref, base.unionByName(batch))
+    queries = base.filter(F.col("vec_id").isin(2, 120)).unionByName(
+        batch.filter(F.col("vec_id") == 260)
+    )
+    got = query_ivfpq_index(spark, path, queries, k=4, n_probe=6, refine=8,
+                            dims=16)
+    want = query_ivfpq_index(spark, ref, queries, k=4, n_probe=6, refine=8,
+                             dims=16)
+    g = sorted((r["query_id"], r["rk"], r["neighbor_id"],
+                round(r["cos"], 12)) for r in got.collect())
+    w = sorted((r["query_id"], r["rk"], r["neighbor_id"],
+                round(r["cos"], 12)) for r in want.collect())
+    assert g == w and len(g) == 12
+    # meta.json round-trips the flavor the append used
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert bool(json.load(fh)["by_residual"]) is by_residual

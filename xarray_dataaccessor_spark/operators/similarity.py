@@ -993,7 +993,11 @@ def build_ivfpq_index(
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/lists"
     )
+    # all consumers are completed write actions — release the build's
+    # cached frames (ADVICE r6: cache-lifecycle contract)
     assigned.unpersist()
+    cent.unpersist()
+    books.unpersist()
     os.makedirs(path, exist_ok=True)
     # Record the on-disk schemas so the prober can plan with ZERO Spark
     # jobs (no parquet footer-inference reads at plan-build time).
@@ -1059,6 +1063,18 @@ def query_ivfpq_index(
         if m_subspaces is None:
             m_subspaces = int(meta["m_subspaces"])
 
+    if m_subspaces is None:
+        # build_ivfpq_index always writes meta.json; a missing value here
+        # means the path is not a composed index — fail fast BEFORE any
+        # table read (a schema-less read would fire footer-inference
+        # jobs just to discover the path is wrong; ADVICE r6).
+        raise ValueError(
+            f"{meta_path} missing or lacks m_subspaces; pass m_subspaces= "
+            "explicitly for indexes built outside build_ivfpq_index"
+        )
+    if dims is None or dims % m_subspaces != 0:
+        raise ValueError("dims must be known and divisible by m_subspaces")
+
     def read_table(name: str) -> DataFrame:
         # With the recorded schema the read fires no footer-inference
         # job — plan building stays a pure driver-side operation.
@@ -1069,16 +1085,6 @@ def query_ivfpq_index(
 
     cent = read_table("centroids")
     books = read_table("codebooks")
-    if m_subspaces is None:
-        # build_ivfpq_index always writes meta.json; a missing value here
-        # means the path is not a composed index — fail fast rather than
-        # firing a Spark job to re-derive what the build recorded.
-        raise ValueError(
-            f"{meta_path} missing or lacks m_subspaces; pass m_subspaces= "
-            "explicitly for indexes built outside build_ivfpq_index"
-        )
-    if dims is None or dims % m_subspaces != 0:
-        raise ValueError("dims must be known and divisible by m_subspaces")
     sub = dims // m_subspaces
     qn = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1174,3 +1180,150 @@ def query_ivfpq_index(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> None:
+    """Incrementally maintain a persisted IVF index
+    (:func:`build_ivf_index`): assign the new batch to the FROZEN
+    centroids (broadcast quantizer, one map-side pass over the batch)
+    and APPEND the rows to their inverted-list partitions. Parquet
+    dynamic-partition append only writes files into the partitions the
+    batch actually touches — existing list files are never read or
+    rewritten, so the nightly ingest cost is O(batch), not O(index).
+
+    Freezing the quantizer keeps every existing vector's list stable
+    (no re-assignment, no rewrite); the price is drift — if the data
+    distribution moves, lists skew and probe recall decays. Monitor
+    with :func:`ivf_index_drift` and retrain (full
+    :func:`build_ivf_index`) when the imbalance factor crosses ~2-3x.
+    """
+    cent = spark.read.parquet(f"{path}/centroids")
+    vecs = new_vectors.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e")
+    )
+    assigned = ivf_assign(
+        vecs, F.broadcast(cent), id_col=id_col, rank=1, dims=dims
+    )
+    assigned.select(id_col, "e", "centroid_id").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{path}/lists")
+
+
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted IVF-PQ index
+    (:func:`build_ivfpq_index`): normalize the batch, coarse-assign to
+    the FROZEN centroids, PQ-encode with the FROZEN codebooks (residual
+    or global per the index's recorded flavor), and append both the
+    codes (``lists``) and the raw normalized vectors (``vectors``) to
+    their touched partitions only. All build parameters come from the
+    index's ``meta.json`` — the caller supplies just the batch.
+
+    With centroids AND codebooks frozen, the appended rows' codes are
+    exactly what a full rebuild under the same (frozen) model would
+    produce, so probe results after append match a frozen-model rebuild
+    bit-for-bit (parity-tested). Drift monitoring:
+    :func:`ivf_index_drift` on the same path."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    m_subspaces = int(meta["m_subspaces"])
+    dims = int(meta["dims"])
+    by_residual = bool(meta.get("by_residual", False))
+    schemas = meta.get("schemas", {})
+
+    def read_table(name: str) -> DataFrame:
+        reader = spark.read
+        if name in schemas:
+            reader = reader.schema(T.StructType.fromJson(json.loads(schemas[name])))
+        return reader.parquet(f"{path}/{name}")
+
+    cent = read_table("centroids")
+    books = read_table("codebooks")
+    cn = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("e", F.transform("e", lambda x: x / norm(F.col("e"), dims)))
+    assigned = ivf_assign(
+        cn, F.broadcast(cent), id_col="vec_id", rank=1, dims=dims
+    ).select("vec_id", "e", "centroid_id")
+    # batch-sized cache: one assignment feeds the vectors write AND the
+    # encode join (the batch is small relative to the index by
+    # definition of incremental maintenance)
+    assigned = assigned.cache()
+    if by_residual:
+        enc_input = assigned.join(F.broadcast(cent), "centroid_id").select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(F.col("e"), F.col("ce"), lambda a, b: a - b).alias("e"),
+        )
+    else:
+        enc_input = assigned
+    assigned.select("vec_id", "e", "centroid_id").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{path}/vectors")
+    codes = pq_encode(
+        enc_input, books, id_col="vec_id", vec_col="e", dims=dims,
+        m_subspaces=m_subspaces,
+    ).join(assigned.select("vec_id", "centroid_id"), "vec_id")
+    codes.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+    assigned.unpersist()
+
+
+def ivf_index_drift(spark, path: str, id_col: str = "vec_id") -> dict:
+    """List-skew drift signal for retrain scheduling over a persisted
+    IVF or IVF-PQ index: per-list row counts reduced to
+
+    - ``n_vectors`` / ``n_lists`` — index size and populated lists
+    - ``imbalance_factor`` — ``n_lists * max_list / n_vectors`` (1.0 =
+      perfectly balanced; FAISS's own imbalance metric). Appends under
+      frozen centroids only ever push this up as the distribution
+      drifts; a value of ~2-3x means the hottest probe scans 2-3x its
+      fair share and the quantizer should be retrained.
+    - ``top_list_frac`` — fraction of all vectors in the largest list
+    - ``mean_list`` / ``max_list`` — raw sizes
+
+    Cost: the scan projects only the id column of the ``lists`` table,
+    so no vector/code columns are materialized; the per-list counts are
+    centroid-sized (the one collect is dimension-sized by the repo's
+    standing rule)."""
+    lists = spark.read.parquet(f"{path}/lists")
+    if "m" in lists.columns:
+        # IVF-PQ lists are exploded per subspace (vec_id, m, code_id):
+        # count each vector once via its m=0 row instead of m_subspaces
+        # times (and instead of a heavier count-distinct shuffle)
+        lists = lists.filter(F.col("m") == 0)
+    per = (
+        lists.select(id_col, "centroid_id")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = sorted((int(r["n"]) for r in per), reverse=True)
+    total = sum(sizes)
+    n_lists = len(sizes)
+    return {
+        "n_vectors": total,
+        "n_lists": n_lists,
+        "max_list": sizes[0] if sizes else 0,
+        "mean_list": (total / n_lists) if n_lists else 0.0,
+        "imbalance_factor": (n_lists * sizes[0] / total) if total else 0.0,
+        "top_list_frac": (sizes[0] / total) if total else 0.0,
+    }
