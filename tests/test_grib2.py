@@ -251,9 +251,14 @@ def test_complex_packing_corrupt_rejected(tmp_path):
     with pytest.raises(ValueError, match="group lengths"):
         parse_grib2(bytes(blen))
     bmm = bytearray(buf)
-    bmm[s5 + 22] = 1  # primary missing-value management
-    with pytest.raises(NotImplementedError, match="missing-value"):
+    bmm[s5 + 22] = 3  # reserved missing-value-management flavor
+    with pytest.raises(NotImplementedError, match="missing-value management"):
         parse_grib2(bytes(bmm))
+    # flavor 1 on a sentinel-free stream decodes identically (nothing
+    # matches the all-ones sentinels in this payload's groups)
+    bmm[s5 + 22] = 1
+    same = parse_grib2(bytes(bmm))[0]["data"]
+    np.testing.assert_array_equal(same, data)
 
 
 def test_corruption_fuzz_terminates_with_errors(tmp_path):
@@ -289,3 +294,83 @@ def test_corruption_fuzz_terminates_with_errors(tmp_path):
                         _struct.error, OverflowError, KeyError):
                     pass
             assert time.time() - t0 < 30, f"{packing} fuzz too slow"
+
+
+@pytest.mark.parametrize("packing", ["complex", "complex_diff"])
+@pytest.mark.parametrize("mvm", [1, 2])
+def test_missing_value_management_roundtrip(tmp_path, packing, mvm):
+    """Templates 5.2/5.3 with in-stream missing-value substitution
+    (octet 23 = 1/2): planted NaN cells (primary) and, for flavor 2, an
+    explicit secondary mask both decode to NaN; present values are
+    bit-exact; no bitmap section is written (indicator 255). Includes
+    an all-missing group (whole-group sentinel in the reference) and a
+    constant-with-missing group (forced nonzero width)."""
+    data = (270.0 + np.arange(7)[:, None] * 0.25
+            + np.arange(19)[None, :] * 0.25)
+    data = data.copy()
+    # scattered primaries + one fully-missing group (group_len=10)
+    data[0, 3] = np.nan
+    data[2, 5] = np.nan
+    data.reshape(-1)[40:50] = np.nan  # one whole group missing
+    # a constant group with a missing hole: cells 60-69 constant
+    data.reshape(-1)[60:70] = 300.0
+    data.reshape(-1)[64] = np.nan
+    sec_mask = None
+    if mvm == 2:
+        sec_mask = np.zeros(7 * 19, dtype=bool)
+        sec_mask[[7, 95]] = True
+    f = _field(packing=packing, missing_mgmt=mvm, group_len=10)
+    f["data"] = data
+    if sec_mask is not None:
+        f["secondary_missing"] = sec_mask
+    p = str(tmp_path / "mvm.grib2")
+    write_grib2(p, [f])
+    buf = open(p, "rb").read()
+    # no bitmap section: indicator must be 255
+    msgs = parse_grib2(buf)
+    got = msgs[0]["data"]
+    want = data.copy()
+    if sec_mask is not None:
+        want.reshape(-1)[sec_mask] = np.nan
+    assert np.isnan(got.reshape(-1)[np.isnan(want.reshape(-1))]).all()
+    pres = ~np.isnan(want)
+    np.testing.assert_allclose(got[pres], want[pres], atol=0.0051)
+    # section-5 octet 23 round-trips the flavor; section 6 carries 255
+    pos = 16
+    while pos < len(buf) - 4:
+        ln, num = int.from_bytes(buf[pos:pos + 4], "big"), buf[pos + 4]
+        if num == 5:
+            assert buf[pos + 22] == mvm
+        if num == 6:
+            assert buf[pos + 5] == 255
+        pos += ln
+        if buf[pos:pos + 4] == b"7777":
+            break
+
+
+def test_missing_value_mixed_glob_to_grid(spark, tmp_path):
+    """A glob mixing bitmap-masked simple packing with missing-managed
+    complex packing flows through grib_glob_to_grid with substitutions
+    mapped to NaN rows in the grid, exactly like bitmap gaps."""
+    base = (270.0 + np.arange(7)[:, None] * 0.25
+            + np.arange(19)[None, :] * 0.25)
+    d_simple = base.copy()
+    d_simple[1, 1] = np.nan  # bitmap path
+    d_cplx = base + 5.0
+    d_cplx[3, 4] = np.nan  # in-stream sentinel path
+    write_grib2(str(tmp_path / "a.grib2"), [dict(_field(hour=0), data=d_simple)])
+    write_grib2(
+        str(tmp_path / "b.grib2"),
+        [dict(_field(hour=1, packing="complex_diff", missing_mgmt=1,
+                     group_len=16), data=d_cplx)],
+    )
+    grid = grib_glob_to_grid(spark, str(tmp_path / "*.grib2"), "t2m")
+    pdf = grid.toPandas()
+    assert len(pdf) == 2 * 7 * 19
+    h0 = pdf[pdf["time"] == T0]
+    h1 = pdf[pdf["time"] == T0 + dt.timedelta(hours=1)]
+    assert h0["t2m"].isna().sum() == 1
+    assert h1["t2m"].isna().sum() == 1
+    got1 = h1.sort_values(["y", "x"], ascending=[False, True])["t2m"].to_numpy()
+    pres = ~np.isnan(d_cplx.reshape(-1))
+    np.testing.assert_allclose(got1[pres], d_cplx.reshape(-1)[pres], atol=0.0051)

@@ -193,11 +193,16 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
             raise NotImplementedError(f"GRIB bitmap indicator {indicator}")
 
     s7 = sec[7]
+    miss = None
     if template5 == 0:
         packed = _unpack_bits(s7[5:], nbits, npoints)
     else:
-        packed = _unpack_complex(s5, s7, npoints, template5 == 3)
+        packed, miss = _unpack_complex(s5, s7, npoints, template5 == 3)
     values = (ref_val + packed.astype("float64") * (2.0**e_scale)) / (10.0**d_scale)
+    if miss is not None:
+        # in-stream missing-value substitution (template octet 23):
+        # flagged points become NaN, same contract as the bitmap path
+        values[miss] = np.nan
 
     if bitmap is not None:
         full = np.full(ni * nj, np.nan)  # bounds checked at section 3
@@ -225,22 +230,35 @@ def _parse_field(sec: dict[int, bytes]) -> dict:
 
 def _unpack_complex(
     s5: bytes, s7: bytes, npoints: int, spatial_diff: bool
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Data representation templates 5.2/5.3: complex packing (general
     group splitting), optionally with first/second-order spatial
-    differencing. Returns the scaled-integer field (the caller applies
-    the R/E/D simple-packing formula).
+    differencing. Returns ``(field, missing_mask)`` — the
+    scaled-integer field (the caller applies the R/E/D simple-packing
+    formula) plus a boolean mask of in-stream missing points (None when
+    the message uses no missing-value management).
 
     Wire layout (WMO FM92 §5.2/5.3 + data template 7.2/7.3): section 7
     carries, for 5.3, ``order+1`` signed-magnitude extra descriptors
     (initial value(s) then the overall minimum of the differences),
     then four bit-streams — group reference values, group widths,
     scaled group lengths, and the per-group packed values — the first
-    three each padded to a byte boundary."""
-    if s5[22] != 0:
+    three each padded to a byte boundary.
+
+    Missing-value management (template octet 23; the flavor NOAA
+    complex-packed products use instead of a bitmap): 1 = primary
+    substitute, 2 = primary and secondary. Within a group of width
+    ``w > 0``, a packed residual of all-ones (``2^w - 1``) flags the
+    point primary-missing and ``2^w - 2`` secondary-missing; a
+    zero-width group is flagged whole-group-missing through the same
+    sentinels in its GROUP REFERENCE (width ``nbits``). With spatial
+    differencing the difference stream covers the NON-missing points
+    only — the undo accumulates over that subsequence and scatters
+    back (same order NCEP g2lib decodes)."""
+    mvm = s5[22]
+    if mvm not in (0, 1, 2):
         raise NotImplementedError(
-            "GRIB complex packing missing-value management "
-            f"{s5[22]} (only 0 = none)"
+            f"GRIB complex packing missing-value management {mvm}"
         )
     nbits = s5[19]
     ng = _u(s5, 31, 4)
@@ -293,24 +311,58 @@ def _unpack_complex(
     if int((widths * lens).sum()) > bits.size:
         raise ValueError("GRIB complex data section truncated")
     v = np.empty(npoints, dtype="int64")
+    miss = np.zeros(npoints, dtype=bool) if mvm else None
     i0 = 0
     for g in range(ng):
         ln = int(lens[g])
-        v[i0 : i0 + ln] = grefs[g] + take(ln, int(widths[g]), pad=False)
+        w = int(widths[g])
+        if w == 0:
+            # constant group — or, under missing management, a
+            # whole-group missing sentinel carried in the reference
+            gr = int(grefs[g])
+            if mvm and nbits > 0 and gr == (1 << nbits) - 1:
+                miss[i0 : i0 + ln] = True
+                v[i0 : i0 + ln] = 0
+            elif mvm == 2 and nbits > 0 and gr == (1 << nbits) - 2:
+                miss[i0 : i0 + ln] = True
+                v[i0 : i0 + ln] = 0
+            else:
+                v[i0 : i0 + ln] = gr
+        else:
+            raw = take(ln, w, pad=False)
+            if mvm:
+                m = raw == (1 << w) - 1
+                if mvm == 2:
+                    m |= raw == (1 << w) - 2
+                miss[i0 : i0 + ln] = m
+                vals = grefs[g] + raw
+                vals[m] = 0
+                v[i0 : i0 + ln] = vals
+            else:
+                v[i0 : i0 + ln] = grefs[g] + raw
         i0 += ln
 
     if not spatial_diff:
-        return v
-    od = len(ivals)
-    if npoints <= od:
-        return np.asarray(ivals[:npoints], dtype="int64")
-    # undo the differencing: first `od` values come from the descriptors,
-    # the rest are differences offset by gmin
-    d = v + gmin
-    if od == 1:
-        return np.cumsum(np.concatenate([[ivals[0]], d[1:]]))
-    first = np.cumsum(np.concatenate([[ivals[1] - ivals[0]], d[2:]]))
-    return np.cumsum(np.concatenate([[ivals[0]], first]))
+        return v, miss
+
+    def undo_diff(stream: np.ndarray) -> np.ndarray:
+        od = len(ivals)
+        if stream.size <= od:
+            return np.asarray(ivals[: stream.size], dtype="int64")
+        # first `od` values come from the descriptors, the rest are
+        # differences offset by gmin
+        d = stream + gmin
+        if od == 1:
+            return np.cumsum(np.concatenate([[ivals[0]], d[1:]]))
+        first = np.cumsum(np.concatenate([[ivals[1] - ivals[0]], d[2:]]))
+        return np.cumsum(np.concatenate([[ivals[0]], first]))
+
+    if miss is None or not miss.any():
+        return undo_diff(v), miss
+    # the differenced stream covers non-missing points only
+    out = np.zeros(npoints, dtype="int64")
+    out[~miss] = undo_diff(v[~miss])
+    return out, miss
 
 
 # ---------------------------------------------------------------------------
@@ -376,12 +428,34 @@ def _field_sections(f: dict) -> bytes:
     assert len(lats) == nj and len(lons) == ni
     e_scale = int(f.get("e_scale", 0))
     d_scale = int(f.get("d_scale", 0))
+    packing = f.get("packing", "simple")
+    missing_mgmt = int(f.get("missing_mgmt", 0))
+    if missing_mgmt and packing == "simple":
+        raise ValueError("missing_mgmt requires complex packing")
+    secondary = f.get("secondary_missing")
+    if secondary is not None:
+        secondary = np.asarray(secondary, dtype=bool).reshape(-1)
+        if missing_mgmt != 2:
+            raise ValueError("secondary_missing requires missing_mgmt=2")
     # NaN cells -> section-6 bitmap (present-points mask); only present
-    # values are packed, the reader re-expands to NaN
+    # values are packed, the reader re-expands to NaN. Under
+    # missing_mgmt (complex packing only) NaNs are flagged IN-STREAM
+    # via sentinel residuals instead — all grid points are packed and
+    # no bitmap is written, the layout NOAA complex products use.
+    primary = np.isnan(data.reshape(-1))
+    if secondary is not None:
+        primary = primary & ~secondary
     mask = ~np.isnan(data.reshape(-1))
-    has_gaps = not mask.all()
-    if has_gaps and not mask.any():
-        raise ValueError("GRIB field has no present data points")
+    if missing_mgmt:
+        if secondary is not None:
+            mask = mask & ~secondary
+        if not mask.any():
+            raise ValueError("GRIB field has no present data points")
+        has_gaps = False  # flagged in-stream, not via bitmap
+    else:
+        has_gaps = not mask.all()
+        if has_gaps and not mask.any():
+            raise ValueError("GRIB field has no present data points")
     data = np.where(np.isnan(data), 0.0, data)  # packed values come from mask
     scaled = data * (10.0**d_scale)
     # the wire reference value is IEEE float32: round it DOWN to f32
@@ -431,9 +505,8 @@ def _field_sections(f: dict) -> bytes:
     )
     s4 = sec(4, struct.pack(">HH", 0, 0) + tmpl4)
 
-    packing = f.get("packing", "simple")
-    npoints = int(mask.sum())
     if packing == "simple":
+        npoints = int(mask.sum())
         s5 = sec(
             5,
             struct.pack(">IH", npoints, 0)
@@ -444,14 +517,32 @@ def _field_sections(f: dict) -> bytes:
         )
         s7 = sec(7, _pack_bits(ints, nbits))
     elif packing in ("complex", "complex_diff"):
+        if missing_mgmt:
+            # under missing management ALL grid points are packed;
+            # missing slots carry a placeholder flagged by the masks
+            npoints = ni * nj
+            ints_full = np.zeros(npoints, dtype="int64")
+            ints_full[mask] = ints
+            prim_mask = primary
+            sec_mask = (
+                secondary
+                if secondary is not None
+                else np.zeros(npoints, dtype=bool)
+            )
+        else:
+            npoints = int(mask.sum())
+            ints_full, prim_mask, sec_mask = ints, None, None
         tmpl5, body7 = _pack_complex(
-            ints,
+            ints_full,
             ref,
             e_scale,
             d_scale,
             spatial_diff=(packing == "complex_diff"),
             order=int(f.get("diff_order", 2)),
             group_len=int(f.get("group_len", 20)),
+            missing_mgmt=missing_mgmt,
+            primary_mask=prim_mask,
+            secondary_mask=sec_mask,
         )
         s5 = sec(5, struct.pack(">IH", npoints,
                                 3 if packing == "complex_diff" else 2) + tmpl5)
@@ -474,49 +565,111 @@ def _pack_complex(
     spatial_diff: bool,
     order: int = 2,
     group_len: int = 20,
+    missing_mgmt: int = 0,
+    primary_mask: np.ndarray | None = None,
+    secondary_mask: np.ndarray | None = None,
 ) -> tuple[bytes, bytes]:
     """Template 5.2/5.3 encoder half of :func:`_unpack_complex` —
     returns (section-5 template octets 12+, section-7 body octets 6+).
     Groups are fixed-length (``group_len``, ragged tail via the
     true-length-of-last-group field); each group stores min + residual
-    widths, the layout real complex-packed ERA5/NOAA files use."""
+    widths, the layout real complex-packed ERA5/NOAA files use.
+
+    With ``missing_mgmt`` 1/2 the masked points are encoded in-stream:
+    width-``w`` groups reserve the top one (primary) or two (primary +
+    secondary) residual codes as sentinels — group widths widen so real
+    residuals never collide — and all-missing groups collapse to width
+    0 with the sentinel in the group reference. With spatial
+    differencing the difference stream is built over the non-missing
+    subsequence only, mirroring the decoder."""
 
     def smag(v: int, n: int) -> bytes:
         return (abs(v) | ((1 << (8 * n - 1)) if v < 0 else 0)).to_bytes(n, "big")
 
     v = np.asarray(ints, dtype="int64")
     npts = v.size
+    if missing_mgmt:
+        pm = (
+            primary_mask
+            if primary_mask is not None
+            else np.zeros(npts, dtype=bool)
+        )
+        sm = (
+            secondary_mask
+            if secondary_mask is not None
+            else np.zeros(npts, dtype=bool)
+        )
+        if missing_mgmt == 1 and sm.any():
+            raise ValueError("secondary missing requires missing_mgmt=2")
+        miss = pm | sm
+    else:
+        pm = sm = None
+        miss = np.zeros(npts, dtype=bool)
     extras = b""
     od = 0
     if spatial_diff:
         if order not in (1, 2):
             raise ValueError("spatial differencing order must be 1 or 2")
-        od = min(order, npts)
-        ivals = [int(x) for x in v[:od]]
-        d = np.zeros(npts, dtype="int64")
-        if npts > od:
-            d[od:] = np.diff(v, n=od)
-        gmin = int(d[od:].min()) if npts > od else 0
+        nm_idx = np.flatnonzero(~miss)
+        nm = v[nm_idx]
+        od = min(order, nm.size)
+        ivals = [int(x) for x in nm[:od]]
+        d = np.zeros(nm.size, dtype="int64")
+        if nm.size > od:
+            d[od:] = np.diff(nm, n=od)
+        gmin = int(d[od:].min()) if nm.size > od else 0
         w = d.copy()
         w[od:] -= gmin
         w[:od] = 0  # overwritten from the descriptors on decode
-        v = w
+        v = v.copy()
+        v[nm_idx] = w
         ww = max(
             (max(abs(x) for x in ivals + [gmin]).bit_length() + 1 + 7) // 8, 1
         )
         extras = b"".join(smag(x, ww) for x in ivals + [gmin])
 
+    reserved = 0 if not missing_mgmt else missing_mgmt
     ng = max(1, (npts + group_len - 1) // group_len)
-    grefs, widths, gvals = [], [], []
+    grefs: list[int | None] = []  # None = all-missing sentinel group
+    widths, gvals, gmiss = [], [], []
     for g in range(ng):
-        grp = v[g * group_len : (g + 1) * group_len]
-        lo = int(grp.min())
-        resid = grp - lo
+        sl = slice(g * group_len, (g + 1) * group_len)
+        grp = v[sl]
+        gm = miss[sl]
+        pres = ~gm
+        if missing_mgmt and not pres.any():
+            grefs.append(None)
+            widths.append(0)
+            gvals.append(np.zeros(grp.size, dtype="int64"))
+            gmiss.append((pm[sl], sm[sl]))
+            continue
+        lo = int(grp[pres].min())
+        resid = np.where(pres, grp - lo, 0)
+        maxres = int(resid.max())
+        wdt = maxres.bit_length()
+        if missing_mgmt and (gm.any() or wdt > 0):
+            # the decoder reserves the top `reserved` codes of EVERY
+            # group as sentinels when management is on — widen until no
+            # real residual collides (constant no-missing groups may
+            # stay width 0: the reference path has its own headroom)
+            while wdt == 0 or maxres > (1 << wdt) - 1 - reserved:
+                wdt += 1
         grefs.append(lo)
-        widths.append(int(resid.max()).bit_length())
+        widths.append(wdt)
         gvals.append(resid)
+        gmiss.append((pm[sl], sm[sl]) if missing_mgmt else None)
     last_len = npts - (ng - 1) * group_len
-    nbits = max(int(r).bit_length() for r in grefs)
+    real_refs = [r for r in grefs if r is not None]
+    nbits = max((int(r).bit_length() for r in real_refs), default=0)
+    if missing_mgmt:
+        # reference sentinels (all-missing groups) need headroom: the
+        # top `reserved` reference codes must not collide with real refs
+        max_ref = max(real_refs, default=0)
+        while nbits == 0 or max_ref > (1 << nbits) - 1 - reserved:
+            nbits += 1
+    grefs_coded = [
+        (1 << nbits) - 1 if r is None else int(r) for r in grefs
+    ]
     wref = min(widths)
     wbits = max(w - wref for w in widths).bit_length()
     lref, linc, lbits = group_len, 1, 0  # uniform groups, ragged tail
@@ -524,29 +677,42 @@ def _pack_complex(
     # each of the three group streams is emitted byte-aligned, matching
     # the decoder's per-stream padding (_pack_bits emits whole bytes)
     body = bytearray(extras)
-    body += _pack_bits(np.asarray(grefs, dtype="int64"), nbits)
+    body += _pack_bits(np.asarray(grefs_coded, dtype="int64"), nbits)
     body += _pack_bits(np.asarray([w - wref for w in widths], dtype="int64"), wbits)
     body += _pack_bits(np.zeros(ng, dtype="int64"), lbits)
     # values: one continuous bit-stream across groups (no per-group pad)
     bitbuf: list[np.ndarray] = []
-    for wdt, resid in zip(widths, gvals):
+    for wdt, resid, gmk in zip(widths, gvals, gmiss):
         if wdt == 0:
             continue
+        vals = resid
+        if missing_mgmt and gmk is not None:
+            gpm, gsm = gmk
+            vals = resid.copy()
+            vals[gpm] = (1 << wdt) - 1
+            if missing_mgmt == 2:
+                vals[gsm] = (1 << wdt) - 2
         bitbuf.append(
-            ((resid[:, None] >> np.arange(wdt - 1, -1, -1, dtype="int64")) & 1)
+            ((vals[:, None] >> np.arange(wdt - 1, -1, -1, dtype="int64")) & 1)
             .astype(np.uint8)
             .reshape(-1)
         )
     if bitbuf:
         body += np.packbits(np.concatenate(bitbuf)).tobytes()
 
+    if missing_mgmt:
+        # octets 24-31: primary/secondary substitutes as IEEE floats
+        # (field type 0); the reader maps flagged points to NaN
+        subs = struct.pack(">ff", 9999.0, 9998.0)
+    else:
+        subs = bytes(8)
     tmpl = (
         struct.pack(">f", ref)
         + smag(e_scale, 2)
         + smag(d_scale, 2)
         + bytes([nbits, 0])  # octets 20-21: bits/group-ref, field type
-        + bytes([1, 0])  # octets 22-23: general splitting, no missing mgmt
-        + bytes(8)  # octets 24-31: missing substitutes (unused)
+        + bytes([1, missing_mgmt])  # octets 22-23: general splitting, mvm
+        + subs  # octets 24-31: missing substitutes
         + struct.pack(">I", ng)
         + bytes([wref, wbits])
         + struct.pack(">I", lref)
