@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from xarray_dataaccessor_spark.operators.dedup import (
     MINHASH_A,
@@ -1692,7 +1693,15 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN bi ON uni.doc_id = bi.doc_id
         LEFT JOIN lm_doc ON uni.doc_id = lm_doc.doc_id
     ),
-    yl AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y FROM base),
+    esplit AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 65536 AS eb
+        FROM documents
+    ),
+    yall AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y FROM base),
+    yl AS (SELECT yall.doc_id, y FROM yall JOIN esplit USING (doc_id)
+           WHERE eb >= 13107),
     fb AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(wd), 1, 8))::BIGINT % 32 AS INT) AS bucket
@@ -1749,9 +1758,32 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 6) AS clf_score,
                ROUND(1.0 / (1.0 + exp(-s)), 6) >= 0.5 AS clf_keep
         FROM s3
+    ),
+    ev AS (
+        SELECT clf.clf_score AS v, CAST(yall.y AS BIGINT) AS y
+        FROM clf JOIN esplit USING (doc_id) JOIN yall USING (doc_id)
+        WHERE eb < 13107
+    ),
+    byv AS (
+        SELECT v, SUM(y) AS pos_v, COUNT(*) - SUM(y) AS neg_v
+        FROM ev GROUP BY v
+    ),
+    cum AS (
+        SELECT pos_v, neg_v,
+               COALESCE(SUM(neg_v) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+        FROM byv
+    ),
+    met AS (
+        SELECT CAST(SUM(pos_v * (2 * cneg + neg_v)) AS DOUBLE)
+                   / CAST(2 * SUM(pos_v) * SUM(neg_v) AS DOUBLE) AS eval_auc,
+               CAST(SUM(pos_v) AS BIGINT) AS eval_pos,
+               CAST(SUM(neg_v) AS BIGINT) AS eval_neg
+        FROM cum
     )
-    SELECT base.*, clf.clf_score, clf.clf_keep
-    FROM base JOIN clf ON base.doc_id = clf.doc_id
+    SELECT base.*, clf.clf_score, clf.clf_keep,
+           met.eval_auc, met.eval_pos, met.eval_neg
+    FROM base JOIN clf ON base.doc_id = clf.doc_id CROSS JOIN met
     """,
 )
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,11 +1794,15 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     — PLUS the DCLM-style DISTILLED quality classifier
     (``operators.classifier``): a hashed-bag-of-words logistic
     regression trained IN-PLAN for two full-batch epochs on the gopher
-    verdict as weak labels, then scoring every document. The oracle
-    replays the entire training loop (epoch-0 sigmoid is exactly 0.5;
-    decimal-cast accumulations; 6-decimal-rounded sigmoids), so the
-    learned weights and scores hash-match across engines. One oracle
-    slot covers all three quality-scoring families."""
+    verdict as weak labels over a deterministic 80% hash split, then
+    scoring every document — PLUS the held-out evaluation on the other
+    20%: a rank-sum (Mann-Whitney, ties as half-wins) AUC of the
+    classifier score against the weak label, integer-exact until the
+    final division. The oracle replays the entire training loop
+    (epoch-0 sigmoid is exactly 0.5; decimal-cast accumulations;
+    6-decimal-rounded sigmoids) AND the eval metric, so the learned
+    weights, scores and AUC all hash-match across engines. One oracle
+    slot covers the three quality-scoring families plus their eval."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.cachectl import (
         get_tagged_caches,
@@ -1800,7 +1836,19 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = gopher.join(lm, "doc_id", "left").withColumn(
         "lm_bigrams", F.coalesce(F.col("lm_bigrams"), F.lit(0)).cast("bigint")
     ).cache()
-    labels = base.select("doc_id", F.col("keep").cast("double").alias("y"))
+    # deterministic 80/20 hash split (VERDICT r6 #7): the classifier
+    # trains on the train side only and is scored with a held-out
+    # rank-sum AUC — the metric a production distill loop gates on
+    from xarray_dataaccessor_spark.operators.sampling import hash_bucket
+
+    eb = hash_bucket(F.concat(F.lit("ev:"), F.col("doc_id").cast("string")))
+    labels_all = base.select("doc_id", F.col("keep").cast("double").alias("y"))
+    labels = base.select(
+        "doc_id", F.col("keep").cast("double").alias("y"), eb.alias("__eb")
+    ).filter(F.col("__eb") >= 13107).drop("__eb")
+    eval_ids = base.select("doc_id", eb.alias("__eb")).filter(
+        F.col("__eb") < 13107
+    ).select("doc_id")
     sig = base.select(
         "doc_id",
         F.explode(
@@ -1821,7 +1869,37 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, labels, n_buckets=32, epochs=2, lr=4.0, extra_features=sig,
         word_counts=wc,
     )
-    out = base.join(clf, "doc_id")
+    # held-out rank-sum AUC (Mann-Whitney with ties as half-wins),
+    # integer-exact until the final division: group eval scores by
+    # value, one ordered prefix-sum over the <= |distinct 6-decimal
+    # sigmoids| values (bounded by score resolution, fine in one window
+    # partition), then U2 = sum(pos_v * (2*cum_neg_below + neg_v))
+    ev = clf.join(eval_ids, "doc_id").join(labels_all, "doc_id")
+    byv = (
+        ev.groupBy("clf_score")
+        .agg(
+            F.sum(F.col("y").cast("bigint")).alias("pos_v"),
+            F.count(F.lit(1)).alias("n_v"),
+        )
+        .withColumn("neg_v", F.col("n_v") - F.col("pos_v"))
+    )
+    wv = Window.orderBy("clf_score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = byv.withColumn(
+        "cneg", F.coalesce(F.sum("neg_v").over(wv), F.lit(0))
+    )
+    metrics = cum.agg(
+        F.sum(F.col("pos_v") * (2 * F.col("cneg") + F.col("neg_v"))).alias("u2"),
+        F.sum("pos_v").alias("npos"),
+        F.sum("neg_v").alias("nneg"),
+    ).select(
+        (
+            F.col("u2").cast("double")
+            / (2 * F.col("npos") * F.col("nneg")).cast("double")
+        ).alias("eval_auc"),
+        F.col("npos").cast("bigint").alias("eval_pos"),
+        F.col("nneg").cast("bigint").alias("eval_neg"),
+    )
+    out = base.join(clf, "doc_id").crossJoin(F.broadcast(metrics))
     return tag_caches(out, wc, bc, base, *get_tagged_caches(clf))
 
 
