@@ -93,10 +93,13 @@ def test_corrupt_rejected():
         parse_webp(good[: len(good) - max(4, len(good) // 4)])
 
 
-def test_lossy_vp8_rejected():
+def test_lossy_vp8_dispatches_to_vp8_decoder():
+    """A VP8 (lossy) chunk now routes to sources.vp8; a malformed
+    payload raises that decoder's error rather than a blanket
+    NotImplementedError (full decode coverage lives in test_vp8.py)."""
     riff = b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
     data = b"RIFF" + (len(riff) + 4).to_bytes(4, "little") + b"WEBP" + riff
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="VP8"):
         parse_webp(data)
 
 

@@ -46,10 +46,14 @@ def _ship_by_value() -> None:
         from xarray_dataaccessor_spark.sources import flac as _flac
         from xarray_dataaccessor_spark.sources import jpeg as _jpeg
         from xarray_dataaccessor_spark.sources import media as _media
+        from xarray_dataaccessor_spark.sources import vp8 as _vp8
+        from xarray_dataaccessor_spark.sources import vp8_tables as _vp8t
         from xarray_dataaccessor_spark.sources import webp as _webp
 
         _cp.register_pickle_by_value(_media)
         _cp.register_pickle_by_value(_webp)
+        _cp.register_pickle_by_value(_vp8)
+        _cp.register_pickle_by_value(_vp8t)
         _cp.register_pickle_by_value(_jpeg)
         _cp.register_pickle_by_value(_flac)
         _cp.register_pickle_by_value(_mm)

@@ -23,9 +23,10 @@ The writer emits valid lossless streams (fixed 8-bit literal codes or
 runs via LZ77 distance-1 references, optional color cache, optional
 subtract-green / fixed-mode predictor / color / palette transforms) so
 tests can round-trip every decoder path without external tooling.
-The lossy VP8 codec is intentionally NOT here (detect-and-reject): a
-DCT video intraframe codec is a different beast, and scraped-corpus
-lossless assets (logos, screenshots, charts) ship as VP8L.
+The lossy VP8 codec lives in the sibling ``vp8`` module (bool coder,
+intra prediction, DCT/WHT, loop filter); ``parse_webp`` dispatches
+``VP8 `` chunks there and ``write_webp_lossy`` wraps its encoder twin
+in the RIFF container.
 
 Same discipline as the sibling ``jpeg``/``flac``/``zstd`` modules:
 stdlib + numpy only, bounded loops, corrupt input raises ValueError /
@@ -37,6 +38,11 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# module-level import (not lazy): executors receive this module BY VALUE
+# (multimodal._ship_by_value) and a function-body `import` would resolve
+# by name at runtime on workers that don't have the package installed
+from xarray_dataaccessor_spark.sources import vp8 as _vp8
 
 # spec: order in which code-length code lengths are stored
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
@@ -353,14 +359,17 @@ def _ct_delta(t: int, c: int) -> int:
 
 def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
     """WebP bytes -> ndarray (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when
-    any alpha < 255. Lossless (VP8L) only; lossy VP8/VP8X-compressed
-    frames are detect-and-reject. ``max_pixels`` (same 2^27 cap as the
-    JPEG parser) bounds the decode allocation against crafted headers —
-    the 14-bit dimension fields allow 16384^2 = 268M pixels."""
+    any alpha < 255. Both flavors decode: lossless VP8L here, lossy VP8
+    key frames via ``sources.vp8`` (an ALPH chunk alongside a lossy
+    frame is ignored — the color planes decode, alpha-compressed data
+    is its own sub-format). ``max_pixels`` (same 2^27 cap as the JPEG
+    parser) bounds the decode allocation against crafted headers — the
+    14-bit dimension fields allow 16384^2 = 268M pixels."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos = 12
     payload = None
+    lossy = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -369,10 +378,19 @@ def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
             payload = body
             break
         if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 intraframe) not supported; lossless VP8L only"
-            )
+            lossy = body
+            break
         pos += 8 + size + (size & 1)
+    if lossy is not None:
+        if max_pixels is not None and len(lossy) >= 10:
+            w14 = struct.unpack_from("<H", lossy, 6)[0] & 0x3FFF
+            h14 = struct.unpack_from("<H", lossy, 8)[0] & 0x3FFF
+            if w14 * h14 > max_pixels:
+                raise ValueError(
+                    f"VP8 dimensions {w14}x{h14} exceed max_pixels={max_pixels}"
+                )
+        f = _vp8.decode_vp8_frame(lossy)
+        return _vp8.yuv420_to_rgb(f["y"], f["u"], f["v"])
     if payload is None:
         raise ValueError("WebP container has no VP8L chunk")
     if not payload or payload[0] != 0x2F:
@@ -959,3 +977,16 @@ def _write_entropy_image(
                 bw.write(dextra, debits)
         else:
             emit(gc, gsingle, 280 + v)
+
+
+def write_webp_lossy(rgb: np.ndarray, q_index: int = 8) -> bytes:
+    """RGB ndarray -> lossy WebP bytes (RIFF container around a VP8 key
+    frame from ``sources.vp8``'s encoder twin). ``q_index`` is the VP8
+    quantizer index 0-127 (lower = higher fidelity; 0 quantizes at
+    step 4)."""
+    y, u, v = _vp8.rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
+    payload = _vp8.encode_vp8_frame(y, u, v, q_index=q_index)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
