@@ -237,3 +237,19 @@ def test_frame_header_fields_roundtrip():
     assert h["filter_level"] == 0
     assert h["n_partitions"] == 1
     assert h["mb_no_skip"] == 1
+
+
+def test_solid_gray_qindex0_is_exactly_lossless():
+    """The oracle trick behind the webp branch of
+    multimodal_binary_features: at q_index 0, a solid-gray frame
+    decodes EXACTLY (every B_DC prediction is constant, the constant
+    residual's DCT has only a DC term, and 8*residual is divisible by
+    the step-4 quantizer) — for every luma value and for multi-MB
+    frames where later blocks predict from reconstructed neighbors."""
+    for yv in (0, 1, 16, 77, 128, 200, 254, 255):
+        y = np.full((16, 32), yv, np.uint8)
+        u = np.full((8, 16), 128, np.uint8)
+        v = np.full((8, 16), 128, np.uint8)
+        out = vp8.decode_vp8_frame(vp8.encode_vp8_frame(y, u, v, q_index=0))
+        assert np.array_equal(out["y"], y), yv
+        assert np.array_equal(out["u"], u) and np.array_equal(out["v"], v)

@@ -131,6 +131,40 @@ def attach_media_column(
     )
 
 
+def attach_webp_lossy_column(
+    df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (16, 32)
+) -> DataFrame:
+    """Attach a REAL lossy-WebP (VP8 key frame) payload per document —
+    SOLID gray ``(d*11) % 256`` at q_index 0, where the decode is
+    EXACTLY lossless: every B_DC prediction is constant over its block,
+    so the residual is constant, its DCT has only a DC term, and
+    ``8*residual`` is always divisible by the step-4 quantizer (the VP8
+    analogue of the solid-q100-JPEG trick). The decoded channel means
+    are therefore integer-valued and SQL-derivable through the two
+    integer color conversions. Output: ``(doc_id, payload binary)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.webp import write_webp_lossy
+
+    h, w = size
+    wl = write_webp_lossy
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                rgb = np.full((h, w, 3), (d * 11) % 256, dtype="u1")
+                rows.append({"doc_id": d, "payload": wl(rgb, q_index=0)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary"
+    )
+
+
 def attach_audio_column(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -772,6 +772,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 128.0 END AS mp3_kbps,
                is_vbr AS mp3_vbr
         FROM mp3
+    ),
+    wg AS (
+        -- solid-gray lossy WebP: gray -> BT.601 Y -> exact VP8 decode
+        -- -> back to RGB; both conversions are pure integer shifts
+        SELECT doc_id,
+               (298 * ((((220 * ((doc_id * 11) % 256) + 128) // 256) + 16)
+                       - 16) + 128) // 256 AS g2
+        FROM documents
     )
     SELECT b.doc_id,
            CAST(octet_length(payload) AS BIGINT) AS n_bytes,
@@ -787,9 +795,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(256 AS BIGINT) AS audio_n_in,
            CAST(128 AS BIGINT) AS audio_n_out,
            sqrt(au.sumsq_even / 128.0) AS audio_rms,
-           mp3m.mp3_duration_ms, mp3m.mp3_kbps, mp3m.mp3_vbr
+           mp3m.mp3_duration_ms, mp3m.mp3_kbps, mp3m.mp3_vbr,
+           CAST(wg.g2 AS DOUBLE) AS webp_mean,
+           0.0 AS webp_std,
+           CAST(3 AS INT) AS webp_channels
     FROM b JOIN m ON m.doc_id = b.doc_id JOIN au ON au.doc_id = b.doc_id
-    JOIN mp3m ON mp3m.doc_id = b.doc_id
+    JOIN mp3m ON mp3m.doc_id = b.doc_id JOIN wg ON wg.doc_id = b.doc_id
     """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,11 +816,15 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate through ``resample_audio`` (half-rate grid points land exactly
     on even source samples, and squared integer partial sums are exact
     doubles under any summation order, so even the RMS is SQL-exact).
-    One oracle slot covers the byte-feature fast path, three real image
-    codecs, the FLAC audio path, AND the MPEG-audio envelope probe
-    (``audio_probe`` over real frame headers — duration/bitrate/VBR
-    derived without decode, replayed from the generation rule); the
-    ``fake`` plumbing codecs now live only in unit tests."""
+    One oracle slot covers the byte-feature fast path, FOUR real image
+    codecs — including the lossy VP8 WebP path, whose solid-gray
+    q_index-0 payloads decode EXACTLY (constant-residual DC blocks; the
+    VP8 analogue of the solid-q100 JPEG trick) so the per-channel means
+    replay through two integer color conversions — the FLAC audio path,
+    AND the MPEG-audio envelope probe (``audio_probe`` over real frame
+    headers — duration/bitrate/VBR derived without decode, replayed
+    from the generation rule); the ``fake`` plumbing codecs now live
+    only in unit tests."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.dedup import spread_small_input
     from xarray_dataaccessor_spark.operators.multimodal import (
@@ -817,9 +832,11 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_binary_column,
         attach_media_column,
         attach_mp3_column,
+        attach_webp_lossy_column,
         audio_probe,
         binary_features,
         decode_image,
+        image_channel_stats,
         resample_audio,
     )
 
@@ -857,14 +874,24 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bitrate_kbps").alias("mp3_kbps"),
         F.col("vbr").alias("mp3_vbr"),
     )
+    webp = image_channel_stats(
+        attach_webp_lossy_column(docs), codec="webp"
+    ).select(
+        "doc_id",
+        F.element_at("channel_means", 1).alias("webp_mean"),
+        F.element_at("channel_stds", 1).alias("webp_std"),
+        F.col("n_channels").alias("webp_channels"),
+    )
     return (
         feats.join(decoded, "doc_id")
         .join(audio, "doc_id")
         .join(mp3, "doc_id")
+        .join(webp, "doc_id")
         .select(
             "doc_id", "n_bytes", "n_chunks", "checksum", "width", "height",
             "img_codec", "mean_pixel", "audio_n_in", "audio_n_out",
             "audio_rms", "mp3_duration_ms", "mp3_kbps", "mp3_vbr",
+            "webp_mean", "webp_std", "webp_channels",
         )
     )
 
