@@ -253,3 +253,72 @@ def test_solid_gray_qindex0_is_exactly_lossless():
         out = vp8.decode_vp8_frame(vp8.encode_vp8_frame(y, u, v, q_index=0))
         assert np.array_equal(out["y"], y), yv
         assert np.array_equal(out["u"], u) and np.array_equal(out["v"], v)
+
+
+@pytest.mark.parametrize("alpha_filter", [0, 1, 2, 3])
+def test_alpha_plane_lossless_roundtrip(alpha_filter):
+    """VP8X + ALPH: the alpha plane is stored losslessly under each of
+    the four spec filters (none/horizontal/vertical/gradient) and
+    round-trips bit-exactly alongside the lossy color frame."""
+    rng = np.random.RandomState(4)
+    rgba = np.zeros((21, 33, 4), np.uint8)
+    rgba[:, :, :3] = 100
+    rgba[:, :, 3] = (
+        np.arange(21)[:, None] * 7 + np.arange(33)[None, :] * 3
+    ) % 256
+    rgba[::5, ::4, 3] = rng.randint(0, 256, rgba[::5, ::4, 3].shape)
+    data = write_webp_lossy(rgba, q_index=0, alpha_filter=alpha_filter)
+    out = parse_webp(data)
+    assert out.shape == (21, 33, 4)
+    assert np.array_equal(out[:, :, 3], rgba[:, :, 3])
+
+
+@needs_libwebp
+def test_alpha_container_accepted_by_libwebp():
+    """The reference decoder accepts our VP8X/ALPH/VP8 layout and
+    reproduces the alpha plane bit-exactly."""
+    rgba = np.zeros((12, 20, 4), np.uint8)
+    rgba[:, :, :3] = 77
+    rgba[:, :, 3] = (np.arange(12 * 20) % 256).reshape(12, 20)
+    data = bytes(write_webp_lossy(rgba, q_index=0, alpha_filter=3))
+    LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    LIBWEBP.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = LIBWEBP.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    assert p, "libwebp rejected the container"
+    ref = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    LIBWEBP.WebPFree(p)
+    assert (w.value, h.value) == (20, 12)
+    assert np.array_equal(ref[:, :, 3], rgba[:, :, 3])
+
+
+@needs_libwebp
+def test_real_world_compressed_alpha_bit_exact():
+    """python.webp (stdlib test asset): VP8X + method-1 (VP8L-stream)
+    compressed ALPH + lossy VP8 — our alpha decode matches the
+    reference decoder bit-for-bit. (Color channels are compared via
+    YUV elsewhere; RGBA color differs by chroma-upsampling policy.)"""
+    import os
+
+    path = ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+            "test_email/data/python.webp")
+    if not os.path.exists(path):
+        pytest.skip("stdlib webp asset not present")
+    data = open(path, "rb").read()
+    mine = parse_webp(data)
+    assert mine.shape[2] == 4
+    LIBWEBP.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    LIBWEBP.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = LIBWEBP.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    ref = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    LIBWEBP.WebPFree(p)
+    assert np.array_equal(mine[:, :, 3], ref[:, :, 3])

@@ -7,12 +7,13 @@ and tested, and the codec step is REAL for the formats that parse purely:
 WAV/RIFF PCM+float audio, netpbm and uncompressed BMP images, PNG
 (zlib + spec filters incl. Adam7), GIF, Y4M video
 (``sources/media.py``), JPEG — baseline SOF0/1 AND progressive SOF2
-(``sources/jpeg.py``) — WebP lossless / VP8L (``sources/webp.py``), and
-FLAC lossless audio (``sources/flac.py``).
+(``sources/jpeg.py``) — WebP lossless VP8L AND lossy VP8 key frames
+with alpha (``sources/webp.py`` + ``sources/vp8.py``), and FLAC
+lossless audio (``sources/flac.py``).
 The ``codec="fake"`` default keeps plumbing tests fixture-free; passing
 ``codec="pil"`` / ``"soundfile"`` / ``"ffmpeg"`` raises
 NotImplementedError at the exact point a remaining compressed-format
-library (lossy WebP/MP3/H.264) would plug in.
+library (MP3 sample decode, H.264) would plug in.
 """
 
 from __future__ import annotations
@@ -303,6 +304,17 @@ def _decode_raw(raw: bytes, codec: str):
     return np.resize(np.frombuffer(raw, dtype=np.uint8), (32, 32)).astype(
         "float64"
     )
+
+
+def _decode_raw_keep_alpha(raw: bytes, codec: str):
+    """Like :func:`_decode_raw` but preserves a 4th (alpha) channel for
+    the codecs that carry one — the per-channel stats operator's
+    alpha-content checks need it; the luma paths drop it by policy."""
+    if codec == "png":
+        return parse_png(raw).astype("float64")
+    if codec == "webp":
+        return parse_webp(raw).astype("float64")
+    return _decode_raw(raw, codec)
 
 
 def _decode_gray(raw: bytes, codec: str):
@@ -653,7 +665,9 @@ def image_channel_stats(
     color-cast screening, alpha-content checks). Emits
     ``(doc_id, height, width, n_channels, channel_means array<double>,
     channel_stds array<double>)``; grayscale inputs report one channel.
-    Same codec dispatch and Arrow batch shape as the other decoders."""
+    Same codec dispatch and Arrow batch shape as the other decoders;
+    unlike the luma paths, a 4th (alpha) channel is KEPT — per-channel
+    stats exist precisely for alpha-content screening."""
     if codec not in ("fake", "netpbm", "bmp", "png", "gif", "jpeg", "webp"):
         raise NotImplementedError(
             f"image codec {codec!r} requires PIL/opencv, not installed; "
@@ -661,7 +675,7 @@ def image_channel_stats(
             "'fake' exercises the plumbing"
         )
     _ship_by_value()
-    dec = _decode_raw
+    dec = _decode_raw_keep_alpha
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import numpy as np

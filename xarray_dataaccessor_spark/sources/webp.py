@@ -370,6 +370,7 @@ def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
     pos = 12
     payload = None
     lossy = None
+    alpha_chunk = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -380,6 +381,8 @@ def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
         if cid == b"VP8 ":
             lossy = body
             break
+        if cid == b"ALPH":
+            alpha_chunk = body  # precedes the VP8 chunk in VP8X layouts
         pos += 8 + size + (size & 1)
     if lossy is not None:
         if max_pixels is not None and len(lossy) >= 10:
@@ -390,7 +393,12 @@ def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
                     f"VP8 dimensions {w14}x{h14} exceed max_pixels={max_pixels}"
                 )
         f = _vp8.decode_vp8_frame(lossy)
-        return _vp8.yuv420_to_rgb(f["y"], f["u"], f["v"])
+        rgb = _vp8.yuv420_to_rgb(f["y"], f["u"], f["v"])
+        if alpha_chunk is not None:
+            a = _decode_alpha(alpha_chunk, f["width"], f["height"])
+            if not (a == 255).all():
+                return np.dstack([rgb, a])
+        return rgb
     if payload is None:
         raise ValueError("WebP container has no VP8L chunk")
     if not payload or payload[0] != 0x2F:
@@ -406,7 +414,22 @@ def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
         raise ValueError(
             f"VP8L dimensions {w}x{h} exceed max_pixels={max_pixels}"
         )
+    px = _decode_image_stream(br, w, h)
+    arr = np.array(px, dtype=np.uint32).reshape(h, w)
+    a = (arr >> 24).astype("u1")
+    r = ((arr >> 16) & 0xFF).astype("u1")
+    g = ((arr >> 8) & 0xFF).astype("u1")
+    b = (arr & 0xFF).astype("u1")
+    if (a == 255).all():
+        return np.dstack([r, g, b])
+    return np.dstack([r, g, b, a])
 
+
+def _decode_image_stream(br: _BitReader, w: int, h: int) -> list[int]:
+    """VP8L image-stream (transforms + entropy-coded ARGB) of known
+    dimensions — the headerless grammar shared by the main VP8L payload
+    and compressed ALPH alpha planes (which carry the alpha values in
+    the green channel)."""
     # transforms, recorded in read order then inverted in reverse
     transforms = []
     seen = set()
@@ -516,15 +539,61 @@ def parse_webp(data: bytes, max_pixels: int | None = 1 << 27) -> np.ndarray:
                     TR = px[i - xsize + 1]  # last column wraps to row start
                     pred = _predict(mode, L, T, TL, TR)
                 px[i] = _add_px(px[i], pred)
+    return px
 
-    arr = np.array(px, dtype=np.uint32).reshape(h, w)
-    a = (arr >> 24).astype("u1")
-    r = ((arr >> 16) & 0xFF).astype("u1")
-    g = ((arr >> 8) & 0xFF).astype("u1")
-    b = (arr & 0xFF).astype("u1")
-    if (a == 255).all():
-        return np.dstack([r, g, b])
-    return np.dstack([r, g, b, a])
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane. Header byte: 2 reserved
+    bits, 2 preprocessing bits (level reduction is not inverted — by
+    spec it is lossy and the stored values ARE the output), 2 filtering
+    bits (none/horizontal/vertical/gradient, inverted here), 2
+    compression bits (0 = raw bytes, 1 = headerless VP8L image-stream
+    with alpha in the green channel)."""
+    if not body:
+        raise ValueError("ALPH chunk empty")
+    hdr = body[0]
+    filt = (hdr >> 2) & 0x3
+    comp = hdr & 0x3
+    if comp == 0:
+        raw = body[1 : 1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("ALPH raw data truncated")
+        plane = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.int32)
+    elif comp == 1:
+        px = _decode_image_stream(_BitReader(body[1:]), w, h)
+        plane = (
+            (np.array(px, dtype=np.uint32).reshape(h, w) >> 8) & 0xFF
+        ).astype(np.int32)
+    else:
+        raise NotImplementedError(f"ALPH compression method {comp}")
+    if filt:
+        # per-pixel predictor over the FILTERED residuals: invert in
+        # raster order (first pixel predicts 0; first row predicts left,
+        # first column predicts above — same borders for all methods)
+        out = np.zeros((h, w), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    if filt == 1:
+                        pred = out[y, x - 1]
+                    elif filt == 2:
+                        pred = out[y - 1, x]
+                    else:
+                        g = (
+                            int(out[y, x - 1])
+                            + int(out[y - 1, x])
+                            - int(out[y - 1, x - 1])
+                        )
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (plane[y, x] + pred) & 0xFF
+        plane = out
+    return plane.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -979,14 +1048,63 @@ def _write_entropy_image(
             emit(gc, gsingle, 280 + v)
 
 
-def write_webp_lossy(rgb: np.ndarray, q_index: int = 8) -> bytes:
-    """RGB ndarray -> lossy WebP bytes (RIFF container around a VP8 key
-    frame from ``sources.vp8``'s encoder twin). ``q_index`` is the VP8
-    quantizer index 0-127 (lower = higher fidelity; 0 quantizes at
-    step 4)."""
-    y, u, v = _vp8.rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
+def write_webp_lossy(
+    rgb: np.ndarray, q_index: int = 8, alpha_filter: int = 0
+) -> bytes:
+    """RGB or RGBA ndarray -> lossy WebP bytes (RIFF container around a
+    VP8 key frame from ``sources.vp8``'s encoder twin). ``q_index`` is
+    the VP8 quantizer index 0-127 (lower = higher fidelity; 0 quantizes
+    at step 4). A 4th channel becomes an extended (VP8X) layout with an
+    uncompressed ALPH chunk — the alpha plane is stored LOSSLESSLY,
+    optionally under ``alpha_filter`` 0-3 (none/horizontal/vertical/
+    gradient, the spec's per-pixel predictors)."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    alpha = None
+    if arr.ndim == 3 and arr.shape[2] == 4:
+        alpha = arr[:, :, 3]
+        arr = arr[:, :, :3]
+    y, u, v = _vp8.rgb_to_yuv420(arr)
     payload = _vp8.encode_vp8_frame(y, u, v, q_index=q_index)
-    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        c = cid + struct.pack("<I", len(body)) + body
+        return c + (b"\x00" if len(body) & 1 else b"")
+
+    chunks = b""
+    if alpha is not None:
+        if alpha_filter not in (0, 1, 2, 3):
+            raise ValueError("alpha_filter must be 0..3")
+        h, w = alpha.shape
+        plane = alpha.astype(np.int32)
+        if alpha_filter:
+            res = np.zeros_like(plane)
+            for yy in range(h):
+                for xx in range(w):
+                    if xx == 0 and yy == 0:
+                        pred = 0
+                    elif yy == 0:
+                        pred = plane[0, xx - 1]
+                    elif xx == 0:
+                        pred = plane[yy - 1, 0]
+                    elif alpha_filter == 1:
+                        pred = plane[yy, xx - 1]
+                    elif alpha_filter == 2:
+                        pred = plane[yy - 1, xx]
+                    else:
+                        g = (
+                            int(plane[yy, xx - 1])
+                            + int(plane[yy - 1, xx])
+                            - int(plane[yy - 1, xx - 1])
+                        )
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                    res[yy, xx] = (plane[yy, xx] - pred) & 0xFF
+            body = res.astype(np.uint8).tobytes()
+        else:
+            body = plane.astype(np.uint8).tobytes()
+        vp8x = bytes([0x10]) + bytes(3) + struct.pack(
+            "<I", w - 1
+        )[:3] + struct.pack("<I", h - 1)[:3]
+        chunks += chunk(b"VP8X", vp8x)
+        chunks += chunk(b"ALPH", bytes([alpha_filter << 2]) + body)
+    chunks += chunk(b"VP8 ", payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
