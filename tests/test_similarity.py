@@ -692,3 +692,63 @@ def test_append_to_ivfpq_index_parity(spark, tmp_path, by_residual):
     # meta.json round-trips the flavor the append used
     with open(os.path.join(path, "meta.json")) as fh:
         assert bool(json.load(fh)["by_residual"]) is by_residual
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, planted):
+    """SemDeDup on the planted corpus: every noisy twin pair (cos>0.99)
+    must resolve to exactly one survivor; distinct vectors all survive;
+    the keep-the-outlier priority keeps the member farther from its
+    cluster centroid (ties by id)."""
+    from xarray_dataaccessor_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        planted, threshold=0.95, n_clusters=4, n_iters=2, dims=64,
+        train_limit=None,
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 120  # one row per input vector
+    kept = {i for i, r in rows.items() if r["kept"]}
+    for i in range(60):
+        a, b = rows[i], rows[1000 + i]
+        if a["cluster_id"] == b["cluster_id"]:
+            # twins in the same cluster: exactly one survives, and the
+            # dropped one carries its witness cosine
+            assert (i in kept) != (1000 + i in kept)
+            dropped = rows[1000 + i if i in kept else i]
+            assert dropped["witness_cos"] is not None
+            assert dropped["witness_cos"] >= 0.95
+        else:
+            # split across clusters: SemDeDup only dedups within
+            # clusters (the paper's approximation) — both survive
+            assert i in kept and 1000 + i in kept
+    for i, r in rows.items():
+        if r["kept"]:
+            assert r["witness_cos"] is None
+    # most twins should co-cluster (k=4 over 60 well-separated seeds)
+    same = sum(
+        1 for i in range(60)
+        if rows[i]["cluster_id"] == rows[1000 + i]["cluster_id"]
+    )
+    assert same >= 50
+
+
+def test_semantic_dedup_priority_is_scale_invariant(spark):
+    """A vector and its scalar multiple have equal (quantized)
+    centrality, so the id tie-break decides — the smaller id survives
+    regardless of float ulps (the cross-engine stability contract)."""
+    from xarray_dataaccessor_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(20)]
+    rows += [(100 + i, [float(v) * 1.01 for v in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(
+        df, threshold=0.999, n_clusters=2, n_iters=2, dims=16,
+        train_limit=None,
+    )
+    rows_out = {r["vec_id"]: r for r in out.collect()}
+    for i in range(20):
+        if rows_out[i]["cluster_id"] == rows_out[100 + i]["cluster_id"]:
+            assert rows_out[i]["kept"] is True
+            assert rows_out[100 + i]["kept"] is False

@@ -1327,3 +1327,110 @@ def ivf_index_drift(spark, path: str, id_col: str = "vec_id") -> dict:
         "imbalance_factor": (n_lists * sizes[0] / total) if total else 0.0,
         "top_list_frac": (sizes[0] / total) if total else 0.0,
     }
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    train_limit: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    partition the embedding space with the deterministic Lloyd quantizer
+    (:func:`kmeans_centroids`), then inside each cluster drop every
+    vector that is within ``threshold`` cosine of a higher-priority
+    cluster-mate. Priority follows the paper's keep-the-outlier rule:
+    cosine-to-centroid ASCENDING (the member farthest from the cluster
+    center survives its duplicate group), ties toward the smaller id.
+    One pass — a vector is dropped when ANY earlier-priority mate is
+    within ``threshold``, whether or not that mate is itself kept (the
+    paper's pairwise-threshold matrix, not transitive chaining).
+
+    Returns ``(id_col, cluster_id, cos_centroid, kept, witness_cos)`` —
+    one row per input vector, ``kept`` boolean, ``witness_cos`` the
+    strongest duplicate evidence (max cosine to a higher-priority
+    cluster-mate; NULL for kept rows).
+
+    Scale: the only corpus-sized shuffles are the rank-1 assignment
+    (broadcast centroid join + map-side argmin aggregation) and the
+    per-cluster window/self-join, both keyed on ``cluster_id``. The
+    within-cluster refine is quadratic in cluster population, so
+    ``n_clusters`` must scale with the corpus (the paper uses ~11k
+    clusters for 100M+ docs; at 100 TB pick n_clusters ~= N /
+    desired_cluster_size and the per-cluster work stays bounded).
+    Lloyd itself trains on the ``train_limit`` hash-ordered sample —
+    two shuffles over a few thousand rows regardless of corpus size.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    cent = kmeans_centroids(
+        v, n_centroids=n_clusters, n_iters=n_iters, id_col=id_col,
+        vec_col="e", dims=dims, train_limit=train_limit,
+    )
+    # rank-1 assignment over the full corpus; keep the centroid vector
+    # to score centrality (centroids are dimension-sized -> broadcast)
+    assigned = (
+        ivf_assign(v, cent, id_col=id_col, vec_col="e", rank=1, dims=dims)
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("e"),
+            F.col("centroid_id").alias("cluster_id"),
+            cosine(F.col("e"), F.col("ce"), dims).alias("cos_centroid"),
+        )
+    )
+    # priority orders on the QUANTIZED centrality (4 decimals): cosine
+    # is scale-invariant, so a vector and its scalar multiple have
+    # mathematically equal cos_centroid but ~1-ulp float difference —
+    # and the centroid itself differs by ~1 ulp across engines (decimal
+    # cast double-rounding), so a raw-float order would flip exactly on
+    # the near-duplicate pairs this operator exists to resolve. At 1e-4
+    # granularity equal-centrality members tie and fall to the id
+    # tie-break, identically in every engine.
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc(F.round(F.col("cos_centroid"), 4)), F.asc(id_col)
+    )
+    ranked = assigned.withColumn("prio", F.row_number().over(w)).cache()
+    a = ranked.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("__ida"),
+        F.col("e").alias("__ea"),
+        F.col("prio").alias("__pa"),
+    )
+    b = ranked.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("__idb"),
+        F.col("e").alias("__eb"),
+        F.col("prio").alias("__pb"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__pa") < F.col("__pb"))
+        .withColumn("__cos", cosine(F.col("__ea"), F.col("__eb"), dims))
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(F.col("__idb").alias(id_col))
+        .agg(F.max("__cos").alias("witness_cos"))
+    )
+    # witness_cos (the strongest duplicate evidence) is a fold over
+    # ORIGINAL vectors, so it is bit-identical across engines;
+    # cos_centroid is NOT emitted to callers that need oracle-exact
+    # output — the decimal-mean centroid's double differs by ~1 ulp
+    # between engines (double->decimal cast rounding), which is fine for
+    # every DISCRETE decision (assignment, priority order) but not for a
+    # hashed float column.
+    return (
+        ranked.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "cos_centroid",
+            F.col("witness_cos").isNull().alias("kept"),
+            "witness_cos",
+        )
+    )

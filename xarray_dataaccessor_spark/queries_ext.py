@@ -586,6 +586,53 @@ def _plane_w_sql(p: int, dim_expr: str) -> str:
     )
 
 
+_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2])), "
+    "(p, q) -> p + q)"
+)
+
+
+def _kmeans_assign_body(
+    cent: str, rank: int = 1, where: str = "", src: str = "v"
+) -> str:
+    """One Lloyd assignment: rank-``rank`` nearest centroid(s) by squared
+    L2, ties toward the smaller centroid id (mirrors
+    ``similarity.ivf_assign``). ``src`` selects the vector table —
+    the training sample for Lloyd rounds, the full corpus for the final
+    inverted-list assignment."""
+    return f"""SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
+                   ) AS rk
+            FROM {src} v CROSS JOIN {cent} c {where}
+        ) WHERE rk <= {rank}"""
+
+
+def _kmeans_assign_sql(
+    cent: str, out: str, rank: int = 1, where: str = "", src: str = "v"
+) -> str:
+    return f"{out} AS ({_kmeans_assign_body(cent, rank, where, src)})"
+
+
+def _kmeans_mean_sql(assigned: str, out: str) -> str:
+    """Element-wise exact centroid mean CTE (decimal sums -> order
+    independent, the oracle-exactness convention)."""
+    return f"""
+    {out} AS (
+        SELECT centroid_id, list(mv ORDER BY pos) AS ce FROM (
+            SELECT centroid_id, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mv
+            FROM (SELECT centroid_id, unnest(e) AS val,
+                         generate_subscripts(e, 1) AS pos FROM {assigned})
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    )"""
+
+
+
+
 def _bucket_sql(vec: str, n_planes: int = 8, plane_offset: int = 0) -> str:
     terms = []
     for j in range(n_planes):
@@ -645,7 +692,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT vec_id + 200000, e FROM base WHERE vec_id % 17 = 0
     ),
-    v AS (SELECT vec_id, e,
+    bv AS (SELECT vec_id, e,
                  {_bucket_sql("e", 8, 0)} AS b0,
                  {_bucket_sql("e", 8, 8)} AS b1,
                  {_bucket_sql("e", 8, 16)} AS b2,
@@ -654,26 +701,82 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cos_sql("a.e", "b.e")} AS cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        FROM bv a JOIN bv b ON a.vec_id < b.vec_id
          AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    ),
+    -- SemDeDup variant (Abbas et al. 2023): deterministic Lloyd over
+    -- the SAME fuzzed corpus, then the keep-the-outlier pairwise rule
+    v AS (SELECT vec_id, e FROM corpus),
+    smp AS (
+        SELECT vec_id, e FROM v
+        ORDER BY {_H32.format(expr="CAST(vec_id AS VARCHAR)")}, vec_id
+        LIMIT 256
+    ),
+    cent0 AS (
+        SELECT vec_id AS centroid_id, e AS ce
+        FROM smp ORDER BY vec_id LIMIT 8
+    ),
+    {_kmeans_assign_sql("cent0", "sd_a1", src="smp")},
+    {_kmeans_mean_sql("sd_a1", "sd_cent1")},
+    {_kmeans_assign_sql("sd_cent1", "sd_a2", src="smp")},
+    {_kmeans_mean_sql("sd_a2", "sd_cent2")},
+    sd_asg AS (
+        SELECT g.vec_id, g.e, g.centroid_id AS cluster_id,
+               {_cos_sql("g.e", "c.ce")} AS cos_centroid
+        FROM ({_kmeans_assign_body("sd_cent2")}) g
+        JOIN sd_cent2 c ON g.centroid_id = c.centroid_id
+    ),
+    sd_rk AS (
+        -- priority on the QUANTIZED centrality: see semantic_dedup —
+        -- raw cos-to-centroid floats differ by ~1 ulp across engines
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY round(cos_centroid, 4) ASC,
+                                              vec_id) AS prio
+        FROM sd_asg
+    ),
+    sd_drop AS (
+        SELECT vec_id, MAX(cos) AS witness_cos FROM (
+            SELECT b.vec_id, {_cos_sql("a.e", "b.e")} AS cos
+            FROM sd_rk a JOIN sd_rk b
+              ON a.cluster_id = b.cluster_id AND a.prio < b.prio
+        ) WHERE cos >= 0.95 GROUP BY vec_id
+    ),
+    sem AS (
+        SELECT 'semdedup' AS variant, r.vec_id AS id_a,
+               CAST(r.cluster_id AS BIGINT) AS id_b, d.witness_cos AS cos,
+               (d.vec_id IS NULL) AS kept
+        FROM sd_rk r LEFT JOIN sd_drop d ON r.vec_id = d.vec_id
     )
-    SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.95
+    SELECT 'lsh_pairs' AS variant, id_a, id_b, cos,
+           CAST(NULL AS BOOLEAN) AS kept
+    FROM pairs WHERE cos > 0.95
+    UNION ALL
+    SELECT * FROM sem
     """,
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded multi-probe hyperplane LSH near-dup (4 bands x 8 planes):
-    union of per-band equi-joins bounds bucket population (~n/256 per
-    band) instead of one global 256-bucket split whose within-bucket
-    self-join is quadratic; ~0.89 recall at cos 0.95 vs ~0.43 for the
-    single 8-plane bucket. The oracle mirrors the banding with an OR
-    join (exact same candidate set).
+    """Two embedding-dedup families under one slot (variant union):
+
+    - ``lsh_pairs``: banded multi-probe hyperplane LSH near-dup (4 bands
+      x 8 planes): union of per-band equi-joins bounds bucket population
+      (~n/256 per band) instead of one global 256-bucket split whose
+      within-bucket self-join is quadratic; ~0.89 recall at cos 0.95 vs
+      ~0.43 for the single 8-plane bucket. The oracle mirrors the
+      banding with an OR join (exact same candidate set).
+    - ``semdedup``: :func:`similarity.semantic_dedup` (Abbas et al.
+      2023) — deterministic Lloyd clustering (256-sample, 2 iterations,
+      the similarity_ivf_ann discipline) + the keep-the-outlier pairwise
+      threshold rule inside each cluster; the oracle replays Lloyd with
+      the shared ``_kmeans_*`` SQL and the same priority window.
 
     The corpus plants deterministic near-duplicates (scaled copies for
     vec_id%10, exact copies for vec_id%17 — the embedding analogue of
-    the text `_corpus` fuzzing) so the green row proves the operator
-    FINDS pairs rather than agreeing on an empty result (the synthetic
-    embeddings alone have none above 0.95)."""
+    the text `_corpus` fuzzing) so the green row proves both operators
+    FIND (and drop) dups rather than agreeing on an empty result (the
+    synthetic embeddings alone have none above 0.95)."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.similarity import semantic_dedup
+
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -694,9 +797,27 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("e").alias("embedding"))
         .cache()
     )
-    return embedding_near_duplicates(
+    pairs = embedding_near_duplicates(
         corpus, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
+    ).select(
+        F.lit("lsh_pairs").alias("variant"), "id_a", "id_b", "cos",
+        F.lit(None).cast("boolean").alias("kept"),
     )
+    sem = semantic_dedup(
+        corpus, threshold=0.95, n_clusters=8, n_iters=2, dims=64,
+        train_limit=256,
+    ).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").cast("bigint").alias("id_b"),
+        # witness_cos (max cosine to a higher-priority cluster-mate,
+        # NULL when kept) is a fold over ORIGINAL vectors — bit-exact
+        # across engines, unlike cos-to-centroid whose decimal-mean
+        # double differs by ~1 ulp (see semantic_dedup)
+        F.col("witness_cos").alias("cos"),
+        "kept",
+    )
+    return pairs.unionByName(sem)
 
 
 # ---------------------------------------------------------------------------
@@ -999,49 +1120,6 @@ def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style ANN (the second scale path next to LSH): deterministic coarse
 # quantizer -> inverted lists -> n_probe lists per query -> exact cosine.
 # ---------------------------------------------------------------------------
-_L2 = (
-    "list_reduce(list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2])), "
-    "(p, q) -> p + q)"
-)
-
-
-def _kmeans_assign_body(
-    cent: str, rank: int = 1, where: str = "", src: str = "v"
-) -> str:
-    """One Lloyd assignment: rank-``rank`` nearest centroid(s) by squared
-    L2, ties toward the smaller centroid id (mirrors
-    ``similarity.ivf_assign``). ``src`` selects the vector table —
-    the training sample for Lloyd rounds, the full corpus for the final
-    inverted-list assignment."""
-    return f"""SELECT vec_id, e, centroid_id FROM (
-            SELECT v.vec_id, v.e, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY {_L2.format(a="v.e", b="c.ce")}, c.centroid_id
-                   ) AS rk
-            FROM {src} v CROSS JOIN {cent} c {where}
-        ) WHERE rk <= {rank}"""
-
-
-def _kmeans_assign_sql(
-    cent: str, out: str, rank: int = 1, where: str = "", src: str = "v"
-) -> str:
-    return f"{out} AS ({_kmeans_assign_body(cent, rank, where, src)})"
-
-
-def _kmeans_mean_sql(assigned: str, out: str) -> str:
-    """Element-wise exact centroid mean CTE (decimal sums -> order
-    independent, the oracle-exactness convention)."""
-    return f"""
-    {out} AS (
-        SELECT centroid_id, list(mv ORDER BY pos) AS ce FROM (
-            SELECT centroid_id, pos,
-                   CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mv
-            FROM (SELECT centroid_id, unnest(e) AS val,
-                         generate_subscripts(e, 1) AS pos FROM {assigned})
-            GROUP BY 1, 2
-        ) GROUP BY 1
-    )"""
 
 
 @query(
