@@ -362,3 +362,84 @@ def test_mixture_resample_missing_stratum_errors(spark):
     )
     with pytest.raises(Exception, match="absent from corpus: zz"):
         mixture_resample(df, w3, "n_tokens", total_tokens=200).collect()
+
+
+def _dsir_corpus(spark):
+    """20 'science'-flavored target-like docs + 20 'spam'-flavored docs,
+    deterministic wording."""
+    sci = [
+        (
+            i,
+            "the experiment measured the reaction rate under controlled "
+            f"temperature conditions trial {i}",
+            "en",
+        )
+        for i in range(20)
+    ]
+    spam = [
+        (
+            100 + i,
+            f"buy cheap deals now click here winner {i} free offer bonus",
+            "xx",
+        )
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        sci + spam, "doc_id bigint, text string, lang string"
+    )
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from xarray_dataaccessor_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("lang") == "en").select("doc_id")
+    w = dsir_importance_weights(docs, target, n_buckets=512, orders=(1,))
+    rows = {r["doc_id"]: float(r["dsir_logw"]) for r in w.collect()}
+    assert len(rows) == 40  # one weight per doc, including non-target
+    sci_min = min(rows[i] for i in range(20))
+    spam_max = max(rows[100 + i] for i in range(20))
+    assert sci_min > spam_max  # target-like docs strictly outrank spam
+    # bigram path runs and stays one-row-per-doc
+    w2 = dsir_importance_weights(docs, target, n_buckets=512, orders=(1, 2))
+    assert w2.count() == 40
+
+
+def test_dsir_select_deterministic_and_ranked(spark):
+    from xarray_dataaccessor_spark.operators.sampling import dsir_select
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("lang") == "en").select("doc_id")
+    sel = dsir_select(docs, target, k=10, n_buckets=512, orders=(1,))
+    got = sorted(
+        (r["dsir_rank"], r["doc_id"]) for r in sel.collect()
+    )
+    assert [rk for rk, _ in got] == list(range(1, 11))
+    # partition-layout independence: same selection from a repartitioned
+    # corpus (the portable-hash + decimal-key contract)
+    sel2 = dsir_select(
+        docs.repartition(7), target, k=10, n_buckets=512, orders=(1,)
+    )
+    got2 = sorted((r["dsir_rank"], r["doc_id"]) for r in sel2.collect())
+    assert got == got2
+    # importance resampling should skew the pick toward target-like docs
+    picked = {d for _, d in got}
+    assert len([d for d in picked if d < 100]) >= 8
+
+
+def test_dsir_empty_text_weighs_zero(spark):
+    from xarray_dataaccessor_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "", "en"), (3, "   ", "xx")],
+        "doc_id bigint, text string, lang string",
+    )
+    target = docs.filter(F.col("lang") == "en").select("doc_id")
+    w = dsir_importance_weights(docs, target, n_buckets=64, orders=(1,))
+    rows = {r["doc_id"]: float(r["dsir_logw"]) for r in w.collect()}
+    assert len(rows) == 3
+    assert rows[2] == 0.0 and rows[3] == 0.0

@@ -529,3 +529,165 @@ def mixture_resample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__r", "__n")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_ids: DataFrame,
+    n_buckets: int = 1024,
+    orders: tuple = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram
+    profile is,
+
+        log w(d) = sum_b c_b(d) * (ln p_target(b) - ln p_raw(b)),
+
+    where ``b`` ranges over ``n_buckets`` hashed n-gram buckets
+    (``orders`` selects unigrams/bigrams; the paper uses both), and the
+    two bucket distributions are add-one-smoothed bag-of-hashed-ngrams
+    models fitted on the target subset vs the whole corpus.
+
+    ``target_ids`` is a one-column (``id_col``) DataFrame naming the
+    target-domain exemplars (in production: a quality corpus like
+    Wikipedia mapped into the same id space; in the oracle slot: a
+    deterministic predicate over the corpus itself).
+
+    Returns ``(id_col, dsir_logw DECIMAL(28,14))`` — one row per input
+    document (docs with no features weigh 0). The per-bucket log-ratio
+    is ROUNDED to 6 decimals before the order-independent DECIMAL
+    accumulation ([[oracle-exactness]]: ``ln`` differs in the last ulp
+    across engines; counts, the bigint-ratio division, and the decimal
+    sum are exact), so the weight — and every selection decision made
+    from it — replays bit-exactly in a SQL oracle.
+
+    Scale shape: one corpus tokenization (two with bigrams), each
+    shuffled once on (id, bucket); the two model tables are
+    ``n_buckets`` rows — broadcast; the weight is one per-document
+    aggregation. No driver participation.
+    """
+    from xarray_dataaccessor_spark.operators.text import (
+        bigram_counts,
+        word_counts,
+    )
+
+    feats = None
+    if 1 in orders:
+        wc = word_counts(docs, text_col, id_col)
+        feats = wc.select(
+            F.col(id_col),
+            F.pmod(portable_hash32(F.col("w")), F.lit(n_buckets)).alias("b"),
+            "c",
+        )
+    if 2 in orders:
+        bc = bigram_counts(docs, text_col, id_col)
+        bg = bc.select(
+            F.col(id_col),
+            F.pmod(
+                portable_hash32(F.concat_ws(" ", "w1", "w2")),
+                F.lit(n_buckets),
+            ).alias("b"),
+            "c",
+        )
+        feats = bg if feats is None else feats.unionByName(bg)
+    if feats is None:
+        raise ValueError(f"orders must include 1 and/or 2, got {orders!r}")
+    fb = feats.groupBy(id_col, "b").agg(F.sum("c").alias("c"))
+    raw = fb.groupBy("b").agg(F.sum("c").alias("rc"))
+    tgt = (
+        fb.join(target_ids.select(id_col).distinct(), id_col)
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+    )
+    totals = (
+        raw.agg(F.sum("rc").alias("rt"))
+        .crossJoin(tgt.agg(F.sum("tc").alias("tt")))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("tt"), F.lit(0)) + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("rc") + 1).cast("double")
+                    / (F.col("rt") + n_buckets).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,14)")
+            .alias("lam"),
+        )
+    )
+    per_doc = (
+        fb.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("lam") * F.col("c")).cast("decimal(28,14)")).alias(
+                "dsir_logw"
+            )
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("dsir_logw"), F.lit(0).cast("decimal(28,14)")
+            ).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_ids: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    orders: tuple = (1, 2),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k importance resampling over
+    :func:`dsir_importance_weights` — sampling WITHOUT replacement from
+    the softmax of the importance weights reduces to ranking documents
+    by ``log w(d) + Gumbel(0,1)`` and keeping the top ``k`` (Vieira
+    2014; the paper's resampling step). The Gumbel noise derives from
+    the portable hash (``u = (h + 0.5) / 2^32`` is dyadic, hence
+    bit-exact cross-engine; ``-ln(-ln u)`` is rounded to 6 decimals like
+    every transcendental in the oracle convention), so the SELECTED SET
+    and its order replay exactly in SQL.
+
+    Returns ``(id_col, dsir_logw, dsir_key, dsir_rank)`` for the ``k``
+    selected documents, ``dsir_rank`` 1-based by descending key.
+
+    Scale: the weight plan plus one map-side key column and a
+    DISTRIBUTED top-k — ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (per-partition partial top-k, driver merge of
+    k-row heads), never a single-partition global sort; ranks are then
+    assigned by a window over the k survivors only.
+    """
+    from pyspark.sql.window import Window
+
+    w = dsir_importance_weights(
+        docs, target_ids, n_buckets, orders, text_col, id_col
+    )
+    u = (
+        portable_hash32(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    g = F.round(-F.log(-F.log(u)), 6).cast("decimal(28,14)")
+    keyed = w.withColumn("dsir_key", (F.col("dsir_logw") + g).cast("decimal(28,14)"))
+    top = keyed.orderBy(F.desc("dsir_key"), F.asc(id_col)).limit(k)
+    win = Window.orderBy(F.desc("dsir_key"), F.asc(id_col))
+    return top.withColumn("dsir_rank", F.row_number().over(win).cast("int"))

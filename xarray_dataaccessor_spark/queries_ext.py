@@ -1583,7 +1583,54 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 65
     mn AS (SELECT doc_id, source,
                   CAST(floor(r) AS INT) +
                   CASE WHEN b < (r - floor(r)) * 65536 THEN 1 ELSE 0 END AS nc
-           FROM md)
+           FROM md),
+    -- DSIR variant (Xie et al. 2023): hashed-unigram importance
+    -- weights vs the lang='en' target, Gumbel-top-50 resampling
+    dtok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    dwc AS (SELECT doc_id, w, COUNT(*) AS c FROM dtok
+            WHERE length(w) > 0 GROUP BY 1, 2),
+    dfb AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b,
+                   SUM(c) AS c
+            FROM dwc GROUP BY 1, 2),
+    draw AS (SELECT b, SUM(c) AS rc FROM dfb GROUP BY 1),
+    dtgt AS (SELECT b, SUM(c) AS tc
+             FROM dfb JOIN documents USING (doc_id)
+             WHERE lang = 'en' GROUP BY 1),
+    dtots AS (SELECT (SELECT SUM(rc) FROM draw) AS rt,
+                     (SELECT SUM(tc) FROM dtgt) AS tt),
+    dmod AS (
+        SELECT draw.b,
+               CAST(round(ln((COALESCE(tc, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+                        - ln((rc + 1) / CAST(rt + 256 AS DOUBLE)), 6)
+                    AS DECIMAL(28,14)) AS lam
+        FROM draw LEFT JOIN dtgt ON draw.b = dtgt.b CROSS JOIN dtots
+    ),
+    dw AS (
+        SELECT d.doc_id,
+               COALESCE(sw.logw, CAST(0 AS DECIMAL(28,14))) AS logw
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, SUM(CAST(lam * c AS DECIMAL(28,14))) AS logw
+            FROM dfb JOIN dmod USING (b) GROUP BY 1
+        ) sw USING (doc_id)
+    ),
+    dkey AS (
+        SELECT doc_id,
+               logw + CAST(round(-ln(-ln(
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
+                               1, 8))::BIGINT + 0.5) / 4294967296.0
+               )), 6) AS DECIMAL(28,14)) AS gkey
+        FROM dw
+    ),
+    dsel AS (
+        SELECT doc_id, rk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk
+            FROM dkey
+        ) WHERE rk <= 50
+    )
     SELECT 'strat' AS variant, d.doc_id, d.lang, d.source,
            CAST(NULL AS INT) AS epoch
     FROM documents d JOIN thr USING (lang)
@@ -1592,10 +1639,13 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 65
     SELECT 'mixture', doc_id, CAST(NULL AS VARCHAR), source,
            CAST(unnest(range(nc)) AS INT)
     FROM mn WHERE nc > 0
+    UNION ALL
+    SELECT 'dsir', s.doc_id, d.lang, d.source, CAST(s.rk AS INT)
+    FROM dsel s JOIN documents d USING (doc_id)
     """,
 )
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two sampling primitives under one capacity-bounded oracle slot
+    """Three sampling primitives under one capacity-bounded oracle slot
     (variant union, VERDICT r6 #3):
 
     - ``'strat'`` rows — language rebalancing: deterministically
@@ -1610,9 +1660,17 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
       fractional copy, so the (doc, epoch) multiset — upsampled strata
       included — replays exactly in the oracle. Plan: strata-sized
       rate table broadcast into a map-side explode; the corpus never
-      shuffles."""
+      shuffles.
+    - ``'dsir'`` rows — :func:`sampling.dsir_select` (Xie et al. 2023)
+      scoring every document's hashed-unigram profile against the
+      lang='en' target model and Gumbel-top-50 resampling; ``epoch``
+      carries the selection rank, so the oracle replays the exact
+      selected SET and ORDER (weights and Gumbel keys are 6-decimal
+      DECIMAL sums — engine-portable). The slot exercises order-1
+      features (256 buckets); the bigram path is unit-tested."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
+        dsir_select,
         mixture_resample,
         stratified_downsample,
     )
@@ -1641,7 +1699,19 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("epoch").cast("int").alias("epoch"),
     )
-    return strat.unionByName(mix)
+    target = docs.filter(F.col("lang") == "en").select("doc_id")
+    dsir = (
+        dsir_select(docs, target, k=50, n_buckets=256, orders=(1,))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            F.lit("dsir").alias("variant"),
+            "doc_id",
+            "lang",
+            "source",
+            F.col("dsir_rank").alias("epoch"),
+        )
+    )
+    return strat.unionByName(mix).unionByName(dsir)
 
 
 @query(
