@@ -523,21 +523,70 @@ _INT8_DOT = (
                    AS cos
         FROM qz a, qz b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
     ),
+    -- BM25 variant: lexical retrieval over the documents table with
+    -- Lucene idf, replayed to the 6-decimal contribution
+    bt AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> length(x) > 0)) AS w
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    bdl AS (SELECT doc_id, SUM(c) AS dl FROM bt GROUP BY 1),
+    bst AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM bdl),
+    bq(query_id, w) AS (
+        VALUES (0, 'hash'), (0, 'join'),
+               (1, 'order'), (1, 'sort'), (1, 'window'),
+               (2, 'customer'), (2, 'fast'), (2, 'query')
+    ),
+    bdf AS (SELECT w, COUNT(*) AS df FROM bt
+            WHERE w IN (SELECT w FROM bq) GROUP BY 1),
+    bsc AS (
+        SELECT query_id, t.doc_id,
+               SUM(CAST(round(
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (t.c * 2.2)
+                     / (t.c + 1.2 * (0.25 + 0.75 * (dl / (tot / CAST(n AS DOUBLE))))),
+                 6) AS DECIMAL(28,14))) AS s
+        FROM bt t JOIN bq USING (w) JOIN bdf USING (w)
+        JOIN bdl ON t.doc_id = bdl.doc_id CROSS JOIN bst
+        GROUP BY 1, 2
+    ),
+    brk AS (
+        SELECT 'bm25' AS variant, CAST(query_id AS BIGINT) AS query_id,
+               doc_id AS neighbor_id, CAST(s AS DOUBLE) AS cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS rk
+        FROM bsc
+    ),
     u AS (SELECT * FROM s UNION ALL SELECT * FROM s8),
     r AS (SELECT *, row_number() OVER (PARTITION BY variant, query_id
                                        ORDER BY cos DESC, neighbor_id) AS rk FROM u)
     SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
     FROM r WHERE rk <= 5
+    UNION ALL
+    SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
+    FROM brk WHERE rk <= 5
     """,
 )
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k, exact AND int8-quantized under one
-    oracle slot: the 'int8' variant quantizes every embedding to
-    symmetric int8 codes (q = round(v / (max|v|/127))) and ranks by the
-    integer-dot cosine — the 4x-narrower scan shape ANN candidate
-    generation uses at 100 TB; the scales cancel in cosine so the
-    integer folds are exact in both engines. Both variants share the
-    same rank/tie-break discipline."""
+    """Retrieval top-k, three variants under one oracle slot:
+
+    - ``'exact'`` — brute-force cosine over the raw embeddings.
+    - ``'int8'`` — symmetric int8 quantization
+      (q = round(v / (max|v|/127))) ranked by the integer-dot cosine —
+      the 4x-narrower scan shape ANN candidate generation uses at
+      100 TB; the scales cancel in cosine so the integer folds are
+      exact in both engines.
+    - ``'bm25'`` — LEXICAL retrieval (``operators.retrieval.bm25_topk``)
+      over the documents table: Lucene-idf BM25 from the shared
+      ``word_counts`` postings, query dictionary broadcast so postings
+      prune map-side, per-term contributions 6-decimal DECIMAL-summed
+      so scores and ranks replay exactly in SQL.
+
+    All variants share the same rank/tie-break discipline (score desc,
+    id asc)."""
     configure_session(spark)
     from pyspark.sql.window import Window
 
@@ -573,9 +622,30 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
     )
-    return exact.withColumn("variant", F.lit("exact")).unionByName(
-        int8.withColumn("variant", F.lit("int8"))
-    ).select("variant", "query_id", "neighbor_id", "cos", "rk")
+    from xarray_dataaccessor_spark.operators.retrieval import (
+        bm25_topk,
+        queries_df,
+    )
+    from xarray_dataaccessor_spark.operators.text import word_counts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bq = queries_df(
+        spark,
+        {0: "hash join", 1: "window order sort", 2: "customer query fast"},
+    )
+    bm25 = bm25_topk(word_counts(docs), bq, k=5).select(
+        F.lit("bm25").alias("variant"),
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("score").alias("cos"),
+        "rk",
+    )
+    return (
+        exact.withColumn("variant", F.lit("exact"))
+        .unionByName(int8.withColumn("variant", F.lit("int8")))
+        .select("variant", "query_id", "neighbor_id", "cos", "rk")
+        .unionByName(bm25)
+    )
 
 
 def _plane_w_sql(p: int, dim_expr: str) -> str:
