@@ -114,6 +114,146 @@ def test_precomputed_dl_matches_derived(spark, tiny):
         dl.unpersist()
 
 
+def _snapshot_files(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+QUERIES = {0: "hash join", 1: "customer query fast"}
+
+
+def test_persisted_index_parity(spark, sf_dir, tmp_path):
+    """query_bm25_index == bm25_topk bit-exactly over the same corpus
+    (shared _bm25_contrib expression; stats via meta.json)."""
+    from xarray_dataaccessor_spark.operators.retrieval import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wc = word_counts(docs)
+    path = str(tmp_path / "bm25")
+    build_bm25_index(wc, path, n_buckets=16)
+    a = bm25_topk(wc, queries_df(spark, QUERIES), k=5).collect()
+    b = query_bm25_index(spark, path, QUERIES, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_append_parity_and_no_rewrite(spark, sf_dir, tmp_path):
+    """build(part1) + append(part2) answers queries exactly like
+    build(full), and the append never rewrites a pre-existing file."""
+    from xarray_dataaccessor_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part1 = word_counts(docs.filter(F.col("doc_id") % 3 != 0))
+    part2 = word_counts(docs.filter(F.col("doc_id") % 3 == 0))
+    full = word_counts(docs)
+    inc = str(tmp_path / "inc")
+    ref = str(tmp_path / "ref")
+    build_bm25_index(part1, inc, n_buckets=16)
+    before = _snapshot_files(f"{inc}/postings")
+    append_to_bm25_index(part2, inc)
+    after = _snapshot_files(f"{inc}/postings")
+    for rel, sig in before.items():
+        assert after.get(rel) == sig, f"pre-existing posting file rewritten: {rel}"
+    build_bm25_index(full, ref, n_buckets=16)
+    a = query_bm25_index(spark, inc, QUERIES, k=5).collect()
+    b = query_bm25_index(spark, ref, QUERIES, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_index_query_prunes_partitions(spark, sf_dir, tmp_path):
+    """The postings scan carries a static partition filter on the
+    query's term buckets — unqueried buckets are never read."""
+    from xarray_dataaccessor_spark.operators.retrieval import (
+        _term_bucket,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "pruned")
+    build_bm25_index(word_counts(docs), path, n_buckets=16)
+    q = {0: "hash join"}
+    plan = (
+        query_bm25_index(spark, path, q, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    buckets = sorted({_term_bucket(w, 16) for w in ("hash", "join")})
+    assert "PartitionFilters" in plan
+    assert any(f"tb#" in line and " IN " in line
+               for line in plan.splitlines() if "PartitionFilters" in line), plan
+    # and the pruned scan matches a fresh in-plan run's answer
+    out = query_bm25_index(spark, path, q, k=3).collect()
+    assert len(out) == 3 and {b for b in buckets} <= set(range(16))
+
+
+def test_index_query_is_pure_plan_build(spark, sf_dir, tmp_path):
+    """Building the probe plan fires ZERO Spark jobs — buckets/stats
+    come from meta.json and both scans carry recorded schemas (no
+    parquet footer inference)."""
+    from xarray_dataaccessor_spark.operators.retrieval import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "pure")
+    build_bm25_index(word_counts(docs), path, n_buckets=16)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = query_bm25_index(spark, path, QUERIES, k=3)
+    df.explain(mode="simple")  # force analysis + physical planning
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan build fired a Spark job"
+    assert df.count() > 0
+
+
+def test_index_missing_meta_fails_fast(spark, tmp_path):
+    from xarray_dataaccessor_spark.operators.retrieval import query_bm25_index
+
+    with pytest.raises(ValueError, match="meta.json"):
+        query_bm25_index(spark, str(tmp_path / "nope"), {0: "x"})
+
+
+def test_term_bucket_matches_plan_hash(spark):
+    """The driver-side bucket twin must agree with the in-plan
+    portable_hash32 — otherwise pruning would silently read the wrong
+    partitions."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+    from xarray_dataaccessor_spark.operators.retrieval import _term_bucket
+
+    words = ["hash", "join", "customer", "the", "a", "zzz"]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.pmod(portable_hash32(F.col("w")), F.lit(16)).alias("tb")
+    )
+    got = {r["w"]: r["tb"] for r in df.collect()}
+    assert got == {w: _term_bucket(w, 16) for w in words}
+
+
 def test_plan_prunes_postings_before_shuffle(spark, tiny):
     """The query-term dictionary must broadcast — no corpus-sized
     shuffle on the term key, and no cartesian product anywhere."""

@@ -32,16 +32,45 @@ SQL, the same discipline as the bigram-LM and DSIR operators.
 
 from __future__ import annotations
 
-from typing import Iterable, Mapping, Sequence
+import hashlib
+import json
+import os
+from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # Lucene-style BM25 constants (k1, b). 1.2 / 0.75 / 0.25 spelled the
 # same way in the SQL oracle so both engines parse identical doubles.
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _bm25_contrib(
+    n: Column, avgdl: Column, k1: float, b: float
+) -> Column:
+    """The 6-decimal-rounded per-(query, doc, term) BM25 contribution
+    over columns ``df`` (term document frequency), ``c`` (term
+    frequency) and ``dl`` (document length). Shared by the in-plan and
+    persisted-index paths so their score expressions are structurally
+    identical — the parity guarantee is the code, not a test accident.
+    ``n``/``avgdl`` are caller-supplied (aggregate columns in-plan,
+    meta.json literals against a persisted index: same doubles either
+    way)."""
+    idf = F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (F.col("c") * (k1 + 1.0)) / (
+        F.col("c") + k1 * ((1.0 - b) + b * (F.col("dl") / avgdl))
+    )
+    return F.round(idf * tfn, 6).cast("decimal(28,14)")
+
+
+def _term_bucket(w: str, n_buckets: int) -> int:
+    """Python twin of ``portable_hash32(w) % n_buckets`` (md5-derived,
+    engine- and driver-portable) — lets the prober compute which index
+    partitions a query touches without any Spark job."""
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
 
 
 def doc_lengths(wc: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -95,13 +124,12 @@ def bm25_scores(
     qterms = queries.select("w").distinct()
     pruned = wc.join(F.broadcast(qterms), "w")
     dft = pruned.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    n = F.col("n_docs").cast("double")
-    idf = F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    avgdl = F.col("tot_dl") / F.col("n_docs").cast("double")
-    tfn = (F.col("c") * (k1 + 1.0)) / (
-        F.col("c") + k1 * ((1.0 - b) + b * (F.col("dl") / avgdl))
+    contrib = _bm25_contrib(
+        n=F.col("n_docs").cast("double"),
+        avgdl=F.col("tot_dl") / F.col("n_docs").cast("double"),
+        k1=k1,
+        b=b,
     )
-    contrib = F.round(idf * tfn, 6).cast("decimal(28,14)")
     return (
         pruned.join(F.broadcast(dft), "w")
         .join(F.broadcast(queries), "w")
@@ -128,6 +156,10 @@ def bm25_topk(
     because the score is an exact DECIMAL before the final double
     cast."""
     scored = bm25_scores(wc, queries, id_col=id_col, k1=k1, b=b, dl=dl)
+    return _topk(scored, k, id_col)
+
+
+def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -141,3 +173,194 @@ def bm25_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index (the 100 TB serving layout)
+# ---------------------------------------------------------------------------
+def build_bm25_index(
+    wc: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize a BM25 index under ``path`` from the
+    :func:`text.word_counts` postings — the same persisted-index
+    discipline as ``similarity.build_ivf_index``:
+
+    - ``postings``  (w, id, c, dl) partitioned by ``tb`` — the term's
+      hash bucket (``portable_hash32(w) % n_buckets``). ``dl`` is
+      denormalized into the posting row, so query-time scoring never
+      joins a corpus-sized doc-length table.
+    - ``terms``     (w, df) partitioned by ``tb`` — vocabulary-sized
+      document-frequency DELTAS (query aggregates ``sum(df)`` over the
+      pruned rows), kept separate from the postings precisely so an
+      incremental append refreshes document frequencies by appending
+      its own deltas, never rewriting anything.
+    - ``meta.json`` n_docs / tot_dl / n_buckets + the on-disk schemas,
+      so the prober plans with zero Spark jobs (no footer inference).
+
+    At query time the term buckets a query touches are computed
+    driver-side (:func:`_term_bucket`), so the postings scan prunes to
+    |query-term buckets| / n_buckets of the index — the inverted-index
+    analogue of the IVF probed-list pruning."""
+    n_docs, tot_dl = _write_index_tables(wc, path, n_buckets, id_col, "overwrite")
+    _write_meta(wc, path, n_buckets, id_col, n_docs, tot_dl)
+
+
+def append_to_bm25_index(
+    wc_batch: DataFrame, path: str, id_col: str | None = None
+) -> None:
+    """Append a batch's postings to a persisted BM25 index (the nightly
+    production shape, mirroring ``similarity.append_to_ivf_index``):
+    new posting/term-delta files land in their hash-bucket partitions
+    (existing files are never rewritten), corpus stats in meta.json are
+    bumped by the batch's counts, and document frequencies stay exact
+    because the terms table is delta-summed at query time. The caller
+    guarantees batch document ids are new — the same contract as
+    ``dedup.incremental_dedup`` (dedup first, then index)."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{meta_path} missing — not a build_bm25_index layout")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if id_col is None:
+        id_col = meta.get("id_col", "doc_id")
+    n_docs, tot_dl = _write_index_tables(
+        wc_batch, path, int(meta["n_buckets"]), id_col, "append"
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + n_docs
+    meta["tot_dl"] = int(meta["tot_dl"]) + tot_dl
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+
+def _write_index_tables(
+    wc: DataFrame, path: str, n_buckets: int, id_col: str, mode: str
+) -> tuple[int, int]:
+    dl = doc_lengths(wc, id_col)
+    tb = F.pmod(_hash32(F.col("w")), F.lit(n_buckets)).cast("int")
+    post = wc.join(dl, id_col).select(
+        "w",
+        F.col(id_col),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("dl").cast("bigint").alias("dl"),
+        tb.alias("tb"),
+    )
+    post.write.mode(mode).partitionBy("tb").parquet(f"{path}/postings")
+    terms = wc.groupBy("w").agg(F.count(F.lit(1)).alias("df")).select(
+        "w", F.col("df").cast("bigint").alias("df"), tb.alias("tb")
+    )
+    terms.write.mode(mode).partitionBy("tb").parquet(f"{path}/terms")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    ).collect()[0]
+    return int(stats["n_docs"]), int(stats["tot_dl"])
+
+
+def _write_meta(
+    wc: DataFrame,
+    path: str,
+    n_buckets: int,
+    id_col: str,
+    n_docs: int,
+    tot_dl: int,
+) -> None:
+    part = T.StructField("tb", T.IntegerType())
+    id_field = [f for f in wc.schema.fields if f.name == id_col][0]
+    post_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            id_field,
+            T.StructField("c", T.LongType()),
+            T.StructField("dl", T.LongType()),
+            part,
+        ]
+    )
+    term_schema = T.StructType(
+        [T.StructField("w", T.StringType()), T.StructField("df", T.LongType()), part]
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "tot_dl": tot_dl,
+                "n_buckets": n_buckets,
+                "id_col": id_col,
+                "schemas": {
+                    "postings": post_schema.json(),
+                    "terms": term_schema.json(),
+                },
+            },
+            fh,
+        )
+
+
+def _hash32(col: Column) -> Column:
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+    return portable_hash32(col)
+
+
+def query_bm25_index(
+    spark: SparkSession,
+    path: str,
+    queries: Mapping[int, str] | Sequence[str],
+    k: int = 5,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` BM25 against a persisted index
+    (:func:`build_bm25_index`): ``(query_id, id, score, rk)``,
+    bit-identical to :func:`bm25_topk` over the same postings (shared
+    :func:`_bm25_contrib` expression; corpus stats come from meta.json
+    as the same doubles the in-plan aggregate would produce).
+
+    Plan shape: zero Spark jobs before the action — buckets and stats
+    resolve driver-side from meta.json, the postings/terms scans carry
+    recorded schemas (no footer inference) plus static partition
+    filters ``tb IN (query buckets)``, the terms table broadcasts, and
+    the only shuffle is the results-sized (query, doc) aggregation."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{meta_path} missing — not a build_bm25_index layout"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    n_buckets = int(meta["n_buckets"])
+    id_col = meta.get("id_col", "doc_id")
+    if not isinstance(queries, Mapping):
+        queries = dict(enumerate(queries))
+    qdf = queries_df(spark, queries)
+    terms = sorted({w for q in queries.values() for w in q.split() if w})
+    buckets = sorted({_term_bucket(w, n_buckets) for w in terms})
+
+    def read_table(name: str) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(meta["schemas"][name]))
+        return (
+            spark.read.schema(schema)
+            .parquet(f"{path}/{name}")
+            .filter(F.col("tb").isin(buckets))
+            .filter(F.col("w").isin(terms))
+            .drop("tb")
+        )
+
+    post = read_table("postings")
+    # df deltas sum at query time (pruned to query buckets + terms, so
+    # the aggregation input is tiny) — this is what makes appends pure
+    # file adds
+    dft = read_table("terms").groupBy("w").agg(F.sum("df").alias("df"))
+    avgdl = meta["tot_dl"] / meta["n_docs"]
+    contrib = _bm25_contrib(
+        n=F.lit(float(meta["n_docs"])), avgdl=F.lit(avgdl), k1=k1, b=b
+    )
+    scored = (
+        post.join(F.broadcast(dft), "w")
+        .join(F.broadcast(qdf), "w")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return _topk(scored, k, id_col)
