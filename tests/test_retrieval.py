@@ -114,6 +114,46 @@ def test_precomputed_dl_matches_derived(spark, tiny):
         dl.unpersist()
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """RRF of two ranked lists: overlapping docs sum both reciprocals,
+    single-list docs contribute one; ranks re-derive from the fused
+    score with the doc-id tie-break."""
+    from xarray_dataaccessor_spark.operators.retrieval import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id bigint, doc_id bigint, rk int",
+    )
+    lex = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id bigint, doc_id bigint, rk int",
+    )
+    out = {
+        r["doc_id"]: (float(r["score"]), r["rk"])
+        for r in rrf_fuse(dense, lex, k=4).collect()
+    }
+    r = lambda x: round(1.0 / (60 + x), 6)
+    assert out[11] == (r(2) + r(1), 1)  # in both lists -> top
+    assert out[10] == (r(1), 2)
+    assert out[13] == (r(2), 3)
+    assert out[12] == (r(3), 4)
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    from xarray_dataaccessor_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 9, 1)], "query_id bigint, doc_id bigint, rk int"
+    )
+    b = spark.createDataFrame(
+        [(0, 4, 1)], "query_id bigint, doc_id bigint, rk int"
+    )
+    out = sorted(
+        (r["rk"], r["doc_id"]) for r in rrf_fuse(a, b, k=2).collect()
+    )
+    assert out == [(1, 4), (2, 9)]  # equal scores -> lower id first
+
+
 def _snapshot_files(root):
     import os
 

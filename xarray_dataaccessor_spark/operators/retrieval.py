@@ -175,6 +175,36 @@ def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    *ranked: DataFrame,
+    k_rrf: int = 60,
+    k: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    ranked lists ``(query_id, id, rk)`` — the standard hybrid-retrieval
+    combiner for dense + lexical lists: ``score(d) = sum over lists of
+    1 / (k_rrf + rank_list(d))``, documents absent from a list simply
+    contribute nothing. With ``k`` set, returns the fused top-k
+    ``(query_id, id, score, rk)`` under the shared rank discipline;
+    otherwise the full fused score table.
+
+    Exactness: each reciprocal is one int/int-derived double division,
+    rounded to 6 decimals and DECIMAL-summed — fused scores, ranks and
+    tie-breaks replay exactly in SQL. Scale: the inputs are already
+    top-k lists (queries x k rows), so everything here is
+    results-sized; the expensive part is the upstream retrieval, not
+    the fusion."""
+    u = ranked[0].select("query_id", id_col, "rk")
+    for r in ranked[1:]:
+        u = u.unionByName(r.select("query_id", id_col, "rk"))
+    term = F.round(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("rk")), 6
+    ).cast("decimal(28,14)")
+    scored = u.groupBy("query_id", id_col).agg(F.sum(term).alias("score"))
+    return scored if k is None else _topk(scored, k, id_col)
+
+
 # ---------------------------------------------------------------------------
 # Persisted BM25 index (the 100 TB serving layout)
 # ---------------------------------------------------------------------------

@@ -562,12 +562,35 @@ _INT8_DOT = (
     ),
     u AS (SELECT * FROM s UNION ALL SELECT * FROM s8),
     r AS (SELECT *, row_number() OVER (PARTITION BY variant, query_id
-                                       ORDER BY cos DESC, neighbor_id) AS rk FROM u)
+                                       ORDER BY cos DESC, neighbor_id) AS rk FROM u),
+    -- RRF variant: reciprocal-rank fusion of the dense 'exact' and
+    -- lexical 'bm25' top-5 lists (query ids both sides serve)
+    rrf_in AS (
+        SELECT query_id, neighbor_id, rk FROM r
+        WHERE variant = 'exact' AND rk <= 5 AND query_id < 3
+        UNION ALL
+        SELECT query_id, neighbor_id, rk FROM brk WHERE rk <= 5
+    ),
+    rrf_s AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(round(1.0 / (60 + rk), 6) AS DECIMAL(28,14))) AS s
+        FROM rrf_in GROUP BY 1, 2
+    ),
+    rrf_r AS (
+        SELECT 'rrf' AS variant, query_id, neighbor_id,
+               CAST(s AS DOUBLE) AS cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rk
+        FROM rrf_s
+    )
     SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
     FROM r WHERE rk <= 5
     UNION ALL
     SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
     FROM brk WHERE rk <= 5
+    UNION ALL
+    SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
+    FROM rrf_r WHERE rk <= 5
     """,
 )
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +607,11 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``word_counts`` postings, query dictionary broadcast so postings
       prune map-side, per-term contributions 6-decimal DECIMAL-summed
       so scores and ranks replay exactly in SQL.
+    - ``'rrf'`` — HYBRID retrieval: reciprocal-rank fusion
+      (``operators.retrieval.rrf_fuse``, k_rrf=60) of the dense
+      'exact' and lexical 'bm25' top-5 lists for the query ids both
+      sides serve (vec_id is the document id in this corpus) — fusion
+      is results-sized, reciprocals are 6-decimal DECIMAL sums.
 
     All variants share the same rank/tie-break discipline (score desc,
     id asc)."""
@@ -625,6 +653,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_dataaccessor_spark.operators.retrieval import (
         bm25_topk,
         queries_df,
+        rrf_fuse,
     )
     from xarray_dataaccessor_spark.operators.text import word_counts
 
@@ -633,8 +662,30 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         {0: "hash join", 1: "window order sort", 2: "customer query fast"},
     )
-    bm25 = bm25_topk(word_counts(docs), bq, k=5).select(
+    # both top-k lists feed their own variant AND the rrf fusion — cache
+    # the (queries x k)-row results so the union branches don't recompute
+    # the retrieval (memory: spark-plan-quirks — no reuse across union
+    # branches)
+    exact = exact.cache()
+    bm = bm25_topk(word_counts(docs), bq, k=5).cache()
+    bm25 = bm.select(
         F.lit("bm25").alias("variant"),
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("score").alias("cos"),
+        "rk",
+    )
+    # hybrid retrieval: vec_id IS the document id in this corpus, so
+    # fusing the dense and lexical lists for the shared query ids 0-2
+    # is the classic dense+BM25 RRF setup
+    rrf = rrf_fuse(
+        exact.filter(F.col("query_id") < 3).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rk"
+        ),
+        bm.select("query_id", "doc_id", "rk"),
+        k=5,
+    ).select(
+        F.lit("rrf").alias("variant"),
         "query_id",
         F.col("doc_id").alias("neighbor_id"),
         F.col("score").alias("cos"),
@@ -645,6 +696,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(int8.withColumn("variant", F.lit("int8")))
         .select("variant", "query_id", "neighbor_id", "cos", "rk")
         .unionByName(bm25)
+        .unionByName(rrf)
     )
 
 
