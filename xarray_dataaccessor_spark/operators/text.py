@@ -399,3 +399,77 @@ def bigram_lm_from_counts(
             ).alias("lm_neg_log2p"),
         )
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "lm_neg_log2p",
+    id_col: str = "doc_id",
+    resolution: int = 2,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): label
+    every document ``head`` / ``middle`` / ``tail`` (or bucket index
+    for ``n_buckets != 3``) by which corpus-wide score tercile it falls
+    in — the standard way a pretraining pipeline tiers a crawl by LM
+    fluency before sampling.
+
+    Scale discipline: NO global sort. Scores quantize to ``resolution``
+    decimals (map-side), a bounded histogram aggregates per quantized
+    value, one window over the histogram (thousands of rows, not the
+    corpus) derives cumulative mass, and the per-bucket thresholds
+    broadcast back for a map-side label join. The cut rule is
+    ``bucket b = count of thresholds <= quantized score`` with
+    threshold ``t_k`` = the smallest quantized value whose cumulative
+    count reaches ``ceil(k * n / n_buckets)`` — deterministic integer
+    arithmetic end to end, so the labels replay exactly in SQL (ties
+    share a quantized value and therefore a bucket; bucket populations
+    are as even as ties allow). Documents with a NULL score (no
+    bigrams) keep a NULL bucket.
+
+    Returns ``scores`` plus ``ppl_bucket`` (int, 0 = most fluent) and
+    ``ppl_tier`` (head/middle/tail when ``n_buckets == 3``)."""
+    from pyspark.sql.window import Window
+
+    q = F.round(F.col(score_col), resolution)
+    hist = (
+        scores.filter(F.col(score_col).isNotNull())
+        .groupBy(q.alias("__q"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "__q", F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(
+            Window.orderBy("__q").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    # smallest quantized value reaching each cut's cumulative target:
+    # dense per-threshold min via a conditional aggregate (k-1 rows)
+    cuts = [
+        F.min(
+            F.when(
+                F.col("__cum") * n_buckets >= F.col("__n") * k, F.col("__q")
+            )
+        ).alias(f"__t{k}")
+        for k in range(1, n_buckets)
+    ]
+    thresholds = cum.agg(*cuts)
+    bucket = sum(
+        (q > F.col(f"__t{k}")).cast("int") for k in range(1, n_buckets)
+    )
+    out = scores.crossJoin(F.broadcast(thresholds)).withColumn(
+        "ppl_bucket",
+        F.when(F.col(score_col).isNotNull(), bucket).cast("int"),
+    )
+    if n_buckets == 3:
+        out = out.withColumn(
+            "ppl_tier",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("ppl_bucket") + 1,
+            ),
+        )
+    return out.drop(*[f"__t{k}" for k in range(1, n_buckets)])
