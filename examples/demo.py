@@ -375,6 +375,43 @@ def main() -> None:
     print(f"mixture materializer: uniform target over {len(srcs)} sources "
           f"-> {got[0]} tokens, max epoch {got[1]} (small domains upsampled)")
 
+    # lexical + hybrid retrieval: BM25 over the shared postings, a
+    # persisted bucket-pruned index, and RRF fusion with a dense list
+    from xarray_dataaccessor_spark.operators.retrieval import (
+        bm25_topk, build_bm25_index, query_bm25_index, queries_df, rrf_fuse,
+    )
+    from xarray_dataaccessor_spark.operators.text import word_counts
+
+    wc = word_counts(docs_txt)
+    bq = queries_df(spark, {0: "hash join"})
+    bm = bm25_topk(wc, bq, k=3)
+    print("BM25 top-3 for 'hash join':",
+          [(r["doc_id"], round(r["score"], 3)) for r in bm.collect()])
+    with tempfile.TemporaryDirectory() as d:
+        build_bm25_index(wc, f"{d}/ix", n_buckets=16)
+        idx = query_bm25_index(spark, f"{d}/ix", {0: "hash join"}, k=3)
+        assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, bm.collect()))
+        print("persisted BM25 index probe matches in-plan scoring bit-exactly")
+    from xarray_dataaccessor_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb.filter(F.col("vec_id") < 1), emb, k=3, dims=64
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    fused = rrf_fuse(dense, bm.select("query_id", "doc_id", "rk"), k=3)
+    print("hybrid RRF top-3 (dense + BM25):",
+          [(r["doc_id"], round(r["score"], 4)) for r in fused.collect()])
+
+    # CCNet perplexity tiers: head/middle/tail by corpus LM fluency
+    from xarray_dataaccessor_spark.operators.text import (
+        bigram_lm_scores, perplexity_buckets,
+    )
+    tiers = perplexity_buckets(bigram_lm_scores(docs_txt)).groupBy(
+        "ppl_tier"
+    ).count().orderBy("ppl_tier").collect()
+    print("CCNet perplexity tiers:",
+          {r["ppl_tier"]: r["count"] for r in tiers})
+
 
 if __name__ == "__main__":
     main()
