@@ -137,3 +137,134 @@ def test_string_ids_through_endgame(spark):
         out = connected_components(df, small_edge_threshold=threshold).collect()
         got = {r["node"]: r["component"] for r in out}
         assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+# ---------------------------------------------------------------------------
+# PageRank + centrality canonical election
+# ---------------------------------------------------------------------------
+def _py_pagerank(edges, n_iters=3, d=0.85):
+    """Driver-side mirror of the decimal-disciplined fixed-iteration
+    PageRank (round(contrib, 9) summed exactly, ranks rounded to 6)."""
+    from decimal import Decimal
+
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    nodes = sorted({u for u, _ in sym})
+    deg = {u: sum(1 for s, _ in sym if s == u) for u in nodes}
+    n = len(nodes)
+    r = {u: round(1.0 / n, 6) for u in nodes}
+    for _ in range(n_iters):
+        acc = {u: Decimal(0) for u in nodes}
+        for u, v in sym:
+            acc[v] += Decimal(repr(round(r[u] / deg[u], 9)))
+        base = (1.0 - d) / n
+        r = {u: round(base + d * float(acc[u]), 6) for u in nodes}
+    return r
+
+
+def test_pagerank_hand_computed_path_graph(spark):
+    from xarray_dataaccessor_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iters=3).collect()}
+    assert got == _py_pagerank(edges)
+    # path centre is the most central node
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_star_centre_wins_and_mass_conserved(spark):
+    from xarray_dataaccessor_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iters=4).collect()}
+    assert got[0] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # rounding-bounded drift
+    assert got == _py_pagerank(edges, n_iters=4)
+
+
+def test_pagerank_partition_invariance(spark):
+    from xarray_dataaccessor_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(40) if i != (i * 7 + 3) % 20]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    a = sorted(map(tuple, pagerank(df, n_iters=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(11), n_iters=3).collect()))
+    assert a == b
+
+
+def test_pagerank_duckdb_replay(spark):
+    """Fixed-iteration PageRank replays exactly in SQL (the oracle-slot
+    discipline, exercised here on a nontrivial graph)."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_dataaccessor_spark.operators.graph import pagerank
+
+    edges = [(i, (i * i + 1) % 15) for i in range(30)
+             if i != (i * i + 1) % 15]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = pagerank(df, n_iters=3).toPandas().sort_values("node")
+    con = duckdb.connect()
+    con.register("edges", pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    oracle = con.execute("""
+        WITH sym AS (
+            SELECT id_a AS u, id_b AS v FROM edges WHERE id_a <> id_b
+            UNION
+            SELECT id_b, id_a FROM edges WHERE id_a <> id_b
+        ),
+        deg AS (SELECT u, COUNT(*) AS dg FROM sym GROUP BY u),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        pr0 AS (SELECT u, round(1.0 / n, 6) AS r FROM deg CROSS JOIN nn),
+        pr1 AS (SELECT s.v AS u,
+                       round((CAST(1 AS DOUBLE) - 0.85) / n
+                             + 0.85 * CAST(SUM(CAST(round(p.r / d.dg, 9)
+                                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS r
+                FROM sym s JOIN pr0 p ON p.u = s.u JOIN deg d ON d.u = s.u
+                CROSS JOIN nn GROUP BY s.v, n),
+        pr2 AS (SELECT s.v AS u,
+                       round((CAST(1 AS DOUBLE) - 0.85) / n
+                             + 0.85 * CAST(SUM(CAST(round(p.r / d.dg, 9)
+                                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS r
+                FROM sym s JOIN pr1 p ON p.u = s.u JOIN deg d ON d.u = s.u
+                CROSS JOIN nn GROUP BY s.v, n),
+        pr3 AS (SELECT s.v AS u,
+                       round((CAST(1 AS DOUBLE) - 0.85) / n
+                             + 0.85 * CAST(SUM(CAST(round(p.r / d.dg, 9)
+                                   AS DECIMAL(28,14))) AS DOUBLE), 6) AS r
+                FROM sym s JOIN pr2 p ON p.u = s.u JOIN deg d ON d.u = s.u
+                CROSS JOIN nn GROUP BY s.v, n)
+        SELECT u AS node, r AS pr FROM pr3 ORDER BY node
+    """).fetchdf()
+    assert list(got["node"]) == list(oracle["node"])
+    assert list(got["pr"]) == list(oracle["pr"])
+
+
+def test_centrality_canonicals_election(spark):
+    """Star cluster: the hub wins the canonical election even when it
+    does not have the smallest id; singleton-free output matches the
+    component structure of duplicate_clusters."""
+    from xarray_dataaccessor_spark.operators.graph import (
+        centrality_canonicals,
+        duplicate_clusters,
+    )
+
+    # hub 9 connected to 1,2,3; separate pair (20, 21)
+    edges = [(9, 1), (9, 2), (9, 3), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = centrality_canonicals(df, n_iters=3).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[9]["is_canonical"] and not by_id[1]["is_canonical"]
+    # min-id policy would have crowned 1 — the policies really differ
+    dc = {r["doc_id"]: r["is_canonical"]
+          for r in duplicate_clusters(df).collect()}
+    assert dc[1] and not dc[9]
+    # pair cluster: equal ranks -> tie to the smaller id
+    assert by_id[20]["is_canonical"] and not by_id[21]["is_canonical"]
+    # cluster ids / sizes agree with the min-id labeling
+    assert by_id[9]["cluster_id"] == 1 and by_id[9]["cluster_size"] == 4
+    assert by_id[21]["cluster_id"] == 20 and by_id[21]["cluster_size"] == 2

@@ -228,3 +228,98 @@ def duplicate_clusters(
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph:
+    ``(node, pr)`` after ``n_iters`` power iterations from the uniform
+    start, damping ``d``:
+
+        pr'(v) = (1 - d)/n + d * sum over neighbors u of pr(u)/deg(u)
+
+    Built as one lazy plan (the ``kmeans_centroids`` / ``train_logreg``
+    nested-iteration discipline: each iteration is a rank join + a
+    node-keyed aggregation; per-iteration ranks are node-sized and
+    cached so the plan stays linear in iterations). Symmetrized edges
+    mean no dangling nodes, so no teleport-mass correction is needed.
+
+    Engine-portability ([[oracle-exactness]]): ranks are 6-decimal
+    doubles at every iteration boundary; each neighbor contribution is
+    ``round(pr/deg, 9)`` (a deterministic double division) cast to
+    DECIMAL(28,14) before the sum, so shuffle order cannot flip a bit
+    and fixed-iteration runs replay exactly in SQL. Scale: each
+    iteration shuffles the edge list once on the destination key —
+    PageRank's irreducible cost — and the rank table is node-sized."""
+    sym = _symmetrize(edges, src, dst).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).cache()
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "u", F.round(F.lit(1.0) / F.col("n"), 6).alias("r")
+    )
+    caches = [deg]
+    for _ in range(max(1, n_iters)):
+        contrib = F.round(F.col("r") / F.col("dg"), 9).cast("decimal(28,14)")
+        ranks = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum(contrib).alias("__m"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "u",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping) * F.col("__m").cast("double"),
+                    6,
+                ).alias("r"),
+            )
+            .cache()
+        )
+        caches.append(ranks)
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    out = ranks.select(F.col("u").alias("node"), F.col("r").alias("pr"))
+    return tag_caches(out, *caches)
+
+
+def centrality_canonicals(
+    pairs: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution with a CENTRALITY canonical election:
+    like :func:`duplicate_clusters` (cluster id = min node id in the
+    connected component, cluster size), but the keeper is the cluster's
+    highest-PageRank member (ties to the smallest doc id) — the
+    'keep the most-connected exemplar' policy, which preserves the copy
+    other documents most resemble instead of an arbitrary id. Returns
+    ``(doc_id, cluster_id, cluster_size, is_canonical, pr)``."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    pr = pagerank(pairs, n_iters=n_iters, damping=damping, src=src, dst=dst)
+    w = Window.partitionBy("component").orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        comp.join(pr, "node")
+        .join(sizes, "component")
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("__rk") == 1).alias("is_canonical"),
+            "pr",
+        )
+    )

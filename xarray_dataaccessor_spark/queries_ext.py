@@ -332,28 +332,120 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT s.v AS u, r.label FROM reach r JOIN sym s ON s.u = r.u
     ),
-    comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
-    SELECT doc_id, cluster_id,
-           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-           doc_id = cluster_id AS is_canonical
-    FROM comp
+    comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+    labeled AS (
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    ),
+    -- PageRank variant: 3 fixed power iterations over the same pair
+    -- graph, decimal-disciplined so the ranks replay exactly
+    deg AS (SELECT u, COUNT(*) AS dg FROM sym GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT u, round(1.0 / n, 6) AS r FROM deg CROSS JOIN nn),
+    pr1 AS (SELECT s.v AS u,
+                   round((CAST(1 AS DOUBLE) - 0.85) / n
+                         + 0.85 * CAST(SUM(CAST(round(p.r / d.dg, 9)
+                               AS DECIMAL(28,14))) AS DOUBLE), 6) AS r
+            FROM sym s JOIN pr0 p ON p.u = s.u JOIN deg d ON d.u = s.u
+            CROSS JOIN nn GROUP BY s.v, n),
+    pr2 AS (SELECT s.v AS u,
+                   round((CAST(1 AS DOUBLE) - 0.85) / n
+                         + 0.85 * CAST(SUM(CAST(round(p.r / d.dg, 9)
+                               AS DECIMAL(28,14))) AS DOUBLE), 6) AS r
+            FROM sym s JOIN pr1 p ON p.u = s.u JOIN deg d ON d.u = s.u
+            CROSS JOIN nn GROUP BY s.v, n),
+    pr3 AS (SELECT s.v AS u,
+                   round((CAST(1 AS DOUBLE) - 0.85) / n
+                         + 0.85 * CAST(SUM(CAST(round(p.r / d.dg, 9)
+                               AS DECIMAL(28,14))) AS DOUBLE), 6) AS r
+            FROM sym s JOIN pr2 p ON p.u = s.u JOIN deg d ON d.u = s.u
+            CROSS JOIN nn GROUP BY s.v, n),
+    prk AS (
+        SELECT l.doc_id, l.cluster_id, l.cluster_size, pr3.r AS pr,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY pr3.r DESC, l.doc_id) AS rk
+        FROM labeled l JOIN pr3 ON pr3.u = l.doc_id
+    )
+    SELECT 'cc' AS variant, doc_id, cluster_id, cluster_size,
+           doc_id = cluster_id AS is_canonical, CAST(NULL AS DOUBLE) AS pr
+    FROM labeled
+    UNION ALL
+    SELECT 'pagerank', doc_id, cluster_id, cluster_size, rk = 1, pr
+    FROM prk
     """,
 )
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution over the MinHash LSH pair graph (est_jaccard
     >= 0.5 — agree/16 is an exact binary fraction, so the threshold
-    compares identically cross-engine): one row per clustered document
-    with (cluster_id = min doc id in component, cluster_size,
-    is_canonical). The keep-the-smallest-id policy is the deterministic
-    canonical election every dedup pipeline needs after pair detection."""
+    compares identically cross-engine), TWO canonical-election policies
+    under one slot:
+
+    - ``'cc'`` — keep-the-smallest-id: one row per clustered document
+      with (cluster_id = min doc id in component, cluster_size,
+      is_canonical = doc_id == cluster_id).
+    - ``'pagerank'`` — keep-the-most-central exemplar:
+      ``graph.pagerank`` (3 fixed decimal-disciplined power iterations)
+      scores every clustered document and the cluster's top-rank member
+      (ties to the smallest id) is canonical — preserving the copy the
+      rest of the cluster most resembles. The oracle unrolls the same
+      three iterations, so ranks, elections and tie-breaks replay
+      hash-exactly.
+
+    The connected-components labeling, cluster sizes and the pair graph
+    are computed once (cached/checkpointed) and feed both variants."""
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.graph import duplicate_clusters
+    from pyspark.sql.window import Window
+
+    from xarray_dataaccessor_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
 
     pairs = minhash_near_duplicates(
         _corpus(spark, sf_dir), num_perm=16, rows_per_band=2
     )
-    edges = pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
-    return duplicate_clusters(edges)
+    # the edge list feeds components AND pagerank — cache it so the
+    # union branches don't re-run the MinHash pipeline (memory:
+    # spark-plan-quirks — no reuse across union branches)
+    edges = (
+        pairs.filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    labeled = comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    ).cache()
+    cc = labeled.select(
+        F.lit("cc").alias("variant"),
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.lit(None).cast("double").alias("pr"),
+    )
+    pr = pagerank(edges, n_iters=3)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("pr"), F.asc("doc_id"))
+    central = (
+        labeled.join(pr, labeled["doc_id"] == pr["node"])
+        .drop("node")
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.lit("pagerank").alias("variant"),
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("__rk") == 1).alias("is_canonical"),
+            "pr",
+        )
+    )
+    return cc.unionByName(central)
 
 
 def _simhash_oracle(bits: int = 32) -> str:
