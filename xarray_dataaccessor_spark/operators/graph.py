@@ -256,13 +256,18 @@ def pagerank(
     and fixed-iteration runs replay exactly in SQL. Scale: each
     iteration shuffles the edge list once on the destination key —
     PageRank's irreducible cost — and the rank table is node-sized."""
+    # no per-iteration caches: unlike train_logreg (whose weights feed
+    # BOTH the score join and the update, forcing a cache to stay
+    # linear), each rank table here has exactly one consumer — the next
+    # iteration — so the lazy plan nests linearly on its own, and cache
+    # barriers would only serialize the DAG (memory: spark-plan-quirks
+    # #3). The edge list is the caller's to cache/checkpoint.
     sym = _symmetrize(edges, src, dst).distinct()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).cache()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         "u", F.round(F.lit(1.0) / F.col("n"), 6).alias("r")
     )
-    caches = [deg]
     for _ in range(max(1, n_iters)):
         contrib = F.round(F.col("r") / F.col("dg"), 9).cast("decimal(28,14)")
         ranks = (
@@ -279,13 +284,8 @@ def pagerank(
                     6,
                 ).alias("r"),
             )
-            .cache()
         )
-        caches.append(ranks)
-    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
-
-    out = ranks.select(F.col("u").alias("node"), F.col("r").alias("pr"))
-    return tag_caches(out, *caches)
+    return ranks.select(F.col("u").alias("node"), F.col("r").alias("pr"))
 
 
 def centrality_canonicals(

@@ -417,11 +417,14 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+    # labeled is NOT cached: both variant branches recompute it from the
+    # checkpointed component edges concurrently — cheaper than a cache
+    # barrier (memory: spark-plan-quirks #3)
     labeled = comp.join(sizes, "component").select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
-    ).cache()
+    )
     cc = labeled.select(
         F.lit("cc").alias("variant"),
         "doc_id",
@@ -754,12 +757,12 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         {0: "hash join", 1: "window order sort", 2: "customer query fast"},
     )
-    # both top-k lists feed their own variant AND the rrf fusion — cache
-    # the (queries x k)-row results so the union branches don't recompute
-    # the retrieval (memory: spark-plan-quirks — no reuse across union
-    # branches)
-    exact = exact.cache()
-    bm = bm25_topk(word_counts(docs), bq, k=5).cache()
+    # both top-k lists feed their own variant AND the rrf fusion; the
+    # branches recompute them CONCURRENTLY rather than through a cache
+    # barrier (memory: spark-plan-quirks #3 — caching the tiny lists
+    # serialized the DAG and cost more than the duplicate scan at this
+    # scale; at 100 TB, materialize the lists to parquet instead)
+    bm = bm25_topk(word_counts(docs), bq, k=5)
     bm25 = bm.select(
         F.lit("bm25").alias("variant"),
         "query_id",
