@@ -228,6 +228,93 @@ def bbox_from_shapefile(path: str | Path) -> BoundingBox:
     return bbox_to_crs(bbox, epsg, 4326)
 
 
+def polygons_from_shapefile(path: str | Path) -> list[list[list[tuple[float, float]]]]:
+    """Read the POLYGON geometries (shape type 5) from an ESRI ``.shp``
+    main file — pure struct parsing per the public Shapefile Technical
+    Description (the same spec ``_shp_header_bbox`` reads; the reference
+    delegates the whole file to geopandas, ``utility_functions.py:125``).
+
+    Returns one entry per shape record: a list of rings, each ring a
+    closed list of (x, y) vertex tuples (ESRI winding: outer rings
+    clockwise, holes counter-clockwise — callers using even-odd
+    point-in-polygon tests, e.g. ``operators.spatial.zonal_stats``, can
+    ignore the winding). Null shapes (type 0) yield empty entries."""
+    import struct
+
+    path = Path(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 100 or struct.unpack(">i", data[:4])[0] != 9994:
+        raise ValueError(f"Not an ESRI shapefile: {path}")
+    file_len = struct.unpack(">i", data[24:28])[0] * 2
+    out: list[list[list[tuple[float, float]]]] = []
+    off = 100
+    while off + 8 <= min(file_len, len(data)):
+        content_len = struct.unpack(">i", data[off + 4 : off + 8])[0] * 2
+        rec = data[off + 8 : off + 8 + content_len]
+        off += 8 + content_len
+        shape_type = struct.unpack("<i", rec[:4])[0]
+        if shape_type == 0:  # null shape
+            out.append([])
+            continue
+        if shape_type != 5:
+            raise NotImplementedError(
+                f"shapefile shape type {shape_type} not supported "
+                "(only polygon=5 and null=0); convert the layer or use "
+                "the geo extras"
+            )
+        n_parts, n_points = struct.unpack("<2i", rec[36:44])
+        parts = list(struct.unpack(f"<{n_parts}i", rec[44 : 44 + 4 * n_parts]))
+        pts_off = 44 + 4 * n_parts
+        flat = struct.unpack(
+            f"<{2 * n_points}d", rec[pts_off : pts_off + 16 * n_points]
+        )
+        pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(n_points)]
+        bounds = parts + [n_points]
+        out.append([pts[bounds[i] : bounds[i + 1]] for i in range(n_parts)])
+    return out
+
+
+def write_shapefile_polygons(
+    path: str | Path, polygons: Sequence[Sequence[Sequence[tuple[float, float]]]]
+) -> None:
+    """Fixture-writer twin of :func:`polygons_from_shapefile`: emit a
+    minimal spec-compliant ``.shp`` (type 5) so polygon parsing and the
+    zonal operators can be driven end-to-end without geopandas. Rings
+    are written as given (callers supply closed rings)."""
+    import struct
+
+    recs = []
+    gxmin = gymin = float("inf")
+    gxmax = gymax = float("-inf")
+    for num, rings in enumerate(polygons, start=1):
+        pts = [p for ring in rings for p in ring]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        gxmin, gymin = min(gxmin, *xs), min(gymin, *ys)
+        gxmax, gymax = max(gxmax, *xs), max(gymax, *ys)
+        parts = []
+        acc = 0
+        for ring in rings:
+            parts.append(acc)
+            acc += len(ring)
+        content = struct.pack("<i", 5)
+        content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<2i", len(rings), len(pts))
+        content += struct.pack(f"<{len(parts)}i", *parts)
+        for x, y in pts:
+            content += struct.pack("<2d", x, y)
+        recs.append(struct.pack(">2i", num, len(content) // 2) + content)
+    body = b"".join(recs)
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(body)) // 2)
+    header += struct.pack("<2i", 1000, 5)
+    header += struct.pack("<4d", gxmin, gymin, gxmax, gymax)
+    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    with open(path, "wb") as f:
+        f.write(header + body)
+
+
 def get_bounding_box(
     coords: Sequence[tuple[float, float]] | None = None,
     csv: str | Path | None = None,

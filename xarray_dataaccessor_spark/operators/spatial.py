@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -724,3 +724,101 @@ def rotate_pole_grid(
     fn = rp.inverse_cols if inverse else rp.forward_cols
     nx, ny = fn(F.col(x_col), F.col(y_col))
     return df.withColumns({x_col: nx, y_col: ny})
+
+
+# ---------------------------------------------------------------------------
+# Zonal statistics (polygon AOI aggregation)
+# ---------------------------------------------------------------------------
+def point_in_polygon_expr(
+    lon_col: str, lat_col: str, rings: "list[list[tuple[float, float]]]"
+) -> Column:
+    """Even-odd ray-casting point-in-polygon as ONE whole-stage-codegen
+    expression: the polygon's edges (all rings — even-odd counting makes
+    holes work with no winding logic) inline as a literal edge array and
+    a single ``aggregate`` fold counts ray crossings. Built as one SQL
+    string, not per-element ``F.lit`` calls (memory: py4j-literal-cost).
+    A bbox pre-test short-circuits the fold for the overwhelming
+    majority of points at scale. Points exactly on an edge follow the
+    standard crossing-rule asymmetry (left/bottom edges in, right/top
+    out) — knife-edge cases inherit double arithmetic, as in every
+    raster engine."""
+    edges = []
+    xs, ys = [], []
+    for ring in rings:
+        closed = list(ring)
+        if closed and closed[0] != closed[-1]:
+            closed.append(closed[0])
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            if (x1, y1) != (x2, y2):
+                edges.append((x1, y1, x2, y2))
+                xs += [x1, x2]
+                ys += [y1, y2]
+    if not edges:
+        return F.lit(False)
+    lit = ",".join(
+        f"struct({x1!r}D as x1,{y1!r}D as y1,{x2!r}D as x2,{y2!r}D as y2)"
+        for x1, y1, x2, y2 in edges
+    )
+    fold = (
+        f"aggregate(array({lit}), 0, (acc, e) -> acc + ("
+        f"CASE WHEN (e.y1 > {lat_col}) != (e.y2 > {lat_col}) THEN "
+        f"(CASE WHEN {lon_col} < (e.x2 - e.x1) * ({lat_col} - e.y1)"
+        f" / (e.y2 - e.y1) + e.x1 THEN 1 ELSE 0 END) ELSE 0 END)) % 2 = 1"
+    )
+    bbox = (
+        f"{lon_col} >= {min(xs)!r}D AND {lon_col} <= {max(xs)!r}D AND "
+        f"{lat_col} >= {min(ys)!r}D AND {lat_col} <= {max(ys)!r}D"
+    )
+    return F.expr(f"({bbox}) AND ({fold})")
+
+
+def zonal_stats(
+    df: DataFrame,
+    polygons: "Sequence[list[list[tuple[float, float]]]]",
+    value_cols: Sequence[str] | None = None,
+    how: str = "mean",
+    lon_col: str = "x",
+    lat_col: str = "y",
+    group_cols: Sequence[str] = (),
+    zone_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Per-polygon zonal aggregation — the AOI generalization the
+    reference cannot express (its AOIs collapse to a rectangular bbox,
+    ``utility_functions.py:125``): assign each grid cell to every
+    polygon containing it (overlaps allowed, holes honored via even-odd)
+    and aggregate ``value_cols`` per (zone, *group_cols*) with any
+    decomposable ``spatial_agg_expr`` method.
+
+    Plan shape: zone assignment is a map-side explode of per-polygon
+    membership structs (polygon edges are broadcast-free literal
+    expressions; the bbox pre-test short-circuits the edge fold), so the
+    only shuffle is the final zones-sized aggregation. Cells outside
+    every polygon are dropped before the shuffle. Scale: rows x |P|
+    predicate work map-side — for large polygon sets, pre-bucket
+    polygons by a coarse grid key first; for the AOI use case (a few
+    zones) this is the right shape as-is."""
+    from xarray_dataaccessor_spark.operators.aggregate import spatial_agg_expr
+
+    value_cols = list(value_cols or [
+        c for c in df.columns
+        if c not in (lon_col, lat_col, *group_cols)
+    ])
+    ids = list(zone_ids) if zone_ids is not None else list(range(len(polygons)))
+    members = F.array(*[
+        F.struct(
+            F.lit(zid).cast("int").alias("zone_id"),
+            point_in_polygon_expr(lon_col, lat_col, rings).alias("inp"),
+        )
+        for zid, rings in zip(ids, polygons)
+    ])
+    assigned = (
+        df.select(
+            *group_cols, *value_cols,
+            F.explode(F.filter(members, lambda s: s["inp"])).alias("__z"),
+        )
+        .select(*group_cols, *value_cols, F.col("__z.zone_id").alias("zone_id"))
+    )
+    aggs = [spatial_agg_expr(how, v).alias(v) for v in value_cols]
+    return assigned.groupBy("zone_id", *group_cols).agg(
+        F.count(F.lit(1)).alias("n_cells"), *aggs
+    )
