@@ -600,3 +600,92 @@ def stream_incremental_dedup(
             F.when(F.col("is_duplicate"), F.col("first_doc_id")),
         ).alias("dup_of"),
     )
+
+
+def stream_heavy_hitters(
+    stream: DataFrame,
+    item_col: str = "event_type",
+    k: int = 8,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming heavy hitters: per-shard Misra-Gries summaries
+    maintained in explicit group state — the classic bounded-memory
+    answer to "which items dominate an unbounded feed" (top event
+    types, hot keys, trending domains).
+
+    Sharding makes it scale-correct AND recall-correct: items route to
+    a shard by hash, so an item's ENTIRE stream lands in one shard and
+    that shard's Misra-Gries bound applies to the item's true count —
+    state is ``n_shards x k`` counters total, independent of stream
+    length. Each trigger emits every shard's current summary
+    ``(shard, item, est_count, n_items, n_decrements)``; the global
+    top-k is a batch query over the union of shard summaries.
+
+    Guarantees (weighted Misra-Gries): for every emitted item,
+    ``true_count - n_decrements <= est_count <= true_count`` within its
+    shard, and any item with shard frequency > shard_n / (k+1) is
+    GUARANTEED present. Arrival order may shift estimates within those
+    bounds (inherent to every summary sketch); the bounds themselves
+    are order-free, which is what the parity test pins."""
+    out_schema = (
+        "shard int, item string, est_count bigint, n_items bigint, "
+        "n_decrements bigint"
+    )
+    state_schema = (
+        "items array<string>, counts array<bigint>, n bigint, dec bigint"
+    )
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            items, counts, n, dec = state.get
+            sketch = dict(zip(items, counts))
+        else:
+            sketch, n, dec = {}, 0, 0
+        for pdf in pdfs:
+            vc = pdf["__item"].value_counts()
+            n += int(vc.sum())
+            for item, w in vc.items():
+                w = int(w)
+                if item in sketch:
+                    sketch[item] += w
+                elif len(sketch) < k:
+                    sketch[item] = w
+                else:
+                    m = min(sketch.values())
+                    d = min(m, w)
+                    dec += d
+                    sketch = {
+                        i: c - d for i, c in sketch.items() if c - d > 0
+                    }
+                    if w - d > 0:
+                        sketch[item] = w - d
+        state.update(
+            (list(sketch.keys()), list(sketch.values()), n, dec)
+        )
+        out = sorted(sketch.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(out),
+                "item": [i for i, _ in out],
+                "est_count": [c for _, c in out],
+                "n_items": [n] * len(out),
+                "n_decrements": [dec] * len(out),
+            }
+        )
+
+    shard = F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int")
+    return (
+        stream.select(shard.alias("__shard"), F.col(item_col).alias("__item"))
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
