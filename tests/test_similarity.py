@@ -752,3 +752,101 @@ def test_semantic_dedup_priority_is_scale_invariant(spark):
         if rows_out[i]["cluster_id"] == rows_out[100 + i]["cluster_id"]:
             assert rows_out[i]["kept"] is True
             assert rows_out[100 + i]["kept"] is False
+
+
+# ---------------------------------------------------------------------------
+# PCA over embeddings
+# ---------------------------------------------------------------------------
+def _np_pca(x, k):
+    import numpy as np
+
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.abs(v).argmax())
+        comps.append(v if v[j] >= 0 else -v)
+    return mu, np.asarray(comps), vals[order]
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import (
+        pca_model, pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.asarray([list(r["embedding"]) for r in emb.collect()], dtype=float)
+    mu, comps, vals = pca_model(emb, n_components=4, dims=64)
+    rmu, rcomps, rvals = _np_pca(x, 4)
+    assert np.allclose(mu, rmu, rtol=1e-9, atol=1e-12)
+    assert np.allclose(vals, rvals, rtol=1e-8)
+    assert np.allclose(np.asarray(comps), rcomps, rtol=1e-6, atol=1e-9)
+    # distributed projection == numpy projection
+    got = {
+        r["vec_id"]: r["pca"]
+        for r in pca_project(
+            emb.select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("embedding")),
+            (mu, comps, vals),
+        ).collect()
+    }
+    ref = (x - np.asarray(mu)) @ np.asarray(comps).T
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], ref[i], rtol=1e-9, atol=1e-12)
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark, sf_dir):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import pca_model
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, comps, vals = pca_model(emb, n_components=6, dims=64)
+    c = np.asarray(comps)
+    assert np.allclose(c @ c.T, np.eye(6), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] for i in range(5))
+    assert all(v > 0 for v in vals)
+
+
+def test_pca_whiten_unit_variance(spark, sf_dir):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import (
+        pca_model, pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    model = pca_model(emb, n_components=3, dims=64)
+    proj = pca_project(emb, model, whiten=True)
+    y = np.asarray([list(r["pca"]) for r in proj.collect()])
+    assert np.allclose(y.var(axis=0, ddof=1), 1.0, rtol=1e-6)
+
+
+def test_pca_partition_invariance_close(spark, sf_dir):
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import pca_model
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, c1, v1 = pca_model(emb, n_components=3, dims=64)
+    _, c2, v2 = pca_model(emb.repartition(7), n_components=3, dims=64)
+    assert np.allclose(v1, v2, rtol=1e-9)
+    assert np.allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6, atol=1e-9)
+
+
+def test_pca_empty_and_unknown_dims(spark):
+    from xarray_dataaccessor_spark.operators.similarity import pca_model
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="dims"):
+        pca_model(empty, n_components=2)
+    with pytest.raises(ValueError, match="empty"):
+        pca_model(empty, n_components=2, dims=4)

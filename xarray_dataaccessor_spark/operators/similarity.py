@@ -1434,3 +1434,110 @@ def semantic_dedup(
             "witness_cos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over embedding columns (compaction / whitening for curation)
+# ---------------------------------------------------------------------------
+def pca_model(
+    df,
+    n_components: int = 8,
+    dims: int | None = None,
+    vec_col: str = "embedding",
+):
+    """Fit PCA over an embedding column: returns ``(mean, components,
+    explained_var)`` as plain Python lists (components row-wise,
+    eigenvalue-descending, each sign-normalized so its
+    largest-magnitude coordinate is positive — determinism across
+    eigensolver sign flips).
+
+    Distribution shape (the `tokenize.py` discipline — heavy reduction
+    in the cluster, dimension-sized math on the driver): one
+    ``mapInPandas`` pass emits a PARTIAL (sum, gram, count) per Arrow
+    batch — a single row of dims + dims² floats each, accumulated in
+    float64 by numpy — and the driver sums the handful of partials and
+    runs the dims x dims eigendecomposition (64² = a 4 KB matrix; the
+    same vocabulary-sized driver work as BPE merge learning). The
+    corpus is scanned once, nothing corpus-sized ever reaches the
+    driver. Batch-content float accumulation makes the low bits
+    layout-dependent (inherent to any parallel float PCA) — parity
+    with a single-node numpy PCA is ~1e-9 relative."""
+    import numpy as np
+
+    if dims is None:
+        raise ValueError("dims must be known for pca_model")
+    schema = "s array<double>, g array<double>, n bigint"
+
+    def partial(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            x = _np.asarray(
+                [list(v) for v in pdf[vec_col]], dtype=_np.float64
+            )
+            if x.size == 0:
+                continue
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                    "n": [x.shape[0]],
+                }
+            )
+
+    parts = df.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(partial, schema).collect()
+    if not parts:
+        raise ValueError("pca_model: empty input")
+    s = np.zeros(dims)
+    g = np.zeros((dims, dims))
+    n = 0
+    for r in sorted(parts, key=lambda r: (r["n"], r["s"][0])):
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(dims, dims)
+        n += r["n"]
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.abs(v).argmax())
+        comps.append((v if v[j] >= 0 else -v).tolist())
+    return mu.tolist(), comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df,
+    model,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto a fitted :func:`pca_model`:
+    ``out[k] = dot(x - mean, component_k)`` (optionally divided by
+    sqrt(eigenvalue) for whitening) — pure whole-stage-codegen folds,
+    one per component, with the mean/components inlined as single SQL
+    literal arrays (memory: py4j-literal-cost). Map-side only; composes
+    with the cosine/ANN stack for reduced-dimension candidate
+    generation."""
+    mu, comps, vals = model
+    dims = len(mu)
+    mu_sql = "array(" + ",".join(f"{m!r}D" for m in mu) + ")"
+    outs = []
+    for k, comp in enumerate(comps):
+        c_sql = "array(" + ",".join(f"{c!r}D" for c in comp) + ")"
+        scale = f" / {float(vals[k]) ** 0.5!r}D" if whiten else ""
+        outs.append(
+            f"aggregate(zip_with(zip_with({vec_col}, {mu_sql}, "
+            f"(a, b) -> a - b), {c_sql}, (d, c) -> d * c), "
+            f"0.0D, (acc, t) -> acc + t){scale}"
+        )
+    return df.withColumn(
+        out_col,
+        F.expr("array(" + ",".join(outs) + ")"),
+    )
