@@ -412,6 +412,66 @@ def main() -> None:
     print("CCNet perplexity tiers:",
           {r["ppl_tier"]: r["count"] for r in tiers})
 
+    # PageRank centrality canonical election over the dup-pair graph
+    from xarray_dataaccessor_spark.operators.graph import centrality_canonicals
+    pr_edges = minhash_near_duplicates(docs_txt).filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    cc = centrality_canonicals(pr_edges, n_iters=3)
+    print("centrality canonicals:",
+          cc.filter("is_canonical").count(), "keepers across",
+          cc.select("cluster_id").distinct().count(), "clusters")
+
+    # zonal statistics over a polygon AOI (shapefile round trip)
+    from xarray_dataaccessor_spark.catalog import (
+        polygons_from_shapefile, write_shapefile_polygons,
+    )
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats
+    gv = grid_view(spark, sf_dir)
+    b = gv.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+    tri = [[(b[0], b[2]), ((b[0] + b[1]) / 2, b[2]), (b[0], (b[2] + b[3]) / 2),
+            (b[0], b[2])]]
+    shp = str(work / "aoi.shp")
+    write_shapefile_polygons(shp, [tri])
+    zs = zonal_stats(gv.select("x", "y", "t2m"),
+                     polygons_from_shapefile(shp), value_cols=["t2m"]).first()
+    print(f"zonal stats (triangle AOI): {zs['n_cells']} cells, "
+          f"mean t2m {zs['t2m']:.2f}")
+
+    # web-corpus prep: HTML -> text -> overlapping chunks
+    from xarray_dataaccessor_spark.operators.webprep import (
+        chunk_documents, html_to_text, normalize_url,
+    )
+    wrapped = docs_txt.withColumn(
+        "text", F.concat(F.lit("<p>"), "text", F.lit("</p><script>x()</script>")))
+    n_chunks = chunk_documents(html_to_text(wrapped), chunk_tokens=64,
+                               overlap=8).count()
+    print("HTML -> text -> 64-token chunks (overlap 8):", n_chunks, "chunks")
+
+    # PCA compaction of the embedding column (8 components)
+    from xarray_dataaccessor_spark.operators.similarity import (
+        pca_model, pca_project,
+    )
+    model = pca_model(emb, n_components=8, dims=64)
+    var = sum(model[2])
+    print(f"PCA: top-8 components, explained var {var:.4f}; "
+          "projection is a pure codegen fold")
+    pca_project(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        model).count()
+
+    # streaming heavy hitters: sharded Misra-Gries in group state
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now, stream_events, stream_heavy_hitters,
+    )
+    hh = run_available_now(
+        stream_heavy_hitters(stream_events(spark, sf_dir),
+                             item_col="event_type", k=4, n_shards=4),
+        output_mode="update", shuffle_partitions=4)
+    top = sorted(hh.collect(), key=lambda r: -r["est_count"])[:3]
+    print("streaming heavy hitters:",
+          [(r["item"], r["est_count"]) for r in top])
+
 
 if __name__ == "__main__":
     main()
