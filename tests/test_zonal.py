@@ -195,3 +195,30 @@ def test_zonal_plan_single_shuffle(spark, points):
     )
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert plan.count("Exchange") <= 2  # shuffle + AQE read
+
+
+def test_gridframe_zonal_stats_shapefile(spark, tmp_path, sf_dir):
+    """The reference-style entry point: GridFrame.zonal_stats(shapefile=...)
+    aggregates per (zone, time) over the real derived grid."""
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.gridframe import GridFrame
+    from xarray_dataaccessor_spark.sources.tables import grid_view
+
+    gv = grid_view(spark, sf_dir)
+    b = gv.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+    tri = [[(b[0], b[2]), (b[1], b[2]), (b[0], b[3]), (b[0], b[2])]]
+    path = str(tmp_path / "aoi.shp")
+    write_shapefile_polygons(path, [tri])
+    out = GridFrame(gv).zonal_stats(shapefile=path, how="mean")
+    rows = out.collect()
+    assert rows and all(r["zone_id"] == 0 for r in rows)
+    assert {"time", "n_cells", "t2m"} <= set(out.columns)
+    # per_time=False collapses time away
+    tot = GridFrame(gv).zonal_stats(shapefile=path, per_time=False).collect()
+    assert len(tot) == 1
+    assert tot[0]["n_cells"] == sum(r["n_cells"] for r in rows)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="polygons"):
+        GridFrame(gv).zonal_stats()

@@ -98,6 +98,41 @@ class GridFrame:
     def collapse_spatial(self, how: str = "mean") -> "GridFrame":
         return self._wrap(_agg.collapse_spatial(self.df, how))
 
+    def zonal_stats(
+        self,
+        polygons=None,
+        shapefile: str | None = None,
+        how: str = "mean",
+        per_time: bool = True,
+    ) -> DataFrame:
+        """Per-polygon aggregation of every variable — the polygon
+        generalization of :meth:`collapse_spatial` (the reference
+        collapses AOIs to their bbox; ``operators.spatial.zonal_stats``
+        honors the actual rings). Pass ring lists or a ``.shp`` path
+        (parsed by ``catalog.polygons_from_shapefile``). ``per_time``
+        keeps the time dimension as a group key."""
+        if shapefile is not None:
+            from xarray_dataaccessor_spark.catalog import (
+                polygons_from_shapefile,
+            )
+
+            polygons = polygons_from_shapefile(shapefile)
+        if not polygons:
+            raise ValueError("zonal_stats needs polygons or shapefile")
+        from xarray_dataaccessor_spark.operators.spatial import zonal_stats
+
+        return zonal_stats(
+            self.df,
+            polygons,
+            # aggregate the variables only — time is either a group key
+            # or dropped, never averaged
+            value_cols=[
+                c for c in self.df.columns if c not in ("x", "y", "time")
+            ],
+            how=how,
+            group_cols=("time",) if per_time else (),
+        )
+
     def bbox(self) -> BoundingBox:
         return _agg.bbox_of(self.df)
 
