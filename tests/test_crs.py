@@ -549,3 +549,113 @@ def test_equal_area_columns_match_scalar_and_stay_codegen(spark):
         for b, (lon, lat) in zip(back, sorted(pts)):
             assert b[0] == pytest.approx(lon, abs=1e-5)
             assert b[1] == pytest.approx(lat, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# PROJ.4 string front-end
+# ---------------------------------------------------------------------------
+PROJ4_EPSG_TWINS = [
+    ("+proj=utm +zone=17 +datum=WGS84 +units=m +no_defs", 32617),
+    ("+proj=utm +zone=33 +south +datum=WGS84 +units=m +no_defs", 32733),
+    ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+     "+datum=WGS84 +units=m +no_defs", 3413),
+    ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+     "+datum=WGS84 +units=m +no_defs", 3031),
+    ("+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 "
+     "+datum=WGS84 +units=m +no_defs", 5041),
+    ("+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +x_0=700000 "
+     "+y_0=6600000 +ellps=GRS80 +units=m +no_defs", 2154),
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 "
+     "+y_0=0 +datum=NAD83 +units=m +no_defs", 5070),
+    ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+     "+ellps=GRS80 +units=m +no_defs", 3035),
+    ("+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 "
+     "+units=m +no_defs", 6933),
+]
+
+
+@pytest.mark.parametrize("proj4,epsg", PROJ4_EPSG_TWINS)
+def test_proj4_matches_epsg_twin(proj4, epsg):
+    """A proj4 string and its EPSG code dispatch to identical
+    closed-form transforms (bit-identical scalar results)."""
+    from xarray_dataaccessor_spark.operators.crs import (
+        crs_from_proj4,
+        projected_crs,
+    )
+
+    via_str = crs_from_proj4(proj4)
+    via_code = projected_crs(epsg)
+    assert via_code is not None
+    for lon, lat in ((-80.1, 41.2), (3.5, 46.0), (-45.0, 75.0), (10.0, 52.0)):
+        if getattr(via_code, "south", False) or getattr(via_code, "lat0", 1) == -90:
+            lat = -abs(lat)
+        assert via_str.forward(lon, lat) == via_code.forward(lon, lat)
+        x, y = via_code.forward(lon, lat)
+        assert via_str.inverse(x, y) == via_code.inverse(x, y)
+
+
+def test_proj4_sinusoidal_modis():
+    from xarray_dataaccessor_spark.operators.crs import crs_from_proj4
+
+    modis = crs_from_proj4(
+        "+proj=sinu +R=6371007.181 +nadgrids=@null +units=m +no_defs"
+    )
+    x, y = modis.forward(-93.0, 45.0)
+    lon, lat = modis.inverse(x, y)
+    assert abs(lon - -93.0) < 1e-9 and abs(lat - 45.0) < 1e-9
+    assert modis.radius == 6371007.181
+
+
+def test_proj4_longlat_and_gates():
+    from xarray_dataaccessor_spark.operators.crs import crs_from_proj4
+
+    assert crs_from_proj4("+proj=longlat +datum=WGS84 +no_defs") is None
+    with pytest.raises(NotImplementedError, match="units"):
+        crs_from_proj4("+proj=utm +zone=10 +datum=WGS84 +units=us-ft")
+    with pytest.raises(NotImplementedError, match="towgs84"):
+        crs_from_proj4(
+            "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-95 +ellps=GRS80 "
+            "+towgs84=-199.87,74.79,246.62"
+        )
+    with pytest.raises(NotImplementedError, match="non-polar"):
+        crs_from_proj4("+proj=stere +lat_0=50 +lon_0=0 +datum=WGS84")
+    with pytest.raises(NotImplementedError, match="proj=robin"):
+        crs_from_proj4("+proj=robin +datum=WGS84")
+    with pytest.raises(ValueError, match="no \\+proj"):
+        crs_from_proj4("+datum=WGS84")
+
+
+def test_proj4_explicit_ellipsoid_params():
+    from xarray_dataaccessor_spark.operators.crs import crs_from_proj4
+
+    a_rf = crs_from_proj4(
+        "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+        "+a=6378137 +rf=298.257222101"
+    )
+    named = crs_from_proj4(
+        "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +ellps=GRS80"
+    )
+    assert a_rf.forward(3.5, 46.0) == named.forward(3.5, 46.0)
+
+
+def test_transform_grid_accepts_proj4_strings(spark):
+    from xarray_dataaccessor_spark.operators.crs import transform_grid
+
+    df = spark.createDataFrame([(-80.1, 41.2), (-79.0, 42.0)], "x double, y double")
+    via_code = transform_grid(df, 4326, 32617).collect()
+    via_str = transform_grid(
+        df, "+proj=longlat +datum=WGS84",
+        "+proj=utm +zone=17 +datum=WGS84 +units=m",
+    ).collect()
+    assert sorted(map(tuple, via_code)) == sorted(map(tuple, via_str))
+
+
+def test_transform_point_accepts_proj4_strings():
+    from xarray_dataaccessor_spark.operators.crs import transform_point
+
+    a = transform_point(-80.1, 41.2, 4326, 5070)
+    b = transform_point(
+        -80.1, 41.2, "+proj=longlat +datum=NAD83",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +datum=NAD83",
+    )
+    assert a == b

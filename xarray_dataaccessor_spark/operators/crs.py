@@ -808,21 +808,32 @@ def utm_crs(epsg: int) -> TransverseMercator | None:
     )
 
 
+def _resolve_crs(code):
+    """(projection | None, is_geographic) for an EPSG int OR a PROJ.4
+    string — the two public CRS spellings. A geographic CRS (4326 /
+    ``+proj=longlat``) resolves to (None, True)."""
+    if isinstance(code, str):
+        proj = crs_from_proj4(code)
+        return proj, proj is None
+    return projected_crs(code), code == 4326
+
+
 def transform_grid(
-    df: DataFrame, from_epsg: int, to_epsg: int, x_col: str = "x", y_col: str = "y"
+    df: DataFrame, from_epsg, to_epsg, x_col: str = "x", y_col: str = "y"
 ) -> DataFrame:
     """Closed-form CRS transform over grid columns (4326 <-> any WGS84
-    UTM zone or spherical sinusoidal). Raises KeyError when the pair has
-    no closed form here — callers (``spatial.transform_crs_udf``) then
-    try the pyproj gate."""
-    proj_to = projected_crs(to_epsg)
-    proj_from = projected_crs(from_epsg)
-    if from_epsg == 4326 and proj_to is not None:
+    UTM zone or spherical sinusoidal). Accepts EPSG ints or PROJ.4
+    strings on either side. Raises KeyError when the pair has no closed
+    form here — callers (``spatial.transform_crs_udf``) then try the
+    pyproj gate."""
+    proj_to, to_geo = _resolve_crs(to_epsg)
+    proj_from, from_geo = _resolve_crs(from_epsg)
+    if from_geo and proj_to is not None:
         ex, ny = proj_to.forward_cols(F.col(x_col), F.col(y_col))
         return df.withColumn("__e", ex).withColumn(y_col, ny).withColumn(
             x_col, F.col("__e")
         ).drop("__e")
-    if proj_from is not None and to_epsg == 4326:
+    if proj_from is not None and to_geo:
         lon, lat = proj_from.inverse_cols(F.col(x_col), F.col(y_col))
         return df.withColumn("__lon", lon).withColumn(y_col, lat).withColumn(
             x_col, F.col("__lon")
@@ -835,14 +846,15 @@ def transform_grid(
     raise KeyError(f"No closed-form transform {from_epsg} -> {to_epsg}")
 
 
-def transform_point(lon_or_x: float, lat_or_y: float, from_epsg: int, to_epsg: int):
+def transform_point(lon_or_x: float, lat_or_y: float, from_epsg, to_epsg):
     """Driver-side scalar transform for bbox corners (R5) and point
-    extraction, same series as the distributed path."""
-    proj_to = projected_crs(to_epsg)
-    proj_from = projected_crs(from_epsg)
-    if from_epsg == 4326 and proj_to is not None:
+    extraction, same series as the distributed path. EPSG ints or
+    PROJ.4 strings."""
+    proj_to, to_geo = _resolve_crs(to_epsg)
+    proj_from, from_geo = _resolve_crs(from_epsg)
+    if from_geo and proj_to is not None:
         return proj_to.forward(lon_or_x, lat_or_y)
-    if proj_from is not None and to_epsg == 4326:
+    if proj_from is not None and to_geo:
         return proj_from.inverse(lon_or_x, lat_or_y)
     if proj_from is not None and proj_to is not None:
         lon, lat = proj_from.inverse(lon_or_x, lat_or_y)
@@ -930,3 +942,136 @@ def rotated_pole_crs(domain_or_params) -> RotatedPole:
     else:
         params = domain_or_params
     return RotatedPole(**params)
+
+
+# ---------------------------------------------------------------------------
+# PROJ.4 string front-end for the closed-form registry
+# ---------------------------------------------------------------------------
+_ELLPS = {
+    # (a, f) per the public PROJ ellipsoid table; datum names map to
+    # their ellipsoid (NAD83 sits on GRS80 with a null shift)
+    "WGS84": (WGS84_A, WGS84_F),
+    "GRS80": (GRS80_A, GRS80_F),
+    "NAD83": (GRS80_A, GRS80_F),
+    "sphere": (6_370_997.0, 0.0),
+}
+
+
+def _proj4_params(proj4: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for tok in proj4.split():
+        if not tok.startswith("+"):
+            continue
+        key, _, val = tok[1:].partition("=")
+        out[key] = val
+    return out
+
+
+def crs_from_proj4(proj4: str):
+    """Build a projection object from a PROJ.4 string (``+proj=utm
+    +zone=17 ...``) — the other public spelling of a CRS besides an
+    EPSG code (the reference hands either to rioxarray,
+    ``shared_functions.py:132-157``). Dispatches onto the SAME
+    closed-form classes as :func:`projected_crs`, so a proj4 string and
+    its EPSG twin produce bit-identical column expressions.
+
+    Supported ``+proj`` values: ``longlat`` (returns None — already
+    geographic), ``utm``/``tmerc`` (WGS84 ellipsoid), ``sinu``
+    (spherical), ``stere`` (polar aspect), ``lcc``, ``aea``, ``laea``,
+    ``cea``. Ellipsoids via ``+ellps``/``+datum`` or explicit
+    ``+a``/``+rf``/``+f``/``+R``. Anything else — including non-polar
+    stereographic, non-metre units, and non-zero ``+towgs84`` datum
+    shifts — raises ``NotImplementedError`` with the offending
+    parameter, the same honest gate as the EPSG registry."""
+    p = _proj4_params(proj4)
+    proj = p.get("proj")
+    if proj is None:
+        raise ValueError(f"no +proj= in {proj4!r}")
+    units = p.get("units", "m")
+    if proj != "longlat" and units != "m":
+        raise NotImplementedError(f"+units={units} (only metres)")
+    shift = p.get("towgs84")
+    if shift and any(float(v) != 0.0 for v in shift.split(",")):
+        raise NotImplementedError("+towgs84 datum shift")
+
+    def flt(key: str, default: float = 0.0) -> float:
+        return float(p[key]) if key in p else default
+
+    ellps = p.get("ellps") or p.get("datum")
+    if "a" in p:
+        a = float(p["a"])
+        f = (
+            1.0 / float(p["rf"]) if "rf" in p
+            else float(p["f"]) if "f" in p
+            else (1.0 - float(p["b"]) / a) if "b" in p
+            else 0.0
+        )
+    elif "R" in p:
+        a, f = float(p["R"]), 0.0
+    elif ellps is not None:
+        if ellps not in _ELLPS:
+            raise NotImplementedError(f"+ellps={ellps}")
+        a, f = _ELLPS[ellps]
+    else:
+        a, f = WGS84_A, WGS84_F  # PROJ's default datum
+
+    if proj == "longlat":
+        return None
+    if proj in ("utm", "tmerc"):
+        if (a, f) != (WGS84_A, WGS84_F):
+            raise NotImplementedError(
+                "+proj=utm/tmerc on a non-WGS84 ellipsoid"
+            )
+        if proj == "utm":
+            zone = int(p["zone"])
+            return TransverseMercator(
+                lon0_deg=zone * 6.0 - 183.0,
+                false_northing=10_000_000.0 if "south" in p else 0.0,
+            )
+        return TransverseMercator(
+            lon0_deg=flt("lon_0"),
+            k0=flt("k_0", 0.9996),
+            false_easting=flt("x_0"),  # PROJ tmerc default is 0
+            false_northing=flt("y_0"),
+        )
+    if proj == "sinu":
+        return Sinusoidal(radius=a if f == 0.0 else flt("R", a),
+                          lon0_deg=flt("lon_0"))
+    if proj == "stere":
+        lat0 = flt("lat_0")
+        if abs(lat0) < 89.999999:
+            raise NotImplementedError("+proj=stere non-polar aspect")
+        k0 = p.get("k_0", p.get("k"))  # PROJ accepts both spellings
+        return PolarStereographic(
+            a=a, f=f,
+            lat_ts=float(p["lat_ts"]) if "lat_ts" in p else None,
+            k0=float(k0) if k0 is not None and "lat_ts" not in p else None,
+            lon0_deg=flt("lon_0"),
+            south=lat0 < 0,
+            false_easting=flt("x_0"),
+            false_northing=flt("y_0"),
+        )
+    if proj == "lcc":
+        sp1 = flt("lat_1")
+        return LambertConformalConic(
+            sp1=sp1, sp2=flt("lat_2", sp1), lat0=flt("lat_0"),
+            lon0_deg=flt("lon_0"), a=a, f=f,
+            false_easting=flt("x_0"), false_northing=flt("y_0"),
+        )
+    if proj == "aea":
+        return AlbersEqualArea(
+            sp1=flt("lat_1"), sp2=flt("lat_2", flt("lat_1")),
+            lat0=flt("lat_0"), lon0_deg=flt("lon_0"), a=a, f=f,
+            false_easting=flt("x_0"), false_northing=flt("y_0"),
+        )
+    if proj == "laea":
+        return LambertAzimuthalEqualArea(
+            lat0=flt("lat_0"), lon0_deg=flt("lon_0"), a=a, f=f,
+            false_easting=flt("x_0"), false_northing=flt("y_0"),
+        )
+    if proj == "cea":
+        return CylindricalEqualArea(
+            lat_ts=flt("lat_ts"), lon0_deg=flt("lon_0"), a=a, f=f,
+            false_easting=flt("x_0"), false_northing=flt("y_0"),
+        )
+    raise NotImplementedError(f"+proj={proj}")
