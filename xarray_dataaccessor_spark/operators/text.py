@@ -473,3 +473,58 @@ def perplexity_buckets(
             ),
         )
     return out.drop(*[f"__t{k}" for k in range(1, n_buckets)])
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-call corpus health summary — the numbers a data engineer
+    checks before pointing a training run at a crawl: document and
+    exact-duplicate counts, token totals, and the token-length
+    distribution. One row per ``group_col`` value (or one row total):
+
+    ``n_docs, n_unique_texts, dup_rate, total_tokens, mean_tokens,
+    p50_tokens, p95_tokens, min_tokens, max_tokens``
+
+    Plan: one corpus scan computing map-side lengths + fingerprints,
+    then a single aggregation (count_distinct adds the usual expand;
+    percentiles via the built-in exact ``percentile`` — at 100 TB swap
+    ``percentile_approx`` in, the only non-decomposable piece). All
+    ratios int/int. Composes with the deeper per-document operators
+    (``text_stats``, ``gopher_repetition_signals``) which this
+    deliberately does not duplicate."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash64
+
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), "\\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    )
+    base = df.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        toks.alias("__n"),
+        portable_hash64(F.col(text_col)).alias("__fp"),
+    )
+    keys = [group_col] if group_col else []
+    return (
+        base.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("__fp")).alias("n_unique_texts"),
+            F.sum("__n").alias("total_tokens"),
+            F.avg("__n").alias("mean_tokens"),
+            F.expr("percentile(__n, 0.5)").alias("p50_tokens"),
+            F.expr("percentile(__n, 0.95)").alias("p95_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+        .withColumn(
+            "dup_rate",
+            (F.col("n_docs") - F.col("n_unique_texts"))
+            / F.col("n_docs").cast("double"),
+        )
+    )
