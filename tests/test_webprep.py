@@ -144,3 +144,41 @@ def test_pipeline_html_chunks_compose(spark):
     chunks = chunk_documents(html_to_text(df), chunk_tokens=25)
     got = sorted((r["chunk_id"], r["n_tokens"]) for r in chunks.collect())
     assert got == [(0, 25), (1, 25), (2, 10)]
+
+
+def test_chunk_documents_properties(spark):
+    """Hypothesis-style sweep over (n_tokens, chunk, overlap): every
+    token covered in order, exact overlap between neighbours, chunk
+    count matches the closed form."""
+    import math
+
+    cases = [
+        (n, c, o)
+        for n in (0, 1, 7, 64, 65, 129, 250)
+        for c, o in ((16, 0), (16, 5), (64, 8), (64, 63), (100, 20))
+        if o < c
+    ]
+    rows = []
+    for i, (n, _, _) in enumerate(cases):
+        rows.append((i, " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for i, (n, c, o) in enumerate(cases):
+        got = sorted(
+            (r["chunk_id"], r["text"].split())
+            for r in chunk_documents(
+                df.filter(f"doc_id = {i}"), chunk_tokens=c, overlap=o
+            ).collect()
+        )
+        if n == 0:
+            assert got == []
+            continue
+        step = c - o
+        want_chunks = 1 + max(0, math.ceil((n - c) / step))
+        assert len(got) == want_chunks, (n, c, o, len(got))
+        # reconstruction: drop the first `o` tokens of every chunk but
+        # the first, concatenate -> the original token stream
+        rebuilt = got[0][1][:]
+        for _, toks in got[1:]:
+            assert rebuilt[-o:] == toks[:o] if o else True
+            rebuilt += toks[o:]
+        assert rebuilt == [f"t{j}" for j in range(n)], (n, c, o)
