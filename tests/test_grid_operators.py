@@ -412,3 +412,101 @@ def test_raster_pyramid_shapes_and_validation(grid):
         raster_pyramid(grid, levels=2, method="median")
     with _pytest.raises(ValueError, match="levels"):
         raster_pyramid(grid, levels=0)
+
+
+# ---------------------------------------------------------------------------
+# DEM derivatives (slope / aspect / hillshade)
+# ---------------------------------------------------------------------------
+def _dem_df(spark, z, dx=10.0, dy=10.0):
+    rows = [
+        (i * dx, j * dy, float(z[j][i]))
+        for j in range(len(z))
+        for i in range(len(z[0]))
+    ]
+    return spark.createDataFrame(rows, "x double, y double, z double")
+
+
+def _np_horn(z, dx, dy, i, j, zf=1.0):
+    import math
+
+    p = ((z[j - 1][i + 1] + 2 * z[j][i + 1] + z[j + 1][i + 1])
+         - (z[j - 1][i - 1] + 2 * z[j][i - 1] + z[j + 1][i - 1])) / (8 * dx)
+    q = ((z[j + 1][i - 1] + 2 * z[j + 1][i] + z[j + 1][i + 1])
+         - (z[j - 1][i - 1] + 2 * z[j - 1][i] + z[j - 1][i + 1])) / (8 * dy)
+    grad = math.hypot(p, q) * zf
+    slope = math.degrees(math.atan(grad))
+    aspect = math.degrees(math.atan2(-p, -q)) % 360 if grad > 0 else None
+    return slope, aspect
+
+
+def test_dem_flat_surface(spark):
+    import math
+
+    from xarray_dataaccessor_spark.operators.spatial import dem_derivatives
+
+    z = [[7.0] * 5 for _ in range(4)]
+    out = dem_derivatives(_dem_df(spark, z), dx=10.0, dy=10.0).collect()
+    # 5x4 grid -> 3x2 interior cells survive the full-stencil rule
+    assert len(out) == 6
+    zen = math.radians(45.0)
+    for r in out:
+        assert r["slope_deg"] == 0.0
+        assert r["aspect_deg"] is None
+        assert r["hillshade"] == round(255.0 * math.cos(zen))
+
+
+def test_dem_planar_tilt_east(spark):
+    import math
+
+    from xarray_dataaccessor_spark.operators.spatial import dem_derivatives
+
+    # z falls 1m per 10m going east -> downslope faces east (aspect 90)
+    z = [[-(i * 10.0) * 0.1 for i in range(6)] for _ in range(5)]
+    out = dem_derivatives(_dem_df(spark, z), dx=10.0, dy=10.0).collect()
+    want_slope = math.degrees(math.atan(0.1))
+    for r in out:
+        assert r["slope_deg"] == pytest.approx(want_slope, rel=1e-12)
+        assert r["aspect_deg"] == pytest.approx(90.0, abs=1e-9)
+
+
+def test_dem_matches_python_mirror(spark):
+    import random
+
+    from xarray_dataaccessor_spark.operators.spatial import dem_derivatives
+
+    rng = random.Random(7)
+    z = [[rng.uniform(0, 100) for _ in range(7)] for _ in range(6)]
+    out = {
+        (r["x"], r["y"]): r
+        for r in dem_derivatives(
+            _dem_df(spark, z), dx=10.0, dy=10.0, z_factor=2.0
+        ).collect()
+    }
+    assert len(out) == 5 * 4
+    for j in range(1, 5):
+        for i in range(1, 6):
+            r = out[(i * 10.0, j * 10.0)]
+            slope, aspect = _np_horn(z, 10.0, 10.0, i, j, zf=2.0)
+            assert r["slope_deg"] == pytest.approx(slope, rel=1e-12)
+            if aspect is None:
+                assert r["aspect_deg"] is None
+            else:
+                assert r["aspect_deg"] == pytest.approx(aspect, rel=1e-12)
+            assert r["z"] == z[j][i]
+
+
+def test_dem_grouped_and_single_shuffle(spark):
+    from xarray_dataaccessor_spark.operators.spatial import dem_derivatives
+
+    z = [[float(i + j) for i in range(5)] for j in range(4)]
+    df = _dem_df(spark, z)
+    both = df.withColumn("t", F.lit("a")).unionByName(
+        df.withColumn("t", F.lit("b"))
+    )
+    out = dem_derivatives(both, dx=10.0, dy=10.0, group_cols=("t",))
+    counts = {r["t"]: r["cnt"] for r in
+              out.groupBy("t").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"a": 6, "b": 6}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Exchange") <= 2

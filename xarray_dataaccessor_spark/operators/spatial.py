@@ -822,3 +822,114 @@ def zonal_stats(
     return assigned.groupBy("zone_id", *group_cols).agg(
         F.count(F.lit(1)).alias("n_cells"), *aggs
     )
+
+
+# ---------------------------------------------------------------------------
+# DEM derivatives (slope / aspect / hillshade)
+# ---------------------------------------------------------------------------
+def dem_derivatives(
+    df: DataFrame,
+    dx: float,
+    dy: float,
+    value_col: str = "z",
+    x_col: str = "x",
+    y_col: str = "y",
+    group_cols: Sequence[str] = (),
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Horn-method terrain derivatives over a regular grid — the GDAL
+    ``gdaldem slope/aspect/hillshade`` family (the raster-analytics step
+    between the reference's elevation ingest and its GSSHA hydrology
+    exports; the reference has no DEM tools at all):
+
+    - ``slope_deg``  — atan(z_factor * sqrt(p² + q²)), Horn 1981 3x3
+      weighted differences,
+    - ``aspect_deg`` — downslope direction, compass convention
+      (0 = north, 90 = east; flat cells NULL),
+    - ``hillshade``  — 0-255 illumination for the given sun azimuth /
+      altitude, clamped at 0.
+
+    Plan shape (scale-first): each cell EXPLODES its value to the 9
+    windows it participates in (map-side; keys are integer cell indices
+    ``round(x/dx)`` so float coordinates never join), then ONE
+    aggregation per window assembles the 3x3 stencil as a position->z
+    map and all three outputs evaluate as codegen expressions. One
+    shuffle total, keyed by cell — the same single-exchange discipline
+    as the overview pyramid. Border cells (incomplete stencils) are
+    dropped, matching ``gdaldem``'s default edge behavior. The grid
+    must be axis-aligned with uniform steps ``dx``/``dy`` (every grid
+    this engine lands or snaps is)."""
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    ki = F.round(F.col(x_col) / F.lit(float(dx))).cast("bigint")
+    kj = F.round(F.col(y_col) / F.lit(float(dy))).cast("bigint")
+    contrib = (
+        df.select(
+            *group_cols,
+            ki.alias("__ki"),
+            kj.alias("__kj"),
+            F.col(value_col).cast("double").alias("__z"),
+            F.explode(offsets).alias("__o"),
+        )
+        .select(
+            *group_cols,
+            (F.col("__ki") + F.col("__o.di")).alias("__ti"),
+            (F.col("__kj") + F.col("__o.dj")).alias("__tj"),
+            # position of THIS cell within the target's 3x3 window
+            ((1 - F.col("__o.di")) * 3 + (1 - F.col("__o.dj"))).alias("__p"),
+            "__z",
+        )
+    )
+    win = contrib.groupBy(*group_cols, "__ti", "__tj").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__p"), F.col("__z")))
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") == 9)
+
+    def zat(di: int, dj: int) -> Column:
+        return F.element_at("__w", (di + 1) * 3 + (dj + 1) + 1 - 1)
+
+    # Horn weighted central differences (x east, y north)
+    p = (
+        (zat(1, -1) + 2 * zat(1, 0) + zat(1, 1))
+        - (zat(-1, -1) + 2 * zat(-1, 0) + zat(-1, 1))
+    ) / F.lit(8.0 * abs(dx))
+    q = (
+        (zat(-1, 1) + 2 * zat(0, 1) + zat(1, 1))
+        - (zat(-1, -1) + 2 * zat(0, -1) + zat(1, -1))
+    ) / F.lit(8.0 * abs(dy))
+    grad = F.sqrt(p * p + q * q) * F.lit(float(z_factor))
+    slope_rad = F.atan(grad)
+    # compass aspect of the DOWNSLOPE direction: east = atan2(-p, -q)
+    aspect = F.when(
+        grad > 0,
+        F.pmod(F.degrees(F.atan2(-p, -q)), F.lit(360.0)),
+    )
+    import math as _math
+
+    zen = _math.radians(90.0 - altitude_deg)
+    az = _math.radians(azimuth_deg)
+    # standard hillshade: sun direction dotted with the surface normal
+    shade = F.lit(255.0) * (
+        F.lit(_math.cos(zen)) * F.cos(slope_rad)
+        + F.lit(_math.sin(zen))
+        * F.sin(slope_rad)
+        * F.cos(F.lit(az) - F.radians(F.coalesce(aspect, F.lit(0.0))))
+    )
+    return win.select(
+        *group_cols,
+        (F.col("__ti") * F.lit(float(dx))).alias(x_col),
+        (F.col("__tj") * F.lit(float(dy))).alias(y_col),
+        zat(0, 0).alias(value_col),
+        F.degrees(slope_rad).alias("slope_deg"),
+        aspect.alias("aspect_deg"),
+        F.round(F.greatest(shade, F.lit(0.0))).cast("int").alias("hillshade"),
+    )
