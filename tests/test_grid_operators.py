@@ -510,3 +510,116 @@ def test_dem_grouped_and_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction + watershed labels
+# ---------------------------------------------------------------------------
+_D8_PRIO = [(1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1)]
+
+
+def _py_d8(z, dx, dy, i, j):
+    import math
+
+    best = None
+    for rank, (di, dj) in enumerate(_D8_PRIO):
+        jj, ii = j + dj, i + di
+        if 0 <= jj < len(z) and 0 <= ii < len(z[0]):
+            d = (z[j][i] - z[jj][ii]) / math.hypot(di * dx, dj * dy)
+            if d > 0 and (best is None or d > best[0]
+                          or (d == best[0] and rank < best[1])):
+                best = (d, rank, di, dj)
+    return None if best is None else (best[2], best[3])
+
+
+def test_d8_matches_python_mirror(spark):
+    import random
+
+    from xarray_dataaccessor_spark.operators.spatial import d8_flow_direction
+
+    rng = random.Random(11)
+    z = [[rng.uniform(0, 50) for _ in range(7)] for _ in range(6)]
+    out = {
+        (r["x"], r["y"]): r
+        for r in d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0).collect()
+    }
+    assert len(out) == 7 * 6  # partial border windows still drain
+    for j in range(6):
+        for i in range(7):
+            r = out[(i * 10.0, j * 10.0)]
+            want = _py_d8(z, 10.0, 10.0, i, j)
+            if want is None:
+                assert r["is_sink"] and r["flow_to_x"] is None
+            else:
+                di, dj = want
+                assert not r["is_sink"]
+                assert (r["flow_to_x"], r["flow_to_y"]) == (
+                    (i + di) * 10.0, (j + dj) * 10.0
+                ), (i, j)
+
+
+def test_d8_pit_and_tilt(spark):
+    from xarray_dataaccessor_spark.operators.spatial import d8_flow_direction
+
+    # uniform east-tilt: every cell (except the east edge) flows east
+    z = [[-float(i) for i in range(5)] for _ in range(4)]
+    out = d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0).collect()
+    for r in out:
+        if r["x"] < 40.0:
+            assert (r["flow_to_x"], r["flow_to_y"]) == (r["x"] + 10.0, r["y"])
+        else:
+            assert r["is_sink"]
+    # a pit is a sink
+    z2 = [[5.0] * 3, [5.0, 1.0, 5.0], [5.0] * 3]
+    out2 = {
+        (r["x"], r["y"]): r
+        for r in d8_flow_direction(_dem_df(spark, z2), dx=10.0, dy=10.0).collect()
+    }
+    assert out2[(10.0, 10.0)]["is_sink"]
+    assert all(
+        v["flow_to_x"] == 10.0 and v["flow_to_y"] == 10.0
+        for k, v in out2.items() if k != (10.0, 10.0)
+    )
+
+
+def test_watershed_two_basins(spark):
+    from xarray_dataaccessor_spark.operators.spatial import (
+        d8_flow_direction,
+        watershed_labels,
+    )
+
+    # ridge at x=30: west of it drains to pit (0,10), east to pit (60,10)
+    z = []
+    for j in range(3):
+        row = []
+        for i in range(7):
+            row.append(30.0 if i == 3 else abs(i - (0 if i < 3 else 6)) * 5.0
+                       + abs(j - 1) * 2.0)
+        z.append(row)
+    flow = d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0)
+    labels = watershed_labels(flow)
+    got = {(r["x"], r["y"]): (r["sink_x"], r["sink_y"]) for r in labels.collect()}
+    assert got[(0.0, 10.0)] == (0.0, 10.0)      # west pit is its own sink
+    assert got[(60.0, 10.0)] == (60.0, 10.0)    # east pit too
+    assert got[(10.0, 0.0)] == (0.0, 10.0)      # west slope -> west pit
+    assert got[(50.0, 2 * 10.0)] == (60.0, 10.0)  # east slope -> east pit
+    # every cell resolves to one of the basin sinks (or the ridge's own)
+    sinks = {v for v in got.values()}
+    for s in sinks:
+        assert got[s] == s  # sinks are fixed points
+
+
+def test_watershed_long_chain_converges(spark):
+    from xarray_dataaccessor_spark.operators.spatial import (
+        d8_flow_direction,
+        watershed_labels,
+    )
+
+    # strictly decreasing staircase: one long flow path into (0, 0)
+    n = 40
+    z = [[float(i) for i in range(n)]]
+    flow = d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0)
+    labels = watershed_labels(flow)
+    got = {r["x"]: (r["sink_x"], r["sink_y"]) for r in labels.collect()}
+    assert len(got) == n
+    assert all(v == (0.0, 0.0) for v in got.values())

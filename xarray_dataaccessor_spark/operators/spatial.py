@@ -861,41 +861,12 @@ def dem_derivatives(
     dropped, matching ``gdaldem``'s default edge behavior. The grid
     must be axis-aligned with uniform steps ``dx``/``dy`` (every grid
     this engine lands or snaps is)."""
-    offsets = F.array(
-        *[
-            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
-            for di in (-1, 0, 1)
-            for dj in (-1, 0, 1)
-        ]
-    )
-    ki = F.round(F.col(x_col) / F.lit(float(dx))).cast("bigint")
-    kj = F.round(F.col(y_col) / F.lit(float(dy))).cast("bigint")
-    contrib = (
-        df.select(
-            *group_cols,
-            ki.alias("__ki"),
-            kj.alias("__kj"),
-            F.col(value_col).cast("double").alias("__z"),
-            F.explode(offsets).alias("__o"),
-        )
-        .select(
-            *group_cols,
-            (F.col("__ki") + F.col("__o.di")).alias("__ti"),
-            (F.col("__kj") + F.col("__o.dj")).alias("__tj"),
-            # position of THIS cell within the target's 3x3 window
-            ((1 - F.col("__o.di")) * 3 + (1 - F.col("__o.dj"))).alias("__p"),
-            "__z",
-        )
-    )
-    win = contrib.groupBy(*group_cols, "__ti", "__tj").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__p"), F.col("__z")))
-        ).alias("__w"),
-        F.count(F.lit(1)).alias("__n"),
+    win = _stencil_windows(
+        df, dx, dy, value_col, x_col, y_col, group_cols
     ).filter(F.col("__n") == 9)
 
     def zat(di: int, dj: int) -> Column:
-        return F.element_at("__w", (di + 1) * 3 + (dj + 1) + 1 - 1)
+        return F.element_at("__w", (di + 1) * 3 + (dj + 1))
 
     # Horn weighted central differences (x east, y north)
     p = (
@@ -932,4 +903,180 @@ def dem_derivatives(
         F.degrees(slope_rad).alias("slope_deg"),
         aspect.alias("aspect_deg"),
         F.round(F.greatest(shade, F.lit(0.0))).cast("int").alias("hillshade"),
+    )
+
+
+
+def _stencil_windows(
+    df: DataFrame,
+    dx: float,
+    dy: float,
+    value_col: str,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Shared 3x3 stencil assembly (see :func:`dem_derivatives` for the
+    plan rationale): one map-side explode to the 9 windows each cell
+    participates in, one cell-keyed aggregation building the
+    position->z map (position = (1-di)*3 + (1-dj), center = 4)."""
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    ki = F.round(F.col(x_col) / F.lit(float(dx))).cast("bigint")
+    kj = F.round(F.col(y_col) / F.lit(float(dy))).cast("bigint")
+    contrib = df.select(
+        *group_cols,
+        ki.alias("__ki"),
+        kj.alias("__kj"),
+        F.col(value_col).cast("double").alias("__z"),
+        F.explode(offsets).alias("__o"),
+    ).select(
+        *group_cols,
+        (F.col("__ki") + F.col("__o.di")).alias("__ti"),
+        (F.col("__kj") + F.col("__o.dj")).alias("__tj"),
+        ((1 - F.col("__o.di")) * 3 + (1 - F.col("__o.dj"))).alias("__p"),
+        "__z",
+    )
+    return contrib.groupBy(*group_cols, "__ti", "__tj").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__p"), F.col("__z")))
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
+def d8_flow_direction(
+    df: DataFrame,
+    dx: float,
+    dy: float,
+    value_col: str = "z",
+    x_col: str = "x",
+    y_col: str = "y",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """D8 flow direction over a DEM — the first step of every raster
+    hydrology pipeline (the watershed side of the reference's GSSHA
+    exports): each cell drains to its steepest-descent neighbor
+    (drop / distance, diagonals at sqrt(dx²+dy²)); ties break by the
+    standard D8 priority E, SE, S, SW, W, NW, N, NE, so directions are
+    deterministic. Cells with no strictly-lower neighbor (pits, flats,
+    and cells whose only neighbors are missing) are SINKS.
+
+    Output: ``(x, y, z, flow_to_x, flow_to_y, is_sink)`` — NULL flow
+    targets for sinks. One stencil shuffle (shared with
+    :func:`dem_derivatives`); partial border windows still drain among
+    their present neighbors."""
+    import math as _math
+
+    win = _stencil_windows(df, dx, dy, value_col, x_col, y_col, group_cols)
+    win = win.filter(F.element_at("__w", 4).isNotNull())
+
+    def zat(di: int, dj: int) -> Column:
+        # stored position is the contributor's offset RELATIVE TO the
+        # window center: key = (di+1)*3 + (dj+1), center = 4
+        return F.element_at("__w", (di + 1) * 3 + (dj + 1))
+
+    z0 = zat(0, 0)
+    prio = [(1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1)]
+    # max-by-(drop, priority) over the candidate structs: struct
+    # comparison is lexicographic, so array_max picks the steepest drop
+    # and breaks ties by the D8 priority rank (stored negated). Linear
+    # expression size, unlike a nested-WHEN fold.
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    (z0 - zat(di, dj))
+                    / F.lit(_math.hypot(di * dx, dj * dy))
+                ).alias("drop"),
+                F.lit(-rank).alias("np"),
+                F.lit(di).cast("int").alias("di"),
+                F.lit(dj).cast("int").alias("dj"),
+            )
+            for rank, (di, dj) in enumerate(prio)
+        ]
+    )
+    best = F.array_max(
+        F.filter(cands, lambda c: c["drop"].isNotNull() & (c["drop"] > 0))
+    )
+    sink = best.isNull()
+    return win.select(
+        *group_cols,
+        (F.col("__ti") * F.lit(float(dx))).alias(x_col),
+        (F.col("__tj") * F.lit(float(dy))).alias(y_col),
+        z0.alias(value_col),
+        F.when(~sink, (F.col("__ti") + best["di"]) * F.lit(float(dx))).alias(
+            "flow_to_x"
+        ),
+        F.when(~sink, (F.col("__tj") + best["dj"]) * F.lit(float(dy))).alias(
+            "flow_to_y"
+        ),
+        sink.alias("is_sink"),
+    )
+
+
+def watershed_labels(
+    flow: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    group_cols: Sequence[str] = (),
+    max_iters: int = 40,
+) -> DataFrame:
+    """Label every cell with its terminal SINK — watershed delineation
+    over a :func:`d8_flow_direction` table. The D8 graph is functional
+    (every non-sink cell has exactly one out-edge), so pointer doubling
+    converges in O(log longest-flow-path) rounds: each round joins the
+    current successor table with itself (``succ = succ(succ)``), each
+    round's result is lazily checkpointed — the same O(log n) iterative
+    discipline as ``graph.connected_components``. 40 rounds cover flow
+    paths up to 2^40 cells.
+
+    Output: ``(x, y, sink_x, sink_y)`` for every cell in ``flow``."""
+    cur = flow.select(
+        *group_cols,
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.coalesce(F.col("flow_to_x"), F.col(x_col)).alias("__nx"),
+        F.coalesce(F.col("flow_to_y"), F.col(y_col)).alias("__ny"),
+    ).localCheckpoint(eager=False)
+    keys = list(group_cols)
+    for _ in range(max_iters):
+        nxt = cur.alias("a").join(
+            cur.alias("b"),
+            on=[F.col(f"a.__nx") == F.col("b.__x"),
+                F.col(f"a.__ny") == F.col("b.__y")]
+            + [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
+            how="left",
+        ).select(
+            *[F.col(f"a.{k}") for k in keys],
+            F.col("a.__x").alias("__x"),
+            F.col("a.__y").alias("__y"),
+            F.coalesce(F.col("b.__nx"), F.col("a.__nx")).alias("__nx"),
+            F.coalesce(F.col("b.__ny"), F.col("a.__ny")).alias("__ny"),
+        ).localCheckpoint(eager=False)
+        moved = nxt.alias("n").join(
+            cur.alias("c"),
+            on=[F.col("n.__x") == F.col("c.__x"),
+                F.col("n.__y") == F.col("c.__y")]
+            + [F.col(f"n.{k}") == F.col(f"c.{k}") for k in keys],
+        ).filter(
+            (F.col("n.__nx") != F.col("c.__nx"))
+            | (F.col("n.__ny") != F.col("c.__ny"))
+        )
+        cur = nxt
+        if moved.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"watershed_labels: no convergence in {max_iters}")
+    return cur.select(
+        *keys,
+        F.col("__x").alias(x_col),
+        F.col("__y").alias(y_col),
+        F.col("__nx").alias("sink_x"),
+        F.col("__ny").alias("sink_y"),
     )
