@@ -623,3 +623,21 @@ def test_watershed_long_chain_converges(spark):
     got = {r["x"]: (r["sink_x"], r["sink_y"]) for r in labels.collect()}
     assert len(got) == n
     assert all(v == (0.0, 0.0) for v in got.values())
+
+
+def test_gridframe_terrain_entry_point(spark):
+    from xarray_dataaccessor_spark.gridframe import GridFrame
+
+    z = [[float(i + j) for i in range(5)] for j in range(4)]
+    gf = GridFrame(_dem_df(spark, z).withColumnRenamed("z", "elev"))
+    der = gf.terrain("elev", "derivatives")
+    assert {"slope_deg", "aspect_deg", "hillshade"} <= set(der.columns)
+    assert der.count() == 6
+    flow = gf.terrain("elev", "flow")
+    assert flow.filter("is_sink").count() >= 1
+    ws = gf.terrain("elev", "watersheds")
+    assert ws.count() == 20  # every cell labeled
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown what"):
+        gf.terrain("elev", "nonsense")

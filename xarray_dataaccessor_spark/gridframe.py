@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from xarray_dataaccessor_spark.meta import BoundingBox, GridMeta
 from xarray_dataaccessor_spark.operators import aggregate as _agg
@@ -97,6 +98,40 @@ class GridFrame:
 
     def collapse_spatial(self, how: str = "mean") -> "GridFrame":
         return self._wrap(_agg.collapse_spatial(self.df, how))
+
+    def terrain(
+        self,
+        variable: str,
+        what: str = "derivatives",
+        per_time: bool = True,
+        **kwargs,
+    ) -> DataFrame:
+        """Terrain analytics over one variable: ``what='derivatives'``
+        (Horn slope/aspect/hillshade), ``'flow'`` (D8 directions) or
+        ``'watersheds'`` (terminal-sink labels). Grid steps infer from
+        the coordinate axes (one dimension-sized job, the ``grid_axes``
+        discipline)."""
+        from xarray_dataaccessor_spark.operators.spatial import (
+            axis_step,
+            d8_flow_direction,
+            dem_derivatives,
+            grid_axes,
+            watershed_labels,
+        )
+
+        xs, ys = grid_axes(self.df)
+        dx, dy = axis_step(xs), axis_step(ys)
+        groups = ("time",) if per_time and "time" in self.df.columns else ()
+        src = self.df.select(*groups, "x", "y", F.col(variable).alias("z"))
+        if what == "derivatives":
+            return dem_derivatives(src, dx=dx, dy=dy, group_cols=groups,
+                                   **kwargs)
+        flow = d8_flow_direction(src, dx=dx, dy=dy, group_cols=groups)
+        if what == "flow":
+            return flow
+        if what == "watersheds":
+            return watershed_labels(flow, group_cols=groups, **kwargs)
+        raise ValueError(f"terrain: unknown what={what!r}")
 
     def zonal_stats(
         self,
