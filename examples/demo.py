@@ -460,6 +460,16 @@ def main() -> None:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
         model).count()
 
+    # terrain analytics: Horn derivatives + D8 watersheds on a surface
+    from xarray_dataaccessor_spark.gridframe import GridFrame as _GF
+    surf = gv.groupBy("x", "y").agg(F.avg("t2m").alias("t2m"))
+    tf = _GF(surf)
+    n_basins = tf.terrain("t2m", "watersheds").select(
+        "sink_x", "sink_y").distinct().count()
+    mean_slope = tf.terrain("t2m").agg(F.avg("slope_deg")).first()[0]
+    print(f"terrain: mean Horn slope {mean_slope:.1f} deg; "
+          f"D8 delineates {n_basins} basins")
+
     # streaming heavy hitters: sharded Misra-Gries in group state
     from xarray_dataaccessor_spark.streaming.events import (
         run_available_now, stream_events, stream_heavy_hitters,
