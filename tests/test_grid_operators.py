@@ -641,3 +641,42 @@ def test_gridframe_terrain_entry_point(spark):
 
     with _pt.raises(ValueError, match="unknown what"):
         gf.terrain("elev", "nonsense")
+
+
+def test_dem_half_step_origin_grid(spark):
+    """A grid offset a half step from (0,0) puts cell indices on exact
+    .5 fractions where float noise flips the rounding direction cell by
+    cell, silently tearing stencils apart (step 0.3 / offset 0.15 is a
+    real tearing case) — the origin anchor must restore results
+    identical to an aligned grid (GridFrame.terrain passes the axis
+    minima automatically)."""
+    from xarray_dataaccessor_spark.gridframe import GridFrame
+    from xarray_dataaccessor_spark.operators.spatial import dem_derivatives
+
+    z = [[float(i * i + j) for i in range(8)] for j in range(4)]
+    aligned = dem_derivatives(
+        _dem_df(spark, z, dx=0.3, dy=0.3), dx=0.3, dy=0.3
+    ).collect()
+    shifted = _dem_df(spark, z, dx=0.3, dy=0.3).select(
+        (F.col("x") + 0.15).alias("x"), (F.col("y") + 0.15).alias("y"), "z"
+    )
+    # without the anchor, colliding indices tear windows apart
+    broken = dem_derivatives(shifted, dx=0.3, dy=0.3).count()
+    fixed = dem_derivatives(
+        shifted, dx=0.3, dy=0.3, origin=(0.15, 0.15)
+    ).collect()
+    assert len(fixed) == len(aligned) == 6 * 2
+    assert broken < len(aligned)
+    a = {
+        (round(r["x"] / 0.3), round(r["y"] / 0.3)): r["slope_deg"]
+        for r in aligned
+    }
+    b = {
+        (round((r["x"] - 0.15) / 0.3), round((r["y"] - 0.15) / 0.3)):
+            r["slope_deg"]
+        for r in fixed
+    }
+    assert a == b
+    # the GridFrame entry point anchors automatically
+    via_gf = GridFrame(shifted.withColumnRenamed("z", "elev")).terrain("elev")
+    assert via_gf.count() == len(aligned)

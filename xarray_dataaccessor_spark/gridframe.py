@@ -121,12 +121,17 @@ class GridFrame:
 
         xs, ys = grid_axes(self.df)
         dx, dy = axis_step(xs), axis_step(ys)
+        # anchor stencil indices to the axis minima — grids offset a
+        # half step from (0,0) would otherwise hit round-half-even
+        # index tearing (see _stencil_windows)
+        origin = (xs[0], ys[0])
         groups = ("time",) if per_time and "time" in self.df.columns else ()
         src = self.df.select(*groups, "x", "y", F.col(variable).alias("z"))
         if what == "derivatives":
             return dem_derivatives(src, dx=dx, dy=dy, group_cols=groups,
-                                   **kwargs)
-        flow = d8_flow_direction(src, dx=dx, dy=dy, group_cols=groups)
+                                   origin=origin, **kwargs)
+        flow = d8_flow_direction(src, dx=dx, dy=dy, group_cols=groups,
+                                 origin=origin)
         if what == "flow":
             return flow
         if what == "watersheds":

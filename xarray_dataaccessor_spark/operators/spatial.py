@@ -838,6 +838,7 @@ def dem_derivatives(
     z_factor: float = 1.0,
     azimuth_deg: float = 315.0,
     altitude_deg: float = 45.0,
+    origin: tuple[float, float] = (0.0, 0.0),
 ) -> DataFrame:
     """Horn-method terrain derivatives over a regular grid — the GDAL
     ``gdaldem slope/aspect/hillshade`` family (the raster-analytics step
@@ -862,7 +863,7 @@ def dem_derivatives(
     must be axis-aligned with uniform steps ``dx``/``dy`` (every grid
     this engine lands or snaps is)."""
     win = _stencil_windows(
-        df, dx, dy, value_col, x_col, y_col, group_cols
+        df, dx, dy, value_col, x_col, y_col, group_cols, origin
     ).filter(F.col("__n") == 9)
 
     def zat(di: int, dj: int) -> Column:
@@ -897,8 +898,8 @@ def dem_derivatives(
     )
     return win.select(
         *group_cols,
-        (F.col("__ti") * F.lit(float(dx))).alias(x_col),
-        (F.col("__tj") * F.lit(float(dy))).alias(y_col),
+        (F.lit(float(origin[0])) + F.col("__ti") * F.lit(float(dx))).alias(x_col),
+        (F.lit(float(origin[1])) + F.col("__tj") * F.lit(float(dy))).alias(y_col),
         zat(0, 0).alias(value_col),
         F.degrees(slope_rad).alias("slope_deg"),
         aspect.alias("aspect_deg"),
@@ -915,11 +916,21 @@ def _stencil_windows(
     x_col: str,
     y_col: str,
     group_cols: Sequence[str],
+    origin: tuple[float, float] = (0.0, 0.0),
 ) -> DataFrame:
     """Shared 3x3 stencil assembly (see :func:`dem_derivatives` for the
     plan rationale): one map-side explode to the 9 windows each cell
     participates in, one cell-keyed aggregation building the
-    position->z map (position = (1-di)*3 + (1-dj), center = 4)."""
+    position->z map (position = (1-di)*3 + (1-dj), center = 4).
+
+    ``origin`` anchors the integer cell indices: coordinates are
+    ``origin + k*step``, so the index is round((coord - origin)/step).
+    A grid whose coordinates sit at HALF steps from (0,0) would
+    otherwise land exactly on .5 index fractions, where IEEE
+    round-half-even flips between adjacent cells and silently tears
+    every stencil apart — pass any on-grid coordinate (e.g. the axis
+    minimum) as the origin for such grids."""
+    x0, y0 = origin
     offsets = F.array(
         *[
             F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
@@ -927,8 +938,12 @@ def _stencil_windows(
             for dj in (-1, 0, 1)
         ]
     )
-    ki = F.round(F.col(x_col) / F.lit(float(dx))).cast("bigint")
-    kj = F.round(F.col(y_col) / F.lit(float(dy))).cast("bigint")
+    ki = F.round((F.col(x_col) - F.lit(float(x0))) / F.lit(float(dx))).cast(
+        "bigint"
+    )
+    kj = F.round((F.col(y_col) - F.lit(float(y0))) / F.lit(float(dy))).cast(
+        "bigint"
+    )
     contrib = df.select(
         *group_cols,
         ki.alias("__ki"),
@@ -958,6 +973,7 @@ def d8_flow_direction(
     x_col: str = "x",
     y_col: str = "y",
     group_cols: Sequence[str] = (),
+    origin: tuple[float, float] = (0.0, 0.0),
 ) -> DataFrame:
     """D8 flow direction over a DEM — the first step of every raster
     hydrology pipeline (the watershed side of the reference's GSSHA
@@ -973,7 +989,9 @@ def d8_flow_direction(
     their present neighbors."""
     import math as _math
 
-    win = _stencil_windows(df, dx, dy, value_col, x_col, y_col, group_cols)
+    win = _stencil_windows(
+        df, dx, dy, value_col, x_col, y_col, group_cols, origin
+    )
     win = win.filter(F.element_at("__w", 4).isNotNull())
 
     def zat(di: int, dj: int) -> Column:
@@ -1005,17 +1023,18 @@ def d8_flow_direction(
         F.filter(cands, lambda c: c["drop"].isNotNull() & (c["drop"] > 0))
     )
     sink = best.isNull()
+    x0, y0 = (F.lit(float(origin[0])), F.lit(float(origin[1])))
     return win.select(
         *group_cols,
-        (F.col("__ti") * F.lit(float(dx))).alias(x_col),
-        (F.col("__tj") * F.lit(float(dy))).alias(y_col),
+        (x0 + F.col("__ti") * F.lit(float(dx))).alias(x_col),
+        (y0 + F.col("__tj") * F.lit(float(dy))).alias(y_col),
         z0.alias(value_col),
-        F.when(~sink, (F.col("__ti") + best["di"]) * F.lit(float(dx))).alias(
-            "flow_to_x"
-        ),
-        F.when(~sink, (F.col("__tj") + best["dj"]) * F.lit(float(dy))).alias(
-            "flow_to_y"
-        ),
+        F.when(
+            ~sink, x0 + (F.col("__ti") + best["di"]) * F.lit(float(dx))
+        ).alias("flow_to_x"),
+        F.when(
+            ~sink, y0 + (F.col("__tj") + best["dj"]) * F.lit(float(dy))
+        ).alias("flow_to_y"),
         sink.alias("is_sink"),
     )
 
