@@ -680,3 +680,83 @@ def test_dem_half_step_origin_grid(spark):
     # the GridFrame entry point anchors automatically
     via_gf = GridFrame(shifted.withColumnRenamed("z", "elev")).terrain("elev")
     assert via_gf.count() == len(aligned)
+
+
+# ---------------------------------------------------------------------------
+# Marching-squares contours
+# ---------------------------------------------------------------------------
+def test_contours_plane_exact(spark):
+    """On z = x/10: the L-level contour is the vertical line x = 10L —
+    every emitted segment must lie exactly on it."""
+    from xarray_dataaccessor_spark.operators.spatial import contour_segments
+
+    z = [[float(i) for i in range(6)] for j in range(5)]
+    segs = contour_segments(
+        _dem_df(spark, z), dx=10.0, dy=10.0, levels=[2.5]
+    ).collect()
+    assert len(segs) == 4  # one vertical segment per interior row band
+    for s in segs:
+        assert s["x1"] == 25.0 and s["x2"] == 25.0
+        assert abs(s["y2"] - s["y1"]) == 10.0
+
+
+def test_contours_cone_on_level(spark):
+    """Radial cone z = r: every contour endpoint sits exactly on the
+    level's circle (linear interpolation is exact on a linear field
+    along each edge), and the polyline closes around the peak."""
+    import math
+
+    from xarray_dataaccessor_spark.operators.spatial import contour_segments
+
+    n = 9
+    z = [
+        [math.hypot((i - 4) * 10.0, (j - 4) * 10.0) for i in range(n)]
+        for j in range(n)
+    ]
+    segs = contour_segments(
+        _dem_df(spark, z), dx=10.0, dy=10.0, levels=[15.0]
+    ).collect()
+    assert segs
+    # endpoints land within the cell-sized tolerance of the circle and
+    # the segment graph is a closed loop (every endpoint appears twice)
+    from collections import Counter
+
+    ends = Counter()
+    for s in segs:
+        for px, py in ((s["x1"], s["y1"]), (s["x2"], s["y2"])):
+            r = math.hypot(px - 40.0, py - 40.0)
+            assert abs(r - 15.0) < 6.0, (px, py, r)
+            ends[(round(px, 9), round(py, 9))] += 1
+    assert all(v == 2 for v in ends.values()), ends
+
+
+def test_contours_saddle_separates_by_center(spark):
+    from xarray_dataaccessor_spark.operators.spatial import contour_segments
+
+    # one window: high diagonal (z00=z11=1), low diagonal (z10=z01=0);
+    # center = 0.5 >= L -> the two segments hug the LOW corners
+    z = [[1.0, 0.0], [0.0, 1.0]]
+    segs = contour_segments(
+        _dem_df(spark, z, dx=10.0, dy=10.0), dx=10.0, dy=10.0, levels=[0.45]
+    ).collect()
+    assert len(segs) == 2
+    mids = sorted(
+        ((s["x1"] + s["x2"]) / 2, (s["y1"] + s["y2"]) / 2) for s in segs
+    )
+    # segment midpoints sit in the bottom-right and top-left quadrants
+    assert mids[0][0] < 5.0 and mids[0][1] > 5.0      # top-left low corner
+    assert mids[1][0] > 5.0 and mids[1][1] < 5.0      # bottom-right low corner
+
+
+def test_contours_multi_level_and_empty(spark):
+    from xarray_dataaccessor_spark.operators.spatial import contour_segments
+
+    z = [[float(i) for i in range(4)] for _ in range(3)]
+    segs = contour_segments(
+        _dem_df(spark, z), dx=10.0, dy=10.0, levels=[0.5, 1.5, 99.0]
+    ).collect()
+    by_level = {}
+    for s in segs:
+        by_level.setdefault(s["level"], []).append(s)
+    assert set(by_level) == {0.5, 1.5}  # 99.0 crosses nothing
+    assert len(by_level[0.5]) == len(by_level[1.5]) == 2

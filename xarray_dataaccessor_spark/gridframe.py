@@ -107,12 +107,14 @@ class GridFrame:
         **kwargs,
     ) -> DataFrame:
         """Terrain analytics over one variable: ``what='derivatives'``
-        (Horn slope/aspect/hillshade), ``'flow'`` (D8 directions) or
-        ``'watersheds'`` (terminal-sink labels). Grid steps infer from
-        the coordinate axes (one dimension-sized job, the ``grid_axes``
-        discipline)."""
+        (Horn slope/aspect/hillshade), ``'flow'`` (D8 directions),
+        ``'watersheds'`` (terminal-sink labels) or ``'contours'``
+        (marching-squares segments; pass ``levels=[...]``). Grid steps
+        infer from the coordinate axes (one dimension-sized job, the
+        ``grid_axes`` discipline)."""
         from xarray_dataaccessor_spark.operators.spatial import (
             axis_step,
+            contour_segments,
             d8_flow_direction,
             dem_derivatives,
             grid_axes,
@@ -130,6 +132,9 @@ class GridFrame:
         if what == "derivatives":
             return dem_derivatives(src, dx=dx, dy=dy, group_cols=groups,
                                    origin=origin, **kwargs)
+        if what == "contours":
+            return contour_segments(src, dx=dx, dy=dy, group_cols=groups,
+                                    origin=origin, **kwargs)
         flow = d8_flow_direction(src, dx=dx, dy=dy, group_cols=groups,
                                  origin=origin)
         if what == "flow":

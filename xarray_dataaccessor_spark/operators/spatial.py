@@ -1099,3 +1099,139 @@ def watershed_labels(
         F.col("__nx").alias("sink_x"),
         F.col("__ny").alias("sink_y"),
     )
+
+
+def contour_segments(
+    df: DataFrame,
+    dx: float,
+    dy: float,
+    levels: Sequence[float],
+    value_col: str = "z",
+    x_col: str = "x",
+    y_col: str = "y",
+    group_cols: Sequence[str] = (),
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> DataFrame:
+    """Marching-squares contour extraction — ``gdal_contour`` over the
+    long-form grid: for every 2x2 cell window and every requested
+    level, emit the 0-2 line segments where the level crosses the
+    window, endpoints linearly interpolated along the crossing edges.
+    Saddle windows (4 crossings) disambiguate by the window-center
+    average, the standard rule.
+
+    Plan shape: each cell explodes to the 4 windows it corners
+    (map-side, integer indices anchored at ``origin`` like the 3x3
+    stencils), ONE aggregation assembles the window, and the per-level
+    case logic is pure codegen over a literal levels array — one
+    shuffle total, output one row per (window, level, segment):
+    ``(x1, y1, x2, y2, level)``."""
+    x0, y0 = origin
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (0, 1)
+            for dj in (0, 1)
+        ]
+    )
+    ki = F.round((F.col(x_col) - F.lit(float(x0))) / F.lit(float(dx))).cast(
+        "bigint"
+    )
+    kj = F.round((F.col(y_col) - F.lit(float(y0))) / F.lit(float(dy))).cast(
+        "bigint"
+    )
+    contrib = df.select(
+        *group_cols,
+        ki.alias("__ki"),
+        kj.alias("__kj"),
+        F.col(value_col).cast("double").alias("__z"),
+        F.explode(offsets).alias("__o"),
+    ).select(
+        *group_cols,
+        (F.col("__ki") - F.col("__o.di")).alias("__ti"),
+        (F.col("__kj") - F.col("__o.dj")).alias("__tj"),
+        # corner index within the window: 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1)
+        (F.col("__o.di") + 2 * F.col("__o.dj")).alias("__p"),
+        "__z",
+    )
+    win = contrib.groupBy(*group_cols, "__ti", "__tj").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__p"), F.col("__z")))
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") == 4)
+    lv = F.explode(
+        F.array(*[F.lit(float(l)) for l in levels])
+    ).alias("level")
+    win = win.select("*", lv)
+
+    # map keys are the stored corner indices di + 2*dj (0..3)
+    z00 = F.element_at("__w", F.lit(0))
+    z10 = F.element_at("__w", F.lit(1))
+    z01 = F.element_at("__w", F.lit(2))
+    z11 = F.element_at("__w", F.lit(3))
+    L = F.col("level")
+    wx = F.lit(float(x0)) + F.col("__ti") * F.lit(float(dx))
+    wy = F.lit(float(y0)) + F.col("__tj") * F.lit(float(dy))
+
+    def crossing(za, zb, ax, ay, bx, by, edge):
+        """Edge crossing struct (null when the level does not cross;
+        half-open convention za <= L < zb or zb <= L < za avoids
+        double-counting corners exactly at the level)."""
+        t = (L - za) / (zb - za)
+        cross = ((za <= L) & (L < zb)) | ((zb <= L) & (L < za))
+        return F.when(
+            cross,
+            F.struct(
+                (ax + (bx - ax) * t).alias("cx"),
+                (ay + (by - ay) * t).alias("cy"),
+                F.lit(edge).alias("edge"),
+            ),
+        )
+
+    sdx, sdy = F.lit(float(dx)), F.lit(float(dy))
+    crossings = F.filter(
+        F.array(
+            crossing(z00, z10, wx, wy, wx + sdx, wy, 0),           # bottom
+            crossing(z10, z11, wx + sdx, wy, wx + sdx, wy + sdy, 1),  # right
+            crossing(z01, z11, wx, wy + sdy, wx + sdx, wy + sdy, 2),  # top
+            crossing(z00, z01, wx, wy, wx, wy + sdy, 3),           # left
+        ),
+        lambda c: c.isNotNull(),
+    )
+    n_cross = F.size(crossings)
+    c = lambda i: F.element_at(crossings, i)
+    # saddle rule: center average above the level pairs bottom-right /
+    # top-left; below pairs bottom-left / top-right. Edge order in the
+    # array is bottom(0), right(1), top(2), left(3).
+    center_hi = (z00 + z10 + z01 + z11) / F.lit(4.0) >= L
+    seg2 = F.when(
+        n_cross == 4,
+        F.when(
+            center_hi,
+            F.array(
+                F.struct(c(1).alias("a"), c(2).alias("b")),
+                F.struct(c(3).alias("a"), c(4).alias("b")),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(c(1).alias("a"), c(4).alias("b")),
+                F.struct(c(2).alias("a"), c(3).alias("b")),
+            )
+        ),
+    ).when(
+        n_cross == 2,
+        F.array(F.struct(c(1).alias("a"), c(2).alias("b"))),
+    )
+    segs = win.select(
+        *group_cols,
+        "level",
+        F.explode(seg2).alias("__s"),
+    )
+    return segs.select(
+        *group_cols,
+        "level",
+        F.col("__s.a.cx").alias("x1"),
+        F.col("__s.a.cy").alias("y1"),
+        F.col("__s.b.cx").alias("x2"),
+        F.col("__s.b.cy").alias("y2"),
+    )
