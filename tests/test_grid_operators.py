@@ -625,6 +625,34 @@ def test_watershed_long_chain_converges(spark):
     assert all(v == (0.0, 0.0) for v in got.values())
 
 
+def test_watershed_one_join_per_round(spark, monkeypatch):
+    """Round-cost proof: convergence is the signature aggregate, not a
+    second self-join — the loop issues exactly ONE join per doubling
+    round (was two before round 8)."""
+    from pyspark.sql import DataFrame
+    from xarray_dataaccessor_spark.operators.spatial import (
+        d8_flow_direction,
+        watershed_labels,
+    )
+
+    joins = {"n": 0}
+    orig_join = DataFrame.join
+
+    def counting_join(self, *a, **kw):
+        joins["n"] += 1
+        return orig_join(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "join", counting_join)
+    # 33-cell chain: longest path 32 -> pointer doubling needs
+    # ceil(log2(32)) = 5 doubling rounds + 1 fixed-point round = 6
+    n = 33
+    z = [[float(i) for i in range(n)]]
+    flow = d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0)
+    labels = watershed_labels(flow)
+    assert labels.count() == n
+    assert joins["n"] <= 7  # one join PER ROUND, no convergence join
+
+
 def test_gridframe_terrain_entry_point(spark):
     from xarray_dataaccessor_spark.gridframe import GridFrame
 

@@ -1453,13 +1453,14 @@ def pca_model(
 
     Distribution shape (the `tokenize.py` discipline — heavy reduction
     in the cluster, dimension-sized math on the driver): one
-    ``mapInPandas`` pass emits a PARTIAL (sum, gram, count) per Arrow
-    batch — a single row of dims + dims² floats each, accumulated in
-    float64 by numpy — and the driver sums the handful of partials and
-    runs the dims x dims eigendecomposition (64² = a 4 KB matrix; the
-    same vocabulary-sized driver work as BPE merge learning). The
-    corpus is scanned once, nothing corpus-sized ever reaches the
-    driver. Batch-content float accumulation makes the low bits
+    ``mapInPandas`` pass emits a PARTIAL (sum, gram, count) per
+    PARTITION — the generator accumulates across its Arrow batches in
+    float64 and yields exactly one row of dims + dims² floats — and the
+    driver sums the n_partitions partials and runs the dims x dims
+    eigendecomposition (64² = a 4 KB matrix; the same vocabulary-sized
+    driver work as BPE merge learning). The corpus is scanned once,
+    nothing corpus-sized ever reaches the driver: the collect is
+    n_partitions x (dims + dims²) doubles regardless of batch count. Batch-content float accumulation makes the low bits
     layout-dependent (inherent to any parallel float PCA) — parity
     with a single-node numpy PCA is ~1e-9 relative."""
     import numpy as np
@@ -1471,20 +1472,27 @@ def pca_model(
     def partial(batches):
         import numpy as _np
 
+        d = None
+        s = g = None
+        n = 0
         for pdf in batches:
             x = _np.asarray(
                 [list(v) for v in pdf[vec_col]], dtype=_np.float64
             )
             if x.size == 0:
                 continue
+            if s is None:
+                d = x.shape[1]
+                s = _np.zeros(d)
+                g = _np.zeros((d, d))
+            s += x.sum(axis=0)
+            g += x.T @ x
+            n += x.shape[0]
+        if n:
             import pandas as _pd
 
             yield _pd.DataFrame(
-                {
-                    "s": [x.sum(axis=0).tolist()],
-                    "g": [(x.T @ x).ravel().tolist()],
-                    "n": [x.shape[0]],
-                }
+                {"s": [s.tolist()], "g": [g.ravel().tolist()], "n": [n]}
             )
 
     parts = df.select(

@@ -1055,7 +1055,29 @@ def watershed_labels(
     discipline as ``graph.connected_components``. 40 rounds cover flow
     paths up to 2^40 cells.
 
+    Convergence is detected by the same one-scan signature aggregate as
+    ``graph.connected_components`` — ``(count, bit_xor(xxhash64(row)))``
+    over the pointer table — NOT a self-join against the previous round:
+    a fixed point means ``succ(succ) == succ`` row-for-row, so equal
+    signatures end the loop. At grid scale the old per-round
+    convergence join cost as much as the doubling join itself; the
+    signature rides the materialization scan the checkpoint pays anyway.
+
     Output: ``(x, y, sink_x, sink_y)`` for every cell in ``flow``."""
+    keys = list(group_cols)
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor of xxhash64: order-independent, overflow-free under
+            # ANSI mode (a SUM of hashes overflows long)
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*keys, "__x", "__y", "__nx", "__ny")),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
     cur = flow.select(
         *group_cols,
         F.col(x_col).alias("__x"),
@@ -1063,7 +1085,7 @@ def watershed_labels(
         F.coalesce(F.col("flow_to_x"), F.col(x_col)).alias("__nx"),
         F.coalesce(F.col("flow_to_y"), F.col(y_col)).alias("__ny"),
     ).localCheckpoint(eager=False)
-    keys = list(group_cols)
+    sig = _sig(cur)
     for _ in range(max_iters):
         nxt = cur.alias("a").join(
             cur.alias("b"),
@@ -1078,18 +1100,11 @@ def watershed_labels(
             F.coalesce(F.col("b.__nx"), F.col("a.__nx")).alias("__nx"),
             F.coalesce(F.col("b.__ny"), F.col("a.__ny")).alias("__ny"),
         ).localCheckpoint(eager=False)
-        moved = nxt.alias("n").join(
-            cur.alias("c"),
-            on=[F.col("n.__x") == F.col("c.__x"),
-                F.col("n.__y") == F.col("c.__y")]
-            + [F.col(f"n.{k}") == F.col(f"c.{k}") for k in keys],
-        ).filter(
-            (F.col("n.__nx") != F.col("c.__nx"))
-            | (F.col("n.__ny") != F.col("c.__ny"))
-        )
+        new_sig = _sig(nxt)
         cur = nxt
-        if moved.isEmpty():
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         raise RuntimeError(f"watershed_labels: no convergence in {max_iters}")
     return cur.select(
