@@ -88,23 +88,49 @@ _FP_NUM = _H64.format(expr=_NORM_TEXT)
     oracle=None,  # set below (needs the language marker tables)
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass per-document text profile: quality statistics
-    (lengths, punctuation/digit/stopword ratios, composite quality
-    flag), marker-hit language ID with deterministic tie-break, and the
-    md5 + 60-bit fingerprint — the three per-document curation passes
-    (formerly the text_quality_stats / language_id_heuristic /
-    doc_fingerprint queries) fused into ONE map-side projection: at
-    100 TB this is one corpus scan instead of three, zero shuffles."""
+    """Per-document curation passes under one oracle slot (variant
+    union — the r6/r7 consolidation discipline):
+
+    - ``'profile'`` rows — single-pass text profile: quality statistics
+      (lengths, punctuation/digit/stopword ratios, composite quality
+      flag), marker-hit language ID with deterministic tie-break, and
+      the md5 + 60-bit fingerprint, fused into ONE map-side projection:
+      at 100 TB this is one corpus scan instead of three, zero shuffles.
+    - ``'web'`` rows — :func:`operators.webprep.normalize_url` + the
+      registrable-domain gate over deterministically seeded URLs (the
+      synthetic corpus carries none — the pii_scrub seeding trick):
+      four URL shapes per corpus exercise case folding, default-port
+      stripping, tracking-param removal + query sort, duplicate-slash
+      collapse, bare-host '/', fragment drop, and non-default port
+      retention; ``web_blocked`` is the ``domain_filter`` predicate.
+    - ``'chunk'`` rows — :func:`operators.webprep.chunk_documents`
+      (64-token windows, 16-token overlap): one row per chunk with the
+      token count in ``n_words`` and the chunk text's md5 in ``fp_md5``,
+      so window boundaries, the shared-overlap invariant and the final
+      short chunk all hash-verify. Map-side explode; the corpus never
+      shuffles in any variant."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.text import (
         fingerprint,
         language_id,
         text_stats,
     )
+    from xarray_dataaccessor_spark.operators.webprep import (
+        chunk_documents,
+        normalize_url,
+        url_parts,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     out = fingerprint(language_id(text_stats(docs)))
-    return out.select(
+    nulls = {
+        "url_norm": F.lit(None).cast("string"),
+        "url_domain": F.lit(None).cast("string"),
+        "web_blocked": F.lit(None).cast("boolean"),
+        "chunk_id": F.lit(None).cast("int"),
+    }
+    profile = out.select(
+        F.lit("profile").alias("variant"),
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -118,7 +144,74 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang_score").cast("bigint").alias("lang_score"),
         "fp_md5",
         "fp_num",
+        *[v.alias(k) for k, v in nulls.items()],
     )
+    k = (F.col("doc_id") % 50).cast("string")
+    m = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://Site"), k, F.lit(".COM:80/path/"), m,
+                     F.lit("?utm_campaign=c&z=9&a=1#x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://sub.Site"), k,
+                     F.lit(".com:8443//a//b?fbclid=f")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://Site"), k, F.lit(".COM")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.Site"), k, F.lit(".com/?gclid=g&b=2"))
+        )
+    )
+    seeded = docs.select("doc_id", url.alias("__url"))
+    dom = url_parts(F.col("__url"))["domain"]
+    web = seeded.select(
+        F.lit("web").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit(None).cast("bigint").alias("n_words"),
+        F.lit(None).cast("double").alias("mean_word_len"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        F.lit(None).cast("double").alias("digit_ratio"),
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("boolean").alias("quality_ok"),
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("bigint").alias("lang_score"),
+        F.lit(None).cast("string").alias("fp_md5"),
+        F.lit(None).cast("bigint").alias("fp_num"),
+        normalize_url(F.col("__url")).alias("url_norm"),
+        dom.alias("url_domain"),
+        # the domain_filter(keep=True) predicate, surfaced as a flag so
+        # both kept and dropped rows hash-verify
+        dom.isin("site3.com", "site7.com").alias("web_blocked"),
+        F.lit(None).cast("int").alias("chunk_id"),
+    )
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_words"),
+        F.lit(None).cast("double").alias("mean_word_len"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        F.lit(None).cast("double").alias("digit_ratio"),
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("boolean").alias("quality_ok"),
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("bigint").alias("lang_score"),
+        F.md5("text").alias("fp_md5"),
+        F.lit(None).cast("bigint").alias("fp_num"),
+        F.lit(None).cast("string").alias("url_norm"),
+        F.lit(None).cast("string").alias("url_domain"),
+        F.lit(None).cast("boolean").alias("web_blocked"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+    )
+    return profile.unionByName(web).unionByName(chunks)
 
 
 def _register_text_profile_oracle():
@@ -144,8 +237,25 @@ def _register_text_profile_oracle():
                len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS n_stop,
                {scores}
         FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> length(x) > 0) AS w
+        FROM documents
+    ),
+    chk AS (
+        SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+               w[(cid * 48 + 1):(cid * 48 + 64)] AS chunk
+        FROM (
+            SELECT doc_id, w,
+                   unnest(range(0, CAST(greatest(
+                       ceil((len(w) - 64) / 48), 0) AS BIGINT) + 1)) AS cid
+            FROM toks
+        )
+        WHERE len(w[(cid * 48 + 1):(cid * 48 + 64)]) > 0
     )
-    SELECT doc_id, lang, n_chars, n_words,
+    SELECT 'profile' AS variant, doc_id, lang, n_chars, n_words,
            (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) AS mean_word_len,
            n_punct / CAST(n_chars AS DOUBLE) AS punct_ratio,
            n_digits / CAST(n_chars AS DOUBLE) AS digit_ratio,
@@ -154,8 +264,42 @@ def _register_text_profile_oracle():
                AS quality_ok,
            {case} AS lang_pred, CAST({g} AS BIGINT) AS lang_score,
            md5({_NORM_TEXT}) AS fp_md5,
-           {_FP_NUM} AS fp_num
+           {_FP_NUM} AS fp_num,
+           CAST(NULL AS VARCHAR) AS url_norm,
+           CAST(NULL AS VARCHAR) AS url_domain,
+           CAST(NULL AS BOOLEAN) AS web_blocked,
+           CAST(NULL AS INT) AS chunk_id
     FROM t
+    UNION ALL
+    SELECT 'web' AS variant, doc_id,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.com/path/' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&z=9'
+             WHEN 1 THEN 'https://sub.site' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.com:8443/a/b'
+             WHEN 2 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.com/'
+             ELSE 'https://www.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/?b=2'
+           END AS url_norm,
+           'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS url_domain,
+           (doc_id % 50) IN (3, 7) AS web_blocked,
+           CAST(NULL AS INT) AS chunk_id
+    FROM documents
+    UNION ALL
+    SELECT 'chunk' AS variant, doc_id,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(len(chunk) AS BIGINT) AS n_words,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           md5(array_to_string(chunk, ' ')) AS fp_md5,
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BOOLEAN), chunk_id
+    FROM chk
     """
 
 
@@ -1242,25 +1386,142 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_user_stats",
     oracle="""
-    SELECT user_id,
+    WITH RECURSIVE
+    it AS (
+        SELECT shard, item, w,
+               row_number() OVER (PARTITION BY shard ORDER BY w DESC, item) AS rk
+        FROM (
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 4 AS INT) AS shard,
+                   CAST(user_id AS VARCHAR) AS item, COUNT(*) AS w
+            FROM events GROUP BY 1, 2
+        )
+    ),
+    mg AS (
+        -- step the weighted Misra-Gries decision sequence: one
+        -- recursion per (shard, item) in the operator's deterministic
+        -- (-weight, item) application order
+        SELECT shard, 0 AS step,
+               CAST([] AS VARCHAR[]) AS items, CAST([] AS BIGINT[]) AS counts,
+               CAST(0 AS BIGINT) AS dec
+        FROM (SELECT DISTINCT shard FROM it)
+        UNION ALL
+        SELECT mg.shard, mg.step + 1,
+            CASE WHEN len(mg.items) < 8 THEN list_append(mg.items, it.item)
+                 ELSE list_transform(
+                        list_filter(list_zip(mg.items, mg.counts),
+                            p -> p[2] - least(list_min(mg.counts), it.w) > 0),
+                        p -> p[1])
+                      || CASE WHEN it.w - least(list_min(mg.counts), it.w) > 0
+                              THEN [it.item] ELSE CAST([] AS VARCHAR[]) END
+            END,
+            CASE WHEN len(mg.items) < 8 THEN list_append(mg.counts, it.w)
+                 ELSE list_transform(
+                        list_filter(list_zip(mg.items, mg.counts),
+                            p -> p[2] - least(list_min(mg.counts), it.w) > 0),
+                        p -> p[2] - least(list_min(mg.counts), it.w))
+                      || CASE WHEN it.w - least(list_min(mg.counts), it.w) > 0
+                              THEN [it.w - least(list_min(mg.counts), it.w)]
+                              ELSE CAST([] AS BIGINT[]) END
+            END,
+            mg.dec + CASE WHEN len(mg.items) < 8 THEN 0
+                          ELSE least(list_min(mg.counts), it.w) END
+        FROM mg JOIN it ON it.shard = mg.shard AND it.rk = mg.step + 1
+    ),
+    fin AS (
+        SELECT shard, items, counts, dec
+        FROM mg QUALIFY row_number() OVER (PARTITION BY shard ORDER BY step DESC) = 1
+    ),
+    tot AS (SELECT shard, SUM(w) AS n FROM it GROUP BY shard)
+    SELECT 'stats' AS variant, user_id,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
-           MAX(ts) AS last_ts
+           MAX(ts) AS last_ts,
+           CAST(NULL AS INT) AS shard, CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS BIGINT) AS n_decrements
     FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'hh' AS variant, CAST(u.item AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           fin.shard, u.est_count, tot.n, fin.dec
+    FROM fin JOIN tot USING (shard),
+         (SELECT fin2.shard AS s2, unnest(fin2.items) AS item,
+                 unnest(fin2.counts) AS est_count
+          FROM fin fin2) u
+    WHERE u.s2 = fin.shard
     """,
 )
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stateful streaming operators under one oracle slot:
+
+    - ``'stats'`` rows — per-user running count / exact micro-unit sum /
+      last-seen timestamp in explicit group state
+      (``user_running_stats``).
+    - ``'hh'`` rows — :func:`streaming.events.stream_heavy_hitters`:
+      sharded weighted Misra-Gries summaries in group state. Routing
+      uses the engine-portable md5 hash and the whole stream arrives as
+      one Arrow batch per shard (single file source + raised
+      ``maxRecordsPerBatch``), so the operator's deterministic
+      heaviest-first decision sequence replays EXACTLY in the oracle's
+      recursive CTE — est_counts, totals and decrement mass all
+      hash-match, evictions included (VERDICT r7 next-round #5)."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
     from xarray_dataaccessor_spark.streaming.events import (
         run_available_now,
         stream_events,
+        stream_heavy_hitters,
         user_running_stats,
     )
 
     stream = stream_events(spark, sf_dir)
-    return run_available_now(
+    stats = run_available_now(
         user_running_stats(stream), output_mode="update", shuffle_partitions=8
+    ).select(
+        F.lit("stats").alias("variant"),
+        "user_id",
+        "n_events",
+        "sum_micro",
+        "last_ts",
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("bigint").alias("est_count"),
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.lit(None).cast("bigint").alias("n_decrements"),
     )
+    hh_in = stream_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item"),
+        F.pmod(
+            portable_hash32(F.col("user_id").cast("string")), F.lit(4)
+        ).cast("int").alias("__shard"),
+    )
+    prev_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
+    try:
+        hh = run_available_now(
+            stream_heavy_hitters(
+                hh_in, item_col="item", k=8, n_shards=4, shard_col="__shard"
+            ),
+            output_mode="update",
+            shuffle_partitions=4,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
+        )
+    hh = hh.select(
+        F.lit("hh").alias("variant"),
+        F.col("item").cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("sum_micro"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+        "shard",
+        "est_count",
+        "n_items",
+        "n_decrements",
+    )
+    return stats.unionByName(hh)
 
 
 # ---------------------------------------------------------------------------
@@ -2172,10 +2433,39 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(pos_v) AS BIGINT) AS eval_pos,
                CAST(SUM(neg_v) AS BIGINT) AS eval_neg
         FROM cum
+    ),
+    ppl_hist AS (
+        SELECT ROUND(lm_neg_log2p, 2) AS q, COUNT(*) AS c
+        FROM base WHERE lm_neg_log2p IS NOT NULL GROUP BY 1
+    ),
+    ppl_cum AS (
+        SELECT q,
+               SUM(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cm,
+               SUM(c) OVER () AS n
+        FROM ppl_hist
+    ),
+    ppl_t AS (
+        SELECT MIN(CASE WHEN cm * 3 >= n * 1 THEN q END) AS t1,
+               MIN(CASE WHEN cm * 3 >= n * 2 THEN q END) AS t2
+        FROM ppl_cum
+    ),
+    ppl AS (
+        SELECT doc_id,
+               CASE WHEN lm_neg_log2p IS NOT NULL THEN
+                   CAST(CASE WHEN ROUND(lm_neg_log2p, 2) > t1 THEN 1 ELSE 0 END
+                      + CASE WHEN ROUND(lm_neg_log2p, 2) > t2 THEN 1 ELSE 0 END
+                      AS INT)
+               END AS ppl_bucket
+        FROM base CROSS JOIN ppl_t
     )
     SELECT base.*, clf.clf_score, clf.clf_keep,
-           met.eval_auc, met.eval_pos, met.eval_neg
-    FROM base JOIN clf ON base.doc_id = clf.doc_id CROSS JOIN met
+           met.eval_auc, met.eval_pos, met.eval_neg,
+           ppl.ppl_bucket,
+           CASE ppl.ppl_bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                WHEN 2 THEN 'tail' END AS ppl_tier
+    FROM base JOIN clf ON base.doc_id = clf.doc_id
+    JOIN ppl ON base.doc_id = ppl.doc_id CROSS JOIN met
     """,
 )
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2193,8 +2483,13 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division. The oracle replays the entire training loop
     (epoch-0 sigmoid is exactly 0.5; decimal-cast accumulations;
     6-decimal-rounded sigmoids) AND the eval metric, so the learned
-    weights, scores and AUC all hash-match across engines. One oracle
-    slot covers the three quality-scoring families plus their eval."""
+    weights, scores and AUC all hash-match across engines — PLUS the
+    CCNet perplexity tiers (``operators.text.perplexity_buckets``,
+    Wenzek et al. 2020): head/middle/tail terciles of the LM score via
+    the bounded-histogram threshold derivation (no global sort), the
+    thresholds replayed in SQL from the same quantized histogram. One
+    oracle slot covers the four quality-scoring families plus their
+    eval."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.cachectl import (
         get_tagged_caches,
@@ -2291,7 +2586,19 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("npos").cast("bigint").alias("eval_pos"),
         F.col("nneg").cast("bigint").alias("eval_neg"),
     )
-    out = base.join(clf, "doc_id").crossJoin(F.broadcast(metrics))
+    # CCNet perplexity terciles over the SAME cached base table — the
+    # histogram threshold derivation scans base once, then labeling is
+    # a broadcast threshold join (operators/text.py::perplexity_buckets)
+    from xarray_dataaccessor_spark.operators.text import perplexity_buckets
+
+    ppl = perplexity_buckets(
+        base.select("doc_id", "lm_neg_log2p"), n_buckets=3
+    ).select("doc_id", "ppl_bucket", "ppl_tier")
+    out = (
+        base.join(clf, "doc_id")
+        .join(ppl, "doc_id")
+        .crossJoin(F.broadcast(metrics))
+    )
     return tag_caches(out, wc, bc, base, *get_tagged_caches(clf))
 
 

@@ -607,6 +607,7 @@ def stream_heavy_hitters(
     item_col: str = "event_type",
     k: int = 8,
     n_shards: int = 4,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Streaming heavy hitters: per-shard Misra-Gries summaries
     maintained in explicit group state — the classic bounded-memory
@@ -626,7 +627,20 @@ def stream_heavy_hitters(
     shard, and any item with shard frequency > shard_n / (k+1) is
     GUARANTEED present. Arrival order may shift estimates within those
     bounds (inherent to every summary sketch); the bounds themselves
-    are order-free, which is what the parity test pins."""
+    are order-free, which is what the parity test pins.
+
+    Determinism contract: within each Arrow batch, items apply in
+    ``(-weight, item)`` order — so when a group's whole stream arrives
+    as ONE batch (availableNow over a single file with a large
+    ``arrow.maxRecordsPerBatch``), the summary is a pure function of
+    the group's item MULTISET, independent of row order, and the whole
+    sketch decision sequence replays exactly in SQL (the
+    ``streaming_user_stats`` slot's 'hh' oracle variant steps through
+    it with a recursive CTE).
+
+    ``shard_col``: route by an existing int column instead of
+    ``pmod(xxhash64(item), n_shards)`` — lets callers use an
+    engine-portable hash when the routing itself must replay in SQL."""
     out_schema = (
         "shard int, item string, est_count bigint, n_items bigint, "
         "n_decrements bigint"
@@ -648,7 +662,9 @@ def stream_heavy_hitters(
         for pdf in pdfs:
             vc = pdf["__item"].value_counts()
             n += int(vc.sum())
-            for item, w in vc.items():
+            # deterministic application order (see docstring): heaviest
+            # first, ties by item — order-free given the batch multiset
+            for item, w in sorted(vc.items(), key=lambda kv: (-kv[1], kv[0])):
                 w = int(w)
                 if item in sketch:
                     sketch[item] += w
@@ -677,7 +693,11 @@ def stream_heavy_hitters(
             }
         )
 
-    shard = F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int")
+    shard = (
+        F.col(shard_col).cast("int")
+        if shard_col
+        else F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int")
+    )
     return (
         stream.select(shard.alias("__shard"), F.col(item_col).alias("__item"))
         .groupBy("__shard")
