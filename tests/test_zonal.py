@@ -222,3 +222,46 @@ def test_gridframe_zonal_stats_shapefile(spark, tmp_path, sf_dir):
 
     with _pt.raises(ValueError, match="polygons"):
         GridFrame(gv).zonal_stats()
+
+
+def test_zonal_bucketed_matches_brute(spark, points):
+    """100-polygon coarse-grid pre-bucket path: identical results to the
+    literal-expression brute path, candidate pruning via a broadcast
+    hash join on the coarse cell key (no cartesian, no |P|-sized
+    expression)."""
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_bucketed
+
+    # 10x10 lattice of 1.2-unit squares with 1.5-unit pitch (gaps +
+    # varied offsets so some points fall outside every polygon)
+    polys = [
+        [[(cx, cy), (cx + 1.2, cy), (cx + 1.2, cy + 1.2), (cx, cy + 1.2)]]
+        for i in range(10)
+        for j in range(10)
+        for cx, cy in [(-2.0 + i * 1.5, -2.0 + j * 0.7)]
+    ]
+    src = points.select("x", "y", (F.col("x") + F.col("y")).alias("v"))
+    brute = zonal_stats(src, polys, value_cols=["v"], how="sum").collect()
+    fast_df = zonal_stats_bucketed(
+        src, polys, cell_size=2.0, value_cols=["v"], how="sum"
+    )
+    fast = fast_df.collect()
+    key = lambda r: (r["zone_id"], r["n_cells"], r["v"])
+    assert sorted(map(key, brute)) == sorted(map(key, fast))
+    assert len(fast) > 20  # the lattice genuinely intersects the points
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate pruning on cell keys
+
+
+def test_zonal_bucketed_holes_and_empty_cells(spark, points):
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_bucketed
+
+    got = zonal_stats_bucketed(
+        points.select("x", "y", F.lit(1.0).alias("v")),
+        [TRIANGLE, SQUARE_HOLED], cell_size=3.0, value_cols=["v"], how="sum",
+    ).collect()
+    brute = zonal_stats(
+        points.select("x", "y", F.lit(1.0).alias("v")),
+        [TRIANGLE, SQUARE_HOLED], value_cols=["v"], how="sum",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, brute))

@@ -729,6 +729,22 @@ def rotate_pole_grid(
 # ---------------------------------------------------------------------------
 # Zonal statistics (polygon AOI aggregation)
 # ---------------------------------------------------------------------------
+def _polygon_edges(rings: "list[list[tuple[float, float]]]"):
+    """Flatten rings to a closed edge list plus the bbox corners."""
+    edges = []
+    xs, ys = [], []
+    for ring in rings:
+        closed = list(ring)
+        if closed and closed[0] != closed[-1]:
+            closed.append(closed[0])
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            if (x1, y1) != (x2, y2):
+                edges.append((x1, y1, x2, y2))
+                xs += [x1, x2]
+                ys += [y1, y2]
+    return edges, xs, ys
+
+
 def point_in_polygon_expr(
     lon_col: str, lat_col: str, rings: "list[list[tuple[float, float]]]"
 ) -> Column:
@@ -742,17 +758,7 @@ def point_in_polygon_expr(
     standard crossing-rule asymmetry (left/bottom edges in, right/top
     out) — knife-edge cases inherit double arithmetic, as in every
     raster engine."""
-    edges = []
-    xs, ys = [], []
-    for ring in rings:
-        closed = list(ring)
-        if closed and closed[0] != closed[-1]:
-            closed.append(closed[0])
-        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
-            if (x1, y1) != (x2, y2):
-                edges.append((x1, y1, x2, y2))
-                xs += [x1, x2]
-                ys += [y1, y2]
+    edges, xs, ys = _polygon_edges(rings)
     if not edges:
         return F.lit(False)
     lit = ",".join(
@@ -818,6 +824,104 @@ def zonal_stats(
         )
         .select(*group_cols, *value_cols, F.col("__z.zone_id").alias("zone_id"))
     )
+    aggs = [spatial_agg_expr(how, v).alias(v) for v in value_cols]
+    return assigned.groupBy("zone_id", *group_cols).agg(
+        F.count(F.lit(1)).alias("n_cells"), *aggs
+    )
+
+
+def zonal_stats_bucketed(
+    df: DataFrame,
+    polygons: "Sequence[list[list[tuple[float, float]]]]",
+    cell_size: float,
+    value_cols: Sequence[str] | None = None,
+    how: str = "mean",
+    lon_col: str = "x",
+    lat_col: str = "y",
+    group_cols: Sequence[str] = (),
+    zone_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """:func:`zonal_stats` for LARGE polygon sets (admin-boundary
+    rollups, parcel layers) — the coarse-grid pre-bucket the plain
+    operator's docstring promises: instead of evaluating every polygon's
+    edge fold on every row (rows x |P| map-side work), polygons are
+    assigned to the coarse cells their bbox covers DRIVER-side
+    (|P| x cells-per-bbox rows — polygon metadata, never raster-sized),
+    the grid joins that candidate table on its own coarse cell key via a
+    BROADCAST hash join, and the exact even-odd ray-cast runs only on
+    (row, bbox-candidate) pairs. Per-row work drops from O(|P|) to
+    O(polygons whose bbox shares the row's coarse cell) — the standard
+    raster-vector spatial-join shape (a one-level R-tree).
+
+    The fold itself is the same arithmetic as
+    :func:`point_in_polygon_expr`, but over an edge ARRAY column from
+    the candidate table rather than inlined literals, so the expression
+    size is independent of |P|. Results are identical to the brute
+    path (tested). Pick ``cell_size`` near the median polygon bbox
+    extent: too fine multiplies candidate rows, too coarse multiplies
+    candidates per cell."""
+    from xarray_dataaccessor_spark.operators.aggregate import spatial_agg_expr
+
+    if cell_size <= 0:
+        raise ValueError("cell_size must be positive")
+    value_cols = list(value_cols or [
+        c for c in df.columns
+        if c not in (lon_col, lat_col, *group_cols)
+    ])
+    ids = list(zone_ids) if zone_ids is not None else list(range(len(polygons)))
+    import math
+
+    cand_rows = []
+    for zid, rings in zip(ids, polygons):
+        edges, xs, ys = _polygon_edges(rings)
+        if not edges:
+            continue
+        x0, x1 = min(xs), max(xs)
+        y0, y1 = min(ys), max(ys)
+        for cx in range(
+            math.floor(x0 / cell_size), math.floor(x1 / cell_size) + 1
+        ):
+            for cy in range(
+                math.floor(y0 / cell_size), math.floor(y1 / cell_size) + 1
+            ):
+                cand_rows.append(
+                    (cx, cy, int(zid),
+                     [{"x1": a, "y1": b, "x2": c, "y2": d}
+                      for a, b, c, d in edges],
+                     x0, x1, y0, y1)
+                )
+    cand = df.sparkSession.createDataFrame(
+        cand_rows,
+        "cell_x bigint, cell_y bigint, zone_id int, "
+        "edges array<struct<x1:double,y1:double,x2:double,y2:double>>, "
+        "bx0 double, bx1 double, by0 double, by1 double",
+    )
+    keyed = df.select(
+        *group_cols, *value_cols,
+        F.col(lon_col).alias("__px"), F.col(lat_col).alias("__py"),
+        F.floor(F.col(lon_col) / F.lit(cell_size)).alias("cell_x"),
+        F.floor(F.col(lat_col) / F.lit(cell_size)).alias("cell_y"),
+    )
+    j = keyed.join(F.broadcast(cand), ["cell_x", "cell_y"])
+    bbox_ok = (
+        (F.col("__px") >= F.col("bx0")) & (F.col("__px") <= F.col("bx1"))
+        & (F.col("__py") >= F.col("by0")) & (F.col("__py") <= F.col("by1"))
+    )
+    crossings = F.aggregate(
+        F.col("edges"),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            (e["y1"] > F.col("__py")) != (e["y2"] > F.col("__py")),
+            F.when(
+                F.col("__px")
+                < (e["x2"] - e["x1"]) * (F.col("__py") - e["y1"])
+                / (e["y2"] - e["y1"]) + e["x1"],
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0)),
+    )
+    assigned = j.filter(bbox_ok & (crossings % 2 == 1))
     aggs = [spatial_agg_expr(how, v).alias(v) for v in value_cols]
     return assigned.groupBy("zone_id", *group_cols).agg(
         F.count(F.lit(1)).alias("n_cells"), *aggs
