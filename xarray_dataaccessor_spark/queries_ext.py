@@ -28,6 +28,7 @@ from xarray_dataaccessor_spark.operators.similarity import (
     embedding_near_duplicates,
     lsh_ann,
 )
+from xarray_dataaccessor_spark.operators.sketch import hll_ndv_sql
 from xarray_dataaccessor_spark.queries import query
 from xarray_dataaccessor_spark.session import configure_session
 from xarray_dataaccessor_spark.sources.tables import load
@@ -308,7 +309,7 @@ _register_text_profile_oracle()
 
 @query(
     "token_count_by_source",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT source,
                len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
@@ -327,13 +328,56 @@ _register_text_profile_oracle()
                    list(sqrt(CAST(total_bpe_tokens AS DOUBLE)) ORDER BY source),
                    (p, q) -> p + q) AS tot_sqrt
         FROM agg
-    )
-    SELECT source, n_docs, total_ws_tokens, total_bpe_tokens,
+    ),
+    rl AS (
+        SELECT source,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> length(x) > 0)) AS n,
+               {_H64.format(expr="text")} AS fp
+        FROM documents
+    ),
+    rep AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_unique_texts,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_tokens,
+               round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+               round(quantile_cont(n, 0.95), 6) AS p95_tokens,
+               CAST(MIN(n) AS BIGINT) AS min_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tokens
+        FROM rl GROUP BY source
+    ),
+    hll AS ({{HLL}})
+    SELECT 'counts' AS variant, source, n_docs, total_ws_tokens,
+           total_bpe_tokens,
            CAST(total_bpe_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
                AS p_natural,
-           sqrt(CAST(total_bpe_tokens AS DOUBLE)) / tot_sqrt AS p_temperature
+           sqrt(CAST(total_bpe_tokens AS DOUBLE)) / tot_sqrt AS p_temperature,
+           CAST(NULL AS BIGINT) AS n_unique_texts,
+           CAST(NULL AS DOUBLE) AS dup_rate,
+           CAST(NULL AS DOUBLE) AS mean_tokens,
+           CAST(NULL AS DOUBLE) AS p50_tokens,
+           CAST(NULL AS DOUBLE) AS p95_tokens,
+           CAST(NULL AS BIGINT) AS min_tokens,
+           CAST(NULL AS BIGINT) AS max_tokens,
+           CAST(NULL AS DOUBLE) AS approx_ndv
     FROM agg, norms
-    """,
+    UNION ALL
+    SELECT 'report' AS variant, rep.source, rep.n_docs,
+           rep.total_tokens AS total_ws_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           rep.n_unique_texts,
+           (rep.n_docs - rep.n_unique_texts) / CAST(rep.n_docs AS DOUBLE)
+               AS dup_rate,
+           rep.mean_tokens, rep.p50_tokens, rep.p95_tokens,
+           rep.min_tokens, rep.max_tokens, hll.approx_ndv
+    FROM rep JOIN hll ON rep.source = hll.grp
+    """.replace(
+        "{HLL}",
+        hll_ndv_sql("text", p=6).replace(
+            "__hll_src", "(SELECT source AS grp, text FROM documents)"
+        ),
+    ),
 )
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budget plus the mixture-sampling weights a
@@ -344,9 +388,23 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     faithfully rounded and can differ cross-engine by an ulp). The
     normalizers come from a broadcast 1-row aggregate: the token total
     is an exact integer sum, and the sqrt total is a source-ordered
-    sequential fold so Spark and the oracle add in the same order."""
+    sequential fold so Spark and the oracle add in the same order.
+
+    Round 8 adds ``'report'`` variant rows —
+    :func:`operators.text.corpus_report` per source (doc/unique/dup
+    counts, token totals and the length distribution; p50/p95 rounded
+    to 6 decimals, the interpolation-ulp discipline) JOINED with
+    :func:`operators.sketch.hll_ndv`: the engine-portable HyperLogLog
+    estimate of distinct texts, whose md5 registers, decimal harmonic
+    sum and linear-counting branch replay bit-for-bit in the oracle.
+    At 100 TB the sketch column is the one you keep; the exact
+    ``n_unique_texts`` beside it is the sf-local cross-check."""
     configure_session(spark)
-    from xarray_dataaccessor_spark.operators.text import token_counts
+    from xarray_dataaccessor_spark.operators.sketch import hll_ndv
+    from xarray_dataaccessor_spark.operators.text import (
+        corpus_report,
+        token_counts,
+    )
 
     docs = load(spark, sf_dir, "documents").select("source", "text")
     out = token_counts(docs)
@@ -369,14 +427,47 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("tot_sqrt"),
     )
-    return agg.join(F.broadcast(glob)).select(
+    rnulls = [
+        F.lit(None).cast("bigint").alias("n_unique_texts"),
+        F.lit(None).cast("double").alias("dup_rate"),
+        F.lit(None).cast("double").alias("mean_tokens"),
+        F.lit(None).cast("double").alias("p50_tokens"),
+        F.lit(None).cast("double").alias("p95_tokens"),
+        F.lit(None).cast("bigint").alias("min_tokens"),
+        F.lit(None).cast("bigint").alias("max_tokens"),
+        F.lit(None).cast("double").alias("approx_ndv"),
+    ]
+    counts = agg.join(F.broadcast(glob)).select(
+        F.lit("counts").alias("variant"),
         "source",
         "n_docs",
         "total_ws_tokens",
         "total_bpe_tokens",
         (tok / F.col("tot_tokens").cast("double")).alias("p_natural"),
         (F.sqrt(tok) / F.col("tot_sqrt")).alias("p_temperature"),
+        *rnulls,
     )
+    rep = corpus_report(docs, group_col="source").join(
+        hll_ndv(docs, "text", p=6, group_cols=("source",)), "source"
+    )
+    report = rep.select(
+        F.lit("report").alias("variant"),
+        "source",
+        "n_docs",
+        F.col("total_tokens").alias("total_ws_tokens"),
+        F.lit(None).cast("bigint").alias("total_bpe_tokens"),
+        F.lit(None).cast("double").alias("p_natural"),
+        F.lit(None).cast("double").alias("p_temperature"),
+        "n_unique_texts",
+        "dup_rate",
+        "mean_tokens",
+        F.round("p50_tokens", 6).alias("p50_tokens"),
+        F.round("p95_tokens", 6).alias("p95_tokens"),
+        F.col("min_tokens").cast("bigint").alias("min_tokens"),
+        F.col("max_tokens").cast("bigint").alias("max_tokens"),
+        "approx_ndv",
+    )
+    return counts.unionByName(report)
 
 
 # ---------------------------------------------------------------------------
