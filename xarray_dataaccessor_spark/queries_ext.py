@@ -2678,16 +2678,14 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nneg").cast("bigint").alias("eval_neg"),
     )
     # CCNet perplexity terciles over the SAME cached base table — the
-    # histogram threshold derivation scans base once, then labeling is
-    # a broadcast threshold join (operators/text.py::perplexity_buckets)
+    # histogram threshold derivation scans base once, and the labels
+    # attach via the operator's broadcast-threshold crossJoin directly
+    # on base (NO extra doc-sized join: labeling is map-side)
     from xarray_dataaccessor_spark.operators.text import perplexity_buckets
 
-    ppl = perplexity_buckets(
-        base.select("doc_id", "lm_neg_log2p"), n_buckets=3
-    ).select("doc_id", "ppl_bucket", "ppl_tier")
     out = (
-        base.join(clf, "doc_id")
-        .join(ppl, "doc_id")
+        perplexity_buckets(base, n_buckets=3)
+        .join(clf, "doc_id")
         .crossJoin(F.broadcast(metrics))
     )
     return tag_caches(out, wc, bc, base, *get_tagged_caches(clf))

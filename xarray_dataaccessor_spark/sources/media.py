@@ -877,6 +877,385 @@ def write_mp3_frames(
 
 
 # ---------------------------------------------------------------------------
+# MP3 Layer III side-info + scalefactor decode (first decode slice past
+# the header probe; the spectral Huffman/IMDCT stage stays gated)
+# ---------------------------------------------------------------------------
+class _MsbBits:
+    """MSB-first bit reader over bytes (the MPEG audio bit order)."""
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.d = data
+        self.p = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.p >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.p & 7))) & 1)
+            self.p += 1
+        return v
+
+    def skip(self, n: int) -> None:
+        self.p += n
+
+
+class _MsbBitsW:
+    """MSB-first bit writer (fixture twin of :class:`_MsbBits`)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.n:
+            out.append(self.acc << (8 - self.n))
+        return bytes(out)
+
+
+#: ISO 11172-3 slen pairs indexed by scalefac_compress (0-15).
+_MP3_SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+#: scfsi band groups over the 21 long scalefactor bands.
+_MP3_SCFSI_GROUPS = [range(0, 6), range(6, 11), range(11, 16), range(16, 21)]
+
+
+def _mp3_read_granule_si(bits: "_MsbBits") -> dict:
+    """One granule-channel's 59 side-info bits -> field dict."""
+    g: dict = {
+        "part2_3_length": bits.read(12),
+        "big_values": bits.read(9),
+        "global_gain": bits.read(8),
+        "scalefac_compress": bits.read(4),
+        "window_switching": bits.read(1),
+    }
+    if g["window_switching"]:
+        g["block_type"] = bits.read(2)
+        g["mixed_block"] = bits.read(1)
+        g["table_select"] = [bits.read(5) for _ in range(2)]
+        g["subblock_gain"] = [bits.read(3) for _ in range(3)]
+        # spec: region counts implied (7 / 36 lines) when switching
+        g["region0_count"], g["region1_count"] = (
+            (8, 0) if g["block_type"] == 2 and not g["mixed_block"] else (7, 0)
+        )
+    else:
+        g["block_type"] = 0
+        g["mixed_block"] = 0
+        g["table_select"] = [bits.read(5) for _ in range(3)]
+        g["region0_count"] = bits.read(4)
+        g["region1_count"] = bits.read(3)
+    g["preflag"] = bits.read(1)
+    g["scalefac_scale"] = bits.read(1)
+    g["count1table_select"] = bits.read(1)
+    return g
+
+
+def mp3_side_info(data: bytes) -> list[dict]:
+    """Parse every MPEG-1 Layer III frame's 17/32-byte side information
+    (ISO/IEC 11172-3 §2.4.1.7) — main_data_begin, scfsi, and the per
+    granule-channel coding parameters (part2_3_length, big_values,
+    global_gain, scalefac_compress, block type/window switching, table
+    selects, region counts, preflag/scalefac_scale/count1table) — plus
+    each frame's main-data payload, WITHOUT touching the spectral
+    Huffman stage. This is the layer every bitstream tool (cutters,
+    VBR fixers, reservoir analyzers) works at.
+
+    Returns one dict per frame: header fields, ``side`` =
+    ``granules[2][channels]`` field dicts, ``scfsi[ch][4]``, and
+    ``main_data`` bytes (the frame's contribution to the bit
+    reservoir). Raises ValueError on non-MPEG1-Layer-III frames (the
+    fixed two-granule layout below is MPEG-1's)."""
+    info = mp3_probe(data)  # validates the stream + finds sync
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    end = len(data)
+    if end >= 128 and data[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    frames = []
+    p = pos
+    while p + 4 <= end:
+        b0, b1, b2, b3 = data[p : p + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            p += 1
+            if not frames:
+                continue
+            break
+        ver_bits = (b1 >> 3) & 3
+        layer_bits = (b1 >> 1) & 3
+        if ver_bits != 3 or layer_bits != 1:
+            raise ValueError("mp3_side_info: MPEG-1 Layer III only")
+        crc = (b1 & 1) == 0
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        kbps = _MP3_BITRATES[("1", 3)][br_idx - 1]
+        rate = _MP3_RATES[3][sr_idx]
+        padding = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 3
+        nch = 1 if mode == 3 else 2
+        size = 144 * kbps * 1000 // rate + padding
+        if p + size > end:
+            break
+        si_start = p + 4 + (2 if crc else 0)
+        si_len = 17 if nch == 1 else 32
+        bits = _MsbBits(data, si_start * 8)
+        main_data_begin = bits.read(9)
+        bits.skip(5 if nch == 1 else 3)  # private_bits
+        scfsi = [[bits.read(1) for _ in range(4)] for _ in range(nch)]
+        granules = [
+            [_mp3_read_granule_si(bits) for _ in range(nch)]
+            for _ in range(2)
+        ]
+        frames.append(
+            {
+                "offset": p,
+                "frame_size": size,
+                "kbps": kbps,
+                "sample_rate": rate,
+                "channels": nch,
+                "main_data_begin": main_data_begin,
+                "scfsi": scfsi,
+                "granules": granules,
+                "main_data": data[si_start + si_len : p + size],
+            }
+        )
+        p += size
+    if not frames:
+        raise ValueError("no MPEG-1 Layer III frames found")
+    assert info["n_frames"] >= len(frames) - 1  # probe agreement
+    return frames
+
+
+def _mp3_scalefac_lengths(g: dict) -> list[tuple[int, int]]:
+    """(n_bits, band_group) read plan for one granule's scalefactors:
+    list of (bits, group_index 0-3 or -1 for short/mixed bands)."""
+    slen1, slen2 = _MP3_SLEN[g["scalefac_compress"]]
+    plan = []
+    if g["window_switching"] and g["block_type"] == 2:
+        if g["mixed_block"]:
+            plan += [(slen1, -1)] * 8                 # long bands 0-7
+            plan += [(slen1, -1)] * (3 * 3)           # short bands 3-5 x3
+            plan += [(slen2, -1)] * (6 * 3)           # short bands 6-11 x3
+        else:
+            plan += [(slen1, -1)] * (6 * 3)           # short bands 0-5 x3
+            plan += [(slen2, -1)] * (6 * 3)           # short bands 6-11 x3
+    else:
+        for band in range(21):
+            slen = slen1 if band < 11 else slen2
+            grp = next(
+                i for i, r in enumerate(_MP3_SCFSI_GROUPS) if band in r
+            )
+            plan.append((slen, grp))
+    return plan
+
+
+def mp3_scalefactors(data: bytes) -> list[dict]:
+    """Decode every frame's scalefactors from the bit reservoir —
+    side info (:func:`mp3_side_info`) + main-data assembly
+    (``main_data_begin`` reaches back into previous frames' payloads)
+    + the part2 read with scfsi sharing (granule 1 copies any band
+    group whose scfsi bit is set from granule 0). The remaining
+    ``part2_3_length - part2`` spectral bits are SKIPPED by length —
+    exactly what lets this layer work without the Huffman tables; the
+    sample decode behind them stays gated.
+
+    Returns one dict per frame: ``{offset, scalefacs[2][nch][...],
+    part2_bits[2][nch]}``; scalefac lists are long-block 21-band or
+    short/mixed flattened per :func:`_mp3_scalefac_lengths` order.
+    Raises ValueError when the reservoir does not reach back far enough
+    (truncated stream)."""
+    frames = mp3_side_info(data)
+    reservoir = b""
+    out = []
+    for fr in frames:
+        # this frame's main data starts main_data_begin bytes BEFORE the
+        # end of the reservoir accumulated so far
+        if fr["main_data_begin"] > len(reservoir):
+            raise ValueError(
+                "bit reservoir underrun: main_data_begin=%d but only %d "
+                "bytes buffered" % (fr["main_data_begin"], len(reservoir))
+            )
+        start = len(reservoir) - fr["main_data_begin"]
+        md = reservoir[start:] + fr["main_data"]
+        bits = _MsbBits(md, 0)
+        nch = fr["channels"]
+        sfs = [[None] * nch for _ in range(2)]
+        p2 = [[0] * nch for _ in range(2)]
+        ok = True
+        for gr in range(2):
+            for ch in range(nch):
+                g = fr["granules"][gr][ch]
+                plan = _mp3_scalefac_lengths(g)
+                start_bit = bits.p
+                vals = []
+                for i, (slen, grp) in enumerate(plan):
+                    share = (
+                        gr == 1
+                        and grp >= 0
+                        and fr["scfsi"][ch][grp] == 1
+                    )
+                    if share:
+                        vals.append(sfs[0][ch][i])
+                    elif slen == 0:
+                        vals.append(0)
+                    else:
+                        if bits.p + slen > len(md) * 8:
+                            ok = False
+                            break
+                        vals.append(bits.read(slen))
+                if not ok:
+                    break
+                part2 = bits.p - start_bit
+                if part2 > g["part2_3_length"]:
+                    raise ValueError(
+                        "part2 overruns part2_3_length "
+                        f"({part2} > {g['part2_3_length']})"
+                    )
+                sfs[gr][ch] = vals
+                p2[gr][ch] = part2
+                # skip the spectral (Huffman) bits without decoding them
+                bits.skip(g["part2_3_length"] - part2)
+            if not ok:
+                break
+        if ok:
+            out.append(
+                {"offset": fr["offset"], "scalefacs": sfs, "part2_bits": p2}
+            )
+        # reservoir keeps the last 511 bytes (the 9-bit pointer's reach)
+        reservoir = (reservoir + fr["main_data"])[-511:]
+    if not out:
+        raise ValueError("no decodable granules (truncated main data)")
+    return out
+
+
+def mp3_decode(data: bytes):
+    """Full Layer III sample decode — gated: the spectral stage needs
+    the ISO Huffman code tables and the 512-tap synthesis window, which
+    this container cannot verify against any reference decoder (no
+    libmad/mpg123/ffmpeg present). The envelope (:func:`mp3_probe`),
+    side info and scalefactors (:func:`mp3_scalefactors`) above are the
+    honest decoded subset."""
+    raise NotImplementedError(
+        "MPEG-1 Layer III spectral decode (Huffman/requantize/IMDCT/"
+        "synthesis) is gated — no reference decoder in this environment "
+        "to pin bit-exactness against; mp3_probe/mp3_side_info/"
+        "mp3_scalefactors cover the bitstream layers above it"
+    )
+
+
+def write_mp3_sideinfo_frames(
+    frame_specs: list[dict],
+    kbps: int = 128,
+    rate: int = 44100,
+) -> bytes:
+    """Fixture twin of :func:`mp3_scalefactors`: MPEG-1 Layer III mono
+    CBR frames with REAL side info + scalefactor payloads (spectral
+    area zero-filled, part2_3_length covering exactly the scalefactor
+    bits unless a spec says otherwise). Each spec:
+    ``{scalefacs: [[g0 21 vals], [g1 21 vals]], scfsi: [4 bits],
+    main_data_begin: int, scalefac_compress: [c0, c1]}`` — values must
+    fit the slen widths of the chosen compress codes.
+
+    ``main_data_begin > 0`` builds a REAL bit reservoir: that many
+    leading bytes of the frame's payload are hosted in the previous
+    frame's dead space (its own part2_3_length never covers them), so
+    the parser must assemble across frames to read the scalefactors."""
+    br_idx = _MP3_BITRATES[("1", 3)].index(kbps) + 1
+    sr_idx = _MP3_RATES[3].index(rate)
+    size = 144 * kbps * 1000 // rate
+    room = size - 4 - 17
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1) | 1,          # MPEG1, L3, no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        (3 << 6),                                # mono
+    ])
+    sides: list[bytes] = []
+    payloads: list[bytes] = []
+    defers: list[int] = []
+    for spec in frame_specs:
+        scfsi = spec.get("scfsi", [0, 0, 0, 0])
+        comp = spec.get("scalefac_compress", [15, 15])
+        mdb = spec.get("main_data_begin", 0)
+        si = _MsbBitsW()
+        si.write(mdb, 9)
+        si.write(0, 5)                           # private
+        for b in scfsi:
+            si.write(b, 1)
+        md = _MsbBitsW()
+        for gr in range(2):
+            slen1, slen2 = _MP3_SLEN[comp[gr]]
+            vals = spec["scalefacs"][gr]
+            n_bits = 0
+            for band, v in enumerate(vals):
+                grp = next(
+                    i for i, r in enumerate(_MP3_SCFSI_GROUPS) if band in r
+                )
+                if gr == 1 and scfsi[grp] == 1:
+                    continue                     # shared from granule 0
+                slen = slen1 if band < 11 else slen2
+                if v >> slen:
+                    raise ValueError(
+                        f"scalefactor {v} too wide for slen {slen}"
+                    )
+                if slen:
+                    md.write(v, slen)
+                n_bits += slen
+            si.write(n_bits, 12)                 # part2_3_length
+            si.write(0, 9)                       # big_values
+            si.write(210, 8)                     # global_gain
+            si.write(comp[gr], 4)
+            si.write(0, 1)                       # no window switching
+            for _ in range(3):
+                si.write(0, 5)                   # table_select
+            si.write(0, 4)                       # region0
+            si.write(0, 3)                       # region1
+            si.write(0, 1)                       # preflag
+            si.write(0, 1)                       # scalefac_scale
+            si.write(0, 1)                       # count1table_select
+        si_bytes = si.bytes()
+        assert len(si_bytes) == 17, len(si_bytes)
+        sides.append(si_bytes)
+        payloads.append(md.bytes())
+        defers.append(mdb)
+    if defers and defers[0] != 0:
+        raise ValueError("first frame cannot reach back into a reservoir")
+    # lay out main-data segments: frame i's segment carries its own
+    # payload MINUS the deferred head (hosted by frame i-1's tail), then
+    # zero fill, then frame i+1's deferred head flush at the segment end
+    segments: list[bytes] = []
+    for i, p in enumerate(payloads):
+        own = p[defers[i]:]
+        nxt = payloads[i + 1][: defers[i + 1]] if i + 1 < len(payloads) else b""
+        fill = room - len(own) - len(nxt)
+        if fill < 0:
+            raise ValueError(
+                f"frame {i}: payload + deferred head exceed frame room"
+            )
+        segments.append(own + b"\x00" * fill + nxt)
+    out = bytearray()
+    for si_bytes, seg in zip(sides, segments):
+        out += hdr + si_bytes + seg
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # image header probe — dimensions/format WITHOUT pixel decode
 # ---------------------------------------------------------------------------
 def image_probe(data: bytes) -> dict:
