@@ -300,11 +300,17 @@ def test_no_cartesian_product_in_any_query_plan(spark, sf_dir):
 
 
 def test_contamination_report_single_shingling(spark, sf_dir):
-    """The fused contamination query shingles the train corpus ONCE:
-    exactly two Generate (explode) nodes in the executed plan — the
-    train positional posexplode and the eval shingle explode — where
-    the naive overlap+span composition had four."""
+    """Each variant shingles the train corpus ONCE: three Generate
+    (explode) nodes total — the exact branch's train positional
+    posexplode + eval shingle explode, and the bloom branch's train
+    posexplode (its eval pass ran in the filter-BUILD job, so the main
+    plan carries no eval side at all — the broadcast-free shape). The
+    naive overlap+span composition had four for the exact report
+    alone."""
     df = QUERIES["contamination_ngram_overlap"](spark, sf_dir)
     plan = plan_string(df, "simple")
-    assert plan.count("Generate") == 2, plan
+    assert plan.count("Generate") == 3, plan
     assert "CartesianProduct" not in plan
+    # the bloom branch is join-free: the only (shuffle or broadcast)
+    # join in the whole plan is the exact branch's eval equi-join
+    assert plan.count("Join") == 1, plan

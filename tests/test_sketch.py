@@ -82,3 +82,129 @@ def test_hll_higher_p_tightens(spark):
     # p=10's 3% sigma should beat p=6's 13% most of the time; assert the
     # bound, not the race
     assert abs(e6 - 2_000) / 2_000 <= 0.55
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains_sql,
+    )
+
+    members = spark.range(0, 2_000, 1, 8).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("v")
+    )
+    words = bloom_build(members, "v", m_bits=65536, k=3)
+    probes = spark.range(0, 6_000, 1, 8).select(
+        F.when(F.col("id") < 2_000,
+               F.concat(F.lit("m"), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("x"), F.col("id").cast("string")))
+        .alias("v"),
+        (F.col("id") < 2_000).alias("is_member"),
+    ).select(
+        "v", "is_member",
+        portable_hash32(F.concat(F.lit("b1:"), F.col("v"))).alias("__h1"),
+        portable_hash32(F.concat(F.lit("b2:"), F.col("v"))).alias("__h2"),
+    )
+    got = probes.withColumn(
+        "hit", F.expr(bloom_contains_sql("__h1", "__h2", words, k=3))
+    )
+    fn = got.filter(F.col("is_member") & ~F.col("hit")).count()
+    assert fn == 0  # Bloom filters never miss members
+    fp = got.filter(~F.col("is_member") & F.col("hit")).count()
+    # n=2000, m=65536, k=3 -> fp ~ 6.3e-4; 4000 probes -> expect ~2.5
+    assert fp <= 20, fp
+
+
+def test_bloom_duckdb_build_and_probe_parity(spark):
+    """The filter words AND every membership decision replay in DuckDB."""
+    import duckdb
+
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bloom_build,
+        bloom_build_sql,
+        bloom_contains_sql,
+    )
+
+    members = spark.createDataFrame(
+        [(f"w{i*7%97}",) for i in range(60)], "v string"
+    ).distinct()
+    words = bloom_build(members, "v", m_bits=2048, k=3)
+    con = duckdb.connect()
+    con.register("mem", members.toPandas())
+    built = dict(con.execute(
+        bloom_build_sql("mem", "v", m_bits=2048, k=3)
+    ).fetchall())
+    exp = [0] * (2048 // 32)
+    for w, b in built.items():
+        exp[w] = int(b)
+    assert exp == words
+    # probe parity on members + strangers
+    probes = spark.createDataFrame(
+        [(f"w{i}",) for i in range(120)] + [(f"z{i}",) for i in range(200)],
+        "v string",
+    ).select(
+        "v",
+        portable_hash32(F.concat(F.lit("b1:"), F.col("v"))).alias("__h1"),
+        portable_hash32(F.concat(F.lit("b2:"), F.col("v"))).alias("__h2"),
+    )
+    got = {
+        r["v"]: r["hit"]
+        for r in probes.withColumn(
+            "hit", F.expr(bloom_contains_sql("__h1", "__h2", words, k=3))
+        ).collect()
+    }
+    con.register("probes", probes.toPandas())
+    duck = dict(con.execute(
+        "SELECT v, " + bloom_contains_sql("__h1", "__h2", words, k=3,
+                                          dialect="duckdb")
+        + " FROM probes"
+    ).fetchall())
+    assert got == duck  # identical decisions, false positives included
+
+
+def test_bloom_merge_is_or(spark):
+    from xarray_dataaccessor_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "v string")
+    wa = bloom_build(a, "v", m_bits=1024, k=3)
+    wb = bloom_build(b, "v", m_bits=1024, k=3)
+    wu = bloom_build(a.unionByName(b), "v", m_bits=1024, k=3)
+    assert [x | y for x, y in zip(wa, wb)] == wu
+
+
+def test_bloom_rejects_bad_m(spark):
+    from xarray_dataaccessor_spark.operators.sketch import bloom_build
+
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_build(spark.range(3).selectExpr("CAST(id AS STRING) v"),
+                    "v", m_bits=100)
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    """Bloom hits are a SUPERSET of exact hits (no false negatives), and
+    at the default size the reports are identical on this corpus."""
+    from xarray_dataaccessor_spark.operators.sampling import (
+        contamination_report,
+        contamination_report_bloom,
+        deterministic_split,
+    )
+    from xarray_dataaccessor_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    split = deterministic_split(docs, "doc_id", eval_per_mille=50)
+    train = split.filter(F.col("split") == "train").drop("split")
+    ev = split.filter(F.col("split") == "eval").drop("split")
+    exact = {r["doc_id"]: (r["n_overlap"], r["max_span_tokens"])
+             for r in contamination_report(train, ev, k=3).collect()}
+    bloom = {r["doc_id"]: (r["n_overlap"], r["max_span_tokens"])
+             for r in contamination_report_bloom(train, ev, k=3).collect()}
+    assert set(exact) <= set(bloom)
+    for d, (n, s) in exact.items():
+        bn, bs = bloom[d]
+        assert bn >= n and bs >= s, d

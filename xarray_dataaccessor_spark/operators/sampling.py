@@ -314,9 +314,23 @@ def contamination_report(
         .withColumn("__m", F.lit(1))
     )
     joined = pos_sh.join(eval_h, "h", "left")  # eval distinct on h: no fan-out
-    hit = F.col("__m").isNotNull()
-    per_shingle = joined.groupBy(id_col, "h").agg(
-        F.max(F.coalesce(F.col("__m"), F.lit(0))).alias("__hit"),
+    marked = joined.select(
+        id_col, "pos", "h",
+        F.coalesce(F.col("__m"), F.lit(0)).alias("__hit"),
+    )
+    return _contamination_assemble(marked, id_col, k)
+
+
+def _contamination_assemble(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared back half of the contamination reports: positional
+    shingles tagged with a 0/1 ``__hit`` -> per-doc distinct counts +
+    longest contiguous contaminated span (the two-level aggregation and
+    the consecutive-run fold of :func:`contamination_report`). The hit
+    PREDICATE is the caller's — an eval-set equi-join for the exact
+    report, a broadcast Bloom probe for the sketched one."""
+    hit = F.col("__hit") == 1
+    per_shingle = marked.groupBy(id_col, "h").agg(
+        F.max("__hit").alias("__hit"),
         F.collect_list(F.when(hit, F.col("pos"))).alias("__mpos"),
     )
     per_doc = per_shingle.groupBy(id_col).agg(
@@ -356,6 +370,71 @@ def contamination_report(
             (run + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
         )
     )
+
+
+def contamination_report_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """:func:`contamination_report` with the eval side compressed into a
+    broadcast Bloom filter — the 100 TB shape: the eval shingle set
+    becomes ``m_bits / 32`` literal longs probed MAP-SIDE, so the train
+    corpus never joins anything; the only shuffles left are the two
+    compacted aggregation exchanges. False positives (rate
+    ``(1 - e^(-k n / m))^k``) can only OVERSTATE contamination — safe
+    for a removal gate; the decisions themselves are deterministic
+    integer arithmetic and replay exactly in SQL
+    (``operators/sketch.py::bloom_build_sql`` + ``bloom_contains_sql``),
+    which is what the 'bloom' oracle variant pins."""
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+    from xarray_dataaccessor_spark.operators.dedup import (
+        spread_small_input,
+        word_shingles,
+    )
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains_sql,
+    )
+
+    eval_sh = word_shingles(eval_df, text_col, id_col, k).select(
+        F.col("shingle")
+    ).distinct()
+    words = bloom_build(eval_sh, "shingle", m_bits=m_bits, k=k_hashes)
+    train = spread_small_input(train)
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(ws, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    pos_sh = (
+        train.select(F.col(id_col), F.posexplode(shingles).alias("pos", "shingle"))
+        .filter(F.length("shingle") > 0)
+        .select(
+            id_col, "pos",
+            portable_hash32(F.col("shingle")).alias("h"),
+            portable_hash32(
+                F.concat(F.lit("b1:"), F.col("shingle"))
+            ).alias("__h1"),
+            portable_hash32(
+                F.concat(F.lit("b2:"), F.col("shingle"))
+            ).alias("__h2"),
+        )
+    )
+    marked = pos_sh.select(
+        id_col, "pos", "h",
+        F.expr(bloom_contains_sql("__h1", "__h2", words, k=k_hashes))
+        .cast("int")
+        .alias("__hit"),
+    )
+    return _contamination_assemble(marked, id_col, k)
 
 
 def contamination_spans(

@@ -98,6 +98,107 @@ def hll_ndv(
     return agg.select(*keys, F.round(est, 6).alias(out_col))
 
 
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 65536, k: int = 3
+) -> list[int]:
+    """Build an engine-portable Bloom filter over ``col``'s distinct
+    values and return it as ``m_bits / 32`` words (32 bits per long —
+    DuckDB's BIGINT ``<<`` checks overflow at bit 63, so 32-bit words
+    keep every shift overflow- and sign-free) — the broadcastable
+    membership summary that replaces a shuffle join at 100 TB (the
+    decontamination use case: eval-set shingles become a literal array
+    in a map-side predicate instead of a join side).
+
+    Hashing is Kirsch-Mitzenmacher double hashing over the repo's
+    portable md5 hash: ``pos_i = (h1 + i*h2) % m_bits`` with
+    ``h1 = md5('b1:'||x)``, ``h2 = md5('b2:'||x)`` 32-bit prefixes —
+    every position, and therefore every false positive, reproduces
+    exactly in DuckDB (:func:`bloom_build_sql`). Bit words aggregate
+    with ``bit_or`` (one m/32-sized shuffle with map-side combine;
+    disjoint-batch filters merge with OR, so incremental appends are
+    free). The collect is ``m_bits / 32`` longs — 16 KB at the default
+    size, a model artifact like the PCA components.
+
+    False-positive rate ~= (1 - e^(-k n / m))^k; the default 64 K bits
+    with k=3 holds ~5 000 distinct members under 1e-3."""
+    if m_bits % 32 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+    x = F.col(col).cast("string")
+    h1 = portable_hash32(F.concat(F.lit("b1:"), x))
+    h2 = portable_hash32(F.concat(F.lit("b2:"), x))
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)])
+    )
+    rows = (
+        df.select(pos.alias("__p"))
+        .select(
+            F.shiftright("__p", 5).alias("__w"),
+            F.expr("shiftleft(1L, CAST(__p % 32 AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__b)").alias("__bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 32)
+    for r in rows:
+        words[r["__w"]] = int(r["__bits"])
+    return words
+
+
+def bloom_contains_sql(
+    h1_col: str, h2_col: str, words: list[int], k: int = 3,
+    dialect: str = "spark",
+) -> str:
+    """Boolean SQL expression testing membership against a built filter.
+    ``h1_col`` / ``h2_col`` name PRE-COMPUTED hash columns (compute them
+    once per row; referencing columns keeps the md5 work out of the k
+    bit probes). The filter inlines as ONE literal array built as a SQL
+    string (memory: py4j-literal-cost). ``dialect`` emits the Spark or
+    DuckDB spelling of the same integer arithmetic — bit-identical
+    decisions, false positives included."""
+    m_bits = len(words) * 32
+    if dialect == "spark":
+        arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+        tests = []
+        for i in range(k):
+            pos = f"(({h1_col} + {i} * {h2_col}) % {m_bits})"
+            tests.append(
+                f"((shiftright(element_at({arr}, CAST({pos} DIV 32 AS INT)"
+                f" + 1), CAST({pos} % 32 AS INT)) & 1) = 1)"
+            )
+        return " AND ".join(tests)
+    if dialect == "duckdb":
+        arr = "[" + ",".join(f"{w}::BIGINT" for w in words) + "]"
+        tests = []
+        for i in range(k):
+            pos = f"(({h1_col} + {i} * {h2_col}) % {m_bits})"
+            tests.append(
+                f"((({arr}[CAST({pos} // 32 AS INT) + 1] >> "
+                f"CAST({pos} % 32 AS INT)) & 1) = 1)"
+            )
+        return " AND ".join(tests)
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def bloom_build_sql(src: str, expr: str, m_bits: int = 65536, k: int = 3) -> str:
+    """DuckDB replay of :func:`bloom_build`: a SELECT producing
+    ``(w, bits)`` rows from relation ``src``'s column/expression
+    ``expr`` — used by oracles that must rebuild the identical filter
+    in SQL before testing membership with the joinable form."""
+    h1 = f"('0x' || substr(md5('b1:' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+    h2 = f"('0x' || substr(md5('b2:' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+    poses = " UNION ALL ".join(
+        f"SELECT (({h1}) + {i} * ({h2})) % {m_bits} AS pos FROM {src}"
+        for i in range(k)
+    )
+    return (
+        f"SELECT pos // 32 AS w, bit_or(1::BIGINT << CAST(pos % 32 AS INT))"
+        f" AS bits FROM ({poses}) GROUP BY 1"
+    )
+
+
 def hll_ndv_sql(expr: str, p: int = 6) -> str:
     """The DuckDB spelling of :func:`hll_ndv` over value expression
     ``expr`` — emitted as a correlated-free aggregate body the caller

@@ -2330,11 +2330,68 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, MAX(run) + 2 AS max_span_tokens FROM (
             SELECT doc_id, isl, COUNT(*) AS run FROM runs GROUP BY doc_id, isl
         ) GROUP BY doc_id
+    ),
+    bb AS (
+        SELECT pos // 32 AS w,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM (
+            SELECT ((('0x' || substr(md5('b1:' || shingle), 1, 8))::BIGINT
+                     + ks.i * ('0x' || substr(md5('b2:' || shingle), 1, 8))::BIGINT)
+                    % 65536) AS pos
+            FROM esh, (VALUES (0), (1), (2)) ks(i)
+        ) GROUP BY 1
+    ),
+    tb AS (
+        SELECT doc_id, b.pos AS pos,
+               {_H32.format(expr="b.sh")} AS h,
+               ('0x' || substr(md5('b1:' || b.sh), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5('b2:' || b.sh), 1, 8))::BIGINT AS h2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> {{'pos': i,
+                                 'sh': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}}))
+                       AS b
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM split WHERE split = 'train')
+        ) WHERE b.sh IS NOT NULL AND length(b.sh) > 0
+    ),
+    mb AS (
+        SELECT tb.doc_id, tb.pos, tb.h,
+               COUNT(*) FILTER (
+                   WHERE bb.bits IS NOT NULL AND
+                   (bb.bits >> CAST(((tb.h1 + ks.i * tb.h2) % 65536) % 32
+                               AS INT)) & 1 = 1
+               ) = 3 AS hit
+        FROM tb CROSS JOIN (VALUES (0), (1), (2)) ks(i)
+        LEFT JOIN bb ON bb.w = ((tb.h1 + ks.i * tb.h2) % 65536) // 32
+        GROUP BY tb.doc_id, tb.pos, tb.h
+    ),
+    aggb AS (
+        SELECT doc_id, COUNT(DISTINCT h) AS n_shingles,
+               COUNT(DISTINCT CASE WHEN hit THEN h END) AS n_overlap
+        FROM mb GROUP BY doc_id
+    ),
+    runsb AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM mb WHERE hit
+    ),
+    spansb AS (
+        SELECT doc_id, MAX(run) + 2 AS max_span_tokens FROM (
+            SELECT doc_id, isl, COUNT(*) AS run FROM runsb GROUP BY doc_id, isl
+        ) GROUP BY doc_id
     )
-    SELECT agg.doc_id, n_shingles, n_overlap,
+    SELECT 'exact' AS variant, agg.doc_id, n_shingles, n_overlap,
            CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
            CAST(spans.max_span_tokens AS BIGINT) AS max_span_tokens
     FROM agg JOIN spans USING (doc_id)
+    WHERE n_overlap > 0
+    UNION ALL
+    SELECT 'bloom' AS variant, aggb.doc_id, n_shingles, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination,
+           CAST(spansb.max_span_tokens AS BIGINT) AS max_span_tokens
+    FROM aggb JOIN spansb USING (doc_id)
     WHERE n_overlap > 0
     """,
 )
@@ -2347,10 +2404,20 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     length is the signal removal acts on). ``contamination_report``
     fuses all four columns into ONE positional shingling of the train
     corpus — one hash equi-join, one doc-key exchange, no cache — where
-    the naive overlap+span composition shingles the corpus twice."""
+    the naive overlap+span composition shingles the corpus twice.
+
+    ``'bloom'`` variant rows (round 8) run the SAME report with the
+    eval side compressed into a broadcast Bloom filter
+    (``contamination_report_bloom`` + ``operators/sketch.py``): the
+    train corpus probes 2 KB of literal filter words map-side instead
+    of joining the eval hash set — the 100 TB decontamination shape.
+    Every bit position is md5-derived integer arithmetic, so the
+    oracle rebuilds the identical filter in SQL and the reports match
+    hash-exactly, false positives included."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
         contamination_report,
+        contamination_report_bloom,
         deterministic_split,
     )
 
@@ -2358,7 +2425,15 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = deterministic_split(docs, "doc_id", eval_per_mille=50)
     train = split.filter(F.col("split") == "train").drop("split")
     eval_df = split.filter(F.col("split") == "eval").drop("split")
-    return contamination_report(train, eval_df, "text", "doc_id", k=3)
+    cols = ["doc_id", "n_shingles", "n_overlap", "contamination",
+            "max_span_tokens"]
+    exact = contamination_report(train, eval_df, "text", "doc_id", k=3).select(
+        F.lit("exact").alias("variant"), *cols
+    )
+    bloom = contamination_report_bloom(
+        train, eval_df, "text", "doc_id", k=3, m_bits=65536, k_hashes=3
+    ).select(F.lit("bloom").alias("variant"), *cols)
+    return exact.unionByName(bloom)
 
 
 # ---------------------------------------------------------------------------
