@@ -208,3 +208,89 @@ def test_bloom_contamination_superset_of_exact(spark, sf_dir):
     for d, (n, s) in exact.items():
         bn, bs = bloom[d]
         assert bn >= n and bs >= s, d
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+def test_cms_never_undercounts_and_is_tight_on_heavy(spark):
+    from xarray_dataaccessor_spark.operators.sketch import (
+        cms_build,
+        cms_estimate_sql,
+    )
+
+    # zipf-ish: item j appears 1000//(j+1) times
+    rows = [(f"t{j}",) for j in range(200) for _ in range(1000 // (j + 1))]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    true = {}
+    for (v,) in rows:
+        true[v] = true.get(v, 0) + 1
+    counters = cms_build(df, "v", w=1024, d=3)
+    n = sum(true.values())
+    probes = spark.createDataFrame([(k,) for k in true], "v string")
+    est = {
+        r["v"]: r["e"]
+        for r in probes.selectExpr(
+            "v", cms_estimate_sql("v", counters) + " AS e"
+        ).collect()
+    }
+    import math
+
+    eps_n = math.e / 1024 * n
+    for v, t in true.items():
+        assert est[v] >= t, v                    # never undercounts
+        assert est[v] <= t + 3 * eps_n, v        # CM bound (loose factor)
+    # heavy hitters are near-exact
+    assert est["t0"] - true["t0"] <= eps_n
+
+
+def test_cms_duckdb_replay(spark):
+    import duckdb
+
+    from xarray_dataaccessor_spark.operators.sketch import (
+        cms_build,
+        cms_estimate_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(f"w{i % 37}",) for i in range(500)], "v string"
+    )
+    counters = cms_build(df, "v", w=64, d=3)
+    probes = spark.createDataFrame(
+        [(f"w{i}",) for i in range(50)], "v string"
+    )
+    got = {
+        r["v"]: r["e"]
+        for r in probes.selectExpr(
+            "v", cms_estimate_sql("v", counters) + " AS e"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("probes", probes.toPandas())
+    duck = dict(con.execute(
+        "SELECT v, " + cms_estimate_sql("v", counters, dialect="duckdb")
+        + " FROM probes"
+    ).fetchall())
+    assert got == duck
+
+
+def test_cms_weighted_and_merge(spark):
+    from xarray_dataaccessor_spark.operators.sketch import cms_build
+
+    a = spark.createDataFrame([("x", 5), ("y", 2)], "v string, n int")
+    b = spark.createDataFrame([("x", 1), ("z", 7)], "v string, n int")
+    ca = cms_build(a, "v", w=32, d=2, weight_col="n")
+    cb = cms_build(b, "v", w=32, d=2, weight_col="n")
+    cu = cms_build(a.unionByName(b), "v", w=32, d=2, weight_col="n")
+    assert [
+        [x + y for x, y in zip(ra, rb)] for ra, rb in zip(ca, cb)
+    ] == cu  # sketches of disjoint batches merge by addition
+    assert sum(ca[0]) == 7  # row sums = total weight
+
+
+def test_cms_rejects_bad_dims(spark):
+    from xarray_dataaccessor_spark.operators.sketch import cms_build
+
+    with pytest.raises(ValueError, match="positive"):
+        cms_build(spark.range(3).selectExpr("CAST(id AS STRING) v"),
+                  "v", w=0)

@@ -199,6 +199,94 @@ def bloom_build_sql(src: str, expr: str, m_bits: int = 65536, k: int = 3) -> str
     )
 
 
+def cms_build(
+    df: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 3,
+    weight_col: str | None = None,
+) -> list[list[int]]:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of ``col``'s
+    frequency distribution — the third member of the sketch family
+    (HLL = how many distinct, Bloom = is it present, CMS = how often):
+    point-queryable counts in ``d x w`` integers instead of a
+    vocabulary-sized table. At 100 TB the build is one corpus scan +
+    one (d x w)-sized shuffle with map-side combine; disjoint-batch
+    sketches merge by elementwise ADDITION, so incremental appends are
+    free. Estimates only OVERCOUNT: ``true <= est <= true + eps * N``
+    with ``eps = e / w`` at the usual depth-3.
+
+    Row ``i`` hashes with the repo's portable md5 under a per-row salt
+    (``c{i}:``), so every bucket index — and therefore every collision
+    — reproduces exactly in DuckDB (:func:`cms_sql` emits the replay).
+    ``weight_col`` makes it a weighted sketch (e.g. token counts per
+    doc); default weight 1 per row. Returns ``d`` lists of ``w``
+    ints — a model artifact like the Bloom words."""
+    if w <= 0 or d <= 0:
+        raise ValueError("w and d must be positive")
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+    x = F.col(col).cast("string")
+    wt = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    rows = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            portable_hash32(F.concat(F.lit(f"c{i}:"), x))
+                            % F.lit(w)
+                        ).alias("b"),
+                    )
+                    for i in range(d)
+                ])
+            ).alias("__rb"),
+            wt.alias("__wt"),
+        )
+        .groupBy(F.col("__rb.i").alias("__i"), F.col("__rb.b").alias("__b"))
+        .agg(F.sum("__wt").alias("__c"))
+        .collect()
+    )
+    counters = [[0] * w for _ in range(d)]
+    for r in rows:
+        counters[r["__i"]][r["__b"]] = int(r["__c"])
+    return counters
+
+
+def cms_estimate_sql(
+    expr: str, counters: list[list[int]], dialect: str = "spark"
+) -> str:
+    """SQL expression estimating ``expr``'s count against a built CMS:
+    ``least`` over the d per-row counters at the salted-hash buckets.
+    Counter rows inline as literal arrays built as SQL strings (memory:
+    py4j-literal-cost); identical integer arithmetic in both dialects."""
+    w = len(counters[0])
+    probes = []
+    for i, row in enumerate(counters):
+        if dialect == "spark":
+            arr = "array(" + ",".join(f"{c}L" for c in row) + ")"
+            h = (
+                f"CAST(conv(substring(md5(concat('c{i}:', CAST({expr} AS "
+                f"STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            probes.append(
+                f"element_at({arr}, CAST({h} % {w} AS INT) + 1)"
+            )
+        elif dialect == "duckdb":
+            arr = "[" + ",".join(f"{c}::BIGINT" for c in row) + "]"
+            h = (
+                f"('0x' || substr(md5('c{i}:' || CAST({expr} AS VARCHAR)),"
+                f" 1, 8))::BIGINT"
+            )
+            probes.append(f"{arr}[CAST({h} % {w} AS INT) + 1]")
+        else:
+            raise ValueError(f"unknown dialect {dialect!r}")
+    return "least(" + ", ".join(probes) + ")"
+
+
 def hll_ndv_sql(expr: str, p: int = 6) -> str:
     """The DuckDB spelling of :func:`hll_ndv` over value expression
     ``expr`` — emitted as a correlated-free aggregate body the caller

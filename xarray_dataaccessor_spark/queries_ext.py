@@ -2961,6 +2961,16 @@ _BPE_MERGES = [
 ]
 
 
+#: Fixed probe words for the token_counts_bpe 'cms' variant — common,
+#: mid-frequency, and absent tokens, so the sketch shows near-exact
+#: heavy hitters, visible collision overcount, and true-zero behavior.
+_CMS_PROBES = (
+    "the", "and", "of", "to", "data", "model", "quantum",
+    "zzz_never_in_corpus",
+)
+_CMS_PROBES_SQL = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+
+
 def _bpe_oracle() -> str:
     case = (
         "CASE s[i] || chr(1) || s[i+1] "
@@ -2997,29 +3007,111 @@ def _bpe_oracle() -> str:
         )
         WHERE len(cands) > 0
     ),
-    final AS (SELECT w, MIN(len(s)) AS n FROM bpe GROUP BY w)
-    SELECT d.doc_id,
-           CAST(COALESCE(SUM(f.n), 0) AS BIGINT) AS n_bpe_tokens
+    final AS (SELECT w, MIN(len(s)) AS n FROM bpe GROUP BY w),
+    ks(i) AS (VALUES (0), (1), (2)),
+    cms AS (
+        SELECT i,
+               ('0x' || substr(md5('c' || CAST(i AS VARCHAR) || ':' || w),
+                               1, 8))::BIGINT % 1024 AS b,
+               COUNT(*) AS c
+        FROM tokf, ks GROUP BY 1, 2
+    ),
+    pw(word) AS (VALUES {_CMS_PROBES_SQL}),
+    pest AS (
+        SELECT word, MIN(COALESCE(cms.c, 0)) AS est_count
+        FROM (
+            SELECT word, i,
+                   ('0x' || substr(md5('c' || CAST(i AS VARCHAR) || ':'
+                                        || word), 1, 8))::BIGINT % 1024 AS b
+            FROM pw, ks
+        ) p LEFT JOIN cms ON cms.i = p.i AND cms.b = p.b
+        GROUP BY word
+    ),
+    ptrue AS (
+        SELECT w AS word, COUNT(*) AS true_count FROM tokf
+        WHERE w IN (SELECT word FROM pw) GROUP BY 1
+    )
+    SELECT 'bpe' AS variant, d.doc_id,
+           CAST(COALESCE(SUM(f.n), 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(NULL AS VARCHAR) AS word,
+           CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BIGINT) AS true_count
     FROM documents d
     LEFT JOIN tokf t ON t.doc_id = d.doc_id
     LEFT JOIN final f ON f.w = t.w
     GROUP BY d.doc_id
+    UNION ALL
+    SELECT 'cms' AS variant, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           pest.word, CAST(pest.est_count AS BIGINT),
+           CAST(COALESCE(ptrue.true_count, 0) AS BIGINT)
+    FROM pest LEFT JOIN ptrue USING (word)
     """
 
 
 @query("token_counts_bpe", oracle=_bpe_oracle())
 def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document subword counts from the real BPE encoder
-    (Arrow-batched ``bpe_encode`` with a per-worker word cache) under a
-    fixed 14-rule merge table; the oracle replays the same merges in a
-    recursive CTE — every rank-priority decision the encoder makes is
-    cross-engine verified."""
+    """Two tokenization-adjacent primitives under one oracle slot:
+
+    - ``'bpe'`` rows — per-document subword counts from the real BPE
+      encoder (Arrow-batched ``bpe_encode`` with a per-worker word
+      cache) under a fixed 14-rule merge table; the oracle replays the
+      same merges in a recursive CTE — every rank-priority decision the
+      encoder makes is cross-engine verified.
+    - ``'cms'`` rows (round 8) — :func:`operators.sketch.cms_build`:
+      a Count-Min sketch of the corpus word-frequency distribution
+      (3 x 1024 counters — the vocabulary-free scale path for token
+      statistics), point-queried for a fixed probe set next to the
+      exact counts. The salted md5 bucket indices make every counter
+      and every collision overcount replay exactly in the oracle's
+      SQL rebuild; the absent-word probe pins true-zero behavior."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.sketch import (
+        cms_build,
+        cms_estimate_sql,
+    )
     from xarray_dataaccessor_spark.operators.tokenize import bpe_encode
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     out = bpe_encode(docs, _BPE_MERGES, out_col="toks")
-    return out.select("doc_id", F.col("n_toks").alias("n_bpe_tokens"))
+    bpe = out.select(
+        F.lit("bpe").alias("variant"),
+        "doc_id",
+        F.col("n_toks").alias("n_bpe_tokens"),
+        F.lit(None).cast("string").alias("word"),
+        F.lit(None).cast("bigint").alias("est_count"),
+        F.lit(None).cast("bigint").alias("true_count"),
+    )
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), "\\s+"), lambda t: F.length(t) > 0
+            )
+        ).alias("w")
+    )
+    counters = cms_build(words, "w", w=1024, d=3)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "word string")
+    tc = (
+        words.filter(F.col("w").isin(list(_CMS_PROBES)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    cms = (
+        probes.join(F.broadcast(tc), probes.word == tc.w, "left")
+        .selectExpr(
+            "word",
+            cms_estimate_sql("word", counters) + " AS est_count",
+            "CAST(COALESCE(__tc, 0) AS BIGINT) AS true_count",
+        )
+        .select(
+            F.lit("cms").alias("variant"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("n_bpe_tokens"),
+            "word",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            "true_count",
+        )
+    )
+    return bpe.unionByName(cms)
 
 
 # ---------------------------------------------------------------------------
