@@ -265,3 +265,121 @@ def test_zonal_bucketed_holes_and_empty_cells(spark, points):
         [TRIANGLE, SQUARE_HOLED], value_cols=["v"], how="sum",
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, brute))
+
+
+# ---------------------------------------------------------------------------
+# Area-weighted zonal statistics (exactextract semantics)
+# ---------------------------------------------------------------------------
+def _unit_grid(spark, nx, ny, v=None):
+    rows = [
+        (float(i), float(j), float(v(i, j) if v else 1.0))
+        for i in range(nx) for j in range(ny)
+    ]
+    return spark.createDataFrame(rows, "x double, y double, val double")
+
+
+def test_weighted_fractions_analytic(spark):
+    """A rectangle covering exactly half of two unit cells: weights are
+    exactly 0.5 and the weighted mean equals the plain mean of the two
+    touched cells."""
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_weighted
+
+    grid = _unit_grid(spark, 4, 1, v=lambda i, j: 10.0 * i)
+    # cells are centred on integer x with dx=1: cell i spans [i-.5, i+.5]
+    # rect [0.0, 1.0] x [-0.5, 0.5] covers the right half of cell 0 and
+    # the left half of cell 1
+    rect = [[(0.0, -0.5), (1.0, -0.5), (1.0, 0.5), (0.0, 0.5)]]
+    out = zonal_stats_weighted(
+        grid, [rect], dx=1.0, dy=1.0, value_cols=["val"], how="mean"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["covered_cells"] - 1.0) < 1e-12   # 0.5 + 0.5
+    assert r["n_cells"] == 2
+    assert abs(r["val"] - 5.0) < 1e-12             # (0.5*0 + 0.5*10) / 1.0
+
+
+def test_weighted_area_conservation(spark):
+    """sum of weights x cell_area == polygon area for a polygon fully
+    inside the grid (triangle area 8)."""
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_weighted
+
+    grid = _unit_grid(spark, 12, 12)
+    tri = [[(2.0, 2.0), (6.0, 2.0), (2.0, 6.0)]]
+    r = zonal_stats_weighted(
+        grid, [tri], dx=1.0, dy=1.0, value_cols=["val"], how="sum"
+    ).first()
+    assert abs(r["covered_cells"] - 8.0) < 1e-9
+    assert abs(r["val"] - 8.0) < 1e-9  # val==1 -> sum(w*v) = area
+
+
+def test_weighted_hole_subtracts(spark):
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_weighted
+
+    grid = _unit_grid(spark, 12, 12)
+    sq = [
+        [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)],   # area 36
+        [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)],   # hole area 4
+    ]
+    r = zonal_stats_weighted(
+        grid, [sq], dx=1.0, dy=1.0, value_cols=["val"], how="sum"
+    ).first()
+    assert abs(r["covered_cells"] - 32.0) < 1e-9
+
+
+def test_weighted_matches_unweighted_on_aligned_polygon(spark):
+    """A polygon whose edges lie exactly on cell boundaries gives every
+    interior cell weight 1 -> weighted mean == centre-rule mean."""
+    from xarray_dataaccessor_spark.operators.spatial import (
+        zonal_stats,
+        zonal_stats_weighted,
+    )
+
+    grid = _unit_grid(spark, 10, 10, v=lambda i, j: i + 10.0 * j)
+    # cell-aligned rect covering cells x in 2..4, y in 3..5 entirely
+    rect = [[(1.5, 2.5), (4.5, 2.5), (4.5, 5.5), (1.5, 5.5)]]
+    w = zonal_stats_weighted(
+        grid, [rect], dx=1.0, dy=1.0, value_cols=["val"], how="mean"
+    ).first()
+    u = zonal_stats(
+        grid, [rect], value_cols=["val"], how="mean"
+    ).first()
+    assert abs(w["covered_cells"] - 9.0) < 1e-9
+    assert abs(w["val"] - u["val"]) < 1e-9
+
+
+def test_weighted_plan_is_broadcast_and_batched(spark):
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_weighted
+
+    grid = _unit_grid(spark, 8, 8)
+    tri = [[(1.0, 1.0), (5.0, 1.0), (1.0, 5.0)]]
+    df = zonal_stats_weighted(grid, [tri], dx=1.0, dy=1.0,
+                              value_cols=["val"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan  # the pandas UDF, Arrow-batched
+
+
+def test_weighted_rejects_bad_how(spark):
+    from xarray_dataaccessor_spark.operators.spatial import zonal_stats_weighted
+
+    with pytest.raises(ValueError, match="mean"):
+        zonal_stats_weighted(_unit_grid(spark, 2, 2), [TRIANGLE],
+                             dx=1.0, dy=1.0, how="median")
+
+
+def test_gridframe_weighted_zonal(spark, sf_dir):
+    from xarray_dataaccessor_spark.gridframe import GridFrame
+    from xarray_dataaccessor_spark.sources.tables import grid_view
+
+    gv = grid_view(spark, sf_dir)
+    b = gv.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+    tri = [[(b[0], b[2]), (b[1], b[2]), (b[0], b[3]), (b[0], b[2])]]
+    out = GridFrame(gv).zonal_stats(
+        polygons=[tri], weighted=True, per_time=False
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0 < r["covered_cells"] <= r["n_cells"]
+    assert {"t2m", "u100", "covered_cells"} <= set(out[0].asDict())

@@ -149,13 +149,22 @@ class GridFrame:
         shapefile: str | None = None,
         how: str = "mean",
         per_time: bool = True,
+        weighted: bool = False,
+        cell_extent: tuple[float, float] | None = None,
     ) -> DataFrame:
         """Per-polygon aggregation of every variable — the polygon
         generalization of :meth:`collapse_spatial` (the reference
         collapses AOIs to their bbox; ``operators.spatial.zonal_stats``
         honors the actual rings). Pass ring lists or a ``.shp`` path
         (parsed by ``catalog.polygons_from_shapefile``). ``per_time``
-        keeps the time dimension as a group key."""
+        keeps the time dimension as a group key.
+
+        ``weighted=True`` switches to the exactextract semantics
+        (``zonal_stats_weighted``): cells weight by the FRACTION of
+        their ``cell_extent`` (default: the grid step from
+        ``grid_axes``) covered by the polygon — the correct AOI mean
+        on a coarse climate grid, where the centre rule misweights
+        every boundary cell."""
         if shapefile is not None:
             from xarray_dataaccessor_spark.catalog import (
                 polygons_from_shapefile,
@@ -164,6 +173,29 @@ class GridFrame:
             polygons = polygons_from_shapefile(shapefile)
         if not polygons:
             raise ValueError("zonal_stats needs polygons or shapefile")
+        value_cols = [
+            c for c in self.df.columns if c not in ("x", "y", "time")
+        ]
+        group_cols = ("time",) if per_time else ()
+        if weighted:
+            from xarray_dataaccessor_spark.operators.spatial import (
+                grid_axes,
+                zonal_stats_weighted,
+            )
+
+            if cell_extent is None:
+                xs, ys = grid_axes(self.df)
+                if len(xs) < 2 or len(ys) < 2:
+                    raise ValueError(
+                        "cell_extent required for degenerate grids"
+                    )
+                cell_extent = (
+                    float(xs[1] - xs[0]), float(ys[1] - ys[0])
+                )
+            return zonal_stats_weighted(
+                self.df, polygons, dx=cell_extent[0], dy=cell_extent[1],
+                value_cols=value_cols, how=how, group_cols=group_cols,
+            )
         from xarray_dataaccessor_spark.operators.spatial import zonal_stats
 
         return zonal_stats(
@@ -171,11 +203,9 @@ class GridFrame:
             polygons,
             # aggregate the variables only — time is either a group key
             # or dropped, never averaged
-            value_cols=[
-                c for c in self.df.columns if c not in ("x", "y", "time")
-            ],
+            value_cols=value_cols,
             how=how,
-            group_cols=("time",) if per_time else (),
+            group_cols=group_cols,
         )
 
     def bbox(self) -> BoundingBox:

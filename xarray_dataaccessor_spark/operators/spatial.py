@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -925,6 +926,192 @@ def zonal_stats_bucketed(
     aggs = [spatial_agg_expr(how, v).alias(v) for v in value_cols]
     return assigned.groupBy("zone_id", *group_cols).agg(
         F.count(F.lit(1)).alias("n_cells"), *aggs
+    )
+
+
+def _clip_ring_to_rect(ring, x0, x1, y0, y1):
+    """Sutherland-Hodgman clip of one ring against an axis-aligned
+    rectangle; returns the clipped vertex list (possibly empty)."""
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, prv = pts[i], pts[i - 1]
+            cin, pin = inside(cur), inside(prv)
+            if cin:
+                if not pin:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prv, cur))
+        return out
+
+    def ix_at_x(xc):
+        def f(a, b):
+            t = (xc - a[0]) / (b[0] - a[0])
+            return (xc, a[1] + t * (b[1] - a[1]))
+        return f
+
+    def ix_at_y(yc):
+        def f(a, b):
+            t = (yc - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), yc)
+        return f
+
+    pts = list(ring)
+    if pts and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    for inside, intersect in (
+        (lambda p: p[0] >= x0, ix_at_x(x0)),
+        (lambda p: p[0] <= x1, ix_at_x(x1)),
+        (lambda p: p[1] >= y0, ix_at_y(y0)),
+        (lambda p: p[1] <= y1, ix_at_y(y1)),
+    ):
+        if not pts:
+            return []
+        pts = clip_edge(pts, inside, intersect)
+    return pts
+
+
+def _ring_area(pts) -> float:
+    """Absolute shoelace area of a vertex list."""
+    if len(pts) < 3:
+        return 0.0
+    s = 0.0
+    for i in range(len(pts)):
+        x1, y1 = pts[i - 1]
+        x2, y2 = pts[i]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def zonal_stats_weighted(
+    df: DataFrame,
+    polygons: "Sequence[list[list[tuple[float, float]]]]",
+    dx: float,
+    dy: float,
+    value_cols: Sequence[str] | None = None,
+    how: str = "mean",
+    lon_col: str = "x",
+    lat_col: str = "y",
+    group_cols: Sequence[str] = (),
+    zone_ids: Sequence[int] | None = None,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """AREA-WEIGHTED zonal statistics (the ``exactextract`` semantics):
+    each grid cell is the ``dx x dy`` rectangle centred on its
+    coordinate, its weight is the FRACTION of that rectangle covered by
+    the polygon (Sutherland-Hodgman clip + shoelace area, computed in
+    an Arrow-batched pandas UDF on candidate pairs only), and the
+    aggregate is coverage-weighted: ``mean = sum(w*v) / sum(w)``,
+    ``sum = sum(w*v)``. The centre-in/centre-out :func:`zonal_stats`
+    misweights every boundary cell — for coarse climate grids over
+    small AOIs (the reference's ERA5 use case) the boundary IS most of
+    the AOI, which is why exactextract exists.
+
+    Ring convention: the FIRST ring of a polygon is the outer boundary,
+    subsequent rings are holes (their clipped area subtracts —
+    shapefile type-5 order). Candidate (cell, polygon) pairs come from
+    the same driver-side coarse-cell pre-bucket + broadcast join as
+    :func:`zonal_stats_bucketed` (``cell_size`` defaults to
+    ``4 * max(dx, dy)``), so the Python clipping runs on
+    bbox-candidates only, never on rows x |P|. Weights are pure float
+    arithmetic — deterministic, but not oracle-replayed (no SQL
+    spelling of polygon clipping); tests pin analytic fractions and
+    area conservation instead."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    try:  # ship the clipping helpers by value (memory: spark-plan-quirks)
+        from pyspark import cloudpickle as _cp
+
+        import xarray_dataaccessor_spark.operators.spatial as _self
+
+        _cp.register_pickle_by_value(_self)
+    except Exception:  # pragma: no cover
+        pass
+
+    if how not in ("mean", "sum"):
+        raise ValueError("zonal_stats_weighted supports how='mean'|'sum'")
+    value_cols = list(value_cols or [
+        c for c in df.columns
+        if c not in (lon_col, lat_col, *group_cols)
+    ])
+    ids = list(zone_ids) if zone_ids is not None else list(range(len(polygons)))
+    cs = float(cell_size or 4 * max(dx, dy))
+    half_x, half_y = dx / 2.0, dy / 2.0
+    cand_rows = []
+    for zid, rings in zip(ids, polygons):
+        if not rings or len(rings[0]) < 3:
+            continue
+        xs = [p[0] for r in rings for p in r]
+        ys = [p[1] for r in rings for p in r]
+        # widen by the cell half-extent: a cell whose CENTRE is outside
+        # the polygon bbox can still overlap it
+        x0, x1 = min(xs) - half_x, max(xs) + half_x
+        y0, y1 = min(ys) - half_y, max(ys) + half_y
+        ring_payload = [
+            [[float(a), float(b)] for a, b in ring] for ring in rings
+        ]
+        for cx in range(math.floor(x0 / cs), math.floor(x1 / cs) + 1):
+            for cy in range(math.floor(y0 / cs), math.floor(y1 / cs) + 1):
+                cand_rows.append(
+                    (cx, cy, int(zid), ring_payload, x0, x1, y0, y1)
+                )
+    cand = df.sparkSession.createDataFrame(
+        cand_rows,
+        "cell_x bigint, cell_y bigint, zone_id int, "
+        "rings array<array<array<double>>>, "
+        "bx0 double, bx1 double, by0 double, by1 double",
+    )
+    keyed = df.select(
+        *group_cols, *value_cols,
+        F.col(lon_col).alias("__px"), F.col(lat_col).alias("__py"),
+        F.floor(F.col(lon_col) / F.lit(cs)).alias("cell_x"),
+        F.floor(F.col(lat_col) / F.lit(cs)).alias("cell_y"),
+    )
+    j = keyed.join(F.broadcast(cand), ["cell_x", "cell_y"]).filter(
+        (F.col("__px") >= F.col("bx0")) & (F.col("__px") <= F.col("bx1"))
+        & (F.col("__py") >= F.col("by0")) & (F.col("__py") <= F.col("by1"))
+    )
+    cell_area = dx * dy
+
+    @pandas_udf("double")
+    def coverage(px: pd.Series, py: pd.Series, rings: pd.Series) -> pd.Series:
+        out = []
+        for x, y, rs in zip(px, py, rings):
+            x0, x1 = x - half_x, x + half_x
+            y0, y1 = y - half_y, y + half_y
+            area = 0.0
+            for ri, ring in enumerate(rs):
+                a = _ring_area(
+                    _clip_ring_to_rect(
+                        [(p[0], p[1]) for p in ring], x0, x1, y0, y1
+                    )
+                )
+                area += a if ri == 0 else -a
+            out.append(max(area, 0.0) / cell_area)
+        return pd.Series(out)
+
+    weighted = j.withColumn(
+        "__w", coverage(F.col("__px"), F.col("__py"), F.col("rings"))
+    ).filter(F.col("__w") > 0)
+    if how == "mean":
+        aggs = [
+            (
+                F.sum(F.col("__w") * F.col(v)) / F.sum(
+                    F.when(F.col(v).isNotNull(), F.col("__w"))
+                )
+            ).alias(v)
+            for v in value_cols
+        ]
+    else:
+        aggs = [F.sum(F.col("__w") * F.col(v)).alias(v) for v in value_cols]
+    return weighted.groupBy("zone_id", *group_cols).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("__w").alias("covered_cells"),
+        *aggs,
     )
 
 
