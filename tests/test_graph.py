@@ -268,3 +268,80 @@ def test_centrality_canonicals_election(spark):
     # cluster ids / sizes agree with the min-id labeling
     assert by_id[9]["cluster_id"] == 1 and by_id[9]["cluster_size"] == 4
     assert by_id[21]["cluster_id"] == 20 and by_id[21]["cluster_size"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Euler-tour subtree sizes (round 8)
+# ---------------------------------------------------------------------------
+def _sizes(spark, edges):
+    from xarray_dataaccessor_spark.operators.graph import subtree_sizes
+
+    df = spark.createDataFrame(edges, "node bigint, parent bigint")
+    return {r["node"]: r["subtree_size"]
+            for r in subtree_sizes(df).collect()}
+
+
+def test_subtree_sizes_path(spark):
+    # 0 <- 1 <- 2 <- 3 (root 0)
+    got = _sizes(spark, [(1, 0), (2, 1), (3, 2)])
+    assert got == {3: 1, 2: 2, 1: 3, 0: 4}
+
+
+def test_subtree_sizes_star_and_binary(spark):
+    got = _sizes(spark, [(1, 0), (2, 0), (3, 0), (4, 0)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 0: 5}
+    # balanced binary tree of 7
+    got = _sizes(spark, [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 2)])
+    assert got == {3: 1, 4: 1, 5: 1, 6: 1, 1: 3, 2: 3, 0: 7}
+
+
+def test_subtree_sizes_forest_and_random(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = []
+    # 3 random trees over disjoint id ranges
+    for base in (0, 1000, 2000):
+        n = rng.randint(5, 40)
+        for i in range(1, n):
+            edges.append((base + i, base + rng.randrange(i)))
+    got = _sizes(spark, edges)
+    # python mirror
+    children = {}
+    for c, p in edges:
+        children.setdefault(p, []).append(c)
+    import sys
+
+    sys.setrecursionlimit(10000)
+
+    def size(v):
+        return 1 + sum(size(c) for c in children.get(v, ()))
+
+    nodes = {c for c, _ in edges} | {p for _, p in edges}
+    for v in nodes:
+        assert got[v] == size(v), v
+    # conservation: each root's size == its tree's node count
+    assert got[0] + got[1000] + got[2000] == len(nodes)
+
+
+def test_subtree_sizes_deep_path_converges_in_log_rounds(spark, monkeypatch):
+    """300-node path: pointer doubling must converge in ~log2(600)+1
+    join rounds, not O(depth)."""
+    from pyspark.sql import DataFrame
+    from xarray_dataaccessor_spark.operators.graph import subtree_sizes
+
+    joins = {"n": 0}
+    orig = DataFrame.join
+
+    def counting(self, *a, **kw):
+        joins["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "join", counting)
+    edges = [(i, i - 1) for i in range(1, 300)]
+    df = spark.createDataFrame(edges, "node bigint, parent bigint")
+    out = {r["node"]: r["subtree_size"] for r in subtree_sizes(df).collect()}
+    assert out[0] == 300 and out[299] == 1
+    # setup joins (~4) + ceil(log2(598))=10 doubling rounds + 1
+    # fixed-point + result-assembly joins (~3)
+    assert joins["n"] <= 20, joins["n"]

@@ -788,3 +788,58 @@ def test_contours_multi_level_and_empty(spark):
         by_level.setdefault(s["level"], []).append(s)
     assert set(by_level) == {0.5, 1.5}  # 99.0 crosses nothing
     assert len(by_level[0.5]) == len(by_level[1.5]) == 2
+
+
+def test_flow_accumulation_staircase(spark):
+    """Strictly decreasing staircase: cell i accumulates everything
+    upstream of it — acc(i) = n - i."""
+    from xarray_dataaccessor_spark.operators.spatial import (
+        d8_flow_direction,
+        flow_accumulation,
+    )
+
+    n = 24
+    z = [[float(i) for i in range(n)]]
+    flow = d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0)
+    acc = {r["x"]: r["flow_acc"]
+           for r in flow_accumulation(flow, dx=10.0, dy=10.0).collect()}
+    for i in range(n):
+        assert acc[i * 10.0] == n - i, i
+
+
+def test_flow_accumulation_matches_python_mirror(spark):
+    """Random surface: accumulation equals the python D8 subtree count;
+    total conservation: sum over sinks of acc == number of cells."""
+    import random
+
+    from xarray_dataaccessor_spark.operators.spatial import (
+        d8_flow_direction,
+        flow_accumulation,
+    )
+
+    rng = random.Random(5)
+    nx, ny = 9, 7
+    z = [[rng.uniform(0, 100) for _ in range(nx)] for _ in range(ny)]
+    flow = d8_flow_direction(_dem_df(spark, z), dx=10.0, dy=10.0)
+    got = {(r["x"], r["y"]): r["flow_acc"]
+           for r in flow_accumulation(flow, dx=10.0, dy=10.0).collect()}
+    # python mirror: count, for every cell, the cells whose flow path
+    # passes through it
+    parent = {}
+    for j in range(ny):
+        for i in range(nx):
+            d = _py_d8(z, 10.0, 10.0, i, j)
+            if d is not None:
+                parent[(i, j)] = (i + d[0], j + d[1])
+    acc = {(i, j): 0 for j in range(ny) for i in range(nx)}
+    for start in list(acc):
+        v = start
+        acc[v] += 1
+        while v in parent:
+            v = parent[v]
+            acc[v] += 1
+    for (i, j), a in acc.items():
+        assert got[(i * 10.0, j * 10.0)] == a, (i, j)
+    assert len(got) == nx * ny
+    sinks = [c for c in acc if c not in parent]
+    assert sum(acc[c] for c in sinks) == nx * ny

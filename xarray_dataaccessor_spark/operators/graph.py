@@ -323,3 +323,155 @@ def centrality_canonicals(
             "pr",
         )
     )
+
+
+def subtree_sizes(
+    parents: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_iters: int = 45,
+) -> DataFrame:
+    """Subtree size of EVERY node of a functional forest in
+    O(log n) rounds — the Euler-tour technique (Tarjan & Vishkin 1985)
+    expressed as DataFrame ops. Input: one ``(node, parent)`` row per
+    NON-ROOT node (a node that never appears as ``node`` is a root;
+    parent ids must form a forest — no cycles). Output:
+    ``(node, subtree_size)`` for every node incl. roots and isolated
+    parents, where ``subtree_size`` counts the node itself plus all
+    descendants.
+
+    Why not bottom-up propagation: summing children into parents
+    converges in O(depth) rounds — a river's flow path makes depth the
+    grid diagonal. The Euler tour instead (1) doubles each tree edge
+    into an up-arc and a down-arc, (2) threads them into one circuit
+    per tree with the classic next-arc-around-the-vertex successor
+    rule (neighbor order: parent first, then children by id), cut at
+    the root, (3) list-ranks the circuit by pointer doubling with
+    distance accumulation — the same O(log path) lazily-checkpointed
+    join discipline as ``watershed_labels`` — and (4) reads
+    ``subtree(v) = (rank(exit) - rank(enter) + 1) / 2`` off the two
+    arc ranks. Everything is joins, window functions, and one
+    signature-scan convergence check per round; arc count is
+    ``2 (n - roots)``, so each round shuffles ~2 edges per node.
+    """
+    from pyspark.sql.window import Window
+
+    pr = parents.select(
+        F.col(node_col).alias("c"), F.col(parent_col).alias("p")
+    ).filter(F.col("c") != F.col("p")).distinct().localCheckpoint(
+        eager=False
+    )
+    # ordered neighbor list per vertex: parent first (pos 0), then
+    # children ordered by id
+    as_child = pr.select(F.col("c").alias("v"), F.col("p").alias("nbr"),
+                         F.lit(0).alias("grp"))
+    as_parent = pr.select(F.col("p").alias("v"), F.col("c").alias("nbr"),
+                          F.lit(1).alias("grp"))
+    wv = Window.partitionBy("v").orderBy("grp", "nbr")
+    nbrs = (
+        as_child.unionByName(as_parent)
+        .withColumn("pos", F.row_number().over(wv) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("v")))
+    ).localCheckpoint(eager=False)
+    # successor of in-arc (u -> v): out-arc of v toward the neighbor
+    # AFTER u in v's circular order. The root's wrap-around arc (the one
+    # whose successor would be the root's pos-0 out-arc) is cut: NULL
+    # successor ends the tour.
+    nxt = nbrs.select(
+        F.col("v"), F.col("nbr").alias("u"),
+        ((F.col("pos") + 1) % F.col("deg")).alias("jpos"),
+        (F.col("grp") == 0).alias("u_is_parent"),
+        F.col("pos"), F.col("deg"),
+    )
+    jn = nbrs.select(
+        F.col("v"), F.col("pos").alias("jpos"), F.col("nbr").alias("w")
+    )
+    roots = (
+        pr.select(F.col("p").alias("v"))
+        .distinct()
+        .join(pr.select(F.col("c").alias("v")).distinct(), "v", "left_anti")
+    )
+    arcs = (
+        nxt.join(jn, ["v", "jpos"])
+        .join(roots.withColumn("__isroot", F.lit(1)), "v", "left")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            # cut at the root: the arc that would wrap to the root's
+            # first out-arc terminates the list
+            F.when(
+                (F.col("__isroot") == 1) & (F.col("jpos") == 0),
+                F.lit(None).cast(pr.schema["p"].dataType.simpleString()),
+            ).otherwise(F.col("v")).alias("nsrc"),
+            F.when(
+                (F.col("__isroot") == 1) & (F.col("jpos") == 0),
+                F.lit(None).cast(pr.schema["p"].dataType.simpleString()),
+            ).otherwise(F.col("w")).alias("ndst"),
+            F.lit(1).cast("long").alias("d"),
+        )
+    ).localCheckpoint(eager=False)
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("src", "dst", "nsrc", "ndst", "d")),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(arcs)
+    cur = arcs
+    for _ in range(max_iters):
+        nxt_t = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
+                    F.col("nsrc").alias("bnsrc"), F.col("ndst").alias("bndst"),
+                    F.col("d").alias("bd"),
+                ),
+                on=[
+                    F.col("a.nsrc") == F.col("bsrc"),
+                    F.col("a.ndst") == F.col("bdst"),
+                ],
+                how="left",
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("a.dst").alias("dst"),
+                F.col("bnsrc").alias("nsrc"),
+                F.col("bndst").alias("ndst"),
+                (F.col("a.d") + F.coalesce(F.col("bd"), F.lit(0))).alias("d"),
+            )
+        ).localCheckpoint(eager=False)
+        new_sig = _sig(nxt_t)
+        cur = nxt_t
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"subtree_sizes: no convergence in {max_iters}")
+    # d is now each arc's distance-to-end (inclusive). For non-root v:
+    # enter = (parent -> v), exit = (v -> parent); both in v's tree, and
+    # size = (d(enter) - d(exit) + 1) / 2. Root size = d(head)/2 + 1
+    # where head = (root -> first child) = the arc with the tree's max d.
+    enter = cur.join(
+        pr, (F.col("src") == F.col("p")) & (F.col("dst") == F.col("c"))
+    ).select(F.col("c").alias("node"), F.col("d").alias("__de"))
+    exit_ = cur.join(
+        pr, (F.col("src") == F.col("c")) & (F.col("dst") == F.col("p"))
+    ).select(F.col("c").alias("node"), F.col("d").alias("__dx"))
+    non_root = enter.join(exit_, "node").select(
+        "node",
+        ((F.col("__de") - F.col("__dx") + 1) / 2).cast("long").alias(
+            "subtree_size"
+        ),
+    )
+    root_sizes = (
+        cur.join(roots, cur["src"] == roots["v"])
+        .groupBy(F.col("v").alias("node"))
+        .agg((F.max("d") / 2 + 1).cast("long").alias("subtree_size"))
+    )
+    return non_root.unionByName(root_sizes)

@@ -1407,6 +1407,58 @@ def watershed_labels(
     )
 
 
+def flow_accumulation(
+    flow: DataFrame,
+    dx: float,
+    dy: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    max_iters: int = 45,
+) -> DataFrame:
+    """Flow accumulation over a :func:`d8_flow_direction` table — for
+    every cell, how many cells drain THROUGH it (``flow_acc`` includes
+    the cell itself; ``n_upstream`` excludes it). This closes the gap
+    the module previously documented as absent: bottom-up child-sum
+    propagation needs O(longest flow path) rounds, so instead the D8
+    forest's subtree sizes come from :func:`graph.subtree_sizes` —
+    Euler-tour + pointer-doubled list ranking, O(log path) rounds of
+    the same lazily-checkpointed join discipline as
+    :func:`watershed_labels`.
+
+    Cells key by integer grid indices anchored to the grid minimum
+    (packed into one bigint), so float coordinates never join. Sinks
+    with no upstream cells accumulate 1 (themselves)."""
+    b = flow.agg(F.min(x_col).alias("x0"), F.min(y_col).alias("y0")).first()
+    x0, y0 = float(b["x0"]), float(b["y0"])
+
+    def nid(xc, yc):
+        i = F.round((F.col(xc) - F.lit(x0)) / F.lit(float(dx))).cast("bigint")
+        j = F.round((F.col(yc) - F.lit(y0)) / F.lit(float(dy))).cast("bigint")
+        return i * F.lit(1 << 32) + j
+
+    from xarray_dataaccessor_spark.operators.graph import subtree_sizes
+
+    pr = flow.filter(
+        F.col("flow_to_x").isNotNull() & F.col("flow_to_y").isNotNull()
+    ).select(
+        nid(x_col, y_col).alias("node"),
+        nid("flow_to_x", "flow_to_y").alias("parent"),
+    )
+    sizes = subtree_sizes(pr, max_iters=max_iters)
+    return (
+        flow.select(F.col(x_col), F.col(y_col), nid(x_col, y_col).alias("node"))
+        .join(sizes, "node", "left")
+        .select(
+            x_col,
+            y_col,
+            F.coalesce(F.col("subtree_size"), F.lit(1)).cast("bigint").alias(
+                "flow_acc"
+            ),
+        )
+        .withColumn("n_upstream", (F.col("flow_acc") - 1).cast("bigint"))
+    )
+
+
 def contour_segments(
     df: DataFrame,
     dx: float,
