@@ -482,6 +482,38 @@ def main() -> None:
     print("streaming heavy hitters:",
           [(r["item"], r["est_count"]) for r in top])
 
+    # sketch family: HLL distinct, Bloom membership, CMS frequency
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bloom_build, bloom_contains_sql, cms_build, cms_estimate_sql,
+        hll_ndv,
+    )
+    ndv = hll_ndv(docs_txt, "text", p=10).first()["approx_ndv"]
+    print(f"HLL: ~{ndv:.0f} distinct texts (64-register twin drives the "
+          "oracle'd corpus report)")
+    words_df = docs_txt.select(F.explode(F.split("text", " ")).alias("w"))
+    bloom = bloom_build(words_df.limit(2000), "w", m_bits=8192, k=3)
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+    probe = words_df.limit(50).select(
+        "w",
+        portable_hash32(F.concat(F.lit("b1:"), F.col("w"))).alias("__h1"),
+        portable_hash32(F.concat(F.lit("b2:"), F.col("w"))).alias("__h2"),
+    )
+    hits = probe.filter(F.expr(bloom_contains_sql("__h1", "__h2", bloom))).count()
+    print(f"Bloom: {hits}/50 member probes hit (no false negatives by law)")
+    cms = cms_build(words_df, "w", w=512, d=3)
+    est = spark.createDataFrame([("the",)], "word string").selectExpr(
+        cms_estimate_sql("word", cms) + " AS e").first()["e"]
+    print(f"CMS: est count('the') = {est} from 3x512 counters")
+
+    # area-weighted zonal mean (exactextract semantics) + flow accumulation
+    wz = tf.zonal_stats(polygons=[tri], weighted=True, per_time=False).first()
+    print(f"weighted zonal: {wz['covered_cells']:.2f} covered cells "
+          f"(fractional), mean t2m {wz['t2m']:.2f}")
+    acc = tf.terrain("t2m", "accumulation")
+    mx = acc.agg(F.max("flow_acc")).first()[0]
+    print(f"flow accumulation: largest drainage {mx} cells "
+          "(Euler-tour ranking, O(log path) rounds)")
+
 
 if __name__ == "__main__":
     main()

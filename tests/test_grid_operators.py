@@ -665,10 +665,21 @@ def test_gridframe_terrain_entry_point(spark):
     assert flow.filter("is_sink").count() >= 1
     ws = gf.terrain("elev", "watersheds")
     assert ws.count() == 20  # every cell labeled
+    acc = gf.terrain("elev", "accumulation")
+    rows = {(r["x"], r["y"]): r["flow_acc"] for r in acc.collect()}
+    assert len(rows) == 20
+    assert sum(v for (x, y), v in rows.items()
+               if (x, y) == (0.0, 0.0)) == 20  # single pit drains all
     import pytest as _pt
 
     with _pt.raises(ValueError, match="unknown what"):
         gf.terrain("elev", "nonsense")
+    with _pt.raises(NotImplementedError, match="per-DEM"):
+        GridFrame(
+            _dem_df(spark, z)
+            .withColumnRenamed("z", "elev")
+            .withColumn("time", F.lit("2020-01-01").cast("timestamp"))
+        ).terrain("elev", "accumulation")
 
 
 def test_dem_half_step_origin_grid(spark):

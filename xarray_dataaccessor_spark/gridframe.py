@@ -108,7 +108,10 @@ class GridFrame:
     ) -> DataFrame:
         """Terrain analytics over one variable: ``what='derivatives'``
         (Horn slope/aspect/hillshade), ``'flow'`` (D8 directions),
-        ``'watersheds'`` (terminal-sink labels) or ``'contours'``
+        ``'watersheds'`` (terminal-sink labels), ``'accumulation'``
+        (upstream cell counts via the Euler-tour ranking — elevation is
+        static, so this path requires a time-free grid or
+        ``per_time=False`` with a single timestep) or ``'contours'``
         (marching-squares segments; pass ``levels=[...]``). Grid steps
         infer from the coordinate axes (one dimension-sized job, the
         ``grid_axes`` discipline)."""
@@ -117,6 +120,7 @@ class GridFrame:
             contour_segments,
             d8_flow_direction,
             dem_derivatives,
+            flow_accumulation,
             grid_axes,
             watershed_labels,
         )
@@ -141,6 +145,14 @@ class GridFrame:
             return flow
         if what == "watersheds":
             return watershed_labels(flow, group_cols=groups, **kwargs)
+        if what == "accumulation":
+            if groups:
+                raise NotImplementedError(
+                    "terrain('accumulation') is per-DEM (elevation is "
+                    "static): drop the time dimension (per_time=False on "
+                    "a single timestep) or map over time slices"
+                )
+            return flow_accumulation(flow, dx=dx, dy=dy, **kwargs)
         raise ValueError(f"terrain: unknown what={what!r}")
 
     def zonal_stats(
