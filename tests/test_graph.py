@@ -273,17 +273,20 @@ def test_centrality_canonicals_election(spark):
 # ---------------------------------------------------------------------------
 # Euler-tour subtree sizes (round 8)
 # ---------------------------------------------------------------------------
-def _sizes(spark, edges):
+def _sizes(spark, edges, threshold=None):
     from xarray_dataaccessor_spark.operators.graph import subtree_sizes
 
     df = spark.createDataFrame(edges, "node bigint, parent bigint")
+    kw = {} if threshold is None else {"small_edge_threshold": threshold}
     return {r["node"]: r["subtree_size"]
-            for r in subtree_sizes(df).collect()}
+            for r in subtree_sizes(df, **kw).collect()}
 
 
-def test_subtree_sizes_path(spark):
-    # 0 <- 1 <- 2 <- 3 (root 0)
-    got = _sizes(spark, [(1, 0), (2, 1), (3, 2)])
+@pytest.mark.parametrize("threshold", [None, 0])
+def test_subtree_sizes_path(spark, threshold):
+    # 0 <- 1 <- 2 <- 3 (root 0); both the endgame (default threshold)
+    # and the distributed Euler tour (threshold=0) paths
+    got = _sizes(spark, [(1, 0), (2, 1), (3, 2)], threshold=threshold)
     assert got == {3: 1, 2: 2, 1: 3, 0: 4}
 
 
@@ -306,6 +309,7 @@ def test_subtree_sizes_forest_and_random(spark):
         for i in range(1, n):
             edges.append((base + i, base + rng.randrange(i)))
     got = _sizes(spark, edges)
+    assert got == _sizes(spark, edges, threshold=0)  # tour == endgame
     # python mirror
     children = {}
     for c, p in edges:
@@ -340,7 +344,8 @@ def test_subtree_sizes_deep_path_converges_in_log_rounds(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "join", counting)
     edges = [(i, i - 1) for i in range(1, 300)]
     df = spark.createDataFrame(edges, "node bigint, parent bigint")
-    out = {r["node"]: r["subtree_size"] for r in subtree_sizes(df).collect()}
+    out = {r["node"]: r["subtree_size"]
+           for r in subtree_sizes(df, small_edge_threshold=0).collect()}
     assert out[0] == 300 and out[299] == 1
     # setup joins (~4) + ceil(log2(598))=10 doubling rounds + 1
     # fixed-point + result-assembly joins (~3)

@@ -325,11 +325,61 @@ def centrality_canonicals(
     )
 
 
+def _endgame_subtree_sizes(pr: DataFrame) -> DataFrame:
+    """Single-partition subtree sizes for small forests (the
+    ``_endgame_cc`` discipline): one mapInPandas task builds the
+    children map and folds sizes bottom-up iteratively — one pass, no
+    ranking rounds. Input columns ``(c, p)``."""
+    import pandas as pd
+
+    def part(batches):
+        children: dict = {}
+        nodes = set()
+        has_parent = set()
+        for pdf in batches:
+            for c, p in zip(pdf["c"], pdf["p"]):
+                children.setdefault(p, []).append(c)
+                nodes.add(c)
+                nodes.add(p)
+                has_parent.add(c)
+        if not nodes:
+            return
+        sizes: dict = {}
+        roots = [n for n in nodes if n not in has_parent]
+        for r in roots:
+            # iterative post-order: push node twice, fold on second pop
+            stack = [(r, False)]
+            while stack:
+                v, done = stack.pop()
+                if done:
+                    sizes[v] = 1 + sum(
+                        sizes[c] for c in children.get(v, ())
+                    )
+                else:
+                    stack.append((v, True))
+                    stack.extend((c, False) for c in children.get(v, ()))
+        yield pd.DataFrame(
+            {"node": list(sizes), "subtree_size": list(sizes.values())}
+        )
+
+    dt = pr.schema["c"].dataType.simpleString()
+    return pr.repartition(1).mapInPandas(
+        part, f"node {dt}, subtree_size long"
+    )
+
+
+#: Below this many parent edges the single-partition endgame replaces
+#: the distributed Euler-tour ranking — same rationale and bound as
+#: SMALL_EDGE_THRESHOLD for connected components.
+SMALL_TREE_THRESHOLD = 1 << 21
+
+
 def subtree_sizes(
     parents: DataFrame,
     node_col: str = "node",
     parent_col: str = "parent",
     max_iters: int = 45,
+    small_edge_threshold: int | None = SMALL_TREE_THRESHOLD,
 ) -> DataFrame:
     """Subtree size of EVERY node of a functional forest in
     O(log n) rounds — the Euler-tour technique (Tarjan & Vishkin 1985)
@@ -353,6 +403,11 @@ def subtree_sizes(
     arc ranks. Everything is joins, window functions, and one
     signature-scan convergence check per round; arc count is
     ``2 (n - roots)``, so each round shuffles ~2 edges per node.
+
+    Hybrid endgame (the ``connected_components`` discipline): at or
+    below ``small_edge_threshold`` parent edges the whole forest folds
+    in ONE single-partition pass — the tour's ~log(path) driver round
+    trips only pay for themselves on forests too big for a task.
     """
     from pyspark.sql.window import Window
 
@@ -361,6 +416,8 @@ def subtree_sizes(
     ).filter(F.col("c") != F.col("p")).distinct().localCheckpoint(
         eager=False
     )
+    if small_edge_threshold and pr.count() <= small_edge_threshold:
+        return _endgame_subtree_sizes(pr)
     # ordered neighbor list per vertex: parent first (pos 0), then
     # children ordered by id
     as_child = pr.select(F.col("c").alias("v"), F.col("p").alias("nbr"),

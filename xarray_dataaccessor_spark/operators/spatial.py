@@ -1414,6 +1414,7 @@ def flow_accumulation(
     x_col: str = "x",
     y_col: str = "y",
     max_iters: int = 45,
+    origin: "tuple[float, float] | None" = None,
 ) -> DataFrame:
     """Flow accumulation over a :func:`d8_flow_direction` table — for
     every cell, how many cells drain THROUGH it (``flow_acc`` includes
@@ -1427,9 +1428,16 @@ def flow_accumulation(
 
     Cells key by integer grid indices anchored to the grid minimum
     (packed into one bigint), so float coordinates never join. Sinks
-    with no upstream cells accumulate 1 (themselves)."""
-    b = flow.agg(F.min(x_col).alias("x0"), F.min(y_col).alias("y0")).first()
-    x0, y0 = float(b["x0"]), float(b["y0"])
+    with no upstream cells accumulate 1 (themselves). ``origin``
+    (any on-grid anchor at or below the minimum coordinates — index
+    packing needs non-negative indices) skips the min-scan job."""
+    if origin is not None:
+        x0, y0 = float(origin[0]), float(origin[1])
+    else:
+        b = flow.agg(
+            F.min(x_col).alias("x0"), F.min(y_col).alias("y0")
+        ).first()
+        x0, y0 = float(b["x0"]), float(b["y0"])
 
     def nid(xc, yc):
         i = F.round((F.col(xc) - F.lit(x0)) / F.lit(float(dx))).cast("bigint")

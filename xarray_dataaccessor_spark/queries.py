@@ -1065,8 +1065,58 @@ def _pip_sql_duck(rings) -> str:
     )
 
 
+def _d8_offsets_sql() -> str:
+    """The D8 offset table with the OPERATOR's literal distances
+    (``math.hypot`` reprs) and priority ranks — shared arithmetic, so
+    every steepest-descent comparison replays bit-for-bit."""
+    import math
+
+    prio = [(1, 0), (1, -1), (0, -1), (-1, -1),
+            (-1, 0), (-1, 1), (0, 1), (1, 1)]
+    return ", ".join(
+        f"({di}, {dj}, {rank}, {math.hypot(di * 0.25, dj * 0.25)!r})"
+        for rank, (di, dj) in enumerate(prio)
+    )
+
+
 _SNAP_ORACLE = f"""
-    WITH grid AS ({GRID_SQL_BODY})
+    WITH RECURSIVE grid AS ({GRID_SQL_BODY}),
+    surf AS (
+        SELECT x, y,
+               CAST(SUM(CAST(t2m AS DECIMAL(18,2))) AS DOUBLE) AS z
+        FROM grid GROUP BY x, y
+    ),
+    mins AS (SELECT MIN(x) AS x0, MIN(y) AS y0 FROM surf),
+    cells AS (
+        SELECT CAST(round((x - x0) / 0.25) AS BIGINT) AS i,
+               CAST(round((y - y0) / 0.25) AS BIGINT) AS j,
+               x, y, z
+        FROM surf, mins
+    ),
+    offs(di, dj, prio, dist) AS (VALUES {_d8_offsets_sql()}),
+    d8e AS (
+        SELECT i, j, pi, pj FROM (
+            SELECT c.i, c.j, n.i AS pi, n.j AS pj,
+                   row_number() OVER (
+                       PARTITION BY c.i, c.j
+                       ORDER BY (c.z - n.z) / o.dist DESC, o.prio ASC
+                   ) AS rk
+            FROM cells c
+            JOIN offs o ON TRUE
+            JOIN cells n ON n.i = c.i + o.di AND n.j = c.j + o.dj
+            WHERE (c.z - n.z) / o.dist > 0
+        ) WHERE rk = 1
+    ),
+    anc AS (
+        SELECT i, j, i AS ai, j AS aj FROM cells
+        UNION ALL
+        SELECT anc.i, anc.j, d8e.pi AS ai, d8e.pj AS aj
+        FROM anc JOIN d8e ON d8e.i = anc.ai AND d8e.j = anc.aj
+    ),
+    acc AS (
+        SELECT ai AS i, aj AS j, COUNT(*) AS flow_acc
+        FROM anc GROUP BY ai, aj
+    )
     SELECT 'snap' AS variant, CAST(NULL AS INT) AS zone_id,
            y, x, COUNT(*) AS n,
            CAST(NULL AS DOUBLE) AS t2m, CAST(NULL AS DOUBLE) AS u100
@@ -1074,6 +1124,11 @@ _SNAP_ORACLE = f"""
     WHERE x BETWEEN (-82.9 - 0.125) AND (-80.1 + 0.125)
       AND y BETWEEN (41.6 - 0.125) AND (42.6 + 0.125)
     GROUP BY y, x
+    UNION ALL
+    SELECT 'flowacc' AS variant, CAST(NULL AS INT) AS zone_id,
+           cells.y, cells.x, CAST(acc.flow_acc AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS t2m, CAST(NULL AS DOUBLE) AS u100
+    FROM cells JOIN acc USING (i, j)
 """ + "".join(
     f"""
     UNION ALL
@@ -1102,11 +1157,23 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       even-odd holes honored): the point-in-polygon edge fold runs
       map-side as one whole-stage-codegen expression, the only shuffle
       is the zones-sized aggregation, and the DECIMAL-cast sums replay
-      exactly in the oracle's identical fold."""
+      exactly in the oracle's identical fold.
+    - ``'flowacc'`` rows (round 8) — the D8 terrain family end-to-end:
+      :func:`spatial.d8_flow_direction` (steepest descent with the
+      operator's literal hypot distances and priority tie-break) over
+      the decimal-summed t2m surface, then
+      :func:`spatial.flow_accumulation` (Euler-tour subtree ranking).
+      The oracle re-derives every descent decision with the identical
+      doubles and closes the forest transitively with a recursive CTE
+      — so EVERY D8 edge and every upstream count hash-verifies."""
     configure_session(spark)
     from xarray_dataaccessor_spark.meta import BoundingBox
     from xarray_dataaccessor_spark.operators.filters import filter_bbox
-    from xarray_dataaccessor_spark.operators.spatial import zonal_stats
+    from xarray_dataaccessor_spark.operators.spatial import (
+        d8_flow_direction,
+        flow_accumulation,
+        zonal_stats,
+    )
 
     grid = _grid(spark, sf_dir)
     out = filter_bbox(
@@ -1139,7 +1206,24 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t2m").cast("double").alias("t2m"),
         F.col("u100").cast("double").alias("u100"),
     )
-    return snap.unionByName(zonal)
+    surf = grid.groupBy("x", "y").agg(
+        F.sum(F.col("t2m").cast("decimal(18,2)")).cast("double").alias("z")
+    )
+    # the derived grid's geometry is a table contract (GRID_SQL_BODY):
+    # anchor at its literal minima instead of paying two axis scans
+    g_origin = (-83.476, 41.383)
+    flow = d8_flow_direction(surf, dx=0.25, dy=0.25, origin=g_origin)
+    flowacc = flow_accumulation(
+        flow, dx=0.25, dy=0.25, origin=g_origin
+    ).select(
+        F.lit("flowacc").alias("variant"),
+        F.lit(None).cast("int").alias("zone_id"),
+        "y", "x",
+        F.col("flow_acc").alias("n"),
+        F.lit(None).cast("double").alias("t2m"),
+        F.lit(None).cast("double").alias("u100"),
+    )
+    return snap.unionByName(zonal).unionByName(flowacc)
 
 
 # ---------------------------------------------------------------------------
