@@ -1,0 +1,122 @@
+"""Versioned append-only dataset layout (sinks/versioned.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_dataaccessor_spark.sinks.versioned import (
+    append_versioned,
+    compact_versioned,
+    list_versions,
+    read_versioned,
+    vacuum,
+    write_versioned,
+)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi, 1, 4).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+
+
+def test_create_append_time_travel(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    m0 = write_versioned(_batch(spark, 0, 100), path)
+    assert m0["version"] == 0 and m0["op"] == "create"
+    m1 = append_versioned(_batch(spark, 100, 250), path)
+    assert m1["version"] == 1 and m1["parent"] == 0
+    assert list_versions(path) == [0, 1]
+    assert read_versioned(spark, path).count() == 250
+    assert read_versioned(spark, path, version=0).count() == 100
+    # snapshot isolation: v0's resolved file set never includes v1 files
+    v0_ids = {r["id"] for r in read_versioned(spark, path, 0).collect()}
+    assert v0_ids == set(range(100))
+
+
+def test_append_is_pure_file_add(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    write_versioned(_batch(spark, 0, 50), path)
+    data = os.path.join(path, "data")
+    before = {f: os.path.getmtime(os.path.join(data, f))
+              for f in os.listdir(data)}
+    append_versioned(_batch(spark, 50, 80), path)
+    after = {f: os.path.getmtime(os.path.join(data, f))
+             for f in os.listdir(data)}
+    for f, t in before.items():
+        assert after[f] == t  # v0 files untouched, byte for byte
+    assert len(after) > len(before)
+
+
+def test_schema_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    write_versioned(_batch(spark, 0, 10), path)
+    bad = spark.range(3).select(F.col("id").cast("int").alias("id"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_versioned(bad, path)
+
+
+def test_compact_preserves_data_and_history(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    write_versioned(_batch(spark, 0, 60), path)
+    for i in range(3):
+        append_versioned(_batch(spark, 60 + 40 * i, 100 + 40 * i), path)
+    pre = read_versioned(spark, path)
+    n_files_pre = len(os.listdir(os.path.join(path, "data")))
+    m = compact_versioned(spark, path, target_bytes=1 << 30)
+    assert m["op"] == "compact" and len(m["files"]) == 1
+    post = read_versioned(spark, path)
+    assert sorted(r["id"] for r in post.collect()) == sorted(
+        r["id"] for r in pre.collect()
+    )
+    # old snapshot still resolves after compaction
+    assert read_versioned(spark, path, version=1).count() == 100
+    assert len(os.listdir(os.path.join(path, "data"))) > n_files_pre - 1
+
+
+def test_vacuum_drops_only_dead_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    write_versioned(_batch(spark, 0, 60), path)
+    append_versioned(_batch(spark, 60, 90), path)
+    compact_versioned(spark, path, target_bytes=1 << 30)
+    deleted = vacuum(path, keep_versions=1)
+    assert deleted  # the pre-compaction files are dead
+    assert list_versions(path) == [2]
+    assert read_versioned(spark, path).count() == 90
+    with pytest.raises(ValueError, match="not in"):
+        read_versioned(spark, path, version=0)
+
+
+def test_crash_before_commit_publishes_nothing(spark, tmp_path, monkeypatch):
+    """Files landed but the manifest rename never ran: readers still see
+    the old version; a retry commits cleanly."""
+    import xarray_dataaccessor_spark.sinks.versioned as V
+
+    path = str(tmp_path / "ds")
+    write_versioned(_batch(spark, 0, 40), path)
+
+    real_commit = V._commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash between land and commit")
+
+    monkeypatch.setattr(V, "_commit", boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        append_versioned(_batch(spark, 40, 70), path)
+    monkeypatch.setattr(V, "_commit", real_commit)
+    assert list_versions(path) == [0]
+    assert read_versioned(spark, path).count() == 40  # orphans invisible
+    append_versioned(_batch(spark, 40, 70), path)  # retry succeeds
+    assert read_versioned(spark, path).count() == 70
+
+
+def test_duplicate_version_commit_rejected(spark, tmp_path):
+    import xarray_dataaccessor_spark.sinks.versioned as V
+
+    path = str(tmp_path / "ds")
+    write_versioned(_batch(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="already committed"):
+        V._commit(path, 0, [], "append", None, "struct<id:bigint>")

@@ -1,0 +1,217 @@
+"""Versioned append-only parquet datasets — a minimal transactional
+table layout (the Delta/Iceberg idea reduced to its load-bearing core)
+for the pipelines this engine targets: nightly corpus appends, sketch
+and index refreshes, training-shard publication.
+
+Layout under ``<path>/``::
+
+    data/part-<version>-<n>.parquet     immutable data files
+    _manifests/v<NNNNNN>.json           one manifest per committed version
+
+A manifest lists the COMPLETE file set of its version (names, row
+counts, byte sizes) plus the parent version and an operation tag.
+Readers resolve a manifest first, then read exactly its files — so
+
+- **appends are pure file adds** (existing files are never rewritten,
+  the persisted-index discipline generalized),
+- **readers get snapshot isolation for free**: a reader that resolved
+  version N never sees N+1's files, and a writer crash before the
+  manifest rename publishes nothing (manifests are written to a temp
+  name and atomically renamed — the only commit point),
+- **time travel is just picking an older manifest**,
+- **compaction** rewrites small files into large ones and publishes a
+  new manifest with op='compact'; the data is bit-identical (tested),
+  old versions still resolve because their files remain until an
+  explicit ``vacuum``.
+
+At 100 TB the manifest is the scaling pressure point: it is
+file-count-sized, not data-sized, and ``compact`` exists precisely to
+keep file counts (and therefore manifests and scan planning) bounded.
+This module stays deliberately below table formats' full surface (no
+schema evolution, no deletes, no partition spec) — those are the parts
+a real deployment should take from Delta/Iceberg proper, and faking
+them here would be dishonest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:06d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    """All committed versions, ascending."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _land_files(df: DataFrame, path: str, version: int) -> list[dict]:
+    """Write df's partitions as immutable parquet files under data/ and
+    return their manifest entries. Files land under a unique temp dir
+    first, then move into data/ with version-stamped names — a crashed
+    write leaves only unreferenced temp files."""
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(tmp)
+    entries = []
+    n = 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{version:06d}-{n:05d}.parquet"
+        os.replace(os.path.join(tmp, name), os.path.join(data_dir, final))
+        entries.append(
+            {
+                "name": final,
+                "bytes": os.path.getsize(os.path.join(data_dir, final)),
+            }
+        )
+        n += 1
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)
+    return entries
+
+
+def _commit(path: str, version: int, files: list[dict], op: str,
+            parent: int | None, schema: str) -> dict:
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "schema": schema,
+        "files": files,
+    }
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    final = _manifest_path(path, version)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise ValueError(
+            f"version {version} already committed (concurrent writer?)"
+        )
+    os.replace(tmp, final)  # the atomic commit point
+    return manifest
+
+
+def write_versioned(df: DataFrame, path: str) -> dict:
+    """Create version 0 of a new dataset (fails if one exists)."""
+    if list_versions(path):
+        raise ValueError(f"dataset already exists at {path}; use append")
+    os.makedirs(path, exist_ok=True)
+    files = _land_files(df, path, 0)
+    return _commit(path, 0, files, "create", None,
+                   df.schema.simpleString())
+
+
+def append_versioned(df: DataFrame, path: str) -> dict:
+    """Commit a new version = parent's files + the batch's files. The
+    parent's files are NEVER rewritten; schema must match exactly (no
+    silent evolution)."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no dataset at {path}; use write_versioned")
+    parent = versions[-1]
+    pm = _read_manifest(path, parent)
+    if df.schema.simpleString() != pm["schema"]:
+        raise ValueError(
+            "schema mismatch: appends must match the dataset schema "
+            f"({df.schema.simpleString()} != {pm['schema']})"
+        )
+    version = parent + 1
+    files = pm["files"] + _land_files(df, path, version)
+    return _commit(path, version, files, "append", parent, pm["schema"])
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot: exactly the files its manifest lists. Default =
+    latest committed version (time travel = pass an older one)."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no dataset at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    m = _read_manifest(path, version)
+    if not m["files"]:
+        return spark.createDataFrame([], m["schema"])
+    paths = [os.path.join(path, "data", f["name"]) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def compact_versioned(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite the CURRENT version's small files into ~``target_bytes``
+    files and commit the result as a new version (op='compact'). Data
+    is bit-identical modulo row order (tested); prior versions keep
+    resolving because their files are untouched until :func:`vacuum`.
+    This is the file-count pressure valve: manifests, scan planning and
+    task counts are all file-count-sized."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no dataset at {path}")
+    parent = versions[-1]
+    pm = _read_manifest(path, parent)
+    total = sum(f["bytes"] for f in pm["files"])
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    cur = read_versioned(spark, path, parent)
+    version = parent + 1
+    files = _land_files(cur.repartition(int(n_out)), path, version)
+    return _commit(path, version, files, "compact", parent, pm["schema"])
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by manifests older than the
+    newest ``keep_versions`` (and those manifests). The one destructive
+    operation, and the reason compaction itself is safe: nothing
+    disappears until the operator explicitly lets old snapshots go.
+    Returns the deleted file names."""
+    versions = list_versions(path)
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    keep = versions[-keep_versions:]
+    drop = [v for v in versions if v not in keep]
+    live = set()
+    for v in keep:
+        live.update(f["name"] for f in _read_manifest(path, v)["files"])
+    deleted = []
+    for v in drop:
+        for f in _read_manifest(path, v)["files"]:
+            if f["name"] not in live:
+                p = os.path.join(path, "data", f["name"])
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted.append(f["name"])
+        os.remove(_manifest_path(path, v))
+    return deleted
