@@ -514,6 +514,20 @@ def main() -> None:
     print(f"flow accumulation: largest drainage {mx} cells "
           "(Euler-tour ranking, O(log path) rounds)")
 
+    # versioned dataset: append-only manifests, time travel, compaction
+    from xarray_dataaccessor_spark.sinks.versioned import (
+        append_versioned, compact_versioned, list_versions,
+        read_versioned, write_versioned,
+    )
+    vpath = tempfile.mkdtemp(prefix="xda_demo_ds_") + "/corpus"
+    write_versioned(docs_txt.limit(300), vpath)
+    append_versioned(docs_txt.filter(F.col("doc_id") >= 300), vpath)
+    compact_versioned(spark, vpath)
+    n_now = read_versioned(spark, vpath).count()
+    n_v0 = read_versioned(spark, vpath, version=0).count()
+    print(f"versioned dataset: versions {list_versions(vpath)}, "
+          f"latest {n_now} docs, time-travel v0 {n_v0} docs")
+
 
 if __name__ == "__main__":
     main()
