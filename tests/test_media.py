@@ -500,3 +500,78 @@ def test_image_probe_single_band_tiff_via_writer():
             p = image_probe(fh.read())
     assert (p["fmt"], p["width"], p["height"], p["n_channels"]) == (
         "tiff", 4, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# H.264 / MP4 probes (round 8)
+# ---------------------------------------------------------------------------
+def test_h264_probe_baseline():
+    from xarray_dataaccessor_spark.sources.media import (
+        h264_probe,
+        write_h264_annexb,
+    )
+
+    p = h264_probe(write_h264_annexb(5, 64, 48))
+    assert p["fmt"] == "h264" and p["profile_idc"] == 66
+    assert (p["width"], p["height"]) == (64, 48)
+    assert p["n_pictures"] == 5
+    assert p["nal_counts"] == {"sps": 1, "pps": 1, "idr": 1, "slice": 4}
+
+
+def test_h264_probe_high_profile_with_cropping():
+    from xarray_dataaccessor_spark.sources.media import (
+        h264_probe,
+        write_h264_annexb,
+    )
+
+    # 1920x1088 coded, bottom-crop 4 chroma units (8 luma rows) -> 1080
+    p = h264_probe(
+        write_h264_annexb(3, 1920, 1088, profile_idc=100, crop=(0, 0, 0, 4))
+    )
+    assert (p["width"], p["height"]) == (1920, 1080)
+    assert p["profile_idc"] == 100 and p["chroma_format_idc"] == 1
+    assert p["n_pictures"] == 3
+
+
+def test_h264_emulation_prevention_round_trip():
+    from xarray_dataaccessor_spark.sources.media import (
+        _ebsp_to_rbsp,
+        _rbsp_to_ebsp,
+    )
+
+    for rbsp in (b"\x00\x00\x01\x02\x00\x00\x00\x03", b"\x00" * 6,
+                 b"ab\x00\x00\x02cd", b""):
+        assert _ebsp_to_rbsp(_rbsp_to_ebsp(rbsp)) == rbsp
+        # and the escaped form never contains a start-code prefix
+        esc = _rbsp_to_ebsp(rbsp)
+        assert b"\x00\x00\x01" not in esc and b"\x00\x00\x00" not in esc
+
+
+def test_h264_probe_rejects_garbage():
+    from xarray_dataaccessor_spark.sources.media import h264_probe
+
+    with pytest.raises(ValueError, match="start codes"):
+        h264_probe(b"\xff" * 64)
+    with pytest.raises(ValueError, match="SPS"):
+        h264_probe(b"\x00\x00\x01" + bytes([0x61]) + b"\x12" * 8)
+
+
+def test_mp4_probe_avc_track():
+    from xarray_dataaccessor_spark.sources.media import (
+        mp4_probe,
+        write_mp4_avc,
+    )
+
+    m = mp4_probe(write_mp4_avc(128, 96, duration_ms=3500))
+    assert m["brand"] == "isom" and m["duration_ms"] == 3500
+    t = m["tracks"][0]
+    assert t["codec"] == "avc1"
+    assert (t["width"], t["height"]) == (128, 96)
+    assert (t["sps"]["width"], t["sps"]["height"]) == (128, 96)
+
+
+def test_mp4_probe_rejects_non_bmff():
+    from xarray_dataaccessor_spark.sources.media import mp4_probe
+
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_probe(b"RIFF" + b"\x00" * 64)

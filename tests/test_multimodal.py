@@ -177,3 +177,31 @@ def test_probe_images_mixed_formats(spark):
     assert out[2]["fmt"] == "webp_lossless"
     assert out[3]["fmt"] == "webp_lossy" and out[3]["width"] == 11
     assert out[4]["fmt"] == "unknown" and out[4]["width"] is None
+
+
+def test_probe_videos(spark):
+    from xarray_dataaccessor_spark.operators.multimodal import probe_videos
+    from xarray_dataaccessor_spark.sources.media import (
+        write_h264_annexb,
+        write_mp4_avc,
+        write_y4m,
+    )
+    import numpy as np
+
+    frames = [np.full((32, 48), 60 + i, dtype=np.uint8) for i in range(4)]
+    rows = [
+        (0, bytearray(write_h264_annexb(6, 320, 240))),
+        (1, bytearray(write_mp4_avc(640, 480, duration_ms=1500))),
+        (2, bytearray(write_y4m(frames, fps=2))),
+        (3, bytearray(b"not a video at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r.asDict() for r in probe_videos(df).collect()}
+    assert out[0]["fmt"] == "h264" and out[0]["n_pictures"] == 6
+    assert (out[0]["width"], out[0]["height"]) == (320, 240)
+    assert out[1]["fmt"] == "mp4" and out[1]["codec"] == "avc1"
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert out[1]["duration_ms"] == 1500
+    assert out[2]["fmt"] == "y4m" and out[2]["n_pictures"] == 4
+    assert out[2]["duration_ms"] == 2000
+    assert out[3]["fmt"] == "unknown" and out[3]["width"] is None

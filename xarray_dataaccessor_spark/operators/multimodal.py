@@ -818,3 +818,90 @@ def probe_images(
         "bit_depth int, n_channels int"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
+
+
+def probe_videos(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video metadata extraction over mapInPandas — the envelope a
+    curation pipeline filters on without touching sample data:
+
+    - **MP4/MOV** (ISO BMFF): box walk — brand, movie duration, track
+      dimensions, codec fourcc, and for AVC tracks the avcC SPS decoded
+      for the true coded dimensions + profile/level
+      (``sources/media.py::mp4_probe``).
+    - **H.264 Annex B**: start-code NAL walk + full Exp-Golomb SPS
+      decode (profile/level/chroma/bit depth/cropped dimensions) and
+      the coded-picture count (``h264_probe``).
+    - **Y4M**: uncompressed header (the existing parser).
+
+    Entropy-coded slice decode stays gated (no reference decoder in
+    this environment to pin bit-exactness against — the MP3 spectral
+    precedent). Corrupt/unknown payloads yield a null 'unknown' row,
+    never a task failure."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import (
+        h264_probe,
+        mp4_probe,
+        parse_y4m,
+    )
+
+    hp, mp, yp = h264_probe, mp4_probe, parse_y4m
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                rec = {"doc_id": int(doc_id), "fmt": "unknown",
+                       "codec": None, "width": None, "height": None,
+                       "profile_idc": None, "level_idc": None,
+                       "n_pictures": None, "duration_ms": None}
+                try:
+                    if raw[4:8] == b"ftyp":
+                        m = mp(raw)
+                        rec.update(fmt="mp4",
+                                   duration_ms=m.get("duration_ms"))
+                        if m["tracks"]:
+                            t = m["tracks"][0]
+                            rec.update(codec=t.get("codec"),
+                                       width=t.get("width"),
+                                       height=t.get("height"))
+                            sps = t.get("sps")
+                            if sps:
+                                rec.update(
+                                    width=sps["width"],
+                                    height=sps["height"],
+                                    profile_idc=sps["profile_idc"],
+                                    level_idc=sps["level_idc"],
+                                )
+                    elif raw[:9] == b"YUV4MPEG2":
+                        fps, frames = yp(raw)
+                        rec.update(
+                            fmt="y4m", codec="raw",
+                            width=int(frames[0].shape[1]),
+                            height=int(frames[0].shape[0]),
+                            n_pictures=len(frames),
+                            duration_ms=int(round(
+                                len(frames) * 1000.0 / fps)),
+                        )
+                    else:
+                        p = hp(raw)
+                        rec.update(fmt="h264", codec="avc",
+                                   width=p["width"], height=p["height"],
+                                   profile_idc=p["profile_idc"],
+                                   level_idc=p["level_idc"],
+                                   n_pictures=p["n_pictures"])
+                except Exception:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id bigint, fmt string, codec string, width int, height int, "
+        "profile_idc int, level_idc int, n_pictures int, duration_ms bigint"
+    )
+    return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)

@@ -1389,3 +1389,405 @@ def image_probe(data: bytes) -> dict:
             return {"fmt": "webp_extended", "width": w, "height": h,
                     "bit_depth": 8, "n_channels": 4}
     raise ValueError("unrecognized image signature")
+
+
+# ---------------------------------------------------------------------------
+# H.264 / MP4 probes — stream structure + SPS decode WITHOUT pixel decode
+# (the video metadata a curation pipeline filters on; the entropy-coded
+# slice payloads stay gated like MP3's spectral stage)
+# ---------------------------------------------------------------------------
+def _ebsp_to_rbsp(data: bytes) -> bytes:
+    """Strip H.264 emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+class _ExpGolomb(_MsbBits):
+    """MSB-first reader with the H.264 ue(v)/se(v) codes."""
+
+    def ue(self) -> int:
+        lz = 0
+        while self.read(1) == 0:
+            lz += 1
+            if lz > 31:
+                raise ValueError("invalid Exp-Golomb code")
+        return (1 << lz) - 1 + (self.read(lz) if lz else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _parse_h264_sps(rbsp: bytes) -> dict:
+    """Decode a seq_parameter_set RBSP (ISO/IEC 14496-10 §7.3.2.1.1):
+    profile/level, chroma format, bit depths, and the real coded
+    dimensions (macroblock counts minus frame cropping)."""
+    g = _ExpGolomb(rbsp, 0)
+    profile_idc = g.read(8)
+    g.read(8)  # constraint flags + reserved
+    level_idc = g.read(8)
+    g.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    bit_depth_luma = bit_depth_chroma = 8
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135):
+        chroma_format_idc = g.ue()
+        if chroma_format_idc == 3:
+            g.read(1)  # separate_colour_plane_flag
+        bit_depth_luma = g.ue() + 8
+        bit_depth_chroma = g.ue() + 8
+        g.read(1)  # qpprime_y_zero_transform_bypass
+        if g.read(1):  # seq_scaling_matrix_present
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if g.read(1):  # seq_scaling_list_present[i]
+                    size = 16 if i < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt != 0:
+                            nxt = (last + g.se() + 256) % 256
+                        last = nxt if nxt else last
+    g.ue()  # log2_max_frame_num_minus4
+    poc_type = g.ue()
+    if poc_type == 0:
+        g.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        g.read(1)
+        g.se()
+        g.se()
+        for _ in range(g.ue()):
+            g.se()
+    g.ue()  # max_num_ref_frames
+    g.read(1)  # gaps_in_frame_num_value_allowed
+    pw = g.ue() + 1  # pic_width_in_mbs
+    ph = g.ue() + 1  # pic_height_in_map_units
+    frame_mbs_only = g.read(1)
+    if not frame_mbs_only:
+        g.read(1)  # mb_adaptive_frame_field
+    g.read(1)  # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if g.read(1):  # frame_cropping
+        crop_l, crop_r, crop_t, crop_b = g.ue(), g.ue(), g.ue(), g.ue()
+    # crop units (§7.4.2.1.1): chroma 4:2:0 -> (2, 2*frame-factor)
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    if chroma_format_idc == 0:
+        sub_w = sub_h = 1
+    unit_y = sub_h * (2 - frame_mbs_only)
+    width = pw * 16 - (crop_l + crop_r) * sub_w
+    height = (2 - frame_mbs_only) * ph * 16 - (crop_t + crop_b) * unit_y
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth_luma": bit_depth_luma,
+        "bit_depth_chroma": bit_depth_chroma,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": bool(frame_mbs_only),
+    }
+
+
+_H264_NAL_NAMES = {1: "slice", 5: "idr", 6: "sei", 7: "sps", 8: "pps",
+                   9: "aud"}
+
+
+def h264_probe(data: bytes) -> dict:
+    """Annex-B H.264 stream probe: start-code NAL walk + full SPS
+    decode (Exp-Golomb, emulation-prevention stripped) — profile,
+    level, chroma format, bit depths, TRUE display dimensions
+    (cropping applied), NAL histogram and coded-picture count. The
+    slice payloads (CABAC/CAVLC entropy decode) stay gated, exactly
+    like the MP3 spectral stage — curation filters on the envelope."""
+    # find start codes (00 00 01 / 00 00 00 01)
+    nals = []
+    i = 0
+    n = len(data)
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                nals.append(i + 3)
+                i += 3
+                continue
+            if i + 4 <= n and data[i + 2] == 0 and data[i + 3] == 1:
+                nals.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    if not nals:
+        raise ValueError("no H.264 start codes found")
+    counts: dict = {}
+    sps = None
+    n_pictures = 0
+    for k, start in enumerate(nals):
+        end = n
+        if k + 1 < len(nals):
+            end = nals[k + 1]
+            # back off over the next start code (3 or 4 bytes)
+            end -= 4 if data[end - 4:end] == b"\x00\x00\x00\x01" else 3
+        if start >= end:
+            continue
+        hdr = data[start]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set — not H.264")
+        ntype = hdr & 0x1F
+        name = _H264_NAL_NAMES.get(ntype, f"nal{ntype}")
+        counts[name] = counts.get(name, 0) + 1
+        if ntype in (1, 5):
+            n_pictures += 1
+        if ntype == 7 and sps is None:
+            sps = _parse_h264_sps(_ebsp_to_rbsp(data[start + 1:end]))
+    if sps is None:
+        raise ValueError("no SPS NAL in stream")
+    return {"fmt": "h264", **sps, "n_nals": len(nals),
+            "n_pictures": n_pictures, "nal_counts": counts}
+
+
+def _write_sps(width_mbs: int, height_mbs: int, profile_idc: int = 66,
+               level_idc: int = 30, crop: tuple = (0, 0, 0, 0)) -> bytes:
+    """Minimal syntactically-valid SPS RBSP for the probe's fixture
+    twin (baseline or high profile, frame_mbs_only, poc type 0)."""
+    w = _MsbBitsW()
+
+    def ue(v):
+        n = v + 1
+        lz = n.bit_length() - 1
+        w.write(0, lz)
+        w.write(n, lz + 1)
+
+    w.write(profile_idc, 8)
+    w.write(0, 8)
+    w.write(level_idc, 8)
+    ue(0)  # sps id
+    if profile_idc == 100:
+        ue(1)   # chroma_format_idc 4:2:0
+        ue(0)   # bit_depth_luma_minus8
+        ue(0)   # bit_depth_chroma_minus8
+        w.write(0, 1)  # qpprime
+        w.write(0, 1)  # no scaling matrix
+    ue(0)  # log2_max_frame_num_minus4
+    ue(0)  # poc type 0
+    ue(0)  # log2_max_poc_lsb_minus4
+    ue(1)  # max_num_ref_frames
+    w.write(0, 1)
+    ue(width_mbs - 1)
+    ue(height_mbs - 1)
+    w.write(1, 1)  # frame_mbs_only
+    w.write(1, 1)  # direct_8x8
+    if any(crop):
+        w.write(1, 1)
+        for c in crop:
+            ue(c)
+    else:
+        w.write(0, 1)
+    w.write(1, 1)  # rbsp_stop_one_bit
+    return w.bytes()
+
+
+def _rbsp_to_ebsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def write_h264_annexb(
+    n_frames: int = 5,
+    width: int = 64,
+    height: int = 48,
+    profile_idc: int = 66,
+    crop: tuple = (0, 0, 0, 0),
+) -> bytes:
+    """Annex-B fixture stream: SPS + PPS + one IDR + (n-1) non-IDR
+    NALs with dummy (never-decoded) slice payloads. ``width``/``height``
+    are the UNCROPPED mb-aligned dimensions; pass ``crop`` (l, r, t, b
+    in crop units) to exercise the cropping arithmetic."""
+    if width % 16 or height % 16:
+        raise ValueError("width/height must be multiples of 16")
+    sps = _write_sps(width // 16, height // 16, profile_idc=profile_idc,
+                     crop=crop)
+    out = bytearray()
+    out += b"\x00\x00\x00\x01" + bytes([0x67]) + _rbsp_to_ebsp(sps)
+    out += b"\x00\x00\x00\x01" + bytes([0x68, 0xCE, 0x38, 0x80])  # PPS
+    for i in range(n_frames):
+        ntype = 5 if i == 0 else 1
+        out += b"\x00\x00\x00\x01" + bytes([0x60 | ntype])
+        out += bytes([0x88, (i * 37) % 251 + 1, 0x00, 0x00, 0x02, 0x80])
+    return bytes(out)
+
+
+def mp4_probe(data: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) probe: box walk — brand, movie duration from
+    mvhd (timescale-correct), track dimensions from tkhd, sample-entry
+    fourcc from stsd, and when the track is AVC, the avcC SPS decoded
+    with the same :func:`_parse_h264_sps`. No sample data is touched."""
+    import struct as _st
+
+    def boxes(buf, base, end):
+        off = base
+        while off + 8 <= end:
+            size, = _st.unpack(">I", buf[off:off + 4])
+            btype = buf[off + 4:off + 8].decode("latin1")
+            hdr = 8
+            if size == 1:
+                size, = _st.unpack(">Q", buf[off + 8:off + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                raise ValueError(f"bad box size at {off}")
+            yield btype, off + hdr, off + size
+            off += size
+
+    out: dict = {"fmt": "mp4", "tracks": []}
+    if data[4:8] != b"ftyp":
+        raise ValueError("no ftyp box — not ISO BMFF")
+    for btype, s, e in boxes(data, 0, len(data)):
+        if btype == "ftyp":
+            out["brand"] = data[s:s + 4].decode("latin1")
+        elif btype == "moov":
+            for b2, s2, e2 in boxes(data, s, e):
+                if b2 == "mvhd":
+                    ver = data[s2]
+                    if ver == 1:
+                        ts, dur = _st.unpack(">IQ", data[s2 + 20:s2 + 32])
+                    else:
+                        ts, dur = _st.unpack(">II", data[s2 + 12:s2 + 20])
+                    out["duration_ms"] = int(round(dur * 1000.0 / ts))
+                elif b2 == "trak":
+                    trk: dict = {}
+                    for b3, s3, e3 in boxes(data, s2, e2):
+                        if b3 == "tkhd":
+                            ver = data[s3]
+                            base = s3 + (96 if ver == 1 else 84)
+                            wfx, hfx = _st.unpack(
+                                ">II", data[base - 8:base]
+                            )
+                            trk["width"] = wfx >> 16
+                            trk["height"] = hfx >> 16
+                        elif b3 == "mdia":
+                            for b4, s4, e4 in boxes(data, s3, e3):
+                                if b4 != "minf":
+                                    continue
+                                for b5, s5, e5 in boxes(data, s4, e4):
+                                    if b5 != "stbl":
+                                        continue
+                                    for b6, s6, e6 in boxes(data, s5, e5):
+                                        if b6 != "stsd":
+                                            continue
+                                        trk.update(
+                                            _parse_stsd(data, s6, e6)
+                                        )
+                    out["tracks"].append(trk)
+    if "brand" not in out:
+        raise ValueError("no ftyp box — not ISO BMFF")
+    return out
+
+
+def _parse_stsd(data: bytes, s: int, e: int) -> dict:
+    """First sample entry of an stsd box: fourcc + avcC SPS if AVC."""
+    import struct as _st
+
+    n_entries, = _st.unpack(">I", data[s + 4:s + 8])
+    if not n_entries:
+        return {}
+    off = s + 8
+    size, = _st.unpack(">I", data[off:off + 4])
+    fourcc = data[off + 4:off + 8].decode("latin1")
+    out = {"codec": fourcc}
+    if fourcc in ("avc1", "avc3"):
+        # visual sample entry: 78 bytes after the 8-byte box header,
+        # then child boxes (avcC first in practice — walk to be safe)
+        p = off + 8 + 78
+        while p + 8 <= off + size:
+            bsz, = _st.unpack(">I", data[p:p + 4])
+            if data[p + 4:p + 8] == b"avcC" and bsz >= 8:
+                cfg = data[p + 8:p + bsz]
+                n_sps = cfg[5] & 0x1F
+                if n_sps:
+                    ln, = _st.unpack(">H", cfg[6:8])
+                    sps_nal = cfg[8:8 + ln]
+                    out["sps"] = _parse_h264_sps(
+                        _ebsp_to_rbsp(sps_nal[1:])
+                    )
+                break
+            if bsz < 8:
+                break
+            p += bsz
+    return out
+
+
+def write_mp4_avc(
+    width: int = 64,
+    height: int = 48,
+    duration_ms: int = 2000,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal ftyp+moov(+empty mdat) MP4 with one AVC track whose avcC
+    carries a real SPS — the fixture twin of :func:`mp4_probe`."""
+    import struct as _st
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _st.pack(">I", 8 + len(payload)) + btype + payload
+
+    sps_rbsp = _write_sps(width // 16, height // 16)
+    sps_nal = bytes([0x67]) + _rbsp_to_ebsp(sps_rbsp)
+    avcc = (
+        bytes([1, 66, 0, 30, 0xFF, 0xE1])
+        + _st.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1, 0, 4, 0x68, 0xCE, 0x38, 0x80])
+    )
+    stsd = box(
+        b"stsd",
+        _st.pack(">II", 0, 1)
+        + box(
+            b"avc1",
+            b"\x00" * 6 + _st.pack(">H", 1) + b"\x00" * 16
+            + _st.pack(">HH", width, height)
+            + _st.pack(">II", 0x480000, 0x480000)
+            + b"\x00" * 4 + _st.pack(">H", 1) + b"\x00" * 32
+            + _st.pack(">H", 0x18) + _st.pack(">h", -1)
+            + box(b"avcC", avcc),
+        ),
+    )
+    stbl = box(b"stbl", stsd + box(b"stts", b"\x00" * 8)
+               + box(b"stsc", b"\x00" * 8)
+               + box(b"stsz", b"\x00" * 12) + box(b"stco", b"\x00" * 8))
+    minf = box(b"minf", box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+               + stbl)
+    dur = duration_ms * timescale // 1000
+    mdhd = box(b"mdhd", b"\x00" * 12 + _st.pack(">II", timescale, dur)
+               + b"\x55\xc4\x00\x00")
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"v\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 8 + _st.pack(">I", 1)
+        + b"\x00" * 4 + _st.pack(">I", dur) + b"\x00" * 52
+        + _st.pack(">II", width << 16, height << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", b"\x00" * 12 + _st.pack(">II", timescale, dur)
+               + _st.pack(">I", 0x00010000) + _st.pack(">H", 0x0100)
+               + b"\x00" * 10 + _st.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                         0, 0, 0, 0x40000000)
+               + b"\x00" * 24 + _st.pack(">I", 2))
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + _st.pack(">I", 512) + b"isomavc1")
+    return ftyp + moov + box(b"mdat", b"")
