@@ -575,3 +575,19 @@ def test_mp4_probe_rejects_non_bmff():
 
     with pytest.raises(ValueError, match="ftyp"):
         mp4_probe(b"RIFF" + b"\x00" * 64)
+
+
+def test_aac_adts_probe():
+    from xarray_dataaccessor_spark.sources.media import (
+        aac_adts_probe,
+        write_adts_frames,
+    )
+
+    p = aac_adts_probe(write_adts_frames(20, rate=48000, channels=2))
+    assert p["fmt"] == "aac" and p["n_frames"] == 20
+    assert p["sample_rate"] == 48000 and p["channels"] == 2
+    assert p["duration_ms"] == round(20 * 1024 * 1000 / 48000)
+    mono = aac_adts_probe(write_adts_frames(5, rate=22050, channels=1))
+    assert mono["channels"] == 1 and mono["sample_rate"] == 22050
+    with pytest.raises(ValueError, match="ADTS"):
+        aac_adts_probe(b"\x12" * 100)

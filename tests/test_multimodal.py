@@ -121,6 +121,7 @@ def test_audio_probe_mixed_formats(spark):
     from xarray_dataaccessor_spark.operators.multimodal import audio_probe
     from xarray_dataaccessor_spark.sources.flac import write_flac
     from xarray_dataaccessor_spark.sources.media import (
+        write_adts_frames,
         write_mp3_frames,
         write_wav,
     )
@@ -133,6 +134,7 @@ def test_audio_probe_mixed_formats(spark):
         (2, bytearray(write_wav(tone, 8000))),
         (3, bytearray(write_flac(tone.astype("<i2"), 8000))),
         (4, bytearray(b"definitely not audio " * 20)),
+        (5, bytearray(write_adts_frames(30, rate=44100, channels=2))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in audio_probe(df).collect()}
@@ -142,6 +144,8 @@ def test_audio_probe_mixed_formats(spark):
     assert out[2]["fmt"] == "wav" and out[2]["duration_ms"] == 1000
     assert out[3]["fmt"] == "flac" and out[3]["sample_rate"] == 8000
     assert out[4]["fmt"] == "unknown" and out[4]["sample_rate"] is None
+    assert out[5]["fmt"] == "aac" and out[5]["channels"] == 2
+    assert out[5]["duration_ms"] == round(30 * 1024 * 1000 / 44100)
 
 
 def test_probe_images_mixed_formats(spark):

@@ -725,6 +725,9 @@ def audio_probe(
       deliberately the only MP3 surface: filtering a 100 TB scrape
       needs the envelope, and full decode stays behind the
       ``soundfile`` gate.
+    - ADTS AAC (syncword with layer bits 00 — the discriminator from
+      MPEG audio): frame-header walk (``aac_adts_probe``), 1024
+      samples per raw block; spectral payload untouched.
     - RIFF/WAVE and FLAC: the existing pure parsers supply the stream
       parameters (these decode; both are cheap linear formats).
 
@@ -732,9 +735,13 @@ def audio_probe(
     bitrate_kbps, vbr)`` — unknown formats yield fmt='unknown' with
     nulls, never an executor exception."""
     _ship_by_value()
-    from xarray_dataaccessor_spark.sources.media import mp3_probe
+    from xarray_dataaccessor_spark.sources.media import (
+        aac_adts_probe,
+        mp3_probe,
+    )
 
     wav_parse, flac_parse, probe = parse_wav, parse_flac, mp3_probe
+    aac_probe = aac_adts_probe
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
@@ -761,6 +768,15 @@ def audio_probe(
                                    channels=int(chans.shape[1]),
                                    duration_ms=int(round(
                                        chans.shape[0] * 1000.0 / rate)),
+                                   vbr=False)
+                    elif len(raw) > 1 and raw[0] == 0xFF and (
+                        raw[1] & 0xF6
+                    ) == 0xF0:
+                        p = aac_probe(raw)
+                        rec.update(fmt="aac", sample_rate=p["sample_rate"],
+                                   channels=p["channels"],
+                                   duration_ms=p["duration_ms"],
+                                   bitrate_kbps=p["bitrate_kbps"],
                                    vbr=False)
                     else:
                         p = probe(raw)

@@ -1791,3 +1791,97 @@ def write_mp4_avc(
     moov = box(b"moov", mvhd + trak)
     ftyp = box(b"ftyp", b"isom" + _st.pack(">I", 512) + b"isomavc1")
     return ftyp + moov + box(b"mdat", b"")
+
+
+# ---------------------------------------------------------------------------
+# AAC (ADTS) frame-header probe — metadata WITHOUT audio decode
+# ---------------------------------------------------------------------------
+_AAC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350]
+
+
+def aac_adts_probe(data: bytes) -> dict:
+    """ADTS AAC stream probe (ISO/IEC 14496-3): frame-header walk —
+    audio object type, sample rate, channel configuration, duration
+    (1024 samples per raw data block), mean bitrate — without touching
+    the spectral payload (the MP3/H.264 envelope discipline). Requires
+    a coherent frame sequence (each header's frame_length lands on the
+    next syncword); raises ValueError otherwise."""
+    n = len(data)
+
+    def frame_at(p):
+        if p + 7 > n:
+            return None
+        if data[p] != 0xFF or (data[p + 1] & 0xF6) != 0xF0:
+            return None
+        profile = ((data[p + 2] >> 6) & 3) + 1       # audio object type
+        sr_idx = (data[p + 2] >> 2) & 0xF
+        if sr_idx >= len(_AAC_RATES):
+            return None
+        chan = ((data[p + 2] & 1) << 2) | ((data[p + 3] >> 6) & 3)
+        flen = ((data[p + 3] & 3) << 11) | (data[p + 4] << 3) \
+            | ((data[p + 5] >> 5) & 7)
+        blocks = (data[p + 6] & 3) + 1
+        if flen < 7:
+            return None
+        return flen, profile, _AAC_RATES[sr_idx], chan, blocks
+
+    start = None
+    p = 0
+    while p < min(n, 1 << 16):
+        f = frame_at(p)
+        if f is not None and (p + f[0] >= n or frame_at(p + f[0])):
+            start = p
+            break
+        p += 1
+    if start is None:
+        raise ValueError("no ADTS frame sequence found")
+    n_frames = total_blocks = total_bytes = 0
+    profile = rate = chan = None
+    p = start
+    while p + 7 <= n:
+        f = frame_at(p)
+        if f is None:
+            break
+        flen, profile, rate, chan, blocks = f
+        n_frames += 1
+        total_blocks += blocks
+        total_bytes += flen
+        p += flen
+    duration_ms = int(round(total_blocks * 1024 * 1000.0 / rate))
+    return {
+        "fmt": "aac",
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": chan,
+        "profile": profile,
+        "duration_ms": duration_ms,
+        "bitrate_kbps": (
+            total_bytes * 8 * rate / (total_blocks * 1024) / 1000.0
+            if total_blocks else 0.0
+        ),
+    }
+
+
+def write_adts_frames(
+    n_frames: int = 10,
+    rate: int = 44100,
+    channels: int = 2,
+    payload_bytes: int = 200,
+) -> bytes:
+    """Fixture twin of :func:`aac_adts_probe`: syntactically valid ADTS
+    headers (AAC-LC, one raw block each) with zero payloads."""
+    sr_idx = _AAC_RATES.index(rate)
+    out = bytearray()
+    flen = 7 + payload_bytes
+    for _ in range(n_frames):
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1                      # MPEG-4, no CRC
+        hdr[2] = (1 << 6) | (sr_idx << 2) | ((channels >> 2) & 1)
+        hdr[3] = ((channels & 3) << 6) | ((flen >> 11) & 3)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 7) << 5) | 0x1F
+        hdr[6] = 0xFC                      # buffer fullness | blocks-1=0
+        out += hdr + b"\x00" * payload_bytes
+    return bytes(out)
