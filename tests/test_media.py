@@ -591,3 +591,21 @@ def test_aac_adts_probe():
     assert mono["channels"] == 1 and mono["sample_rate"] == 22050
     with pytest.raises(ValueError, match="ADTS"):
         aac_adts_probe(b"\x12" * 100)
+
+
+def test_webm_probe():
+    from xarray_dataaccessor_spark.sources.media import (
+        webm_probe,
+        write_webm,
+    )
+
+    p = webm_probe(write_webm(1280, 720, duration_ms=4200, codec="V_VP9"))
+    assert p["doctype"] == "webm" and p["duration_ms"] == 4200
+    assert p["tracks"][0] == {"type": "video", "codec": "V_VP9",
+                              "width": 1280, "height": 720}
+    with pytest.raises(ValueError, match="EBML"):
+        webm_probe(b"\x00" * 32)
+    # truncated element must raise, not loop or overrun
+    good = write_webm()
+    with pytest.raises(ValueError, match="EBML"):
+        webm_probe(good[: len(good) // 2])

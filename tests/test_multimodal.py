@@ -188,6 +188,7 @@ def test_probe_videos(spark):
     from xarray_dataaccessor_spark.sources.media import (
         write_h264_annexb,
         write_mp4_avc,
+        write_webm,
         write_y4m,
     )
     import numpy as np
@@ -198,6 +199,8 @@ def test_probe_videos(spark):
         (1, bytearray(write_mp4_avc(640, 480, duration_ms=1500))),
         (2, bytearray(write_y4m(frames, fps=2))),
         (3, bytearray(b"not a video at all")),
+        (4, bytearray(write_webm(480, 270, duration_ms=900,
+                                 codec="V_AV1"))),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     out = {r["doc_id"]: r.asDict() for r in probe_videos(df).collect()}
@@ -209,3 +212,6 @@ def test_probe_videos(spark):
     assert out[2]["fmt"] == "y4m" and out[2]["n_pictures"] == 4
     assert out[2]["duration_ms"] == 2000
     assert out[3]["fmt"] == "unknown" and out[3]["width"] is None
+    assert out[4]["fmt"] == "webm" and out[4]["codec"] == "V_AV1"
+    assert (out[4]["width"], out[4]["height"]) == (480, 270)
+    assert out[4]["duration_ms"] == 900

@@ -13,7 +13,10 @@ lossless audio (``sources/flac.py``).
 The ``codec="fake"`` default keeps plumbing tests fixture-free; passing
 ``codec="pil"`` / ``"soundfile"`` / ``"ffmpeg"`` raises
 NotImplementedError at the exact point a remaining compressed-format
-library (MP3 sample decode, H.264) would plug in.
+library (MP3/AAC sample decode, H.264 slice entropy decode) would plug
+in — the ENVELOPE layers above those gates are real: MP3 side info +
+scalefactors, ADTS walk, H.264 SPS, MP4 boxes, WebM EBML
+(``audio_probe`` / ``probe_videos``).
 """
 
 from __future__ import annotations
@@ -850,6 +853,8 @@ def probe_videos(
     - **H.264 Annex B**: start-code NAL walk + full Exp-Golomb SPS
       decode (profile/level/chroma/bit depth/cropped dimensions) and
       the coded-picture count (``h264_probe``).
+    - **WebM/Matroska**: EBML walk — DocType, duration, track codec
+      IDs and video dimensions (``webm_probe``); clusters untouched.
     - **Y4M**: uncompressed header (the existing parser).
 
     Entropy-coded slice decode stays gated (no reference decoder in
@@ -861,9 +866,10 @@ def probe_videos(
         h264_probe,
         mp4_probe,
         parse_y4m,
+        webm_probe,
     )
 
-    hp, mp, yp = h264_probe, mp4_probe, parse_y4m
+    hp, mp, yp, wp = h264_probe, mp4_probe, parse_y4m, webm_probe
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
@@ -894,6 +900,18 @@ def probe_videos(
                                     profile_idc=sps["profile_idc"],
                                     level_idc=sps["level_idc"],
                                 )
+                    elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                        m = wp(raw)
+                        rec.update(fmt="webm",
+                                   duration_ms=m.get("duration_ms"))
+                        vid = next(
+                            (t for t in m["tracks"]
+                             if t.get("type") == "video"), None
+                        )
+                        if vid:
+                            rec.update(codec=vid.get("codec"),
+                                       width=vid.get("width"),
+                                       height=vid.get("height"))
                     elif raw[:9] == b"YUV4MPEG2":
                         fps, frames = yp(raw)
                         rec.update(

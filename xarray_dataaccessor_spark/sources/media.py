@@ -1885,3 +1885,135 @@ def write_adts_frames(
         hdr[6] = 0xFC                      # buffer fullness | blocks-1=0
         out += hdr + b"\x00" * payload_bytes
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML) probe — container walk WITHOUT sample decode
+# ---------------------------------------------------------------------------
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple:
+    """Read one EBML variable-length integer at ``pos`` ->
+    (value, next_pos). ``keep_marker`` keeps the length-descriptor bit
+    (element IDs are matched WITH it, sizes without)."""
+    if pos >= len(data):
+        raise ValueError("EBML vint past end")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 9 - first.bit_length()
+    if pos + length > len(data):
+        raise ValueError("EBML vint past end")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+def _ebml_walk(data: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end)."""
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        if pos + size > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def webm_probe(data: bytes) -> dict:
+    """Matroska/WebM probe: EBML walk — DocType, duration
+    (TimecodeScale x Duration), per-track codec IDs and video
+    dimensions — without touching any Cluster payload (the envelope
+    discipline shared by the MP3/AAC/H.264 probes)."""
+    import struct as _st
+
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("no EBML header — not Matroska/WebM")
+    out: dict = {"fmt": "webm", "tracks": []}
+    tscale = 1_000_000  # EBML default: ns per timecode unit
+    duration = None
+    for eid, s, e in _ebml_walk(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for i2, s2, e2 in _ebml_walk(data, s, e):
+                if i2 == 0x4282:  # DocType
+                    out["doctype"] = data[s2:e2].decode("latin1")
+        elif eid == 0x18538067:  # Segment
+            for i2, s2, e2 in _ebml_walk(data, s, e):
+                if i2 == 0x1549A966:  # Info
+                    for i3, s3, e3 in _ebml_walk(data, s2, e2):
+                        if i3 == 0x2AD7B1:
+                            tscale = int.from_bytes(data[s3:e3], "big")
+                        elif i3 == 0x4489:  # Duration (float)
+                            raw = data[s3:e3]
+                            duration = _st.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw
+                            )[0]
+                elif i2 == 0x1654AE6B:  # Tracks
+                    for i3, s3, e3 in _ebml_walk(data, s2, e2):
+                        if i3 != 0xAE:  # TrackEntry
+                            continue
+                        trk: dict = {}
+                        for i4, s4, e4 in _ebml_walk(data, s3, e3):
+                            if i4 == 0x86:  # CodecID
+                                trk["codec"] = data[s4:e4].decode("latin1")
+                            elif i4 == 0x83:  # TrackType
+                                trk["type"] = {1: "video", 2: "audio"}.get(
+                                    data[s4], f"type{data[s4]}"
+                                )
+                            elif i4 == 0xE0:  # Video
+                                for i5, s5, e5 in _ebml_walk(data, s4, e4):
+                                    if i5 == 0xB0:
+                                        trk["width"] = int.from_bytes(
+                                            data[s5:e5], "big"
+                                        )
+                                    elif i5 == 0xBA:
+                                        trk["height"] = int.from_bytes(
+                                            data[s5:e5], "big"
+                                        )
+                        out["tracks"].append(trk)
+    if "doctype" not in out:
+        raise ValueError("no EBML DocType")
+    if duration is not None:
+        out["duration_ms"] = int(round(duration * tscale / 1e6))
+    return out
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    """Encode one EBML element (id bytes as-is, minimal-width size)."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:
+            break
+    size = ((1 << (8 - width)) << (8 * (width - 1))) | n
+    return idb + size.to_bytes(width, "big") + payload
+
+
+def write_webm(
+    width: int = 640,
+    height: int = 360,
+    duration_ms: int = 1500,
+    codec: str = "V_VP9",
+) -> bytes:
+    """Minimal WebM fixture: EBML header + Segment{Info, Tracks} (no
+    clusters — the probe never reads them anyway)."""
+    import struct as _st
+
+    ebml = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"webm"))
+    info = _ebml_elem(
+        0x1549A966,
+        _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_elem(0x4489, _st.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_elem(
+        0xE0,
+        _ebml_elem(0xB0, width.to_bytes(2, "big"))
+        + _ebml_elem(0xBA, height.to_bytes(2, "big")),
+    )
+    track = _ebml_elem(
+        0xAE,
+        _ebml_elem(0x83, b"\x01")
+        + _ebml_elem(0x86, codec.encode())
+        + video,
+    )
+    tracks = _ebml_elem(0x1654AE6B, track)
+    return ebml + _ebml_elem(0x18538067, info + tracks)
