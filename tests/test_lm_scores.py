@@ -127,3 +127,148 @@ def test_perplexity_buckets_partition_invariant_and_even(spark):
         "ppl_bucket"
     ).count().collect()
     assert counts == {r["ppl_bucket"]: r["count"] for r in b}
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (round 8)
+# ---------------------------------------------------------------------------
+def _kn_fixture(spark):
+    from xarray_dataaccessor_spark.operators.text import (
+        bigram_counts,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a c"),
+            (1, "a b c a b"),
+            (2, "b c a a b b"),
+            (3, "c c a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    return docs, word_counts(docs), bigram_counts(docs)
+
+
+def test_kneser_ney_matches_hand_model(spark):
+    """Scores match a from-scratch python KN model built on the same
+    corpus (same discount, same continuation counts, same rounding)."""
+    import math
+    from collections import Counter
+
+    from xarray_dataaccessor_spark.operators.text import kneser_ney_from_counts
+
+    docs, wc, bc = _kn_fixture(spark)
+    got = {r["doc_id"]: (r["kn_bigrams"], r["kn_neg_log2p"])
+           for r in kneser_ney_from_counts(wc, bc).collect()}
+
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    big = Counter()
+    for ws in texts.values():
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    cw1 = Counter()
+    ncont = Counter()
+    nleft = Counter()
+    for (a, b), c in big.items():
+        cw1[a] += c
+        ncont[a] += 1
+        nleft[b] += 1
+    n_big = len(big)
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    d = n1 / (n1 + 2.0 * n2)
+
+    def p(a, b):
+        return (max(big[(a, b)] - d, 0.0) / cw1[a]
+                + d * ncont[a] / cw1[a] * (nleft[b] / n_big))
+
+    from decimal import Decimal
+
+    for did, ws in texts.items():
+        pairs = list(zip(ws, ws[1:]))
+        total = sum(
+            (Decimal(str(round(-math.log2(p(a, b)), 6))) for a, b in pairs),
+            Decimal(0),
+        )
+        want = float(total) / len(pairs)
+        assert got[did][0] == len(pairs)
+        assert abs(got[did][1] - want) < 1e-9, did
+
+
+def test_kneser_ney_sums_to_one_per_context(spark):
+    """The defining property add-one lacks: for every observed context
+    w1, sum over the OBSERVED vocabulary... is < 1 by the unseen mass,
+    and adding P_cont-weighted unseen mass closes it to exactly 1."""
+    from collections import Counter
+
+    docs, wc, bc = _kn_fixture(spark)
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    big = Counter()
+    for ws in texts.values():
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    cw1 = Counter()
+    ncont = Counter()
+    nleft = Counter()
+    for (a, b), c in big.items():
+        cw1[a] += c
+        ncont[a] += 1
+        nleft[b] += 1
+    n_big = len(big)
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    d = n1 / (n1 + 2.0 * n2)
+    vocab = set(nleft)  # continuation support
+    for a in cw1:
+        s = sum(
+            max(big.get((a, b), 0) - d, 0.0) / cw1[a]
+            + d * ncont[a] / cw1[a] * (nleft[b] / n_big)
+            for b in vocab
+        )
+        assert abs(s - 1.0) < 1e-12, a
+
+
+def test_kneser_ney_duckdb_replay(spark):
+    """The doc scores replay exactly in SQL — same discount scalar,
+    same 6-decimal terms, same decimal fold."""
+    import duckdb
+
+    from xarray_dataaccessor_spark.operators.text import kneser_ney_from_counts
+
+    docs, wc, bc = _kn_fixture(spark)
+    got = {r["doc_id"]: r["kn_neg_log2p"]
+           for r in kneser_ney_from_counts(wc, bc).collect()}
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    exp = dict(con.execute("""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM docs
+        ),
+        occ AS (
+            SELECT doc_id, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                              i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+                FROM toks
+            ) GROUP BY 1, 2, 3
+        ),
+        big AS (SELECT w1, w2, SUM(c) AS cb FROM occ GROUP BY 1, 2),
+        ctx AS (SELECT w1, SUM(cb) AS cw1, COUNT(*) AS n_cont
+                FROM big GROUP BY 1),
+        rgt AS (SELECT w2, COUNT(*) AS n_left FROM big GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_big FROM big),
+        coc AS (SELECT SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+                       SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2
+                FROM big),
+        dd AS (SELECT CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) AS d FROM coc)
+        SELECT doc_id,
+               CAST(SUM(CAST(round(-log2(
+                   greatest(cb - d, 0.0) / cw1
+                   + d * n_cont / cw1 * (n_left / CAST(n_big AS DOUBLE))
+               ), 6) * c AS DECIMAL(28,14))) AS DOUBLE) / SUM(c)
+        FROM occ JOIN big USING (w1, w2) JOIN ctx USING (w1)
+        JOIN rgt USING (w2), tot, dd
+        GROUP BY doc_id
+    """).fetchall())
+    assert got == exp

@@ -401,6 +401,64 @@ def bigram_lm_from_counts(
     )
 
 
+def kneser_ney_from_counts(
+    wc: DataFrame, bc: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    the smoothing family KenLM — and therefore CCNet's reference
+    model — uses) from the shared pre-aggregated count tables, with
+    add-one's systematic underestimate of seen mass replaced by
+    absolute discounting plus the continuation distribution::
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                   + D * N1+(w1,*) / c(w1) * P_cont(w2)
+        P_cont(w2) = N1+(*,w2) / N1+(*,*)
+        D = n1 / (n1 + 2 * n2)          (count-of-counts estimate)
+
+    Plan shape (the ``bigram_lm_from_counts`` discipline): model tables
+    re-aggregate the per-document counts (vocabulary-sized shuffles);
+    ``D`` is a 2-value driver scalar from the bigram count-of-counts;
+    the per-document score joins the compacted (doc, bigram) rows —
+    occurrences fold as ``c * term`` with 6-decimal-rounded terms, so
+    everything replays exactly in SQL (tested). Returns
+    ``(id, kn_bigrams, kn_neg_log2p)``. Property pinned in tests:
+    ``sum over the vocabulary of P(w2|w1) == 1`` for every context."""
+    big = bc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("cb").alias("cw1"),
+        F.count(F.lit(1)).alias("n_cont"),  # N1+(w1, *)
+    )
+    right = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_big"))
+    coc = big.groupBy().agg(
+        F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
+    ).first()
+    n1, n2 = int(coc["n1"]), int(coc["n2"])
+    d = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) else 0.5
+    p = (
+        F.greatest(F.col("cb") - F.lit(d), F.lit(0.0))
+        / F.col("cw1").cast("double")
+        + F.lit(d) * F.col("n_cont") / F.col("cw1").cast("double")
+        * (F.col("n_left") / F.col("n_big").cast("double"))
+    )
+    term = F.round(-F.log2(p), 6).cast("decimal(28,14)")
+    return (
+        bc.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("kn_bigrams"),
+            (
+                F.sum((term * F.col("c")).cast("decimal(28,14)")).cast("double")
+                / F.sum("c")
+            ).alias("kn_neg_log2p"),
+        )
+    )
+
+
 def perplexity_buckets(
     scores: DataFrame,
     n_buckets: int = 3,
