@@ -174,3 +174,47 @@ def test_stream_incremental_matches_batch_exact(spark, tmp_path):
     assert out[102]["status"] == "corpus_dup" and out[102]["dup_of"] == 7
     assert out[103]["status"] == "stream_dup" and out[103]["dup_of"] == 101
     assert out[101]["status"] == "unique" and out[104]["status"] == "unique"
+
+
+def test_stream_bloom_contamination_matches_batch(spark, tmp_path, sf_dir):
+    """The stateless streaming gate agrees with the batch bloom report
+    on overlap counts for every document (same filter, same shingles)."""
+    from pyspark.sql import functions as F
+
+    from xarray_dataaccessor_spark.operators.dedup import word_shingles
+    from xarray_dataaccessor_spark.operators.sampling import (
+        contamination_report_bloom,
+        deterministic_split,
+    )
+    from xarray_dataaccessor_spark.operators.sketch import bloom_build
+    from xarray_dataaccessor_spark.sources.tables import load
+    from xarray_dataaccessor_spark.streaming.events import (
+        run_available_now,
+        stream_bloom_contamination,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    split = deterministic_split(docs, "doc_id", eval_per_mille=50)
+    train = split.filter(F.col("split") == "train").drop("split")
+    ev = split.filter(F.col("split") == "eval").drop("split")
+    eval_sh = word_shingles(ev, "text", "doc_id", 3).select("shingle").distinct()
+    words = bloom_build(eval_sh, "shingle", m_bits=65536, k=3)
+
+    src = str(tmp_path / "train_src")
+    train.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    out = run_available_now(
+        stream_bloom_contamination(stream, words),
+        output_mode="append",  # stateless map-side gate: no aggregation
+        shuffle_partitions=8,
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hits"])
+           for r in out.collect()}
+    batch = {r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+             for r in contamination_report_bloom(train, ev, k=3).collect()}
+    # batch reports only contaminated docs; the stream reports all
+    for d, (n, hits) in batch.items():
+        assert got[d][0] == n and got[d][1] == hits, d
+    clean = [d for d, (_, h) in got.items() if h == 0]
+    assert clean  # most of the corpus is clean
+    assert set(batch) == {d for d, (_, h) in got.items() if h > 0}
