@@ -132,3 +132,79 @@ def test_bbox_golden_values():
     assert box == BoundingBox(
         west=-90.01794, south=14.96706, east=-89.93884, north=15.06368
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch laws (round 8) — property-tested against the DuckDB twins of
+# the Spark sketches (the SQL spellings are pinned bit-exact to Spark
+# in test_sketch.py, so laws proven here hold for both engines) without
+# a Spark roundtrip per example.
+# ---------------------------------------------------------------------------
+_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    members=st.lists(_token, min_size=1, max_size=80, unique=True),
+    strangers=st.lists(_token, min_size=0, max_size=40),
+)
+def test_bloom_never_false_negative_law(members, strangers):
+    import duckdb
+    import pandas as pd
+
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bloom_build_sql,
+        bloom_contains_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("mem", pd.DataFrame({"v": members}))
+    words = [0] * (1024 // 32)
+    for w, bits in con.execute(
+        bloom_build_sql("mem", "v", m_bits=1024, k=3)
+    ).fetchall():
+        words[w] = int(bits)
+    con.register("probes", pd.DataFrame({"v": members + strangers}))
+    h1 = "('0x' || substr(md5('b1:' || v), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5('b2:' || v), 1, 8))::BIGINT"
+    got = dict(con.execute(
+        "SELECT v, " + bloom_contains_sql(h1, h2, words, k=3,
+                                          dialect="duckdb")
+        + " FROM probes"
+    ).fetchall())
+    for m in members:
+        assert got[m] is True  # membership can never be missed
+
+
+@settings(max_examples=25, deadline=None)
+@given(values=st.lists(_token, min_size=1, max_size=200))
+def test_cms_never_undercounts_law(values):
+    import duckdb
+    import pandas as pd
+    from collections import Counter
+
+    from xarray_dataaccessor_spark.operators.sketch import cms_estimate_sql
+
+    true = Counter(values)
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame({"v": values}))
+    counters = [[0] * 64 for _ in range(3)]
+    rows = con.execute("""
+        SELECT i, ('0x' || substr(md5('c' || CAST(i AS VARCHAR) || ':' || v),
+                   1, 8))::BIGINT % 64 AS b, COUNT(*) AS c
+        FROM src, (VALUES (0), (1), (2)) ks(i) GROUP BY 1, 2
+    """).fetchall()
+    for i, b, c in rows:
+        counters[i][b] = int(c)
+    con.register("probes", pd.DataFrame({"v": sorted(true)}))
+    est = dict(con.execute(
+        "SELECT v, " + cms_estimate_sql("v", counters, dialect="duckdb")
+        + " FROM probes"
+    ).fetchall())
+    n = len(values)
+    for v, t in true.items():
+        assert t <= est[v] <= n  # CM law: overcount only, bounded by N
