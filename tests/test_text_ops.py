@@ -36,3 +36,53 @@ def test_corpus_report_real_corpus(spark, sf_dir):
     assert r["n_docs"] == docs.count()
     assert 0.0 <= r["dup_rate"] < 1.0
     assert r["min_tokens"] <= r["p50_tokens"] <= r["p95_tokens"] <= r["max_tokens"]
+
+
+def test_dedup_within_doc_lines(spark):
+    from xarray_dataaccessor_spark.operators.text import dedup_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep me\nnav bar junk\nbody text\nnav bar junk\nend"),
+            (1, "all\nunique\nlines"),
+            (2, "same\nsame\nsame"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_within_doc(docs).collect()}
+    assert out[0]["text_dedup"] == "keep me\nnav bar junk\nbody text\nend"
+    assert out[0]["n_units"] == 5 and out[0]["n_unique_units"] == 4
+    assert out[1]["text_dedup"] == out[1]["text"]
+    assert out[1]["intra_dup_ratio"] == 0.0
+    assert out[2]["text_dedup"] == "same"
+    assert abs(out[2]["intra_dup_ratio"] - 2 / 3) < 1e-12
+
+
+def test_dedup_within_doc_min_len_and_paragraphs(spark):
+    from xarray_dataaccessor_spark.operators.text import dedup_within_doc
+
+    docs = spark.createDataFrame(
+        [(0, "-\nlong repeated unit here\n-\nlong repeated unit here\n-")],
+        "doc_id bigint, text string",
+    )
+    out = dedup_within_doc(docs, min_len=5).first()
+    # the '-' bullets (short) all survive; the long unit dedupes
+    assert out["text_dedup"] == "-\nlong repeated unit here\n-\n-"
+    paras = spark.createDataFrame(
+        [(0, "para one\n\npara two\n\npara one")],
+        "doc_id bigint, text string",
+    )
+    p = dedup_within_doc(paras, unit="paragraph").first()
+    assert p["text_dedup"] == "para one\n\npara two"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unit"):
+        dedup_within_doc(docs, unit="sentence").first()
+
+
+def test_dedup_within_doc_plan_is_mapside(spark):
+    from xarray_dataaccessor_spark.operators.text import dedup_within_doc
+
+    docs = spark.createDataFrame([(0, "a\nb")], "doc_id bigint, text string")
+    plan = dedup_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: pure projection
