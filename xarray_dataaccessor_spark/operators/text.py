@@ -417,29 +417,36 @@ def kneser_ney_from_counts(
 
     Plan shape (the ``bigram_lm_from_counts`` discipline): model tables
     re-aggregate the per-document counts (vocabulary-sized shuffles);
-    ``D`` is a 2-value driver scalar from the bigram count-of-counts;
-    the per-document score joins the compacted (doc, bigram) rows —
+    ``D`` and ``N1+(*,*)`` ride one broadcast 1-row aggregate — fully
+    LAZY, no driver action, so the operator composes into cached
+    pipelines without forcing an early materialization; the
+    per-document score joins the compacted (doc, bigram) rows —
     occurrences fold as ``c * term`` with 6-decimal-rounded terms, so
-    everything replays exactly in SQL (tested). Returns
-    ``(id, kn_bigrams, kn_neg_log2p)``. Property pinned in tests:
-    ``sum over the vocabulary of P(w2|w1) == 1`` for every context."""
+    everything replays exactly in SQL (tested + the gopher oracle slot).
+    Returns ``(id, kn_bigrams, kn_neg_log2p)``. Property pinned in
+    tests: ``sum over the vocabulary of P(w2|w1) == 1`` per context."""
     big = bc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
     ctx = big.groupBy("w1").agg(
         F.sum("cb").alias("cw1"),
         F.count(F.lit(1)).alias("n_cont"),  # N1+(w1, *)
     )
     right = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
-    tot = big.agg(F.count(F.lit(1)).alias("n_big"))
-    coc = big.groupBy().agg(
-        F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
-        F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
-    ).first()
-    n1, n2 = int(coc["n1"]), int(coc["n2"])
-    d = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) else 0.5
+    n1 = F.sum((F.col("cb") == 1).cast("long"))
+    n2 = F.sum((F.col("cb") == 2).cast("long"))
+    glob = big.agg(
+        F.count(F.lit(1)).alias("n_big"),
+        # textbook fallback D=0.5 when no singletons/doubletons exist
+        # (a corpus whose every bigram repeats 3+ times — real at large
+        # SF on templated text); the oracle mirrors the CASE exactly
+        F.when(n1 + 2 * n2 == 0, F.lit(0.5))
+        .otherwise(n1.cast("double") / (n1 + F.lit(2) * n2))
+        .alias("d"),
+    )
+    d = F.col("d")
     p = (
-        F.greatest(F.col("cb") - F.lit(d), F.lit(0.0))
+        F.greatest(F.col("cb") - d, F.lit(0.0))
         / F.col("cw1").cast("double")
-        + F.lit(d) * F.col("n_cont") / F.col("cw1").cast("double")
+        + d * F.col("n_cont") / F.col("cw1").cast("double")
         * (F.col("n_left") / F.col("n_big").cast("double"))
     )
     term = F.round(-F.log2(p), 6).cast("decimal(28,14)")
@@ -447,7 +454,7 @@ def kneser_ney_from_counts(
         bc.join(big, ["w1", "w2"])
         .join(ctx, "w1")
         .join(right, "w2")
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(glob))
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("kn_bigrams"),
