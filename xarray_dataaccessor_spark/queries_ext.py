@@ -2681,9 +2681,14 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet perplexity tiers (``operators.text.perplexity_buckets``,
     Wenzek et al. 2020): head/middle/tail terciles of the LM score via
     the bounded-histogram threshold derivation (no global sort), the
-    thresholds replayed in SQL from the same quantized histogram. One
-    oracle slot covers the four quality-scoring families plus their
-    eval."""
+    thresholds replayed in SQL from the same quantized histogram — PLUS
+    interpolated Kneser-Ney scoring (``kneser_ney_from_counts``, the
+    smoothing family CCNet's KenLM reference actually uses): absolute
+    discount from the bigram count-of-counts (CASE-guarded 0.5 fallback
+    when no singletons/doubletons exist — real on templated text at
+    scale) and the continuation distribution, replayed term-for-term in
+    SQL. One oracle slot covers five quality-scoring families plus
+    their eval."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.cachectl import (
         get_tagged_caches,
