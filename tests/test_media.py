@@ -609,3 +609,18 @@ def test_webm_probe():
     good = write_webm()
     with pytest.raises(ValueError, match="EBML"):
         webm_probe(good[: len(good) // 2])
+
+
+def test_ogg_opus_probe():
+    from xarray_dataaccessor_spark.sources.media import (
+        ogg_probe,
+        write_ogg_opus,
+    )
+
+    p = ogg_probe(write_ogg_opus(duration_ms=3000, channels=1,
+                                 input_rate=16000, pre_skip=100))
+    assert p["codec"] == "opus" and p["channels"] == 1
+    assert p["sample_rate"] == 16000  # the informational input rate
+    assert p["duration_ms"] == 3000   # granules still run at 48 kHz
+    with pytest.raises(ValueError, match="OggS"):
+        ogg_probe(b"\x00" * 32)

@@ -101,3 +101,12 @@ def test_webm_fuzz():
     )
 
     _sweep(webm_probe, write_webm(), random.Random(15))
+
+
+def test_ogg_fuzz():
+    from xarray_dataaccessor_spark.sources.media import (
+        ogg_probe,
+        write_ogg_opus,
+    )
+
+    _sweep(ogg_probe, write_ogg_opus(), random.Random(16))

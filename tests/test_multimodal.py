@@ -123,6 +123,7 @@ def test_audio_probe_mixed_formats(spark):
     from xarray_dataaccessor_spark.sources.media import (
         write_adts_frames,
         write_mp3_frames,
+        write_ogg_opus,
         write_wav,
     )
 
@@ -135,6 +136,7 @@ def test_audio_probe_mixed_formats(spark):
         (3, bytearray(write_flac(tone.astype("<i2"), 8000))),
         (4, bytearray(b"definitely not audio " * 20)),
         (5, bytearray(write_adts_frames(30, rate=44100, channels=2))),
+        (6, bytearray(write_ogg_opus(duration_ms=1200, channels=2))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in audio_probe(df).collect()}
@@ -146,6 +148,7 @@ def test_audio_probe_mixed_formats(spark):
     assert out[4]["fmt"] == "unknown" and out[4]["sample_rate"] is None
     assert out[5]["fmt"] == "aac" and out[5]["channels"] == 2
     assert out[5]["duration_ms"] == round(30 * 1024 * 1000 / 44100)
+    assert out[6]["fmt"] == "ogg-opus" and out[6]["duration_ms"] == 1200
 
 
 def test_probe_images_mixed_formats(spark):

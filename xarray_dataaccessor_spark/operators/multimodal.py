@@ -731,6 +731,8 @@ def audio_probe(
     - ADTS AAC (syncword with layer bits 00 — the discriminator from
       MPEG audio): frame-header walk (``aac_adts_probe``), 1024
       samples per raw block; spectral payload untouched.
+    - Ogg (Opus/Vorbis): page walk + id-header decode (``ogg_probe``);
+      duration from the final granule position, packets untouched.
     - RIFF/WAVE and FLAC: the existing pure parsers supply the stream
       parameters (these decode; both are cheap linear formats).
 
@@ -741,10 +743,11 @@ def audio_probe(
     from xarray_dataaccessor_spark.sources.media import (
         aac_adts_probe,
         mp3_probe,
+        ogg_probe,
     )
 
     wav_parse, flac_parse, probe = parse_wav, parse_flac, mp3_probe
-    aac_probe = aac_adts_probe
+    aac_probe, ogg = aac_adts_probe, ogg_probe
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
@@ -772,6 +775,13 @@ def audio_probe(
                                    duration_ms=int(round(
                                        chans.shape[0] * 1000.0 / rate)),
                                    vbr=False)
+                    elif raw[:4] == b"OggS":
+                        p = ogg(raw)
+                        rec.update(fmt="ogg-" + p.get("codec", "unknown"),
+                                   sample_rate=p.get("sample_rate"),
+                                   channels=p.get("channels"),
+                                   duration_ms=p.get("duration_ms"),
+                                   vbr=True)
                     elif len(raw) > 1 and raw[0] == 0xFF and (
                         raw[1] & 0xF6
                     ) == 0xF0:

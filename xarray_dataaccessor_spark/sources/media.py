@@ -2017,3 +2017,116 @@ def write_webm(
     )
     tracks = _ebml_elem(0x1654AE6B, track)
     return ebml + _ebml_elem(0x18538067, info + tracks)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (Opus / Vorbis) probe — page walk WITHOUT audio decode
+# ---------------------------------------------------------------------------
+def ogg_probe(data: bytes) -> dict:
+    """Ogg container probe: page walk (capture pattern, segment lacing)
+    + first-packet codec identification — OpusHead (channels, pre-skip,
+    input rate) or Vorbis identification header (channels, rate) — and
+    duration from the last page's granule position (Opus granules run
+    at 48 kHz regardless of input rate; Vorbis at the stream rate).
+    The envelope discipline of the MP3/AAC/H.264 probes: no packet
+    payload beyond the id header is touched."""
+    import struct as _st
+
+    if data[:4] != b"OggS":
+        raise ValueError("no OggS capture pattern")
+    pos = 0
+    first_packet = None
+    last_granule = 0
+    serial0 = None
+    n_pages = 0
+    n = len(data)
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != b"OggS":
+            break
+        if data[pos + 4] != 0:
+            raise ValueError(f"unsupported Ogg version {data[pos + 4]}")
+        granule, serial = _st.unpack("<qI", data[pos + 6:pos + 18])
+        nseg = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            raise ValueError("truncated Ogg segment table")
+        body_len = sum(seg_table)
+        body = data[pos + 27 + nseg:pos + 27 + nseg + body_len]
+        if len(body) < body_len:
+            raise ValueError("truncated Ogg page body")
+        if serial0 is None:
+            serial0 = serial
+        if serial == serial0:
+            n_pages += 1
+            if first_packet is None and body:
+                first_packet = body
+            if granule >= 0:
+                last_granule = max(last_granule, granule)
+        pos += 27 + nseg + body_len
+    if first_packet is None:
+        raise ValueError("no Ogg packets found")
+    out = {"fmt": "ogg", "n_pages": n_pages}
+    if first_packet[:8] == b"OpusHead":
+        pre_skip, rate = _st.unpack("<HI", first_packet[10:16])
+        out.update(
+            codec="opus",
+            channels=first_packet[9],
+            sample_rate=rate,              # the INPUT rate (informational)
+            pre_skip=pre_skip,
+            # Opus granules are 48 kHz samples regardless of input rate
+            duration_ms=int(round(
+                max(last_granule - pre_skip, 0) * 1000.0 / 48000.0
+            )),
+        )
+    elif first_packet[:7] == b"\x01vorbis":
+        channels = first_packet[11]
+        rate, = _st.unpack("<I", first_packet[12:16])
+        out.update(
+            codec="vorbis",
+            channels=channels,
+            sample_rate=rate,
+            duration_ms=int(round(last_granule * 1000.0 / rate))
+            if rate else None,
+        )
+    else:
+        out.update(codec="unknown")
+    return out
+
+
+def _ogg_page(serial: int, seq: int, granule: int, body: bytes,
+              htype: int = 0) -> bytes:
+    """One Ogg page (CRC left zero — the probe never checks it, like
+    most stream scanners)."""
+    import struct as _st
+
+    segs = []
+    rest = len(body)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    hdr = (b"OggS" + bytes([0, htype])
+           + _st.pack("<qIIi", granule, serial, seq, 0)
+           + bytes([len(segs)]) + bytes(segs))
+    return hdr + body
+
+
+def write_ogg_opus(
+    duration_ms: int = 2000,
+    channels: int = 2,
+    input_rate: int = 48000,
+    pre_skip: int = 312,
+) -> bytes:
+    """Minimal Ogg Opus fixture: OpusHead page + comment page + one
+    zero-payload audio page carrying the final granule position."""
+    import struct as _st
+
+    head = (b"OpusHead" + bytes([1, channels])
+            + _st.pack("<HIhB", pre_skip, input_rate, 0, 0))
+    tags = b"OpusTags" + _st.pack("<I", 4) + b"xda " + _st.pack("<I", 0)
+    granule = pre_skip + duration_ms * 48000 // 1000
+    return (
+        _ogg_page(7, 0, 0, head, htype=2)
+        + _ogg_page(7, 1, 0, tags)
+        + _ogg_page(7, 2, granule, b"\x00\x00", htype=4)
+    )
