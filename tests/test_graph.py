@@ -350,3 +350,23 @@ def test_subtree_sizes_deep_path_converges_in_log_rounds(spark, monkeypatch):
     # setup joins (~4) + ceil(log2(598))=10 doubling rounds + 1
     # fixed-point + result-assembly joins (~3)
     assert joins["n"] <= 20, joins["n"]
+
+
+@pytest.mark.parametrize("threshold", [None, 0])
+def test_subtree_sizes_grouped_forests_never_mix(spark, threshold):
+    """group_col scopes independent forests: identical node ids in two
+    groups resolve independently on both the endgame and tour paths."""
+    from xarray_dataaccessor_spark.operators.graph import subtree_sizes
+
+    edges = (
+        [("a", 1, 0), ("a", 2, 1), ("a", 3, 2)]        # path of 4 in a
+        + [("b", 1, 0), ("b", 2, 0), ("b", 3, 0)]      # star of 4 in b
+    )
+    df = spark.createDataFrame(edges, "grp string, node bigint, parent bigint")
+    kw = {} if threshold is None else {"small_edge_threshold": threshold}
+    got = {(r["grp"], r["node"]): r["subtree_size"]
+           for r in subtree_sizes(df, group_col="grp", **kw).collect()}
+    assert got[("a", 0)] == 4 and got[("a", 3)] == 1 and got[("a", 1)] == 3
+    assert got[("b", 0)] == 4
+    assert all(got[("b", i)] == 1 for i in (1, 2, 3))
+    assert len(got) == 8

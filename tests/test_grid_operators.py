@@ -674,12 +674,27 @@ def test_gridframe_terrain_entry_point(spark):
 
     with _pt.raises(ValueError, match="unknown what"):
         gf.terrain("elev", "nonsense")
-    with _pt.raises(NotImplementedError, match="per-DEM"):
-        GridFrame(
-            _dem_df(spark, z)
-            .withColumnRenamed("z", "elev")
-            .withColumn("time", F.lit("2020-01-01").cast("timestamp"))
-        ).terrain("elev", "accumulation")
+    # per-time accumulation: two identical timesteps -> identical
+    # per-timestep results, forests never mixing
+    timed = GridFrame(
+        _dem_df(spark, z)
+        .withColumnRenamed("z", "elev")
+        .crossJoin(
+            spark.sql("SELECT explode(sequence(timestamp'2020-01-01', "
+                      "timestamp'2020-01-02', interval 1 day)) AS time")
+        )
+    )
+    tacc = timed.terrain("elev", "accumulation")
+    per_t = {
+        (r["time"], r["x"], r["y"]): r["flow_acc"] for r in tacc.collect()
+    }
+    assert len(per_t) == 40  # 20 cells x 2 timesteps
+    ts = sorted({k[0] for k in per_t})
+    for (t0k, x, y), v in per_t.items():
+        other = ts[1] if t0k == ts[0] else ts[0]
+        assert per_t[(other, x, y)] == v
+    assert sum(v for (t, x, y), v in per_t.items() if t == ts[0]
+               and (x, y) == (0.0, 0.0)) == 20
 
 
 def test_dem_half_step_origin_grid(spark):

@@ -109,9 +109,8 @@ class GridFrame:
         """Terrain analytics over one variable: ``what='derivatives'``
         (Horn slope/aspect/hillshade), ``'flow'`` (D8 directions),
         ``'watersheds'`` (terminal-sink labels), ``'accumulation'``
-        (upstream cell counts via the Euler-tour ranking — elevation is
-        static, so this path requires a time-free grid or
-        ``per_time=False`` with a single timestep) or ``'contours'``
+        (upstream cell counts via the Euler-tour ranking; per-time
+        grids accumulate independently per timestep) or ``'contours'``
         (marching-squares segments; pass ``levels=[...]``). Grid steps
         infer from the coordinate axes (one dimension-sized job, the
         ``grid_axes`` discipline)."""
@@ -146,13 +145,9 @@ class GridFrame:
         if what == "watersheds":
             return watershed_labels(flow, group_cols=groups, **kwargs)
         if what == "accumulation":
-            if groups:
-                raise NotImplementedError(
-                    "terrain('accumulation') is per-DEM (elevation is "
-                    "static): drop the time dimension (per_time=False on "
-                    "a single timestep) or map over time slices"
-                )
-            return flow_accumulation(flow, dx=dx, dy=dy, **kwargs)
+            return flow_accumulation(
+                flow, dx=dx, dy=dy, group_cols=groups, **kwargs
+            )
         raise ValueError(f"terrain: unknown what={what!r}")
 
     def zonal_stats(

@@ -325,11 +325,13 @@ def centrality_canonicals(
     )
 
 
-def _endgame_subtree_sizes(pr: DataFrame) -> DataFrame:
-    """Single-partition subtree sizes for small forests (the
-    ``_endgame_cc`` discipline): one mapInPandas task builds the
+def _endgame_subtree_sizes(pr: DataFrame, grouped: bool) -> DataFrame:
+    """Single- (or per-group-) partition subtree sizes for small forests
+    (the ``_endgame_cc`` discipline): one mapInPandas task builds the
     children map and folds sizes bottom-up iteratively — one pass, no
-    ranking rounds. Input columns ``(c, p)``."""
+    ranking rounds. Input columns ``(g?, c, p)``; when grouped, groups
+    hash-co-locate so whole forests stay within one task and tasks
+    parallelize across groups."""
     import pandas as pd
 
     def part(batches):
@@ -337,11 +339,12 @@ def _endgame_subtree_sizes(pr: DataFrame) -> DataFrame:
         nodes = set()
         has_parent = set()
         for pdf in batches:
-            for c, p in zip(pdf["c"], pdf["p"]):
-                children.setdefault(p, []).append(c)
-                nodes.add(c)
-                nodes.add(p)
-                has_parent.add(c)
+            gs = pdf["g"] if "g" in pdf.columns else [None] * len(pdf)
+            for g, c, p in zip(gs, pdf["c"], pdf["p"]):
+                children.setdefault((g, p), []).append((g, c))
+                nodes.add((g, c))
+                nodes.add((g, p))
+                has_parent.add((g, c))
         if not nodes:
             return
         sizes: dict = {}
@@ -358,11 +361,18 @@ def _endgame_subtree_sizes(pr: DataFrame) -> DataFrame:
                 else:
                     stack.append((v, True))
                     stack.extend((c, False) for c in children.get(v, ()))
-        yield pd.DataFrame(
-            {"node": list(sizes), "subtree_size": list(sizes.values())}
-        )
+        out = {"node": [k[1] for k in sizes],
+               "subtree_size": list(sizes.values())}
+        if "g" in pdf.columns:
+            out = {"g": [k[0] for k in sizes], **out}
+        yield pd.DataFrame(out)
 
     dt = pr.schema["c"].dataType.simpleString()
+    if grouped:
+        gt = pr.schema["g"].dataType.simpleString()
+        return pr.repartition("g").mapInPandas(
+            part, f"g {gt}, node {dt}, subtree_size long"
+        )
     return pr.repartition(1).mapInPandas(
         part, f"node {dt}, subtree_size long"
     )
@@ -380,15 +390,18 @@ def subtree_sizes(
     parent_col: str = "parent",
     max_iters: int = 45,
     small_edge_threshold: int | None = SMALL_TREE_THRESHOLD,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Subtree size of EVERY node of a functional forest in
     O(log n) rounds — the Euler-tour technique (Tarjan & Vishkin 1985)
     expressed as DataFrame ops. Input: one ``(node, parent)`` row per
     NON-ROOT node (a node that never appears as ``node`` is a root;
     parent ids must form a forest — no cycles). Output:
-    ``(node, subtree_size)`` for every node incl. roots and isolated
-    parents, where ``subtree_size`` counts the node itself plus all
-    descendants.
+    ``([group,] node, subtree_size)`` for every node incl. roots and
+    isolated parents, where ``subtree_size`` counts the node itself
+    plus all descendants. ``group_col`` scopes independent forests
+    (per-timestep DEMs): every join, window and the endgame key thread
+    the group, so forests never mix.
 
     Why not bottom-up propagation: summing children into parents
     converges in O(depth) rounds — a river's flow path makes depth the
@@ -406,63 +419,76 @@ def subtree_sizes(
 
     Hybrid endgame (the ``connected_components`` discipline): at or
     below ``small_edge_threshold`` parent edges the whole forest folds
-    in ONE single-partition pass — the tour's ~log(path) driver round
-    trips only pay for themselves on forests too big for a task.
+    in ONE pass (one task per group when grouped) — the tour's
+    ~log(path) driver round trips only pay for themselves on forests
+    too big for a task.
     """
     from pyspark.sql.window import Window
 
-    pr = parents.select(
+    grouped = group_col is not None
+    gcols = ["g"] if grouped else []
+    sel = ([F.col(group_col).alias("g")] if grouped else []) + [
         F.col(node_col).alias("c"), F.col(parent_col).alias("p")
-    ).filter(F.col("c") != F.col("p")).distinct().localCheckpoint(
-        eager=False
-    )
+    ]
+    pr = parents.select(*sel).filter(F.col("c") != F.col("p")).distinct(
+    ).localCheckpoint(eager=False)
     if small_edge_threshold and pr.count() <= small_edge_threshold:
-        return _endgame_subtree_sizes(pr)
+        out = _endgame_subtree_sizes(pr, grouped)
+        return out.withColumnRenamed("g", group_col) if grouped else out
     # ordered neighbor list per vertex: parent first (pos 0), then
     # children ordered by id
-    as_child = pr.select(F.col("c").alias("v"), F.col("p").alias("nbr"),
-                         F.lit(0).alias("grp"))
-    as_parent = pr.select(F.col("p").alias("v"), F.col("c").alias("nbr"),
-                          F.lit(1).alias("grp"))
-    wv = Window.partitionBy("v").orderBy("grp", "nbr")
+    as_child = pr.select(*gcols, F.col("c").alias("v"),
+                         F.col("p").alias("nbr"), F.lit(0).alias("grp"))
+    as_parent = pr.select(*gcols, F.col("p").alias("v"),
+                          F.col("c").alias("nbr"), F.lit(1).alias("grp"))
+    wv = Window.partitionBy(*gcols, "v").orderBy("grp", "nbr")
     nbrs = (
         as_child.unionByName(as_parent)
         .withColumn("pos", F.row_number().over(wv) - 1)
-        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("v")))
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy(*gcols, "v"))
+        )
     ).localCheckpoint(eager=False)
     # successor of in-arc (u -> v): out-arc of v toward the neighbor
     # AFTER u in v's circular order. The root's wrap-around arc (the one
     # whose successor would be the root's pos-0 out-arc) is cut: NULL
     # successor ends the tour.
     nxt = nbrs.select(
-        F.col("v"), F.col("nbr").alias("u"),
+        *gcols, F.col("v"), F.col("nbr").alias("u"),
         ((F.col("pos") + 1) % F.col("deg")).alias("jpos"),
         (F.col("grp") == 0).alias("u_is_parent"),
         F.col("pos"), F.col("deg"),
     )
     jn = nbrs.select(
-        F.col("v"), F.col("pos").alias("jpos"), F.col("nbr").alias("w")
+        *gcols, F.col("v"), F.col("pos").alias("jpos"),
+        F.col("nbr").alias("w"),
     )
     roots = (
-        pr.select(F.col("p").alias("v"))
+        pr.select(*gcols, F.col("p").alias("v"))
         .distinct()
-        .join(pr.select(F.col("c").alias("v")).distinct(), "v", "left_anti")
+        .join(
+            pr.select(*gcols, F.col("c").alias("v")).distinct(),
+            gcols + ["v"],
+            "left_anti",
+        )
     )
+    null_t = pr.schema["p"].dataType.simpleString()
     arcs = (
-        nxt.join(jn, ["v", "jpos"])
-        .join(roots.withColumn("__isroot", F.lit(1)), "v", "left")
+        nxt.join(jn, gcols + ["v", "jpos"])
+        .join(roots.withColumn("__isroot", F.lit(1)), gcols + ["v"], "left")
         .select(
+            *gcols,
             F.col("u").alias("src"),
             F.col("v").alias("dst"),
             # cut at the root: the arc that would wrap to the root's
             # first out-arc terminates the list
             F.when(
                 (F.col("__isroot") == 1) & (F.col("jpos") == 0),
-                F.lit(None).cast(pr.schema["p"].dataType.simpleString()),
+                F.lit(None).cast(null_t),
             ).otherwise(F.col("v")).alias("nsrc"),
             F.when(
                 (F.col("__isroot") == 1) & (F.col("jpos") == 0),
-                F.lit(None).cast(pr.schema["p"].dataType.simpleString()),
+                F.lit(None).cast(null_t),
             ).otherwise(F.col("w")).alias("ndst"),
             F.lit(1).cast("long").alias("d"),
         )
@@ -472,7 +498,9 @@ def subtree_sizes(
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                F.bit_xor(F.xxhash64("src", "dst", "nsrc", "ndst", "d")),
+                F.bit_xor(
+                    F.xxhash64(*gcols, "src", "dst", "nsrc", "ndst", "d")
+                ),
                 F.lit(0),
             ).alias("h"),
         ).collect()[0]
@@ -481,21 +509,27 @@ def subtree_sizes(
     sig = _sig(arcs)
     cur = arcs
     for _ in range(max_iters):
+        bsel = [F.col("g").alias("bg")] if grouped else []
+        bkeys = (
+            [F.col("a.g") == F.col("bg")] if grouped else []
+        )
         nxt_t = (
             cur.alias("a")
             .join(
                 cur.select(
+                    *bsel,
                     F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
                     F.col("nsrc").alias("bnsrc"), F.col("ndst").alias("bndst"),
                     F.col("d").alias("bd"),
                 ),
-                on=[
+                on=bkeys + [
                     F.col("a.nsrc") == F.col("bsrc"),
                     F.col("a.ndst") == F.col("bdst"),
                 ],
                 how="left",
             )
             .select(
+                *([F.col("a.g").alias("g")] if grouped else []),
                 F.col("a.src").alias("src"),
                 F.col("a.dst").alias("dst"),
                 F.col("bnsrc").alias("nsrc"),
@@ -514,21 +548,31 @@ def subtree_sizes(
     # enter = (parent -> v), exit = (v -> parent); both in v's tree, and
     # size = (d(enter) - d(exit) + 1) / 2. Root size = d(head)/2 + 1
     # where head = (root -> first child) = the arc with the tree's max d.
+    pj = (
+        [cur["g"] == pr["g"]] if grouped else []
+    )
     enter = cur.join(
-        pr, (F.col("src") == F.col("p")) & (F.col("dst") == F.col("c"))
-    ).select(F.col("c").alias("node"), F.col("d").alias("__de"))
+        pr, pj + [cur["src"] == pr["p"], cur["dst"] == pr["c"]]
+    ).select(*[pr["g"]] if grouped else [], pr["c"].alias("node"),
+             cur["d"].alias("__de"))
     exit_ = cur.join(
-        pr, (F.col("src") == F.col("c")) & (F.col("dst") == F.col("p"))
-    ).select(F.col("c").alias("node"), F.col("d").alias("__dx"))
-    non_root = enter.join(exit_, "node").select(
-        "node",
+        pr, pj + [cur["src"] == pr["c"], cur["dst"] == pr["p"]]
+    ).select(*[pr["g"]] if grouped else [], pr["c"].alias("node"),
+             cur["d"].alias("__dx"))
+    non_root = enter.join(exit_, gcols + ["node"]).select(
+        *gcols, "node",
         ((F.col("__de") - F.col("__dx") + 1) / 2).cast("long").alias(
             "subtree_size"
         ),
     )
-    root_sizes = (
-        cur.join(roots, cur["src"] == roots["v"])
-        .groupBy(F.col("v").alias("node"))
-        .agg((F.max("d") / 2 + 1).cast("long").alias("subtree_size"))
+    rj = (
+        [cur["g"] == roots["g"]] if grouped else []
     )
-    return non_root.unionByName(root_sizes)
+    root_sizes = (
+        cur.join(roots, rj + [cur["src"] == roots["v"]])
+        .groupBy(*([roots["g"]] if grouped else []),
+                 roots["v"].alias("node"))
+        .agg((F.max(cur["d"]) / 2 + 1).cast("long").alias("subtree_size"))
+    )
+    out = non_root.unionByName(root_sizes)
+    return out.withColumnRenamed("g", group_col) if grouped else out

@@ -1415,6 +1415,7 @@ def flow_accumulation(
     y_col: str = "y",
     max_iters: int = 45,
     origin: "tuple[float, float] | None" = None,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Flow accumulation over a :func:`d8_flow_direction` table — for
     every cell, how many cells drain THROUGH it (``flow_acc`` includes
@@ -1430,7 +1431,15 @@ def flow_accumulation(
     (packed into one bigint), so float coordinates never join. Sinks
     with no upstream cells accumulate 1 (themselves). ``origin``
     (any on-grid anchor at or below the minimum coordinates — index
-    packing needs non-negative indices) skips the min-scan job."""
+    packing needs non-negative indices) skips the min-scan job.
+    ``group_cols`` (one column, e.g. ``time``) scopes independent
+    forests per group — flow on a changing surface accumulates per
+    timestep without mixing."""
+    if len(group_cols) > 1:
+        raise NotImplementedError(
+            "flow_accumulation supports at most one group column; "
+            "combine keys into one column first"
+        )
     if origin is not None:
         x0, y0 = float(origin[0]), float(origin[1])
     else:
@@ -1446,17 +1455,24 @@ def flow_accumulation(
 
     from xarray_dataaccessor_spark.operators.graph import subtree_sizes
 
+    keys = list(group_cols)
     pr = flow.filter(
         F.col("flow_to_x").isNotNull() & F.col("flow_to_y").isNotNull()
     ).select(
+        *keys,
         nid(x_col, y_col).alias("node"),
         nid("flow_to_x", "flow_to_y").alias("parent"),
     )
-    sizes = subtree_sizes(pr, max_iters=max_iters)
+    sizes = subtree_sizes(
+        pr, max_iters=max_iters, group_col=keys[0] if keys else None
+    )
     return (
-        flow.select(F.col(x_col), F.col(y_col), nid(x_col, y_col).alias("node"))
-        .join(sizes, "node", "left")
+        flow.select(
+            *keys, F.col(x_col), F.col(y_col), nid(x_col, y_col).alias("node")
+        )
+        .join(sizes, keys + ["node"], "left")
         .select(
+            *keys,
             x_col,
             y_col,
             F.coalesce(F.col("subtree_size"), F.lit(1)).cast("bigint").alias(
