@@ -45,29 +45,87 @@ def html_to_text(
 
     Regex-based stripping is the honest scalable shape (no DOM; a real
     DOM parser would be a per-row Python UDF) — malformed markup
-    degrades to extra whitespace, never to lost prose."""
+    degrades to extra whitespace, never to lost prose.
+
+    The chain is a module-level spec shared with
+    :func:`html_to_text_sql` (the DuckDB spelling), so the Spark
+    operator and the oracle replay the IDENTICAL patterns in the
+    identical order — every pattern stays inside the Java-regex ∩ RE2
+    syntax both engines parse the same way (no backrefs, no lookaround;
+    ``$`` only where no trailing line terminator can make Java's
+    before-final-newline ``$`` semantics diverge from RE2's
+    end-of-text)."""
     t = F.col(html_col)
-    t = F.regexp_replace(t, "(?s)<!--.*?-->", " ")
-    for tag in _CONTENT_TAGS:
-        t = F.regexp_replace(
-            t, f"(?is)<{tag}\\b[^>]*>.*?(</{tag}>|$)", " "
-        )
-    t = F.regexp_replace(t, _BLOCK_RE, "\n")
-    t = F.regexp_replace(t, "(?s)<[^>]*>", " ")
-    for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
-    ):
+    for pat, rep in _HTML_PRE_CHAIN:
+        t = F.regexp_replace(t, pat, rep)
+    for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    # numeric entities (decimal + hex) for the ASCII range
-    t = F.regexp_replace(t, "&#x([0-9a-fA-F]{1,6});", " ")
-    t = F.regexp_replace(t, "&#[0-9]{1,7};", " ")
-    t = F.regexp_replace(t, "[ \\t\\x0b\\f\\r]+", " ")
-    t = F.regexp_replace(t, " ?\\n ?", "\n")
-    t = F.regexp_replace(t, "\\n{2,}", "\n")
-    # Spark's trim() strips spaces only — newlines need the regexp
-    t = F.regexp_replace(t, "^[\\s]+|[\\s]+$", "")
+    for pat, rep in _HTML_POST_CHAIN:
+        t = F.regexp_replace(t, pat, rep)
     return df.withColumn(out_col, t)
+
+
+#: tag-stripping regexp chain (applied first), shared Spark/SQL
+_HTML_PRE_CHAIN: "list[tuple[str, str]]" = [
+    ("(?s)<!--.*?-->", " "),
+    *[
+        (f"(?is)<{tag}\\b[^>]*>.*?(</{tag}>|$)", " ")
+        for tag in _CONTENT_TAGS
+    ],
+    (_BLOCK_RE, "\n"),
+    ("(?s)<[^>]*>", " "),
+]
+
+#: literal entity decodes (order matters: &amp; after the others would
+#: double-decode '&amp;lt;' — kept in the long-standing order)
+_HTML_ENTITIES: "list[tuple[str, str]]" = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+#: numeric entities + whitespace normalization (applied last)
+_HTML_POST_CHAIN: "list[tuple[str, str]]" = [
+    ("&#x([0-9a-fA-F]{1,6});", " "),
+    ("&#[0-9]{1,7};", " "),
+    ("[ \\t\\x0b\\f\\r]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n{2,}", "\n"),
+    # Spark's trim() strips spaces only — newlines need the regexp
+    ("^[\\s]+|[\\s]+$", ""),
+]
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB spelling of the identical :func:`html_to_text` chain over
+    the SQL expression ``expr`` — generated from the same module-level
+    spec, so the two engines can never drift. Newline replacements ride
+    ``chr(10)`` (a raw newline inside a SQL literal survives, but reads
+    as an accident); every regexp_replace carries the ``'g'`` flag to
+    match Java's replace-all default."""
+
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def _rep(s: str) -> str:
+        if "\n" in s:
+            parts = [p for p in s.split("\n")]
+            pieces: list[str] = []
+            for i, p in enumerate(parts):
+                if i:
+                    pieces.append("chr(10)")
+                if p:
+                    pieces.append(_sql_str(p))
+            return " || ".join(pieces) if pieces else "chr(10)"
+        return _sql_str(s)
+
+    t = expr
+    for pat, rep in _HTML_PRE_CHAIN:
+        t = f"regexp_replace({t}, {_sql_str(pat)}, {_rep(rep)}, 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        t = f"replace({t}, {_sql_str(ent)}, {_sql_str(rep)})"
+    for pat, rep in _HTML_POST_CHAIN:
+        t = f"regexp_replace({t}, {_sql_str(pat)}, {_rep(rep)}, 'g')"
+    return t
 
 
 def url_parts(url: Column) -> dict[str, Column]:

@@ -1079,6 +1079,72 @@ def _d8_offsets_sql() -> str:
     )
 
 
+def _horn_terrain_sql() -> str:
+    """DuckDB replay of ``spatial.dem_derivatives`` (Horn 1981 slope /
+    aspect / hillshade) over the ``cells`` CTE: the identical 3x3
+    weighted differences with the operator's own evaluation order and
+    its Python-computed sun-geometry literals (cos/sin of the zenith,
+    azimuth in radians — embedded as reprs so no trig re-derivation can
+    drift), so p, q and the hillshade double replay bit-for-bit up to
+    the one libm atan/cos/sin call each engine makes — absorbed by the
+    6-decimal rounding the slot applies (the mercator discipline)."""
+    import math
+
+    cz = repr(math.cos(math.radians(45.0)))
+    sz = repr(math.sin(math.radians(45.0)))
+    az = repr(math.radians(315.0))
+    offs9 = ", ".join(
+        f"({di}, {dj})" for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    )
+    piv = ",\n               ".join(
+        f"MAX(CASE WHEN o.di = {di} AND o.dj = {dj} THEN n.z END) "
+        f"AS z{'m' if di < 0 else 'p' if di > 0 else '0'}"
+        f"{'m' if dj < 0 else 'p' if dj > 0 else '0'}"
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    )
+    return f"""
+    offs9(di, dj) AS (VALUES {offs9}),
+    sten AS (
+        SELECT c.i, c.j, c.x, c.y,
+               {piv}
+        FROM cells c
+        JOIN offs9 o ON TRUE
+        JOIN cells n ON n.i = c.i + o.di AND n.j = c.j + o.dj
+        GROUP BY c.i, c.j, c.x, c.y
+        HAVING COUNT(*) = 9
+    ),
+    ter0 AS (
+        SELECT x, y,
+               ((zpm + 2 * zp0 + zpp) - (zmm + 2 * zm0 + zmp)) / 2.0 AS p,
+               ((zmp + 2 * z0p + zpp) - (zmm + 2 * z0m + zpm)) / 2.0 AS q
+        FROM sten
+    ),
+    ter1 AS (
+        SELECT x, y, p, q, sqrt(p * p + q * q) * 1.0 AS grad
+        FROM ter0
+    ),
+    ter2 AS (
+        SELECT x, y, grad,
+               degrees(atan(grad)) AS slope_deg,
+               CASE WHEN grad > 0
+                    THEN ((degrees(atan2(-p, -q)) % 360.0) + 360.0) % 360.0
+               END AS aspect_deg
+        FROM ter1
+    ),
+    ter AS (
+        SELECT x, y,
+               round(slope_deg, 6) AS slope_r,
+               round(aspect_deg, 6) AS aspect_r,
+               CAST(round(greatest(
+                   255.0 * ({cz} * cos(atan(grad))
+                            + {sz} * sin(atan(grad))
+                              * cos({az} - radians(COALESCE(aspect_deg, 0.0)))),
+                   0.0)) AS BIGINT) AS hillshade
+        FROM ter2
+    )"""
+
+
 _SNAP_ORACLE = f"""
     WITH RECURSIVE grid AS ({GRID_SQL_BODY}),
     surf AS (
@@ -1116,7 +1182,7 @@ _SNAP_ORACLE = f"""
     acc AS (
         SELECT ai AS i, aj AS j, COUNT(*) AS flow_acc
         FROM anc GROUP BY ai, aj
-    )
+    ),{_horn_terrain_sql()}
     SELECT 'snap' AS variant, CAST(NULL AS INT) AS zone_id,
            y, x, COUNT(*) AS n,
            CAST(NULL AS DOUBLE) AS t2m, CAST(NULL AS DOUBLE) AS u100
@@ -1129,6 +1195,20 @@ _SNAP_ORACLE = f"""
            cells.y, cells.x, CAST(acc.flow_acc AS BIGINT) AS n,
            CAST(NULL AS DOUBLE) AS t2m, CAST(NULL AS DOUBLE) AS u100
     FROM cells JOIN acc USING (i, j)
+    UNION ALL
+    SELECT 'terrain' AS variant, CAST(NULL AS INT) AS zone_id,
+           y, x, hillshade AS n,
+           slope_r AS t2m, aspect_r AS u100
+    FROM ter
+    UNION ALL
+    SELECT 'watershed' AS variant, CAST(NULL AS INT) AS zone_id,
+           c.y, c.x, CAST(NULL AS BIGINT) AS n,
+           sc.x AS t2m, sc.y AS u100
+    FROM anc
+    JOIN cells c ON c.i = anc.i AND c.j = anc.j
+    JOIN cells sc ON sc.i = anc.ai AND sc.j = anc.aj
+    WHERE NOT EXISTS (SELECT 1 FROM d8e
+                      WHERE d8e.i = anc.ai AND d8e.j = anc.aj)
 """ + "".join(
     f"""
     UNION ALL
@@ -1165,13 +1245,25 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       :func:`spatial.flow_accumulation` (Euler-tour subtree ranking).
       The oracle re-derives every descent decision with the identical
       doubles and closes the forest transitively with a recursive CTE
-      — so EVERY D8 edge and every upstream count hash-verifies."""
+      — so EVERY D8 edge and every upstream count hash-verifies.
+    - ``'terrain'`` rows (round 9) — :func:`spatial.dem_derivatives`:
+      Horn slope / aspect / hillshade over the same decimal-summed
+      surface, the 3x3 stencil replayed in SQL with the operator's own
+      evaluation order and its Python sun-geometry literals; slope and
+      aspect round to 6 decimals (the mercator libm discipline),
+      hillshade is the rounded 0-255 integer.
+    - ``'watershed'`` rows (round 9) — :func:`spatial.watershed_labels`
+      pointer-doubling to every cell's terminal sink, the oracle
+      closing the same D8 forest with the existing recursive CTE and
+      picking each path's unique out-edge-free ancestor."""
     configure_session(spark)
     from xarray_dataaccessor_spark.meta import BoundingBox
     from xarray_dataaccessor_spark.operators.filters import filter_bbox
     from xarray_dataaccessor_spark.operators.spatial import (
         d8_flow_direction,
+        dem_derivatives,
         flow_accumulation,
+        watershed_labels,
         zonal_stats,
     )
 
@@ -1206,13 +1298,16 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t2m").cast("double").alias("t2m"),
         F.col("u100").cast("double").alias("u100"),
     )
+    # the surface feeds THREE consumers now (D8 pipeline, Horn stencil,
+    # watershed's flow input) and exchanges are not reused across union
+    # branches — cache the ~cell-count-sized table once
     surf = grid.groupBy("x", "y").agg(
         F.sum(F.col("t2m").cast("decimal(18,2)")).cast("double").alias("z")
-    )
+    ).cache()
     # the derived grid's geometry is a table contract (GRID_SQL_BODY):
     # anchor at its literal minima instead of paying two axis scans
     g_origin = (-83.476, 41.383)
-    flow = d8_flow_direction(surf, dx=0.25, dy=0.25, origin=g_origin)
+    flow = d8_flow_direction(surf, dx=0.25, dy=0.25, origin=g_origin).cache()
     flowacc = flow_accumulation(
         flow, dx=0.25, dy=0.25, origin=g_origin
     ).select(
@@ -1223,7 +1318,32 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("t2m"),
         F.lit(None).cast("double").alias("u100"),
     )
-    return snap.unionByName(zonal).unionByName(flowacc)
+    terrain = dem_derivatives(surf, dx=0.25, dy=0.25, origin=g_origin).select(
+        F.lit("terrain").alias("variant"),
+        F.lit(None).cast("int").alias("zone_id"),
+        "y", "x",
+        F.col("hillshade").cast("bigint").alias("n"),
+        F.round("slope_deg", 6).alias("t2m"),
+        F.round("aspect_deg", 6).alias("u100"),
+    )
+    wshed = watershed_labels(flow).select(
+        F.lit("watershed").alias("variant"),
+        F.lit(None).cast("int").alias("zone_id"),
+        "y", "x",
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("sink_x").alias("t2m"),
+        F.col("sink_y").alias("u100"),
+    )
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    return tag_caches(
+        snap.unionByName(zonal)
+        .unionByName(flowacc)
+        .unionByName(terrain)
+        .unionByName(wshed),
+        surf,
+        flow,
+    )
 
 
 # ---------------------------------------------------------------------------

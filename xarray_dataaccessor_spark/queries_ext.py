@@ -109,7 +109,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       token count in ``n_words`` and the chunk text's md5 in ``fp_md5``,
       so window boundaries, the shared-overlap invariant and the final
       short chunk all hash-verify. Map-side explode; the corpus never
-      shuffles in any variant."""
+      shuffles in any variant.
+    - ``'html'`` rows (round 9) — :func:`operators.webprep.html_to_text`
+      over deterministically seeded markup (each document wrapped in a
+      fixed head/script/style/comment/entity scaffold — the pii_scrub
+      seeding trick): the md5, char count and word count of the
+      stripped text, with the oracle applying the IDENTICAL regexp
+      chain via :func:`operators.webprep.html_to_text_sql` (both
+      spellings generated from one module-level spec)."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.text import (
         fingerprint,
@@ -118,6 +125,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from xarray_dataaccessor_spark.operators.webprep import (
         chunk_documents,
+        html_to_text,
         normalize_url,
         url_parts,
     )
@@ -212,12 +220,82 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("web_blocked"),
         F.col("chunk_id").cast("int").alias("chunk_id"),
     )
-    return profile.unionByName(web).unionByName(chunks)
+    hdoc = F.concat(
+        F.lit(_HTML_SEED_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_SEED_MID),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_SEED_OPEN),
+        F.col("text"),
+        F.lit(_HTML_SEED_POST),
+    )
+    hclean = html_to_text(
+        docs.select("doc_id", hdoc.alias("__html")),
+        html_col="__html",
+        out_col="__clean",
+    )
+    htmlrows = hclean.select(
+        F.lit("html").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.length("__clean").cast("bigint").alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.col("__clean"), "\\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("bigint").alias("n_words"),
+        F.lit(None).cast("double").alias("mean_word_len"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        F.lit(None).cast("double").alias("digit_ratio"),
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("boolean").alias("quality_ok"),
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("bigint").alias("lang_score"),
+        F.md5("__clean").alias("fp_md5"),
+        F.lit(None).cast("bigint").alias("fp_num"),
+        F.lit(None).cast("string").alias("url_norm"),
+        F.lit(None).cast("string").alias("url_domain"),
+        F.lit(None).cast("boolean").alias("web_blocked"),
+        F.lit(None).cast("int").alias("chunk_id"),
+    )
+    return (
+        profile.unionByName(web).unionByName(chunks).unionByName(htmlrows)
+    )
+
+
+#: deterministic HTML scaffold for the 'html' variant — shared verbatim
+#: (via SQL-literal escaping) with the DuckDB oracle. No trailing line
+#: terminator anywhere, so Java's before-final-newline '$' semantics
+#: can never diverge from RE2's end-of-text '$'.
+_HTML_SEED_PRE = (
+    '<html><head><title>T</title><style>p {color: red}</style>'
+    '<script type="text/javascript">if (1 < 2 && 3 > 0) { x = "y"; }'
+    '</script></head><body><!-- note '
+)
+_HTML_SEED_MID = " --><h1>Doc &amp; "
+_HTML_SEED_OPEN = "</h1><p>"
+_HTML_SEED_POST = (
+    "</p><ul><li>alpha</li><li>beta&nbsp;gamma</li></ul>"
+    '<div class="d">tail &#65;&#x42; &lt;ok&gt; &#39;q&#39;</div>'
+    "</body></html>"
+)
 
 
 def _register_text_profile_oracle():
     from xarray_dataaccessor_spark.operators.text import LANG_MARKERS
+    from xarray_dataaccessor_spark.operators.webprep import html_to_text_sql
     from xarray_dataaccessor_spark.queries import ORACLES
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    hseed = (
+        f"{_sq(_HTML_SEED_PRE)} || CAST(doc_id AS VARCHAR) || "
+        f"{_sq(_HTML_SEED_MID)} || CAST(doc_id AS VARCHAR) || "
+        f"{_sq(_HTML_SEED_OPEN)} || text || {_sq(_HTML_SEED_POST)}"
+    )
+    html_clean = html_to_text_sql("h")
 
     scores = ",\n               ".join(
         f"{_lang_score_sql(w)} AS s_{lang}" for lang, w in LANG_MARKERS.items()
@@ -301,6 +379,21 @@ def _register_text_profile_oracle():
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS BOOLEAN), chunk_id
     FROM chk
+    UNION ALL
+    SELECT 'html' AS variant, doc_id,
+           CAST(NULL AS VARCHAR),
+           CAST(length(clean) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(clean, '\\s+'),
+                                x -> length(x) > 0)) AS BIGINT) AS n_words,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           md5(clean) AS fp_md5,
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS INT)
+    FROM (SELECT doc_id, {html_clean} AS clean
+          FROM (SELECT doc_id, {hseed} AS h FROM documents))
     """
 
 
