@@ -850,3 +850,27 @@ def test_pca_empty_and_unknown_dims(spark):
         pca_model(empty, n_components=2)
     with pytest.raises(ValueError, match="empty"):
         pca_model(empty, n_components=2, dims=4)
+
+
+def test_pca_exact_power_matches_numpy_top_component(spark, sf_dir):
+    """The oracle-replayable fit (quantized moments + fixed-round power
+    iteration) must agree with the float eigensolver to the quantization
+    level — verifying it computes real PCA, not just a deterministic
+    number."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import pca_exact_power
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.asarray([list(r["embedding"]) for r in emb.collect()], dtype=float)
+    n, moments, mu, comp, lam = pca_exact_power(emb, dims=64, iters=200)
+    assert n == len(x)
+    rmu, rcomps, rvals = _np_pca(x, 1)
+    # moments quantize products to 6 decimals -> ~1e-6-level agreement
+    assert np.allclose(mu, rmu, atol=5e-6)
+    assert abs(lam - rvals[0]) < 1e-4
+    cosang = abs(float(np.dot(comp, rcomps[0])))
+    assert cosang > 1.0 - 1e-3, cosang
+    # exact-determinism contract: a second run is bit-identical
+    n2, _, mu2, comp2, lam2 = pca_exact_power(emb, dims=64, iters=200)
+    assert (n2, mu2, comp2, lam2) == (n, mu, comp, lam)

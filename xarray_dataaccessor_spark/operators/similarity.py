@@ -1549,3 +1549,92 @@ def pca_project(
         out_col,
         F.expr("array(" + ",".join(outs) + ")"),
     )
+
+
+def pca_exact_power(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    iters: int = 40,
+):
+    """Oracle-replayable PCA fit: exact decimal second moments + a
+    deterministic fixed-iteration power-method top component.
+
+    :func:`pca_model` is the throughput fit (per-partition float64
+    partials — the low bits are layout-dependent, numpy parity ~1e-9).
+    This variant trades a constant factor for EXACT cross-engine
+    determinism, the property a verification oracle needs:
+
+    - **moments**: every pairwise product ``x_i * x_j`` (upper
+      triangle) and every coordinate is rounded to 6 decimals and
+      accumulated as ``DECIMAL(28,14)`` — exact and aggregation-order
+      independent, so the distributed part (the only part that touches
+      the corpus) replays bit-for-bit in SQL. One map-side explode of
+      d(d+3)/2 terms per row, one d²/2-group aggregation with map-side
+      partial combine: at 100 TB the shuffle is ``n_partitions x
+      d(d+3)/2`` decimal partials, nothing corpus-sized.
+    - **eigensolve**: covariance assembles from the exact moments with
+      a pinned expression order, then ``iters`` rounds of power
+      iteration run in pure driver Python with left-to-right folds
+      seeded at 0.0 — the exact fold shape a SQL ``list_reduce(
+      list_prepend(0.0, ...))`` replays, so the component vector, its
+      Rayleigh eigenvalue and every per-row projection are
+      bit-identical doubles across engines (only +,*,/,sqrt — all
+      IEEE-deterministic; no libm transcendentals anywhere).
+
+    Returns ``(n, moments, mu, comp, lam)``: ``moments`` maps
+    ``(i, j)`` (j = -1 for coordinate sums) to exact ``Decimal``;
+    ``mu`` / ``comp`` are Python float lists, ``comp`` sign-normalized
+    so its largest-|coordinate| (first index on ties) is positive."""
+    import math
+
+    terms = (
+        f"concat("
+        f"flatten(transform(sequence(0, {dims - 1}), i -> "
+        f"transform(sequence(i, {dims - 1}), j -> named_struct("
+        f"'i', i, 'j', j, "
+        f"'p', CAST(round(__e[i] * __e[j], 6) AS DECIMAL(28,14)))))), "
+        f"transform(sequence(0, {dims - 1}), i -> named_struct("
+        f"'i', i, 'j', -1, "
+        f"'p', CAST(round(__e[i], 6) AS DECIMAL(28,14)))))"
+    )
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("__e"))
+        .select(F.explode(F.expr(terms)).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_exact_power: empty input")
+    moments = {(r["i"], r["j"]): r["g"] for r in rows}
+    n = int(rows[0]["c"])
+
+    def fold(ts):
+        acc = 0.0
+        for t in ts:
+            acc = acc + t
+        return acc
+
+    mu = [float(moments[(i, -1)]) / n for i in range(dims)]
+    cov = [[0.0] * dims for _ in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            v = (float(moments[(i, j)]) - n * mu[i] * mu[j]) / (n - 1)
+            cov[i][j] = v
+            cov[j][i] = v
+    v = [1.0] * dims
+    for _ in range(iters):
+        w = [fold([row[k] * v[k] for k in range(dims)]) for row in cov]
+        nrm = math.sqrt(fold([x * x for x in w]))
+        v = [x / nrm for x in w]
+    w = [fold([row[k] * v[k] for k in range(dims)]) for row in cov]
+    lam = fold([v[k] * w[k] for k in range(dims)])
+    absv = [abs(x) for x in v]
+    mx = absv[0]
+    for t in absv[1:]:
+        mx = t if t > mx else mx
+    s = -1.0 if v[absv.index(mx)] < 0 else 1.0
+    comp = [x * s for x in v]
+    return n, moments, mu, comp, lam

@@ -1037,6 +1037,35 @@ _INT8_DOT = (
 )
 
 
+def _pca_power_sql(iters: int) -> str:
+    """The unrolled power-iteration CTE chain for the 'pca_*' variants
+    (DuckDB spelling of the pure-Python loop in
+    ``similarity.pca_exact_power``): every fold is
+    ``list_reduce(list_prepend(0.0, terms))`` — the left fold seeded at
+    0.0 the Python replica and Spark's ``aggregate(..., 0.0D, ...)``
+    both use — so the vector state after each of the ``iters`` rounds
+    is a bit-identical double list."""
+    ctes = [
+        "p0 AS (SELECT list_transform(range(64), x -> CAST(1.0 AS DOUBLE)) AS v)"
+    ]
+    step = (
+        "p{k} AS (SELECT list_transform(w, x -> x / sqrt(list_reduce("
+        "list_prepend(CAST(0.0 AS DOUBLE), list_transform(w, y -> y * y)), "
+        "(a, b) -> a + b))) AS v FROM "
+        "(SELECT list_transform(m, r -> list_reduce(list_prepend("
+        "CAST(0.0 AS DOUBLE), list_transform(range(1, 65), q -> r[q] * v[q])), "
+        "(a, b) -> a + b)) AS w FROM p{km1}, pmat))"
+    )
+    for k in range(1, iters + 1):
+        ctes.append(step.format(k=k, km1=k - 1))
+    return ",\n    ".join(ctes)
+
+
+#: power-iteration rounds for the 'pca_*' variants — shared by the
+#: Spark slot and the oracle chain (both sides run EXACTLY this many)
+_PCA_ITERS = 200
+
+
 @query(
     "similarity_bruteforce_topk",
     oracle=f"""
@@ -1122,7 +1151,46 @@ _INT8_DOT = (
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY s DESC, neighbor_id) AS rk
         FROM rrf_s
-    )
+    ),
+    -- 'pca_*' variants: exact decimal second moments, then the
+    -- fixed-iteration power-method top component (see _pca_power_sql)
+    pmom AS (
+        SELECT i, j,
+               SUM(CAST(round(e[i+1] * e[j+1], 6) AS DECIMAL(28,14))) AS g,
+               COUNT(*) AS c
+        FROM v, (SELECT unnest(range(64)) AS i), (SELECT unnest(range(64)) AS j)
+        WHERE j >= i GROUP BY i, j
+    ),
+    psum AS (
+        SELECT i, SUM(CAST(round(e[i+1], 6) AS DECIMAL(28,14))) AS s,
+               COUNT(*) AS c
+        FROM v, (SELECT unnest(range(64)) AS i) GROUP BY i
+    ),
+    pnn AS (SELECT CAST(c AS BIGINT) AS n FROM psum WHERE i = 0),
+    pmu0 AS (SELECT i, CAST(s AS DOUBLE) / n AS m FROM psum, pnn),
+    pcv AS (
+        SELECT pmom.i AS i, pmom.j AS j,
+               (CAST(g AS DOUBLE) - n * a.m * b.m) / (n - 1) AS cvv
+        FROM pmom JOIN pmu0 a ON a.i = pmom.i JOIN pmu0 b ON b.i = pmom.j, pnn
+    ),
+    pcvf AS (SELECT i, j, cvv FROM pcv
+             UNION ALL SELECT j AS i, i AS j, cvv FROM pcv WHERE i <> j),
+    pmat AS MATERIALIZED (SELECT list(rw ORDER BY i) AS m FROM (
+                 SELECT i, list(cvv ORDER BY j) AS rw FROM pcvf GROUP BY i)),
+    pml AS MATERIALIZED (SELECT list(m ORDER BY i) AS ml FROM pmu0),
+    {_pca_power_sql(_PCA_ITERS)},
+    pw AS (SELECT v, list_transform(m, r -> list_reduce(list_prepend(
+               CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+               q -> r[q] * v[q])), (a, b) -> a + b)) AS w
+           FROM p{_PCA_ITERS}, pmat),
+    plam AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65), q -> v[q] * w[q])),
+                 (a, b) -> a + b) AS lam FROM pw),
+    psgn AS (SELECT CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+                 list_reduce(list_transform(v, x -> abs(x)),
+                             (a, b) -> greatest(a, b)))] < 0
+                 THEN -1.0 ELSE 1.0 END AS s, v FROM p{_PCA_ITERS}),
+    pcomp AS (SELECT list_transform(v, x -> x * s) AS vf FROM psgn)
     SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
     FROM r WHERE rk <= 5
     UNION ALL
@@ -1131,6 +1199,28 @@ _INT8_DOT = (
     UNION ALL
     SELECT variant, query_id, neighbor_id, cos, CAST(rk AS INT) AS rk
     FROM rrf_r WHERE rk <= 5
+    UNION ALL
+    SELECT 'pca_mom' AS variant, CAST(i AS BIGINT), CAST(j AS BIGINT),
+           CAST(g AS DOUBLE), CAST(NULL AS INT)
+    FROM pmom
+    UNION ALL
+    SELECT 'pca_mu' AS variant, CAST(i AS BIGINT), CAST(NULL AS BIGINT),
+           m, CAST(NULL AS INT)
+    FROM pmu0
+    UNION ALL
+    SELECT 'pca_comp' AS variant, CAST(q - 1 AS BIGINT), CAST(NULL AS BIGINT),
+           vf[q], CAST(NULL AS INT)
+    FROM pcomp, (SELECT unnest(range(1, 65)) AS q)
+    UNION ALL
+    SELECT 'pca_comp' AS variant, CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+           lam, CAST(NULL AS INT)
+    FROM plam
+    UNION ALL
+    SELECT 'pca_proj' AS variant, CAST(vec_id AS BIGINT), CAST(NULL AS BIGINT),
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), q -> (e[q] - ml[q]) * vf[q])),
+               (a, b) -> a + b), CAST(NULL AS INT)
+    FROM v, pml, pcomp
     """,
 )
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1152,6 +1242,14 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       'exact' and lexical 'bm25' top-5 lists for the query ids both
       sides serve (vec_id is the document id in this corpus) — fusion
       is results-sized, reciprocals are 6-decimal DECIMAL sums.
+    - ``'pca_*'`` (round 9) — :func:`similarity.pca_exact_power`, the
+      oracle-replayable PCA fit: ``'pca_mom'`` rows are the exact
+      DECIMAL second moments (the distributed part — the only part
+      that touches the corpus), ``'pca_mu'`` the derived means,
+      ``'pca_comp'`` the fixed-round power-method top component
+      + its Rayleigh eigenvalue (query_id -1), and ``'pca_proj'`` every
+      row's projection onto it — all bit-identical doubles across
+      engines (pure +,*,/,sqrt with pinned left-fold order; no libm).
 
     All variants share the same rank/tie-break discipline (score desc,
     id asc)."""
@@ -1160,6 +1258,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from xarray_dataaccessor_spark.operators.similarity import (
         int8_cosine,
+        pca_exact_power,
         quantize_embeddings_int8,
     )
 
@@ -1231,12 +1330,51 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("cos"),
         "rk",
     )
+    # 'pca_*' variants: the exact-moment fit is one distributed pass
+    # (collect = d(d+3)/2 decimal partials); the iteration runs on the
+    # driver in the oracle's exact fold order, and the projections go
+    # back out as one map-side literal-array fold (py4j-literal-cost:
+    # literals ride a single SQL string)
+    n_pca, moments, mu, comp, lam = pca_exact_power(
+        emb, dims=64, iters=_PCA_ITERS
+    )
+    small = (
+        [
+            ("pca_mom", int(i), int(j), float(g), None)
+            for (i, j), g in moments.items()
+            if j >= 0
+        ]
+        + [("pca_mu", i, None, mu[i], None) for i in range(64)]
+        + [("pca_comp", j, None, comp[j], None) for j in range(64)]
+        + [("pca_comp", -1, None, lam, None)]
+    )
+    pca_small = spark.createDataFrame(
+        small,
+        "variant string, query_id bigint, neighbor_id bigint, "
+        "cos double, rk int",
+    )
+    mu_sql = "array(" + ",".join(f"{m!r}D" for m in mu) + ")"
+    c_sql = "array(" + ",".join(f"{c!r}D" for c in comp) + ")"
+    proj = F.expr(
+        f"aggregate(zip_with(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        f"{mu_sql}, (a, b) -> a - b), {c_sql}, (d, c) -> d * c), "
+        f"0.0D, (acc, t) -> acc + t)"
+    )
+    pca_proj = emb.select(
+        F.lit("pca_proj").alias("variant"),
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.lit(None).cast("bigint").alias("neighbor_id"),
+        proj.alias("cos"),
+        F.lit(None).cast("int").alias("rk"),
+    )
     return (
         exact.withColumn("variant", F.lit("exact"))
         .unionByName(int8.withColumn("variant", F.lit("int8")))
         .select("variant", "query_id", "neighbor_id", "cos", "rk")
         .unionByName(bm25)
         .unionByName(rrf)
+        .unionByName(pca_small)
+        .unionByName(pca_proj)
     )
 
 

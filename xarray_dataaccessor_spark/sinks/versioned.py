@@ -113,10 +113,15 @@ def _land_files(df: DataFrame, path: str, version: int) -> list[dict]:
     df.write.mode("overwrite").parquet(tmp)
     entries = []
     n = 0
+    # the writer-unique token keeps two CONCURRENT appenders landing at
+    # the same intended version from clobbering each other's data files
+    # (names are manifest-resolved, so the version stamp is cosmetic;
+    # after an optimistic rebase the commit version may differ from it)
+    wtok = uuid.uuid4().hex[:8]
     for name in sorted(os.listdir(tmp)):
         if not name.endswith(".parquet"):
             continue
-        final = f"part-{version:06d}-{n:05d}.parquet"
+        final = f"part-{version:06d}-{n:05d}-{wtok}.parquet"
         dst = os.path.join(data_dir, final)
         os.replace(os.path.join(tmp, name), dst)
         entry = {"name": final, "bytes": os.path.getsize(dst)}
@@ -130,6 +135,12 @@ def _land_files(df: DataFrame, path: str, version: int) -> list[dict]:
         os.remove(os.path.join(tmp, leftover))
     os.rmdir(tmp)
     return entries
+
+
+class VersionConflict(ValueError):
+    """Another writer committed this version first. ``ValueError`` so
+    pre-existing callers that treated duplicate commits as input errors
+    keep working; :func:`append_versioned` catches it to rebase."""
 
 
 def _commit(path: str, version: int, files: list[dict], op: str,
@@ -146,12 +157,18 @@ def _commit(path: str, version: int, files: list[dict], op: str,
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     final = _manifest_path(path, version)
-    if os.path.exists(final):
+    try:
+        # hard link = atomic create-if-absent: of two racing writers
+        # EXACTLY one publishes v<N>; the old exists()+replace() pair
+        # had a TOCTOU window where the second replace silently
+        # overwrote the first manifest (lost commit)
+        os.link(tmp, final)
+    except FileExistsError:
         os.remove(tmp)
-        raise ValueError(
+        raise VersionConflict(
             f"version {version} already committed (concurrent writer?)"
         )
-    os.replace(tmp, final)  # the atomic commit point
+    os.remove(tmp)
     return manifest
 
 
@@ -165,10 +182,21 @@ def write_versioned(df: DataFrame, path: str) -> dict:
                    df.schema.simpleString())
 
 
-def append_versioned(df: DataFrame, path: str) -> dict:
+def append_versioned(df: DataFrame, path: str, max_retries: int = 20) -> dict:
     """Commit a new version = parent's files + the batch's files. The
     parent's files are NEVER rewritten; schema must match exactly (no
-    silent evolution)."""
+    silent evolution).
+
+    Concurrent appenders serialize by OPTIMISTIC RETRY (the Delta
+    protocol shape): the batch lands once under writer-unique file
+    names, then the commit loop tries ``parent+1``; on
+    :class:`VersionConflict` (another writer won the hard-link race) it
+    re-reads the new tip, re-validates the schema, re-bases the file
+    list on the winner's manifest — appends are pure file adds, so a
+    rebase is just "their files + mine", no data rewrite — and retries.
+    Every landed file appears in exactly one committed lineage; a
+    writer that exhausts ``max_retries`` raises with its orphaned
+    (unreferenced, vacuum-safe) files still on disk."""
     versions = list_versions(path)
     if not versions:
         raise ValueError(f"no dataset at {path}; use write_versioned")
@@ -180,8 +208,26 @@ def append_versioned(df: DataFrame, path: str) -> dict:
             f"({df.schema.simpleString()} != {pm['schema']})"
         )
     version = parent + 1
-    files = pm["files"] + _land_files(df, path, version)
-    return _commit(path, version, files, "append", parent, pm["schema"])
+    landed = _land_files(df, path, version)
+    for _ in range(max_retries):
+        try:
+            return _commit(
+                path, version, pm["files"] + landed, "append", parent,
+                pm["schema"],
+            )
+        except VersionConflict:
+            versions = list_versions(path)
+            parent = versions[-1]
+            pm = _read_manifest(path, parent)
+            if df.schema.simpleString() != pm["schema"]:
+                raise ValueError(
+                    "schema mismatch after concurrent commit: "
+                    f"({df.schema.simpleString()} != {pm['schema']})"
+                )
+            version = parent + 1
+    raise VersionConflict(
+        f"append lost the commit race {max_retries} times at {path}"
+    )
 
 
 def read_versioned(
