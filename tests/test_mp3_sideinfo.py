@@ -143,9 +143,86 @@ def test_plain_header_fixtures_still_parse():
     assert out[0]["scalefacs"][0][0] == [0] * 21
 
 
-def test_spectral_decode_is_gated():
-    with pytest.raises(NotImplementedError, match="Layer III spectral"):
+def test_spectral_decode_gates_outside_the_slice():
+    # stereo stays gated (the old fixture writer emits stereo frames)
+    with pytest.raises(NotImplementedError, match="mono"):
         mp3_decode(write_mp3_frames(2))
+
+
+def test_mp3_decode_planted_tone():
+    """Requantize -> IMDCT -> synthesis on a count1-table-B tone: the
+    dominant output frequency is the planted line's center and the
+    amplitude scales exactly with global_gain (the linearity pin —
+    prototype-independent, unlike the absolute level)."""
+    import math
+
+    from xarray_dataaccessor_spark.sources.media import (
+        mp3_spectra, write_mp3_tone_frames,
+    )
+
+    line = 40
+    data = write_mp3_tone_frames(line, n_frames=6)
+    sp = mp3_spectra(data)
+    assert len(sp) == 6
+    assert sp[0]["xr"][0][line] == 1.0
+    assert sum(1 for v in sp[0]["xr"][0] if v) == 1
+
+    pcm, rate = mp3_decode(data)
+    assert rate == 44100 and len(pcm) == 6 * 1152
+    # drop the filterbank warm-up, analyze the steady state
+    steady = pcm[2 * 1152 :]
+    n = len(steady)
+
+    def power_at(freq):
+        c = round(freq * n / rate)
+        re = sum(s * math.cos(2 * math.pi * c * i / n)
+                 for i, s in enumerate(steady))
+        im = sum(s * math.sin(2 * math.pi * c * i / n)
+                 for i, s in enumerate(steady))
+        return re * re + im * im
+
+    # a CONSTANT MDCT line (both granules) is a critically-sampled
+    # two-sided excitation: its images land at the subband edge +- the
+    # in-band offset (sb*rate/64 +- k*rate/1152), not at a single bin —
+    # assert the energy sits exactly there and nowhere else
+    sb, k = line // 18, line % 18
+    edge = sb * rate / 64.0
+    off = k * rate / 1152.0
+    pair = power_at(edge - off) + power_at(edge + off)
+    assert pair > 0
+    # Parseval-ish concentration: the image pair carries the signal
+    for stray in (edge - 3 * off, edge + 2.7 * off, edge / 2, 2 * edge):
+        if 20 < stray < rate / 2:
+            assert power_at(stray) < 0.02 * pair, stray
+    rms = math.sqrt(sum(s * s for s in steady) / n)
+    assert rms > 0
+    # +4 in global_gain is exactly one doubling of the requantizer gain
+    pcm2, _ = mp3_decode(write_mp3_tone_frames(line, n_frames=6,
+                                               global_gain=214))
+    steady2 = pcm2[2 * 1152 :]
+    rms2 = math.sqrt(sum(s * s for s in steady2) / n)
+    assert abs(rms2 / rms - 2.0) < 1e-9
+
+
+def test_mp3_decode_silence_and_determinism():
+    from xarray_dataaccessor_spark.sources.media import (
+        write_mp3_tone_frames,
+    )
+
+    tone = write_mp3_tone_frames(12, n_frames=3)
+    a, _ = mp3_decode(tone)
+    b, _ = mp3_decode(tone)
+    assert a == b  # pure-Python pipeline, bit-stable
+    # zero spectral bits decode as silence through the whole chain
+    import xarray_dataaccessor_spark.sources.media as M
+
+    g = [0] * 21
+    sil = M.write_mp3_sideinfo_frames(
+        [{"scalefacs": [g, g], "scalefac_compress": [0, 0]}]
+    )
+    # sideinfo fixture is mono? it writes mono frames (3<<6)
+    pcm, _ = mp3_decode(sil)
+    assert all(s == 0.0 for s in pcm)
 
 
 def test_writer_rejects_wide_scalefactor():

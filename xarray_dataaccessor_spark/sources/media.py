@@ -15,9 +15,12 @@ Covered (all public specs, no codec libraries):
 - PNG (zlib IS stdlib; filters 0-4 per spec §9; 8/16-bit gray/RGB/
   palette/alpha; Adam7 interlacing)
 
-Compressed codecs (MP3/JPEG/H.264...) raise NotImplementedError at
-the exact entry point a real library would plug into; the Spark-side
-plumbing in ``operators/multimodal.py`` is identical either way.
+Compressed codecs gate their UNVERIFIABLE stages with
+NotImplementedError at the exact entry point a real library would plug
+into (H.264 slice entropy decode; MP3 big-values Huffman, stereo,
+short blocks — while the mono count1-table-B slice decodes end to end
+through requantize/IMDCT/synthesis below); the Spark-side plumbing in
+``operators/multimodal.py`` is identical either way.
 
 Writers exist for every reader so tests and fixtures round-trip without
 any media library in the container.
@@ -1144,19 +1147,305 @@ def mp3_scalefactors(data: bytes) -> list[dict]:
     return out
 
 
-def mp3_decode(data: bytes):
-    """Full Layer III sample decode — gated: the spectral stage needs
-    the ISO Huffman code tables and the 512-tap synthesis window, which
-    this container cannot verify against any reference decoder (no
-    libmad/mpg123/ffmpeg present). The envelope (:func:`mp3_probe`),
-    side info and scalefactors (:func:`mp3_scalefactors`) above are the
-    honest decoded subset."""
-    raise NotImplementedError(
-        "MPEG-1 Layer III spectral decode (Huffman/requantize/IMDCT/"
-        "synthesis) is gated — no reference decoder in this environment "
-        "to pin bit-exactness against; mp3_probe/mp3_side_info/"
-        "mp3_scalefactors cover the bitstream layers above it"
-    )
+#: long-block scalefactor band boundaries, 44.1 kHz (ISO 11172-3
+#: Table B.8 — the fixture rate; other rates stay gated below)
+_MP3_SFB_LONG_44100 = [
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+    162, 196, 238, 288, 342, 418, 576,
+]
+#: preflag pretab (ISO 11172-3 §2.4.3.4.3.2), 21 long bands
+_MP3_PRETAB = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2,
+]
+#: alias-reduction coefficients ci (ISO 11172-3 Table B.9)
+_MP3_ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041,
+                 -0.0142, -0.0037]
+
+
+def _mp3_subset_gate(fr: dict) -> None:
+    """Raise NotImplementedError unless the frame sits inside the
+    decodable slice: mono, long blocks, big_values == 0, count1 table B
+    (whose 4-bit codewords are the one's complement of the quadruple —
+    the one spectral coding readable without the ISO Huffman trees)."""
+    if fr["channels"] != 1:
+        raise NotImplementedError(
+            "mp3_decode: mono frames only (stereo modes gated)"
+        )
+    if fr["sample_rate"] != 44100:
+        raise NotImplementedError(
+            "mp3_decode: 44.1 kHz only (scalefactor band tables for "
+            "other rates gated)"
+        )
+    for gr in range(2):
+        g = fr["granules"][gr][0]
+        if g["window_switching"]:
+            raise NotImplementedError(
+                "mp3_decode: long blocks only (short/mixed gated)"
+            )
+        if g["big_values"] != 0:
+            raise NotImplementedError(
+                "mp3_decode: big_values region needs the ISO Huffman "
+                "tables (gated); count1-table-B-only streams decode"
+            )
+        spectral_ok = (
+            g["count1table_select"] == 1
+            or g["part2_3_length"] == 0
+            or g["part2_3_length"] <= _mp3_part2_bits(g)
+        )
+        if not spectral_ok:
+            raise NotImplementedError(
+                "mp3_decode: count1 table A needs the ISO Huffman "
+                "tables (gated); select table B"
+            )
+
+
+def _mp3_part2_bits(g: dict) -> int:
+    return sum(s for s, _ in _mp3_scalefac_lengths(g))
+
+
+def mp3_spectra(data: bytes) -> list[dict]:
+    """Spectral-line decode for the count1-table-B slice: per frame,
+    per granule, the 576 requantized ``xr`` values (ISO §2.4.3.4.7:
+    ``xr = sign * |is|^(4/3) * 2^((global_gain-210)/4) *
+    2^(-0.5*(1+scalefac_scale)*(scalefac + preflag*pretab))``; here
+    ``|is|`` is 0/1, table B's whole alphabet). Reservoir assembly and
+    scalefactor reads ride :func:`mp3_scalefactors`'s exact path.
+    Raises NotImplementedError outside the slice (see
+    ``_mp3_subset_gate``), ValueError on reservoir underrun."""
+    frames = mp3_side_info(data)
+    for fr in frames:
+        _mp3_subset_gate(fr)
+    reservoir = b""
+    out = []
+    for fr in frames:
+        if fr["main_data_begin"] > len(reservoir):
+            raise ValueError("bit reservoir underrun")
+        start = len(reservoir) - fr["main_data_begin"]
+        md = reservoir[start:] + fr["main_data"]
+        bits = _MsbBits(md, 0)
+        grs = []
+        sf0 = None
+        for gr in range(2):
+            g = fr["granules"][gr][0]
+            plan = _mp3_scalefac_lengths(g)
+            start_bit = bits.p
+            sf = []
+            for i, (slen, grp) in enumerate(plan):
+                if gr == 1 and grp >= 0 and fr["scfsi"][0][grp] == 1:
+                    sf.append(sf0[i])
+                elif slen == 0:
+                    sf.append(0)
+                else:
+                    sf.append(bits.read(slen))
+            if gr == 0:
+                sf0 = sf
+            budget = g["part2_3_length"] - (bits.p - start_bit)
+            if budget < 0:
+                raise ValueError("part2 overruns part2_3_length")
+            # count1 region from line 0 (big_values == 0): 4-bit
+            # complement codes + one sign bit per nonzero value
+            vals = [0.0] * 576
+            line = 0
+            end_bit = bits.p + budget
+            while bits.p + 4 <= end_bit and line + 4 <= 576:
+                quad = 15 - bits.read(4)  # one's complement alphabet
+                for b in (8, 4, 2, 1):
+                    if quad & b:
+                        if bits.p >= end_bit:
+                            raise ValueError("count1 sign bit overrun")
+                        sign = -1.0 if bits.read(1) else 1.0
+                        vals[line] = sign
+                    line += 1
+            bits.p = end_bit  # stuffing bits, if any
+            gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+            mult = 0.5 * (1 + g["scalefac_scale"])
+            xr = [0.0] * 576
+            bnds = _MP3_SFB_LONG_44100
+            for band in range(len(bnds) - 1):
+                sfv = sf[band] if band < 21 else 0
+                pre = _MP3_PRETAB[band] if (
+                    g["preflag"] and band < 21
+                ) else 0
+                sc = gain * 2.0 ** (-mult * (sfv + pre))
+                for i in range(bnds[band], bnds[band + 1]):
+                    if vals[i]:
+                        xr[i] = vals[i] * sc
+            grs.append(xr)
+        out.append({"offset": fr["offset"], "xr": grs})
+        reservoir = (reservoir + fr["main_data"])[-511:]
+    return out
+
+
+def _mp3_synth_window() -> list[float]:
+    """Synthesis prototype for the polyphase stage. ISO Table B.3 is a
+    numerically-designed 512-tap pseudo-QMF prototype with NO closed
+    form, and this environment has no conforming decoder to transcribe
+    or verify it against — so the spec STRUCTURE runs with a documented
+    closed-form substitute: a Hann-windowed ideal lowpass at the
+    pseudo-QMF cutoff pi/64, unit-DC normalized. Tones land on the
+    correct frequencies with linear gain (pinned by the fixture tests);
+    stopband behavior differs from a conforming decoder by the
+    prototype difference, which is why bit-exactness stays out of
+    scope."""
+    import math as _m
+
+    n = 512
+    h = []
+    for i in range(n):
+        t = i - (n - 1) / 2.0
+        x = t * _m.pi / 64.0
+        sinc = 1.0 if x == 0 else _m.sin(x) / x
+        hann = 0.5 - 0.5 * _m.cos(2.0 * _m.pi * i / (n - 1))
+        h.append(sinc * hann)
+    s = sum(h)
+    return [v / s * 32.0 for v in h]
+
+
+def mp3_decode(data: bytes) -> tuple[list[float], int]:
+    """Layer III sample decode for the mono-CBR count1-table-B slice:
+    :func:`mp3_spectra` requantization -> alias-reduction butterflies
+    (Table B.9 ci) -> 36-point IMDCT with the sine window + half-
+    window overlap-add per subband -> frequency inversion -> 32-band polyphase
+    synthesis (the spec's V-FIFO/window/fold structure; prototype per
+    :func:`_mp3_synth_window` — the one piece with no closed form, see
+    there). Returns ``(pcm, sample_rate)`` with 1152 samples per frame.
+
+    Still gated (NotImplementedError): stereo, big_values/Huffman
+    spectra, short/mixed blocks, non-44.1 kHz — each needs ISO tables
+    this environment cannot verify."""
+    import math as _m
+
+    spectra = mp3_spectra(data)
+    rate = 44100
+    cs = [1.0 / _m.sqrt(1.0 + c * c) for c in _MP3_ALIAS_CI]
+    ca = [c / _m.sqrt(1.0 + c * c) for c in _MP3_ALIAS_CI]
+    # IMDCT-36 basis + sine window (block_type 0)
+    imdct = [
+        [
+            _m.cos(_m.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+            for k in range(18)
+        ]
+        for i in range(36)
+    ]
+    win = [_m.sin(_m.pi / 36.0 * (i + 0.5)) for i in range(36)]
+    nmat = [
+        [_m.cos((16 + i) * (2 * k + 1) * _m.pi / 64.0) for k in range(32)]
+        for i in range(64)
+    ]
+    dwin = _mp3_synth_window()
+    overlap = [[0.0] * 18 for _ in range(32)]
+    vfifo = [0.0] * 1024
+    pcm: list[float] = []
+    for fr in spectra:
+        for xr in fr["xr"]:
+            x = list(xr)
+            # alias reduction across the 31 subband boundaries
+            for sb in range(1, 32):
+                for i in range(8):
+                    lo = sb * 18 - 1 - i
+                    hi = sb * 18 + i
+                    a, b = x[lo], x[hi]
+                    x[lo] = a * cs[i] - b * ca[i]
+                    x[hi] = b * cs[i] + a * ca[i]
+            # per-subband IMDCT + overlap-add -> 18 time samples each
+            sbs = []
+            for sb in range(32):
+                xk = x[sb * 18 : (sb + 1) * 18]
+                if any(xk):
+                    raw = [
+                        sum(imdct[i][k] * xk[k] for k in range(18)
+                            if xk[k])
+                        for i in range(36)
+                    ]
+                else:
+                    raw = [0.0] * 36
+                w = [raw[i] * win[i] for i in range(36)]
+                out18 = [w[i] + overlap[sb][i] for i in range(18)]
+                overlap[sb] = w[18:]
+                # frequency inversion: odd subbands negate odd samples
+                if sb & 1:
+                    for i in range(1, 18, 2):
+                        out18[i] = -out18[i]
+                sbs.append(out18)
+            # polyphase synthesis: 18 pushes of 32 subband samples
+            for t in range(18):
+                s = [sbs[sb][t] for sb in range(32)]
+                vfifo = [
+                    sum(nmat[i][k] * s[k] for k in range(32) if s[k])
+                    for i in range(64)
+                ] + vfifo[:960]
+                outj = [0.0] * 32
+                for b in range(8):
+                    v0 = b * 128
+                    u0 = b * 64
+                    for j in range(32):
+                        outj[j] += (
+                            vfifo[v0 + j] * dwin[u0 + j]
+                            + vfifo[v0 + 96 + j] * dwin[u0 + 32 + j]
+                        )
+                pcm.extend(outj)
+    return pcm, rate
+
+
+def write_mp3_tone_frames(
+    line: int,
+    n_frames: int = 4,
+    global_gain: int = 210,
+) -> bytes:
+    """Fixture twin of :func:`mp3_decode`: mono 44.1 kHz CBR frames
+    planting a single +1 spectral value at ``line`` (0-575) in both
+    granules via count1 table B (4-bit complement codes + sign bits),
+    big_values = 0, scalefactors 0 — so the decoded output is a steady
+    tone near ``(line + 0.5) * 44100 / 1152`` Hz whose amplitude scales
+    as ``2^((global_gain - 210) / 4)``."""
+    kbps, rate = 128, 44100
+    br_idx = _MP3_BITRATES[("1", 3)].index(kbps) + 1
+    sr_idx = _MP3_RATES[3].index(rate)
+    size = 144 * kbps * 1000 // rate
+    room = size - 4 - 17
+    hdr = bytes([
+        0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+        (br_idx << 4) | (sr_idx << 2), (3 << 6),
+    ])
+    md = _MsbBitsW()
+    n_quads = line // 4
+    for _ in range(n_quads):
+        md.write(0xF, 4)                      # all-zero quadruple
+    pat = 8 >> (line % 4)                     # v,w,x,y bit for the line
+    md.write(0xF ^ pat, 4)                    # one's complement code
+    md.write(0, 1)                            # sign: positive
+    p23 = (n_quads + 1) * 4 + 1               # scalefac bits are 0
+    si = _MsbBitsW()
+    si.write(0, 9)                            # main_data_begin
+    si.write(0, 5)                            # private
+    for _ in range(4):
+        si.write(0, 1)                        # scfsi
+    for _ in range(2):
+        si.write(p23, 12)                     # part2_3_length
+        si.write(0, 9)                        # big_values
+        si.write(global_gain, 8)
+        si.write(0, 4)                        # scalefac_compress 0
+        si.write(0, 1)                        # long blocks
+        for _ in range(3):
+            si.write(0, 5)
+        si.write(0, 4)
+        si.write(0, 3)
+        si.write(0, 1)                        # preflag
+        si.write(0, 1)                        # scalefac_scale
+        si.write(1, 1)                        # count1table_select = B
+    si_bytes = si.bytes()
+    assert len(si_bytes) == 17
+    payload = _MsbBitsW()
+    for _ in range(2):                        # both granules identical
+        for _ in range(n_quads):
+            payload.write(0xF, 4)
+        payload.write(0xF ^ pat, 4)
+        payload.write(0, 1)
+    pb = payload.bytes()
+    if len(pb) > room:
+        raise ValueError("tone line too high for one frame's room")
+    seg = pb + b"\x00" * (room - len(pb))
+    return bytes(hdr + si_bytes + seg) * n_frames
 
 
 def write_mp3_sideinfo_frames(
