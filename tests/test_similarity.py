@@ -863,7 +863,7 @@ def test_pca_exact_power_matches_numpy_top_component(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     x = np.asarray([list(r["embedding"]) for r in emb.collect()], dtype=float)
-    n, moments, mu, comp, lam = pca_exact_power(emb, dims=64, iters=200)
+    n, moments, mu, comp, lam = pca_exact_power(emb, dims=64, iters=100)
     assert n == len(x)
     rmu, rcomps, rvals = _np_pca(x, 1)
     # moments quantize products to 6 decimals -> ~1e-6-level agreement
@@ -872,5 +872,5 @@ def test_pca_exact_power_matches_numpy_top_component(spark, sf_dir):
     cosang = abs(float(np.dot(comp, rcomps[0])))
     assert cosang > 1.0 - 1e-3, cosang
     # exact-determinism contract: a second run is bit-identical
-    n2, _, mu2, comp2, lam2 = pca_exact_power(emb, dims=64, iters=200)
+    n2, _, mu2, comp2, lam2 = pca_exact_power(emb, dims=64, iters=100)
     assert (n2, mu2, comp2, lam2) == (n, mu, comp, lam)

@@ -1063,7 +1063,7 @@ def _pca_power_sql(iters: int) -> str:
 
 #: power-iteration rounds for the 'pca_*' variants — shared by the
 #: Spark slot and the oracle chain (both sides run EXACTLY this many)
-_PCA_ITERS = 200
+_PCA_ITERS = 100
 
 
 @query(
@@ -1156,21 +1156,22 @@ _PCA_ITERS = 200
     -- fixed-iteration power-method top component (see _pca_power_sql)
     pmom AS (
         SELECT i, j,
-               SUM(CAST(round(e[i+1] * e[j+1], 6) AS DECIMAL(28,14))) AS g,
+               SUM(CAST(round(e[i+1] * e[j+1] * 1000000.0) AS BIGINT)) AS g,
                COUNT(*) AS c
         FROM v, (SELECT unnest(range(64)) AS i), (SELECT unnest(range(64)) AS j)
         WHERE j >= i GROUP BY i, j
     ),
     psum AS (
-        SELECT i, SUM(CAST(round(e[i+1], 6) AS DECIMAL(28,14))) AS s,
+        SELECT i, SUM(CAST(round(e[i+1] * 1000000.0) AS BIGINT)) AS s,
                COUNT(*) AS c
         FROM v, (SELECT unnest(range(64)) AS i) GROUP BY i
     ),
     pnn AS (SELECT CAST(c AS BIGINT) AS n FROM psum WHERE i = 0),
-    pmu0 AS (SELECT i, CAST(s AS DOUBLE) / n AS m FROM psum, pnn),
+    pmu0 AS (SELECT i, CAST(s AS DOUBLE) / 1000000.0 / n AS m FROM psum, pnn),
     pcv AS (
         SELECT pmom.i AS i, pmom.j AS j,
-               (CAST(g AS DOUBLE) - n * a.m * b.m) / (n - 1) AS cvv
+               (CAST(g AS DOUBLE) / 1000000.0
+                - n * a.m * b.m) / (n - 1) AS cvv
         FROM pmom JOIN pmu0 a ON a.i = pmom.i JOIN pmu0 b ON b.i = pmom.j, pnn
     ),
     pcvf AS (SELECT i, j, cvv FROM pcv
@@ -1244,7 +1245,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       is results-sized, reciprocals are 6-decimal DECIMAL sums.
     - ``'pca_*'`` (round 9) — :func:`similarity.pca_exact_power`, the
       oracle-replayable PCA fit: ``'pca_mom'`` rows are the exact
-      DECIMAL second moments (the distributed part — the only part
+      integer-quantized second moments (the distributed part — the only part
       that touches the corpus), ``'pca_mu'`` the derived means,
       ``'pca_comp'`` the fixed-round power-method top component
       + its Rayleigh eigenvalue (query_id -1), and ``'pca_proj'`` every
