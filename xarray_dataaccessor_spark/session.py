@@ -80,7 +80,12 @@ def get_spark(
             os.environ.get(
                 "SPARK_DRIVER_JVM_OPTS",
                 f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseG1GC"
-                " -XX:ReservedCodeCacheSize=512m",
+                " -XX:ReservedCodeCacheSize=512m"
+                # JVM unified-logging warnings (e.g. gc,alloc GCLocker
+                # retries under memory pressure) print to STDOUT and
+                # would corrupt the one-line JSON contract bench.py and
+                # the correctness driver parse — observed at sf1
+                " -Xlog:disable",
             ),
         )
         .config("spark.ui.enabled", "false")
