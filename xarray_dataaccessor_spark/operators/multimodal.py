@@ -949,3 +949,115 @@ def probe_videos(
         "profile_idc int, level_idc int, n_pictures int, duration_ms bigint"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
+
+
+def attach_video_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a deterministic VIDEO container payload per document —
+    format rotates by ``d % 3`` with SQL-derivable envelope metadata
+    (the ``attach_mp3_column`` seeding discipline, so
+    :func:`probe_videos` output hash-verifies against the generation
+    rule):
+
+    - ``d % 3 == 0`` — H.264 Annex B (``media.write_h264_annexb``):
+      ``width = 16*(2 + d%6)``, ``height = 16*(2 + d%4)``,
+      ``n_frames = 2 + d%5``; baseline profile 66 level 30.
+    - ``d % 3 == 1`` — MP4/AVC (``media.write_mp4_avc``):
+      ``width = 16*(1 + d%8)``, ``height = 16*(1 + d%5)``,
+      ``duration_ms = 500 + d%1500``.
+    - ``d % 3 == 2`` — WebM/VP9 (``media.write_webm``):
+      ``width = 100 + d%540``, ``height = 80 + d%300``,
+      ``duration_ms = 400 + d%1600``.
+
+    Output: ``(doc_id, payload binary)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import (
+        write_h264_annexb,
+        write_mp4_avc,
+        write_webm,
+    )
+
+    wh, wm, ww = write_h264_annexb, write_mp4_avc, write_webm
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                m = d % 3
+                if m == 0:
+                    payload = wh(
+                        n_frames=2 + d % 5,
+                        width=16 * (2 + d % 6),
+                        height=16 * (2 + d % 4),
+                    )
+                elif m == 1:
+                    payload = wm(
+                        width=16 * (1 + d % 8),
+                        height=16 * (1 + d % 5),
+                        duration_ms=500 + d % 1500,
+                    )
+                else:
+                    payload = ww(
+                        width=100 + d % 540,
+                        height=80 + d % 300,
+                        duration_ms=400 + d % 1600,
+                    )
+                rows.append({"doc_id": d, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary"
+    )
+
+
+def attach_container_audio_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a deterministic CONTAINERIZED audio payload per document —
+    the two envelope formats :func:`audio_probe` dispatches beyond
+    MP3/WAV/FLAC, seeded by the generation-rule discipline:
+
+    - ``d % 2 == 0`` — Ogg Opus (``media.write_ogg_opus``):
+      ``channels = 1 + (d % 4) // 2``, ``duration_ms = 300 + d % 1700``
+      (granule-position exact, 48 kHz by the Opus contract).
+    - ``d % 2 == 1`` — ADTS AAC (``media.write_adts_frames``):
+      ``n_frames = 3 + d % 16``, ``channels = 1 + (d % 4) // 2``,
+      44.1 kHz; duration rounds from 1024-sample frames.
+
+    Output: ``(doc_id, payload binary)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.media import (
+        write_adts_frames,
+        write_ogg_opus,
+    )
+
+    wa, wo = write_adts_frames, write_ogg_opus
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                ch = 1 + (d % 4) // 2
+                if d % 2 == 0:
+                    payload = wo(
+                        duration_ms=300 + d % 1700, channels=ch
+                    )
+                else:
+                    payload = wa(
+                        n_frames=3 + d % 16, rate=44100, channels=ch
+                    )
+                rows.append({"doc_id": d, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary"
+    )

@@ -119,19 +119,107 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_project",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    SELECT 'filter' AS variant, l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice, l_shipdate
     FROM lineitem
     WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
       AND l_quantity BETWEEN 5 AND 25
+    UNION ALL
+    SELECT 'versioned' AS variant,
+           COUNT(*) AS l_orderkey,
+           v AS l_linenumber,
+           CAST(NULL AS DOUBLE) AS l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS l_extendedprice,
+           CAST(NULL AS TIMESTAMP) AS l_shipdate
+    FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS v)
+    WHERE CASE v
+            WHEN 0 THEN l_shipdate < TIMESTAMP '1996-01-01'
+            WHEN 3 THEN l_shipdate < TIMESTAMP '1997-01-01'
+                        AND l_quantity BETWEEN 5 AND 10
+            ELSE l_shipdate < TIMESTAMP '1997-01-01'
+          END
+    GROUP BY v
     """,
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3 projection+predicate pushdown, plus (round 9) the
+    VERSIONED DATASET read path under the same oracle slot:
+
+    - ``'filter'`` rows — the original pushed-down scan.
+    - ``'versioned'`` rows — :mod:`sinks.versioned` end to end: the
+      slot CREATES a dataset from the pre-1996 slice (v0), APPENDS the
+      1996 slice (v1), COMPACTS (v2), then reads every version back
+      plus a data-skipping read (``where=('l_quantity', 5, 10)``) on
+      the latest. One aggregate row per read, keyed by
+      ``l_linenumber`` = 0/1/2 for the snapshots and 3 for the skipping
+      read; the oracle recomputes each snapshot's count and
+      decimal-summed revenue straight from lineitem — so manifest
+      resolution, SNAPSHOT ISOLATION (the v0 read happens after v1
+      committed and must not see its files), time travel, compaction
+      identity and stats-pruned reads all hash-verify, not just pass
+      pytest."""
     configure_session(spark)
     li = load(spark, sf_dir, "lineitem")
-    return li.filter(
+    filt = li.filter(
         F.col("l_shipdate").between("1996-01-01", "1996-12-31")
         & F.col("l_quantity").between(5, 25)
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+    ).select(
+        F.lit("filter").alias("variant"),
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate",
+    )
+
+    import tempfile
+
+    from xarray_dataaccessor_spark.sinks.versioned import (
+        append_versioned,
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_shipdate"]
+    path = tempfile.mkdtemp(prefix="xda-versioned-slot-") + "/ds"
+    write_versioned(
+        li.filter(F.col("l_shipdate") < "1996-01-01").select(cols), path
+    )
+    append_versioned(
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        ).select(cols),
+        path,
+    )
+    compact_versioned(spark, path)
+
+    def vrow(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("l_orderkey"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("l_extendedprice"),
+        ).select(
+            F.lit("versioned").alias("variant"),
+            "l_orderkey",
+            F.lit(v).cast("int").alias("l_linenumber"),
+            F.lit(None).cast("double").alias("l_quantity"),
+            "l_extendedprice",
+            F.lit(None).cast("timestamp").alias("l_shipdate"),
+        )
+
+    versioned = (
+        vrow(read_versioned(spark, path, version=0), 0)
+        .unionByName(vrow(read_versioned(spark, path, version=1), 1))
+        .unionByName(vrow(read_versioned(spark, path, version=2), 2))
+        .unionByName(
+            vrow(
+                read_versioned(spark, path, where=("l_quantity", 5, 10)), 3
+            )
+        )
+    )
+    return filt.unionByName(versioned)
 
 
 # (J2 time-concat union — xr.concat, era5_from_aws.py:244-261 — is
