@@ -180,8 +180,14 @@ def test_bbox_reprojection_utm():
 def test_unknown_pair_still_gated():
     from xarray_dataaccessor_spark.meta import BoundingBox
 
+    # 27700 resolves closed-form since round 9; Swiss CH1903+/LV95
+    # (oblique mercator) remains genuinely gated
     with pytest.raises(NotImplementedError):
-        bbox_to_crs(BoundingBox(west=0, south=0, east=1, north=1), 4326, 27700)
+        bbox_to_crs(BoundingBox(west=0, south=0, east=1, north=1), 4326, 2056)
+    bb = bbox_to_crs(
+        BoundingBox(west=-3.0, south=51.0, east=-1.0, north=53.0), 4326, 27700
+    )
+    assert 200_000 < bb.west < bb.east < 500_000
 
 
 # ---------------------------------------------------------------------------
@@ -612,11 +618,15 @@ def test_proj4_longlat_and_gates():
     assert crs_from_proj4("+proj=longlat +datum=WGS84 +no_defs") is None
     with pytest.raises(NotImplementedError, match="units"):
         crs_from_proj4("+proj=utm +zone=10 +datum=WGS84 +units=us-ft")
-    with pytest.raises(NotImplementedError, match="towgs84"):
-        crs_from_proj4(
-            "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-95 +ellps=GRS80 "
-            "+towgs84=-199.87,74.79,246.62"
-        )
+    # +towgs84 resolves (round 9) — a 3-param shift wraps the LCC in a
+    # DatumProjection instead of raising
+    from xarray_dataaccessor_spark.operators.crs import DatumProjection
+
+    shifted = crs_from_proj4(
+        "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-95 +ellps=GRS80 "
+        "+towgs84=-199.87,74.79,246.62"
+    )
+    assert isinstance(shifted, DatumProjection)
     with pytest.raises(NotImplementedError, match="non-polar"):
         crs_from_proj4("+proj=stere +lat_0=50 +lon_0=0 +datum=WGS84")
     with pytest.raises(NotImplementedError, match="proj=robin"):
@@ -659,3 +669,115 @@ def test_transform_point_accepts_proj4_strings():
         "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +datum=NAD83",
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts (round 9): 7-parameter Helmert, legacy national grids
+# ---------------------------------------------------------------------------
+OSGB36 = (
+    "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+    "+y_0=-100000 +ellps=airy "
+    "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.4894 +units=m"
+)
+
+
+def test_osgb36_true_origin_anchor():
+    """The OSGB36 true origin (49N 2W in the OSGB36 datum) is DEFINED to
+    map to easting 400000, northing -100000 — an external anchor, not a
+    mirror of our own code. mm-level residual = the second-order error
+    of negating the small Helmert parameters."""
+    from xarray_dataaccessor_spark.operators.crs import (
+        _ELLPS, HelmertShift, crs_from_proj4,
+    )
+
+    pr = crs_from_proj4(OSGB36)
+    a, f = _ELLPS["airy"]
+    h = HelmertShift(
+        params=(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.4894),
+        a=a, f=f,
+    )
+    wlon, wlat = h.to_wgs84(-2.0, 49.0)
+    x, y = pr.forward(wlon, wlat)
+    assert abs(x - 400000.0) < 0.01 and abs(y + 100000.0) < 0.01
+
+
+def test_datum_shift_magnitude_and_roundtrip():
+    """OSGB36->WGS84 over Britain is a ~100 m shift (the published
+    Helmert is accurate to ~3 m): the latitude/longitude deltas must be
+    in that band, and the WGS84<->grid round trip closes to ~5 mm."""
+    from xarray_dataaccessor_spark.operators.crs import transform_point
+
+    for lon, lat in [(-3.2, 55.95), (-0.1276, 51.5072), (-5.0, 50.2)]:
+        x, y = transform_point(lon, lat, 4326, 27700)
+        lon2, lat2 = transform_point(x, y, 27700, 4326)
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7
+    # shift magnitude: project the same numeric lon/lat WITH and WITHOUT
+    # the datum step; the difference is the datum shift (~60-120 m)
+    from xarray_dataaccessor_spark.operators.crs import crs_from_proj4
+
+    with_datum = crs_from_proj4(OSGB36)
+    no_datum = crs_from_proj4(OSGB36.replace(
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.4894 ", ""
+    ))
+    xw, yw = with_datum.forward(-2.0, 52.0)
+    xn, yn = no_datum.forward(-2.0, 52.0)
+    d = ((xw - xn) ** 2 + (yw - yn) ** 2) ** 0.5
+    assert 50.0 < d < 200.0, d
+
+
+def test_datum_shift_columns_match_scalar(spark):
+    """The distributed path is transform_grid's TWO-projection split
+    (Helmert step, then projection step) — composing both into one
+    Column tree is the documented OOM trap (_apply_pair_cols)."""
+    from xarray_dataaccessor_spark.operators.crs import (
+        crs_from_proj4, transform_grid,
+    )
+
+    pr = crs_from_proj4(OSGB36)
+    pts = [(-2.5, 51.3), (-1.1, 53.9), (0.4, 52.2)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {
+        round(r["x"], 3): (r["x"], r["y"])
+        for r in transform_grid(df, 4326, OSGB36).collect()
+    }
+    for lon, lat in pts:
+        sx, sy = pr.forward(lon, lat)
+        gx, gy = got[round(sx, 3)]
+        assert abs(gx - sx) < 1e-6 and abs(gy - sy) < 1e-6
+    # distributed inverse closes the loop
+    back = transform_grid(
+        transform_grid(df, 4326, OSGB36), OSGB36, 4326
+    ).collect()
+    for r, (lon, lat) in zip(sorted(back, key=lambda r: r["x"]),
+                             sorted(pts)):
+        assert abs(r["x"] - lon) < 1e-7 and abs(r["y"] - lat) < 1e-7
+
+
+def test_zero_towgs84_still_converts_between_ellipsoids():
+    """towgs84=0,0,0 on Bessel: identical XYZ, DIFFERENT geodetic
+    latitude (the ellipsoid change is real) — longitude unchanged."""
+    from xarray_dataaccessor_spark.operators.crs import (
+        _ELLPS, HelmertShift,
+    )
+
+    a, f = _ELLPS["bessel"]
+    h = HelmertShift(params=(0.0, 0.0, 0.0), a=a, f=f)
+    lon, lat = h.to_wgs84(9.0, 50.0)
+    assert lon == pytest.approx(9.0, abs=1e-12)
+    assert lat != 50.0 and abs(lat - 50.0) < 0.01
+
+
+def test_gauss_krueger_epsg_twin():
+    from xarray_dataaccessor_spark.operators.crs import (
+        crs_from_proj4, transform_point,
+    )
+
+    p4 = ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+          "+ellps=bessel "
+          "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 +units=m")
+    a = transform_point(9.5, 50.0, 4326, 31467)
+    b = crs_from_proj4(p4).forward(9.5, 50.0)
+    assert a == b
+    # zone-3 sanity: 0.5 deg east of the central meridian at 50N is
+    # ~35.8 km east of the 3.5M false easting
+    assert 3_530_000 < a[0] < 3_545_000 and 5_500_000 < a[1] < 5_580_000

@@ -31,11 +31,29 @@ def test_closed_form_utm_matches_pyproj():
         assert kn == pytest.approx(py, abs=1e-3)
 
 
+def test_pyproj_agrees_with_closed_form_osgb(spark):
+    """27700 resolves closed-form since round 9 (Helmert +
+    Airy/Krüger); pyproj must land within the OSTN15-vs-Helmert band
+    (PROJ uses the grid file when its data directory carries it, the
+    same towgs84 Helmert otherwise — metres apart, never tens)."""
+    from xarray_dataaccessor_spark.operators.crs import transform_point
+
+    cx, cy = transform_point(-0.1276, 51.5074, 4326, 27700)
+    t = pyproj.Transformer.from_crs(4326, 27700, always_xy=True)
+    px, py = t.transform(-0.1276, 51.5074)
+    assert cx == pytest.approx(px, abs=10.0)
+    assert cy == pytest.approx(py, abs=10.0)
+
+
 def test_pyproj_fallback_pair_runs(spark):
-    # a pair with no closed form here (British National Grid) goes
-    # through the Arrow-batched pyproj pandas UDF
-    df = spark.createDataFrame([(-0.1276, 51.5074)], "x double, y double")
-    out = transform_crs_udf(df, 4326, 27700).collect()[0]
-    # published: Charing Cross ~ (530047, 180422) +- a few metres
-    assert out["x"] == pytest.approx(530_047, abs=10.0)
-    assert out["y"] == pytest.approx(180_422, abs=10.0)
+    # a pair with no closed form here (Swiss LV95, oblique mercator)
+    # goes through the Arrow-batched pyproj pandas UDF; round-trip
+    # closure avoids baking in memory-derived control values
+    df = spark.createDataFrame([(7.4386, 46.9510)], "x double, y double")
+    out = transform_crs_udf(df, 4326, 2056).collect()[0]
+    back = transform_crs_udf(
+        spark.createDataFrame([(out["x"], out["y"])], "x double, y double"),
+        2056, 4326,
+    ).collect()[0]
+    assert back["x"] == pytest.approx(7.4386, abs=1e-6)
+    assert back["y"] == pytest.approx(46.9510, abs=1e-6)

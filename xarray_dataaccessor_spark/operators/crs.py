@@ -73,24 +73,47 @@ def _kruger_coefficients(n: float):
 @dataclass(frozen=True)
 class TransverseMercator:
     """One UTM-style projection: central meridian + scale + false offsets
-    over WGS84. All derived constants are plain floats so both the Spark
-    column expressions and the driver-side scalar math embed them as
-    literals."""
+    over any ellipsoid (``a``/``f`` default WGS84 — the Krüger series is
+    generic in the third flattening, so OSGB36-on-Airy works the same
+    way; round 9). All derived constants are plain floats so both the
+    Spark column expressions and the driver-side scalar math embed them
+    as literals."""
 
     lon0_deg: float
     k0: float = 0.9996
     false_easting: float = 500_000.0
     false_northing: float = 0.0
+    a: float = WGS84_A
+    f: float = WGS84_F
+    lat0_deg: float = 0.0
 
     @property
     def _consts(self):
-        f = WGS84_F
+        f = self.f
         n = f / (2.0 - f)
         # rectifying radius A (Karney eq. 14)
-        big_a = WGS84_A / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        big_a = self.a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
         e = math.sqrt(f * (2 - f))
         alpha, beta = _kruger_coefficients(n)
         return e, big_a, alpha, beta
+
+    @property
+    def _n0(self) -> float:
+        """Northing of the latitude of origin (lat_0, e.g. OSGB36's
+        49°N): the meridian arc from the equator, by the same Krüger
+        series evaluated at lam=0 — subtracted from forward northings
+        so lat_0 maps to false_northing exactly like PROJ's tmerc."""
+        if self.lat0_deg == 0.0:
+            return 0.0
+        e, big_a, alpha, _ = self._consts
+        phi = math.radians(self.lat0_deg)
+        s = math.sin(phi)
+        t = math.sinh(math.atanh(s) - e * math.atanh(e * s))
+        xi_p = math.atan2(t, 1.0)
+        xi = xi_p + sum(
+            a * math.sin(2 * j * xi_p) for j, a in enumerate(alpha, start=1)
+        )
+        return self.k0 * big_a * xi
 
     # -- driver-side scalars (bbox corners, tests) ------------------------
 
@@ -112,12 +135,12 @@ class TransverseMercator:
         )
         return (
             self.false_easting + self.k0 * big_a * eta,
-            self.false_northing + self.k0 * big_a * xi,
+            self.false_northing - self._n0 + self.k0 * big_a * xi,
         )
 
     def inverse(self, x: float, y: float) -> tuple[float, float]:
         e, big_a, _, beta = self._consts
-        xi = (y - self.false_northing) / (self.k0 * big_a)
+        xi = (y - self.false_northing + self._n0) / (self.k0 * big_a)
         eta = (x - self.false_easting) / (self.k0 * big_a)
         xi_p = xi - sum(
             b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
@@ -166,7 +189,8 @@ class TransverseMercator:
             eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xi_p) * F.sinh(F.lit(2.0 * j) * eta_p)
         return (
             F.lit(self.false_easting) + F.lit(self.k0 * big_a) * eta,
-            F.lit(self.false_northing) + F.lit(self.k0 * big_a) * xi,
+            F.lit(self.false_northing - self._n0)
+            + F.lit(self.k0 * big_a) * xi,
         )
 
     def inverse_cols(self, x: Column, y: Column) -> tuple[Column, Column]:
@@ -178,7 +202,9 @@ class TransverseMercator:
         the tau expression recursively and blow the Catalyst tree up
         exponentially (minutes of planning time)."""
         e, big_a, _, beta = self._consts
-        xi = (y - F.lit(self.false_northing)) / F.lit(self.k0 * big_a)
+        xi = (y - F.lit(self.false_northing - self._n0)) / F.lit(
+            self.k0 * big_a
+        )
         eta = (x - F.lit(self.false_easting)) / F.lit(self.k0 * big_a)
         xi_p, eta_p = xi, eta
         for j, b in enumerate(beta, start=1):
@@ -258,6 +284,8 @@ class _ScalarOps:
     atan2 = staticmethod(math.atan2)
     asin = staticmethod(math.asin)
     sqrt = staticmethod(math.sqrt)
+    radians = staticmethod(math.radians)
+    degrees = staticmethod(math.degrees)
 
 
 class _ColumnOps:
@@ -268,6 +296,8 @@ class _ColumnOps:
     atan2 = staticmethod(F.atan2)
     asin = staticmethod(F.asin)
     sqrt = staticmethod(F.sqrt)
+    radians = staticmethod(F.radians)
+    degrees = staticmethod(F.degrees)
 
 
 def _t_snyder(ops, phi, e):
@@ -788,9 +818,35 @@ def sinusoidal_crs(code: int) -> Sinusoidal | None:
 def projected_crs(code: int):
     """Closed-form projection registry: WGS84 UTM zones, spherical
     sinusoidal, polar stereographic (NSIDC/UPS), Lambert conformal
-    conic, and Albers equal-area. Returns an object with
-    forward/inverse (+ _cols twins) or None."""
-    return utm_crs(code) or sinusoidal_crs(code) or conic_polar_crs(code)
+    conic, Albers equal-area — and (round 9) datum-shifted national
+    grids (OSGB36). Returns an object with forward/inverse (+ _cols
+    twins) or None."""
+    return (
+        utm_crs(code) or sinusoidal_crs(code) or conic_polar_crs(code)
+        or datum_grid_crs(code)
+    )
+
+
+#: national grids on legacy datums: proj4 spellings resolved through
+#: the same dispatcher, so the EPSG int and the string are twins
+_DATUM_GRIDS = {
+    # OSGB36 / British National Grid (EPSG registry parameters; the
+    # 7-parameter Helmert is the published OSGB36->WGS84 approximation
+    # — OSTN15-grid accuracy needs the real correction grid, gated)
+    27700: "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+           "+x_0=400000 +y_0=-100000 +ellps=airy "
+           "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.4894 "
+           "+units=m",
+    # DHDN / Gauss-Krüger zone 3 (Germany, Bessel 1841)
+    31467: "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+           "+ellps=bessel "
+           "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 +units=m",
+}
+
+
+def datum_grid_crs(code: int):
+    p4 = _DATUM_GRIDS.get(code)
+    return crs_from_proj4(p4) if p4 else None
 
 
 def utm_crs(epsg: int) -> TransverseMercator | None:
@@ -818,6 +874,21 @@ def _resolve_crs(code):
     return projected_crs(code), code == 4326
 
 
+def _apply_pair_cols(df: DataFrame, fn, x_col: str, y_col: str) -> DataFrame:
+    """Replace (x_col, y_col) with the pair ``fn`` produces — one
+    projection step. Datum-shifted CRSs apply their Helmert and their
+    projection as TWO of these: composing both into one Column tree
+    multiplies the shift subexpressions through every projection
+    reference, and Catalyst's copy-on-transform turns that DAG into an
+    exponentially materialized tree (observed: driver OOM during
+    analysis). Two projections stay bounded — CollapseProject refuses
+    to inline non-cheap aliases referenced more than once."""
+    ex, ny = fn(F.col(x_col), F.col(y_col))
+    return df.withColumn("__cx", ex).withColumn(y_col, ny).withColumn(
+        x_col, F.col("__cx")
+    ).drop("__cx")
+
+
 def transform_grid(
     df: DataFrame, from_epsg, to_epsg, x_col: str = "x", y_col: str = "y"
 ) -> DataFrame:
@@ -829,15 +900,21 @@ def transform_grid(
     proj_to, to_geo = _resolve_crs(to_epsg)
     proj_from, from_geo = _resolve_crs(from_epsg)
     if from_geo and proj_to is not None:
-        ex, ny = proj_to.forward_cols(F.col(x_col), F.col(y_col))
-        return df.withColumn("__e", ex).withColumn(y_col, ny).withColumn(
-            x_col, F.col("__e")
-        ).drop("__e")
+        if isinstance(proj_to, DatumProjection):
+            df = _apply_pair_cols(
+                df, proj_to.shift.from_wgs84_cols, x_col, y_col
+            )
+            proj_to = proj_to.proj
+        return _apply_pair_cols(df, proj_to.forward_cols, x_col, y_col)
     if proj_from is not None and to_geo:
-        lon, lat = proj_from.inverse_cols(F.col(x_col), F.col(y_col))
-        return df.withColumn("__lon", lon).withColumn(y_col, lat).withColumn(
-            x_col, F.col("__lon")
-        ).drop("__lon")
+        if isinstance(proj_from, DatumProjection):
+            df = _apply_pair_cols(
+                df, proj_from.proj.inverse_cols, x_col, y_col
+            )
+            return _apply_pair_cols(
+                df, proj_from.shift.to_wgs84_cols, x_col, y_col
+            )
+        return _apply_pair_cols(df, proj_from.inverse_cols, x_col, y_col)
     if proj_from is not None and proj_to is not None:
         # projected -> projected via the geographic pivot, still closed-form
         return transform_grid(
@@ -954,6 +1031,15 @@ _ELLPS = {
     "GRS80": (GRS80_A, GRS80_F),
     "NAD83": (GRS80_A, GRS80_F),
     "sphere": (6_370_997.0, 0.0),
+    # round 9, for +towgs84 datum shifts onto legacy national datums
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
+    "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),
+    "clrk80": (6378249.145, 1.0 / 293.465),
+    "intl": (6378388.0, 1.0 / 297.0),
+    "krass": (6378245.0, 1.0 / 298.3),
+    "WGS72": (6378135.0, 1.0 / 298.26),
+    "GRS67": (6378160.0, 1.0 / 298.247167427),
 }
 
 
@@ -965,6 +1051,23 @@ def _proj4_params(proj4: str) -> dict[str, str]:
         key, _, val = tok[1:].partition("=")
         out[key] = val
     return out
+
+
+def _with_datum(proj, p: dict, a: float, f: float):
+    """Wrap ``proj`` in a :class:`DatumProjection` when the proj4 params
+    carry an explicit ``+towgs84`` (PROJ semantics: present = a defined
+    Helmert to WGS84, zeros included — a zero shift between DIFFERENT
+    ellipsoids still changes geodetic latitude through the shared XYZ
+    frame). Without ``+towgs84`` the legacy PROJ.4 no-datum behavior
+    applies: the geographic pivot is taken as-is (exactly what the old
+    gate implied for GRS80-family CRSs, where the difference is sub-mm)."""
+    shift = p.get("towgs84")
+    if shift is None:
+        return proj
+    params = tuple(float(v) for v in shift.split(","))
+    if all(v == 0.0 for v in params) and (a, f) == (WGS84_A, WGS84_F):
+        return proj
+    return DatumProjection(proj=proj, shift=HelmertShift(params=params, a=a, f=f))
 
 
 def crs_from_proj4(proj4: str):
@@ -990,9 +1093,6 @@ def crs_from_proj4(proj4: str):
     units = p.get("units", "m")
     if proj != "longlat" and units != "m":
         raise NotImplementedError(f"+units={units} (only metres)")
-    shift = p.get("towgs84")
-    if shift and any(float(v) != 0.0 for v in shift.split(",")):
-        raise NotImplementedError("+towgs84 datum shift")
 
     def flt(key: str, default: float = 0.0) -> float:
         return float(p[key]) if key in p else default
@@ -1017,32 +1117,35 @@ def crs_from_proj4(proj4: str):
 
     if proj == "longlat":
         return None
-    if proj in ("utm", "tmerc"):
+    if proj == "utm":
         if (a, f) != (WGS84_A, WGS84_F):
-            raise NotImplementedError(
-                "+proj=utm/tmerc on a non-WGS84 ellipsoid"
-            )
-        if proj == "utm":
-            zone = int(p["zone"])
-            return TransverseMercator(
-                lon0_deg=zone * 6.0 - 183.0,
-                false_northing=10_000_000.0 if "south" in p else 0.0,
-            )
-        return TransverseMercator(
+            raise NotImplementedError("+proj=utm on a non-WGS84 ellipsoid")
+        zone = int(p["zone"])
+        return _with_datum(TransverseMercator(
+            lon0_deg=zone * 6.0 - 183.0,
+            false_northing=10_000_000.0 if "south" in p else 0.0,
+        ), p, a, f)
+    if proj == "tmerc":
+        # the Krüger series is ellipsoid-generic (round 9): OSGB36 on
+        # Airy, Gauss-Krüger on Bessel/Krassowsky all resolve here
+        k0 = p.get("k_0", p.get("k"))  # PROJ accepts both spellings
+        return _with_datum(TransverseMercator(
             lon0_deg=flt("lon_0"),
-            k0=flt("k_0", 0.9996),
+            k0=float(k0) if k0 is not None else 0.9996,
             false_easting=flt("x_0"),  # PROJ tmerc default is 0
             false_northing=flt("y_0"),
-        )
+            a=a, f=f, lat0_deg=flt("lat_0"),
+        ), p, a, f)
     if proj == "sinu":
-        return Sinusoidal(radius=a if f == 0.0 else flt("R", a),
-                          lon0_deg=flt("lon_0"))
+        return _with_datum(
+            Sinusoidal(radius=a if f == 0.0 else flt("R", a),
+                       lon0_deg=flt("lon_0")), p, a, f)
     if proj == "stere":
         lat0 = flt("lat_0")
         if abs(lat0) < 89.999999:
             raise NotImplementedError("+proj=stere non-polar aspect")
         k0 = p.get("k_0", p.get("k"))  # PROJ accepts both spellings
-        return PolarStereographic(
+        return _with_datum(PolarStereographic(
             a=a, f=f,
             lat_ts=float(p["lat_ts"]) if "lat_ts" in p else None,
             k0=float(k0) if k0 is not None and "lat_ts" not in p else None,
@@ -1050,28 +1153,154 @@ def crs_from_proj4(proj4: str):
             south=lat0 < 0,
             false_easting=flt("x_0"),
             false_northing=flt("y_0"),
-        )
+        ), p, a, f)
     if proj == "lcc":
         sp1 = flt("lat_1")
-        return LambertConformalConic(
+        return _with_datum(LambertConformalConic(
             sp1=sp1, sp2=flt("lat_2", sp1), lat0=flt("lat_0"),
             lon0_deg=flt("lon_0"), a=a, f=f,
             false_easting=flt("x_0"), false_northing=flt("y_0"),
-        )
+        ), p, a, f)
     if proj == "aea":
-        return AlbersEqualArea(
+        return _with_datum(AlbersEqualArea(
             sp1=flt("lat_1"), sp2=flt("lat_2", flt("lat_1")),
             lat0=flt("lat_0"), lon0_deg=flt("lon_0"), a=a, f=f,
             false_easting=flt("x_0"), false_northing=flt("y_0"),
-        )
+        ), p, a, f)
     if proj == "laea":
-        return LambertAzimuthalEqualArea(
+        return _with_datum(LambertAzimuthalEqualArea(
             lat0=flt("lat_0"), lon0_deg=flt("lon_0"), a=a, f=f,
             false_easting=flt("x_0"), false_northing=flt("y_0"),
-        )
+        ), p, a, f)
     if proj == "cea":
-        return CylindricalEqualArea(
+        return _with_datum(CylindricalEqualArea(
             lat_ts=flt("lat_ts"), lon0_deg=flt("lon_0"), a=a, f=f,
             false_easting=flt("x_0"), false_northing=flt("y_0"),
-        )
+        ), p, a, f)
     raise NotImplementedError(f"+proj={proj}")
+
+
+# ---------------------------------------------------------------------------
+# Geodetic datum shift (round 9): the 7-parameter Helmert transform —
+# PROJ's +towgs84 semantics (EPSG method 9606, position-vector sign
+# convention) — closing the "non-WGS84 datum" slice of the arbitrary-CRS
+# gap. Geodetic -> geocentric XYZ is closed-form; XYZ -> geodetic uses
+# Bowring's one-shot formula (1976; ~1e-9 deg for earth-surface points,
+# no iteration — the same determinism argument as the direct conformal
+# series in TransverseMercator.inverse_cols).
+# ---------------------------------------------------------------------------
+_ARCSEC = math.pi / 648000.0
+
+
+@dataclass(frozen=True)
+class HelmertShift:
+    """Datum shift from a source ellipsoid/datum TO WGS84 (the towgs84
+    direction). ``params`` is the 3- or 7-tuple
+    ``(dx, dy, dz[, rx_arcsec, ry_arcsec, rz_arcsec, s_ppm])``;
+    ``a``/``f`` describe the SOURCE ellipsoid. ``inverse_shift`` applies
+    the standard small-parameter negation (exact to the same order the
+    7-parameter model itself is defined at). Heights are treated as 0
+    (grid coordinates are surface points; the reference's rioxarray
+    path does the same for 2D rasters)."""
+
+    params: tuple
+    a: float
+    f: float
+
+    def _p7(self):
+        p = tuple(float(v) for v in self.params)
+        if len(p) == 3:
+            p = p + (0.0, 0.0, 0.0, 0.0)
+        if len(p) != 7:
+            raise ValueError("towgs84 needs 3 or 7 parameters")
+        return p
+
+    def _geodetic_to_xyz(self, ops, lon_deg, lat_deg, a, f):
+        e2 = f * (2 - f)
+        lam = ops.radians(lon_deg)
+        phi = ops.radians(lat_deg)
+        sphi = ops.sin(phi)
+        nrad = a / ops.sqrt(1.0 - e2 * sphi * sphi)
+        cphi = ops.cos(phi)
+        return (
+            nrad * cphi * ops.cos(lam),
+            nrad * cphi * ops.sin(lam),
+            nrad * (1.0 - e2) * sphi,
+        )
+
+    def _xyz_to_geodetic(self, ops, x, y, z, a, f):
+        # Bowring's closed formula
+        b = a * (1.0 - f)
+        e2 = f * (2 - f)
+        ep2 = e2 / (1.0 - e2)
+        p = ops.sqrt(x * x + y * y)
+        theta = ops.atan2(z * a, p * b)
+        st, ct = ops.sin(theta), ops.cos(theta)
+        phi = ops.atan2(
+            z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct
+        )
+        lam = ops.atan2(y, x)
+        return ops.degrees(lam), ops.degrees(phi)
+
+    def _apply(self, ops, lon_deg, lat_deg, invert: bool):
+        dx, dy, dz, rx, ry, rz, s = self._p7()
+        if invert:
+            dx, dy, dz, rx, ry, rz, s = (
+                -dx, -dy, -dz, -rx, -ry, -rz, -s,
+            )
+            a_src, f_src = WGS84_A, WGS84_F
+            a_dst, f_dst = self.a, self.f
+        else:
+            a_src, f_src = self.a, self.f
+            a_dst, f_dst = WGS84_A, WGS84_F
+        x, y, z = self._geodetic_to_xyz(ops, lon_deg, lat_deg, a_src, f_src)
+        m = 1.0 + s * 1e-6
+        rxr, ryr, rzr = rx * _ARCSEC, ry * _ARCSEC, rz * _ARCSEC
+        # position-vector convention (EPSG 9606 / PROJ towgs84)
+        x2 = dx + m * (x - rzr * y + ryr * z)
+        y2 = dy + m * (rzr * x + y - rxr * z)
+        z2 = dz + m * (-ryr * x + rxr * y + z)
+        return self._xyz_to_geodetic(ops, x2, y2, z2, a_dst, f_dst)
+
+    # -- driver-side scalars ------------------------------------------------
+    def to_wgs84(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._apply(_ScalarOps(), lon, lat, invert=False)
+
+    def from_wgs84(self, lon: float, lat: float) -> tuple[float, float]:
+        return self._apply(_ScalarOps(), lon, lat, invert=True)
+
+    # -- Spark column expressions -------------------------------------------
+    def to_wgs84_cols(self, lon: Column, lat: Column):
+        return self._apply(_ColumnOps(), lon, lat, invert=False)
+
+    def from_wgs84_cols(self, lon: Column, lat: Column):
+        return self._apply(_ColumnOps(), lon, lat, invert=True)
+
+
+@dataclass(frozen=True)
+class DatumProjection:
+    """A projected CRS on a non-WGS84 datum: composes a projection
+    (whose geographic side is its OWN datum) with a :class:`HelmertShift`
+    so the engine's geographic pivot stays EPSG:4326 — every existing
+    transform chain (``transform_grid``'s projected->projected pivot
+    included) works unchanged. ``forward`` maps WGS84 lon/lat to
+    projected metres; ``inverse`` maps back to WGS84."""
+
+    proj: object
+    shift: HelmertShift
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        dlon, dlat = self.shift.from_wgs84(lon, lat)
+        return self.proj.forward(dlon, dlat)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        dlon, dlat = self.proj.inverse(x, y)
+        return self.shift.to_wgs84(dlon, dlat)
+
+    def forward_cols(self, lon: Column, lat: Column):
+        dlon, dlat = self.shift.from_wgs84_cols(lon, lat)
+        return self.proj.forward_cols(dlon, dlat)
+
+    def inverse_cols(self, x: Column, y: Column):
+        dlon, dlat = self.proj.inverse_cols(x, y)
+        return self.shift.to_wgs84_cols(dlon, dlat)
