@@ -1045,11 +1045,59 @@ def spatial_upsample_bilinear_nearest(spark: SparkSession, sf_dir: str) -> DataF
 # era5_from_aws.py:361-362). libm tan/log may differ by an ulp between the
 # JVM and DuckDB, so mercator outputs are rounded to millimeters.
 # ---------------------------------------------------------------------------
+def _helmert_inv_sql() -> str:
+    """DuckDB replay of ``HelmertShift.from_wgs84`` for the OSGB36
+    parameters — every derived constant computed in Python and embedded
+    as its repr (the sun-geometry-literal discipline), the remaining
+    per-row math pure sin/cos/atan2/sqrt. Engine libm differences are
+    ~1e-14 relative; outputs round to 9 decimals (~0.1 mm) like the
+    mercator millimetre rounding."""
+    import math as _m
+
+    arcsec = _m.pi / 648000.0
+    params = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.4894)
+    dx, dy, dz, rx, ry, rz, sc = [-v for v in params]
+    m = 1.0 + sc * 1e-6
+    rxr, ryr, rzr = rx * arcsec, ry * arcsec, rz * arcsec
+    wa, wf = 6378137.0, 1.0 / 298.257223563
+    we2 = wf * (2 - wf)
+    aa, af = 6377563.396, 1.0 / 299.3249646
+    ab = aa * (1.0 - af)
+    ae2 = af * (2 - af)
+    aep2 = ae2 / (1.0 - ae2)
+    return f"""
+    d0 AS (SELECT y, x, radians(x) AS lam, radians(y) AS phi FROM cells),
+    d1 AS (SELECT y, x, lam, phi,
+                  {wa!r} / sqrt(1.0 - {we2!r} * sin(phi) * sin(phi)) AS nr
+           FROM d0),
+    d2 AS (SELECT y, x,
+                  nr * cos(phi) * cos(lam) AS gx,
+                  nr * cos(phi) * sin(lam) AS gy,
+                  nr * {(1.0 - we2)!r} * sin(phi) AS gz
+           FROM d1),
+    d3 AS (SELECT y, x,
+                  {dx!r} + {m!r} * (gx - {rzr!r} * gy + {ryr!r} * gz) AS x2,
+                  {dy!r} + {m!r} * ({rzr!r} * gx + gy - {rxr!r} * gz) AS y2,
+                  {dz!r} + {m!r} * ({(-ryr)!r} * gx + {rxr!r} * gy + gz) AS z2
+           FROM d2),
+    d4 AS (SELECT y, x, x2, y2, z2, sqrt(x2 * x2 + y2 * y2) AS p FROM d3),
+    d5 AS (SELECT y, x, x2, y2, z2, p,
+                  atan2(z2 * {aa!r}, p * {ab!r}) AS th FROM d4)
+    SELECT 'datum' AS variant, y, x, CAST(NULL AS DOUBLE) AS x_norm,
+           round(degrees(atan2(y2, x2)), 9) AS mx,
+           round(degrees(atan2(
+               z2 + {(aep2 * ab)!r} * sin(th) * sin(th) * sin(th),
+               p - {(ae2 * aa)!r} * cos(th) * cos(th) * cos(th))), 9) AS my
+    FROM d5"""
+
+
 _MERCATOR_ORACLE = f"""
     WITH grid AS ({GRID_SQL_BODY}),
     cells AS (SELECT DISTINCT y, x FROM grid),
-    shifted AS (SELECT y, x, ((x + 360.0 + 180.0) % 360.0) - 180.0 AS x_norm FROM cells)
-    SELECT y, x, x_norm,
+    shifted AS (SELECT y, x, ((x + 360.0 + 180.0) % 360.0) - 180.0 AS x_norm FROM cells),
+    {_helmert_inv_sql().lstrip()}
+    UNION ALL
+    SELECT 'mercator' AS variant, y, x, x_norm,
            round(CAST(6378137.0 AS DOUBLE) * radians(x_norm), 3) AS mx,
            round(CAST(6378137.0 AS DOUBLE) * ln(tan(pi() / 4.0 + radians(y) / 2)), 3) AS my
     FROM shifted
@@ -1058,7 +1106,20 @@ _MERCATOR_ORACLE = f"""
 
 @query("mercator_cells", oracle=_MERCATOR_ORACLE)
 def mercator_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R4/R6 under one slot: Web-Mercator projection of the
+    normalized grid cells ('mercator' rows), plus — round 9 — the
+    GEODETIC DATUM SHIFT ('datum' rows): every cell's WGS84 lon/lat
+    pushed through the OSGB36 7-parameter Helmert
+    (``crs.HelmertShift.from_wgs84_cols`` — geocentric XYZ,
+    position-vector rotation, Bowring inverse), rounded to 9 decimals
+    (~0.1 mm) so per-engine libm ulps vanish; the oracle replays the
+    chain with the operator's own derived constants embedded as
+    reprs."""
     configure_session(spark)
+    from xarray_dataaccessor_spark.operators.crs import (
+        _ELLPS,
+        HelmertShift,
+    )
     from xarray_dataaccessor_spark.operators.spatial import (
         normalize_longitude,
         to_web_mercator,
@@ -1074,9 +1135,25 @@ def mercator_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         x_col="mx",
         y_col="my",
     )
-    return merc.select(
-        "y", "x", "x_norm", F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my")
+    merc_rows = merc.select(
+        F.lit("mercator").alias("variant"),
+        "y", "x", "x_norm",
+        F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my"),
     )
+    a, f = _ELLPS["airy"]
+    sh = HelmertShift(
+        params=(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.4894),
+        a=a, f=f,
+    )
+    dlon, dlat = sh.from_wgs84_cols(F.col("x"), F.col("y"))
+    datum_rows = cells.select(
+        F.lit("datum").alias("variant"),
+        "y", "x",
+        F.lit(None).cast("double").alias("x_norm"),
+        F.round(dlon, 9).alias("mx"),
+        F.round(dlat, 9).alias("my"),
+    )
+    return merc_rows.unionByName(datum_rows)
 
 
 # ---------------------------------------------------------------------------
