@@ -997,6 +997,7 @@ def zonal_stats_weighted(
     group_cols: Sequence[str] = (),
     zone_ids: Sequence[int] | None = None,
     cell_size: float | None = None,
+    weight_decimals: int | None = None,
 ) -> DataFrame:
     """AREA-WEIGHTED zonal statistics (the ``exactextract`` semantics):
     each grid cell is the ``dx x dy`` rectangle centred on its
@@ -1016,9 +1017,14 @@ def zonal_stats_weighted(
     :func:`zonal_stats_bucketed` (``cell_size`` defaults to
     ``4 * max(dx, dy)``), so the Python clipping runs on
     bbox-candidates only, never on rows x |P|. Weights are pure float
-    arithmetic — deterministic, but not oracle-replayed (no SQL
-    spelling of polygon clipping); tests pin analytic fractions and
-    area conservation instead."""
+    arithmetic — deterministic but aggregation-order dependent; pass
+    ``weight_decimals`` (round 9) to quantize the coverage fractions
+    and DECIMAL-sum the stats, making results partitioning-independent
+    and (for zones whose intersection areas have a closed SQL form,
+    e.g. axis-aligned rectangles) oracle-replayable — the
+    ``snap_bbox_filter`` 'wzonal' variant does exactly that. General
+    polygon clipping still has no SQL spelling; those zones keep the
+    pytest-only evidence (analytic fractions + conservation)."""
     import math
 
     from pyspark.sql.functions import pandas_udf
@@ -1094,9 +1100,32 @@ def zonal_stats_weighted(
             out.append(max(area, 0.0) / cell_area)
         return pd.Series(out)
 
-    weighted = j.withColumn(
-        "__w", coverage(F.col("__px"), F.col("__py"), F.col("rings"))
-    ).filter(F.col("__w") > 0)
+    wcol = coverage(F.col("__px"), F.col("__py"), F.col("rings"))
+    if weight_decimals is not None:
+        # reproducibility mode: quantize coverage fractions so the
+        # stats become aggregation-order independent (decimal sums of
+        # identical per-cell doubles) — the property both a re-run on a
+        # different partitioning and a SQL oracle replay need. The
+        # quantization error is bounded by 0.5*10^-k per cell.
+        wcol = F.round(wcol, weight_decimals)
+    weighted = j.withColumn("__w", wcol).filter(F.col("__w") > 0)
+    if weight_decimals is not None:
+        dsum = lambda c: F.sum(c.cast("decimal(28,14)")).cast("double")  # noqa: E731
+        if how == "mean":
+            aggs = [
+                (
+                    dsum(F.col("__w") * F.col(v))
+                    / dsum(F.when(F.col(v).isNotNull(), F.col("__w")))
+                ).alias(v)
+                for v in value_cols
+            ]
+        else:
+            aggs = [dsum(F.col("__w") * F.col(v)).alias(v) for v in value_cols]
+        return weighted.groupBy("zone_id", *group_cols).agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            dsum(F.col("__w")).alias("covered_cells"),
+            *aggs,
+        )
     if how == "mean":
         aggs = [
             (

@@ -1208,6 +1208,17 @@ _ZONAL_POLYGONS = [
     ],
 ]
 
+#: axis-aligned rectangle zones (x0, x1, y0, y1) for the 'wzonal'
+#: variant: rect∩cell intersection area has a closed SQL form
+#: (overlap_x * overlap_y), so the Sutherland-Hodgman + shoelace
+#: weights replay exactly once quantized to 6 decimals. Edges sit at
+#: 1-2-decimal offsets from the 0.25 grid, so no coverage fraction
+#: lands near a 1e-6 rounding boundary.
+_WZONAL_RECTS = [
+    (-83.3, -81.7, 41.5, 42.3),
+    (-82.1, -80.3, 41.9, 42.8),
+]
+
 
 def _pip_sql_duck(rings) -> str:
     """DuckDB spelling of operators/spatial.py::point_in_polygon_expr —
@@ -1386,6 +1397,24 @@ _SNAP_ORACLE = f"""
     WHERE {_pip_sql_duck(rings)}
     """
     for zid, rings in enumerate(_ZONAL_POLYGONS)
+) + "".join(
+    f"""
+    UNION ALL
+    SELECT 'wzonal' AS variant, CAST({zid} AS INT) AS zone_id,
+           CAST(NULL AS DOUBLE) AS y, CAST(NULL AS DOUBLE) AS x,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(w * t2mv AS DECIMAL(28,14))) AS DOUBLE) AS t2m,
+           CAST(SUM(CAST(w AS DECIMAL(28,14))) AS DOUBLE) AS u100
+    FROM (
+        SELECT round(
+            greatest(0.0, least(x + 0.125, {x1!r}) - greatest(x - 0.125, {x0!r}))
+            * greatest(0.0, least(y + 0.125, {y1!r}) - greatest(y - 0.125, {y0!r}))
+            / 0.0625, 6) AS w,
+            CAST(CAST(t2m AS DECIMAL(18,2)) AS DOUBLE) AS t2mv
+        FROM grid
+    ) WHERE w > 0
+    """
+    for zid, (x0, x1, y0, y1) in enumerate(_WZONAL_RECTS)
 )
 
 
@@ -1420,7 +1449,15 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``'watershed'`` rows (round 9) — :func:`spatial.watershed_labels`
       pointer-doubling to every cell's terminal sink, the oracle
       closing the same D8 forest with the existing recursive CTE and
-      picking each path's unique out-edge-free ancestor."""
+      picking each path's unique out-edge-free ancestor.
+    - ``'wzonal'`` rows (round 9) — :func:`spatial.zonal_stats_weighted`
+      (exactextract semantics) over axis-aligned rectangle zones with
+      ``weight_decimals=6``: the Sutherland-Hodgman + shoelace coverage
+      fractions agree with the rectangle-overlap closed form to ~1e-16,
+      so the 6-decimal quantization makes every weight — and therefore
+      the DECIMAL-summed weighted stats — replay exactly in SQL. The
+      general-polygon clipping stays pytest-evidenced (no SQL
+      spelling); this pins the weighting/aggregation machinery."""
     configure_session(spark)
     from xarray_dataaccessor_spark.meta import BoundingBox
     from xarray_dataaccessor_spark.operators.filters import filter_bbox
@@ -1430,6 +1467,7 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         flow_accumulation,
         watershed_labels,
         zonal_stats,
+        zonal_stats_weighted,
     )
 
     grid = _grid(spark, sf_dir)
@@ -1499,13 +1537,36 @@ def snap_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sink_x").alias("t2m"),
         F.col("sink_y").alias("u100"),
     )
+    wz = zonal_stats_weighted(
+        grid.select(
+            "x", "y",
+            F.col("t2m").cast("decimal(18,2)").cast("double").alias("t2m"),
+        ),
+        [
+            [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]
+            for x0, x1, y0, y1 in _WZONAL_RECTS
+        ],
+        dx=0.25, dy=0.25,
+        value_cols=["t2m"],
+        how="sum",
+        weight_decimals=6,
+    ).select(
+        F.lit("wzonal").alias("variant"),
+        "zone_id",
+        F.lit(None).cast("double").alias("y"),
+        F.lit(None).cast("double").alias("x"),
+        F.col("n_cells").alias("n"),
+        F.col("t2m"),
+        F.col("covered_cells").alias("u100"),
+    )
     from xarray_dataaccessor_spark.operators.cachectl import tag_caches
 
     return tag_caches(
         snap.unionByName(zonal)
         .unionByName(flowacc)
         .unionByName(terrain)
-        .unionByName(wshed),
+        .unionByName(wshed)
+        .unionByName(wz),
         surf,
         flow,
     )
