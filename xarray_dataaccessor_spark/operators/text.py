@@ -424,8 +424,20 @@ def kneser_ney_from_counts(
     occurrences fold as ``c * term`` with 6-decimal-rounded terms, so
     everything replays exactly in SQL (tested + the gopher oracle slot).
     Returns ``(id, kn_bigrams, kn_neg_log2p)``. Property pinned in
-    tests: ``sum over the vocabulary of P(w2|w1) == 1`` per context."""
-    big = bc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    tests: ``sum over the vocabulary of P(w2|w1) == 1`` per context.
+
+    The global bigram table ``big`` is persisted (lazily,
+    MEMORY_AND_DISK): it feeds four branches — the context counts, the
+    continuation counts, the broadcast D/N1+(*,*) aggregate, and the
+    per-document join — and Spark does not reuse exchanges across the
+    broadcast-subquery boundary, so without the persist every branch
+    re-tokenizes the corpus from scratch (measured: the r9 slot plan
+    ran 10 parquet scans of ``documents``; serialized in single-task
+    broadcast threads those passes were the slot's dominant cost AND
+    its run-to-run variance amplifier — diagnosed round 10). ``big``
+    is vocabulary-squared-bounded (a model table, not fact data), so
+    the cache is safe at any corpus scale."""
+    big = bc.groupBy("w1", "w2").agg(F.sum("c").alias("cb")).persist()
     ctx = big.groupBy("w1").agg(
         F.sum("cb").alias("cw1"),
         F.count(F.lit(1)).alias("n_cont"),  # N1+(w1, *)

@@ -50,6 +50,29 @@ def _dec_sum(col: str, scale: int = 2, alias: str | None = None):
     )
 
 
+#: Session-scoped scratch dir for the versioned-dataset lifecycle slot
+#: (filter_project 'versioned'): ONE directory per process, recreated on
+#: every call, removed at interpreter exit — mkdtemp-per-invocation
+#: leaked ~3 lineitem copies per run (VERDICT r9 #2).
+_VERSIONED_SLOT_BASE: str | None = None
+
+
+def _versioned_slot_path() -> str:
+    global _VERSIONED_SLOT_BASE
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _VERSIONED_SLOT_BASE is None:
+        _VERSIONED_SLOT_BASE = tempfile.mkdtemp(prefix="xda-versioned-slot-")
+        atexit.register(shutil.rmtree, _VERSIONED_SLOT_BASE, ignore_errors=True)
+    ds = os.path.join(_VERSIONED_SLOT_BASE, "ds")
+    if os.path.exists(ds):
+        shutil.rmtree(ds, ignore_errors=True)
+    return ds
+
+
 #: When set (bench.py lands the derived grid as a real parquet table in
 #: its prologue), grid queries READ that table like any other input —
 #: every timed grid query pays a real scan instead of hitting an
@@ -170,8 +193,6 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
     )
 
-    import tempfile
-
     from xarray_dataaccessor_spark.sinks.versioned import (
         append_versioned,
         compact_versioned,
@@ -181,7 +202,10 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
             "l_shipdate"]
-    path = tempfile.mkdtemp(prefix="xda-versioned-slot-") + "/ds"
+    # one session-scoped dir, recreated per call and reaped at exit:
+    # mkdtemp-per-invocation leaked ~3 lineitem copies per bench repeat /
+    # correctness run / smoke (VERDICT r9 #2) — gigabytes at sf1
+    path = _versioned_slot_path()
     write_versioned(
         li.filter(F.col("l_shipdate") < "1996-01-01").select(cols), path
     )

@@ -88,7 +88,13 @@ def get_spark(
                 " -Xlog:disable",
             ),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves the listener-bus + jetty overhead in
+        # bench/correctness runs); SPARK_GRAFT_UI=1 turns it on for
+        # stage-level diagnosis via the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
