@@ -781,3 +781,61 @@ def test_gauss_krueger_epsg_twin():
     # zone-3 sanity: 0.5 deg east of the central meridian at 50N is
     # ~35.8 km east of the 3.5M false easting
     assert 3_530_000 < a[0] < 3_545_000 and 5_500_000 < a[1] < 5_580_000
+
+
+def test_geographic_datum_longlat_towgs84():
+    """+proj=longlat with a real +towgs84 is a DIFFERENT datum, not
+    WGS84 (ADVICE r9 #1: it used to resolve to None — a silent ~100 m
+    error). The object must shift, round-trip, and compose through the
+    projected->projected pivot exactly like the DatumProjection twin."""
+    from xarray_dataaccessor_spark.operators.crs import (
+        GeographicDatum, crs_from_proj4, transform_point,
+    )
+
+    p4 = ("+proj=longlat +ellps=bessel "
+          "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    g = crs_from_proj4(p4)
+    assert isinstance(g, GeographicDatum)
+    # WGS84 spellings still resolve to the plain geographic pivot
+    assert crs_from_proj4("+proj=longlat +datum=WGS84") is None
+    assert crs_from_proj4("+proj=longlat +ellps=WGS84 +towgs84=0,0,0") is None
+    assert crs_from_proj4("+proj=longlat +ellps=bessel") is None  # legacy no-datum
+
+    lon, lat = 9.5, 50.25
+    dlon, dlat = transform_point(lon, lat, 4326, p4)
+    # DHDN shift over Germany is ~70-120 m
+    ddeg = ((dlon - lon) ** 2 + (dlat - lat) ** 2) ** 0.5
+    assert 5e-4 < ddeg < 3e-3, ddeg
+    # round trip closes to the small-parameter negation's own error band
+    blon, blat = transform_point(dlon, dlat, p4, 4326)
+    assert abs(blon - lon) < 2e-7 and abs(blat - lat) < 2e-7
+    # pivot equivalence: 4326 -> datum-geographic -> tmerc(bessel)
+    # equals the one-step 4326 -> EPSG:31467 DatumProjection path
+    x1, y1 = transform_point(lon, lat, 4326, 31467)
+    tm = ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 "
+          "+ellps=bessel +units=m")
+    x2, y2 = crs_from_proj4(tm).forward(dlon, dlat)
+    assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+    # and the projected side inverts back onto the datum-geographic side
+    # (through WGS84: two Helmert legs, so the negation's second-order
+    # error applies twice — same band as the round trip)
+    xx, yy = transform_point(x1, y1, 31467, p4)
+    assert abs(xx - dlon) < 2e-7 and abs(yy - dlat) < 2e-7
+
+
+def test_geographic_datum_columns_match_scalar(spark):
+    from xarray_dataaccessor_spark.operators.crs import (
+        crs_from_proj4, transform_grid,
+    )
+
+    p4 = ("+proj=longlat +ellps=bessel "
+          "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    g = crs_from_proj4(p4)
+    pts = [(9.5, 50.25), (8.0, 48.5), (11.2, 52.9)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = sorted(
+        (r["x"], r["y"]) for r in transform_grid(df, 4326, p4).collect()
+    )
+    want = sorted(g.forward(lon, lat) for lon, lat in pts)
+    for (gx, gy), (sx, sy) in zip(got, want):
+        assert abs(gx - sx) < 1e-12 and abs(gy - sy) < 1e-12

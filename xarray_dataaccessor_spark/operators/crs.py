@@ -1078,14 +1078,19 @@ def crs_from_proj4(proj4: str):
     closed-form classes as :func:`projected_crs`, so a proj4 string and
     its EPSG twin produce bit-identical column expressions.
 
-    Supported ``+proj`` values: ``longlat`` (returns None — already
-    geographic), ``utm``/``tmerc`` (WGS84 ellipsoid), ``sinu``
-    (spherical), ``stere`` (polar aspect), ``lcc``, ``aea``, ``laea``,
-    ``cea``. Ellipsoids via ``+ellps``/``+datum`` or explicit
-    ``+a``/``+rf``/``+f``/``+R``. Anything else — including non-polar
-    stereographic, non-metre units, and non-zero ``+towgs84`` datum
-    shifts — raises ``NotImplementedError`` with the offending
-    parameter, the same honest gate as the EPSG registry."""
+    Supported ``+proj`` values: ``longlat`` (returns None when it IS
+    WGS84 — no datum or an all-zero ``+towgs84`` on the WGS84
+    ellipsoid — and a :class:`GeographicDatum` when a real ``+towgs84``
+    makes it a different datum, so the ~100 m Helmert shift applies
+    instead of silently passing through), ``utm``/``tmerc`` (any
+    ellipsoid via the generic Krüger series), ``sinu`` (spherical),
+    ``stere`` (polar aspect), ``lcc``, ``aea``, ``laea``, ``cea``.
+    Ellipsoids via ``+ellps``/``+datum`` or explicit
+    ``+a``/``+rf``/``+f``/``+R``; ``+towgs84`` on any of these wraps
+    the projection in a :class:`DatumProjection`. Anything else —
+    non-polar stereographic, non-metre units, unknown ellipsoids —
+    raises ``NotImplementedError`` with the offending parameter, the
+    same honest gate as the EPSG registry."""
     p = _proj4_params(proj4)
     proj = p.get("proj")
     if proj is None:
@@ -1116,7 +1121,15 @@ def crs_from_proj4(proj4: str):
         a, f = WGS84_A, WGS84_F  # PROJ's default datum
 
     if proj == "longlat":
-        return None
+        shift = p.get("towgs84")
+        if shift is None:
+            # legacy PROJ.4 no-datum behavior: the geographic pivot is
+            # taken as-is (matches _with_datum's gate for projected CRSs)
+            return None
+        params = tuple(float(v) for v in shift.split(","))
+        if all(v == 0.0 for v in params) and (a, f) == (WGS84_A, WGS84_F):
+            return None
+        return GeographicDatum(shift=HelmertShift(params=params, a=a, f=f))
     if proj == "utm":
         if (a, f) != (WGS84_A, WGS84_F):
             raise NotImplementedError("+proj=utm on a non-WGS84 ellipsoid")
@@ -1275,6 +1288,33 @@ class HelmertShift:
 
     def from_wgs84_cols(self, lon: Column, lat: Column):
         return self._apply(_ColumnOps(), lon, lat, invert=True)
+
+
+@dataclass(frozen=True)
+class GeographicDatum:
+    """A geographic CRS on a non-WGS84 datum (``+proj=longlat
+    +towgs84=...``): a 'projection' whose planar coordinates are the
+    datum's own lon/lat degrees. ``forward`` maps WGS84 lon/lat into
+    this datum's geographic coordinates; ``inverse`` maps back — the
+    same contract every projected CRS object here carries, so every
+    ``transform_grid``/``transform_point`` chain (including the
+    projected->projected 4326 pivot) works unchanged. Before round 10
+    such a CRS silently resolved to plain WGS84 — ~100 m of error on
+    e.g. ``+ellps=bessel`` datums (ADVICE r9 #1)."""
+
+    shift: HelmertShift
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self.shift.from_wgs84(lon, lat)
+
+    def inverse(self, lon: float, lat: float) -> tuple[float, float]:
+        return self.shift.to_wgs84(lon, lat)
+
+    def forward_cols(self, lon: Column, lat: Column):
+        return self.shift.from_wgs84_cols(lon, lat)
+
+    def inverse_cols(self, lon: Column, lat: Column):
+        return self.shift.to_wgs84_cols(lon, lat)
 
 
 @dataclass(frozen=True)

@@ -1516,16 +1516,26 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
     ),
     -- SemDeDup variant (Abbas et al. 2023): deterministic Lloyd over
-    -- the SAME fuzzed corpus, then the keep-the-outlier pairwise rule
+    -- the SAME fuzzed corpus, then the keep-the-outlier pairwise rule.
+    -- k and the train limit derive from COUNT(*) with the EXACT Spark
+    -- formula (k = max(8, n//300), tl = max(256, 4k)) so the replay
+    -- stays bit-identical at ANY scale factor — a hardcoded 8/256
+    -- silently diverged once the fuzzed corpus passed ~2700 vectors
+    -- (ADVICE r9 #2)
+    sd_params AS (
+        SELECT GREATEST(8, COUNT(*) // 300) AS k,
+               GREATEST(256, 4 * GREATEST(8, COUNT(*) // 300)) AS tl
+        FROM corpus
+    ),
     v AS (SELECT vec_id, e FROM corpus),
     smp AS (
         SELECT vec_id, e FROM v
         ORDER BY {_H32.format(expr="CAST(vec_id AS VARCHAR)")}, vec_id
-        LIMIT 256
+        LIMIT (SELECT tl FROM sd_params)
     ),
     cent0 AS (
         SELECT vec_id AS centroid_id, e AS ce
-        FROM smp ORDER BY vec_id LIMIT 8
+        FROM smp ORDER BY vec_id LIMIT (SELECT k FROM sd_params)
     ),
     {_kmeans_assign_sql("cent0", "sd_a1", src="smp")},
     {_kmeans_mean_sql("sd_a1", "sd_cent1")},
