@@ -405,12 +405,21 @@ def points_df(
             wl = Window.partitionBy("__pid").orderBy(
                 F.monotonically_increasing_id()
             )
+            # localCheckpoint PINS (__pid, __rn): both are
+            # recomputation-dependent (AQE/dynamic splits can change
+            # partitioning between plan branches), so the offsets MUST
+            # derive from the same materialized child the ids come from
+            # — two independent recomputations could disagree and yield
+            # duplicate or skipped ids (ADVICE r9 #5). The point set is
+            # broadcast-side-sized by contract, so the eager
+            # materialization is a few KB.
             local = df.withColumn("__rn", F.row_number().over(wl) - 1)
+            local = local.localCheckpoint()
             wo = Window.orderBy("__pid").rowsBetween(
                 Window.unboundedPreceding, -1
             )
             offsets = (
-                df.groupBy("__pid")
+                local.groupBy("__pid")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .withColumn(
                     "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))

@@ -1301,7 +1301,9 @@ def _mp3_synth_window() -> list[float]:
     return [v / s * 32.0 for v in h]
 
 
-def mp3_decode(data: bytes) -> tuple[list[float], int]:
+def mp3_decode(
+    data: bytes, allow_nonconforming_window: bool = False
+) -> tuple[list[float], int]:
     """Layer III sample decode for the mono-CBR count1-table-B slice:
     :func:`mp3_spectra` requantization -> alias-reduction butterflies
     (Table B.9 ci) -> 36-point IMDCT with the sine window + half-
@@ -1310,12 +1312,33 @@ def mp3_decode(data: bytes) -> tuple[list[float], int]:
     :func:`_mp3_synth_window` — the one piece with no closed form, see
     there). Returns ``(pcm, sample_rate)`` with 1152 samples per frame.
 
+    The synthesis prototype is a documented closed-form SUBSTITUTE for
+    ISO Table B.3 (see :func:`_mp3_synth_window`), so returned PCM is
+    deliberately non-conforming: tone frequencies and gain linearity
+    are exact, stopband behavior differs. Consistent with the module's
+    raise-on-unverifiable pattern (ADVICE r9 #3), decoding therefore
+    requires the explicit ``allow_nonconforming_window=True`` opt-in —
+    the default raises instead of silently returning spec-looking but
+    non-conforming samples.
+
     Still gated (NotImplementedError): stereo, big_values/Huffman
     spectra, short/mixed blocks, non-44.1 kHz — each needs ISO tables
     this environment cannot verify."""
     import math as _m
 
     spectra = mp3_spectra(data)
+    # after the format gates (their messages are more actionable): the
+    # window substitution only matters once decode would proceed
+    if not allow_nonconforming_window:
+        raise NotImplementedError(
+            "mp3_decode: the polyphase synthesis prototype is a "
+            "closed-form substitute for ISO 11172-3 Table B.3 (no "
+            "conforming source available here to transcribe the 512 "
+            "published constants from); pass "
+            "allow_nonconforming_window=True to decode with the "
+            "substitute — exact tone frequencies and linear gain, "
+            "non-conforming stopband"
+        )
     rate = 44100
     cs = [1.0 / _m.sqrt(1.0 + c * c) for c in _MP3_ALIAS_CI]
     ca = [c / _m.sqrt(1.0 + c * c) for c in _MP3_ALIAS_CI]
