@@ -1111,16 +1111,29 @@ def zonal_stats_weighted(
     weighted = j.withColumn("__w", wcol).filter(F.col("__w") > 0)
     if weight_decimals is not None:
         dsum = lambda c: F.sum(c.cast("decimal(28,14)")).cast("double")  # noqa: E731
+        # the weighted product stays in DECIMAL space end to end: a
+        # double product rounded-then-cast diverges across engines
+        # (Spark's double->decimal goes through the shortest string
+        # repr, DuckDB converts the exact binary expansion — observed
+        # 1-ulp 14th-decimal splits at sf0.1, round 10). Quantizing w
+        # (scale = weight_decimals) and v (scale 6) as decimals is
+        # unambiguous — each double sits within ~1e-16 of its true
+        # low-scale decimal value — and the decimal product/sum are
+        # exact in both engines. Reproducibility mode therefore also
+        # quantizes VALUES at 6 decimals (documented).
+        wdec = F.col("__w").cast(f"decimal(18,{weight_decimals})")
+        vdec = lambda v: F.col(v).cast("decimal(18,6)")  # noqa: E731
+        prodsum = lambda v: F.sum(wdec * vdec(v)).cast("double")  # noqa: E731
         if how == "mean":
             aggs = [
                 (
-                    dsum(F.col("__w") * F.col(v))
+                    prodsum(v)
                     / dsum(F.when(F.col(v).isNotNull(), F.col("__w")))
                 ).alias(v)
                 for v in value_cols
             ]
         else:
-            aggs = [dsum(F.col("__w") * F.col(v)).alias(v) for v in value_cols]
+            aggs = [prodsum(v).alias(v) for v in value_cols]
         return weighted.groupBy("zone_id", *group_cols).agg(
             F.count(F.lit(1)).alias("n_cells"),
             dsum(F.col("__w")).alias("covered_cells"),
