@@ -204,6 +204,46 @@ def attach_audio_column(
     )
 
 
+def attach_tone_audio_column(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 512,
+    sample_rate: int = 8000,
+    n_fft: int = 256,
+) -> DataFrame:
+    """Attach a FLAC payload holding a PLANTED PURE TONE per document —
+    the spectrogram fixture: ``s[k] = round(1000 * cos(2*pi*b*k/n_fft))``
+    with bin ``b = 3 + d % 8``, so :func:`audio_spectrogram`'s dominant
+    frequency is the closed form ``b * sample_rate / n_fft`` (the tone
+    sits exactly on an FFT bin; the Hann mainlobe peaks there and the
+    int16 quantization noise is ~60 dB down). ``n_samples = 2 * n_fft``
+    gives exactly 3 hop-128 frames. Output: ``(doc_id, payload)``."""
+    _ship_by_value()
+    from xarray_dataaccessor_spark.sources.flac import write_flac
+
+    wf = write_flac
+
+    def batches_fn(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        k = np.arange(n_samples, dtype="float64")
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                b = 3 + d % 8
+                s = np.round(
+                    1000.0 * np.cos(2.0 * np.pi * b * k / n_fft)
+                ).astype("<i2")
+                rows.append({"doc_id": d, "payload": wf(s, sample_rate)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        batches_fn, "doc_id bigint, payload binary"
+    )
+
+
 def attach_mp3_column(
     df: DataFrame,
     id_col: str = "doc_id",
