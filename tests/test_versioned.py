@@ -222,3 +222,103 @@ def test_threaded_appenders_all_commit(spark, tmp_path):
     want = sorted(list(range(10)) + [100 * (i + 1) + j
                                      for i in range(4) for j in range(10)])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write deletes + tombstone manifests (round 10)
+# ---------------------------------------------------------------------------
+def test_delete_rows_and_time_travel_across_delete(spark, tmp_path):
+    from xarray_dataaccessor_spark.sinks.versioned import delete_versioned
+
+    path = str(tmp_path / "del")
+    write_versioned(_batch(spark, 0, 100), path)
+    append_versioned(_batch(spark, 100, 200), path)
+    m = delete_versioned(spark, path, ("id", 50, 149))
+    assert m["op"] == "delete" and m["version"] == 2
+    got = sorted(r["id"] for r in read_versioned(spark, path).collect())
+    assert got == list(range(50)) + list(range(150, 200))
+    # time travel ACROSS the delete: v1 still sees every pre-delete row
+    old = sorted(r["id"] for r in read_versioned(spark, path, version=1).collect())
+    assert old == list(range(200))
+    # tombstones recorded; replaced files still on disk (older snapshots)
+    assert m["removed"], "delete must record the replaced files"
+    for name in m["removed"]:
+        assert os.path.exists(os.path.join(path, "data", name))
+
+
+def test_delete_is_stats_scoped_rewrite(spark, tmp_path):
+    """Files whose footer range cannot intersect the predicate are
+    carried forward BY NAME — the rewrite cost scales with selectivity."""
+    import xarray_dataaccessor_spark.sinks.versioned as V
+    from xarray_dataaccessor_spark.sinks.versioned import delete_versioned
+
+    path = str(tmp_path / "scoped")
+    # two appends with disjoint id ranges -> disjoint file stats
+    write_versioned(_batch(spark, 0, 100), path)
+    append_versioned(_batch(spark, 1000, 1100), path)
+    before = V._read_manifest(path, 1)["files"]
+    low_files = {f["name"] for f in before
+                 if f["stats"]["columns"]["id"]["max"] < 1000}
+    m = delete_versioned(spark, path, ("id", 1000, None))
+    after = {f["name"] for f in m["files"]}
+    # every low-range file survives untouched, no high-range file does
+    assert low_files <= after
+    assert all(n in m["removed"] for f in before
+               for n in [f["name"]] if f["name"] not in low_files)
+    got = sorted(r["id"] for r in read_versioned(spark, path).collect())
+    assert got == list(range(100))
+
+
+def test_delete_keeps_null_rows(spark, tmp_path):
+    from xarray_dataaccessor_spark.sinks.versioned import delete_versioned
+
+    path = str(tmp_path / "nulls")
+    df = spark.range(0, 10, 1, 2).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("id"),
+        (F.col("id") % 7).alias("k"),
+    )
+    write_versioned(df, path)
+    delete_versioned(spark, path, ("id", 0, 2))
+    rows = read_versioned(spark, path).collect()
+    ids = sorted((r["id"] for r in rows), key=lambda v: (v is None, v))
+    # a range predicate never matches NULL -> the 5 null-id rows survive
+    assert ids == [3, 4, None, None, None, None, None]
+
+
+def test_vacuum_respects_tombstone_horizon(spark, tmp_path):
+    from xarray_dataaccessor_spark.sinks.versioned import delete_versioned
+
+    path = str(tmp_path / "vac")
+    write_versioned(_batch(spark, 0, 100), path)
+    m = delete_versioned(spark, path, ("id", 0, 49))
+    # keep both versions: tombstoned files must STAY (v0 references them)
+    assert vacuum(path, keep_versions=2) == []
+    for name in m["removed"]:
+        assert os.path.exists(os.path.join(path, "data", name))
+    # let v0 go: now (and only now) the tombstoned files are reaped
+    deleted = vacuum(path, keep_versions=1)
+    assert set(deleted) == set(m["removed"])
+    got = sorted(r["id"] for r in read_versioned(spark, path).collect())
+    assert got == list(range(50, 100))
+
+
+def test_delete_conflict_raises_not_rebases(spark, tmp_path, monkeypatch):
+    import xarray_dataaccessor_spark.sinks.versioned as V
+    from xarray_dataaccessor_spark.sinks.versioned import delete_versioned
+
+    path = str(tmp_path / "race")
+    write_versioned(_batch(spark, 0, 100), path)
+    real_land = V._land_files
+    raced = []
+
+    def racing_land(df, p, version):
+        files = real_land(df, p, version)
+        if not raced:  # fire once: the append below re-enters _land_files
+            raced.append(True)
+            # another writer wins the commit while our delete is landing
+            append_versioned(_batch(spark, 500, 510), path)
+        return files
+
+    monkeypatch.setattr(V, "_land_files", racing_land)
+    with pytest.raises(V.VersionConflict):
+        delete_versioned(spark, path, ("id", 0, 10))

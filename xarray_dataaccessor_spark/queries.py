@@ -155,11 +155,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS l_extendedprice,
            CAST(NULL AS TIMESTAMP) AS l_shipdate
-    FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS v)
+    FROM lineitem, (SELECT unnest([0, 1, 2, 3, 4]) AS v)
     WHERE CASE v
             WHEN 0 THEN l_shipdate < TIMESTAMP '1996-01-01'
             WHEN 3 THEN l_shipdate < TIMESTAMP '1997-01-01'
                         AND l_quantity BETWEEN 5 AND 10
+            WHEN 4 THEN l_shipdate < TIMESTAMP '1997-01-01'
+                        AND NOT (l_quantity BETWEEN 5 AND 10)
             ELSE l_shipdate < TIMESTAMP '1997-01-01'
           END
     GROUP BY v
@@ -174,14 +176,16 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       slot CREATES a dataset from the pre-1996 slice (v0), APPENDS the
       1996 slice (v1), COMPACTS (v2), then reads every version back
       plus a data-skipping read (``where=('l_quantity', 5, 10)``) on
-      the latest. One aggregate row per read, keyed by
-      ``l_linenumber`` = 0/1/2 for the snapshots and 3 for the skipping
-      read; the oracle recomputes each snapshot's count and
+      the latest, then (round 10) DELETES those same rows copy-on-write
+      (``delete_versioned``, tombstone manifest) and reads the new tip.
+      One aggregate row per read, keyed by ``l_linenumber`` = 0/1/2 for
+      the snapshots, 3 for the skipping read, 4 for the post-delete
+      tip; the oracle recomputes each snapshot's count and
       decimal-summed revenue straight from lineitem — so manifest
       resolution, SNAPSHOT ISOLATION (the v0 read happens after v1
       committed and must not see its files), time travel, compaction
-      identity and stats-pruned reads all hash-verify, not just pass
-      pytest."""
+      identity, stats-pruned reads AND stats-scoped row deletes all
+      hash-verify, not just pass pytest."""
     configure_session(spark)
     li = load(spark, sf_dir, "lineitem")
     filt = li.filter(
@@ -196,6 +200,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_dataaccessor_spark.sinks.versioned import (
         append_versioned,
         compact_versioned,
+        delete_versioned,
         read_versioned,
         write_versioned,
     )
@@ -233,15 +238,20 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("timestamp").alias("l_shipdate"),
         )
 
+    delete_versioned(spark, path, ("l_quantity", 5, 10))
     versioned = (
         vrow(read_versioned(spark, path, version=0), 0)
         .unionByName(vrow(read_versioned(spark, path, version=1), 1))
         .unionByName(vrow(read_versioned(spark, path, version=2), 2))
         .unionByName(
             vrow(
-                read_versioned(spark, path, where=("l_quantity", 5, 10)), 3
+                read_versioned(
+                    spark, path, version=2, where=("l_quantity", 5, 10)
+                ),
+                3,
             )
         )
+        .unionByName(vrow(read_versioned(spark, path), 4))
     )
     return filt.unionByName(versioned)
 

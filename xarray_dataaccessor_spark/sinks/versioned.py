@@ -24,11 +24,21 @@ Readers resolve a manifest first, then read exactly its files — so
   old versions still resolve because their files remain until an
   explicit ``vacuum``.
 
+- **deletes are copy-on-write with tombstone manifests** (round 10):
+  a delete commit rewrites ONLY the files whose footer stats say they
+  may hold matching rows, carries every provably-untouched file forward
+  by name, and records the replaced files in the manifest's
+  ``removed`` list. The replaced files stay on disk — older snapshots
+  keep resolving (time travel across a delete works) — until
+  ``vacuum`` lets those snapshots go; vacuum needs no special casing
+  because it already deletes exactly the files no kept manifest
+  references.
+
 At 100 TB the manifest is the scaling pressure point: it is
 file-count-sized, not data-sized, and ``compact`` exists precisely to
 keep file counts (and therefore manifests and scan planning) bounded.
 This module stays deliberately below table formats' full surface (no
-schema evolution, no deletes, no partition spec) — those are the parts
+schema evolution, no partition spec, no MERGE) — those are the parts
 a real deployment should take from Delta/Iceberg proper, and faking
 them here would be dishonest.
 """
@@ -144,13 +154,15 @@ class VersionConflict(ValueError):
 
 
 def _commit(path: str, version: int, files: list[dict], op: str,
-            parent: int | None, schema: str) -> dict:
+            parent: int | None, schema: str,
+            extra: dict | None = None) -> dict:
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "schema": schema,
         "files": files,
+        **(extra or {}),
     }
     os.makedirs(_manifest_dir(path), exist_ok=True)
     tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -283,6 +295,75 @@ def read_versioned(
         if hi is not None:
             out = out.filter(F.col(col) <= hi)
     return out
+
+
+def delete_versioned(
+    spark: SparkSession,
+    path: str,
+    where: tuple,
+) -> dict:
+    """Copy-on-write row delete (the Delta shape): remove rows where
+    ``col BETWEEN lo AND hi`` (``where=(col, lo, hi)``; pass ``None``
+    for one-sided ranges) and commit the result as a new version
+    (op='delete').
+
+    File handling is stats-driven, so the rewrite cost scales with the
+    SELECTIVITY of the predicate, not the table:
+
+    - files whose footer min/max range for ``col`` cannot intersect
+      ``[lo, hi]`` are carried forward BY NAME — zero I/O,
+    - only possibly-affected files are read, filtered to the KEPT rows
+      (rows with a NULL ``col`` are kept — a range can never match
+      NULL), and landed as new files; a rewrite that keeps nothing
+      lands nothing,
+    - the replaced file names are recorded in the manifest's
+      ``removed`` list (tombstones). The files themselves stay on disk
+      so every older snapshot keeps resolving; :func:`vacuum` reaps
+      them once no kept manifest references them — no special casing,
+      that is already vacuum's rule.
+
+    Concurrency: a delete does NOT auto-rebase (unlike appends, a
+    rewrite races with whatever landed meanwhile), so a losing
+    hard-link race raises :class:`VersionConflict` for the caller to
+    retry against the new tip — the same conservative choice Delta
+    makes for conflicting transactions."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no dataset at {path}")
+    parent = versions[-1]
+    pm = _read_manifest(path, parent)
+    col, lo, hi = where
+    untouched, affected = [], []
+    for f in pm["files"]:
+        st = (f.get("stats") or {}).get("columns", {}).get(col)
+        if st is not None:
+            if lo is not None and st["max"] < lo:
+                untouched.append(f)
+                continue
+            if hi is not None and st["min"] > hi:
+                untouched.append(f)
+                continue
+        affected.append(f)  # no stats -> must rewrite conservatively
+    version = parent + 1
+    rewritten: list[dict] = []
+    if affected:
+        paths = [os.path.join(path, "data", f["name"]) for f in affected]
+        cur = spark.read.parquet(*paths)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) <= hi)
+        kept_rows = cur.filter(~F.coalesce(cond, F.lit(False)))
+        rewritten = _land_files(kept_rows, path, version)
+        rewritten = [f for f in rewritten
+                     if (f.get("stats") or {}).get("rows", 1) != 0]
+    return _commit(
+        path, version, untouched + rewritten, "delete", parent,
+        pm["schema"], extra={"removed": [f["name"] for f in affected]},
+    )
 
 
 def compact_versioned(
