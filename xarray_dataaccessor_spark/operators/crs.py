@@ -1095,6 +1095,13 @@ def crs_from_proj4(proj4: str):
     proj = p.get("proj")
     if proj is None:
         raise ValueError(f"no +proj= in {proj4!r}")
+    if "nadgrids" in p and p.get("nadgrids") != "@null":
+        raise NotImplementedError(
+            f"+nadgrids={p['nadgrids']}: grid-shift files are not "
+            "resolved by name — parse the .gsb with sources/ntv2.py and "
+            "apply crs.NTv2Grid (literal-array columns or the "
+            "apply_to_grid broadcast join) around the projection step"
+        )
     units = p.get("units", "m")
     if proj != "longlat" and units != "m":
         raise NotImplementedError(f"+units={units} (only metres)")
@@ -1344,3 +1351,245 @@ class DatumProjection:
     def inverse_cols(self, x: Column, y: Column):
         dlon, dlat = self.proj.inverse_cols(x, y)
         return self.shift.to_wgs84_cols(dlon, dlat)
+
+
+# ---------------------------------------------------------------------------
+# NTv2 grid-shift datum transforms (round 10) — the correction-grid path
+# national mapping agencies publish where a 7-parameter Helmert is not
+# accurate enough (OSTN-family, Canadian NTv2, BeTA2007). The reference
+# reaches these through PROJ's +nadgrids=; here the .gsb file is parsed
+# natively (sources/ntv2.py) and the bilinear shift interpolation runs
+# as pure Spark column arithmetic — either over literal node arrays
+# (small grids) or a broadcast join against a node table (the scale
+# path for ~1M-node national grids).
+# ---------------------------------------------------------------------------
+class NTv2Grid:
+    """A parsed NTv2 subgrid with scalar + column shift application.
+
+    Direction convention: the file maps SYSTEM_F (the legacy datum,
+    'source') to SYSTEM_T ('target', normally WGS84/ETRS-family).
+    ``to_target`` adds the interpolated shift (direct); ``from_target``
+    inverts it by fixed-point iteration (4 rounds — the shift field is
+    ~1e-4 rad and slowly varying, so each round gains ~4 digits; PROJ
+    iterates the same way). Longitude shifts are positive WEST in the
+    file; all public methods speak positive-east degrees.
+
+    ``forward``/``inverse`` alias ``from_target``/``to_target`` so the
+    object satisfies the repo's projection contract (forward: WGS84 ->
+    CRS coordinates) with CRS = the legacy datum, exactly like
+    :class:`GeographicDatum` — chains through ``transform_grid``'s
+    pivot unchanged."""
+
+    def __init__(self, sub: dict):
+        self.sub = sub
+
+    @classmethod
+    def from_bytes(cls, data: bytes, subgrid: int = 0) -> "NTv2Grid":
+        from xarray_dataaccessor_spark.sources.ntv2 import read_ntv2
+
+        parsed = read_ntv2(data)
+        return cls(parsed["subgrids"][subgrid])
+
+    # -- shared index arithmetic (one spelling for scalar and column) ------
+    def _frac_idx(self, ops, lon_deg, lat_deg, lit):
+        s = self.sub
+        w = -lon_deg * lit(3600.0)            # positive-west arc-seconds
+        phi = lat_deg * lit(3600.0)
+        ci = (w - lit(s["E_LONG"])) / lit(s["LONG_INC"])
+        ri = (phi - lit(s["S_LAT"])) / lit(s["LAT_INC"])
+        return ci, ri
+
+    def _interp_scalar(self, lon_deg: float, lat_deg: float):
+        """Bilinear (lat_shift, lon_shift) in arc-seconds at a point."""
+        s = self.sub
+        ci, ri = self._frac_idx(None, lon_deg, lat_deg, float)
+        if not (0.0 <= ci <= s["ncols"] - 1 and 0.0 <= ri <= s["nrows"] - 1):
+            raise ValueError(
+                f"point ({lon_deg}, {lat_deg}) outside NTv2 subgrid "
+                f"{s.get('SUB_NAME')!r}"
+            )
+        c0 = min(int(ci), s["ncols"] - 2)
+        r0 = min(int(ri), s["nrows"] - 2)
+        fx, fy = ci - c0, ri - r0
+        out = []
+        for arr in (s["lat_shift"], s["lon_shift"]):
+            v00 = arr[r0 * s["ncols"] + c0]
+            v10 = arr[r0 * s["ncols"] + c0 + 1]
+            v01 = arr[(r0 + 1) * s["ncols"] + c0]
+            v11 = arr[(r0 + 1) * s["ncols"] + c0 + 1]
+            out.append(
+                v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+                + v01 * (1 - fx) * fy + v11 * fx * fy
+            )
+        return out[0], out[1]
+
+    # -- driver-side scalars -------------------------------------------------
+    def to_target(self, lon: float, lat: float) -> tuple[float, float]:
+        dlat, dlon_w = self._interp_scalar(lon, lat)
+        # positive-west shift subtracts from a positive-east longitude
+        return lon - dlon_w / 3600.0, lat + dlat / 3600.0
+
+    def from_target(self, lon: float, lat: float,
+                    iters: int = 4) -> tuple[float, float]:
+        slon, slat = lon, lat
+        for _ in range(iters):
+            dlat, dlon_w = self._interp_scalar(slon, slat)
+            slon = lon + dlon_w / 3600.0
+            slat = lat - dlat / 3600.0
+        return slon, slat
+
+    # projection-object contract (CRS = the legacy SYSTEM_F datum)
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        return self.from_target(lon, lat)
+
+    def inverse(self, lon: float, lat: float) -> tuple[float, float]:
+        return self.to_target(lon, lat)
+
+    # -- column expressions (literal-array path, small grids) ---------------
+    _LITERAL_NODE_LIMIT = 50_000
+
+    def _shift_exprs(self, lon: Column, lat: Column):
+        """Bilinear (dlat, dlon_west) arc-second Columns via literal node
+        arrays — one F.expr SQL string per array (the py4j-literal
+        discipline: per-element F.lit calls cost seconds of driver time;
+        a single SQL literal parses once). Small-grid path: national
+        grids (~1M nodes) must use :meth:`apply_to_grid`."""
+        s = self.sub
+        n = s["nrows"] * s["ncols"]
+        if n > self._LITERAL_NODE_LIMIT:
+            raise NotImplementedError(
+                f"NTv2 subgrid has {n} nodes — too large for literal "
+                "column arrays; use NTv2Grid.apply_to_grid (broadcast "
+                "join) instead"
+            )
+        lats = F.expr(
+            "array(" + ",".join(repr(v) for v in s["lat_shift"]) + ")"
+        )
+        lons = F.expr(
+            "array(" + ",".join(repr(v) for v in s["lon_shift"]) + ")"
+        )
+        ci, ri = self._frac_idx(None, lon, lat, F.lit)
+        c0 = F.least(ci.cast("bigint"), F.lit(s["ncols"] - 2))
+        r0 = F.least(ri.cast("bigint"), F.lit(s["nrows"] - 2))
+        fx, fy = ci - c0, ri - r0
+        base = r0 * s["ncols"] + c0 + 1  # element_at is 1-indexed
+
+        def bilin(arr):
+            v00 = F.element_at(arr, base.cast("int"))
+            v10 = F.element_at(arr, (base + 1).cast("int"))
+            v01 = F.element_at(arr, (base + s["ncols"]).cast("int"))
+            v11 = F.element_at(arr, (base + s["ncols"] + 1).cast("int"))
+            return (
+                v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+                + v01 * (1 - fx) * fy + v11 * fx * fy
+            )
+
+        return bilin(lats), bilin(lons)
+
+    def inverse_cols(self, lon: Column, lat: Column):
+        """source datum -> target (direct shift), column path."""
+        dlat, dlon_w = self._shift_exprs(lon, lat)
+        return lon - dlon_w / 3600.0, lat + dlat / 3600.0
+
+    def forward_cols(self, lon: Column, lat: Column, iters: int = 4):
+        """target -> source datum (fixed-point iteration unrolled into
+        the column expression — ``iters`` grid lookups)."""
+        slon, slat = lon, lat
+        for _ in range(iters):
+            dlat, dlon_w = self._shift_exprs(slon, slat)
+            slon = lon + dlon_w / 3600.0
+            slat = lat - dlat / 3600.0
+        return slon, slat
+
+    # -- broadcast-join path (national-grid scale) ---------------------------
+    def nodes_df(self, spark) -> DataFrame:
+        """The subgrid as a (idx, dlat, dlon) DataFrame — broadcast side
+        of :meth:`apply_to_grid`. A deployment would land this as
+        parquet once; ~1M nodes is a ~16 MB broadcast, well inside
+        Spark's default threshold for an explicitly-marked broadcast."""
+        s = self.sub
+        rows = [
+            (i, float(s["lat_shift"][i]), float(s["lon_shift"][i]))
+            for i in range(s["nrows"] * s["ncols"])
+        ]
+        return spark.createDataFrame(rows, "idx bigint, dlat double, dlon double")
+
+    def apply_to_grid(
+        self,
+        df: DataFrame,
+        x_col: str = "x",
+        y_col: str = "y",
+        inverse: bool = False,
+        nodes: DataFrame | None = None,
+    ) -> DataFrame:
+        """Shift (x_col, y_col) through the grid with FOUR broadcast
+        joins (one per bilinear corner) — the scale path: works for any
+        node count, stays JVM-side, adds no shuffle (broadcast hash
+        joins over map-side index arithmetic). ``inverse=True`` maps
+        target -> source with one first-order correction round (the
+        scalar path's iteration, truncated where the join count matters;
+        sub-mm for national grids whose shift gradients are ~1e-5)."""
+        s = self.sub
+        nodes = nodes if nodes is not None else self.nodes_df(df.sparkSession)
+        lon0, lat0 = F.col(x_col), F.col(y_col)
+
+        def one_pass(lon, lat, tag):
+            ci, ri = self._frac_idx(None, lon, lat, F.lit)
+            c0 = F.least(ci.cast("bigint"), F.lit(s["ncols"] - 2))
+            r0 = F.least(ri.cast("bigint"), F.lit(s["nrows"] - 2))
+            out = (
+                df_cur.withColumn(f"__c0{tag}", c0)
+                .withColumn(f"__r0{tag}", r0)
+                .withColumn(f"__fx{tag}", ci - F.col(f"__c0{tag}"))
+                .withColumn(f"__fy{tag}", ri - F.col(f"__r0{tag}"))
+            )
+            for corner, (dc, dr) in enumerate(
+                ((0, 0), (1, 0), (0, 1), (1, 1))
+            ):
+                nb = nodes.select(
+                    F.col("idx").alias(f"__i{tag}{corner}"),
+                    F.col("dlat").alias(f"__a{tag}{corner}"),
+                    F.col("dlon").alias(f"__o{tag}{corner}"),
+                )
+                out = out.withColumn(
+                    f"__i{tag}{corner}",
+                    (F.col(f"__r0{tag}") + dr) * s["ncols"]
+                    + F.col(f"__c0{tag}") + dc,
+                ).join(F.broadcast(nb), f"__i{tag}{corner}", "left")
+            fx, fy = F.col(f"__fx{tag}"), F.col(f"__fy{tag}")
+            w = [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy]
+            dlat = sum(w[c] * F.col(f"__a{tag}{c}") for c in range(4))
+            dlon = sum(w[c] * F.col(f"__o{tag}{c}") for c in range(4))
+            drop = [f"__{p}{tag}{c}" for p in "iao" for c in range(4)] + [
+                f"__c0{tag}", f"__r0{tag}", f"__fx{tag}", f"__fy{tag}"
+            ]
+            return dlat, dlon, out, drop
+
+        df_cur = df
+        if not inverse:
+            dlat, dlon, df_cur, drop = one_pass(lon0, lat0, "f")
+            df_cur = (
+                df_cur.withColumn("__nx", lon0 - dlon / 3600.0)
+                .withColumn(y_col, lat0 + dlat / 3600.0)
+                .withColumn(x_col, F.col("__nx"))
+                .drop("__nx", *drop)
+            )
+            return df_cur
+        # inverse: evaluate the shift at the target point (round 1),
+        # re-evaluate at the first-order source estimate (round 2)
+        dlat1, dlon1, df_cur, drop1 = one_pass(lon0, lat0, "a")
+        df_cur = (
+            df_cur.withColumn("__e1x", lon0 + dlon1 / 3600.0)
+            .withColumn("__e1y", lat0 - dlat1 / 3600.0)
+            .drop(*drop1)
+        )
+        dlat2, dlon2, df_cur, drop2 = one_pass(
+            F.col("__e1x"), F.col("__e1y"), "b"
+        )
+        df_cur = (
+            df_cur.withColumn("__nx", lon0 + dlon2 / 3600.0)
+            .withColumn(y_col, lat0 - dlat2 / 3600.0)
+            .withColumn(x_col, F.col("__nx"))
+            .drop("__nx", "__e1x", "__e1y", *drop2)
+        )
+        return df_cur
