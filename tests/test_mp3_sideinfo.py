@@ -144,9 +144,16 @@ def test_plain_header_fixtures_still_parse():
 
 
 def test_spectral_decode_gates_outside_the_slice():
-    # stereo stays gated (the old fixture writer emits stereo frames)
-    with pytest.raises(NotImplementedError, match="mono"):
-        mp3_decode(write_mp3_frames(2))
+    # intensity stereo stays gated (round 10 widened mono-only to
+    # stereo/dual/MS); zero-filled stereo frames now decode as silence
+    data = bytearray(write_mp3_frames(2))
+    data[3] = (1 << 6) | (1 << 4)  # joint stereo, intensity bit on
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mp3_decode(bytes(data))
+    pcm, _ = mp3_decode(
+        write_mp3_frames(2), allow_nonconforming_window=True
+    )
+    assert len(pcm) == 2 * 1152 * 2 and all(v == 0.0 for v in pcm)
 
 
 def test_mp3_decode_planted_tone():
@@ -230,3 +237,82 @@ def test_writer_rejects_wide_scalefactor():
     g = [99] + [0] * 20
     with pytest.raises(ValueError, match="too wide"):
         write_mp3_sideinfo_frames([_spec(g, g, comp=(0, 0))])
+
+
+def test_mp3_stereo_tone_decode_and_gain_linearity():
+    """Round-10 stereo widening: independent L/R tones land on their own
+    channels with no cross-talk, and +4 global_gain doubles exactly."""
+    import math
+
+    from xarray_dataaccessor_spark.sources.media import (
+        mp3_spectra, write_mp3_stereo_tone_frames,
+    )
+
+    ll, lr = 40, 52
+    data = write_mp3_stereo_tone_frames(ll, lr, n_frames=6)
+    sp = mp3_spectra(data)
+    assert sp[0]["nch"] == 2
+    # xr order is gr0L gr0R gr1L gr1R
+    assert sp[0]["xr"][0][ll] == 1.0 and sp[0]["xr"][1][lr] == 1.0
+    assert sp[0]["xr"][0][lr] == 0.0 and sp[0]["xr"][1][ll] == 0.0
+
+    pcm, rate = mp3_decode(data, allow_nonconforming_window=True)
+    assert rate == 44100 and len(pcm) == 6 * 1152 * 2
+    left = pcm[0::2][2 * 1152 :]
+    right = pcm[1::2][2 * 1152 :]
+    n = len(left)
+
+    def power_at(sig, freq):
+        c = round(freq * n / rate)
+        re = sum(s * math.cos(2 * math.pi * c * i / n)
+                 for i, s in enumerate(sig))
+        im = sum(s * math.sin(2 * math.pi * c * i / n)
+                 for i, s in enumerate(sig))
+        return re * re + im * im
+
+    def pair(sig, line):
+        sb, k = line // 18, line % 18
+        edge, off = sb * rate / 64.0, k * rate / 1152.0
+        return power_at(sig, edge - off) + power_at(sig, edge + off)
+
+    # each channel carries its own tone...
+    assert pair(left, ll) > 0 and pair(right, lr) > 0
+    # ...and essentially none of the other's (filterbank states are
+    # fully separate; residual is numeric noise)
+    assert pair(left, lr) < 1e-3 * pair(left, ll)
+    assert pair(right, ll) < 1e-3 * pair(right, lr)
+    # +4 in the LEFT global_gain doubles left RMS exactly, right unchanged
+    pcm2, _ = mp3_decode(
+        write_mp3_stereo_tone_frames(ll, lr, n_frames=6, gain_l=214),
+        allow_nonconforming_window=True,
+    )
+    l2 = pcm2[0::2][2 * 1152 :]
+    r2 = pcm2[1::2][2 * 1152 :]
+    rms = lambda s: math.sqrt(sum(v * v for v in s) / len(s))  # noqa: E731
+    assert abs(rms(l2) / rms(left) - 2.0) < 1e-9
+    assert r2 == right
+
+
+def test_mp3_ms_stereo_matrixing():
+    """MS joint stereo: a mid-only tone decodes to L == R (sample
+    exact), each 1/sqrt(2) of the dual-mono decode (linearity through
+    the whole filterbank)."""
+    import math
+
+    from xarray_dataaccessor_spark.sources.media import (
+        write_mp3_stereo_tone_frames, write_mp3_tone_frames,
+    )
+
+    line = 40
+    ms = write_mp3_stereo_tone_frames(line, -1, n_frames=4, ms=True)
+    pcm, _ = mp3_decode(ms, allow_nonconforming_window=True)
+    left, right = pcm[0::2], pcm[1::2]
+    assert left == right  # zero side channel -> identical channels
+    mono, _ = mp3_decode(
+        write_mp3_tone_frames(line, n_frames=4),
+        allow_nonconforming_window=True,
+    )
+    isq = 1.0 / math.sqrt(2.0)
+    assert len(mono) == len(left)
+    for a, b in zip(left, mono):
+        assert abs(a - b * isq) <= 1e-12 * max(1.0, abs(b))

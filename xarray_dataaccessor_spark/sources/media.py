@@ -28,6 +28,7 @@ any media library in the container.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -1032,6 +1033,8 @@ def mp3_side_info(data: bytes) -> list[dict]:
                 "kbps": kbps,
                 "sample_rate": rate,
                 "channels": nch,
+                "mode": mode,
+                "mode_extension": (b3 >> 4) & 3,
                 "main_data_begin": main_data_begin,
                 "scfsi": scfsi,
                 "granules": granules,
@@ -1164,12 +1167,16 @@ _MP3_ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041,
 
 def _mp3_subset_gate(fr: dict) -> None:
     """Raise NotImplementedError unless the frame sits inside the
-    decodable slice: mono, long blocks, big_values == 0, count1 table B
+    decodable slice: mono/stereo/dual/MS (intensity gated — round 10
+    widened the old mono-only gate), long blocks, big_values == 0,
+    44.1 kHz, count1 table B
     (whose 4-bit codewords are the one's complement of the quadruple —
     the one spectral coding readable without the ISO Huffman trees)."""
-    if fr["channels"] != 1:
+    if fr["mode"] == 1 and (fr["mode_extension"] & 1):
         raise NotImplementedError(
-            "mp3_decode: mono frames only (stereo modes gated)"
+            "mp3_decode: intensity stereo gated (its is_pos scalefactor "
+            "reuse needs the full Huffman stage to matter); stereo, "
+            "dual-channel and MS joint stereo decode"
         )
     if fr["sample_rate"] != 44100:
         raise NotImplementedError(
@@ -1177,7 +1184,8 @@ def _mp3_subset_gate(fr: dict) -> None:
             "other rates gated)"
         )
     for gr in range(2):
-        g = fr["granules"][gr][0]
+      for ch in range(fr["channels"]):
+        g = fr["granules"][gr][ch]
         if g["window_switching"]:
             raise NotImplementedError(
                 "mp3_decode: long blocks only (short/mixed gated)"
@@ -1205,7 +1213,10 @@ def _mp3_part2_bits(g: dict) -> int:
 
 def mp3_spectra(data: bytes) -> list[dict]:
     """Spectral-line decode for the count1-table-B slice: per frame,
-    per granule, the 576 requantized ``xr`` values (ISO §2.4.3.4.7:
+    per granule PER CHANNEL (round 10: stereo + MS matrixing; ``xr``
+    entries are ordered g0c0 g0c1 g1c0 g1c1 for 2-channel streams and
+    g0 g1 for mono, with ``nch`` in the frame dict), the 576
+    requantized ``xr`` values (ISO §2.4.3.4.7:
     ``xr = sign * |is|^(4/3) * 2^((global_gain-210)/4) *
     2^(-0.5*(1+scalefac_scale)*(scalefac + preflag*pretab))``; here
     ``|is|`` is 0/1, table B's whole alphabet). Reservoir assembly and
@@ -1223,55 +1234,69 @@ def mp3_spectra(data: bytes) -> list[dict]:
         start = len(reservoir) - fr["main_data_begin"]
         md = reservoir[start:] + fr["main_data"]
         bits = _MsbBits(md, 0)
+        nch = fr["channels"]
+        ms = nch == 2 and fr["mode"] == 1 and bool(fr["mode_extension"] & 2)
         grs = []
-        sf0 = None
+        sf0 = [None] * nch
         for gr in range(2):
-            g = fr["granules"][gr][0]
-            plan = _mp3_scalefac_lengths(g)
-            start_bit = bits.p
-            sf = []
-            for i, (slen, grp) in enumerate(plan):
-                if gr == 1 and grp >= 0 and fr["scfsi"][0][grp] == 1:
-                    sf.append(sf0[i])
-                elif slen == 0:
-                    sf.append(0)
-                else:
-                    sf.append(bits.read(slen))
-            if gr == 0:
-                sf0 = sf
-            budget = g["part2_3_length"] - (bits.p - start_bit)
-            if budget < 0:
-                raise ValueError("part2 overruns part2_3_length")
-            # count1 region from line 0 (big_values == 0): 4-bit
-            # complement codes + one sign bit per nonzero value
-            vals = [0.0] * 576
-            line = 0
-            end_bit = bits.p + budget
-            while bits.p + 4 <= end_bit and line + 4 <= 576:
-                quad = 15 - bits.read(4)  # one's complement alphabet
-                for b in (8, 4, 2, 1):
-                    if quad & b:
-                        if bits.p >= end_bit:
-                            raise ValueError("count1 sign bit overrun")
-                        sign = -1.0 if bits.read(1) else 1.0
-                        vals[line] = sign
-                    line += 1
-            bits.p = end_bit  # stuffing bits, if any
-            gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
-            mult = 0.5 * (1 + g["scalefac_scale"])
-            xr = [0.0] * 576
-            bnds = _MP3_SFB_LONG_44100
-            for band in range(len(bnds) - 1):
-                sfv = sf[band] if band < 21 else 0
-                pre = _MP3_PRETAB[band] if (
-                    g["preflag"] and band < 21
-                ) else 0
-                sc = gain * 2.0 ** (-mult * (sfv + pre))
-                for i in range(bnds[band], bnds[band + 1]):
-                    if vals[i]:
-                        xr[i] = vals[i] * sc
-            grs.append(xr)
-        out.append({"offset": fr["offset"], "xr": grs})
+            ch_xr = []
+            for ch in range(nch):
+                g = fr["granules"][gr][ch]
+                plan = _mp3_scalefac_lengths(g)
+                start_bit = bits.p
+                sf = []
+                for i, (slen, grp) in enumerate(plan):
+                    if gr == 1 and grp >= 0 and fr["scfsi"][ch][grp] == 1:
+                        sf.append(sf0[ch][i])
+                    elif slen == 0:
+                        sf.append(0)
+                    else:
+                        sf.append(bits.read(slen))
+                if gr == 0:
+                    sf0[ch] = sf
+                budget = g["part2_3_length"] - (bits.p - start_bit)
+                if budget < 0:
+                    raise ValueError("part2 overruns part2_3_length")
+                # count1 region from line 0 (big_values == 0): 4-bit
+                # complement codes + one sign bit per nonzero value
+                vals = [0.0] * 576
+                line = 0
+                end_bit = bits.p + budget
+                while bits.p + 4 <= end_bit and line + 4 <= 576:
+                    quad = 15 - bits.read(4)  # one's complement alphabet
+                    for b in (8, 4, 2, 1):
+                        if quad & b:
+                            if bits.p >= end_bit:
+                                raise ValueError("count1 sign bit overrun")
+                            sign = -1.0 if bits.read(1) else 1.0
+                            vals[line] = sign
+                        line += 1
+                bits.p = end_bit  # stuffing bits, if any
+                gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+                mult = 0.5 * (1 + g["scalefac_scale"])
+                xr = [0.0] * 576
+                bnds = _MP3_SFB_LONG_44100
+                for band in range(len(bnds) - 1):
+                    sfv = sf[band] if band < 21 else 0
+                    pre = _MP3_PRETAB[band] if (
+                        g["preflag"] and band < 21
+                    ) else 0
+                    sc = gain * 2.0 ** (-mult * (sfv + pre))
+                    for i in range(bnds[band], bnds[band + 1]):
+                        if vals[i]:
+                            xr[i] = vals[i] * sc
+                ch_xr.append(xr)
+            if ms:
+                # MS joint stereo (ISO 2.4.3.4.9.2): ch0 carries mid,
+                # ch1 side; L = (M+S)/sqrt(2), R = (M-S)/sqrt(2)
+                isq = 1.0 / math.sqrt(2.0)
+                mid, side = ch_xr
+                ch_xr = [
+                    [(m + sv) * isq for m, sv in zip(mid, side)],
+                    [(m - sv) * isq for m, sv in zip(mid, side)],
+                ]
+            grs.extend(ch_xr)
+        out.append({"offset": fr["offset"], "nch": nch, "xr": grs})
         reservoir = (reservoir + fr["main_data"])[-511:]
     return out
 
@@ -1310,7 +1335,10 @@ def mp3_decode(
     window overlap-add per subband -> frequency inversion -> 32-band polyphase
     synthesis (the spec's V-FIFO/window/fold structure; prototype per
     :func:`_mp3_synth_window` — the one piece with no closed form, see
-    there). Returns ``(pcm, sample_rate)`` with 1152 samples per frame.
+    there). Returns ``(pcm, sample_rate)`` with 1152 samples per frame
+    per channel — stereo output (round 10: stereo/dual/MS joint stereo
+    decode; intensity stays gated) is sample-interleaved L R with
+    independent per-channel filterbank states.
 
     The synthesis prototype is a documented closed-form SUBSTITUTE for
     ISO Table B.3 (see :func:`_mp3_synth_window`), so returned PCM is
@@ -1321,9 +1349,9 @@ def mp3_decode(
     the default raises instead of silently returning spec-looking but
     non-conforming samples.
 
-    Still gated (NotImplementedError): stereo, big_values/Huffman
-    spectra, short/mixed blocks, non-44.1 kHz — each needs ISO tables
-    this environment cannot verify."""
+    Still gated (NotImplementedError): intensity stereo,
+    big_values/Huffman spectra, short/mixed blocks, non-44.1 kHz —
+    each needs ISO tables this environment cannot verify."""
     import math as _m
 
     spectra = mp3_spectra(data)
@@ -1356,57 +1384,80 @@ def mp3_decode(
         for i in range(64)
     ]
     dwin = _mp3_synth_window()
-    overlap = [[0.0] * 18 for _ in range(32)]
-    vfifo = [0.0] * 1024
+    # per-CHANNEL filterbank state (round 10 stereo widening): IMDCT
+    # overlap-add halves and the polyphase V-FIFO are independent per
+    # channel; output is sample-interleaved L R for 2-channel streams
+    states: dict[int, list] = {}
+
+    def decode_granule(x: list, ch: int) -> list:
+        overlap, vfifo = states[ch]
+        x = list(x)
+        # alias reduction across the 31 subband boundaries
+        for sb in range(1, 32):
+            for i in range(8):
+                lo = sb * 18 - 1 - i
+                hi = sb * 18 + i
+                a, b = x[lo], x[hi]
+                x[lo] = a * cs[i] - b * ca[i]
+                x[hi] = b * cs[i] + a * ca[i]
+        # per-subband IMDCT + overlap-add -> 18 time samples each
+        sbs = []
+        for sb in range(32):
+            xk = x[sb * 18 : (sb + 1) * 18]
+            if any(xk):
+                raw = [
+                    sum(imdct[i][k] * xk[k] for k in range(18)
+                        if xk[k])
+                    for i in range(36)
+                ]
+            else:
+                raw = [0.0] * 36
+            w = [raw[i] * win[i] for i in range(36)]
+            out18 = [w[i] + overlap[sb][i] for i in range(18)]
+            overlap[sb] = w[18:]
+            # frequency inversion: odd subbands negate odd samples
+            if sb & 1:
+                for i in range(1, 18, 2):
+                    out18[i] = -out18[i]
+            sbs.append(out18)
+        # polyphase synthesis: 18 pushes of 32 subband samples
+        samples = []
+        for t in range(18):
+            sv = [sbs[sb][t] for sb in range(32)]
+            vfifo = [
+                sum(nmat[i][k] * sv[k] for k in range(32) if sv[k])
+                for i in range(64)
+            ] + vfifo[:960]
+            outj = [0.0] * 32
+            for b in range(8):
+                v0 = b * 128
+                u0 = b * 64
+                for j in range(32):
+                    outj[j] += (
+                        vfifo[v0 + j] * dwin[u0 + j]
+                        + vfifo[v0 + 96 + j] * dwin[u0 + 32 + j]
+                    )
+            samples.extend(outj)
+        states[ch][1] = vfifo
+        return samples
+
     pcm: list[float] = []
     for fr in spectra:
-        for xr in fr["xr"]:
-            x = list(xr)
-            # alias reduction across the 31 subband boundaries
-            for sb in range(1, 32):
-                for i in range(8):
-                    lo = sb * 18 - 1 - i
-                    hi = sb * 18 + i
-                    a, b = x[lo], x[hi]
-                    x[lo] = a * cs[i] - b * ca[i]
-                    x[hi] = b * cs[i] + a * ca[i]
-            # per-subband IMDCT + overlap-add -> 18 time samples each
-            sbs = []
-            for sb in range(32):
-                xk = x[sb * 18 : (sb + 1) * 18]
-                if any(xk):
-                    raw = [
-                        sum(imdct[i][k] * xk[k] for k in range(18)
-                            if xk[k])
-                        for i in range(36)
-                    ]
-                else:
-                    raw = [0.0] * 36
-                w = [raw[i] * win[i] for i in range(36)]
-                out18 = [w[i] + overlap[sb][i] for i in range(18)]
-                overlap[sb] = w[18:]
-                # frequency inversion: odd subbands negate odd samples
-                if sb & 1:
-                    for i in range(1, 18, 2):
-                        out18[i] = -out18[i]
-                sbs.append(out18)
-            # polyphase synthesis: 18 pushes of 32 subband samples
-            for t in range(18):
-                s = [sbs[sb][t] for sb in range(32)]
-                vfifo = [
-                    sum(nmat[i][k] * s[k] for k in range(32) if s[k])
-                    for i in range(64)
-                ] + vfifo[:960]
-                outj = [0.0] * 32
-                for b in range(8):
-                    v0 = b * 128
-                    u0 = b * 64
-                    for j in range(32):
-                        outj[j] += (
-                            vfifo[v0 + j] * dwin[u0 + j]
-                            + vfifo[v0 + 96 + j] * dwin[u0 + 32 + j]
-                        )
-                pcm.extend(outj)
+        nch = fr.get("nch", 1)
+        for ch in range(nch):
+            if ch not in states:
+                states[ch] = [[[0.0] * 18 for _ in range(32)], [0.0] * 1024]
+        for gr in range(2):
+            outs = [
+                decode_granule(fr["xr"][gr * nch + ch], ch)
+                for ch in range(nch)
+            ]
+            if nch == 1:
+                pcm.extend(outs[0])
+            else:
+                for i in range(576):
+                    pcm.append(outs[0][i])
+                    pcm.append(outs[1][i])
     return pcm, rate
 
 
@@ -1467,6 +1518,86 @@ def write_mp3_tone_frames(
     pb = payload.bytes()
     if len(pb) > room:
         raise ValueError("tone line too high for one frame's room")
+    seg = pb + b"\x00" * (room - len(pb))
+    return bytes(hdr + si_bytes + seg) * n_frames
+
+
+def write_mp3_stereo_tone_frames(
+    line_l: int,
+    line_r: int,
+    n_frames: int = 4,
+    gain_l: int = 210,
+    gain_r: int = 210,
+    ms: bool = False,
+) -> bytes:
+    """Stereo fixture twin of :func:`write_mp3_tone_frames` (round 10):
+    44.1 kHz CBR frames planting a single +1 spectral value per channel
+    via count1 table B — ``line_l``/``gain_l`` in channel 0 and
+    ``line_r``/``gain_r`` in channel 1. ``ms=True`` emits joint stereo
+    with the MS mode-extension bit, making channel 0 the MID and
+    channel 1 the SIDE spectrum (pass ``line_r < 0`` for an all-zero
+    side channel — then L == R == mid/sqrt(2) after matrixing)."""
+    kbps, rate = 128, 44100
+    br_idx = _MP3_BITRATES[("1", 3)].index(kbps) + 1
+    sr_idx = _MP3_RATES[3].index(rate)
+    size = 144 * kbps * 1000 // rate
+    room = size - 4 - 32
+    mode = 1 if ms else 0
+    mode_ext = 2 if ms else 0
+    hdr = bytes([
+        0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+        (br_idx << 4) | (sr_idx << 2), (mode << 6) | (mode_ext << 4),
+    ])
+
+    def chan_payload(line: int):
+        """(bits_writer_fn, part2_3_length) for one channel's granule."""
+        if line < 0:
+            return None, 0
+        n_quads = line // 4
+        pat = 8 >> (line % 4)
+        p23 = (n_quads + 1) * 4 + 1
+
+        def emit(w):
+            for _ in range(n_quads):
+                w.write(0xF, 4)
+            w.write(0xF ^ pat, 4)
+            w.write(0, 1)
+
+        return emit, p23
+
+    chans = [chan_payload(line_l), chan_payload(line_r)]
+    gains = [gain_l, gain_r]
+    si = _MsbBitsW()
+    si.write(0, 9)                            # main_data_begin
+    si.write(0, 3)                            # private (stereo width)
+    for _ in range(8):
+        si.write(0, 1)                        # scfsi, both channels
+    for _gr in range(2):
+        for ch in range(2):
+            _emit, p23 = chans[ch]
+            si.write(p23, 12)                 # part2_3_length
+            si.write(0, 9)                    # big_values
+            si.write(gains[ch], 8)
+            si.write(0, 4)                    # scalefac_compress 0
+            si.write(0, 1)                    # long blocks
+            for _ in range(3):
+                si.write(0, 5)
+            si.write(0, 4)
+            si.write(0, 3)
+            si.write(0, 1)                    # preflag
+            si.write(0, 1)                    # scalefac_scale
+            si.write(1, 1)                    # count1table_select = B
+    si_bytes = si.bytes()
+    assert len(si_bytes) == 32, len(si_bytes)
+    payload = _MsbBitsW()
+    for _gr in range(2):
+        for ch in range(2):
+            emit, _p23 = chans[ch]
+            if emit is not None:
+                emit(payload)
+    pb = payload.bytes()
+    if len(pb) > room:
+        raise ValueError("tone lines too high for one frame's room")
     seg = pb + b"\x00" * (room - len(pb))
     return bytes(hdr + si_bytes + seg) * n_frames
 
