@@ -62,7 +62,23 @@ def _write(out_dir, name, table):
     print(name, table.num_rows)
 
 
-def generate(sf: float, out_dir: str, src_dir: str = "/root/testdata/sf0.1"):
+def generate(
+    sf: float,
+    out_dir: str,
+    src_dir: str = "/root/testdata/sf0.1",
+    skew: bool = False,
+):
+    """``skew=True`` (round 10, VERDICT r9 #6) injects the three
+    classic skew shapes the uniform generator cannot exercise:
+
+    - documents: Zipf(1.5) source popularity (src0 takes ~55% of docs)
+      and HEAVY-TAIL doc lengths (Pareto(1.3), median ~#uniform but a
+      1% tail out to ~30x the uniform max, capped at 2000 words) — the
+      shapes that break shingle-bucket and per-doc-quadratic text ops,
+    - events: one HOT user (20% of all events on user 0) — the skewed
+      aggregation/sessionization key,
+    - lineitem: one HOT order (5% of all lines on orderkey 0) — the
+      skewed join key AQE's skew-split exists for."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -103,6 +119,8 @@ def generate(sf: float, out_dir: str, src_dir: str = "/root/testdata/sf0.1"):
 
     # lineitem
     lok = rng.integers(0, n_ord, n_li)
+    if skew:
+        lok[rng.random(n_li) < 0.05] = 0  # one hot join key
     ship = epoch95 + (odate_day[lok] + rng.integers(1, 96, n_li)) * US_DAY
     lineitem = pa.table({
         "l_orderkey": pa.array(lok.astype(np.int64)),
@@ -162,7 +180,10 @@ def generate(sf: float, out_dir: str, src_dir: str = "/root/testdata/sf0.1"):
     _write(out_dir, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
         "ts": pa.array(tsv, type=ts),
-        "user_id": pa.array(rng.integers(0, n_user, n_ev)),
+        "user_id": pa.array(
+            np.where(rng.random(n_ev) < 0.2, 0,
+                     rng.integers(0, n_user, n_ev)) if skew
+            else rng.integers(0, n_user, n_ev)),
         "event_type": pa.array(np.array(EVENTS)[rng.integers(0, 5, n_ev)]),
         "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
         "props": pa.array(
@@ -171,7 +192,12 @@ def generate(sf: float, out_dir: str, src_dir: str = "/root/testdata/sf0.1"):
 
     # documents
     vocab = np.array(VOCAB)
-    lens = rng.integers(10, 101, n_doc)
+    if skew:
+        lens = np.minimum(
+            10 + (20.0 * rng.pareto(1.3, n_doc)).astype(np.int64), 2000
+        )
+    else:
+        lens = rng.integers(10, 101, n_doc)
     texts = [
         " ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens
     ]
@@ -184,8 +210,12 @@ def generate(sf: float, out_dir: str, src_dir: str = "/root/testdata/sf0.1"):
         "text": pa.array(texts),
         "lang": pa.array(np.array(LANGS)[
             rng.choice(len(LANGS), n_doc, p=LANG_P)]),
-        "source": pa.array(
-            [f"src{s}" for s in rng.integers(0, 20, n_doc)]),
+        "source": pa.array([
+            f"src{v}" for v in (
+                np.minimum(rng.zipf(1.5, n_doc) - 1, 19) if skew
+                else rng.integers(0, 20, n_doc)
+            )
+        ]),
         "n_chars": pa.array(
             np.array([len(t) for t in texts], dtype=np.int64)),
     }))
@@ -205,6 +235,11 @@ def generate(sf: float, out_dir: str, src_dir: str = "/root/testdata/sf0.1"):
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata_sf{sys.argv[1] if len(sys.argv) > 1 else '1'}"
-    generate(sf, out)
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    sf = float(args[0]) if args else 1.0
+    default = f"/root/repo/testdata_sf{args[0] if args else '1'}" + (
+        "_skew" if skew else ""
+    )
+    out = args[1] if len(args) > 1 else default
+    generate(sf, out, skew=skew)
