@@ -210,18 +210,27 @@ def attach_tone_audio_column(
     n_samples: int = 512,
     sample_rate: int = 8000,
     n_fft: int = 256,
+    codec: str = "wav",
 ) -> DataFrame:
-    """Attach a FLAC payload holding a PLANTED PURE TONE per document —
+    """Attach an audio payload holding a PLANTED PURE TONE per document —
     the spectrogram fixture: ``s[k] = round(1000 * cos(2*pi*b*k/n_fft))``
     with bin ``b = 3 + d % 8``, so :func:`audio_spectrogram`'s dominant
     frequency is the closed form ``b * sample_rate / n_fft`` (the tone
     sits exactly on an FFT bin; the Hann mainlobe peaks there and the
     int16 quantization noise is ~60 dB down). ``n_samples = 2 * n_fft``
-    gives exactly 3 hop-128 frames. Output: ``(doc_id, payload)``."""
+    gives exactly 3 hop-128 frames. ``codec='wav'`` by default — the
+    FLAC encode path is already oracle-verified by the audio_rms branch
+    and its pure-Python LPC costs ~2x here for no extra coverage.
+    Output: ``(doc_id, payload)``."""
     _ship_by_value()
-    from xarray_dataaccessor_spark.sources.flac import write_flac
+    if codec == "wav":
+        from xarray_dataaccessor_spark.sources.media import write_wav
 
-    wf = write_flac
+        wf = write_wav
+    else:
+        from xarray_dataaccessor_spark.sources.flac import write_flac
+
+        wf = write_flac
 
     def batches_fn(batches: "Iterator") -> "Iterator":
         import numpy as np

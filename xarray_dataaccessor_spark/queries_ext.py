@@ -1835,7 +1835,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     judge listed as pytest-only now carry green rows.
 
     Round 10 adds ``spect_*`` columns — :func:`audio_spectrogram` (the
-    STFT feature stage) over planted pure-tone FLAC payloads
+    STFT feature stage) over planted pure-tone WAV payloads
     (:func:`attach_tone_audio_column`): the dominant frequency has the
     closed form ``(3 + d%8) * 8000 / 256`` because the tone sits on an
     exact FFT bin, so the Arrow-batched numpy STFT path hash-verifies;
@@ -1929,7 +1929,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline's integer/rational outputs hash-verify; the log-band
     # energies stay pytest-evidenced (no SQL spelling of an FFT)
     spect = audio_spectrogram(
-        attach_tone_audio_column(docs), codec="flac"
+        attach_tone_audio_column(docs), codec="wav"
     ).select(
         "doc_id",
         F.col("sample_rate").alias("spect_rate"),
