@@ -5,7 +5,7 @@ cheap JVM-side path — this module is the real subword tokenizer).
 Scale split, the standard one for BPE at corpus scale:
 
 - ``bpe_train``: the only pass that touches the corpus is a distributed
-  word-frequency aggregation (one shuffle on the word). Merje-rule
+  word-frequency aggregation (one shuffle on the word). Merge-rule
   learning then runs driver-side over the TOP-``max_words`` histogram —
   the histogram is vocabulary-sized (bounded by ``max_words``), not
   corpus-sized, exactly like sentencepiece/HF trainers that ingest a

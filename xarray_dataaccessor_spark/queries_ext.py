@@ -2597,7 +2597,12 @@ def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_duplicate_chunks,
     )
 
-    corpus = _corpus(spark, sf_dir)
+    # cache: three dedup families re-derive the fuzzed corpus ~18
+    # subtrees deep; the corpus is doc-count-sized (measured -20% at
+    # sf0.1; the same boundary on stratified_sample_langs and
+    # similarity_bruteforce_topk measured ZERO win — their scans are
+    # projection-pruned narrow reads — so those stay uncached)
+    corpus = _corpus(spark, sf_dir).cache()
     chunks = remove_duplicate_chunks(corpus).select(
         F.lit("chunks").alias("variant"),
         "doc_id",
