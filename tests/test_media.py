@@ -624,3 +624,58 @@ def test_ogg_opus_probe():
     assert p["duration_ms"] == 3000   # granules still run at 48 kHz
     with pytest.raises(ValueError, match="OggS"):
         ogg_probe(b"\x00" * 32)
+
+
+# ---------------------------------------------------------------------------
+# H.264 PPS + slice-type walk (round 10)
+# ---------------------------------------------------------------------------
+def test_h264_pps_and_slice_type_walk():
+    from xarray_dataaccessor_spark.sources.media import (
+        h264_probe, write_h264_annexb,
+    )
+
+    p = h264_probe(write_h264_annexb(n_frames=7))
+    # fixture cadence: I at pictures 0, 3, 6 — P elsewhere
+    assert p["slice_type_counts"] == {"I": 3, "P": 4}
+    assert p["n_i_slices"] == 3 and p["n_pictures"] == 7
+    assert p["keyframe_ratio"] == 3 / 7
+    # PPS fields (the fixture PPS is CAVLC, qp 26, no weighted pred)
+    assert p["entropy_coding"] == "cavlc"
+    assert p["pic_init_qp"] == 26
+    assert p["weighted_pred"] is False
+
+
+def test_h264_pps_fmo_gate_and_slice_range():
+    import pytest
+
+    from xarray_dataaccessor_spark.sources.media import (
+        _parse_h264_pps, _parse_h264_slice_prefix, _MsbBitsW,
+    )
+
+    def ue_bits(w, v):
+        n = v + 1
+        lz = n.bit_length() - 1
+        w.write(0, lz)
+        w.write(n, lz + 1)
+
+    # FMO: num_slice_groups_minus1 = 1 -> gated
+    w = _MsbBitsW()
+    ue_bits(w, 0); ue_bits(w, 0)      # pps_id, sps_id
+    w.write(0, 1); w.write(0, 1)      # cavlc, no pic_order
+    ue_bits(w, 1)                     # num_slice_groups_minus1 = 1
+    with pytest.raises(NotImplementedError, match="FMO"):
+        _parse_h264_pps(w.bytes())
+    # slice_type out of range rejected
+    w2 = _MsbBitsW()
+    ue_bits(w2, 0)                    # first_mb
+    ue_bits(w2, 12)                   # slice_type 12 > 9
+    w2.write(1, 1)
+    with pytest.raises(ValueError, match="slice_type"):
+        _parse_h264_slice_prefix(w2.bytes())
+    # all-slices-same variant decodes to the base type
+    w3 = _MsbBitsW()
+    ue_bits(w3, 0)
+    ue_bits(w3, 6)                    # 6 -> B, all_slices_same
+    w3.write(1, 1)
+    sl = _parse_h264_slice_prefix(w3.bytes())
+    assert sl["slice_type"] == "B" and sl["all_slices_same"]

@@ -910,8 +910,11 @@ def probe_videos(
       for the true coded dimensions + profile/level
       (``sources/media.py::mp4_probe``).
     - **H.264 Annex B**: start-code NAL walk + full Exp-Golomb SPS
-      decode (profile/level/chroma/bit depth/cropped dimensions) and
-      the coded-picture count (``h264_probe``).
+      decode (profile/level/chroma/bit depth/cropped dimensions), the
+      coded-picture count, and (round 10) the PPS (entropy mode,
+      init QP) + per-slice slice_type walk — slice_type is context-free
+      Exp-Golomb, so the I/P/B keyframe cadence reads without entropy
+      decode (``h264_probe``).
     - **WebM/Matroska**: EBML walk — DocType, duration, track codec
       IDs and video dimensions (``webm_probe``); clusters untouched.
     - **Y4M**: uncompressed header (the existing parser).
@@ -940,7 +943,8 @@ def probe_videos(
                 rec = {"doc_id": int(doc_id), "fmt": "unknown",
                        "codec": None, "width": None, "height": None,
                        "profile_idc": None, "level_idc": None,
-                       "n_pictures": None, "duration_ms": None}
+                       "n_pictures": None, "duration_ms": None,
+                       "n_i_slices": None, "entropy_coding": None}
                 try:
                     if raw[4:8] == b"ftyp":
                         m = mp(raw)
@@ -987,7 +991,9 @@ def probe_videos(
                                    width=p["width"], height=p["height"],
                                    profile_idc=p["profile_idc"],
                                    level_idc=p["level_idc"],
-                                   n_pictures=p["n_pictures"])
+                                   n_pictures=p["n_pictures"],
+                                   n_i_slices=p.get("n_i_slices"),
+                                   entropy_coding=p.get("entropy_coding"))
                 except Exception:
                     pass
                 rows.append(rec)
@@ -995,7 +1001,8 @@ def probe_videos(
 
     schema = (
         "doc_id bigint, fmt string, codec string, width int, height int, "
-        "profile_idc int, level_idc int, n_pictures int, duration_ms bigint"
+        "profile_idc int, level_idc int, n_pictures int, duration_ms bigint, "
+        "n_i_slices int, entropy_coding string"
     )
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 

@@ -1764,6 +1764,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS vid_level,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 2 + doc_id % 5 END AS INT)
                    AS vid_pictures,
+               -- I at picture 0 and every 3rd: 1 + (n-1)//3 of n pictures
+               CAST(CASE WHEN doc_id % 3 = 0
+                         THEN 1 + (1 + doc_id % 5) // 3 END AS INT)
+                   AS vid_i_slices,
+               CASE WHEN doc_id % 3 = 0 THEN 'cavlc' END AS vid_entropy,
                CAST(CASE doc_id % 3
                       WHEN 1 THEN 500 + doc_id % 1500
                       WHEN 2 THEN 400 + doc_id % 1600 END AS BIGINT)
@@ -1790,7 +1795,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(3 AS INT) AS webp_channels,
            vid.vid_fmt, vid.vid_codec, vid.vid_width, vid.vid_height,
            vid.vid_profile, vid.vid_level, vid.vid_pictures,
-           vid.vid_duration_ms,
+           vid.vid_duration_ms, vid.vid_i_slices, vid.vid_entropy,
            aud2.aud2_fmt, aud2.aud2_rate, aud2.aud2_channels,
            aud2.aud2_duration_ms,
            CAST(8000 AS INT) AS spect_rate,
@@ -1922,6 +1927,10 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("level_idc").alias("vid_level"),
         F.col("n_pictures").alias("vid_pictures"),
         F.col("duration_ms").alias("vid_duration_ms"),
+        # round 10: the slice-type walk — I-slice count from real
+        # slice-header prefixes (keyframe cadence) + PPS entropy mode
+        F.col("n_i_slices").alias("vid_i_slices"),
+        F.col("entropy_coding").alias("vid_entropy"),
     )
     # round 10: the STFT feature path (audio_spectrogram over real FLAC
     # decode) — the planted pure tone puts the dominant frequency on the
@@ -1951,6 +1960,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "webp_mean", "webp_std", "webp_channels",
             "vid_fmt", "vid_codec", "vid_width", "vid_height",
             "vid_profile", "vid_level", "vid_pictures", "vid_duration_ms",
+            "vid_i_slices", "vid_entropy",
             "aud2_fmt", "aud2_rate", "aud2_channels", "aud2_duration_ms",
             "spect_rate", "spect_frames", "spect_hz",
         )

@@ -1941,6 +1941,61 @@ def _parse_h264_sps(rbsp: bytes) -> dict:
     }
 
 
+def _parse_h264_pps(rbsp: bytes) -> dict:
+    """Decode a pic_parameter_set RBSP (ISO/IEC 14496-10 §7.3.2.2) up to
+    the deblocking controls — the fields curation/transcode planning
+    reads: entropy coding mode (CAVLC vs CABAC — decode cost), weighted
+    prediction, init QP. FMO (num_slice_groups > 1) is gated: nothing
+    mainstream emits it and its map syntax buys no envelope signal."""
+    g = _ExpGolomb(rbsp, 0)
+    out = {
+        "pps_id": g.ue(),
+        "sps_id": g.ue(),
+        "entropy_coding": "cabac" if g.read(1) else "cavlc",
+        "pic_order_present": bool(g.read(1)),
+    }
+    n_groups = g.ue() + 1
+    if n_groups > 1:
+        raise NotImplementedError(
+            "h264: FMO slice groups gated (num_slice_groups "
+            f"{n_groups} > 1)"
+        )
+    out["num_ref_idx_l0"] = g.ue() + 1
+    out["num_ref_idx_l1"] = g.ue() + 1
+    out["weighted_pred"] = bool(g.read(1))
+    out["weighted_bipred_idc"] = g.read(2)
+    out["pic_init_qp"] = 26 + g.se()
+    g.se()  # pic_init_qs_minus26
+    g.se()  # chroma_qp_index_offset
+    out["deblocking_filter_control"] = bool(g.read(1))
+    out["constrained_intra_pred"] = bool(g.read(1))
+    out["redundant_pic_cnt_present"] = bool(g.read(1))
+    return out
+
+
+#: slice_type (§7.4.3): values 5-9 are the "all slices in this picture
+#: have this type" variants of 0-4
+_H264_SLICE_TYPES = {0: "P", 1: "B", 2: "I", 3: "SP", 4: "SI"}
+
+
+def _parse_h264_slice_prefix(rbsp: bytes) -> dict:
+    """Decode a slice header's leading fields — first_mb_in_slice and
+    slice_type are plain Exp-Golomb BEFORE any parameter-set-dependent
+    syntax, so the I/P/B mix (the keyframe-cadence signal frame-sampling
+    pipelines act on) is readable without SPS/PPS context or entropy
+    decode."""
+    g = _ExpGolomb(rbsp, 0)
+    first_mb = g.ue()
+    st = g.ue()
+    if st > 9:
+        raise ValueError(f"slice_type {st} out of range")
+    return {
+        "first_mb_in_slice": first_mb,
+        "slice_type": _H264_SLICE_TYPES[st % 5],
+        "all_slices_same": st >= 5,
+    }
+
+
 _H264_NAL_NAMES = {1: "slice", 5: "idr", 6: "sei", 7: "sps", 8: "pps",
                    9: "aud"}
 
@@ -1971,7 +2026,9 @@ def h264_probe(data: bytes) -> dict:
         raise ValueError("no H.264 start codes found")
     counts: dict = {}
     sps = None
+    pps = None
     n_pictures = 0
+    slice_counts: dict = {}
     for k, start in enumerate(nals):
         end = n
         if k + 1 < len(nals):
@@ -1988,12 +2045,33 @@ def h264_probe(data: bytes) -> dict:
         counts[name] = counts.get(name, 0) + 1
         if ntype in (1, 5):
             n_pictures += 1
+            # slice_type is context-free Exp-Golomb (round 10): the
+            # I/P/B cadence reads without entropy decode
+            try:
+                sl = _parse_h264_slice_prefix(
+                    _ebsp_to_rbsp(data[start + 1:end])
+                )
+                st = sl["slice_type"]
+                slice_counts[st] = slice_counts.get(st, 0) + 1
+            except (ValueError, IndexError):
+                pass  # truncated/garbage payload: envelope stays useful
         if ntype == 7 and sps is None:
             sps = _parse_h264_sps(_ebsp_to_rbsp(data[start + 1:end]))
+        if ntype == 8 and pps is None:
+            pps = _parse_h264_pps(_ebsp_to_rbsp(data[start + 1:end]))
     if sps is None:
         raise ValueError("no SPS NAL in stream")
-    return {"fmt": "h264", **sps, "n_nals": len(nals),
-            "n_pictures": n_pictures, "nal_counts": counts}
+    n_i = slice_counts.get("I", 0) + slice_counts.get("SI", 0)
+    out = {"fmt": "h264", **sps, "n_nals": len(nals),
+           "n_pictures": n_pictures, "nal_counts": counts,
+           "slice_type_counts": slice_counts,
+           "n_i_slices": n_i,
+           "keyframe_ratio": (n_i / n_pictures) if n_pictures else 0.0}
+    if pps is not None:
+        out["entropy_coding"] = pps["entropy_coding"]
+        out["pic_init_qp"] = pps["pic_init_qp"]
+        out["weighted_pred"] = pps["weighted_pred"]
+    return out
 
 
 def _write_sps(width_mbs: int, height_mbs: int, profile_idc: int = 66,
@@ -2071,7 +2149,20 @@ def write_h264_annexb(
     for i in range(n_frames):
         ntype = 5 if i == 0 else 1
         out += b"\x00\x00\x00\x01" + bytes([0x60 | ntype])
-        out += bytes([0x88, (i * 37) % 251 + 1, 0x00, 0x00, 0x02, 0x80])
+        # real slice-header prefix (round 10): first_mb=0 (ue -> '1'),
+        # slice_type 7 = all-I for the IDR and every 3rd non-IDR
+        # picture, 5 = all-P otherwise — the deterministic keyframe
+        # cadence the probe's slice_type_counts replay from
+        w = _MsbBitsW()
+        w.write(1, 1)                      # first_mb_in_slice = 0
+        st = 7 if (i == 0 or i % 3 == 0) else 5
+        nn = st + 1                        # ue(slice_type)
+        lz = nn.bit_length() - 1
+        w.write(0, lz)
+        w.write(nn, lz + 1)
+        w.write(1, 1)                      # stop bit-ish filler
+        out += _rbsp_to_ebsp(w.bytes())
+        out += bytes([(i * 37) % 251 + 1, 0x00, 0x00, 0x02, 0x80])
     return bytes(out)
 
 
