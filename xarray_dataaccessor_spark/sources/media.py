@@ -2058,7 +2058,14 @@ def h264_probe(data: bytes) -> dict:
         if ntype == 7 and sps is None:
             sps = _parse_h264_sps(_ebsp_to_rbsp(data[start + 1:end]))
         if ntype == 8 and pps is None:
-            pps = _parse_h264_pps(_ebsp_to_rbsp(data[start + 1:end]))
+            # graceful on corrupt/exotic PPS (incl. the FMO gate): the
+            # probe's contract is the envelope — PPS fields are omitted
+            # rather than failing the whole stream (fuzz discipline);
+            # _parse_h264_pps keeps its honest gate for direct callers
+            try:
+                pps = _parse_h264_pps(_ebsp_to_rbsp(data[start + 1:end]))
+            except (ValueError, IndexError, NotImplementedError):
+                pass
     if sps is None:
         raise ValueError("no SPS NAL in stream")
     n_i = slice_counts.get("I", 0) + slice_counts.get("SI", 0)
