@@ -135,6 +135,51 @@ def test_column_paths_match_scalar(spark):
         assert gy == pytest.approx(lat, abs=1e-9)
 
 
+def test_out_of_grid_column_contract(spark):
+    """Column paths match the scalar ValueError contract: 'error'
+    raises on out-of-grid rows (west/south of the subgrid included —
+    previously negative indices silently read shifts from the END of
+    the literal arrays), 'null' emits NULL shifts."""
+    from pyspark.sql import functions as F
+
+    g = _grid()
+    bad = spark.createDataFrame(
+        [(-2.5, 51.0), (0.5, 49.0)], "x double, y double"  # west / south
+    )
+    nx, ny = g.inverse_cols(F.col("x"), F.col("y"))
+    with pytest.raises(Exception, match="outside NTv2"):
+        bad.select(nx.alias("nx"), ny.alias("ny")).collect()
+    nx, ny = g.inverse_cols(F.col("x"), F.col("y"), out_of_grid="null")
+    rows = bad.select(nx.alias("nx"), ny.alias("ny")).collect()
+    assert all(r["nx"] is None and r["ny"] is None for r in rows)
+    # broadcast-join path: same contract (was: silent NULLs via missed join)
+    with pytest.raises(Exception, match="outside NTv2"):
+        g.apply_to_grid(bad, "x", "y").collect()
+    out = g.apply_to_grid(bad, "x", "y", out_of_grid="null").collect()
+    assert all(r["x"] is None and r["y"] is None for r in out)
+    # in-grid rows are untouched by the guard machinery
+    good = spark.createDataFrame([(0.5, 51.5)], "x double, y double")
+    nx, ny = g.inverse_cols(F.col("x"), F.col("y"))
+    r = good.select(nx.alias("nx"), ny.alias("ny")).collect()[0]
+    wx, wy = g.to_target(0.5, 51.5)
+    assert r["nx"] == pytest.approx(wx, abs=1e-12)
+    assert r["ny"] == pytest.approx(wy, abs=1e-12)
+    with pytest.raises(ValueError, match="out_of_grid"):
+        g.inverse_cols(F.col("x"), F.col("y"), out_of_grid="bogus")
+
+
+def test_iterated_literal_limit_gate():
+    """forward_cols (4 unrolled lookups) trips the tighter iterated
+    limit while the single-lookup path still fits."""
+    from pyspark.sql import functions as F
+
+    g = _grid()
+    g._LITERAL_NODE_LIMIT_ITER = 10
+    g.inverse_cols(F.lit(0.5), F.lit(51.5))  # single lookup: fine
+    with pytest.raises(NotImplementedError, match="apply_to_grid"):
+        g.forward_cols(F.lit(0.5), F.lit(51.5))
+
+
 def test_literal_node_limit_gate():
     g = _grid()
     g._LITERAL_NODE_LIMIT = 10  # force the gate

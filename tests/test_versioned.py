@@ -319,6 +319,148 @@ def test_delete_conflict_raises_not_rebases(spark, tmp_path, monkeypatch):
             append_versioned(_batch(spark, 500, 510), path)
         return files
 
-    monkeypatch.setattr(V, "_land_files", racing_land)
+    landed_names = []
+
+    def racing_land2(df, p, version):
+        outer = not raced  # the delete's own landing, not the winner's
+        files = racing_land(df, p, version)
+        if outer:
+            landed_names.extend(f["name"] for f in files)
+        return files
+
+    monkeypatch.setattr(V, "_land_files", racing_land2)
     with pytest.raises(V.VersionConflict):
         delete_versioned(spark, path, ("id", 0, 10))
+    # the rewritten files the losing delete landed are referenced by no
+    # manifest; they must be reaped on conflict, not orphaned forever
+    assert landed_names
+    for name in landed_names:
+        assert not os.path.exists(os.path.join(path, "data", name))
+    # winner's data intact
+    got = sorted(r["id"] for r in read_versioned(spark, path).collect())
+    assert got == list(range(100)) + list(range(500, 510))
+
+
+def test_delete_rejects_unbounded_range(spark, tmp_path):
+    from xarray_dataaccessor_spark.sinks.versioned import delete_versioned
+
+    path = str(tmp_path / "unb")
+    write_versioned(_batch(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="at least one bound"):
+        delete_versioned(spark, path, ("id", None, None))
+    # nothing committed, nothing landed
+    assert list_versions(path) == [0]
+
+
+def test_add_column_null_fills_and_time_travels(spark, tmp_path):
+    from xarray_dataaccessor_spark.sinks.versioned import (
+        add_column_versioned,
+    )
+
+    path = str(tmp_path / "addcol")
+    write_versioned(_batch(spark, 0, 50), path)
+    m = add_column_versioned(path, "score", "double")
+    assert m["op"] == "add_column" and m["version"] == 1
+    assert m["added_column"] == {"name": "score", "type": "double"}
+    # zero I/O: the file set is the parent's, by name
+    import xarray_dataaccessor_spark.sinks.versioned as V
+    assert m["files"] == V._read_manifest(path, 0)["files"]
+    # pre-add files NULL-fill the new column
+    cur = read_versioned(spark, path)
+    assert "score" in cur.columns
+    assert cur.filter(F.col("score").isNotNull()).count() == 0
+    assert cur.count() == 50
+    # time travel to the pre-add version: the column does not exist
+    old = read_versioned(spark, path, version=0)
+    assert "score" not in old.columns
+    # duplicate add rejected
+    with pytest.raises(ValueError, match="already exists"):
+        add_column_versioned(path, "score", "double")
+
+
+def test_append_after_add_column_requires_widened_schema(spark, tmp_path):
+    from xarray_dataaccessor_spark.sinks.versioned import (
+        add_column_versioned,
+    )
+
+    path = str(tmp_path / "addcol2")
+    write_versioned(_batch(spark, 0, 20), path)
+    add_column_versioned(path, "score", "double")
+    # old-shape appends are now schema mismatches
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_versioned(_batch(spark, 20, 30), path)
+    widened = _batch(spark, 20, 30).withColumn(
+        "score", F.col("id").cast("double") / 10
+    )
+    m = append_versioned(widened, path)
+    assert m["version"] == 2
+    cur = read_versioned(spark, path)
+    assert cur.count() == 30
+    # mixed files: pre-add rows NULL, post-add rows real values
+    assert cur.filter(F.col("score").isNotNull()).count() == 10
+    got = {r["id"]: r["score"] for r in cur.collect()}
+    assert got[25] == pytest.approx(2.5) and got[5] is None
+
+
+def test_delete_and_stats_pruning_across_add_column(spark, tmp_path):
+    """Stats pruning stays CORRECT (conservative) across an add: pre-add
+    files have no footer stats for the new column so they are read, not
+    wrongly pruned; a delete on the new column keeps all pre-add rows
+    (NULL never matches a range) and rewrites only what stats demand."""
+    from xarray_dataaccessor_spark.sinks.versioned import (
+        add_column_versioned,
+        delete_versioned,
+    )
+
+    path = str(tmp_path / "addcol3")
+    write_versioned(_batch(spark, 0, 40), path)
+    add_column_versioned(path, "score", "double")
+    widened = _batch(spark, 100, 140).withColumn(
+        "score", F.col("id").cast("double")
+    )
+    append_versioned(widened, path)
+    # where= pruning on the new column still returns exact results
+    got = read_versioned(spark, path, where=("score", 120.0, None))
+    assert sorted(r["id"] for r in got.collect()) == list(range(120, 140))
+    m = delete_versioned(spark, path, ("score", 0.0, 119.0))
+    rows = read_versioned(spark, path).collect()
+    ids = sorted(r["id"] for r in rows)
+    # all 40 NULL-score (pre-add) rows kept + the 20 surviving scored rows
+    assert ids == list(range(40)) + list(range(120, 140))
+    assert m["op"] == "delete"
+
+
+def test_add_column_race_raises_cleanly(spark, tmp_path, monkeypatch):
+    import xarray_dataaccessor_spark.sinks.versioned as V
+    from xarray_dataaccessor_spark.sinks.versioned import (
+        add_column_versioned,
+    )
+
+    path = str(tmp_path / "addrace")
+    write_versioned(_batch(spark, 0, 10), path)
+    real_read = V._read_manifest
+
+    raced = []
+
+    def racing_read(p, version):
+        pm = real_read(p, version)
+        if not raced:
+            raced.append(True)
+            append_versioned(_batch(spark, 10, 20), path)
+        return pm
+
+    monkeypatch.setattr(V, "_read_manifest", racing_read)
+    with pytest.raises(V.VersionConflict):
+        add_column_versioned(path, "score", "double")
+    # nothing landed, nothing orphaned; the winner's commit is intact
+    assert list_versions(path) == [0, 1]
+    assert read_versioned(spark, path).count() == 20
+
+
+def test_top_level_field_split_handles_nested_types():
+    from xarray_dataaccessor_spark.sinks.versioned import _top_level_fields
+
+    body = "a:bigint,b:struct<x:int,y:map<string,int>>,c:array<float>"
+    assert _top_level_fields(body) == [
+        "a:bigint", "b:struct<x:int,y:map<string,int>>", "c:array<float>"
+    ]

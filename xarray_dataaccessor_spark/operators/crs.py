@@ -1448,30 +1448,87 @@ class NTv2Grid:
     # -- column expressions (literal-array path, small grids) ---------------
     _LITERAL_NODE_LIMIT = 50_000
 
-    def _shift_exprs(self, lon: Column, lat: Column):
+    # Iterated (inverse) lookups embed the node arrays at 4 tree
+    # positions per round; cap the unrolled path tighter so 4-round
+    # inverses near the limit don't build multi-MB expression trees.
+    _LITERAL_NODE_LIMIT_ITER = 12_500
+
+    def _literal_arrays(self):
+        """Parse the two node arrays ONCE (one F.expr SQL string each —
+        the py4j-literal discipline: per-element F.lit calls cost
+        seconds of driver time) and memoize the Columns so iterated
+        callers reuse the same JVM expression objects instead of
+        re-parsing ~1 MB of SQL per round."""
+        cached = getattr(self, "_lit_arrays", None)
+        if cached is None:
+            s = self.sub
+            cached = (
+                F.expr("array(" + ",".join(repr(v) for v in s["lat_shift"]) + ")"),
+                F.expr("array(" + ",".join(repr(v) for v in s["lon_shift"]) + ")"),
+            )
+            self._lit_arrays = cached
+        return cached
+
+    def _clamped_cell(self, lon: Column, lat: Column, out_of_grid: str):
+        """Shared (c0, r0, fx, fy) cell arithmetic with BOTH bounds
+        clamped (the scalar path's `0 <= ci <= ncols-1` contract).
+        ``out_of_grid``: 'error' raises per-row like ``_interp_scalar``
+        (F.raise_error inside a when-branch — costs nothing on in-grid
+        rows); 'null' NULLs the fractions so shifts come out NULL."""
+        s = self.sub
+        ci, ri = self._frac_idx(None, lon, lat, F.lit)
+        oob = (
+            (ci < 0) | (ci > s["ncols"] - 1) | (ri < 0) | (ri > s["nrows"] - 1)
+        )
+        if out_of_grid == "error":
+            marker = F.when(
+                oob,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "point ("
+                        ),
+                        lon.cast("string"), F.lit(", "), lat.cast("string"),
+                        F.lit(
+                            f") outside NTv2 subgrid {self.sub.get('SUB_NAME')!r}"
+                        ),
+                    )
+                ).cast("double"),
+            ).otherwise(F.lit(0.0))
+        elif out_of_grid == "null":
+            marker = F.when(oob, F.lit(None).cast("double")).otherwise(F.lit(0.0))
+        else:
+            raise ValueError(f"out_of_grid must be 'error' or 'null': {out_of_grid!r}")
+        c0 = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(ci.cast("bigint"), F.lit(s["ncols"] - 2)),
+        )
+        r0 = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(ri.cast("bigint"), F.lit(s["nrows"] - 2)),
+        )
+        # marker is 0.0 in-grid, NULL (or raises) out-of-grid — folding it
+        # into the fractions propagates the contract through the bilinear.
+        fx, fy = ci - c0 + marker, ri - r0 + marker
+        return c0, r0, fx, fy
+
+    def _shift_exprs(self, lon: Column, lat: Column, iters: int = 1,
+                     out_of_grid: str = "error"):
         """Bilinear (dlat, dlon_west) arc-second Columns via literal node
-        arrays — one F.expr SQL string per array (the py4j-literal
-        discipline: per-element F.lit calls cost seconds of driver time;
-        a single SQL literal parses once). Small-grid path: national
-        grids (~1M nodes) must use :meth:`apply_to_grid`."""
+        arrays. Small-grid path: national grids (~1M nodes) must use
+        :meth:`apply_to_grid`."""
         s = self.sub
         n = s["nrows"] * s["ncols"]
-        if n > self._LITERAL_NODE_LIMIT:
+        limit = self._LITERAL_NODE_LIMIT if iters <= 1 else self._LITERAL_NODE_LIMIT_ITER
+        if n > limit:
             raise NotImplementedError(
                 f"NTv2 subgrid has {n} nodes — too large for literal "
-                "column arrays; use NTv2Grid.apply_to_grid (broadcast "
-                "join) instead"
+                f"column arrays ({'iterated ' if iters > 1 else ''}limit "
+                f"{limit}); use NTv2Grid.apply_to_grid (broadcast join) "
+                "instead"
             )
-        lats = F.expr(
-            "array(" + ",".join(repr(v) for v in s["lat_shift"]) + ")"
-        )
-        lons = F.expr(
-            "array(" + ",".join(repr(v) for v in s["lon_shift"]) + ")"
-        )
-        ci, ri = self._frac_idx(None, lon, lat, F.lit)
-        c0 = F.least(ci.cast("bigint"), F.lit(s["ncols"] - 2))
-        r0 = F.least(ri.cast("bigint"), F.lit(s["nrows"] - 2))
-        fx, fy = ci - c0, ri - r0
+        lats, lons = self._literal_arrays()
+        c0, r0, fx, fy = self._clamped_cell(lon, lat, out_of_grid)
         base = r0 * s["ncols"] + c0 + 1  # element_at is 1-indexed
 
         def bilin(arr):
@@ -1486,17 +1543,22 @@ class NTv2Grid:
 
         return bilin(lats), bilin(lons)
 
-    def inverse_cols(self, lon: Column, lat: Column):
+    def inverse_cols(self, lon: Column, lat: Column,
+                     out_of_grid: str = "error"):
         """source datum -> target (direct shift), column path."""
-        dlat, dlon_w = self._shift_exprs(lon, lat)
+        dlat, dlon_w = self._shift_exprs(lon, lat, out_of_grid=out_of_grid)
         return lon - dlon_w / 3600.0, lat + dlat / 3600.0
 
-    def forward_cols(self, lon: Column, lat: Column, iters: int = 4):
+    def forward_cols(self, lon: Column, lat: Column, iters: int = 4,
+                     out_of_grid: str = "error"):
         """target -> source datum (fixed-point iteration unrolled into
-        the column expression — ``iters`` grid lookups)."""
+        the column expression — ``iters`` grid lookups over ONE parsed
+        pair of literal arrays; see :meth:`_literal_arrays`)."""
         slon, slat = lon, lat
         for _ in range(iters):
-            dlat, dlon_w = self._shift_exprs(slon, slat)
+            dlat, dlon_w = self._shift_exprs(
+                slon, slat, iters=iters, out_of_grid=out_of_grid
+            )
             slon = lon + dlon_w / 3600.0
             slat = lat - dlat / 3600.0
         return slon, slat
@@ -1521,6 +1583,7 @@ class NTv2Grid:
         y_col: str = "y",
         inverse: bool = False,
         nodes: DataFrame | None = None,
+        out_of_grid: str = "error",
     ) -> DataFrame:
         """Shift (x_col, y_col) through the grid with FOUR broadcast
         joins (one per bilinear corner) — the scale path: works for any
@@ -1528,20 +1591,20 @@ class NTv2Grid:
         joins over map-side index arithmetic). ``inverse=True`` maps
         target -> source with one first-order correction round (the
         scalar path's iteration, truncated where the join count matters;
-        sub-mm for national grids whose shift gradients are ~1e-5)."""
+        sub-mm for national grids whose shift gradients are ~1e-5).
+        ``out_of_grid`` matches the scalar contract: 'error' raises on
+        the first out-of-grid row, 'null' emits NULL coordinates."""
         s = self.sub
         nodes = nodes if nodes is not None else self.nodes_df(df.sparkSession)
         lon0, lat0 = F.col(x_col), F.col(y_col)
 
         def one_pass(lon, lat, tag):
-            ci, ri = self._frac_idx(None, lon, lat, F.lit)
-            c0 = F.least(ci.cast("bigint"), F.lit(s["ncols"] - 2))
-            r0 = F.least(ri.cast("bigint"), F.lit(s["nrows"] - 2))
+            c0, r0, fx0, fy0 = self._clamped_cell(lon, lat, out_of_grid)
             out = (
                 df_cur.withColumn(f"__c0{tag}", c0)
                 .withColumn(f"__r0{tag}", r0)
-                .withColumn(f"__fx{tag}", ci - F.col(f"__c0{tag}"))
-                .withColumn(f"__fy{tag}", ri - F.col(f"__r0{tag}"))
+                .withColumn(f"__fx{tag}", fx0)
+                .withColumn(f"__fy{tag}", fy0)
             )
             for corner, (dc, dr) in enumerate(
                 ((0, 0), (1, 0), (0, 1), (1, 1))

@@ -34,13 +34,19 @@ Readers resolve a manifest first, then read exactly its files — so
   because it already deletes exactly the files no kept manifest
   references.
 
+- **schema evolution, ADD COLUMN only** (round 11): an ``add_column``
+  commit carries the widened schema and the parent's files by name —
+  zero I/O. Readers NULL-fill the new column for pre-add files because
+  reads run under the manifest schema; time travel to a pre-add
+  version reads under the old schema.
+
 At 100 TB the manifest is the scaling pressure point: it is
 file-count-sized, not data-sized, and ``compact`` exists precisely to
 keep file counts (and therefore manifests and scan planning) bounded.
 This module stays deliberately below table formats' full surface (no
-schema evolution, no partition spec, no MERGE) — those are the parts
-a real deployment should take from Delta/Iceberg proper, and faking
-them here would be dishonest.
+renames/drops/type-changes, no partition spec, no MERGE) — those are
+the parts a real deployment should take from Delta/Iceberg proper, and
+faking them here would be dishonest.
 """
 
 from __future__ import annotations
@@ -50,6 +56,14 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _schema_type(simple: str):
+    """Manifest schema string -> StructType (the reader's .schema()
+    DDL parser rejects the struct<...> simpleString form)."""
+    from pyspark.sql.types import DataType
+
+    return DataType.fromDDL(simple)
 
 
 def _manifest_dir(path: str) -> str:
@@ -285,7 +299,13 @@ def read_versioned(
     if not files:
         return spark.createDataFrame([], m["schema"])
     paths = [os.path.join(path, "data", f["name"]) for f in files]
-    out = spark.read.parquet(*paths)
+    # the MANIFEST schema drives the read (not a sampled file footer):
+    # files written before an add_column commit are missing the new
+    # column and NULL-fill it — Spark's standard missing-column
+    # semantics under an explicit read schema. Time travel to a
+    # pre-add version uses that version's manifest schema, so the new
+    # column is absent there, as it should be.
+    out = spark.read.schema(_schema_type(m["schema"])).parquet(*paths)
     if where is not None:
         from pyspark.sql import functions as F
 
@@ -335,6 +355,14 @@ def delete_versioned(
     parent = versions[-1]
     pm = _read_manifest(path, parent)
     col, lo, hi = where
+    if lo is None and hi is None:
+        # a fully-unbounded range would make cond constant-true: NULL-col
+        # rows would be deleted (contradicting the NULL-keep contract)
+        # and stats could prune nothing, so the whole table rewrites.
+        raise ValueError(
+            "delete_versioned requires at least one bound in "
+            "where=(col, lo, hi); to drop all rows write a new dataset"
+        )
     untouched, affected = [], []
     for f in pm["files"]:
         st = (f.get("stats") or {}).get("columns", {}).get(col)
@@ -350,8 +378,11 @@ def delete_versioned(
     rewritten: list[dict] = []
     if affected:
         paths = [os.path.join(path, "data", f["name"]) for f in affected]
-        cur = spark.read.parquet(*paths)
-        cond = F.lit(True)
+        # read with the MANIFEST schema so files written before an
+        # add_column commit NULL-fill the new column instead of failing
+        # to resolve it (and rewrites land with the full schema)
+        cur = spark.read.schema(_schema_type(pm["schema"])).parquet(*paths)
+        cond = F.col(col).isNotNull()  # explicit NULL-keep contract
         if lo is not None:
             cond = cond & (F.col(col) >= lo)
         if hi is not None:
@@ -360,10 +391,93 @@ def delete_versioned(
         rewritten = _land_files(kept_rows, path, version)
         rewritten = [f for f in rewritten
                      if (f.get("stats") or {}).get("rows", 1) != 0]
+    try:
+        return _commit(
+            path, version, untouched + rewritten, "delete", parent,
+            pm["schema"], extra={"removed": [f["name"] for f in affected]},
+        )
+    except VersionConflict:
+        # a delete deliberately does not rebase — but the rewritten
+        # files just landed are referenced by NO manifest, and vacuum
+        # only reaps files referenced by dropped manifests, so they
+        # would be orphaned forever. Reap them before re-raising.
+        for f in rewritten:
+            p = os.path.join(path, "data", f["name"])
+            if os.path.exists(p):
+                os.remove(p)
+        raise
+
+
+def add_column_versioned(
+    path: str,
+    name: str,
+    dtype: str,
+) -> dict:
+    """Schema evolution, ADD COLUMN only (the one evolution that needs
+    no data rewrite): commit a new version (op='add_column') whose
+    manifest carries the widened schema and the parent's file set BY
+    NAME — zero I/O, zero new files.
+
+    Semantics (the Delta/Iceberg add-column contract):
+
+    - existing files are untouched; readers NULL-fill the new column
+      for rows in pre-add files because :func:`read_versioned` reads
+      under the manifest schema, not a sampled file footer,
+    - appends after the add must match the WIDENED schema (the existing
+      exact-match validation enforces this with no new code),
+    - time travel to a pre-add version reads under the old schema — the
+      column simply does not exist there,
+    - stats pruning stays correct: pre-add files have no footer stats
+      for the new column, so they are conservatively read (never
+      wrongly pruned) by ``where=`` pruning and by
+      :func:`delete_versioned`'s file selection,
+    - a losing hard-link race raises :class:`VersionConflict` with
+      nothing landed (the commit IS the whole operation), so no orphan
+      handling is needed.
+
+    ``dtype`` is a Spark simpleString type (``bigint``, ``string``,
+    ``array<float>``, ...). Renames/drops/type-changes stay out of
+    scope — those require rewrite or column-ID indirection and belong
+    to Delta/Iceberg proper."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no dataset at {path}")
+    parent = versions[-1]
+    pm = _read_manifest(path, parent)
+    schema = pm["schema"]
+    if not (schema.startswith("struct<") and schema.endswith(">")):
+        raise ValueError(f"unexpected manifest schema format: {schema!r}")
+    existing = {
+        part.split(":", 1)[0]
+        for part in _top_level_fields(schema[len("struct<"):-1])
+    }
+    if name in existing:
+        raise ValueError(f"column {name!r} already exists in {schema}")
+    new_schema = schema[:-1] + f",{name}:{dtype}>"
     return _commit(
-        path, version, untouched + rewritten, "delete", parent,
-        pm["schema"], extra={"removed": [f["name"] for f in affected]},
+        path, parent + 1, pm["files"], "add_column", parent, new_schema,
+        extra={"added_column": {"name": name, "type": dtype}},
     )
+
+
+def _top_level_fields(body: str) -> list[str]:
+    """Split a struct simpleString body on TOP-LEVEL commas (nested
+    ``struct<a:int,b:int>`` / ``map<...>`` fields contain commas of
+    their own)."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def compact_versioned(
