@@ -50,3 +50,53 @@ def test_hamming_pairs_monotone_in_threshold(spark):
         for r in simhash_hamming_pairs(df, max_hamming=3).select("id_a", "id_b").collect()
     }
     assert p1 <= p3
+
+
+def test_pair_guard_trips_and_routes(spark):
+    """The N² routing guard (SCALE.md's measured knee, enforced):
+    a corpus sized to exceed the ceiling raises CandidatePairExplosion
+    with the MinHash pointer; auto_route degrades to LSH estimates;
+    max_candidate_pairs=None restores the exact audit path."""
+    import pytest
+
+    from xarray_dataaccessor_spark.operators.dedup import (
+        CandidatePairExplosion,
+        jaccard_pairs,
+        simhash_duplicate_pairs,
+        simhash_hamming_pairs,
+    )
+
+    # 40 near-identical docs -> every doc pairs with every other
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    with pytest.raises(CandidatePairExplosion, match="minhash_near_duplicates"):
+        jaccard_pairs(df, max_candidate_pairs=100)
+    # the measured count rides on the exception for caller-side logging
+    try:
+        jaccard_pairs(df, max_candidate_pairs=100)
+    except CandidatePairExplosion as e:
+        assert e.n_pairs > 100 and e.ceiling == 100
+
+    with pytest.warns(RuntimeWarning, match="auto-routing"):
+        routed = jaccard_pairs(df, max_candidate_pairs=100, auto_route=True)
+    got = routed.collect()
+    assert got and set(routed.columns) == {"id_a", "id_b", "jaccard"}
+    assert all(r["jaccard"] >= 0.6 for r in got)
+
+    # exact path: identical docs pair at jaccard 1.0 when un-guarded
+    exact = jaccard_pairs(df, max_candidate_pairs=None)
+    assert exact.filter(F.col("jaccard") == 1.0).count() == 40 * 39 // 2
+
+    with pytest.raises(CandidatePairExplosion, match="birthday"):
+        simhash_duplicate_pairs(df, max_candidate_pairs=100)
+    with pytest.raises(CandidatePairExplosion, match="max_hamming"):
+        simhash_hamming_pairs(df, max_hamming=2, max_candidate_pairs=100)
+    # below the ceiling: results flow, and the guard cache is tagged
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        unpersist_intermediates,
+    )
+
+    ok = simhash_hamming_pairs(df, max_hamming=2, max_candidate_pairs=10_000)
+    assert ok.count() == 40 * 39 // 2
+    assert unpersist_intermediates(ok) == 1

@@ -274,6 +274,45 @@ def minhash_near_duplicates(
     )
 
 
+# Ceiling on the candidate-pair join size before the guard trips.
+# 1e8 pairs is ~minutes of local compute; at cluster scale the routed
+# MinHash-LSH path is measured 59x cheaper at the sf3 knee (SCALE.md)
+# and keeps exponent 0.86 where exact Jaccard goes 2.65.
+PAIR_GUARD_DEFAULT = 100_000_000
+
+
+def _candidate_pair_count(occ: DataFrame, *keys: str) -> int:
+    """EXACT candidate-pair count of the equi-self-join on ``keys``:
+    sum over buckets of n(n-1)/2. One cheap two-level aggregate over a
+    table the pairing plan builds anyway (and, for Jaccard, one that is
+    already cached) — integer arithmetic only, so the guard decision is
+    deterministic across runs and engines."""
+    row = (
+        occ.groupBy(*[F.col(c) for c in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum(F.expr("__n * (__n - 1L) div 2")).alias("__pairs"))
+        .collect()[0]
+    )
+    return int(row["__pairs"] or 0)
+
+
+class CandidatePairExplosion(ValueError):
+    """The exact pairing path would build a candidate join larger than
+    the configured ceiling. Carries the measured count so callers can
+    log/re-route; the message names the in-repo scale path."""
+
+    def __init__(self, what: str, n_pairs: int, ceiling: int, hint: str):
+        self.n_pairs = n_pairs
+        self.ceiling = ceiling
+        super().__init__(
+            f"{what} would build {n_pairs:,} candidate pairs "
+            f"(> max_candidate_pairs={ceiling:,}); this path is the "
+            f"AUDIT path and scales as the sum of squared bucket sizes "
+            f"(measured exponent 2.65 past sf1 — SCALE.md). {hint} "
+            f"Pass max_candidate_pairs=None to force the exact path."
+        )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -281,6 +320,8 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.6,
     max_df: int | str | None = "auto",
+    max_candidate_pairs: int | None = PAIR_GUARD_DEFAULT,
+    auto_route: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via the inverted-index join:
     doc-shingle pairs self-joined on the shingle hash, intersection
@@ -307,21 +348,71 @@ def jaccard_pairs(
     the heavy-hitter set is corpus-size-independent in size (AQE turns
     the anti-join into a broadcast at runtime when it fits). After the
     filter the plan is exactly the uncapped inverted-index join over a
-    smaller table."""
+    smaller table.
+
+    **Scale routing guard** (round 11 — the measured N² knee now has
+    runtime enforcement, not just documentation): before building the
+    pair join, the EXACT candidate count Σ df·(df−1)/2 is computed from
+    the per-shingle df table the plan already aggregates (one cheap agg
+    over the cached shingle table). Above ``max_candidate_pairs``
+    (default 1e8) the call raises :class:`CandidatePairExplosion`
+    naming :func:`minhash_near_duplicates` — or, with
+    ``auto_route=True``, warns and returns the MinHash-LSH pairs
+    (column ``jaccard`` then holds the LSH *estimate*) so pipelines
+    degrade to the scale path instead of dying. ``None`` disables the
+    guard (and its one small driver job) for trusted audit runs."""
     sh = word_shingles(df, text_col, id_col, k).select(
         F.col(id_col), portable_hash32(F.col("shingle")).alias("h")
     )
     # cache BEFORE the capped/uncapped branch: the shingle table is
     # plan-keyed, so the capped and uncapped variants (and repeated
     # calls in one session) share one materialization — reused by
-    # sizes + both sides of the inverted-index join
+    # sizes + both sides of the inverted-index join (and by the guard's
+    # pair-count agg, which therefore warms it)
     sh = sh.cache()
-    if max_df is not None:
-        return _jaccard_pairs_capped(sh, id_col, threshold, max_df)
-    # uncapped: O(Σ df²) pair join — explicit opt-in only (see docstring)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    occ = _kept_shingles(sh, id_col, max_df) if max_df is not None else sh
+    if max_candidate_pairs is not None:
+        n_pairs = _candidate_pair_count(occ, "h")
+        if n_pairs > max_candidate_pairs:
+            sh.unpersist()  # the exact path's tables won't be consumed
+            if occ is not sh:
+                occ.unpersist()
+            if auto_route:
+                import warnings
+
+                warnings.warn(
+                    f"jaccard_pairs: {n_pairs:,} candidate pairs exceeds "
+                    f"max_candidate_pairs={max_candidate_pairs:,}; "
+                    "auto-routing to MinHash-LSH (column 'jaccard' is the "
+                    "LSH estimate, not exact)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return (
+                    minhash_near_duplicates(df, text_col, id_col, k=k)
+                    .filter(F.col("est_jaccard") >= threshold)
+                    .select(
+                        "id_a", "id_b", F.col("est_jaccard").alias("jaccard")
+                    )
+                )
+            raise CandidatePairExplosion(
+                "jaccard_pairs", n_pairs, max_candidate_pairs,
+                "Use minhash_near_duplicates (banded LSH, never all-pairs) "
+                "or pass auto_route=True.",
+            )
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    out = _pairs_from_occurrences(occ, id_col, threshold)
+    return tag_caches(out, *([sh] if occ is sh else [sh, occ]))
+
+
+def _pairs_from_occurrences(occ, id_col, threshold):
+    """The inverted-index pair join over a (id, shingle-hash) table:
+    intersection counted per pair via the equi-self-join on the hash,
+    |A|,|B| joined back, Jaccard filtered at ``threshold``."""
+    sizes = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = occ.alias("a")
+    b = occ.alias("b")
     common = (
         a.join(b, on="h")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -343,8 +434,8 @@ def jaccard_pairs(
     )
 
 
-def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
-    """df-capped Jaccard via a heavy-hitter broadcast ANTI-join:
+def _kept_shingles(sh, id_col, max_df):
+    """df-capped shingle table via a heavy-hitter broadcast ANTI-join:
     aggregate per-shingle counts (map-side partial agg, so only the
     distinct-shingle table shuffles — far smaller than the occurrence
     table), keep the shingles whose document frequency EXCEEDS the cap,
@@ -381,29 +472,7 @@ def _jaccard_pairs_capped(sh, id_col, threshold, max_df):
     # tiny, but an explicit small cap on a huge corpus grows it as
     # total_occurrences/max_df — let AQE convert the anti-join to a
     # broadcast at runtime when (and only when) the built side is small
-    kept = sh.join(hot, "h", "left_anti").cache()
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = kept.alias("a")
-    b = kept.alias("b")
-    common = (
-        a.join(b, on="h")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
-    ).cast("double")
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return sh.join(hot, "h", "left_anti").cache()
 
 
 def simhash(
@@ -432,20 +501,48 @@ def simhash(
 
 
 def simhash_duplicate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_candidate_pairs: int | None = PAIR_GUARD_DEFAULT,
 ) -> DataFrame:
     """Hamming-0 near-dup pairs: equi-join on the simhash value (see
-    :func:`simhash_hamming_pairs` for the banded hamming <= d search)."""
-    # no cache: the self-join's two sides are identical subplans, so
-    # Spark's ReuseExchange materializes the shuffle once already
+    :func:`simhash_hamming_pairs` for the banded hamming <= d search).
+
+    Guarded like :func:`jaccard_pairs`: the fingerprint space is
+    bounded (2^bits), so past ~2^(bits/2) docs the bucket join is N² by
+    the birthday bound regardless of corpus content (measured exponent
+    1.58 past sf1 — SCALE.md). When the guard is on, the signature
+    table is cached and tagged (``cachectl``) so the guard's count and
+    the pair join share one materialization."""
     sig = simhash(df, text_col, id_col, bits)
+    if max_candidate_pairs is not None:
+        sig = sig.cache()
+        n_pairs = _candidate_pair_count(sig, "simhash")
+        if n_pairs > max_candidate_pairs:
+            sig.unpersist()
+            raise CandidatePairExplosion(
+                "simhash_duplicate_pairs", n_pairs, max_candidate_pairs,
+                "Use minhash_near_duplicates, or raise bits (the "
+                f"{bits}-bit fingerprint space saturates by the "
+                "birthday bound).",
+            )
+    # without the guard: no cache — the self-join's two sides are
+    # identical subplans, so Spark's ReuseExchange materializes the
+    # shuffle once already
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))
-    return (
+    out = (
         a.join(b, "simhash")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
     )
+    if max_candidate_pairs is not None:
+        from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+        out = tag_caches(out, sig)
+    return out
 
 
 def simhash_hamming_pairs(
@@ -454,6 +551,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 2,
+    max_candidate_pairs: int | None = PAIR_GUARD_DEFAULT,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance <= d via pigeonhole banding:
     the signature's bit positions split into d+1 contiguous bands, and
@@ -467,12 +565,26 @@ def simhash_hamming_pairs(
     :func:`simhash_duplicate_pairs` with the same banding machinery as
     MinHash LSH (``lsh_candidate_pairs``). At 100 TB the per-band bucket
     population is |corpus| / 2^band_width in expectation (band_width >=
-    bits/(d+1), e.g. 10 bits -> ~1/1024 of the corpus per bucket)."""
+    bits/(d+1), e.g. 10 bits -> ~1/1024 of the corpus per bucket) — so
+    the candidate join grows as N²/2^band_width: bounded bands make this
+    the AUDIT path past ~sf1 (measured exponent 1.58, SCALE.md).
+    ``max_candidate_pairs`` enforces that routing at runtime: the exact
+    bucket-pair count Σ n·(n−1)/2 over (band, val) buckets is computed
+    from the cached signature table before the join is built, and
+    exceeding the ceiling raises :class:`CandidatePairExplosion` naming
+    the scale alternatives. ``None`` disables the guard and its one
+    small driver job."""
     if max_hamming < 0 or max_hamming >= bits:
         raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
     k = max_hamming + 1
     w = bits // k
     sig = simhash(df, text_col, id_col, bits)
+    guarded = max_candidate_pairs is not None
+    if guarded:
+        # cache the n-row signature table so the guard's bucket count
+        # and the band join share one materialization (tagged below for
+        # caller-side release — see operators/cachectl.py)
+        sig = sig.cache()
     bands = []
     for j in range(k):
         off = j * w
@@ -490,6 +602,16 @@ def simhash_hamming_pairs(
     exploded = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    if guarded:
+        n_pairs = _candidate_pair_count(exploded, "band", "val")
+        if n_pairs > max_candidate_pairs:
+            sig.unpersist()
+            raise CandidatePairExplosion(
+                "simhash_hamming_pairs", n_pairs, max_candidate_pairs,
+                "Use minhash_near_duplicates (banded LSH over an "
+                "unbounded shingle space), raise bits, or lower "
+                "max_hamming (wider bands -> smaller buckets).",
+            )
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "val"
     )
@@ -503,10 +625,15 @@ def simhash_hamming_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return (
+    out = (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if guarded:
+        from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+        out = tag_caches(out, sig)
+    return out
 
 
 def _band_keys(
