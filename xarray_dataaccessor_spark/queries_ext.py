@@ -3157,94 +3157,6 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN bi ON uni.doc_id = bi.doc_id
         LEFT JOIN lm_doc ON uni.doc_id = lm_doc.doc_id
     ),
-    esplit AS (
-        SELECT doc_id,
-               ('0x' || substr(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 65536 AS eb
-        FROM documents
-    ),
-    yall AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y FROM base),
-    yl AS (SELECT yall.doc_id, y FROM yall JOIN esplit USING (doc_id)
-           WHERE eb >= 13107),
-    fb AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(wd), 1, 8))::BIGINT % 32 AS INT) AS bucket
-        FROM (SELECT doc_id, unnest(ws) AS wd FROM w) WHERE length(wd) > 0
-    ),
-    fcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY doc_id, bucket),
-    fn AS (SELECT doc_id, SUM(c) AS n FROM fcnt GROUP BY doc_id),
-    feat AS (
-        SELECT fcnt.doc_id, bucket, c / CAST(n AS DOUBLE) AS x
-        FROM fcnt JOIN fn ON fcnt.doc_id = fn.doc_id
-        UNION ALL
-        SELECT doc_id, -1, 1.0 FROM fn
-        UNION ALL
-        SELECT doc_id, -2, top_word_frac FROM base
-        UNION ALL
-        SELECT doc_id, -3, unique_word_frac FROM base
-        UNION ALL
-        SELECT doc_id, -4, mean_word_len / 12.0 FROM base
-        UNION ALL
-        SELECT doc_id, -5, CAST(LEAST(n_words, 500) AS DOUBLE) / 500.0 FROM base
-    ),
-    nd AS (SELECT COUNT(*) AS n FROM yl),
-    g1 AS (
-        SELECT bucket,
-               CAST(SUM(CAST((0.5 - y) * x AS DECIMAL(28,14))) AS DOUBLE)
-                   / CAST(n AS DOUBLE) AS g
-        FROM feat JOIN yl USING (doc_id), nd GROUP BY bucket, n
-    ),
-    w1 AS (SELECT bucket, -4.0 * g AS w FROM g1),
-    s2 AS (
-        SELECT f.doc_id,
-               CAST(SUM(CAST(COALESCE(w1.w, 0.0) * f.x AS DECIMAL(28,14))) AS DOUBLE) AS s
-        FROM feat f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id
-    ),
-    p2 AS (SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 6) AS p FROM s2),
-    g2 AS (
-        SELECT bucket,
-               CAST(SUM(CAST((p - y) * x AS DECIMAL(28,14))) AS DOUBLE)
-                   / CAST(n AS DOUBLE) AS g
-        FROM feat JOIN p2 USING (doc_id) JOIN yl USING (doc_id), nd
-        GROUP BY bucket, n
-    ),
-    w2 AS (
-        SELECT COALESCE(w1.bucket, g2.bucket) AS bucket,
-               COALESCE(w1.w, 0.0) - 4.0 * COALESCE(g2.g, 0.0) AS w
-        FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket
-    ),
-    s3 AS (
-        SELECT f.doc_id,
-               CAST(SUM(CAST(COALESCE(w2.w, 0.0) * f.x AS DECIMAL(28,14))) AS DOUBLE) AS s
-        FROM feat f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id
-    ),
-    clf AS (
-        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-s)), 6) AS clf_score,
-               ROUND(1.0 / (1.0 + exp(-s)), 6) >= 0.5 AS clf_keep
-        FROM s3
-    ),
-    ev AS (
-        SELECT clf.clf_score AS v, CAST(yall.y AS BIGINT) AS y
-        FROM clf JOIN esplit USING (doc_id) JOIN yall USING (doc_id)
-        WHERE eb < 13107
-    ),
-    byv AS (
-        SELECT v, SUM(y) AS pos_v, COUNT(*) - SUM(y) AS neg_v
-        FROM ev GROUP BY v
-    ),
-    cum AS (
-        SELECT pos_v, neg_v,
-               COALESCE(SUM(neg_v) OVER (ORDER BY v ROWS BETWEEN
-                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
-        FROM byv
-    ),
-    met AS (
-        SELECT CAST(SUM(pos_v * (2 * cneg + neg_v)) AS DOUBLE)
-                   / CAST(2 * SUM(pos_v) * SUM(neg_v) AS DOUBLE) AS eval_auc,
-               CAST(SUM(pos_v) AS BIGINT) AS eval_pos,
-               CAST(SUM(neg_v) AS BIGINT) AS eval_neg
-        FROM cum
-    ),
     ppl_hist AS (
         SELECT ROUND(lm_neg_log2p, 2) AS q, COUNT(*) AS c
         FROM base WHERE lm_neg_log2p IS NOT NULL GROUP BY 1
@@ -3270,13 +3182,11 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS ppl_bucket
         FROM base CROSS JOIN ppl_t
     )
-    SELECT base.*, clf.clf_score, clf.clf_keep,
-           met.eval_auc, met.eval_pos, met.eval_neg,
+    SELECT base.*,
            ppl.ppl_bucket,
            CASE ppl.ppl_bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                 WHEN 2 THEN 'tail' END AS ppl_tier
-    FROM base JOIN clf ON base.doc_id = clf.doc_id
-    JOIN ppl ON base.doc_id = ppl.doc_id CROSS JOIN met
+    FROM base JOIN ppl ON base.doc_id = ppl.doc_id
     """,
 )
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
