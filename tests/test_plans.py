@@ -5,6 +5,8 @@ the Parquet scan, projections prune columns, small dimensions broadcast.
 
 from __future__ import annotations
 
+import pytest
+
 import xarray_dataaccessor_spark.queries_ext  # noqa: F401
 from xarray_dataaccessor_spark.plans.explain import (
     codegen_stage_count,
@@ -229,21 +231,26 @@ def test_gopher_signals_shuffle_on_doc_id_only(spark, sf_dir):
     assert count_exchanges(df) <= 6
 
 
-def test_gopher_stack_tokenizes_corpus_twice(spark, sf_dir):
-    """Shared-tokenization proof (VERDICT r6 #1): the whole quality
-    stack — gopher gate + bigram-LM fluency + hashed-feature classifier
-    (2 training epochs + inference) — reads the documents parquet
-    exactly TWICE: once into the cached unigram counts table, once into
-    the cached bigram counts table (adjacency can't derive from unigram
-    counts, so two is the floor). Before the rewire the lineage held ~5
-    corpus scans, each with its own tokenize + corpus-sized shuffle."""
+@pytest.mark.parametrize(
+    "slot", ["quality_filter_gopher", "quality_classifier_distill"]
+)
+def test_gopher_stack_tokenizes_corpus_twice(spark, sf_dir, slot):
+    """Shared-tokenization proof (VERDICT r6 #1): each quality slot —
+    gopher gate + bigram-LM fluency + perplexity tiers in one, the
+    hashed-feature classifier (2 training epochs + inference) + held-out
+    AUC in the other (split r11, VERDICT r10 #3) — reads the documents
+    parquet exactly TWICE: once into the cached unigram counts table,
+    once into the cached bigram counts table (adjacency can't derive
+    from unigram counts, so two is the floor). Before the rewire the
+    lineage held ~5 corpus scans, each with its own tokenize +
+    corpus-sized shuffle."""
     import re
 
     from xarray_dataaccessor_spark.operators.cachectl import (
         unpersist_intermediates,
     )
 
-    df = QUERIES["quality_filter_gopher"](spark, sf_dir)
+    df = QUERIES[slot](spark, sf_dir)
     try:
         plan = plan_string(df)
         # formatted mode lists each physical node once as a detail header
