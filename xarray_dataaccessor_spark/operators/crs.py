@@ -1100,7 +1100,9 @@ def crs_from_proj4(proj4: str):
             f"+nadgrids={p['nadgrids']}: grid-shift files are not "
             "resolved by name — parse the .gsb with sources/ntv2.py and "
             "apply crs.NTv2Grid (literal-array columns or the "
-            "apply_to_grid broadcast join) around the projection step"
+            "apply_to_grid broadcast join) around the projection step; "
+            "that path is oracle-verified end-to-end (the 'ntv2' "
+            "variant of the mercator_cells query)"
         )
     units = p.get("units", "m")
     if proj != "longlat" and units != "m":
