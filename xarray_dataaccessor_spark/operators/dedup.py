@@ -263,14 +263,17 @@ def minhash_near_duplicates(
     agree = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_perm)
     )
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    return tag_caches(
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             (agree.cast("double") / F.lit(float(num_perm))).alias("est_jaccard"),
-        )
+        ),
+        sig,
     )
 
 

@@ -334,12 +334,15 @@ def embedding_near_duplicates(
     )
     ea = v.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"))
     eb = v.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"))
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    return tag_caches(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("cos", cosine(F.col("ea"), F.col("eb"), dims))
         .filter(F.col("cos") > threshold)
-        .select("id_a", "id_b", "cos")
+        .select("id_a", "id_b", "cos"),
+        sig,
     )
 
 
@@ -435,10 +438,13 @@ def kmeans_centroids(
     A centroid that captures no vectors drops out of the next iteration
     (standard Lloyd degeneracy; deterministic here)."""
     train = vectors
+    tagged = []
     if train_limit is not None:
         # cache: the sample feeds init + one assignment per iteration,
-        # and it is train_limit rows — trivially cacheable
+        # and it is train_limit rows — trivially cacheable (tagged on
+        # the result for caller-side release, cachectl contract)
         train = training_sample(vectors, id_col, train_limit).cache()
+        tagged.append(train)
     cent = train.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
     )
@@ -447,7 +453,9 @@ def kmeans_centroids(
             train, cent, id_col=id_col, vec_col=vec_col, rank=1, dims=dims
         )
         cent = _centroid_means(assigned, ["centroid_id"], vec_col, dims)
-    return cent
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    return tag_caches(cent, *tagged)
 
 
 def _centroid_means(
@@ -523,8 +531,10 @@ def pq_codebooks(
             f"dims ({dims}) must be known and divisible by m_subspaces "
             f"({m_subspaces})"
         )
+    tagged = []
     if train_limit is not None:
         vectors = training_sample(vectors, id_col, train_limit).cache()
+        tagged.append(vectors)
     sub = dims // m_subspaces
     subv = vectors.select(
         F.col(id_col),
@@ -565,7 +575,9 @@ def pq_codebooks(
             )
         )
         cent = _centroid_means(assigned, ["m", "code_id"], "sv", sub)
-    return cent
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    return tag_caches(cent, *tagged)
 
 
 def pq_encode(
@@ -720,10 +732,17 @@ def pq_ann(
         .withColumn("cos", dot(F.col("qe"), F.col("ce"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    return tag_caches(
         rescored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk")),
+        books,
+        *get_tagged_caches(books),
     )
 
 
@@ -778,10 +797,17 @@ def ivf_ann(
         .withColumn("cos", cosine(F.col("qe"), F.col("nbr"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    return tag_caches(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk"))
+        .select("query_id", "neighbor_id", "cos", F.col("rk").cast("int").alias("rk")),
+        cent,
+        *get_tagged_caches(cent),
     )
 
 
@@ -867,6 +893,14 @@ def build_ivf_index(
     assigned.select(id_col, "e", "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(f"{path}/lists")
+    # both consumers are completed write actions — release the build's
+    # cached quantizer and its tagged train sample (cachectl contract)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        unpersist_intermediates,
+    )
+
+    unpersist_intermediates(cent)
+    cent.unpersist()
 
 
 def query_ivf_index(
@@ -994,7 +1028,13 @@ def build_ivfpq_index(
         f"{path}/lists"
     )
     # all consumers are completed write actions — release the build's
-    # cached frames (ADVICE r6: cache-lifecycle contract)
+    # cached frames and their tagged train samples (cachectl contract)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        unpersist_intermediates,
+    )
+
+    unpersist_intermediates(cent)
+    unpersist_intermediates(books)
     assigned.unpersist()
     cent.unpersist()
     books.unpersist()
@@ -1424,7 +1464,12 @@ def semantic_dedup(
     # between engines (double->decimal cast rounding), which is fine for
     # every DISCRETE decision (assignment, priority order) but not for a
     # hashed float column.
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    return tag_caches(
         ranked.join(dropped, id_col, "left")
         .select(
             id_col,
@@ -1432,7 +1477,9 @@ def semantic_dedup(
             "cos_centroid",
             F.col("witness_cos").isNull().alias("kept"),
             "witness_cos",
-        )
+        ),
+        ranked,
+        *get_tagged_caches(cent),
     )
 
 

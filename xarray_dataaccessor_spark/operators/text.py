@@ -462,7 +462,9 @@ def kneser_ney_from_counts(
         * (F.col("n_left") / F.col("n_big").cast("double"))
     )
     term = F.round(-F.log2(p), 6).cast("decimal(28,14)")
-    return (
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    out = (
         bc.join(big, ["w1", "w2"])
         .join(ctx, "w1")
         .join(right, "w2")
@@ -476,6 +478,10 @@ def kneser_ney_from_counts(
             ).alias("kn_neg_log2p"),
         )
     )
+    # caller owns the cache lifecycle (cachectl contract): big must stay
+    # persisted while the returned plan is consumed, then be released
+    # via unpersist_intermediates in long-lived sessions
+    return tag_caches(out, big)
 
 
 def perplexity_buckets(

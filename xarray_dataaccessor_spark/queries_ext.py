@@ -687,7 +687,13 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_tokens",
         F.lit(None).cast("double").alias("approx_ndv"),
     )
-    return counts.unionByName(report).unionByName(knrows)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    out = counts.unionByName(report).unionByName(knrows)
+    return tag_caches(out, agg, bc_kn, *get_tagged_caches(kn))
 
 
 # ---------------------------------------------------------------------------
@@ -893,7 +899,12 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr",
         )
     )
-    return cc.unionByName(central)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    return tag_caches(cc.unionByName(central), edges, *get_tagged_caches(pairs))
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -1608,9 +1619,10 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("e").alias("embedding"))
         .cache()
     )
-    pairs = embedding_near_duplicates(
+    nd = embedding_near_duplicates(
         corpus, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
-    ).select(
+    )
+    pairs = nd.select(
         F.lit("lsh_pairs").alias("variant"), "id_a", "id_b", "cos",
         F.lit(None).cast("boolean").alias("kept"),
     )
@@ -1622,10 +1634,11 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replay; the driver verifies at that SF).
     n_corpus = corpus.count()
     k_sem = max(8, n_corpus // 300)
-    sem = semantic_dedup(
+    sd = semantic_dedup(
         corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
         train_limit=max(256, 4 * k_sem),
-    ).select(
+    )
+    sem = sd.select(
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("id_a"),
         F.col("cluster_id").cast("bigint").alias("id_b"),
@@ -1636,7 +1649,15 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("witness_cos").alias("cos"),
         "kept",
     )
-    return pairs.unionByName(sem)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    return tag_caches(
+        pairs.unionByName(sem), corpus,
+        *get_tagged_caches(nd), *get_tagged_caches(sd),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2286,10 +2307,11 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    ann = ivf_ann(
+    ann_raw = ivf_ann(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=2,
         n_iters=2, dims=64, train_limit=256,
-    ).select(
+    )
+    ann = ann_raw.select(
         F.lit("ann").alias("variant"),
         "query_id", "neighbor_id", "cos", "rk",
     )
@@ -2321,7 +2343,14 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant string, query_id bigint, neighbor_id bigint, "
         "cos double, rk int",
     )
-    return ann.unionByName(lists).unionByName(drift)
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        get_tagged_caches,
+        tag_caches,
+    )
+
+    return tag_caches(
+        ann.unionByName(lists).unionByName(drift), *get_tagged_caches(ann_raw)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2632,7 +2661,9 @@ def line_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_units").alias("n_total"),
         F.col("n_unique_units").alias("n_kept"),
     )
-    return chunks.unionByName(subs).unionByName(within)
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+
+    return tag_caches(chunks.unionByName(subs).unionByName(within), corpus)
 
 
 # ---------------------------------------------------------------------------
