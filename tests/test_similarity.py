@@ -874,3 +874,101 @@ def test_pca_exact_power_matches_numpy_top_component(spark, sf_dir):
     # exact-determinism contract: a second run is bit-identical
     n2, _, mu2, comp2, lam2 = pca_exact_power(emb, dims=64, iters=100)
     assert (n2, mu2, comp2, lam2) == (n, mu, comp, lam)
+
+
+def test_lsh_autoparams_fixed_regime_and_growth():
+    """(4, 8) exactly through the verification SFs (so the oracle's
+    fixed-constant banding replay stays hash-exact), then planes track
+    the bucket-population bound and bands hold recall >= 0.85 — with
+    candidate work per n^2 strictly below the fixed-(4,8) constant
+    (the r11 study's exponent-1.93 fix)."""
+    import math
+
+    from xarray_dataaccessor_spark.operators.similarity import lsh_autoparams
+
+    for n in (100, 660, 6953, 16_000):
+        assert lsh_autoparams(n, 0.95) == (4, 8), n
+    q = 1.0 - math.acos(0.95) / math.pi
+    for n in (23_000, 66_000, 1_000_000):
+        b, p = lsh_autoparams(n, 0.95)
+        assert n / 2 ** p <= 64, (n, b, p)           # bucket bound
+        recall = 1.0 - (1.0 - q ** p) ** b
+        assert recall >= 0.85, (n, b, p, recall)      # recall held
+        assert b / 2 ** p <= 4 / 256, (n, b, p)       # cheaper than fixed
+
+
+def test_embedding_near_duplicates_auto_banding(spark):
+    """auto params widen the banding with the (supplied) corpus size:
+    at a forced n=66k the signature table carries 6 bands per vector
+    (lsh_autoparams -> (6, 11)) and the planted duplicate still
+    surfaces above the threshold."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import (
+        embedding_near_duplicates,
+        lsh_autoparams,
+    )
+
+    assert lsh_autoparams(66_000, 0.95) == (6, 11)
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(40)]
+    rows.append((1000, [v * 1.001 for v in rows[0][1]]))  # planted dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(
+        df, threshold=0.95, n_bands="auto", planes_per_band="auto",
+        dims=16, n_docs=66_000,
+    )
+    pdf = out.toPandas()
+    assert ((pdf.id_a == 0) & (pdf.id_b == 1000)).any()
+
+
+def test_semantic_dedup_grouped_equals_join_exactly(spark):
+    """The grouped (applyInPandas) refine replays the SQL aggregate's
+    left-fold op order, so every witness cosine is BIT-identical to the
+    join path — the property that lets the slot keep its join-shaped
+    oracle while executing the n-row-shuffle plan."""
+    import math
+
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(120)]
+    rows += [(1000 + i, [v * 1.01 for v in rows[i][1]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_clusters=4, n_iters=2, dims=8, train_limit=64)
+    a = semantic_dedup(df, pairwise="grouped", **kw).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    b = semantic_dedup(df, pairwise="join", **kw).toPandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert a["kept"].tolist() == b["kept"].tolist()
+    assert (a["kept"] == False).sum() >= 12  # noqa: E712 — planted dups drop
+    for x, y in zip(a["witness_cos"], b["witness_cos"]):
+        both_null = (x is None or (isinstance(x, float) and math.isnan(x))) and (
+            y is None or (isinstance(y, float) and math.isnan(y)))
+        assert both_null or x == y, (x, y)  # bit-exact, not approx
+
+
+def test_embedding_near_duplicates_grouped_equals_join_exactly(spark):
+    """The grouped bucket-pairwise refine produces the SAME pair set
+    with BIT-identical cosines as the join path the oracle replays."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(150)]
+    rows += [(1000 + i, [v * 1.002 for v in rows[i][1]]) for i in range(15)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_bands=4, planes_per_band=6, dims=8)
+    a = embedding_near_duplicates(df, refine="grouped", **kw).toPandas()
+    b = embedding_near_duplicates(df, refine="join", **kw).toPandas()
+    a = a.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = b.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) >= 15
+    assert a["id_a"].tolist() == b["id_a"].tolist()
+    assert a["id_b"].tolist() == b["id_b"].tolist()
+    assert a["cos"].tolist() == b["cos"].tolist()  # bit-exact

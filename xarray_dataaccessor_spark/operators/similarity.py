@@ -274,14 +274,54 @@ def lsh_ann_banded(
     )
 
 
+def lsh_autoparams(
+    n: int,
+    threshold: float = 0.95,
+    target_bucket: int = 64,
+    min_planes: int = 8,
+    target_recall: float = 0.85,
+) -> tuple[int, int]:
+    """(n_bands, planes_per_band) that hold BOTH the per-bucket
+    population bound and the pair recall as the corpus grows — the
+    parameterization rule the r11 full-inventory study demanded: with
+    FIXED (4, 8) the per-band self-join is O(n^2 / 256), which measured
+    exponent 1.93 from sf1 to sf3 (42 -> 347 s; the one superlinear slot
+    left in the inventory).
+
+    Planes: smallest r with expected bucket population n / 2^r <=
+    ``target_bucket`` (floor ``min_planes``). Bands: smallest b with
+    banded recall 1 - (1 - q^r)^b >= ``target_recall`` at the threshold
+    angle (q = 1 - acos(threshold)/pi, the hyperplane agreement
+    probability). Each extra plane halves bucket population (cost
+    ~n^2/2^r per band) but thins per-band recall q^r, so b grows ~1.4x
+    per plane — the net candidate count still drops ~1.4x per plane.
+    At the defaults this returns exactly (4, 8) for n <= ~16k, so
+    existing fixed-parameter callers (and the oracle slot, verified at
+    sf0.01/sf0.1) see bit-identical plans; at 66k vectors (the sf3
+    knee) it returns (6, 11): 5.3x fewer candidates, recall 0.85."""
+    import math
+
+    q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p = min_planes
+    if n > target_bucket:
+        p = max(min_planes, math.ceil(math.log2(n / target_bucket)))
+    qb = q ** p
+    if qb >= 1.0:
+        return 1, p
+    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - qb)))
+    return b, p
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
-    n_bands: int = 4,
-    planes_per_band: int = 8,
+    n_bands: int | str = 4,
+    planes_per_band: int | str = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    n_docs: int | None = None,
+    refine: str = "grouped",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold`` via BANDED
     multi-probe hyperplane LSH (the same banding machinery as MinHash
@@ -297,12 +337,35 @@ def embedding_near_duplicates(
     costing it: P(pair at angle theta shares a band) = 1-(1-p^r)^b with
     p = 1 - theta/pi (~0.90 at cos 0.95), i.e. ~0.89 for b=4, r=8 vs
     ~0.43 for the single 8-plane bucket. Raise r to shrink buckets,
-    raise b to recover recall."""
+    raise b to recover recall.
+
+    FIXED (b, r) makes the per-band self-join O(n^2 / 2^r) — quadratic
+    with a constant, the r11 study's one remaining superlinear slot
+    (exponent 1.93 past sf1). Pass ``n_bands="auto"`` /
+    ``planes_per_band="auto"`` to derive both from the corpus size via
+    :func:`lsh_autoparams` (supply ``n_docs`` if the caller already
+    counted — otherwise one count() action fires here).
+
+    ``refine`` selects the candidate-refine execution (identical
+    output, pinned by test). ``"grouped"`` (default since r11): one
+    bucket-keyed shuffle of the n*b (id, vector) rows, then each
+    (band, bucket) group computes its within-bucket pairs as an
+    Arrow-batched numpy pass replaying the SQL cosine fold's exact op
+    order, deduped across bands on the bit-identical (id_a, id_b, cos)
+    rows. The ``"join"`` path (the shape the SQL oracle replays)
+    shuffles CANDIDATE-PAIR rows with both vectors attached and
+    evaluates one interpreted zip_with/aggregate fold per pair —
+    measured 4.5x slower at the sf3 knee (72 s vs 16 s), since
+    higher-order functions never enter codegen and the pair join moves
+    ~2 * dims doubles per candidate."""
     from xarray_dataaccessor_spark.operators.dedup import spread_small_input
 
     v = spread_small_input(
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
     )
+    if n_bands == "auto" or planes_per_band == "auto":
+        n = n_docs if n_docs is not None else v.count()
+        n_bands, planes_per_band = lsh_autoparams(n, threshold)
     band_structs = [
         F.struct(
             F.lit(bidx).alias("band"),
@@ -313,6 +376,67 @@ def embedding_near_duplicates(
         )
         for bidx in range(n_bands)
     ]
+    if refine == "grouped":
+        import numpy as np
+        from pyspark.sql import types as T
+
+        svec = v.select(
+            F.col(id_col), F.col("e"),
+            F.explode(F.array(*band_structs)).alias("b"),
+        ).select(id_col, "e", F.col("b.band").alias("band"),
+                 F.col("b.val").alias("val"))
+        id_type = v.schema[id_col].dataType
+        pair_schema = T.StructType([
+            T.StructField("id_a", id_type), T.StructField("id_b", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ])
+        thr = float(threshold)
+        idc0 = id_col
+
+        def _bucket_pairs(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(idc0).reset_index(drop=True)
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            e_mat = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            d_ = e_mat.shape[1]
+            # the SQL cosine fold's exact op order, as d matrix steps
+            nrm2 = np.zeros(m)
+            for t in range(d_):
+                nrm2 = nrm2 + e_mat[:, t] * e_mat[:, t]
+            nrm = np.sqrt(nrm2)
+            ids = pdf[idc0].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            bs = 1024  # scratch stays O(m * 1024) on degenerate buckets
+            for j0 in range(1, m, bs):
+                j1 = min(j0 + bs, m)
+                acc = np.zeros((m, j1 - j0))
+                for t in range(d_):
+                    acc = acc + e_mat[:, t, None] * e_mat[None, j0:j1, t]
+                cos = acc / (nrm[:, None] * nrm[None, j0:j1])
+                rows = np.arange(m)[:, None]
+                cols = np.arange(j0, j1)[None, :]
+                keep = (cos > thr) & (rows < cols)
+                ri, ci = np.nonzero(keep)
+                out_a.append(ids[ri])
+                out_b.append(ids[ci + j0])
+                out_c.append(cos[ri, ci])
+            return pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            })
+
+        # distinct is safe on the float column: every band computes the
+        # SAME fold over the SAME vectors, so duplicate pairs carry
+        # bit-identical cos values
+        return (
+            svec.groupBy("band", "val")
+            .applyInPandas(_bucket_pairs, pair_schema)
+            .distinct()
+        )
     sig = v.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.val").alias("val"))
@@ -1378,6 +1502,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dims: int | None = None,
     train_limit: int | None = 4096,
+    pairwise: str = "grouped",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication", arXiv:2303.09540):
@@ -1398,14 +1523,23 @@ def semantic_dedup(
 
     Scale: the only corpus-sized shuffles are the rank-1 assignment
     (broadcast centroid join + map-side argmin aggregation) and the
-    per-cluster window/self-join, both keyed on ``cluster_id``. The
+    per-cluster window/refine, both keyed on ``cluster_id``. The
     within-cluster refine is quadratic in cluster population, so
     ``n_clusters`` must scale with the corpus (the paper uses ~11k
     clusters for 100M+ docs; at 100 TB pick n_clusters ~= N /
     desired_cluster_size and the per-cluster work stays bounded).
     Lloyd itself trains on the ``train_limit`` hash-ordered sample —
     two shuffles over a few thousand rows regardless of corpus size.
-    """
+
+    ``pairwise`` selects the refine execution (identical results,
+    pinned by test): ``"grouped"`` (default since r11) runs the
+    quadratic refine as one Arrow-batched numpy pass per cluster
+    (``applyInPandas``) whose accumulations replay the SQL aggregate's
+    exact left-fold order — the cluster-keyed shuffle carries n rows of
+    (vector, prio), not candidate-pair rows of DUPLICATED vectors (the
+    r11 sf1 profile: the pair join shuffled ~3.6 GB at 23k vectors and
+    dominated the slot at 30 s); ``"join"`` is the pure-DataFrame
+    self-join the oracle replays in SQL."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
     )
@@ -1436,6 +1570,143 @@ def semantic_dedup(
     w = Window.partitionBy("cluster_id").orderBy(
         F.asc(F.round(F.col("cos_centroid"), 4)), F.asc(id_col)
     )
+    if pairwise == "grouped":
+        import numpy as np
+        from pyspark.sql import types as T
+
+        # Arrow-exact rank-1 assignment: the SQL path's broadcast cross
+        # join evaluates n*k INTERPRETED zip_with/aggregate folds
+        # (higher-order functions never enter codegen) and, with the
+        # SemDeDup rule k ∝ N, that term is quadratic — it dominated
+        # the r11 sf3 profile (~150 s of the slot's 159). Here the
+        # centroid table (dimension-sized by construction) collects
+        # once and each Arrow batch replays l2sq/cosine as d
+        # dimension-ordered matrix accumulations — bit-identical per
+        # element to the SQL folds, ties to the smaller centroid id via
+        # argmin-first over the id-sorted centroid matrix (the struct
+        # min's lexicographic rule).
+        cent_rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        from xarray_dataaccessor_spark.operators.cachectl import (
+            unpersist_intermediates,
+        )
+
+        # the collect consumed the Lloyd plan — release the train-sample
+        # cache now; no downstream plan references cent in this path
+        unpersist_intermediates(cent)
+        c_mat = [list(map(float, r["ce"])) for r in cent_rows]
+        c_ids = [r["centroid_id"] for r in cent_rows]
+        v_fields = {f.name: f for f in v.schema.fields}
+        cid_type = cent.schema["centroid_id"].dataType
+        assign_schema = T.StructType([
+            v_fields[id_col], v_fields["e"],
+            T.StructField("cluster_id", cid_type),
+            T.StructField("cos_centroid", T.DoubleType()),
+        ])
+        idc0 = id_col
+
+        def _assign(batches):
+            import pandas as pd
+
+            cm = np.asarray(c_mat, dtype=np.float64)
+            k_, d_ = cm.shape
+            cn2 = np.zeros(k_)
+            for t in range(d_):
+                cn2 = cn2 + cm[:, t] * cm[:, t]
+            cn = np.sqrt(cn2)
+            cid_arr = np.asarray(c_ids)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                e_mat = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+                m = len(pdf)
+                dist = np.zeros((m, k_))
+                for t in range(d_):
+                    diff = e_mat[:, t, None] - cm[None, :, t]
+                    dist = dist + diff * diff
+                idx = dist.argmin(axis=1)  # first min = smallest id
+                sel = cm[idx]
+                dotv = np.zeros(m)
+                en2 = np.zeros(m)
+                for t in range(d_):
+                    dotv = dotv + e_mat[:, t] * sel[:, t]
+                    en2 = en2 + e_mat[:, t] * e_mat[:, t]
+                cos = dotv / (np.sqrt(en2) * cn[idx])
+                yield pd.DataFrame({
+                    idc0: pdf[idc0],
+                    "e": pdf["e"],
+                    "cluster_id": cid_arr[idx],
+                    "cos_centroid": cos,
+                })
+
+        assigned = v.mapInPandas(_assign, assign_schema)
+        rk = assigned.withColumn("prio", F.row_number().over(w))
+        base_fields = {
+            f.name: f for f in rk.select(id_col, "cluster_id",
+                                         "cos_centroid").schema.fields
+        }
+        schema = T.StructType(
+            [base_fields[id_col], base_fields["cluster_id"],
+             base_fields["cos_centroid"],
+             T.StructField("kept", T.BooleanType()),
+             T.StructField("witness_cos", T.DoubleType())]
+        )
+        thr = float(threshold)
+        idc = id_col
+
+        def _witness(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("prio", kind="mergesort").reset_index(
+                drop=True)
+            m = len(pdf)
+            wit = np.full(m, np.nan)
+            if m > 1:
+                E = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+                d = E.shape[1]
+                # sequential left-fold norms/dots, replaying the SQL
+                # aggregate's exact IEEE op order per pair: each
+                # element's accumulation is acc + x*y in dimension
+                # order, so every cosine is bit-identical to the join
+                # path's. The fold runs as d matrix ops over column
+                # blocks (not per-pair python loops — measured 16x
+                # slower at 300-member clusters) with block width
+                # capped so scratch stays ~O(m * 512) doubles even on
+                # a pathologically skewed cluster.
+                nrm2 = np.zeros(m)
+                for k in range(d):
+                    nrm2 = nrm2 + E[:, k] * E[:, k]
+                nrm = np.sqrt(nrm2)
+                bs = 512
+                for j0 in range(1, m, bs):
+                    j1 = min(j0 + bs, m)
+                    acc = np.zeros((m, j1 - j0))
+                    for k in range(d):
+                        acc = acc + E[:, k, None] * E[None, j0:j1, k]
+                    cos = acc / (nrm[:, None] * nrm[None, j0:j1])
+                    # strict upper triangle: witness candidates are
+                    # higher-priority rows i < column j only
+                    rows = np.arange(m)[:, None]
+                    cols = np.arange(j0, j1)[None, :]
+                    ok = (cos >= thr) & (rows < cols)
+                    hit = ok.any(axis=0)
+                    if hit.any():
+                        masked = np.where(ok, cos, -np.inf)
+                        wit[j0:j1][hit] = masked.max(axis=0)[hit]
+            keep = np.isnan(wit)
+            return pd.DataFrame({
+                idc: pdf[idc],
+                "cluster_id": pdf["cluster_id"],
+                "cos_centroid": pdf["cos_centroid"],
+                "kept": keep,
+                # object column: None (not NaN) for kept rows -> SQL NULL
+                "witness_cos": [
+                    None if keep[i] else float(wit[i]) for i in range(m)
+                ],
+            })
+
+        # no caches remain: the train sample was released after the
+        # centroid collect and this path adds none of its own
+        return rk.groupBy("cluster_id").applyInPandas(_witness, schema)
     ranked = assigned.withColumn("prio", F.row_number().over(w)).cache()
     a = ranked.select(
         F.col("cluster_id"),

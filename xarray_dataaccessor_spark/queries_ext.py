@@ -1619,8 +1619,15 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("e").alias("embedding"))
         .cache()
     )
+    # corpus count feeds BOTH scale rules: SemDeDup's k ∝ N (below) and
+    # the LSH banding autoparams — (4, 8) through sf0.1, so the fixed
+    # (4, 8) oracle replay stays hash-exact at every verification SF;
+    # past ~16k vectors the bands/planes grow to hold the per-bucket
+    # population bound (the r11 study's exponent-1.93 fix)
+    n_corpus = corpus.count()
     nd = embedding_near_duplicates(
-        corpus, threshold=0.95, n_bands=4, planes_per_band=8, dims=64
+        corpus, threshold=0.95, n_bands="auto", planes_per_band="auto",
+        dims=64, n_docs=n_corpus,
     )
     pairs = nd.select(
         F.lit("lsh_pairs").alias("variant"), "id_a", "id_b", "cos",
@@ -1631,8 +1638,8 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5.9 s -> 191 s from sf0.1 to sf1). The paper's own rule is
     # k ~= N / target_cluster_size — scale it with the corpus (floor 8
     # keeps the sf0.01 correctness run on the oracle's exact Lloyd
-    # replay; the driver verifies at that SF).
-    n_corpus = corpus.count()
+    # replay; the driver verifies at that SF). n_corpus counted once
+    # above, shared with the LSH autoparams.
     k_sem = max(8, n_corpus // 300)
     sd = semantic_dedup(
         corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
