@@ -972,3 +972,32 @@ def test_embedding_near_duplicates_grouped_equals_join_exactly(spark):
     assert a["id_a"].tolist() == b["id_a"].tolist()
     assert a["id_b"].tolist() == b["id_b"].tolist()
     assert a["cos"].tolist() == b["cos"].tolist()  # bit-exact
+
+
+def test_pq_ann_grouped_equals_join_exactly(spark):
+    """The Arrow-batched normalization + code assignment replay the SQL
+    folds' exact dimension order, so the grouped execution returns
+    BIT-identical neighbors and cosines to the join path the oracle
+    replays — the property that lets `similarity_pq_ann` keep its full
+    SQL-replay oracle while executing the n-row Arrow plan."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import pq_ann
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 5")
+    kw = dict(k=5, m_subspaces=4, n_codes=8, n_iters=2, refine=4, dims=16,
+              train_limit=64)
+    a = pq_ann(q, df, execution="grouped", **kw).toPandas().sort_values(
+        ["query_id", "rk"]).reset_index(drop=True)
+    b = pq_ann(q, df, execution="join", **kw).toPandas().sort_values(
+        ["query_id", "rk"]).reset_index(drop=True)
+    assert len(a) == len(b) == 25
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert a["cos"].tolist() == b["cos"].tolist()  # bit-exact
+    import pytest
+
+    with pytest.raises(ValueError, match="execution"):
+        pq_ann(q, df, execution="bogus", **kw)

@@ -751,6 +751,106 @@ def pq_encode(
     )
 
 
+def _normalize_arrow(
+    df: DataFrame, id_name: str, vec_name: str, dims: int
+) -> DataFrame:
+    """Arrow-exact unit normalization: replays
+    ``F.transform(v, x -> x / sqrt(aggregate(zip_with(v, v, *), 0.0, +)))``
+    as dimension-ordered numpy column accumulations — the same IEEE add
+    order as the SQL left fold, so every output double is bit-identical
+    to the interpreted-transform path (pinned by
+    test_pq_ann_grouped_equals_join_exactly). Why it exists: Catalyst
+    evaluates the aggregate INSIDE the transform lambda once PER
+    ELEMENT (no CSE across higher-order lambdas, and higher-order
+    functions never enter codegen), so the SQL normalization is
+    O(dims^2) interpreted ops per row — the r11 sf3 profile's top term
+    for the PQ slot."""
+    import numpy as np
+
+    schema = T.StructType([
+        df.schema[id_name],
+        T.StructField(vec_name, T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def _norm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf[vec_name].tolist(), dtype=np.float64)
+            n2 = np.zeros(len(pdf))
+            for t in range(E.shape[1]):
+                n2 = n2 + E[:, t] * E[:, t]
+            out = E / np.sqrt(n2)[:, None]
+            yield pd.DataFrame({id_name: pdf[id_name], vec_name: list(out)})
+
+    return df.mapInPandas(_norm, schema)
+
+
+def _pq_encode_arrow(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    m_subspaces: int,
+) -> DataFrame:
+    """Arrow-exact :func:`pq_encode`: collect the (m * n_codes)-row
+    codebook once (broadcast-sized by construction) and assign codes in
+    one ``mapInPandas`` pass — n corpus rows in, n * m code rows out,
+    with NO per-(row, code) interpreted l2sq folds. Distances replay the
+    SQL fold's dimension order ((x-y)^2 accumulated in order), and the
+    struct-min tie-break (smaller code_id on equal distance) becomes
+    argmin-first over the code_id-sorted matrix — bit-identical codes,
+    pinned by the grouped-equals-join test."""
+    import numpy as np
+
+    sub = dims // m_subspaces
+    rows = codebooks.collect()
+    mats: list[tuple[np.ndarray, np.ndarray]] = []
+    for m in range(m_subspaces):
+        rs = sorted(
+            (r for r in rows if r["m"] == m), key=lambda r: r["code_id"]
+        )
+        mats.append((
+            np.asarray([list(map(float, r["ce"])) for r in rs]),
+            np.asarray([r["code_id"] for r in rs], dtype=np.int32),
+        ))
+    schema = T.StructType([
+        vectors.schema[id_col],
+        T.StructField("m", T.IntegerType(), False),
+        T.StructField("code_id", T.IntegerType(), True),
+    ])
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(pdf)
+            ids, ms, codes = [], [], []
+            for m, (cm, cid) in enumerate(mats):
+                S = E[:, m * sub:(m + 1) * sub]
+                dist = np.zeros((n, cm.shape[0]))
+                for t in range(sub):
+                    diff = S[:, t, None] - cm[None, :, t]
+                    dist = dist + diff * diff
+                idx = dist.argmin(axis=1)  # first min = smallest code_id
+                ids.append(pdf[id_col])
+                ms.append(np.full(n, m, dtype=np.int32))
+                codes.append(cid[idx])
+            yield pd.DataFrame({
+                id_col: pd.concat(ids, ignore_index=True),
+                "m": np.concatenate(ms),
+                "code_id": np.concatenate(codes),
+            })
+
+    return vectors.mapInPandas(_enc, schema)
+
+
 def pq_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -763,6 +863,7 @@ def pq_ann(
     vec_col: str = "embedding",
     dims: int | None = None,
     train_limit: int | None = 4096,
+    execution: str = "grouped",
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-rank — the third ANN strategy beside :func:`lsh_ann_banded`
@@ -792,15 +893,36 @@ def pq_ann(
     depth, then ``n_codes``/``n_iters``. Random unit vectors are the
     distance-concentration worst case — clustered real embeddings do
     better at equal cost.
-    """
+
+    ``execution`` selects how the two corpus-sized interpreted stages
+    run (identical results bit-for-bit, pinned by
+    test_pq_ann_grouped_equals_join_exactly): ``"grouped"`` (default
+    since r11) normalizes the corpus and assigns codes in Arrow-batched
+    numpy passes that replay the SQL folds' exact op order
+    (:func:`_normalize_arrow` / :func:`_pq_encode_arrow`) — the r11 sf3
+    profile showed the interpreted transform-normalization (O(dims^2)
+    per row, no CSE inside higher-order lambdas) and the per-(row,
+    code) interpreted l2sq folds dominating the slot; ``"join"`` is the
+    pure-DataFrame pipeline the oracle replays in SQL. Codebook
+    TRAINING always stays in DataFrame ops (decimal means on the
+    ``train_limit`` sample — bounded, and the cross-engine-verified
+    core)."""
+    if execution not in ("grouped", "join"):
+        raise ValueError(f"execution must be 'grouped' or 'join': {execution!r}")
     qn = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qe"),
     ).withColumn("qe", F.transform("qe", lambda x: x / norm(F.col("qe"), dims)))
-    cn = corpus.select(
+    cn0 = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("ce"),
-    ).withColumn("ce", F.transform("ce", lambda x: x / norm(F.col("ce"), dims)))
+    )
+    if execution == "grouped":
+        cn = _normalize_arrow(cn0, "neighbor_id", "ce", dims)
+    else:
+        cn = cn0.withColumn(
+            "ce", F.transform("ce", lambda x: x / norm(F.col("ce"), dims))
+        )
 
     books = pq_codebooks(
         cn,
@@ -812,10 +934,16 @@ def pq_ann(
         dims=dims,
         train_limit=train_limit,
     ).cache()
-    codes = pq_encode(
-        cn, books, id_col="neighbor_id", vec_col="ce", dims=dims,
-        m_subspaces=m_subspaces,
-    )
+    if execution == "grouped":
+        codes = _pq_encode_arrow(
+            cn, books, id_col="neighbor_id", vec_col="ce", dims=dims,
+            m_subspaces=m_subspaces,
+        )
+    else:
+        codes = pq_encode(
+            cn, books, id_col="neighbor_id", vec_col="ce", dims=dims,
+            m_subspaces=m_subspaces,
+        )
 
     sub = dims // m_subspaces
     q_sub = qn.select(
