@@ -443,3 +443,49 @@ def test_dsir_empty_text_weighs_zero(spark):
     rows = {r["doc_id"]: float(r["dsir_logw"]) for r in w.collect()}
     assert len(rows) == 3
     assert rows[2] == 0.0 and rows[3] == 0.0
+
+
+def test_priority_sample_exact_when_small_and_bounded_error(spark):
+    """A stratum with <= k rows is sampled whole with tau=0 and an
+    EXACT total; a big stratum's Horvitz-Thompson estimate lands within
+    the ~1/sqrt(k) band of the true total."""
+    from xarray_dataaccessor_spark.operators.sampling import priority_sample
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id",
+        "CAST(CASE WHEN id % 97 = 0 THEN 500 ELSE 1 + id % 20 END AS BIGINT)"
+        " AS w",
+    )
+    small = priority_sample(df.filter("doc_id < 40"), "w", k=64)
+    rows = small.collect()
+    assert len(rows) == 40
+    assert all(r["tau"] == 0.0 for r in rows)
+    assert rows[0]["est_total"] == rows[0]["exact_total"]
+
+    big = priority_sample(df, "w", k=64).limit(1).collect()[0]
+    rel = abs(big["est_total"] - big["exact_total"]) / big["exact_total"]
+    assert rel < 0.35, (big["est_total"], big["exact_total"])
+
+
+def test_priority_sample_partition_invariant_and_stratified(spark):
+    from xarray_dataaccessor_spark.operators.sampling import priority_sample
+
+    df = spark.range(600).selectExpr(
+        "id AS doc_id", "CAST(id % 4 AS STRING) AS src",
+        "CAST(1 + id % 30 AS BIGINT) AS w",
+    )
+    a = priority_sample(df, "w", strata_col="src", k=16).toPandas()
+    b = priority_sample(df.repartition(13), "w", strata_col="src", k=16
+                        ).toPandas()
+    a = a.sort_values(["src", "doc_id"]).reset_index(drop=True)
+    b = b.sort_values(["src", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.groupby("src").size() == 16).all()
+    # priorities weight-sensitive: heavier rows overrepresented
+    kept_mean_w = a["w"].mean()
+    all_mean_w = 15.5
+    assert kept_mean_w > all_mean_w
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, "w", k=0)

@@ -294,3 +294,77 @@ def test_cms_rejects_bad_dims(spark):
     with pytest.raises(ValueError, match="positive"):
         cms_build(spark.range(3).selectExpr("CAST(id AS STRING) v"),
                   "v", w=0)
+
+
+def test_bottomk_sample_merge_law_and_size(spark):
+    """Bottom-k of the full table == bottom-k over the union of
+    per-batch bottom-k samples (the MIN-k merge law), and groups
+    smaller than k are sampled whole."""
+    from xarray_dataaccessor_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(2000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS g", "CAST(id * 7 % 991 AS DOUBLE) AS v"
+    )
+    full = bottomk_sample(df, "v", ["id"], group_cols=("g",), k=32)
+    b1 = bottomk_sample(df.filter("id < 1000"), "v", ["id"],
+                        group_cols=("g",), k=32)
+    b2 = bottomk_sample(df.filter("id >= 1000"), "v", ["id"],
+                        group_cols=("g",), k=32)
+    # re-sampling the union of partial samples IS the merge
+    merged = bottomk_sample(
+        b1.unionByName(b2).withColumnRenamed("__tie", "id2"),
+        "v", ["id2"], group_cols=("g",), k=32,
+    )
+    a = full.select("g", "__h", "v").toPandas().sort_values(
+        ["g", "__h"]).reset_index(drop=True)
+    m = merged.select("g", "__h", "v").toPandas().sort_values(
+        ["g", "__h"]).reset_index(drop=True)
+    assert a.equals(m)
+    sizes = full.groupBy("g").count().toPandas()
+    assert (sizes["count"] == 32).all()
+    # small group: sampled whole
+    small = bottomk_sample(df.filter("id < 10"), "v", ["id"], k=32)
+    assert small.count() == 10
+
+
+def test_bottomk_quantiles_track_exact(spark):
+    """Sample quantiles land within the O(1/sqrt(k)) rank window of the
+    exact ones, and a <=k group reproduces the exact quantile."""
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(id * id % 7919 AS DOUBLE) AS v"
+    )
+    s = bottomk_sample(df, "v", ["id"], k=256)
+    q = bottomk_quantiles(s, "v").collect()[0]
+    assert q["k_used"] == 256 and q["h_k"] > 0
+    exact = df.selectExpr(
+        "percentile(v, 0.4) p40", "percentile(v, 0.6) p60",
+        "percentile(v, 0.9) p90", "percentile(v, 0.99) p99",
+    ).collect()[0]
+    assert exact["p40"] <= q["q5"] <= exact["p60"]
+    assert exact["p90"] <= q["q95"] <= exact["p99"]
+    whole = bottomk_quantiles(
+        bottomk_sample(df.filter("id < 100"), "v", ["id"], k=256), "v"
+    ).collect()[0]
+    ew = df.filter("id < 100").selectExpr(
+        "round(percentile(v, 0.5), 6) p50").collect()[0]
+    assert whole["k_used"] == 100 and whole["q5"] == ew["p50"]
+
+
+def test_bottomk_sample_partition_invariant(spark):
+    from xarray_dataaccessor_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(1000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    a = bottomk_sample(df, "v", ["id"], k=50).toPandas().sort_values(
+        "__h").reset_index(drop=True)
+    b = bottomk_sample(df.repartition(17), "v", ["id"], k=50
+                       ).toPandas().sort_values("__h").reset_index(drop=True)
+    assert a.equals(b)
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        bottomk_sample(df, "v", ["id"], k=0)

@@ -770,3 +770,98 @@ def dsir_select(
     top = keyed.orderBy(F.desc("dsir_key"), F.asc(id_col)).limit(k)
     win = Window.orderBy(F.desc("dsir_key"), F.asc(id_col))
     return top.withColumn("dsir_rank", F.row_number().over(win).cast("int"))
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund, Thorup, "Priority sampling
+    for estimation of arbitrary subset sums", JACM 2007): a k-row
+    weight-sensitive sample per stratum whose Horvitz-Thompson
+    estimator reconstructs the stratum's total weight — the standard
+    way to keep a FIXED-SIZE sample of a weighted corpus (documents
+    weighted by token count, domains by crawl mass) that still answers
+    "how many tokens does this slice hold" without a full scan.
+
+    Mechanics, all engine-exact arithmetic:
+
+    - ``u = (h32(id:seed) + 1) / 2^32`` — a deterministic uniform in
+      (0, 1] from the portable md5 hash (no RNG state, reproducible
+      across runs/engines/partitionings);
+    - priority ``q = w / u``; the sample is the top-k rows by
+      ``(q DESC, id ASC)`` per stratum;
+    - threshold ``tau`` = the (k+1)-th priority (0 when the stratum has
+      <= k rows — the sample is then the whole stratum and estimates
+      are EXACT);
+    - each sampled row estimates its weight as ``max(w, tau)``; the sum
+      of those terms (folded through DECIMAL(28,6), so shuffle order
+      cannot perturb the double) is the unbiased estimate of the
+      stratum total — off-sample rows contribute through ``tau``.
+
+    Returns the ≤ k sampled rows per stratum:
+    ``(strata?, id_col, weight_col, q, tau, est_w, est_total,
+    exact_total)`` with ``q``/``tau``/``est_w`` rounded to 6 decimals
+    and ``est_total`` / ``exact_total`` (the visible-error pair)
+    decimal-summed doubles.
+
+    Scale shape: one narrow shuffle of ``(strata, id, w, q)`` 4-tuples
+    for the per-stratum rank — the corpus text never moves; at 100 TB
+    the q-threshold prefilter trick from :func:`~.sketch.bottomk_sample`
+    applies unchanged (rows with ``q`` below any conservative guess of
+    ``tau`` can be map-side dropped without changing the sample)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql.window import Window
+
+    keys = [strata_col] if strata_col else []
+    u = (
+        portable_hash32(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    base = df.select(
+        *keys, F.col(id_col), F.col(weight_col).alias("__w")
+    ).withColumn("__q", F.col("__w").cast("double") / u)
+    w_rank = Window.partitionBy(*keys).orderBy(F.desc("__q"), F.asc(id_col))
+    w_all = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("__q"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = base.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__tau",
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("__q"))).over(w_all),
+            F.lit(0.0),
+        ),
+    ).withColumn(
+        "__exact",
+        F.sum(F.col("__w").cast("decimal(28,6)")).over(w_all).cast("double"),
+    )
+    est = F.greatest(F.col("__w").cast("double"), F.col("__tau"))
+    kept = ranked.filter(F.col("__rn") <= k).withColumn("__est", est)
+    w_kept = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return kept.select(
+        *keys,
+        id_col,
+        F.col("__w").alias(weight_col),
+        F.round("__q", 6).alias("q"),
+        F.round("__tau", 6).alias("tau"),
+        F.round("__est", 6).alias("est_w"),
+        F.round(
+            F.sum(F.col("__est").cast("decimal(28,6)")).over(w_kept)
+            .cast("double"),
+            6,
+        ).alias("est_total"),
+        F.round(F.col("__exact"), 6).alias("exact_total"),
+    )

@@ -322,3 +322,90 @@ def hll_ndv_sql(expr: str, p: int = 6) -> str:
             ) GROUP BY grp, reg
         ) GROUP BY grp
     """
+
+
+def bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k-by-hash coordinated sample of ``value_col`` per group —
+    the mergeable uniform sample that backs :func:`bottomk_quantiles`.
+
+    The k rows whose portable key hash is smallest form a uniform
+    sample WITHOUT replacement of the group (the hash is a fixed random
+    order, so "smallest k hashes" = "first k of a shuffled order").
+    Three properties make it the 100 TB shape for distributional
+    monitoring where the exact ``percentile`` in
+    ``text.corpus_report`` stops scaling:
+
+    - **Mergeable**: bottom-k of a union = bottom-k of the union of
+      per-batch bottom-k samples (MIN-k law, same shape as the HLL MAX
+      merge) — partial samples combine map-side and append
+      incrementally; pinned by test_sketch.py's merge-law test.
+    - **Coordinated**: the same keys are sampled in every batch/run
+      (the hash is the only randomness), so two corpus versions'
+      samples difference cleanly.
+    - **Bounded**: the only shuffle carries ``(group, hash, value)``
+      triples, and the per-group sort input can be pre-cut with any
+      conservative hash threshold without changing the result (rows
+      with ``h`` above the true k-th hash never enter the sample).
+
+    Returns ``(*group_cols, __h, __tie, value_col)`` rows, ≤ k per
+    group — the sample in mergeable form. ``__tie`` is the string key
+    that breaks exact hash collisions deterministically.
+
+    Oracle replay: the ``rollup_revenue`` 'bk' variant replays hash,
+    rank and quantiles in DuckDB SQL verbatim."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql.window import Window
+
+    from xarray_dataaccessor_spark.functions.hashing import portable_hash32
+
+    keys = list(group_cols)
+    tie = F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+    base = df.select(
+        *keys,
+        portable_hash32(tie).alias("__h"),
+        tie.alias("__tie"),
+        F.col(value_col),
+    )
+    w = Window.partitionBy(*keys).orderBy("__h", "__tie")
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bottomk_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    probs: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Summarize a :func:`bottomk_sample` into per-group quantile
+    estimates: ``(*group_cols, k_used, h_k, q_<p> ...)`` with each
+    quantile the exact linear-interpolated percentile OF THE SAMPLE
+    (rounded to 6 decimals — the repo's float-portability discipline),
+    ``k_used`` the realized sample size and ``h_k`` the largest sampled
+    hash (the merge/threshold handle: a future batch only changes the
+    sample where its hashes beat ``h_k``). Sample quantiles converge on
+    the true ones at O(1/sqrt(k)); the bench slot emits the exact
+    quantiles beside them so the error is visible in the verified
+    rows."""
+    keys = list(group_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("__h").alias("h_k"),
+    ]
+    for p in probs:
+        aggs.append(
+            F.round(
+                F.expr(f"percentile({value_col}, {p!r})"), 6
+            ).alias(f"q{str(p).replace('0.', '')}")
+        )
+    return sample.groupBy(*keys).agg(*aggs)

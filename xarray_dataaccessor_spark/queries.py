@@ -1969,13 +1969,52 @@ def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_revenue",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    WITH bsrc AS (
+        SELECT l_returnflag, l_linestatus,
+               ('0x' || substr(md5(tie), 1, 8))::BIGINT AS h, tie, v
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_orderkey AS VARCHAR) || '-' ||
+                       CAST(l_linenumber AS VARCHAR) || '-' ||
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS VARCHAR) AS tie,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+        )
+    ),
+    brk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_returnflag, l_linestatus ORDER BY h, tie) AS rn
+        FROM bsrc
+    ),
+    bagg AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS k_used, MAX(h) AS h_k,
+               round(quantile_cont(v, 0.5), 6) AS s_p50,
+               round(quantile_cont(v, 0.95), 6) AS s_p95
+        FROM brk WHERE rn <= 256 GROUP BY 1, 2
+    ),
+    bex AS (
+        SELECT l_returnflag, l_linestatus,
+               round(quantile_cont(v, 0.5), 6) AS x_p50,
+               round(quantile_cont(v, 0.95), 6) AS x_p95
+        FROM bsrc GROUP BY 1, 2
+    )
+    SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n,
            COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(NULL AS BIGINT) AS k_used, CAST(NULL AS BIGINT) AS h_k,
+           CAST(NULL AS DOUBLE) AS s_p50, CAST(NULL AS DOUBLE) AS s_p95,
+           CAST(NULL AS DOUBLE) AS x_p50, CAST(NULL AS DOUBLE) AS x_p95
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'bk', bagg.l_returnflag, bagg.l_linestatus,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           k_used, h_k, s_p50, s_p95, x_p50, x_p95
+    FROM bagg JOIN bex USING (l_returnflag, l_linestatus)
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1991,7 +2030,18 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flag, status, key) triples; the expands run over group-sized /
     key-sized tables, never the fact scan, and the three tiny rollups
     broadcast-join back together on null-safe keys (ROLLUP totals are
-    NULL-keyed rows)."""
+    NULL-keyed rows).
+
+    ``'bk'`` variant rows (round 11) — the mergeable bottom-k-by-hash
+    sample sketch (:func:`operators.sketch.bottomk_sample` +
+    ``bottomk_quantiles``): per (flag, status), the 256 rows with the
+    smallest portable line-key hash form a coordinated uniform sample
+    whose p50/p95 (over integer CENTS, so linear interpolation is
+    engine-exact) sit beside the exact quantiles — the visible-error
+    pair. This is the scale path ``text.corpus_report``'s docstring
+    promises for percentiles at 100 TB: the sample is MIN-k mergeable
+    across batches and the shuffle carries only (group, hash, cents)
+    triples."""
     configure_session(spark)
     li = load(spark, sf_dir, "lineitem")
     f, s = "l_returnflag", "l_linestatus"
@@ -2020,18 +2070,65 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     key_tu = F.col(f"t.{f}").eqNullSafe(F.col(f"u.{f}")) & F.col(
         f"t.{s}"
     ).eqNullSafe(F.col(f"u.{s}"))
-    return (
+    null_b = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    roll = (
         t.join(F.broadcast(p), key_tp)
         .join(F.broadcast(u), key_tu)
         .select(
+            F.lit("rollup").alias("variant"),
             F.col(f"t.{f}").alias(f),
             F.col(f"t.{s}").alias(s),
             "sum_qty",
             "n",
             "n_parts",
             "n_supps",
+            null_b.alias("k_used"),
+            null_b.alias("h_k"),
+            null_d.alias("s_p50"),
+            null_d.alias("s_p95"),
+            null_d.alias("x_p50"),
+            null_d.alias("x_p95"),
         )
     )
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    cents = li.select(
+        f, s, "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("__v"),
+    )
+    # the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs
+    # (keys are drawn, not enumerated), so the value joins the sample
+    # key — otherwise the k-th-rank cut is genuinely ambiguous between
+    # equal-key rows with different prices and engines may differ
+    samp = bottomk_sample(
+        cents, "__v", ["l_orderkey", "l_linenumber", "__v"],
+        group_cols=(f, s), k=256,
+    )
+    bq = bottomk_quantiles(samp, "__v", group_cols=(f, s), probs=(0.5, 0.95))
+    ex = cents.groupBy(f, s).agg(
+        F.round(F.expr("percentile(__v, 0.5D)"), 6).alias("x_p50"),
+        F.round(F.expr("percentile(__v, 0.95D)"), 6).alias("x_p95"),
+    )
+    bk = bq.join(ex, [f, s]).select(
+        F.lit("bk").alias("variant"),
+        f,
+        s,
+        null_d.alias("sum_qty"),
+        null_b.alias("n"),
+        null_b.alias("n_parts"),
+        null_b.alias("n_supps"),
+        "k_used",
+        "h_k",
+        F.col("q5").alias("s_p50"),
+        F.col("q95").alias("s_p95"),
+        "x_p50",
+        "x_p95",
+    )
+    return roll.unionByName(bk)
 
 
 @query(

@@ -2872,18 +2872,61 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 65
                    row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk
             FROM dkey
         ) WHERE rk <= 50
+    ),
+    -- priority sampling (Duffield-Lund-Thorup): q = w / u with the
+    -- deterministic uniform u = (h32(id:0) + 1) / 2^32, top-64 per
+    -- source, tau = the 65th priority, HT estimate max(w, tau)
+    pbase AS (
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS w,
+               CAST(length(text) AS DOUBLE) /
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                           1, 8))::BIGINT + 1.0) / 4294967296.0) AS q
+        FROM documents
+    ),
+    prk AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY q DESC, doc_id) AS rn,
+               CAST(SUM(CAST(w AS DECIMAL(28,6))) OVER (
+                   PARTITION BY source) AS DOUBLE) AS exact_total
+        FROM pbase
+    ),
+    ptau AS (
+        SELECT source,
+               COALESCE(MAX(CASE WHEN rn = 65 THEN q END), 0.0) AS tau
+        FROM prk GROUP BY source
+    ),
+    pkept AS (
+        SELECT prk.*, GREATEST(CAST(w AS DOUBLE), tau) AS est
+        FROM prk JOIN ptau USING (source) WHERE rn <= 64
+    ),
+    pout AS (
+        SELECT doc_id, source, w, round(q, 6) AS q,
+               round(CAST(SUM(CAST(est AS DECIMAL(28,6))) OVER (
+                   PARTITION BY source) AS DOUBLE), 6) AS est_total,
+               round(exact_total, 6) AS exact_total
+        FROM pkept
     )
     SELECT 'strat' AS variant, d.doc_id, d.lang, d.source,
-           CAST(NULL AS INT) AS epoch
+           CAST(NULL AS INT) AS epoch, CAST(NULL AS BIGINT) AS w,
+           CAST(NULL AS DOUBLE) AS q, CAST(NULL AS DOUBLE) AS est_total,
+           CAST(NULL AS DOUBLE) AS exact_total
     FROM documents d JOIN thr USING (lang)
     WHERE {_BUCKET_SQL.format(expr="d.doc_id")} < thr
     UNION ALL
     SELECT 'mixture', doc_id, CAST(NULL AS VARCHAR), source,
-           CAST(unnest(range(nc)) AS INT)
+           CAST(unnest(range(nc)) AS INT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
     FROM mn WHERE nc > 0
     UNION ALL
-    SELECT 'dsir', s.doc_id, d.lang, d.source, CAST(s.rk AS INT)
+    SELECT 'dsir', s.doc_id, d.lang, d.source, CAST(s.rk AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM dsel s JOIN documents d USING (doc_id)
+    UNION ALL
+    SELECT 'priority', doc_id, CAST(NULL AS VARCHAR), source,
+           CAST(NULL AS INT), w, q, est_total, exact_total
+    FROM pout
     """,
 )
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2909,14 +2952,29 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
       carries the selection rank, so the oracle replays the exact
       selected SET and ORDER (weights and Gumbel keys are 6-decimal
       DECIMAL sums — engine-portable). The slot exercises order-1
-      features (256 buckets); the bigram path is unit-tested."""
+      features (256 buckets); the bigram path is unit-tested.
+    - ``'priority'`` rows (round 11) —
+      :func:`sampling.priority_sample` (Duffield-Lund-Thorup priority
+      sampling, JACM 2007): a fixed-64-row weight-sensitive sample per
+      source with the Horvitz-Thompson total estimate beside the exact
+      total (the visible-error pair; weights = char lengths, the
+      mixture variant's token proxy). Every priority ``q = w/u`` and
+      the tau threshold replay in SQL from the portable hash, so the
+      sampled SET and the estimator are both hash-verified."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
         dsir_select,
         mixture_resample,
+        priority_sample,
         stratified_downsample,
     )
 
+    null_b = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    pad = [
+        null_b.alias("w"), null_d.alias("q"),
+        null_d.alias("est_total"), null_d.alias("exact_total"),
+    ]
     docs = load(spark, sf_dir, "documents")
     strat = stratified_downsample(docs, "lang", id_col="doc_id").select(
         F.lit("strat").alias("variant"),
@@ -2924,6 +2982,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.lit(None).cast("int").alias("epoch"),
+        *pad,
     )
     srcs = docs.select("source").distinct()
     idx1 = F.substring("source", 4, 10).cast("int") + F.lit(1)
@@ -2940,6 +2999,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("lang"),
         "source",
         F.col("epoch").cast("int").alias("epoch"),
+        *pad,
     )
     target = docs.filter(F.col("lang") == "en").select("doc_id")
     dsir = (
@@ -2951,9 +3011,25 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.col("dsir_rank").alias("epoch"),
+            *pad,
         )
     )
-    return strat.unionByName(mix).unionByName(dsir)
+    prio = priority_sample(
+        docs.select("doc_id", "source",
+                    F.length("text").cast("bigint").alias("__wt")),
+        "__wt", strata_col="source", k=64,
+    ).select(
+        F.lit("priority").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.lit(None).cast("int").alias("epoch"),
+        F.col("__wt").alias("w"),
+        "q",
+        "est_total",
+        "exact_total",
+    )
+    return strat.unionByName(mix).unionByName(dsir).unionByName(prio)
 
 
 @query(
