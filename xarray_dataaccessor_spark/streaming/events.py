@@ -772,3 +772,108 @@ def stream_bloom_contamination(
         .drop("__sh")
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def stream_bottomk_quantiles(
+    stream: DataFrame,
+    value_col: str = "value",
+    key_cols: Tuple[str, ...] = ("user_id", "ts"),
+    group_col: str = "event_type",
+    k: int = 64,
+    probs: Tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Streaming quantile monitoring via the mergeable bottom-k-by-hash
+    sample (:func:`operators.sketch.bottomk_sample`'s streaming twin):
+    per group, state is the ≤ k rows with the smallest portable md5 key
+    hashes seen so far, and every trigger emits the group's current
+    sample quantiles — bounded state (k triples per group) over an
+    unbounded feed, where the windowed-aggregation slots would need
+    every value.
+
+    The MIN-k merge law does all the work: merging each micro-batch's
+    rows into the state and re-taking the bottom k IS the batch
+    operator on the stream prefix — so after an ``availableNow`` drain
+    the final emission equals :func:`~.sketch.bottomk_quantiles` over
+    the same rows EXACTLY (sample set, ``h_k``, and interpolated
+    quantiles; pinned by test_streaming_bottomk.py). Arrival order
+    cannot matter by construction — the sample is a pure function of
+    the key-hash SET, the property the batch twin's coordination note
+    relies on.
+
+    Emits ``(group, k_used, h_k, q<p>..., n_seen)`` per trigger in
+    update mode; ``n_seen`` (total rows absorbed) distinguishes
+    successive emissions and is the "largest n wins" final-emission
+    key, mirroring the heavy-hitters harness."""
+    import hashlib
+
+    import numpy as np
+
+    qcols = [f"q{str(p).replace('0.', '')}" for p in probs]
+    out_schema = (
+        f"{group_col} string, k_used bigint, h_k bigint, "
+        + ", ".join(f"{c} double" for c in qcols)
+        + ", n_seen bigint"
+    )
+    state_schema = (
+        "hs array<bigint>, ties array<string>, vs array<double>, n bigint"
+    )
+    pk = tuple(float(p) for p in probs)
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            hs, ties, vs, n = state.get
+            trip = list(zip(hs, ties, vs))
+        else:
+            trip, n = [], 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            tie = pdf["__tie"].tolist()
+            v = pdf["__v"].tolist()
+            # portable md5 prefix hash — bit-identical to Spark's
+            # conv(substring(md5(s), 1, 8), 16, 10) in the batch twin
+            hh = [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in tie
+            ]
+            trip.extend(zip(hh, tie, v))
+            trip.sort(key=lambda x: (x[0], x[1]))
+            trip = trip[:k]
+        state.update((
+            [t[0] for t in trip], [t[1] for t in trip],
+            [float(t[2]) for t in trip], n,
+        ))
+        vals = np.asarray([t[2] for t in trip], dtype=np.float64)
+        qs = [
+            round(float(np.percentile(vals, p * 100.0, method="linear")), 6)
+            for p in pk
+        ]
+        yield pd.DataFrame({
+            group_col: [key[0]],
+            "k_used": [len(trip)],
+            "h_k": [max((t[0] for t in trip), default=0)],
+            **{c: [q] for c, q in zip(qcols, qs)},
+            "n_seen": [n],
+        })
+
+    tie = F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        stream.select(
+            F.col(group_col),
+            tie.alias("__tie"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
