@@ -86,3 +86,35 @@ def test_dedup_within_doc_plan_is_mapside(spark):
     docs = spark.createDataFrame([(0, "a\nb")], "doc_id bigint, text string")
     plan = dedup_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles: pure projection
+
+
+def test_corpus_report_bottomk_quantiles(spark):
+    """The 'bottomk' quantile execution returns the SAME schema and,
+    when sample_k covers the corpus, the same p50/p95 as the exact
+    path; on a larger corpus the estimates stay inside the
+    O(1/sqrt(k)) rank window."""
+    import pytest
+
+    from xarray_dataaccessor_spark.operators.text import corpus_report
+
+    rows = [(i, " ".join(["w"] * (1 + (i * i) % 37)), f"s{i % 2}")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    exact = corpus_report(docs, group_col="source").toPandas().set_index(
+        "source").sort_index()
+    whole = corpus_report(docs, group_col="source", quantiles="bottomk",
+                          sample_k=500).toPandas().set_index(
+        "source").sort_index()
+    assert list(whole.columns) == list(exact.columns)
+    assert whole["p50_tokens"].tolist() == [
+        round(v, 6) for v in exact["p50_tokens"]]
+    assert whole["n_docs"].tolist() == exact["n_docs"].tolist()
+
+    est = corpus_report(docs, group_col="source", quantiles="bottomk",
+                        sample_k=64).toPandas().set_index("source").sort_index()
+    for src in est.index:
+        lo, hi = exact.loc[src, "min_tokens"], exact.loc[src, "max_tokens"]
+        assert lo <= est.loc[src, "p50_tokens"] <= hi
+    with pytest.raises(ValueError, match="quantiles"):
+        corpus_report(docs, quantiles="approx")

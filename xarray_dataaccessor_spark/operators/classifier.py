@@ -139,23 +139,33 @@ def train_logreg(
     """Weights frame ``(bucket, w)`` after ``epochs`` of full-batch
     gradient descent (bias at bucket -1). Entirely lazy; epoch 0's
     gradient uses the exact sigmoid(0) = 0.5, so only epochs >= 1
-    touch exp (rounded to 6 decimals)."""
+    touch exp (rounded to 6 decimals).
+
+    The per-epoch passes run over ``feats`` SEMI-JOINED to the labeled
+    ids (round 11): the gradient only ever consumes error terms for
+    labeled docs, so restricting the epoch scoring to them is
+    bit-identical by construction — and when the caller trains on a
+    bounded label sample (the ``quality_classifier_distill`` slot caps
+    at 2048), every training pass is sample-sized; only the caller's
+    final ``score_logreg`` touches the full corpus."""
     y = labels.select(id_col, F.col(label_col).cast("double").alias("__y"))
     n_docs = y.agg(F.count(F.lit(1)).alias("__n"))
+    # per-doc feature sums are unchanged by dropping other docs' rows
+    tfeats = feats.join(y.select(id_col), id_col)
 
     def grad_step(weights: DataFrame | None) -> DataFrame:
         if weights is None:
             err = y.select(id_col, (F.lit(0.5) - F.col("__y")).alias("__e"))
         else:
             err = (
-                _scores(feats, weights, id_col)
+                _scores(tfeats, weights, id_col)
                 .join(y, id_col)
                 .select(
                     id_col, (_sigmoid6(F.col("__s")) - F.col("__y")).alias("__e")
                 )
             )
         grad = (
-            feats.join(err, id_col)
+            tfeats.join(err, id_col)
             .groupBy("bucket")
             .agg(
                 F.sum((F.col("__e") * F.col("x")).cast(_DEC))

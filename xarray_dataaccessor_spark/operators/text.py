@@ -563,6 +563,8 @@ def corpus_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str | None = None,
+    quantiles: str = "exact",
+    sample_k: int = 4096,
 ) -> DataFrame:
     """One-call corpus health summary — the numbers a data engineer
     checks before pointing a training run at a crawl: document and
@@ -573,12 +575,21 @@ def corpus_report(
     p50_tokens, p95_tokens, min_tokens, max_tokens``
 
     Plan: one corpus scan computing map-side lengths + fingerprints,
-    then a single aggregation (count_distinct adds the usual expand;
-    percentiles via the built-in exact ``percentile`` — at 100 TB swap
-    ``percentile_approx`` in, the only non-decomposable piece). All
-    ratios int/int. Composes with the deeper per-document operators
-    (``text_stats``, ``gopher_repetition_signals``) which this
-    deliberately does not duplicate."""
+    then a single aggregation (count_distinct adds the usual expand).
+    ``quantiles`` picks the percentile execution: ``"exact"`` uses the
+    built-in exact ``percentile`` (the only non-decomposable piece —
+    fine through the low-TB range), ``"bottomk"`` estimates p50/p95
+    from the ``sample_k``-row mergeable bottom-k-by-hash sample
+    (:func:`~.sketch.bottomk_sample` — the 100 TB path: the percentile
+    input is k rows per group instead of the corpus, at O(1/sqrt(k))
+    rank error; the default 4096 gives ~1.5 %). All ratios int/int.
+    Composes with the deeper per-document operators (``text_stats``,
+    ``gopher_repetition_signals``) which this deliberately does not
+    duplicate."""
+    if quantiles not in ("exact", "bottomk"):
+        raise ValueError(
+            f"quantiles must be 'exact' or 'bottomk': {quantiles!r}"
+        )
     from xarray_dataaccessor_spark.functions.hashing import portable_hash64
 
     toks = F.size(
@@ -589,10 +600,48 @@ def corpus_report(
     )
     base = df.select(
         *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col),
         toks.alias("__n"),
         portable_hash64(F.col(text_col)).alias("__fp"),
     )
     keys = [group_col] if group_col else []
+    if quantiles == "bottomk":
+        from xarray_dataaccessor_spark.operators.sketch import (
+            bottomk_quantiles,
+            bottomk_sample,
+        )
+
+        q = bottomk_quantiles(
+            bottomk_sample(
+                base, "__n", [id_col], group_cols=keys, k=sample_k
+            ),
+            "__n", group_cols=keys, probs=(0.5, 0.95),
+        ).select(
+            *keys,
+            F.col("q5").alias("p50_tokens"),
+            F.col("q95").alias("p95_tokens"),
+        )
+        agg = base.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("__fp")).alias("n_unique_texts"),
+            F.sum("__n").alias("total_tokens"),
+            F.avg("__n").alias("mean_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+        joined = (
+            agg.join(F.broadcast(q), keys) if keys
+            else agg.crossJoin(F.broadcast(q))
+        )
+        return joined.select(
+            *keys, "n_docs", "n_unique_texts", "total_tokens",
+            "mean_tokens", "p50_tokens", "p95_tokens", "min_tokens",
+            "max_tokens",
+        ).withColumn(
+            "dup_rate",
+            (F.col("n_docs") - F.col("n_unique_texts"))
+            / F.col("n_docs").cast("double"),
+        )
     return (
         base.groupBy(*keys)
         .agg(

