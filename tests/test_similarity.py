@@ -1001,3 +1001,28 @@ def test_pq_ann_grouped_equals_join_exactly(spark):
 
     with pytest.raises(ValueError, match="execution"):
         pq_ann(q, df, execution="bogus", **kw)
+
+
+def test_kmeans_grouped_equals_join_exactly(spark):
+    """The Arrow-exact Lloyd assignment (_rank1_assign_arrow with the
+    tiled fold replay) yields BIT-identical centroids to the
+    broadcast-join path the SQL oracles replay."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.normal(size=24).tolist()) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    kw = dict(n_centroids=37, n_iters=3, dims=24, train_limit=300)
+    a = kmeans_centroids(df, execution="grouped", **kw).toPandas()
+    b = kmeans_centroids(df, execution="join", **kw).toPandas()
+    a = a.sort_values("centroid_id").reset_index(drop=True)
+    b = b.sort_values("centroid_id").reset_index(drop=True)
+    assert a["centroid_id"].tolist() == b["centroid_id"].tolist()
+    for x, y in zip(a["ce"], b["ce"]):
+        assert list(x) == list(y)  # bit-exact, not approx
+    import pytest
+
+    with pytest.raises(ValueError, match="execution"):
+        kmeans_centroids(df, execution="bogus", **kw)

@@ -519,6 +519,81 @@ def ivf_assign(
     )
 
 
+def _l2sq_dist_tiled(E, cm, tile: int = 128):
+    """Squared-L2 distance matrix ``dist[i, j]`` replaying the SQL
+    ``l2sq`` fold's exact dimension order per element — each (i, j)
+    accumulates ``(E[i,t] - cm[j,t])^2`` over ``t`` in order from 0.0,
+    so every distance is bit-identical to the interpreted fold.
+
+    Tiled over centroid COLUMNS: the flat n x k accumulation streams
+    the whole dist matrix through memory once per dimension (64 passes
+    x n*k doubles — the memory-traffic term that took the SemDeDup
+    assignment quadratic-with-bad-constant at sf10); a 128-column tile
+    keeps the accumulator cache-resident, same op order, ~5x less
+    traffic."""
+    import numpy as np
+
+    m, d = E.shape
+    kk = cm.shape[0]
+    dist = np.empty((m, kk))
+    for j0 in range(0, kk, tile):
+        j1 = min(j0 + tile, kk)
+        acc = np.zeros((m, j1 - j0))
+        C = cm[j0:j1]
+        for t in range(d):
+            diff = E[:, t, None] - C[None, :, t]
+            acc += diff * diff
+        dist[:, j0:j1] = acc
+    return dist
+
+
+def _rank1_assign_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "ce",
+) -> DataFrame:
+    """Arrow-exact :func:`ivf_assign` (rank=1): collect the
+    dimension-sized centroid table once and assign in one
+    ``mapInPandas`` pass — no per-(vector, centroid) interpreted l2sq
+    folds. Distances replay the SQL fold via :func:`_l2sq_dist_tiled`;
+    the min-struct tie-break (smaller centroid id on equal distance)
+    becomes argmin-first over the id-sorted centroid matrix. Output
+    schema matches ``ivf_assign(rank=1)``; pinned bit-exact by
+    test_kmeans_grouped_equals_join_exactly."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r[centroid_id])
+    cm = np.asarray([list(map(float, r[centroid_vec])) for r in rows])
+    cids = np.asarray([r[centroid_id] for r in rows])
+    cid_type = centroids.schema[centroid_id].dataType
+    schema = T.StructType([
+        vectors.schema[id_col],
+        T.StructField(vec_col, T.ArrayType(T.DoubleType()), True),
+        T.StructField(centroid_id, cid_type),
+        T.StructField("probe_rank", T.IntegerType(), False),
+    ])
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            idx = _l2sq_dist_tiled(E, cm).argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                centroid_id: cids[idx],
+                "probe_rank": np.ones(len(pdf), dtype=np.int32),
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(_assign, schema)
+
+
 def training_sample(
     vectors: DataFrame, id_col: str, train_limit: int
 ) -> DataFrame:
@@ -542,6 +617,7 @@ def kmeans_centroids(
     vec_col: str = "e",
     dims: int | None = None,
     train_limit: int | None = 4096,
+    execution: str = "grouped",
 ) -> DataFrame:
     """Deterministic Lloyd iterations as pure DataFrame aggregations:
     init = first ``n_centroids`` vectors by id (reproducible seed), then
@@ -560,7 +636,22 @@ def kmeans_centroids(
     exact-replication mode the SQL oracles use at test scale).
 
     A centroid that captures no vectors drops out of the next iteration
-    (standard Lloyd degeneracy; deterministic here)."""
+    (standard Lloyd degeneracy; deterministic here).
+
+    ``execution`` picks the per-iteration assignment (bit-identical
+    results, pinned by test_kmeans_grouped_equals_join_exactly):
+    ``"grouped"`` (default since r11) collects the centroid table each
+    iteration (k rows — dimension-sized by contract) and assigns in an
+    Arrow pass via :func:`_rank1_assign_arrow` — the broadcast-join
+    path evaluates train_limit x k INTERPRETED l2sq folds per
+    iteration, and with rules like SemDeDup's k ∝ N *and*
+    train_limit ∝ k that term is quadratic in the corpus (the sf10
+    study's Lloyd profile: 45 s of the neardup slot); ``"join"`` is
+    the pure-DataFrame loop the SQL oracles replay. Note grouped
+    training fires one job per iteration at build time (the collect);
+    use ``"join"`` where a fully lazy plan matters more than speed."""
+    if execution not in ("grouped", "join"):
+        raise ValueError(f"execution must be 'grouped' or 'join': {execution!r}")
     train = vectors
     tagged = []
     if train_limit is not None:
@@ -573,9 +664,15 @@ def kmeans_centroids(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("ce")
     )
     for _ in range(n_iters):
-        assigned = ivf_assign(
-            train, cent, id_col=id_col, vec_col=vec_col, rank=1, dims=dims
-        )
+        if execution == "grouped":
+            assigned = _rank1_assign_arrow(
+                train, cent, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            assigned = ivf_assign(
+                train, cent, id_col=id_col, vec_col=vec_col, rank=1,
+                dims=dims,
+            )
         cent = _centroid_means(assigned, ["centroid_id"], vec_col, dims)
     from xarray_dataaccessor_spark.operators.cachectl import tag_caches
 
@@ -1747,11 +1844,10 @@ def semantic_dedup(
                     continue
                 e_mat = np.asarray(pdf["e"].tolist(), dtype=np.float64)
                 m = len(pdf)
-                dist = np.zeros((m, k_))
-                for t in range(d_):
-                    diff = e_mat[:, t, None] - cm[None, :, t]
-                    dist = dist + diff * diff
-                idx = dist.argmin(axis=1)  # first min = smallest id
+                # tiled fold replay (r11): same per-element op order,
+                # cache-resident accumulator — see _l2sq_dist_tiled
+                idx = _l2sq_dist_tiled(e_mat, cm).argmin(axis=1)
+                # first min = smallest id
                 sel = cm[idx]
                 dotv = np.zeros(m)
                 en2 = np.zeros(m)
