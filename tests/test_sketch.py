@@ -368,3 +368,49 @@ def test_bottomk_sample_partition_invariant(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         bottomk_sample(df, "v", ["id"], k=0)
+
+
+def test_exact_quantiles_histogram_matches_builtin(spark):
+    """The distributed histogram interpolation equals the built-in
+    exact percentile (round 6) on integer values, grouped and global,
+    including the frac == 0 edge."""
+    from xarray_dataaccessor_spark.operators.sketch import (
+        exact_quantiles_histogram,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id % 7 AS STRING) AS g", "CAST(id * id % 9973 AS BIGINT) AS v"
+    )
+    got = exact_quantiles_histogram(
+        df, "v", group_cols=("g",), probs=(0.5, 0.95)
+    ).toPandas().set_index("g").sort_index()
+    want = df.groupBy("g").agg(
+        F.round(F.expr("percentile(v, 0.5D)"), 6).alias("q5"),
+        F.round(F.expr("percentile(v, 0.95D)"), 6).alias("q95"),
+    ).toPandas().set_index("g").sort_index()
+    assert got["q5"].tolist() == want["q5"].tolist()
+    assert got["q95"].tolist() == want["q95"].tolist()
+    # global (no groups), exact-rank edge: 5 values, p=0.5 -> frac 0
+    one = spark.range(5).selectExpr("CAST(id * 10 AS BIGINT) AS v")
+    g = exact_quantiles_histogram(one, "v", probs=(0.5,)).collect()[0]
+    assert g["q5"] == 20.0
+
+
+def test_bottomk_sample_precut_identical(spark):
+    """The map-side hash pre-cut returns the identical sample (the cut
+    keeps every true bottom-k member at these sizes) and rejects
+    unsafe margins."""
+    import pytest
+
+    from xarray_dataaccessor_spark.operators.sketch import bottomk_sample
+
+    df = spark.range(3000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    a = bottomk_sample(df, "v", ["id"], group_cols=("g",), k=32
+                       ).toPandas().sort_values(["g", "__h"]).reset_index(drop=True)
+    b = bottomk_sample(df, "v", ["id"], group_cols=("g",), k=32, precut=8.0
+                       ).toPandas().sort_values(["g", "__h"]).reset_index(drop=True)
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="precut"):
+        bottomk_sample(df, "v", ["id"], k=32, precut=1.5)

@@ -330,6 +330,7 @@ def bottomk_sample(
     key_cols: Sequence[str],
     group_cols: Sequence[str] = (),
     k: int = 256,
+    precut: float | None = None,
 ) -> DataFrame:
     """Bottom-k-by-hash coordinated sample of ``value_col`` per group —
     the mergeable uniform sample that backs :func:`bottomk_quantiles`.
@@ -357,10 +358,24 @@ def bottomk_sample(
     group — the sample in mergeable form. ``__tie`` is the string key
     that breaks exact hash collisions deterministically.
 
+    ``precut`` (e.g. 8.0) engages the threshold trick the docstring
+    above describes, IN-PLAN: a group-sized count aggregation
+    broadcasts back and rows with ``h >= (precut * k / n_group) * 2^32``
+    are dropped MAP-SIDE before the rank window — the sort input
+    shrinks from the table to ~precut*k rows per group. The k-th order
+    statistic of n uniform hashes exceeding precut*k/n has probability
+    ~exp(-k*(precut - 1 - ln precut)) (~e^-1200 at the defaults), and
+    even in that un-observable case both engines apply the IDENTICAL
+    cut, so cross-engine exactness is unconditional — a shortfall
+    would surface as ``k_used < k``. The cut must be replayed in any
+    SQL oracle (the ``rollup_revenue`` 'bk' variant does).
+
     Oracle replay: the ``rollup_revenue`` 'bk' variant replays hash,
-    rank and quantiles in DuckDB SQL verbatim."""
+    cut, rank and quantiles in DuckDB SQL verbatim."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    if precut is not None and precut < 2.0:
+        raise ValueError(f"precut must be >= 2 (safety margin): {precut}")
     from pyspark.sql.window import Window
 
     from xarray_dataaccessor_spark.functions.hashing import portable_hash32
@@ -373,6 +388,19 @@ def bottomk_sample(
         tie.alias("__tie"),
         F.col(value_col),
     )
+    if precut is not None:
+        # counts come from the INPUT, not from base: base's projection
+        # carries the md5 hash, and aggregating it would pay a second
+        # full hashing pass just to count rows per group
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        thr = (F.lit(float(precut * k)) / F.col("__n").cast("double")) * F.lit(
+            4294967296.0
+        )
+        if keys:
+            base = base.join(F.broadcast(counts), keys)
+        else:
+            base = base.crossJoin(F.broadcast(counts))
+        base = base.filter(F.col("__h").cast("double") < thr).drop("__n")
     w = Window.partitionBy(*keys).orderBy("__h", "__tie")
     return (
         base.withColumn("__rn", F.row_number().over(w))
@@ -409,3 +437,74 @@ def bottomk_quantiles(
             ).alias(f"q{str(p).replace('0.', '')}")
         )
     return sample.groupBy(*keys).agg(*aggs)
+
+
+def exact_quantiles_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    probs: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles per group via a value
+    histogram — the distributed replacement for the built-in
+    ``percentile`` aggregate, whose per-group value buffers merge on
+    single reducers (measured 16 s for two probes over 18M rows / 6
+    groups at sf3 where this takes a fraction).
+
+    Plan: ``groupBy(group, value).count()`` (map-side combinable) ->
+    per-group cumulative window over DISTINCT values (the only sort,
+    over distinct values, distributed by group) -> each probe selects
+    its two bracketing values by 0-based rank and interpolates with
+    the standard definition ``pos = p * (n - 1); v_lo + (v_hi - v_lo)
+    * frac``. Integer ranks and counts stay BIGINT-exact; the final
+    interpolation is the one float expression, written identically in
+    the SQL oracles (same op order), and rounds to 6 decimals (the
+    repo's float-portability discipline — feed integer-unit values,
+    e.g. cents, so interpolation is engine-exact).
+
+    Returns ``(*group_cols, q<p>... double)``."""
+    keys = list(group_cols)
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = Window.partitionBy(*keys).orderBy(value_col)
+    h = (
+        hist.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__lo", F.col("__cum") - F.col("__c"))
+        .withColumn(
+            "__n", F.sum("__c").over(
+                Window.partitionBy(*keys).orderBy(value_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        )
+    )
+    aggs = []
+    for p in probs:
+        pos = F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+        lo = F.floor(pos)
+        frac = pos - lo.cast("double")
+        # row covering 0-based rank r: __lo <= r < __cum
+        v_lo = F.max(
+            F.when((F.col("__lo") <= lo) & (lo < F.col("__cum")),
+                   F.col(value_col))
+        )
+        v_hi = F.max(
+            F.when(
+                (F.col("__lo") <= lo + 1) & (lo + 1 < F.col("__cum")),
+                F.col(value_col),
+            )
+        )
+        q = v_lo.cast("double") + (
+            v_hi.cast("double") - v_lo.cast("double")
+        ) * F.max(frac)
+        name = f"q{str(p).replace('0.', '')}"
+        aggs.append(
+            F.round(
+                F.when(F.max(frac) == 0.0, v_lo.cast("double")).otherwise(q),
+                6,
+            ).alias(name)
+        )
+    return h.groupBy(*keys).agg(*aggs)

@@ -598,9 +598,12 @@ def corpus_report(
             lambda w: F.length(w) > 0,
         )
     )
+    # id_col is only touched on the bottomk path (it keys the sample);
+    # the exact path keeps the original contract where the input needs
+    # no id column at all
     base = df.select(
         *( [F.col(group_col)] if group_col else [] ),
-        F.col(id_col),
+        *( [F.col(id_col)] if quantiles == "bottomk" else [] ),
         toks.alias("__n"),
         portable_hash64(F.col(text_col)).alias("__fp"),
     )
