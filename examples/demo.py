@@ -514,6 +514,24 @@ def main() -> None:
     print(f"flow accumulation: largest drainage {mx} cells "
           "(Euler-tour ranking, O(log path) rounds)")
 
+    # mergeable bottom-k sample: quantiles + a fixed-size weighted
+    # sample whose Horvitz-Thompson totals reconstruct the stratum mass
+    from xarray_dataaccessor_spark.operators.sampling import priority_sample
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bottomk_quantiles, bottomk_sample,
+    )
+    lens = docs_txt.selectExpr(
+        "doc_id", "CAST(length(text) AS BIGINT) AS n_chars")
+    bq = bottomk_quantiles(
+        bottomk_sample(lens, "n_chars", ["doc_id"], k=128),
+        "n_chars").first()
+    print(f"bottom-k sketch: doc-length p50~{bq['q5']:.0f} "
+          f"p95~{bq['q95']:.0f} from a {bq['k_used']}-row mergeable sample")
+    ps = priority_sample(lens, "n_chars", k=32).limit(1).first()
+    print(f"priority sample: 32 weighted rows estimate "
+          f"{ps['est_total']:.0f} of {ps['exact_total']:.0f} total chars "
+          f"({100 * ps['est_total'] / ps['exact_total']:.1f}%)")
+
     # versioned dataset: append-only manifests, time travel, compaction
     from xarray_dataaccessor_spark.sinks.versioned import (
         append_versioned, compact_versioned, list_versions,

@@ -2930,7 +2930,7 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 65
     """,
 )
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three sampling primitives under one capacity-bounded oracle slot
+    """Four sampling primitives under one capacity-bounded oracle slot
     (variant union, VERDICT r6 #3):
 
     - ``'strat'`` rows — language rebalancing: deterministically
