@@ -839,3 +839,17 @@ def test_geographic_datum_columns_match_scalar(spark):
     want = sorted(g.forward(lon, lat) for lon, lat in pts)
     for (gx, gy), (sx, sy) in zip(got, want):
         assert abs(gx - sx) < 1e-12 and abs(gy - sy) < 1e-12
+
+
+def test_rotated_pole_point_at_pole_is_clamped():
+    """Regression (hypothesis-found): a point coinciding with the
+    rotated north pole lands asin's argument at 1 + ~1 ulp — the
+    scalar path raised ValueError and the column path produced NaN
+    before the _clip1 clamp."""
+    from xarray_dataaccessor_spark.operators.crs import RotatedPole
+
+    rp = RotatedPole(np_lon=0.0, np_lat=78.9109678954789)
+    rlon, rlat = rp.forward(0.0, 78.9109678954789)
+    assert rlat == 90.0
+    lon, lat = rp.inverse(rlon, rlat)
+    assert abs(lat - 78.9109678954789) < 1e-9

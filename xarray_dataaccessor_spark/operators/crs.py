@@ -965,7 +965,10 @@ class RotatedPole:
         x2 = x * lit(cb) + z * lit(sb)
         z2 = -x * lit(sb) + z * lit(cb)
         rlon = deg(ops.atan2(y, x2)) - lit(180.0)
-        return _norm_lon(rlon), deg(ops.asin(z2))
+        # _clip1: a point AT the rotated pole lands z2 = 1 + ~1 ulp
+        # (hypothesis-found: lon=np_lon, lat=np_lat) — scalar asin
+        # raised, column asin returned NaN
+        return _norm_lon(rlon), deg(ops.asin(_clip1(ops, z2)))
 
     def _inv(self, ops, rlon_deg, rlat_deg, rad, deg, lit):
         lam = rad(rlon_deg + lit(180.0))
@@ -976,7 +979,7 @@ class RotatedPole:
         x2 = x * lit(cg) + z * lit(sg)
         z2 = -x * lit(sg) + z * lit(cg)
         lon = deg(ops.atan2(y, x2)) + lit(self.np_lon)
-        return _norm_lon(lon), deg(ops.asin(z2))
+        return _norm_lon(lon), deg(ops.asin(_clip1(ops, z2)))
 
     def forward(self, lon: float, lat: float) -> tuple[float, float]:
         return self._fwd(
