@@ -1026,3 +1026,96 @@ def test_kmeans_grouped_equals_join_exactly(spark):
 
     with pytest.raises(ValueError, match="execution"):
         kmeans_centroids(df, execution="bogus", **kw)
+
+
+def test_coarse_assign_grouped_equals_join_exactly(spark):
+    """The two-level (coarse-quantized) rank-1 assignment — the scale
+    path for SemDeDup's k ∝ N rule — yields identical structure and
+    assignments in both execution modes, and degenerates to the exact
+    flat assignment when n_groups=1 (one group = argmin over all fine
+    centroids)."""
+    import numpy as np
+
+    from xarray_dataaccessor_spark.operators.similarity import (
+        _rank1_assign_arrow,
+        coarse_rank1_assign,
+        coarse_structure,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    cent = kmeans_centroids(
+        df, n_centroids=25, n_iters=2, dims=16, train_limit=None
+    ).cache()
+    cg, gg = coarse_structure(cent, dims=16, execution="grouped")
+    cj, gj = coarse_structure(cent, dims=16, execution="join")
+    assert sorted(map(tuple, gg.collect())) == sorted(map(tuple, gj.collect()))
+    ag = coarse_rank1_assign(
+        df, cent, cg, gg, dims=16, execution="grouped"
+    ).select("vec_id", "centroid_id")
+    aj = coarse_rank1_assign(
+        df, cent, cj, gj, dims=16, execution="join"
+    ).select("vec_id", "centroid_id")
+    assert sorted(map(tuple, ag.collect())) == sorted(map(tuple, aj.collect()))
+    # n_groups=1 == exact flat assignment, bit-for-bit
+    c1, g1 = coarse_structure(cent, n_groups=1, dims=16, execution="grouped")
+    a1 = coarse_rank1_assign(
+        df, cent, c1, g1, dims=16, execution="grouped"
+    ).select("vec_id", "centroid_id")
+    flat = _rank1_assign_arrow(df, cent).select("vec_id", "centroid_id")
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, flat.collect()))
+    cent.unpersist()
+
+
+def test_semantic_dedup_coarse_parity_and_agreement(spark):
+    """semantic_dedup(assign='coarse') is engine-parity exact between
+    the grouped and join paths (the oracle replays the join shape), and
+    routes the vast majority of vectors to the same cluster as the
+    exact assignment (the IVF probes=1 trade misses only boundary
+    vectors)."""
+    import numpy as np
+    import pytest
+
+    from xarray_dataaccessor_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = [(i, rng.normal(size=16).tolist()) for i in range(400)]
+    dups = [(i + 10000, [x * 1.01 for x in e]) for i, e in base[:40]]
+    df = spark.createDataFrame(base + dups, "vec_id long, e array<double>")
+    kw = dict(
+        threshold=0.9, n_clusters=20, vec_col="e", dims=16,
+        train_limit=None, assign="coarse",
+    )
+    g = semantic_dedup(df, pairwise="grouped", **kw).toPandas()
+    j = semantic_dedup(df, pairwise="join", **kw).toPandas()
+    key = ["vec_id", "cluster_id", "kept", "witness_cos"]
+    gt = sorted(map(tuple, g[key].fillna(-1).itertuples(index=False)))
+    jt = sorted(map(tuple, j[key].fillna(-1).itertuples(index=False)))
+    assert gt == jt
+    # planted scaled duplicates must be resolved (one of each pair drops)
+    dropped = set(g.loc[~g["kept"], "vec_id"])
+    resolved = sum(
+        1 for i, _ in base[:40] if (i in dropped) != (i + 10000 in dropped)
+    )
+    assert resolved >= 35
+    ex = semantic_dedup(df, pairwise="grouped", **{**kw, "assign": "exact"})
+    me = {r["vec_id"]: r["cluster_id"] for r in ex.collect()}
+    mc = dict(zip(g["vec_id"], g["cluster_id"]))
+    agree = sum(1 for k in me if me[k] == mc[k])
+    assert agree / len(me) > 0.7
+    with pytest.raises(ValueError, match="assign"):
+        semantic_dedup(df, assign="bogus", vec_col="e")
+    with pytest.raises(ValueError, match="grouped"):
+        from xarray_dataaccessor_spark.operators.similarity import (
+            coarse_rank1_assign,
+            coarse_structure,
+            kmeans_centroids,
+        )
+
+        cent = kmeans_centroids(df, n_centroids=5, dims=16, train_limit=None)
+        c, gm = coarse_structure(cent, dims=16, execution="join")
+        coarse_rank1_assign(
+            df, cent, c, gm, dims=16, execution="join", with_cos=True
+        )

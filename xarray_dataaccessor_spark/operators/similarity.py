@@ -519,32 +519,42 @@ def ivf_assign(
     )
 
 
-def _l2sq_dist_tiled(E, cm, tile: int = 128):
-    """Squared-L2 distance matrix ``dist[i, j]`` replaying the SQL
-    ``l2sq`` fold's exact dimension order per element — each (i, j)
-    accumulates ``(E[i,t] - cm[j,t])^2`` over ``t`` in order from 0.0,
-    so every distance is bit-identical to the interpreted fold.
+def _make_l2sq_dist_tiled():
+    # defined NESTED so cloudpickle ships it BY VALUE inside the Arrow
+    # assignment closures (a module-qualname function pickles by
+    # reference, which breaks library callers whose executors can't
+    # import this package — memory: spark-plan-quirks / verify recipe)
+    def _l2sq_dist_tiled(E, cm, tile: int = 128):
+        """Squared-L2 distance matrix ``dist[i, j]`` replaying the SQL
+        ``l2sq`` fold's exact dimension order per element — each (i, j)
+        accumulates ``(E[i,t] - cm[j,t])^2`` over ``t`` in order from
+        0.0, so every distance is bit-identical to the interpreted fold.
 
-    Tiled over centroid COLUMNS: the flat n x k accumulation streams
-    the whole dist matrix through memory once per dimension (64 passes
-    x n*k doubles — the memory-traffic term that took the SemDeDup
-    assignment quadratic-with-bad-constant at sf10); a 128-column tile
-    keeps the accumulator cache-resident, same op order, ~5x less
-    traffic."""
-    import numpy as np
+        Tiled over centroid COLUMNS: the flat n x k accumulation
+        streams the whole dist matrix through memory once per dimension
+        (64 passes x n*k doubles — the memory-traffic term that took
+        the SemDeDup assignment quadratic-with-bad-constant at sf10); a
+        128-column tile keeps the accumulator cache-resident, same op
+        order, ~5x less traffic."""
+        import numpy as np
 
-    m, d = E.shape
-    kk = cm.shape[0]
-    dist = np.empty((m, kk))
-    for j0 in range(0, kk, tile):
-        j1 = min(j0 + tile, kk)
-        acc = np.zeros((m, j1 - j0))
-        C = cm[j0:j1]
-        for t in range(d):
-            diff = E[:, t, None] - C[None, :, t]
-            acc += diff * diff
-        dist[:, j0:j1] = acc
-    return dist
+        m, d = E.shape
+        kk = cm.shape[0]
+        dist = np.empty((m, kk))
+        for j0 in range(0, kk, tile):
+            j1 = min(j0 + tile, kk)
+            acc = np.zeros((m, j1 - j0))
+            C = cm[j0:j1]
+            for t in range(d):
+                diff = E[:, t, None] - C[None, :, t]
+                acc += diff * diff
+            dist[:, j0:j1] = acc
+        return dist
+
+    return _l2sq_dist_tiled
+
+
+_l2sq_dist_tiled = _make_l2sq_dist_tiled()
 
 
 def _rank1_assign_arrow(
@@ -716,6 +726,188 @@ def _centroid_means(
             lambda s: s["mv"],
         ).alias("ce")
     )
+
+
+def coarse_structure(
+    centroids: DataFrame,
+    n_groups: int | None = None,
+    n_iters: int = 2,
+    dims: int | None = None,
+    execution: str = "grouped",
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level quantizer structure over a fine-centroid table: cluster
+    the ``k`` fine centroids into ``n_groups`` (default
+    ``max(2, ceil(sqrt(k)))``) coarse groups with the same deterministic
+    Lloyd (:func:`kmeans_centroids`, init = first ``g`` by id, trained on
+    ALL ``k`` centroids — the centroid table is the sub-linear table
+    here, no sampling), then map each fine centroid to its nearest
+    coarse center (rank-1, ties to the smaller coarse id).
+
+    Returns ``(coarse, gmap)``:
+
+    - ``coarse``: ``(centroid_id, ce)`` — only the NON-EMPTY coarse
+      centers (a Lloyd group that captures no fine centroid carries no
+      candidates, so vectors must never route to it);
+    - ``gmap``: ``(centroid_id, group_id)`` — fine centroid → coarse
+      group.
+
+    This is the scale fix for rank-1 assignment under rules like
+    SemDeDup's ``k ∝ N``: the flat quantizer is ``n·k`` distance folds
+    (quadratic in the corpus — the measured sf10 exponent-1.91 term,
+    SCALE.md round 11); routing through ``~sqrt(k)`` coarse groups costs
+    ``n·(g + k/g) ≈ 2·n·sqrt(k)`` — ``O(N^1.5)`` total — at the price of
+    occasionally assigning a boundary vector to its second-nearest fine
+    centroid (the standard IVF probes=1 trade; SemDeDup's own 100M-doc
+    runs cluster with exactly this kind of approximate quantizer)."""
+    import math
+
+    k = centroids.count()
+    g = n_groups if n_groups is not None else max(2, math.ceil(math.sqrt(k)))
+    cfine = centroids.select(
+        F.col("centroid_id").alias("vec_id"), F.col("ce").alias("e")
+    )
+    coarse = kmeans_centroids(
+        cfine, n_centroids=g, n_iters=n_iters, id_col="vec_id",
+        vec_col="e", dims=dims, train_limit=None, execution=execution,
+    )
+    if execution == "grouped":
+        gmap_full = _rank1_assign_arrow(cfine, coarse)
+    else:
+        gmap_full = ivf_assign(cfine, coarse, id_col="vec_id",
+                               vec_col="e", rank=1, dims=dims)
+    gmap = gmap_full.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("centroid_id").alias("group_id"),
+    )
+    nonempty = coarse.join(
+        gmap.select(F.col("group_id").alias("centroid_id")).distinct(),
+        "centroid_id", "left_semi",
+    )
+    return nonempty, gmap
+
+
+def coarse_rank1_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    gmap: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    dims: int | None = None,
+    execution: str = "grouped",
+    with_cos: bool = False,
+) -> DataFrame:
+    """Two-level rank-1 assignment: route each vector to its nearest
+    coarse center (over the non-empty groups), then argmin over that
+    group's fine members only. Output ``(id_col, vec_col, centroid_id)``
+    (+ ``cos_centroid`` when ``with_cos``, replaying the exact grouped
+    path's per-dimension accumulation order — grouped execution only).
+
+    Bit-exact discipline: every distance replays the SQL ``l2sq`` fold's
+    dimension order (:func:`_l2sq_dist_tiled` in the grouped path, the
+    interpreted fold in the join path), and both levels break ties to
+    the smaller id — so the grouped and join paths, and the SQL-oracle
+    replay, pick identical centroids (assignment is a DISCRETE decision,
+    immune to the ~1-ulp centroid-mean difference across engines)."""
+    if execution == "join":
+        if with_cos:
+            raise ValueError("with_cos requires execution='grouped'")
+        vg = (
+            ivf_assign(vectors, coarse, id_col=id_col, vec_col=vec_col,
+                       rank=1, dims=dims)
+            .select(id_col, vec_col,
+                    F.col("centroid_id").alias("group_id"))
+        )
+        scored = (
+            vg.join(F.broadcast(gmap), "group_id")
+            .join(
+                F.broadcast(
+                    centroids.select("centroid_id", "ce")
+                ),
+                "centroid_id",
+            )
+            .withColumn("__d", l2sq(F.col(vec_col), F.col("ce"), dims))
+        )
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct("__d", "centroid_id", vec_col)).alias("__b")
+        )
+        return best.select(
+            id_col,
+            F.col(f"__b.{vec_col}").alias(vec_col),
+            F.col("__b.centroid_id").alias("centroid_id"),
+        )
+    import numpy as np
+
+    c_rows = sorted(coarse.collect(), key=lambda r: r["centroid_id"])
+    g_ids = [r["centroid_id"] for r in c_rows]
+    g_mat = np.asarray([list(map(float, r["ce"])) for r in c_rows])
+    group_of = {r["centroid_id"]: r["group_id"] for r in gmap.collect()}
+    f_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    members: dict = {gid: ([], []) for gid in g_ids}
+    for r in f_rows:
+        gid = group_of[r["centroid_id"]]
+        ids, vecs = members[gid]
+        ids.append(r["centroid_id"])
+        vecs.append(list(map(float, r["ce"])))
+    member_ids = [np.asarray(members[gid][0]) for gid in g_ids]
+    member_mats = [np.asarray(members[gid][1]) for gid in g_ids]
+    # per-member centroid norms with the exact grouped-assign op order
+    # (cn2 accumulated per dimension from 0.0) so the optional cosine is
+    # bit-identical to semantic_dedup's flat grouped path
+    member_cn = []
+    for mat in member_mats:
+        cn2 = np.zeros(mat.shape[0])
+        for t in range(mat.shape[1]):
+            cn2 = cn2 + mat[:, t] * mat[:, t]
+        member_cn.append(np.sqrt(cn2))
+    cid_type = centroids.schema["centroid_id"].dataType
+    fields = [
+        vectors.schema[id_col],
+        T.StructField(vec_col, T.ArrayType(T.DoubleType()), True),
+        T.StructField("centroid_id", cid_type),
+    ]
+    if with_cos:
+        fields.append(T.StructField("cos_centroid", T.DoubleType()))
+    schema = T.StructType(fields)
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            m, d_ = E.shape
+            gi = _l2sq_dist_tiled(E, g_mat).argmin(axis=1)
+            out = np.empty(m, dtype=object)
+            cos = np.empty(m) if with_cos else None
+            for gidx in np.unique(gi):
+                mask = gi == gidx
+                sub_idx = _l2sq_dist_tiled(
+                    E[mask], member_mats[gidx]
+                ).argmin(axis=1)
+                out[mask] = member_ids[gidx][sub_idx]
+                if with_cos:
+                    sub = E[mask]
+                    sel = member_mats[gidx][sub_idx]
+                    dotv = np.zeros(sub.shape[0])
+                    en2 = np.zeros(sub.shape[0])
+                    for t in range(d_):
+                        dotv = dotv + sub[:, t] * sel[:, t]
+                        en2 = en2 + sub[:, t] * sub[:, t]
+                    cos[mask] = dotv / (
+                        np.sqrt(en2) * member_cn[gidx][sub_idx]
+                    )
+            data = {
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "centroid_id": out,
+            }
+            if with_cos:
+                data["cos_centroid"] = cos
+            yield pd.DataFrame(data)
+
+    return vectors.select(id_col, vec_col).mapInPandas(_assign, schema)
 
 
 def pq_codebooks(
@@ -1728,6 +1920,9 @@ def semantic_dedup(
     dims: int | None = None,
     train_limit: int | None = 4096,
     pairwise: str = "grouped",
+    assign: str = "exact",
+    n_groups: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication", arXiv:2303.09540):
@@ -1764,26 +1959,57 @@ def semantic_dedup(
     (vector, prio), not candidate-pair rows of DUPLICATED vectors (the
     r11 sf1 profile: the pair join shuffled ~3.6 GB at 23k vectors and
     dominated the slot at 30 s); ``"join"`` is the pure-DataFrame
-    self-join the oracle replays in SQL."""
+    self-join the oracle replays in SQL.
+
+    ``assign`` selects the rank-1 quantizer: ``"exact"`` scores every
+    (vector, centroid) pair — ``n·k`` distance folds, quadratic in the
+    corpus under the SemDeDup rule ``k ∝ N`` (the measured sf10
+    exponent-1.91 term) — while ``"coarse"`` routes through a
+    :func:`coarse_structure` two-level quantizer (``n_groups`` groups,
+    default ``ceil(sqrt(k))``) for ``O(n·sqrt(k))`` total work; a
+    boundary vector may land on its second-nearest fine centroid (the
+    IVF probes=1 trade — the paper's own web-scale runs cluster
+    approximately). Both paths are deterministic and SQL-replayable.
+    ``centroids`` lets a caller share a pre-trained centroid table
+    across variants (skips Lloyd; caller owns its cache lifecycle)."""
+    if assign not in ("exact", "coarse"):
+        raise ValueError(f"assign must be 'exact' or 'coarse': {assign!r}")
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
     )
-    cent = kmeans_centroids(
-        v, n_centroids=n_clusters, n_iters=n_iters, id_col=id_col,
-        vec_col="e", dims=dims, train_limit=train_limit,
-    )
-    # rank-1 assignment over the full corpus; keep the centroid vector
-    # to score centrality (centroids are dimension-sized -> broadcast)
-    assigned = (
-        ivf_assign(v, cent, id_col=id_col, vec_col="e", rank=1, dims=dims)
-        .join(F.broadcast(cent), "centroid_id")
-        .select(
-            F.col(id_col),
-            F.col("e"),
-            F.col("centroid_id").alias("cluster_id"),
-            cosine(F.col("e"), F.col("ce"), dims).alias("cos_centroid"),
+    owns_cent = centroids is None
+    if owns_cent:
+        cent = kmeans_centroids(
+            v, n_centroids=n_clusters, n_iters=n_iters, id_col=id_col,
+            vec_col="e", dims=dims, train_limit=train_limit,
         )
-    )
+    else:
+        cent = centroids
+    if pairwise != "grouped":
+        # rank-1 assignment over the full corpus; keep the centroid
+        # vector to score centrality (centroids are dimension-sized ->
+        # broadcast)
+        if assign == "coarse":
+            coarse, gmap = coarse_structure(
+                cent, n_groups=n_groups, dims=dims, execution="join"
+            )
+            flat = coarse_rank1_assign(
+                v, cent, coarse, gmap, id_col=id_col, vec_col="e",
+                dims=dims, execution="join",
+            )
+        else:
+            flat = ivf_assign(
+                v, cent, id_col=id_col, vec_col="e", rank=1, dims=dims
+            )
+        assigned = (
+            flat.join(F.broadcast(cent), "centroid_id")
+            .select(
+                F.col(id_col),
+                F.col("e"),
+                F.col("centroid_id").alias("cluster_id"),
+                cosine(F.col("e"), F.col("ce"), dims).alias("cos_centroid"),
+            )
+        )
     # priority orders on the QUANTIZED centrality (4 decimals): cosine
     # is scale-invariant, so a vector and its scalar multiple have
     # mathematically equal cos_centroid but ~1-ulp float difference —
@@ -1799,71 +2025,98 @@ def semantic_dedup(
         import numpy as np
         from pyspark.sql import types as T
 
-        # Arrow-exact rank-1 assignment: the SQL path's broadcast cross
-        # join evaluates n*k INTERPRETED zip_with/aggregate folds
-        # (higher-order functions never enter codegen) and, with the
-        # SemDeDup rule k ∝ N, that term is quadratic — it dominated
-        # the r11 sf3 profile (~150 s of the slot's 159). Here the
-        # centroid table (dimension-sized by construction) collects
-        # once and each Arrow batch replays l2sq/cosine as d
-        # dimension-ordered matrix accumulations — bit-identical per
-        # element to the SQL folds, ties to the smaller centroid id via
-        # argmin-first over the id-sorted centroid matrix (the struct
-        # min's lexicographic rule).
-        cent_rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
         from xarray_dataaccessor_spark.operators.cachectl import (
             unpersist_intermediates,
         )
 
-        # the collect consumed the Lloyd plan — release the train-sample
-        # cache now; no downstream plan references cent in this path
-        unpersist_intermediates(cent)
-        c_mat = [list(map(float, r["ce"])) for r in cent_rows]
-        c_ids = [r["centroid_id"] for r in cent_rows]
-        v_fields = {f.name: f for f in v.schema.fields}
-        cid_type = cent.schema["centroid_id"].dataType
-        assign_schema = T.StructType([
-            v_fields[id_col], v_fields["e"],
-            T.StructField("cluster_id", cid_type),
-            T.StructField("cos_centroid", T.DoubleType()),
-        ])
-        idc0 = id_col
+        if assign == "coarse":
+            # two-level Arrow assignment (see coarse_structure): the
+            # structure build collects cent several times (coarse Lloyd
+            # iterations + gmap + member matrices), so pin it when we
+            # own it; nothing in the returned plan references cent
+            # afterwards — every matrix lives in the mapInPandas closure
+            cent_pin = cent.cache() if owns_cent else cent
+            coarse, gmap = coarse_structure(
+                cent_pin, n_groups=n_groups, dims=dims,
+                execution="grouped",
+            )
+            assigned = coarse_rank1_assign(
+                v, cent_pin, coarse, gmap, id_col=id_col, vec_col="e",
+                dims=dims, execution="grouped", with_cos=True,
+            ).withColumnRenamed("centroid_id", "cluster_id")
+            if owns_cent:
+                cent_pin.unpersist()
+                unpersist_intermediates(cent)
+            rk = assigned.withColumn("prio", F.row_number().over(w))
+        else:
+            # Arrow-exact rank-1 assignment: the SQL path's broadcast
+            # cross join evaluates n*k INTERPRETED zip_with/aggregate
+            # folds (higher-order functions never enter codegen) and,
+            # with the SemDeDup rule k ∝ N, that term is quadratic — it
+            # dominated the r11 sf3 profile (~150 s of the slot's 159).
+            # Here the centroid table (dimension-sized by construction)
+            # collects once and each Arrow batch replays l2sq/cosine as
+            # d dimension-ordered matrix accumulations — bit-identical
+            # per element to the SQL folds, ties to the smaller centroid
+            # id via argmin-first over the id-sorted centroid matrix
+            # (the struct min's lexicographic rule).
+            cent_rows = sorted(
+                cent.collect(), key=lambda r: r["centroid_id"]
+            )
+            # the collect consumed the Lloyd plan — release the
+            # train-sample cache now (when we own it); no downstream
+            # plan references cent in this path
+            if owns_cent:
+                unpersist_intermediates(cent)
+            c_mat = [list(map(float, r["ce"])) for r in cent_rows]
+            c_ids = [r["centroid_id"] for r in cent_rows]
+            v_fields = {f.name: f for f in v.schema.fields}
+            cid_type = cent.schema["centroid_id"].dataType
+            assign_schema = T.StructType([
+                v_fields[id_col], v_fields["e"],
+                T.StructField("cluster_id", cid_type),
+                T.StructField("cos_centroid", T.DoubleType()),
+            ])
+            idc0 = id_col
 
-        def _assign(batches):
-            import pandas as pd
+            def _assign(batches):
+                import pandas as pd
 
-            cm = np.asarray(c_mat, dtype=np.float64)
-            k_, d_ = cm.shape
-            cn2 = np.zeros(k_)
-            for t in range(d_):
-                cn2 = cn2 + cm[:, t] * cm[:, t]
-            cn = np.sqrt(cn2)
-            cid_arr = np.asarray(c_ids)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                e_mat = np.asarray(pdf["e"].tolist(), dtype=np.float64)
-                m = len(pdf)
-                # tiled fold replay (r11): same per-element op order,
-                # cache-resident accumulator — see _l2sq_dist_tiled
-                idx = _l2sq_dist_tiled(e_mat, cm).argmin(axis=1)
-                # first min = smallest id
-                sel = cm[idx]
-                dotv = np.zeros(m)
-                en2 = np.zeros(m)
+                cm = np.asarray(c_mat, dtype=np.float64)
+                k_, d_ = cm.shape
+                cn2 = np.zeros(k_)
                 for t in range(d_):
-                    dotv = dotv + e_mat[:, t] * sel[:, t]
-                    en2 = en2 + e_mat[:, t] * e_mat[:, t]
-                cos = dotv / (np.sqrt(en2) * cn[idx])
-                yield pd.DataFrame({
-                    idc0: pdf[idc0],
-                    "e": pdf["e"],
-                    "cluster_id": cid_arr[idx],
-                    "cos_centroid": cos,
-                })
+                    cn2 = cn2 + cm[:, t] * cm[:, t]
+                cn = np.sqrt(cn2)
+                cid_arr = np.asarray(c_ids)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    e_mat = np.asarray(
+                        pdf["e"].tolist(), dtype=np.float64
+                    )
+                    m = len(pdf)
+                    # tiled fold replay (r11): same per-element op
+                    # order, cache-resident accumulator — see
+                    # _l2sq_dist_tiled
+                    idx = _l2sq_dist_tiled(e_mat, cm).argmin(axis=1)
+                    # first min = smallest id
+                    sel = cm[idx]
+                    dotv = np.zeros(m)
+                    en2 = np.zeros(m)
+                    for t in range(d_):
+                        dotv = dotv + e_mat[:, t] * sel[:, t]
+                        en2 = en2 + e_mat[:, t] * e_mat[:, t]
+                    cos = dotv / (np.sqrt(en2) * cn[idx])
+                    yield pd.DataFrame({
+                        idc0: pdf[idc0],
+                        "e": pdf["e"],
+                        "cluster_id": cid_arr[idx],
+                        "cos_centroid": cos,
+                    })
 
-        assigned = v.mapInPandas(_assign, assign_schema)
-        rk = assigned.withColumn("prio", F.row_number().over(w))
+            assigned = v.mapInPandas(_assign, assign_schema)
+            rk = assigned.withColumn("prio", F.row_number().over(w))
         base_fields = {
             f.name: f for f in rk.select(id_col, "cluster_id",
                                          "cos_centroid").schema.fields
@@ -1974,7 +2227,8 @@ def semantic_dedup(
             "witness_cos",
         ),
         ranked,
-        *get_tagged_caches(cent),
+        # a caller-provided centroid table's caches belong to the caller
+        *(get_tagged_caches(cent) if owns_cent else ()),
     )
 
 

@@ -1568,12 +1568,59 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r.cluster_id AS BIGINT) AS id_b, d.witness_cos AS cos,
                (d.vec_id IS NULL) AS kept
         FROM sd_rk r LEFT JOIN sd_drop d ON r.vec_id = d.vec_id
+    ),
+    -- coarse-quantized (two-level) assignment: the SCALE path for the
+    -- SemDeDup rule k ∝ N (flat assignment is n*k ~ N^2/300 — the
+    -- measured sf10 exponent-1.91 term). Coarse Lloyd clusters the k
+    -- fine centroids into g = max(2, ceil(sqrt(k))) groups (init =
+    -- first g by id, trained on ALL k — the centroid table is the
+    -- sub-linear side, no sampling); vectors route to their nearest
+    -- NON-EMPTY coarse center, then argmin over that group's fine
+    -- members only. Every tie breaks to the smaller id, so the replay
+    -- is discrete-exact despite the ~1-ulp centroid-mean difference.
+    scg AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS g
+            FROM sd_cent2),
+    cfine AS (SELECT centroid_id AS vec_id, ce AS e FROM sd_cent2),
+    cc0 AS (SELECT vec_id AS centroid_id, e AS ce FROM cfine
+            ORDER BY vec_id LIMIT (SELECT g FROM scg)),
+    {_kmeans_assign_sql("cc0", "cc_a1", src="cfine")},
+    {_kmeans_mean_sql("cc_a1", "cc1")},
+    {_kmeans_assign_sql("cc1", "cc_a2", src="cfine")},
+    {_kmeans_mean_sql("cc_a2", "cc2")},
+    gmap AS (SELECT vec_id AS fine_id, centroid_id AS group_id
+             FROM ({_kmeans_assign_body("cc2", src="cfine")})),
+    ccv AS (SELECT * FROM cc2
+            WHERE centroid_id IN (SELECT group_id FROM gmap)),
+    vg AS (SELECT vec_id, e, centroid_id AS group_id
+           FROM ({_kmeans_assign_body("ccv", src="v")})),
+    sc_asg AS (
+        SELECT vec_id, fine_id AS cluster_id FROM (
+            SELECT vg.vec_id, gm.fine_id,
+                   row_number() OVER (PARTITION BY vg.vec_id
+                       ORDER BY {_L2.format(a="vg.e", b="fc.ce")},
+                                gm.fine_id) AS rk
+            FROM vg JOIN gmap gm ON vg.group_id = gm.group_id
+                   JOIN sd_cent2 fc ON fc.centroid_id = gm.fine_id
+        ) WHERE rk = 1
+    ),
+    semc AS (
+        -- the hashed payload is the MAPPING (vec_id -> cluster under
+        -- two-level routing); cos/kept stay NULL — any continuous
+        -- function of the centroid vector is off-limits for hashing
+        -- (1-ulp engine skew), and the refine machinery is already
+        -- verified by the 'semdedup' rows
+        SELECT 'semcoarse' AS variant, vec_id AS id_a,
+               CAST(cluster_id AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS BOOLEAN) AS kept
+        FROM sc_asg
     )
     SELECT 'lsh_pairs' AS variant, id_a, id_b, cos,
            CAST(NULL AS BOOLEAN) AS kept
     FROM pairs WHERE cos > 0.95
     UNION ALL
     SELECT * FROM sem
+    UNION ALL
+    SELECT * FROM semc
     """,
 )
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1590,6 +1637,13 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       the similarity_ivf_ann discipline) + the keep-the-outlier pairwise
       threshold rule inside each cluster; the oracle replays Lloyd with
       the shared ``_kmeans_*`` SQL and the same priority window.
+    - ``semcoarse``: the coarse-quantized two-level assignment
+      (:func:`similarity.coarse_structure` + ``coarse_rank1_assign``)
+      over the SAME shared centroids — the verified scale path for the
+      paper's k ∝ N rule (flat assignment is N²/300; two-level routing
+      through ceil(sqrt(k)) groups is N^1.5). Hashes the vec_id →
+      cluster mapping; the oracle replays coarse Lloyd + both argmin
+      levels in SQL.
 
     The corpus plants deterministic near-duplicates (scaled copies for
     vec_id%10, exact copies for vec_id%17 — the embedding analogue of
@@ -1641,9 +1695,25 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replay; the driver verifies at that SF). n_corpus counted once
     # above, shared with the LSH autoparams.
     k_sem = max(8, n_corpus // 300)
+    # one Lloyd training shared by BOTH SemDeDup variants (cached: the
+    # exact path collects it once, the coarse-structure build collects
+    # it several times — coarse Lloyd iterations, gmap, member matrices)
+    from xarray_dataaccessor_spark.operators.similarity import (
+        coarse_rank1_assign,
+        coarse_structure,
+        kmeans_centroids,
+    )
+
+    vsel = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = kmeans_centroids(
+        vsel, n_centroids=k_sem, n_iters=2, dims=64,
+        train_limit=max(256, 4 * k_sem),
+    ).cache()
     sd = semantic_dedup(
         corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
-        train_limit=max(256, 4 * k_sem),
+        train_limit=max(256, 4 * k_sem), centroids=cent,
     )
     sem = sd.select(
         F.lit("semdedup").alias("variant"),
@@ -1656,13 +1726,31 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("witness_cos").alias("cos"),
         "kept",
     )
+    # 'semcoarse' (r11 cont.): the two-level coarse-quantized assignment
+    # — the verified SCALE path for k ∝ N (flat assignment is n*k ~
+    # N^2/300, the measured sf10 exponent-1.91 term; two-level routing
+    # is n*(g + k/g) ~ N^1.5). The hashed payload is the vec_id ->
+    # cluster mapping; the within-cluster refine machinery is already
+    # verified by the 'semdedup' rows on the exact assignment.
+    coarse, gmap = coarse_structure(cent, dims=64, execution="grouped")
+    sca = coarse_rank1_assign(
+        vsel, cent, coarse, gmap, dims=64, execution="grouped"
+    )
+    semc = sca.select(
+        F.lit("semcoarse").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("centroid_id").cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.lit(None).cast("boolean").alias("kept"),
+    )
     from xarray_dataaccessor_spark.operators.cachectl import (
         get_tagged_caches,
         tag_caches,
     )
 
     return tag_caches(
-        pairs.unionByName(sem), corpus,
+        pairs.unionByName(sem).unionByName(semc), corpus, cent,
+        *get_tagged_caches(cent),
         *get_tagged_caches(nd), *get_tagged_caches(sd),
     )
 
