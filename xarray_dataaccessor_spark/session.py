@@ -66,6 +66,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source pushFilters (sources/pyds.py) is opt-in
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_mem)
         # Commit and zero the whole heap at JVM start (-Xms via
@@ -108,4 +110,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Python Data Source filter pushdown (sources/pyds.py readers
+    # implement pushFilters for granule/record-range/block pruning)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

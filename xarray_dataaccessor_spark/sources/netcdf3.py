@@ -52,9 +52,12 @@ def _pad4(n: int) -> int:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, strict: bool = False):
         self.buf = buf
         self.pos = 0
+        # strict=True raises TruncatedHeader instead of silently reading
+        # a short slice — the header-only parser retries with more bytes
+        self.strict = strict
 
     def i4(self) -> int:
         (v,) = struct.unpack_from(">i", self.buf, self.pos)
@@ -73,7 +76,10 @@ class _Reader:
 
     def name(self) -> str:
         n = self.i4()
-        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        raw = self.buf[self.pos : self.pos + n]
+        if self.strict and len(raw) < n:
+            raise TruncatedHeader(self.pos + n)
+        s = raw.decode("utf-8")
         self.pos += n + _pad4(n)
         return s
 
@@ -81,16 +87,37 @@ class _Reader:
         dt = _DTYPES[nc_type]
         nbytes = dt.itemsize * n
         raw = self.buf[self.pos : self.pos + nbytes]
+        if self.strict and len(raw) < nbytes:
+            raise TruncatedHeader(self.pos + nbytes)
         self.pos += nbytes + _pad4(nbytes)
         if nc_type == NC_CHAR:
             return raw.decode("utf-8", errors="replace")
         return np.frombuffer(raw, dtype=dt).tolist()
 
 
-def parse_netcdf3(buf: bytes) -> dict:
-    """Parse classic NetCDF bytes into
-    ``{dims, attrs, variables: {name: {dims, attrs, data}}}`` with
-    native-endian numpy arrays. Raises on NetCDF4/HDF5 input."""
+class TruncatedHeader(Exception):
+    """Header parse ran past the supplied bytes; retry with a larger
+    prefix. ``needed`` is a lower bound on the prefix length."""
+
+    def __init__(self, needed: int):
+        self.needed = needed
+        super().__init__(f"need at least {needed} header bytes")
+
+
+def parse_netcdf3_header(buf: bytes, strict: bool = False) -> dict:
+    """Parse ONLY the classic-CDF header (no data reads) into::
+
+        {"offsets64": bool, "numrecs": int, "dims": [(name, size)],
+         "attrs": {...}, "vars": [(name, dimids, atts, nc_type, vsize,
+         begin)], "stride": int, "header_end": int}
+
+    ``stride`` is the record-section stride in bytes (0 when the file
+    has no record variables). With ``strict=True`` a short ``buf``
+    raises :class:`TruncatedHeader` instead of mis-parsing, so callers
+    holding only a file PREFIX (the data-source partition planner reads
+    64 KiB, not the granule) can retry with a longer prefix — this is
+    what makes partition planning O(header) instead of O(file) at
+    100 TB archive scale."""
     if buf[:4] == b"\x89HDF":
         raise NotImplementedError(
             "This is a NetCDF4 (HDF5) file; parse_netcdf3 handles classic "
@@ -100,7 +127,7 @@ def parse_netcdf3(buf: bytes) -> dict:
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("Not a classic NetCDF file (bad magic)")
     offsets64 = buf[3] == 2
-    r = _Reader(buf)
+    r = _Reader(buf, strict=strict)
     r.pos = 4
     numrecs = r.i4()
 
@@ -150,6 +177,31 @@ def parse_netcdf3(buf: bytes) -> dict:
         begin = r.i8() if offsets64 else r.i4()
         variables.append((vname, dimids, vatts, nc_type, vsize, begin))
 
+    rec_vars = [v for v in variables if v[1] and dims[v[1][0]][1] == 0]
+    if len(rec_vars) == 1:
+        # single record variable: the spec drops the 4-byte alignment
+        per = int(np.prod([dims[i][1] for i in rec_vars[0][1][1:]]) or 1)
+        stride = per * _DTYPES[rec_vars[0][3]].itemsize
+    else:
+        stride = sum(rv[4] for rv in rec_vars)
+    return {
+        "offsets64": offsets64,
+        "numrecs": numrecs,
+        "dims": dims,
+        "attrs": global_atts,
+        "vars": variables,
+        "stride": stride,
+        "header_end": r.pos,
+    }
+
+
+def parse_netcdf3(buf: bytes) -> dict:
+    """Parse classic NetCDF bytes into
+    ``{dims, attrs, variables: {name: {dims, attrs, data}}}`` with
+    native-endian numpy arrays. Raises on NetCDF4/HDF5 input."""
+    hdr = parse_netcdf3_header(buf)
+    offsets64, numrecs = hdr["offsets64"], hdr["numrecs"]
+    dims, global_atts, variables = hdr["dims"], hdr["attrs"], hdr["vars"]
     rec_vars = [
         v for v in variables if v[1] and dims[v[1][0]][1] == 0
     ]
@@ -319,12 +371,21 @@ def write_netcdf3(
     dims: dict[str, int],
     variables: dict[str, tuple[list[str], np.ndarray, dict]],
     global_attrs: dict | None = None,
+    record_dim: str | None = None,
 ) -> str:
-    """Minimal classic CDF-1 writer (fixed-size dimensions, byte/short/
-    int/float/double + char attributes) — enough to build reference-shaped
-    fixtures (73x7x19 ERA5 grids) and to export small grids."""
+    """Minimal classic CDF-1 writer (byte/short/int/float/double + char
+    attributes) — enough to build reference-shaped fixtures (73x7x19
+    ERA5 grids) and to export small grids.
+
+    ``record_dim`` names an UNLIMITED dimension: variables whose first
+    dim is it are laid out interleaved per record (the spec's record
+    section, with the single-record-variable no-padding exception),
+    and the header stores dim size 0 + numrecs — the layout the
+    data-source record-range partitioner exercises."""
     dim_names = list(dims)
     dim_ids = {n: i for i, n in enumerate(dim_names)}
+    if record_dim is not None and record_dim not in dim_ids:
+        raise ValueError(f"record_dim {record_dim!r} not in dims")
     typemap = {
         np.dtype("f8"): NC_DOUBLE,
         np.dtype("f4"): NC_FLOAT,
@@ -358,24 +419,43 @@ def write_netcdf3(
                     out += arr.astype(">i4").tobytes()
         return out
 
-    header = b"CDF\x01" + struct.pack(">i", 0)  # numrecs=0 (no record dim)
-    header += struct.pack(">ii", _NC_DIMENSION, len(dim_names))
-    for n in dim_names:
-        header += name_bytes(n) + struct.pack(">i", dims[n])
-    header += atts_bytes(global_attrs or {})
-
-    # two passes: sizes first, then offsets
+    # two passes: sizes first, then offsets. Entry tuple:
+    # (name, vdims, vatts, nc_type, raw, vsize, is_record, per_rec_bytes)
+    rec_names = [
+        v for v, (vdims, _d, _a) in variables.items()
+        if record_dim is not None and vdims and vdims[0] == record_dim
+    ]
+    single_rec = len(rec_names) == 1
+    numrecs = 0
     var_entries = []
     for vname, (vdims, data, vatts) in variables.items():
         data = np.asarray(data)
         nc_type = typemap[np.dtype(data.dtype.str.lstrip("<>="))]
         raw = data.astype(_DTYPES[nc_type]).tobytes()
-        vsize = len(raw) + _pad4(len(raw))
-        var_entries.append((vname, vdims, vatts, nc_type, raw, vsize))
+        if vname in rec_names:
+            nrec = int(data.shape[0])
+            numrecs = max(numrecs, nrec)
+            per = len(raw) // nrec if nrec else 0
+            # spec: vsize is the PADDED per-record chunk; with exactly
+            # one record variable the alignment (and padding) is waived
+            vsize = per if single_rec else per + _pad4(per)
+            var_entries.append((vname, vdims, vatts, nc_type, raw, vsize, True, per))
+        else:
+            vsize = len(raw) + _pad4(len(raw))
+            var_entries.append(
+                (vname, vdims, vatts, nc_type, raw, vsize, False, 0)
+            )
+
+    header = b"CDF\x01" + struct.pack(">i", numrecs)
+    header += struct.pack(">ii", _NC_DIMENSION, len(dim_names))
+    for n in dim_names:
+        size = 0 if n == record_dim else dims[n]
+        header += name_bytes(n) + struct.pack(">i", size)
+    header += atts_bytes(global_attrs or {})
 
     def var_header(begin_by_name):
         out = struct.pack(">ii", _NC_VARIABLE, len(var_entries))
-        for vname, vdims, vatts, nc_type, _raw, vsize in var_entries:
+        for vname, vdims, vatts, nc_type, _raw, vsize, _rec, _per in var_entries:
             out += name_bytes(vname)
             out += struct.pack(">i", len(vdims))
             for d in vdims:
@@ -384,17 +464,31 @@ def write_netcdf3(
             out += struct.pack(">iii", nc_type, vsize, begin_by_name[vname])
         return out
 
-    # measure header with dummy offsets, then assign real ones
+    # measure header with dummy offsets, then assign real ones:
+    # fixed variables first, then the interleaved record section
     dummy = {v[0]: 0 for v in var_entries}
     header_len = len(header) + len(var_header(dummy))
     begins, off = {}, header_len
-    for vname, _vdims, _vatts, _t, _raw, vsize in var_entries:
-        begins[vname] = off
-        off += vsize
+    for vname, _vdims, _vatts, _t, _raw, vsize, is_rec, _per in var_entries:
+        if not is_rec:
+            begins[vname] = off
+            off += vsize
+    rec_start = off
+    for vname, _vdims, _vatts, _t, _raw, vsize, is_rec, _per in var_entries:
+        if is_rec:
+            begins[vname] = off
+            off += vsize  # offset of this var's chunk within one record
 
     body = b""
-    for vname, _vdims, _vatts, _t, raw, vsize in var_entries:
-        body += raw + b"\x00" * (vsize - len(raw))
+    for vname, _vdims, _vatts, _t, raw, vsize, is_rec, _per in var_entries:
+        if not is_rec:
+            body += raw + b"\x00" * (vsize - len(raw))
+    assert len(body) + header_len == rec_start
+    for rec in range(numrecs):
+        for vname, _vdims, _vatts, _t, raw, vsize, is_rec, per in var_entries:
+            if is_rec:
+                chunk = raw[rec * per : (rec + 1) * per]
+                body += chunk + b"\x00" * (vsize - per)
 
     with open(path, "wb") as f:
         f.write(header + var_header(begins) + body)
