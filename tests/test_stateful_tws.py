@@ -1,0 +1,268 @@
+"""transformWithState operators (``streaming/stateful.py``).
+
+The state-server protocol needs protobuf, absent in this container —
+so the suite verifies (1) the build-time gate and its message, (2) the
+processor LOGIC against faked state/timer handles (merge, timer
+re-arm, close-out emission, TTL first-wins), and (3) full end-to-end
+behavior behind ``importorskip("google.protobuf")`` for environments
+that carry the dependency."""
+
+import pandas as pd
+import pytest
+
+from xarray_dataaccessor_spark.streaming.stateful import (
+    _duration_ms,
+    _FirstSeenTTLProcessor,
+    _SessionTimerProcessor,
+    dedup_first_seen_ttl,
+    require_transform_with_state,
+    sessionize_with_timers,
+)
+
+_HAS_PROTOBUF = True
+try:
+    from google.protobuf import descriptor  # noqa: F401
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
+# ---------------------------------------------------------------------------
+# gate + parsing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(_HAS_PROTOBUF, reason="protobuf present: gate open")
+def test_gate_raises_actionably(spark):
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        require_transform_with_state()
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
+        dedup_first_seen_ttl(stream, key_col="value")
+
+
+def test_duration_parsing():
+    assert _duration_ms("30 minutes") == 30 * 60_000
+    assert _duration_ms("1 hour") == 3_600_000
+    assert _duration_ms("7 days") == 7 * 86_400_000
+    assert _duration_ms("500 milliseconds") == 500
+
+
+# ---------------------------------------------------------------------------
+# processor logic against faked handles (protocol-free)
+# ---------------------------------------------------------------------------
+
+
+class FakeValueState:
+    def __init__(self):
+        self.v = None
+        self.ttl_ms = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, t):
+        self.v = tuple(t)
+
+    def clear(self):
+        self.v = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        st = self.states.setdefault(name, FakeValueState())
+        st.ttl_ms = ttlDurationMs
+        return st
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+
+class FakeTimerValues:
+    def __init__(self, proc_ms=1_000_000, wm_ms=0):
+        self._p, self._w = proc_ms, wm_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._p
+
+    def getCurrentWatermarkInMs(self):
+        return self._w
+
+
+def _events(ts_amounts):
+    return pd.DataFrame(
+        {
+            "event_time": pd.to_datetime([t for t, _ in ts_amounts]),
+            "amount": [a for _, a in ts_amounts],
+        }
+    )
+
+
+US = 1_000_000  # µs per second
+
+
+def test_session_processor_merges_and_rearms_timer():
+    p = _SessionTimerProcessor(gap_ms=600_000)  # 10 min
+    h = FakeHandle()
+    p.init(h)
+
+    out = list(
+        p.handleInputRows(
+            (1,),
+            iter(
+                [
+                    _events(
+                        [
+                            ("2024-01-01 10:00:00", 5.0),
+                            ("2024-01-01 10:05:00", 7.0),
+                        ]
+                    )
+                ]
+            ),
+            FakeTimerValues(),
+        )
+    )
+    assert out == []  # nothing emits on input
+    s = h.states["session"].v
+    t0 = pd.Timestamp("2024-01-01 10:00:00").value // 1000
+    t1 = pd.Timestamp("2024-01-01 10:05:00").value // 1000
+    assert s == (t0, t1, 2, 12.0)
+    assert h.timers == {t1 // 1000 + 600_000}
+
+    # second batch extends the session: old timer deleted, new one armed
+    list(
+        p.handleInputRows(
+            (1,),
+            iter([_events([("2024-01-01 10:08:00", 1.0)])]),
+            FakeTimerValues(),
+        )
+    )
+    t2 = pd.Timestamp("2024-01-01 10:08:00").value // 1000
+    assert h.states["session"].v == (t0, t2, 3, 13.0)
+    assert h.timers == {t2 // 1000 + 600_000}
+
+
+def test_session_processor_timer_emits_and_clears():
+    p = _SessionTimerProcessor(gap_ms=600_000)
+    h = FakeHandle()
+    p.init(h)
+    list(
+        p.handleInputRows(
+            (7,),
+            iter([_events([("2024-01-01 10:00:00", 3.5)])]),
+            FakeTimerValues(),
+        )
+    )
+
+    class Expired:
+        def getExpiryTimeInMs(self):
+            return next(iter(h.timers))
+
+    out = list(p.handleExpiredTimer((7,), FakeTimerValues(), Expired()))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["user_id"] == 7
+    assert str(row["session_start"]) == "2024-01-01 10:00:00"
+    assert str(row["session_end"]) == "2024-01-01 10:00:00"
+    assert row["n_events"] == 1 and row["total_amount"] == 3.5
+    assert h.states["session"].v is None  # cleared
+    # a stale timer after close emits nothing
+    assert list(p.handleExpiredTimer((7,), FakeTimerValues(), Expired())) == []
+
+
+def test_first_seen_ttl_processor_first_wins():
+    p = _FirstSeenTTLProcessor(ttl_ms=1000)
+    h = FakeHandle()
+    p.init(h)
+    assert h.states["seen"].ttl_ms == 1000  # TTL threaded to the store
+
+    batch = pd.DataFrame({"fingerprint": ["a", "a"], "doc_id": [1, 2]})
+    out = list(p.handleInputRows(("a",), iter([batch]), FakeTimerValues()))
+    assert len(out) == 1 and out[0].iloc[0]["doc_id"] == 1  # first wins
+    # replay while marker alive: suppressed
+    assert (
+        list(p.handleInputRows(("a",), iter([batch]), FakeTimerValues()))
+        == []
+    )
+    # store evicts the marker at TTL: key is eligible again
+    h.states["seen"].clear()
+    out2 = list(p.handleInputRows(("a",), iter([batch]), FakeTimerValues()))
+    assert len(out2) == 1
+
+
+# ---------------------------------------------------------------------------
+# end-to-end (activates only where protobuf is installed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="needs protobuf")
+def test_sessionize_with_timers_end_to_end(spark, tmp_path):
+    import os
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_time", "amount"]
+        )
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(feed, name))
+
+    def run(sess):
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    write_batch(
+        "b1",
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-01 10:05:00", 7.0),
+            (2, "2024-01-01 10:00:00", 1.0),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_time timestamp, amount double"
+    ).parquet(feed + "/*")
+    sess = sessionize_with_timers(
+        stream, gap="10 minutes", watermark_delay="1 minute"
+    )
+    run(sess)
+    write_batch("b2", [(1, "2024-01-01 11:00:00", 2.0)])
+    run(sess)
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    r1 = got[got.user_id == 1].iloc[0]
+    assert r1.n_events == 2 and abs(r1.total_amount - 12.0) < 1e-9

@@ -1,0 +1,272 @@
+"""Stateful streaming operators on the Spark 4 ``transformWithState``
+API (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
+successor to ``applyInPandasWithState`` with first-class TIMERS, TTL
+state, and multiple named state variables per key.
+
+Two operators the older API cannot express as cleanly:
+
+- :func:`sessionize_with_timers` — event-time session windows whose
+  CLOSE is emitted by a registered timer when the watermark passes
+  ``last_event + gap``: no per-batch timeout bookkeeping, and the
+  emission is exactly-once per session by construction.
+- :func:`dedup_first_seen_ttl` — keyed first-seen filter over a
+  TTL'd ValueState: duplicate suppression whose state is BOUNDED by
+  retention, the property that makes streaming dedup viable at
+  100 TB/day (an unbounded seen-set eventually evicts or OOMs; TTL
+  state makes the retention contract explicit and enforced by the
+  state store, not by operator code).
+
+Reference parity: the reference has no streaming surface
+(``SURVEY.md §2.8``); these extend the engine's Structured Streaming
+family (``streaming/events.py``) to the current stateful API.
+
+Both operators ship by value so checkpoint/executor processes never
+need this package on ``sys.path``.
+
+ENVIRONMENT GATE: the transformWithState state-server protocol speaks
+protobuf (``pyspark/sql/streaming/proto/StateMessage_pb2``) and the
+``protobuf`` package is not baked into every runtime (it is absent in
+this repo's verification container, where the pre-init driver worker
+crashes with ``ImportError: google.protobuf``). Both builders
+therefore call :func:`require_transform_with_state` and raise an
+actionable ``NotImplementedError`` when the protocol cannot run —
+the module's plan construction, duration parsing, and gate behavior
+are tested everywhere; the end-to-end behavior tests activate via
+``importorskip("google.protobuf")`` where the dependency exists. The
+``applyInPandasWithState`` spellings in ``streaming/events.py``
+(sessionization, incremental dedup, heavy hitters, ...) remain the
+fully-verified stateful path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+
+def _ship_by_value() -> None:
+    try:
+        from pyspark import cloudpickle as _cp
+
+        import xarray_dataaccessor_spark.streaming.stateful as _self
+
+        _cp.register_pickle_by_value(_self)
+    except Exception:  # pragma: no cover
+        pass
+
+
+def require_transform_with_state() -> None:
+    """Raise unless the transformWithState protobuf protocol can run.
+
+    Checked eagerly at operator-build time: without it the failure is a
+    JVM-side 'driver worker exited unexpectedly (crashed)' at stream
+    start, with the real ImportError buried in a nested cause chain."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(the stateful-processor state server speaks protobuf; "
+            "pyspark lists it under pyspark[connect] extras). Install "
+            "protobuf>=4, or use the applyInPandasWithState operators "
+            "in streaming/events.py (session_counts, "
+            "stream_incremental_dedup) which need no extra dependency."
+        ) from e
+
+
+def _duration_ms(s: str) -> int:
+    unit_ms = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }
+    n, unit = s.split()
+    return int(n) * unit_ms[unit.rstrip("s")]
+
+
+class _SessionTimerProcessor(StatefulProcessor):
+    """Per-user session accumulator. State: one ValueState row
+    ``(start_us, last_us, n_events, total_amount)``. Each input batch
+    merges into the state and re-arms a single event-time timer at
+    ``last_us/1000 + gap_ms``; the session row is emitted ONLY from
+    ``handleExpiredTimer`` when the watermark crosses that point, then
+    the state clears — so a session that keeps receiving events keeps
+    sliding its own close-out forward, and a quiet key emits exactly
+    once and holds no state afterwards."""
+
+    def __init__(self, gap_ms: int):
+        self.gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState(
+            "session",
+            "start_us long, last_us long, n_events long, total_amount double",
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues: TimerValues
+    ) -> Iterator:
+        start_us = last_us = None
+        n = 0
+        amt = 0.0
+        for pdf in rows:
+            ts = pdf["event_time"].astype("datetime64[us]").astype("int64")
+            if len(ts) == 0:
+                continue
+            mn, mx = int(ts.min()), int(ts.max())
+            start_us = mn if start_us is None else min(start_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+            n += len(ts)
+            amt += float(pdf["amount"].sum()) if "amount" in pdf else 0.0
+        if n == 0:
+            return iter(())
+        prev = self.state.get()
+        if prev is not None:
+            old_expiry = prev[1] // 1000 + self.gap_ms
+            self.handle.deleteTimer(old_expiry)
+            start_us = min(start_us, prev[0])
+            last_us = max(last_us, prev[1])
+            n += prev[2]
+            amt += prev[3]
+        self.state.update((start_us, last_us, n, amt))
+        self.handle.registerTimer(last_us // 1000 + self.gap_ms)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator:
+        import pandas as pd
+
+        s = self.state.get()
+        if s is None:  # stale timer for an already-closed session
+            return iter(())
+        self.state.clear()
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start": [
+                            pd.Timestamp(s[0], unit="us")
+                        ],
+                        "session_end": [pd.Timestamp(s[1], unit="us")],
+                        "n_events": [s[2]],
+                        "total_amount": [s[3]],
+                    }
+                )
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_with_timers(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time sessionization with timer-driven close-out: rows
+    ``(user_id, event_time timestamp, amount double)`` in; one row per
+    CLOSED session out. A session closes when the watermark passes its
+    last event + ``gap`` — the timer fires once, emits, clears state.
+
+    Scale: state per key is one fixed-width row + one timer; RocksDB
+    state store handles the key fan-out; the watermark bounds both the
+    timer backlog and late-data buffering exactly as in the built-in
+    ``session_window`` — but with operator-controlled emission (the
+    built-in can only emit aggregates, not custom close-out logic).
+
+    Requires a RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``)
+    and the protobuf protocol (see module gate)."""
+    require_transform_with_state()
+    _ship_by_value()
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_amount double"
+    )
+    return (
+        stream.withWatermark("event_time", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionTimerProcessor(gap_ms),
+            out_schema,
+            outputMode="append",
+            timeMode="eventtime",
+            eventTimeColumnName="session_end",
+        )
+    )
+
+
+class _FirstSeenTTLProcessor(StatefulProcessor):
+    """Keyed first-seen filter: ValueState holds one marker row with a
+    TTL; the first row for a key within the retention window passes,
+    later ones drop. When the TTL lapses the state store evicts the
+    marker and the key is eligible again — retention enforced by the
+    store, not by operator bookkeeping."""
+
+    def __init__(self, ttl_ms: int | None):
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.seen = handle.getValueState(
+            "seen", "first_us long", ttlDurationMs=self.ttl_ms
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues: TimerValues
+    ) -> Iterator:
+        first = None
+        for pdf in rows:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+        if first is None:
+            return iter(())
+        if self.seen.exists():
+            return iter(())
+        self.seen.update(
+            (timerValues.getCurrentProcessingTimeInMs() * 1000,)
+        )
+        return iter([first])
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_first_seen_ttl(
+    stream: DataFrame,
+    key_col: str = "fingerprint",
+    ttl: str | None = "7 days",
+    payload_schema: str = "fingerprint string, doc_id long, text string",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: emit each ``key_col``
+    value's first row; suppress re-occurrences for ``ttl`` (None =
+    forever, unbounded — the honest spelling of the tradeoff). The
+    state per key is a single long with store-enforced TTL, so 10^10
+    fingerprints at 7-day retention is a few hundred GB across the
+    cluster's RocksDB stores instead of an ever-growing set.
+
+    The batch twin is ``operators/dedup.py::exact_dedup`` (same
+    first-wins contract); ``streaming/events.py::stream_dedup_exact``
+    is the dropDuplicates spelling without retention."""
+    require_transform_with_state()
+    _ship_by_value()
+    ttl_ms = _duration_ms(ttl) if ttl else None
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        _FirstSeenTTLProcessor(ttl_ms),
+        payload_schema,
+        outputMode="append",
+        timeMode="processingtime" if ttl_ms else "none",
+    )
