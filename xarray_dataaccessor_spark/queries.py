@@ -562,10 +562,40 @@ def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> Dat
 # ---------------------------------------------------------------------------
 # J1 — coordinate-aligned outer merge (xr.merge, shared_functions.py:64-97):
 # per-customer order totals FULL OUTER JOIN customer balances.
+# 'pyds' variant (round 11): the Python Data Source ingestion path,
+# hash-verified end to end — see the docstring.
 # ---------------------------------------------------------------------------
+
+#: pyds-variant granule geometry (fixed: the fixture verifies the READER;
+#: scale behavior of the source lives in sources/pyds.py + its tests)
+_PYDS_NT, _PYDS_NY, _PYDS_NX = 24, 5, 8
+
+_PYDS_SLOT_BASE: str | None = None
+
+
+def _pyds_slot_dir() -> str:
+    """Session-scoped scratch dir for the pyds-variant granule (same
+    one-dir-per-process + atexit-reap discipline as the versioned
+    slot, VERDICT r9 #2)."""
+    global _PYDS_SLOT_BASE
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _PYDS_SLOT_BASE is None:
+        _PYDS_SLOT_BASE = tempfile.mkdtemp(prefix="xda-pyds-slot-")
+        atexit.register(shutil.rmtree, _PYDS_SLOT_BASE, ignore_errors=True)
+    d = os.path.join(_PYDS_SLOT_BASE, "granules")
+    if os.path.exists(d):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 @query(
     "merge_variables_outer",
-    oracle="""
+    oracle=f"""
     WITH u AS (
         SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
                                AND o_orderdate < TIMESTAMP '1996-01-01'
@@ -580,19 +610,59 @@ def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> Dat
         FROM u GROUP BY 1
     ),
     bal AS (SELECT c_custkey AS custkey, c_acctbal FROM customer)
-    SELECT custkey, order_total, n_orders, c_acctbal
+    SELECT 'merge' AS variant, custkey, order_total, n_orders, c_acctbal
     FROM agg FULL OUTER JOIN bal USING (custkey)
+    UNION ALL
+    -- pyds: closed-form replay of the granule the Spark side writes and
+    -- reads back through the data source. Cell values are dyadic
+    -- rationals (base + 1.5 t + 0.25 i + 0.0625 j), so every partial sum
+    -- is exactly representable and the per-hour sums equal the closed
+    -- form bit-for-bit in both engines:
+    --   sum_v1(t) = ny*nx*(base + 1.5 t) + 0.25*nx*Si + 0.0625*ny*Sj
+    --   v2 = 0.5*v1 - 3  =>  sum_v2(t) = 0.5*sum_v1(t) - 3*ny*nx
+    SELECT 'pyds' AS variant, CAST(r.t AS BIGINT) AS custkey,
+           {_PYDS_NY * _PYDS_NX} * (seed.base + 1.5 * r.t)
+             + 0.25 * {_PYDS_NX} * {_PYDS_NY * (_PYDS_NY - 1) // 2}
+             + 0.0625 * {_PYDS_NY} * {_PYDS_NX * (_PYDS_NX - 1) // 2}
+             AS order_total,
+           CAST({_PYDS_NY * _PYDS_NX} AS BIGINT) AS n_orders,
+           0.5 * ({_PYDS_NY * _PYDS_NX} * (seed.base + 1.5 * r.t)
+                  + 0.25 * {_PYDS_NX} * {_PYDS_NY * (_PYDS_NY - 1) // 2}
+                  + 0.0625 * {_PYDS_NY} * {_PYDS_NX * (_PYDS_NX - 1) // 2})
+             - 3.0 * {_PYDS_NY * _PYDS_NX} AS c_acctbal
+    FROM range({_PYDS_NT}) r(t),
+         (SELECT CAST(COUNT(*) % 97 AS DOUBLE) AS base FROM orders) seed
     """,
 )
 def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 outer variable merge over a J2 time-concat spine: the order
-    aggregate is built from a concat_time union of the 1995 and 1996
-    slices (xr.concat, era5_from_aws.py:244-261), then outer-merged with
-    the customer balance variable (xr.merge, shared_functions.py:64-97).
-    One query, both join operators — formerly the separate
-    union_concat_time query."""
+    """J1 outer variable merge over a J2 time-concat spine ('merge'
+    rows): the order aggregate is built from a concat_time union of the
+    1995 and 1996 slices (xr.concat, era5_from_aws.py:244-261), then
+    outer-merged with the customer balance variable (xr.merge,
+    shared_functions.py:64-97). One query, both join operators.
+
+    'pyds' rows (round 11): the Python Data Source ingestion path,
+    end to end — a real classic-CDF granule (record time dimension,
+    two variables) is written to scratch with ``write_netcdf3``, read
+    back through ``spark.read.format("netcdf")`` with a 4 KiB
+    partition target so the RECORD-RANGE PLANNER actually splits it,
+    and aggregated per hour. Cell values derive from a COUNT(*) seed
+    (scale-correct in both engines — the SemDeDup-oracle lesson, r10)
+    as dyadic rationals, so the oracle's closed-form per-hour sums are
+    bit-exact: any byte-level defect in the writer's record
+    interleaving, the header parser, the record-window decode, the CF
+    time decode (hour(time) IS the group key), or the Arrow batch
+    emission shifts a sum and fails the hash. The two variables in one
+    granule ARE a J1 merge — the wide read aligns them on the shared
+    (time, y, x) axes like xr.open_dataset."""
     configure_session(spark)
+    import os
+
+    import numpy as np
+
     from xarray_dataaccessor_spark.operators.joins import concat_time, merge_variables
+    from xarray_dataaccessor_spark.sources.netcdf3 import write_netcdf3
+    from xarray_dataaccessor_spark.sources.pyds import register_data_sources
 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -608,9 +678,55 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     bal = c.select(F.col("c_custkey").alias("custkey"), "c_acctbal")
-    return merge_variables([agg, bal], keys=["custkey"]).select(
-        "custkey", "order_total", "n_orders", "c_acctbal"
+    merged = merge_variables([agg, bal], keys=["custkey"]).select(
+        F.lit("merge").alias("variant"),
+        "custkey", "order_total", "n_orders", "c_acctbal",
     )
+
+    # --- pyds variant: write -> format("netcdf") -> aggregate ---------
+    nt, ny, nx = _PYDS_NT, _PYDS_NY, _PYDS_NX
+    base = float(o.count() % 97)
+    ti = np.arange(nt, dtype="f8")[:, None, None]
+    yi = np.arange(ny, dtype="f8")[None, :, None]
+    xi = np.arange(nx, dtype="f8")[None, None, :]
+    v1 = base + 1.5 * ti + 0.25 * yi + 0.0625 * xi
+    v2 = 0.5 * v1 - 3.0
+    d = _pyds_slot_dir()
+    write_netcdf3(
+        os.path.join(d, "granule.nc"),
+        {"time": nt, "y": ny, "x": nx},
+        {
+            "time": (
+                ["time"],
+                np.arange(nt, dtype="f8"),
+                {"units": "hours since 2024-03-01"},
+            ),
+            "y": (["y"], 40.0 + np.arange(ny, dtype="f8"), {}),
+            "x": (["x"], -80.0 + np.arange(nx, dtype="f8"), {}),
+            "t2m": (["time", "y", "x"], v1, {}),
+            "d2m": (["time", "y", "x"], v2, {}),
+        },
+        record_dim="time",
+    )
+    register_data_sources(spark)
+    nc = (
+        spark.read.format("netcdf")
+        .option("target_partition_bytes", 4096)
+        .load(d)
+    )
+    pyds = (
+        nc.groupBy(F.hour("time").cast("bigint").alias("custkey"))
+        .agg(
+            F.sum("t2m").alias("order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("d2m").alias("c_acctbal"),
+        )
+        .select(
+            F.lit("pyds").alias("variant"),
+            "custkey", "order_total", "n_orders", "c_acctbal",
+        )
+    )
+    return merged.unionByName(pyds)
 
 
 # ---------------------------------------------------------------------------
