@@ -451,3 +451,92 @@ def test_netcdf_stream_tail_two_batches(spark, tmp_path):
         "count(*) c", "sum(t2m) s"
     ).collect()[0]
     assert (r2["c"], r2["s"]) == (72, 72.0)
+
+
+# ---------------------------------------------------------------------------
+# zarr source (chunk-native)
+# ---------------------------------------------------------------------------
+
+
+def _zarr_store(tmp_path, chunks=(4, 3, 4), shards=None, **wz):
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+
+    store = str(tmp_path / "store")
+    nt, ny, nx = 12, 6, 9
+    data = np.arange(nt * ny * nx, dtype="f8").reshape(nt, ny, nx)
+    write_zarr(
+        store, "t2m", data, ["time", "y", "x"], chunks=list(chunks),
+        shards=shards, **wz,
+    )
+    write_zarr(
+        store, "time", np.arange(nt, dtype="f8"), ["time"],
+        attrs={"units": "hours since 2022-01-01"}, **wz,
+    )
+    write_zarr(store, "y", 40 + np.arange(ny, dtype="f8"), ["y"], **wz)
+    write_zarr(store, "x", -80 + np.arange(nx, dtype="f8"), ["x"], **wz)
+    return store, data
+
+
+def test_zarr_source_matches_array(spark, tmp_path):
+    store, data = _zarr_store(tmp_path)
+    df = spark.read.format("zarr").option("variable", "t2m").load(store)
+    got = df.orderBy("time", "y", "x").toPandas()
+    assert len(got) == data.size
+    assert np.allclose(got["t2m"], data.reshape(-1))
+    assert str(got["time"].iloc[6 * 9]) == "2022-01-01 01:00:00"
+
+
+def test_zarr_chunk_pruning_exact(spark, tmp_path):
+    from pyspark.sql.datasource import LessThan
+
+    from xarray_dataaccessor_spark.sources.pyds import _ZarrReader
+
+    store, data = _zarr_store(tmp_path)
+    # 3 t-chunks x 2 y-chunks x 3 x-chunks = 18; y < 41.9 keeps y-chunk 0
+    r = _ZarrReader(
+        {"path": store, "variable": "t2m", "target_partition_bytes": "1"}
+    )
+    r._filters = [LessThan(("y",), 41.9)]
+    kept = sum(len(p.chunk_idx) for p in r.partitions())
+    total = sum(
+        len(p.chunk_idx)
+        for p in _ZarrReader(
+            {"path": store, "variable": "t2m", "target_partition_bytes": "1"}
+        ).partitions()
+    )
+    assert (kept, total) == (9, 18)
+    q = (
+        spark.read.format("zarr")
+        .option("variable", "t2m")
+        .load(store)
+        .filter("y < 41.9 and time >= timestamp'2022-01-01 05:00:00'")
+    )
+    got = q.toPandas()
+    exp = data[5:, :2, :]
+    assert len(got) == exp.size
+    assert abs(got["t2m"].sum() - exp.sum()) < 1e-9
+
+
+def test_zarr_missing_chunk_null_fill_skips_rows(spark, tmp_path):
+    # v2 writer emits fill_value null: an absent chunk object has
+    # UNDEFINED values per spec -> the source emits no rows for it
+    store, data = _zarr_store(tmp_path)
+    os.remove(os.path.join(store, "t2m", "0.0.0"))
+    df = spark.read.format("zarr").option("variable", "t2m").load(store)
+    assert df.count() == data.size - 4 * 3 * 4
+    got = df.agg(F.sum("t2m")).collect()[0][0]
+    manual = data.copy()
+    manual[0:4, 0:3, 0:4] = 0.0
+    assert abs(got - manual.sum()) < 1e-9
+
+
+def test_zarr_v3_sharded_store(spark, tmp_path):
+    # v3 zarr.json metadata + sharding_indexed layout decode through the
+    # same source (partition granularity = shard object)
+    store, data = _zarr_store(
+        tmp_path, chunks=(4, 3, 4), zarr_format=3, shards=[4, 6, 8]
+    )
+    df = spark.read.format("zarr").option("variable", "t2m").load(store)
+    got = df.orderBy("time", "y", "x").toPandas()
+    assert len(got) == data.size
+    assert np.allclose(got["t2m"], data.reshape(-1))

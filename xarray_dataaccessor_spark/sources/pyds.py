@@ -81,6 +81,12 @@ from xarray_dataaccessor_spark.sources.netcdf3 import (
     netcdf_fragment_to_pandas,
     parse_netcdf3_header,
 )
+from xarray_dataaccessor_spark.sources.zarr import (
+    chunk_relpath,
+    decode_chunk,
+    read_small_array,
+    read_zarray,
+)
 
 
 def _ship_by_value() -> None:
@@ -93,11 +99,14 @@ def _ship_by_value() -> None:
         from pyspark import cloudpickle as _cp
 
         import xarray_dataaccessor_spark.sources.pyds as _self
+        from xarray_dataaccessor_spark.sources import blosc as _bl
         from xarray_dataaccessor_spark.sources import geotiff as _gt
         from xarray_dataaccessor_spark.sources import hdf5 as _h5
         from xarray_dataaccessor_spark.sources import netcdf3 as _nc
+        from xarray_dataaccessor_spark.sources import zarr as _z
+        from xarray_dataaccessor_spark.sources import zstd as _zs
 
-        for m in (_nc, _h5, _gt, _self):
+        for m in (_nc, _h5, _gt, _bl, _zs, _z, _self):
             _cp.register_pickle_by_value(m)
     except Exception:  # pragma: no cover - older pickler fallback
         pass
@@ -106,6 +115,7 @@ __all__ = [
     "NetCDFDataSource",
     "GeoTIFFDataSource",
     "WebDatasetDataSource",
+    "ZarrDataSource",
     "register_data_sources",
 ]
 
@@ -1223,8 +1233,266 @@ class WebDatasetDataSource(DataSource):
         return _WebDatasetWriter(self.options, overwrite)
 
 
+# ---------------------------------------------------------------------------
+# Zarr (chunk-native cloud stores)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _ZarrPartition(InputPartition):
+    """One task = one (or a byte-budgeted group of) chunk objects.
+    Chunk indices are grid coordinates; geometry travels in the reader,
+    not here."""
+
+    store: str
+    variable: str
+    chunk_idx: list[tuple[int, ...]] = field(default_factory=list)
+
+
+class _ZarrReader(DataSourceReader):
+    """The best-fitting format of the four: a Zarr store IS a chunk
+    manifest, so partitions come straight from the metadata chunk grid
+    (no listing, no header probing), and pushed time/y/x predicates
+    prune chunks EXACTLY by comparing each chunk's coordinate-axis
+    slice min/max against the bounds — the axes are dimension-sized and
+    in memory, so no monotonicity assumption is needed (unlike the
+    NetCDF record probe). A missing chunk object decodes as
+    ``fill_value`` per the v2 spec, which the binaryFile-listing ingest
+    path (``ingest.zarr_to_grid``) structurally cannot represent."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.store = self.options.get("path")
+        if not self.store:
+            raise ValueError("zarr data source requires a store path")
+        self.variable = self.options.get("variable")
+        if not self.variable:
+            raise ValueError("zarr data source requires option 'variable'")
+        self.target_bytes = int(
+            self.options.get("target_partition_bytes", 128 * 1024 * 1024)
+        )
+        self._filters: list[Filter] = []
+        self._geom = None
+
+    # -- geometry (driver/planner side, axis-sized reads only) ---------
+    def _geometry(self) -> dict:
+        if self._geom is not None:
+            return self._geom
+        meta = read_zarray(self.store, self.variable)
+        if len(meta["shape"]) not in (2, 3):
+            raise ValueError(
+                "zarr data source expects a 2-D (y,x) or 3-D (t,y,x) array"
+            )
+        dims = meta["dims"] or []
+
+        def pick(cands, fallback_pos):
+            for c in cands:
+                if c in dims:
+                    return c
+            return dims[fallback_pos] if dims else None
+
+        x_name = pick(_X_NAMES, -1)
+        y_name = pick(_Y_NAMES, -2)
+        xs = read_small_array(self.store, x_name).astype("f8")
+        ys = read_small_array(self.store, y_name).astype("f8")
+        if len(meta["shape"]) == 3:
+            t_name = "time" if ("time" in dims or not dims) else dims[0]
+            # inline zarr_time_axis: its function-level netcdf3 import
+            # resolves on workers, where the package may be absent
+            tmeta = read_zarray(self.store, t_name)
+            tvals = read_small_array(self.store, t_name)
+            units = tmeta["attrs"].get("units")
+            if isinstance(units, str) and "since" in units:
+                tvals = decode_time_units(tvals, units)
+            times = np.asarray(tvals, dtype="datetime64[us]")
+        else:
+            times = np.asarray([np.datetime64("1970-01-01", "us")])
+        self._geom = {"meta": meta, "xs": xs, "ys": ys, "times": times}
+        return self._geom
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self._filters = [
+            f
+            for f in filters
+            if isinstance(
+                f,
+                (
+                    EqualTo,
+                    GreaterThan,
+                    GreaterThanOrEqual,
+                    LessThan,
+                    LessThanOrEqual,
+                ),
+            )
+        ]
+        return filters
+
+    def partitions(self) -> list[InputPartition]:
+        import itertools
+
+        g = self._geometry()
+        meta = g["meta"]
+        shape, chunks = meta["shape"], meta["chunks"]
+        nd = len(shape)
+        grid = [(shape[d] + chunks[d] - 1) // chunks[d] for d in range(nd)]
+
+        # axis slices per dim position: 3-D = (t, y, x), 2-D = (y, x)
+        axes = (
+            [g["times"].astype("int64").astype("f8"), g["ys"], g["xs"]]
+            if nd == 3
+            else [g["ys"], g["xs"]]
+        )
+        names = ["time", "y", "x"] if nd == 3 else ["y", "x"]
+        bounds = [_bounds_from_filters(self._filters, n) for n in names]
+
+        def chunk_survives(idx: tuple[int, ...]) -> bool:
+            for d, ci in enumerate(idx):
+                lo_b, hi_b = bounds[d]
+                if lo_b is None and hi_b is None:
+                    continue
+                sl = axes[d][ci * chunks[d] : (ci + 1) * chunks[d]]
+                if len(sl) == 0:
+                    return False
+                if hi_b is not None and float(sl.min()) > hi_b:
+                    return False
+                if lo_b is not None and float(sl.max()) < lo_b:
+                    return False
+            return True
+
+        kept = [
+            idx
+            for idx in itertools.product(*(range(n) for n in grid))
+            if chunk_survives(idx)
+        ]
+        # group by ACTUAL on-disk bytes (missing chunk = fill = 0 bytes)
+        parts: list[_ZarrPartition] = []
+        group: list[tuple[int, ...]] = []
+        acc = 0
+        for idx in kept:
+            p = os.path.join(
+                self.store, self.variable, chunk_relpath(meta, idx)
+            )
+            sz = os.path.getsize(p) if os.path.exists(p) else 0
+            group.append(idx)
+            acc += sz
+            if acc >= self.target_bytes:
+                parts.append(_ZarrPartition(self.store, self.variable, group))
+                group, acc = [], 0
+        if group:
+            parts.append(_ZarrPartition(self.store, self.variable, group))
+        return parts or [_ZarrPartition(self.store, self.variable, [])]
+
+    def read(self, partition: _ZarrPartition) -> Iterator:
+        import pyarrow as pa
+
+        g = self._geometry()
+        meta = g["meta"]
+        shape, chunks = meta["shape"], meta["chunks"]
+        nd = len(shape)
+        xs, ys, times = g["xs"], g["ys"], g["times"]
+        fill = meta.get("fill_value")
+        frames = []
+        for idx in partition.chunk_idx:
+            p = os.path.join(
+                partition.store, partition.variable, chunk_relpath(meta, idx)
+            )
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    block = decode_chunk(f.read(), meta)
+            elif fill is not None:
+                block = np.full(
+                    chunks, _json_float(fill), dtype=meta["dtype"]
+                )
+            else:
+                continue  # unwritten chunk with no fill: no rows
+            # trim the edge padding to the array bounds
+            lo = [idx[d] * chunks[d] for d in range(nd)]
+            hi = [min(lo[d] + chunks[d], shape[d]) for d in range(nd)]
+            block = block[
+                tuple(slice(0, hi[d] - lo[d]) for d in range(nd))
+            ]
+            if nd == 2:
+                block = block[np.newaxis, ...]
+                tsl = times
+            else:
+                tsl = times[lo[0] : hi[0]]
+            ysl = ys[lo[-2] : hi[-2]]
+            xsl = xs[lo[-1] : hi[-1]]
+            ntc, nyc, nxc = block.shape
+            frames.append(
+                {
+                    "time": np.repeat(tsl[:ntc], nyc * nxc),
+                    "y": np.tile(np.repeat(ysl, nxc), ntc),
+                    "x": np.tile(xsl, ntc * nyc),
+                    "v": block.astype("f8").reshape(-1),
+                }
+            )
+        if not frames:
+            return
+        tbl = pa.table(
+            {
+                "time": pa.array(
+                    np.concatenate([fr["time"] for fr in frames]),
+                    type=pa.timestamp("us"),
+                ),
+                "y": pa.array(
+                    np.concatenate([fr["y"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+                "x": pa.array(
+                    np.concatenate([fr["x"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+                self.variable: pa.array(
+                    np.concatenate([fr["v"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+            }
+        )
+        for batch in tbl.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+
+def _json_float(v):
+    """Zarr JSON spells non-finite floats as strings."""
+    if isinstance(v, str):
+        return {"NaN": float("nan"), "Infinity": float("inf"),
+                "-Infinity": float("-inf")}.get(v, float(v))
+    return v
+
+
+class ZarrDataSource(DataSource):
+    """``spark.read.format("zarr").option("variable", v).load(store)``
+    — Zarr v2/v3 arrays (incl. sharding_indexed) as long-form
+    ``(time, y, x, <variable>)`` rows. Partitions come straight from
+    the metadata chunk grid; pushed time/y/x predicates prune chunks
+    exactly against the coordinate axes; missing chunks surface as
+    ``fill_value`` rows per the spec. The cloud-native scale path: a
+    100 TB store plans from one JSON document + three axis reads."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zarr"
+
+    def schema(self):
+        r = _ZarrReader(self.options)
+        r._geometry()
+        return (
+            "time timestamp_ntz, y double, x double, "
+            f"`{r.variable}` double"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ZarrReader(self.options)
+
+
 def register_data_sources(spark) -> None:
     """Idempotently register all engine data sources on a session."""
     _ship_by_value()
-    for cls in (NetCDFDataSource, GeoTIFFDataSource, WebDatasetDataSource):
+    for cls in (
+        NetCDFDataSource,
+        GeoTIFFDataSource,
+        WebDatasetDataSource,
+        ZarrDataSource,
+    ):
         spark.dataSource.register(cls)
