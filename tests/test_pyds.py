@@ -540,3 +540,33 @@ def test_zarr_v3_sharded_store(spark, tmp_path):
     got = df.orderBy("time", "y", "x").toPandas()
     assert len(got) == data.size
     assert np.allclose(got["t2m"], data.reshape(-1))
+
+
+def test_bounds_from_filters_tz_independent():
+    # a naive datetime bound must convert as naive-UTC microseconds no
+    # matter the process TZ — v.timestamp() would shift it by the UTC
+    # offset and make partition pruning drop matching rows
+    import datetime as dt
+    import time as time_mod
+
+    from pyspark.sql.datasource import GreaterThanOrEqual as GTE
+
+    from xarray_dataaccessor_spark.sources.pyds import _bounds_from_filters
+
+    naive = dt.datetime(2022, 1, 1, 5, 0, 0)
+    want = float(np.datetime64(naive, "us").astype("int64"))
+    old = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/Denver"
+        time_mod.tzset()
+        lo, hi = _bounds_from_filters([GTE(("time",), naive)], "time")
+        assert lo == want and hi is None
+        aware = naive.replace(tzinfo=dt.timezone(dt.timedelta(hours=-7)))
+        lo2, _ = _bounds_from_filters([GTE(("time",), aware)], "time")
+        assert lo2 == want + 7 * 3600 * 1e6  # aware converts through UTC
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time_mod.tzset()

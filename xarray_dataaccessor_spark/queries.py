@@ -632,6 +632,33 @@ def _pyds_slot_dir() -> str:
              - 3.0 * {_PYDS_NY * _PYDS_NX} AS c_acctbal
     FROM range({_PYDS_NT}) r(t),
          (SELECT CAST(COUNT(*) % 97 AS DOUBLE) AS base FROM orders) seed
+    UNION ALL
+    -- gtds: the GeoTIFF/COG data-source path (tiled + DEFLATE +
+    -- overview IFDs + block pruning under a y predicate), same
+    -- dyadic-exact closed-form replay. Raster cell (i, j) from the top
+    -- holds base2 + 0.25 i + 0.0625 j on a 40 x 48 grid (y center of
+    -- row i = 40 - i - 0.5); the y > 20 predicate keeps rows 0..19 and
+    -- prunes the lower tile band before any pixel read.
+    --   sum_j v(i, j) = 48*(base2 + 0.25 i) + 0.0625*(47*48/2)
+    SELECT 'gtds' AS variant, CAST(r2.i AS BIGINT) AS custkey,
+           48 * (seed2.base2 + 0.25 * r2.i) + 70.5 AS order_total,
+           CAST(48 AS BIGINT) AS n_orders,
+           seed2.base2 + 0.25 * r2.i + 0.0625 * 47 AS c_acctbal
+    FROM range(20) r2(i),
+         (SELECT CAST(COUNT(*) % 89 AS DOUBLE) AS base2 FROM customer) seed2
+    UNION ALL
+    -- zds: the Zarr data-source path (chunk-grid partitions, zlib
+    -- chunks, time-predicate CHUNK pruning). 12 x 6 x 9 cube, chunks
+    -- (4,3,4); v(t,i,j) = base3 + 1.5 t + 0.25 i + 0.0625 j; the
+    -- time >= 05:00 predicate prunes t-chunk 0 entirely.
+    --   sum_cells v(t) = 54*(base3 + 1.5 t) + 0.25*9*15 + 0.0625*6*36
+    SELECT 'zds' AS variant, CAST(r3.t AS BIGINT) AS custkey,
+           54 * (seed3.base3 + 1.5 * r3.t) + 47.25 AS order_total,
+           CAST(54 AS BIGINT) AS n_orders,
+           seed3.base3 + 1.5 * r3.t + 1.75 AS c_acctbal
+    FROM range(12) r3(t),
+         (SELECT CAST(COUNT(*) % 83 AS DOUBLE) AS base3 FROM part) seed3
+    WHERE r3.t >= 5
     """,
 )
 def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,7 +681,23 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     time decode (hour(time) IS the group key), or the Arrow batch
     emission shifts a sum and fails the hash. The two variables in one
     granule ARE a J1 merge — the wide read aligns them on the shared
-    (time, y, x) axes like xr.open_dataset."""
+    (time, y, x) axes like xr.open_dataset.
+
+    'gtds' rows: the same discipline for the GeoTIFF source — a real
+    COG (16-px tiles, DEFLATE, overview IFDs) seeded from COUNT(*),
+    read back via ``spark.read.format("geotiff")`` under a ``y > 20``
+    predicate whose pushed bounds PRUNE the lower tile band in the
+    planner (Spark re-applies the filter, so pruning is I/O-only);
+    per-row sums and maxima replay in closed form. Tile stitching, the
+    inflate bound, the predictor, the geotransform (custkey IS derived
+    from the y axis), and overview skipping are all under the hash.
+
+    'zds' rows: the Zarr source — a seeded v2 store (zlib chunks,
+    (4,3,4) chunk grid) read back via ``spark.read.format("zarr")``
+    under a time predicate that prunes the first time-chunk in the
+    planner; per-hour sums/maxima replay in closed form. One slot, all
+    three grid formats' full write->plan->prune->decode->Arrow paths
+    under the driver hash — the slot IS the ingestion parity gate."""
     configure_session(spark)
     import os
 
@@ -726,7 +769,82 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey", "order_total", "n_orders", "c_acctbal",
         )
     )
-    return merged.unionByName(pyds)
+
+    # --- gtds variant: COG write -> format("geotiff") -> aggregate ----
+    from xarray_dataaccessor_spark.sources.geotiff import write_cog
+
+    base2 = float(c.count() % 89)
+    gh, gw = 40, 48
+    raster = (
+        base2
+        + 0.25 * np.arange(gh, dtype="f8")[:, None]
+        + 0.0625 * np.arange(gw, dtype="f8")[None, :]
+    )
+    cog_path = os.path.join(d, "raster.tif")
+    write_cog(
+        cog_path, raster, x_origin=0.0, y_origin=float(gh),
+        pixel_size=(1.0, 1.0), tile_size=16,
+    )
+    gt = (
+        spark.read.format("geotiff")
+        .option("variable", "v")
+        .load(cog_path)
+        .filter(F.col("y") > 20.0)  # prunes the lower tile band
+    )
+    gtds = (
+        gt.groupBy(
+            (F.lit(gh) - F.lit(0.5) - F.col("y")).cast("bigint").alias("custkey")
+        )
+        .agg(
+            F.sum("v").alias("order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("v").alias("c_acctbal"),
+        )
+        .select(
+            F.lit("gtds").alias("variant"),
+            "custkey", "order_total", "n_orders", "c_acctbal",
+        )
+    )
+
+    # --- zds variant: zarr store write -> format("zarr") -> aggregate -
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+
+    p = load(spark, sf_dir, "part")
+    base3 = float(p.count() % 83)
+    znt, zny, znx = 12, 6, 9
+    zv = (
+        base3
+        + 1.5 * np.arange(znt, dtype="f8")[:, None, None]
+        + 0.25 * np.arange(zny, dtype="f8")[None, :, None]
+        + 0.0625 * np.arange(znx, dtype="f8")[None, None, :]
+    )
+    zstore = os.path.join(d, "store")
+    write_zarr(zstore, "v", zv, ["time", "y", "x"], chunks=[4, 3, 4])
+    write_zarr(
+        zstore, "time", np.arange(znt, dtype="f8"), ["time"],
+        attrs={"units": "hours since 2022-01-01"},
+    )
+    write_zarr(zstore, "y", 40.0 + np.arange(zny, dtype="f8"), ["y"])
+    write_zarr(zstore, "x", -80.0 + np.arange(znx, dtype="f8"), ["x"])
+    zr = (
+        spark.read.format("zarr")
+        .option("variable", "v")
+        .load(zstore)
+        .filter(F.col("time") >= "2022-01-01 05:00:00")  # prunes t-chunk 0
+    )
+    zds = (
+        zr.groupBy(F.hour("time").cast("bigint").alias("custkey"))
+        .agg(
+            F.sum("v").alias("order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("v").alias("c_acctbal"),
+        )
+        .select(
+            F.lit("zds").alias("variant"),
+            "custkey", "order_total", "n_orders", "c_acctbal",
+        )
+    )
+    return merged.unionByName(pyds).unionByName(gtds).unionByName(zds)
 
 
 # ---------------------------------------------------------------------------

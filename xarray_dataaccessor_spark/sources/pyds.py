@@ -265,6 +265,8 @@ def _bounds_from_filters(
     bounds; open/closed distinction doesn't matter for PRUNING — at
     worst a boundary partition survives and Spark's re-applied filter
     removes its rows)."""
+    import datetime as _dt
+
     lo = hi = None
     for f in filters:
         if getattr(f, "attribute", None) != (col,):
@@ -273,7 +275,17 @@ def _bounds_from_filters(
         if v is None:
             continue
         try:
-            fv = float(v.timestamp() * 1e6) if hasattr(v, "timestamp") else float(v)
+            if isinstance(v, _dt.datetime):
+                # NEVER v.timestamp(): that reads a naive datetime in the
+                # PROCESS timezone, shifting the bound by the UTC offset on
+                # a non-UTC driver — and a shifted bound prunes partitions
+                # that contain matching rows (silent missing data). The
+                # column is timestamp_ntz; treat the bound as naive-UTC µs.
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                fv = float(np.datetime64(v, "us").astype("int64"))
+            else:
+                fv = float(v)
         except (TypeError, ValueError):
             continue
         if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
