@@ -570,3 +570,72 @@ def test_bounds_from_filters_tz_independent():
         else:
             os.environ["TZ"] = old
         time_mod.tzset()
+
+
+def test_zarr_stream_time_appends(spark, tmp_path):
+    # growing store: offsets = time rows from the shape metadata; a
+    # batch window that STRADDLES a chunk (rows [0,6) then [6,12) over
+    # 4-row chunks) must trim at both edges and never double-emit
+    import json
+    import shutil
+
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+
+    stage = str(tmp_path / "stage")
+    live = str(tmp_path / "live")
+    nt, ny, nx = 12, 4, 5
+    data = np.arange(nt * ny * nx, dtype="f8").reshape(nt, ny, nx)
+    write_zarr(stage, "t2m", data, ["time", "y", "x"], chunks=[4, 2, 5])
+    write_zarr(
+        stage, "time", np.arange(nt, dtype="f8"), ["time"],
+        attrs={"units": "hours since 2022-01-01"},
+    )
+    write_zarr(stage, "y", 40 + np.arange(ny, dtype="f8"), ["y"])
+    write_zarr(stage, "x", -80 + np.arange(nx, dtype="f8"), ["x"])
+    shutil.copytree(stage, live)
+    zpath = os.path.join(live, "t2m", ".zarray")
+    za = json.load(open(zpath))
+    # live store starts mid-chunk: 6 rows (chunk 0 full, chunk 1 partial)
+    for fn in list(os.listdir(os.path.join(live, "t2m"))):
+        if fn.startswith("2."):
+            os.remove(os.path.join(live, "t2m", fn))
+    za["shape"][0] = 6
+    json.dump(za, open(zpath, "w"))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("zarr")
+            .option("variable", "t2m")
+            .load(live)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run()
+    r1 = spark.read.parquet(sink).selectExpr(
+        "count(*) c", "sum(t2m) s"
+    ).collect()[0]
+    assert (r1["c"], r1["s"]) == (6 * ny * nx, data[:6].sum())
+
+    # append: land chunk 2 objects, THEN bump the shape (shape-last)
+    for fn in os.listdir(os.path.join(stage, "t2m")):
+        if fn.startswith("2."):
+            shutil.copy(
+                os.path.join(stage, "t2m", fn),
+                os.path.join(live, "t2m", fn),
+            )
+    za["shape"][0] = 12
+    json.dump(za, open(zpath, "w"))
+    run()
+    r2 = spark.read.parquet(sink).selectExpr(
+        "count(*) c", "sum(t2m) s"
+    ).collect()[0]
+    assert (r2["c"], r2["s"]) == (12 * ny * nx, data.sum())

@@ -1473,6 +1473,168 @@ def _json_float(v):
     return v
 
 
+@dataclass
+class _ZarrStreamPartition(InputPartition):
+    store: str
+    variable: str
+    chunk_idx: list[tuple[int, ...]] = field(default_factory=list)
+    t_lo: int = 0  # global time-row window [t_lo, t_hi) for trimming
+    t_hi: int = 0
+
+
+class _ZarrStreamReader(DataSourceStreamReader):
+    """Time-append tail over a growing Zarr store: cloud pipelines
+    append along the time dimension (rewrite ``.zarray`` shape after
+    landing the new chunk objects), so the STORE METADATA is the
+    offset log — ``latestOffset`` is one small JSON read, a micro-batch
+    is the time-row window [start, end), and its partitions are exactly
+    the chunk objects overlapping that window (trimmed at the edges, so
+    a chunk straddling two batches never double-emits). Requires
+    shape-last append discipline (chunks land before the shape bump),
+    the same atomicity contract every Zarr appender honors."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.store = self.options.get("path")
+        if not self.store:
+            raise ValueError("zarr data source requires a store path")
+        self.variable = self.options.get("variable")
+        if not self.variable:
+            raise ValueError("zarr data source requires option 'variable'")
+
+    def initialOffset(self) -> dict:
+        return {"nrows": 0}
+
+    def latestOffset(self) -> dict:
+        meta = read_zarray(self.store, self.variable)
+        if len(meta["shape"]) != 3:
+            raise ValueError(
+                "zarr streaming requires a 3-D (time, y, x) array"
+            )
+        return {"nrows": int(meta["shape"][0])}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        import itertools
+
+        t_lo, t_hi = start["nrows"], end["nrows"]
+        if t_hi <= t_lo:
+            return [_ZarrStreamPartition(self.store, self.variable)]
+        meta = read_zarray(self.store, self.variable)
+        shape, chunks = meta["shape"], meta["chunks"]
+        grid_yx = [
+            (shape[d] + chunks[d] - 1) // chunks[d] for d in (1, 2)
+        ]
+        tc_lo, tc_hi = t_lo // chunks[0], (t_hi - 1) // chunks[0] + 1
+        parts = [
+            _ZarrStreamPartition(
+                self.store,
+                self.variable,
+                [(tc,) + yx],
+                t_lo,
+                t_hi,
+            )
+            for tc in range(tc_lo, tc_hi)
+            for yx in itertools.product(*(range(n) for n in grid_yx))
+        ]
+        return parts or [_ZarrStreamPartition(self.store, self.variable)]
+
+    def read(self, partition: _ZarrStreamPartition) -> Iterator:
+        import pyarrow as pa
+
+        if not partition.chunk_idx:
+            return
+        # re-read geometry from the store: the stream reader outlives
+        # appends, so cached axes would go stale
+        meta = read_zarray(partition.store, partition.variable)
+        dims = meta["dims"] or []
+
+        def pick(cands, fallback_pos):
+            for c in cands:
+                if c in dims:
+                    return c
+            return dims[fallback_pos] if dims else None
+
+        xs = read_small_array(
+            partition.store, pick(_X_NAMES, -1)
+        ).astype("f8")
+        ys = read_small_array(
+            partition.store, pick(_Y_NAMES, -2)
+        ).astype("f8")
+        t_name = "time" if ("time" in dims or not dims) else dims[0]
+        tmeta = read_zarray(partition.store, t_name)
+        tvals = read_small_array(partition.store, t_name)
+        units = tmeta["attrs"].get("units")
+        if isinstance(units, str) and "since" in units:
+            tvals = decode_time_units(tvals, units)
+        times = np.asarray(tvals, dtype="datetime64[us]")
+
+        shape, chunks = meta["shape"], meta["chunks"]
+        fill = meta.get("fill_value")
+        frames = []
+        for idx in partition.chunk_idx:
+            p = os.path.join(
+                partition.store, partition.variable, chunk_relpath(meta, idx)
+            )
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    block = decode_chunk(f.read(), meta)
+            elif fill is not None:
+                block = np.full(chunks, _json_float(fill), dtype=meta["dtype"])
+            else:
+                continue
+            lo = [idx[d] * chunks[d] for d in range(3)]
+            hi = [min(lo[d] + chunks[d], shape[d]) for d in range(3)]
+            # batch-window trim on the time axis: [t_lo, t_hi) only
+            w_lo = max(lo[0], partition.t_lo)
+            w_hi = min(hi[0], partition.t_hi)
+            if w_hi <= w_lo:
+                continue
+            block = block[
+                w_lo - lo[0] : w_hi - lo[0],
+                : hi[1] - lo[1],
+                : hi[2] - lo[2],
+            ]
+            tsl = times[w_lo:w_hi]
+            ysl = ys[lo[1] : hi[1]]
+            xsl = xs[lo[2] : hi[2]]
+            ntc, nyc, nxc = block.shape
+            frames.append(
+                {
+                    "time": np.repeat(tsl, nyc * nxc),
+                    "y": np.tile(np.repeat(ysl, nxc), ntc),
+                    "x": np.tile(xsl, ntc * nyc),
+                    "v": block.astype("f8").reshape(-1),
+                }
+            )
+        if not frames:
+            return
+        tbl = pa.table(
+            {
+                "time": pa.array(
+                    np.concatenate([fr["time"] for fr in frames]),
+                    type=pa.timestamp("us"),
+                ),
+                "y": pa.array(
+                    np.concatenate([fr["y"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+                "x": pa.array(
+                    np.concatenate([fr["x"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+                self.variable: pa.array(
+                    np.concatenate([fr["v"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+            }
+        )
+        for batch in tbl.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ZarrDataSource(DataSource):
     """``spark.read.format("zarr").option("variable", v).load(store)``
     — Zarr v2/v3 arrays (incl. sharding_indexed) as long-form
@@ -1480,7 +1642,11 @@ class ZarrDataSource(DataSource):
     the metadata chunk grid; pushed time/y/x predicates prune chunks
     exactly against the coordinate axes; missing chunks surface as
     ``fill_value`` rows per the spec. The cloud-native scale path: a
-    100 TB store plans from one JSON document + three axis reads."""
+    100 TB store plans from one JSON document + three axis reads.
+
+    Also a streaming source (``spark.readStream.format("zarr")``):
+    time-dimension appends become micro-batches, with the store's own
+    shape metadata as the offset log (see ``_ZarrStreamReader``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -1496,6 +1662,9 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _ZarrReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _ZarrStreamReader(self.options)
 
 
 def register_data_sources(spark) -> None:
