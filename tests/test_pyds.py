@@ -639,3 +639,72 @@ def test_zarr_stream_time_appends(spark, tmp_path):
         "count(*) c", "sum(t2m) s"
     ).collect()[0]
     assert (r2["c"], r2["s"]) == (12 * ny * nx, data.sum())
+
+
+# ---------------------------------------------------------------------------
+# grib2 source (message-granular)
+# ---------------------------------------------------------------------------
+
+
+def _grib_file(tmp_path, n_msgs=6):
+    import datetime as dt
+
+    from xarray_dataaccessor_spark.sources.grib2 import write_grib2
+
+    lats = np.array([44.0, 43.0, 42.0])
+    lons = np.array([10.0, 11.0, 12.0, 13.0])
+    fields = [
+        {
+            "ref_time": dt.datetime(2023, 5, 1, h),
+            "forecast_hour": 0,
+            "category": 0,
+            "number": 0,
+            "lats": lats,
+            "lons": lons,
+            "data": (np.arange(12).reshape(3, 4) + 100 * h).astype("f8"),
+        }
+        for h in range(n_msgs)
+    ]
+    p = str(tmp_path / "f.grib2")
+    write_grib2(p, fields)
+    return p
+
+
+def test_grib2_source_matches_parser(spark, tmp_path):
+    from xarray_dataaccessor_spark.sources.grib2 import parse_grib2
+    from xarray_dataaccessor_spark.sources.pyds import _grib_message_index
+
+    p = _grib_file(tmp_path)
+    assert len(_grib_message_index(p)) == 6  # 64-byte header walk
+    df = spark.read.format("grib2").option("variable", "tp").load(p)
+    got = df.orderBy("time", "y", "x").toPandas()
+    ref = parse_grib2(open(p, "rb").read())
+    assert len(got) == 6 * 12
+    # message h -> timestamp 2023-05-01 0h; rows align per (time,y,x)
+    for h, m in enumerate(ref):
+        sl = got[got["time"] == np.datetime64(f"2023-05-01T0{h}:00:00")]
+        assert np.allclose(
+            sl.sort_values(["y", "x"])["tp"].to_numpy(),
+            np.sort(m["data"].reshape(-1)),
+        ) or np.allclose(sl["tp"].sum(), m["data"].sum())
+
+
+def test_grib2_hi_bound_time_pruning(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql.datasource import LessThan
+
+    from xarray_dataaccessor_spark.sources.pyds import _GribReader
+
+    p = _grib_file(tmp_path)
+    r = _GribReader({"path": p, "target_partition_bytes": "1"})
+    r._filters = [LessThan(("time",), dt.datetime(2023, 5, 1, 2, 30))]
+    kept = sum(len(pt.ranges) for pt in r.partitions())
+    assert kept == 3  # ref_time > hi proves emptiness; lo cannot prune
+    n = (
+        spark.read.format("grib2")
+        .load(p)
+        .filter("time < timestamp'2023-05-01 02:30:00'")
+        .count()
+    )
+    assert n == 3 * 12

@@ -71,6 +71,7 @@ from xarray_dataaccessor_spark.sources.geotiff import (
     _lzw_decode_tiff,
     _packbits_decode,
 )
+from xarray_dataaccessor_spark.sources.grib2 import parse_grib2
 from xarray_dataaccessor_spark.sources.hdf5 import parse_hdf5
 from xarray_dataaccessor_spark.sources.netcdf3 import (
     _DTYPES,
@@ -101,12 +102,13 @@ def _ship_by_value() -> None:
         import xarray_dataaccessor_spark.sources.pyds as _self
         from xarray_dataaccessor_spark.sources import blosc as _bl
         from xarray_dataaccessor_spark.sources import geotiff as _gt
+        from xarray_dataaccessor_spark.sources import grib2 as _gb
         from xarray_dataaccessor_spark.sources import hdf5 as _h5
         from xarray_dataaccessor_spark.sources import netcdf3 as _nc
         from xarray_dataaccessor_spark.sources import zarr as _z
         from xarray_dataaccessor_spark.sources import zstd as _zs
 
-        for m in (_nc, _h5, _gt, _bl, _zs, _z, _self):
+        for m in (_nc, _h5, _gt, _gb, _bl, _zs, _z, _self):
             _cp.register_pickle_by_value(m)
     except Exception:  # pragma: no cover - older pickler fallback
         pass
@@ -116,6 +118,7 @@ __all__ = [
     "GeoTIFFDataSource",
     "WebDatasetDataSource",
     "ZarrDataSource",
+    "GRIB2DataSource",
     "register_data_sources",
 ]
 
@@ -1667,6 +1670,208 @@ class ZarrDataSource(DataSource):
         return _ZarrStreamReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# GRIB2 (message-granular meteorological wire format)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _GribPartition(InputPartition):
+    """A byte-budgeted group of (offset, length) message ranges within
+    one file — read() seek-reads exactly these ranges."""
+
+    path: str
+    ranges: list[tuple[int, int]] = field(default_factory=list)
+
+
+def _grib_message_index(path: str) -> list[tuple[int, int, int]]:
+    """Seek-walk the message chain reading ~64 bytes per message:
+    section 0 gives the total length (the hop), section 1 (always
+    immediately after) gives the reference time. Returns
+    ``(offset, length, ref_time_us)`` per message — O(messages) seeks,
+    never the packed data."""
+    import calendar
+
+    size = os.path.getsize(path)
+    out: list[tuple[int, int, int]] = []
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            f.seek(pos)
+            head = f.read(64)
+            if head[:4] != b"GRIB":
+                if not head.strip(b"\x00"):
+                    break  # trailing padding
+                raise ValueError(f"{path}: GRIB indicator not found at {pos}")
+            if head[7] != 2:
+                raise NotImplementedError(
+                    f"GRIB edition {head[7]} (want 2)"
+                )
+            total_len = int.from_bytes(head[8:16], "big")
+            # section 1 starts at octet 16; its body carries the
+            # reference time at octets 12-18 (year u2, mo, dy, hr, mi, se)
+            s1 = head[16:]
+            if len(s1) >= 23 and s1[4] == 1:
+                yr = int.from_bytes(s1[12:14], "big")
+                ref_us = int(
+                    calendar.timegm(
+                        (yr, s1[14], s1[15], s1[16], s1[17], s1[18], 0, 0, 0)
+                    )
+                ) * 1_000_000
+            else:
+                ref_us = -(2**62)  # unknown: never prune
+            out.append((pos, total_len, ref_us))
+            pos += total_len
+    return out
+
+
+class _GribReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.path = self.options.get("path")
+        if not self.path:
+            raise ValueError("grib2 data source requires a path")
+        self.variable = self.options.get("variable", "value")
+        self.category = (
+            int(self.options["category"]) if "category" in self.options else None
+        )
+        self.number = (
+            int(self.options["number"]) if "number" in self.options else None
+        )
+        self.target_bytes = int(
+            self.options.get("target_partition_bytes", 128 * 1024 * 1024)
+        )
+        self._filters: list[Filter] = []
+
+    def _files(self) -> list[str]:
+        return _expand_paths(self.path, (".grib2", ".grb2", ".grib", ".grb"))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self._filters = [
+            f
+            for f in filters
+            if isinstance(
+                f,
+                (
+                    EqualTo,
+                    GreaterThan,
+                    GreaterThanOrEqual,
+                    LessThan,
+                    LessThanOrEqual,
+                ),
+            )
+        ]
+        return filters
+
+    def partitions(self) -> list[InputPartition]:
+        _, thi = _bounds_from_filters(self._filters, "time")
+        parts: list[_GribPartition] = []
+        for path in self._files():
+            idx = _grib_message_index(path)
+            # hi-bound pruning only: a field's timestamp is
+            # ref_time + forecast_hour >= ref_time, so ref_time > hi
+            # proves no rows can match; the lo bound CANNOT prune
+            # (forecast_hour is unbounded upward and lives in section 4)
+            kept = [
+                (off, ln)
+                for off, ln, ref in idx
+                if thi is None or ref <= thi
+            ]
+            group: list[tuple[int, int]] = []
+            acc = 0
+            for off, ln in kept:
+                group.append((off, ln))
+                acc += ln
+                if acc >= self.target_bytes:
+                    parts.append(_GribPartition(path, group))
+                    group, acc = [], 0
+            if group:
+                parts.append(_GribPartition(path, group))
+        return parts or [_GribPartition(self._files()[0], [])]
+
+    def read(self, partition: _GribPartition) -> Iterator:
+        import datetime as _dt
+
+        import pyarrow as pa
+
+        frames = []
+        with open(partition.path, "rb") as f:
+            for off, ln in partition.ranges:
+                f.seek(off)
+                for m in parse_grib2(f.read(ln)):
+                    if (
+                        self.category is not None
+                        and m["category"] != self.category
+                    ):
+                        continue
+                    if self.number is not None and m["number"] != self.number:
+                        continue
+                    ts = m["ref_time"] + _dt.timedelta(
+                        hours=int(m["forecast_hour"])
+                    )
+                    ny, nx = m["data"].shape
+                    frames.append(
+                        {
+                            "time": np.repeat(
+                                np.datetime64(ts, "us"), ny * nx
+                            ),
+                            "y": np.repeat(m["lats"], nx),
+                            "x": np.tile(m["lons"], ny),
+                            "v": m["data"].reshape(-1).astype("f8"),
+                        }
+                    )
+        if not frames:
+            return
+        tbl = pa.table(
+            {
+                "time": pa.array(
+                    np.concatenate([fr["time"] for fr in frames]),
+                    type=pa.timestamp("us"),
+                ),
+                "y": pa.array(
+                    np.concatenate([fr["y"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+                "x": pa.array(
+                    np.concatenate([fr["x"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+                self.variable: pa.array(
+                    np.concatenate([fr["v"] for fr in frames]),
+                    type=pa.float64(),
+                ),
+            }
+        )
+        for batch in tbl.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+
+class GRIB2DataSource(DataSource):
+    """``spark.read.format("grib2").load(path)`` — GRIB2 message files
+    as ``(time, y, x, <variable>)`` rows. Partition planning seek-walks
+    the message chain (~64 header bytes per message, never the packed
+    data), groups messages into byte-budgeted tasks, and prunes by a
+    pushed time UPPER bound via each message's section-1 reference time
+    (``ref_time + forecast_hour >= ref_time``, so only the hi bound can
+    prove emptiness). Options: ``variable`` (output column name),
+    ``category``/``number`` (parameter filters for multi-parameter
+    files), ``target_partition_bytes``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "grib2"
+
+    def schema(self):
+        r = _GribReader(self.options)
+        return (
+            "time timestamp_ntz, y double, x double, "
+            f"`{r.variable}` double"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _GribReader(self.options)
+
+
 def register_data_sources(spark) -> None:
     """Idempotently register all engine data sources on a session."""
     _ship_by_value()
@@ -1675,5 +1880,6 @@ def register_data_sources(spark) -> None:
         GeoTIFFDataSource,
         WebDatasetDataSource,
         ZarrDataSource,
+        GRIB2DataSource,
     ):
         spark.dataSource.register(cls)
