@@ -708,3 +708,29 @@ def test_grib2_hi_bound_time_pruning(spark, tmp_path):
         .count()
     )
     assert n == 3 * 12
+
+
+# ---------------------------------------------------------------------------
+# validation: fail at schema/plan time with actionable messages
+# ---------------------------------------------------------------------------
+
+
+def test_netcdf_missing_variable_fails_at_schema_time(spark, tmp_path):
+    p = str(tmp_path / "g.nc")
+    _era5_like_nc(p, record_dim="time")
+    with pytest.raises(Exception, match="nope.*has.*t2m"):
+        spark.read.format("netcdf").option("variables", "nope").load(p).schema
+
+
+def test_netcdf_bad_magic_rejected(spark, tmp_path):
+    p = str(tmp_path / "junk.nc")
+    open(p, "wb").write(b"not a netcdf file at all" * 10)
+    with pytest.raises(Exception, match="bad magic|HDF"):
+        spark.read.format("netcdf").load(p).count()
+
+
+def test_empty_directory_rejected(spark, tmp_path):
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    with pytest.raises(Exception, match="No granules matched"):
+        spark.read.format("netcdf").load(d).schema

@@ -430,6 +430,15 @@ class _NetCDFReaderBase:
             ]
         else:
             hdr = _read_header(first)
+            present = {v[0] for v in hdr["vars"]}
+            missing = [v for v in self.variables if v not in present]
+            if missing:
+                # fail at schema time with the granule's inventory, not
+                # as a KeyError inside an executor task
+                raise ValueError(
+                    f"variables {missing} not in {first} "
+                    f"(has {sorted(present)})"
+                )
             data_vars = self.variables or _data_var_names(hdr)
         if not data_vars:
             raise ValueError(f"No data variables detected in {first}")
