@@ -33,6 +33,13 @@ class DatasetEntry:
     path: str
     meta: GridMeta
     variables: tuple[str, ...]
+    #: Spark read format backing this dataset: "parquet" (landed
+    #: tables) or any engine data source ("netcdf"/"geotiff"/"zarr"/
+    #: "grib2" — sources/pyds.py), letting the catalog serve GRANULE
+    #: archives directly with bbox/time predicates PUSHED into the
+    #: source's partition planner.
+    format: str = "parquet"
+    options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -53,12 +60,16 @@ class DatasetCatalog:
         path: str,
         variables: Sequence[str],
         meta: GridMeta | None = None,
+        format: str = "parquet",
+        options: dict | None = None,
     ) -> DatasetEntry:
         entry = DatasetEntry(
             name=name,
             path=path,
             meta=(meta or GridMeta(dataset_name=name)).with_variables(tuple(variables)),
             variables=tuple(variables),
+            format=format,
+            options=dict(options or {}),
         )
         self.entries[name] = entry
         return entry
@@ -106,26 +117,33 @@ class DatasetCatalog:
         enumeration, bbox crop per fragment, per-variable file skip) is
         Catalyst partition pruning / row-group skipping / column pruning
         on this plan.
+
+        For a GRANULE-backed entry (``format="netcdf"/"geotiff"/
+        "zarr"/"grib2"``) the same plan runs over the data source
+        instead, and the bbox/time comparisons below reach its
+        ``pushFilters`` — granule/record-range/chunk pruning happens in
+        the source's partition planner, no landing step needed.
         """
         from xarray_dataaccessor_spark.gridframe import GridFrame
 
         entry = self.entries[name]
         keep = self.verify_variables(name, variables)
-        df = spark.read.parquet(entry.path)
+        df = self._scan(spark, entry, keep)
         gf = GridFrame(df, entry.meta).select_variables(keep)
         if bbox is not None:
             gf = gf.filter_bbox(bbox)
         if start_time is not None or end_time is not None:
-            from xarray_dataaccessor_spark.operators.filters import (
-                with_partition_time_pruning,
-            )
+            if entry.format == "parquet":
+                from xarray_dataaccessor_spark.operators.filters import (
+                    with_partition_time_pruning,
+                )
 
-            pruned = with_partition_time_pruning(df, start_time, end_time)
-            if pruned is not df:
-                # re-apply the variable/bbox pipeline over the pruned scan
-                gf = GridFrame(pruned, entry.meta).select_variables(keep)
-                if bbox is not None:
-                    gf = gf.filter_bbox(bbox)
+                pruned = with_partition_time_pruning(df, start_time, end_time)
+                if pruned is not df:
+                    # re-apply variable/bbox pipeline over the pruned scan
+                    gf = GridFrame(pruned, entry.meta).select_variables(keep)
+                    if bbox is not None:
+                        gf = gf.filter_bbox(bbox)
             gf = gf.filter_time(start_time, end_time)
         if resolution_factor is not None or xy_resolution_factors is not None:
             # optional regrid step of the flagship read path
@@ -136,6 +154,49 @@ class DatasetCatalog:
                 resample_method=resample_method,
             )
         return gf
+
+    @staticmethod
+    def _scan(spark: SparkSession, entry: DatasetEntry, keep: list[str]) -> DataFrame:
+        """The entry's base scan: parquet, or a registered data source.
+        netcdf takes the variable list as one wide read; zarr reads one
+        array per variable and outer-merges on the shared axes (the J1
+        shape); geotiff/grib2 are single-variable formats whose output
+        column is the entry's (sole) variable name."""
+        if entry.format == "parquet":
+            return spark.read.parquet(entry.path)
+        from xarray_dataaccessor_spark.sources.pyds import register_data_sources
+
+        register_data_sources(spark)
+        opts = dict(entry.options)
+        if entry.format == "netcdf":
+            if keep:
+                opts["variables"] = ",".join(keep)
+            return spark.read.format("netcdf").options(**opts).load(entry.path)
+        if entry.format == "zarr":
+            from xarray_dataaccessor_spark.operators.joins import merge_variables
+
+            dfs = [
+                spark.read.format("zarr")
+                .options(**opts)
+                .option("variable", v)
+                .load(entry.path)
+                for v in (keep or list(entry.variables))
+            ]
+            if len(dfs) == 1:
+                return dfs[0]
+            return merge_variables(dfs, keys=["time", "y", "x"])
+        if entry.format in ("geotiff", "grib2"):
+            var = (keep or list(entry.variables) or ["value"])[0]
+            return (
+                spark.read.format(entry.format)
+                .options(**opts)
+                .option("variable", var)
+                .load(entry.path)
+            )
+        raise ValueError(
+            f"Unsupported dataset format {entry.format!r} "
+            "(parquet/netcdf/geotiff/zarr/grib2)"
+        )
 
 
 def bbox_from_coords(coords: Sequence[tuple[float, float]]) -> BoundingBox:
