@@ -734,3 +734,89 @@ def test_empty_directory_rejected(spark, tmp_path):
     os.makedirs(d)
     with pytest.raises(Exception, match="No granules matched"):
         spark.read.format("netcdf").load(d).schema
+
+
+# ---------------------------------------------------------------------------
+# netcdf4/hdf5 granules: chunk-level time-window partitions
+# ---------------------------------------------------------------------------
+
+
+def _h5_granule(tmp_path, chunks=None, compress=False, shuffle=False):
+    nt, ny, nx = 48, 4, 6
+    t2m = np.arange(nt * ny * nx, dtype="f8").reshape(nt, ny, nx)
+    p = str(tmp_path / "g.h5")
+    write_hdf5(
+        p,
+        {"time": nt, "latitude": ny, "longitude": nx},
+        {
+            "time": (["time"], np.arange(nt, dtype="f8"),
+                     {"units": "hours since 2021-06-01"}),
+            "latitude": (["latitude"], 10 + np.arange(ny, dtype="f8"), {}),
+            "longitude": (["longitude"], np.arange(nx, dtype="f8"), {}),
+            "t2m": (["time", "latitude", "longitude"], t2m, {}),
+            "d2m": (["time", "latitude", "longitude"], t2m * 0.5, {}),
+        },
+        chunks=chunks,
+        compress=compress,
+        shuffle=shuffle,
+    )
+    return p, t2m
+
+
+def test_hdf5_chunked_granule_splits_into_time_windows(spark, tmp_path):
+    p, t2m = _h5_granule(
+        tmp_path, chunks={"t2m": [8, 4, 6], "d2m": [8, 4, 6]},
+        compress=True, shuffle=True,
+    )
+    # per_row = 2 vars x 24 cells x 8 B = 384 B; 3000 B -> 7 windows
+    df = (
+        spark.read.format("netcdf")
+        .option("target_partition_bytes", 3000)
+        .load(p)
+    )
+    assert df.rdd.getNumPartitions() == 7
+    got = df.orderBy("time", "y", "x").toPandas()
+    assert len(got) == t2m.size
+    assert np.allclose(got["t2m"], t2m.reshape(-1))
+    assert np.allclose(got["d2m"], t2m.reshape(-1) * 0.5)
+
+
+def test_hdf5_time_pruning_is_exact_no_opt_in(spark, tmp_path):
+    # unlike classic CDF record probing, the HDF5 path decodes the time
+    # axis during planning, so pruning needs no assume_sorted_time
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from xarray_dataaccessor_spark.sources.pyds import _NetCDFBatchReader
+
+    p, _ = _h5_granule(
+        tmp_path, chunks={"t2m": [8, 4, 6], "d2m": [8, 4, 6]}, compress=True
+    )
+    r = _NetCDFBatchReader({"path": p, "target_partition_bytes": "3000"})
+    r.infer_schema()
+    r._filters = [GreaterThanOrEqual(("time",), dt.datetime(2021, 6, 2, 12))]
+    pruned = len(r.partitions())
+    r2 = _NetCDFBatchReader({"path": p, "target_partition_bytes": "3000"})
+    r2.infer_schema()
+    assert pruned < len(r2.partitions())
+    n = (
+        spark.read.format("netcdf")
+        .option("target_partition_bytes", 3000)
+        .load(p)
+        .filter("time >= timestamp'2021-06-02 12:00:00'")
+        .count()
+    )
+    assert n == 12 * 4 * 6
+
+
+def test_hdf5_contiguous_layout_windows(spark, tmp_path):
+    p, t2m = _h5_granule(tmp_path)  # contiguous, no filters
+    df = (
+        spark.read.format("netcdf")
+        .option("target_partition_bytes", 4000)
+        .load(p)
+    )
+    assert df.rdd.getNumPartitions() > 1
+    got = df.orderBy("time", "y", "x").toPandas()
+    assert np.allclose(got["t2m"], t2m.reshape(-1))

@@ -310,7 +310,11 @@ def _local_heap_data(buf: bytes, heap_addr: int) -> int:
 
 
 def _heap_name(buf: bytes, heap_data: int, offset: int) -> str:
-    end = buf.index(b"\0", heap_data + offset)
+    # .find, not .index: mmap objects (the layout parser's zero-copy
+    # path) implement find only
+    end = buf.find(b"\0", heap_data + offset)
+    if end < 0:
+        raise ValueError("unterminated heap name")
     return buf[heap_data + offset : end].decode()
 
 
@@ -380,7 +384,13 @@ def _root_children(buf: bytes) -> list[tuple[str, int]]:
 # ---------------------------------------------------------------------------
 # dataset
 # ---------------------------------------------------------------------------
-def _read_dataset(buf: bytes, ohdr: int, addr_names: dict) -> dict:
+def _read_dataset_layout(buf: bytes, ohdr: int, addr_names: dict) -> dict:
+    """Header-only walk of one dataset: shape, attrs, numpy dtype,
+    storage layout and filter pipeline — plus, for chunked layouts, the
+    chunk index ``[(grid_offsets, file_addr, stored_size, filter_mask)]``
+    from the v1 B-tree. NO data bytes are decoded; with ``buf`` an mmap,
+    this touches only header/B-tree pages — the planner contract that
+    lets one NetCDF4 granule split into chunk-range tasks."""
     dims_sizes: list[int] = []
     dt: dict | None = None
     layout = None
@@ -438,32 +448,107 @@ def _read_dataset(buf: bytes, ohdr: int, addr_names: dict) -> dict:
     if dt is None or layout is None:
         raise ValueError("dataset object header missing datatype/layout")
     _check(dt["cls"] in (0, 1, 3), f"dataset datatype class {dt['cls']}")
-    shape = dims_sizes
+    out = {
+        "shape": dims_sizes,
+        "attrs": attrs,
+        "dtype": dt["dtype"],
+        "dt_size": dt["size"],
+        "layout": layout,
+        "filters": filters,
+    }
+    if layout[0] == "chunked":
+        _, btree, cdims, _esize = layout
+        out["chunks"] = list(_walk_chunk_btree(buf, btree, len(cdims)))
+        out["chunk_dims"] = list(cdims)
+    return out
+
+
+def decode_chunk_block(
+    buf: bytes, lay: dict, chunk: tuple[list[int], int, int, int]
+) -> np.ndarray:
+    """Decode ONE stored chunk of a chunked dataset (filters applied,
+    full chunk-shaped block; caller trims to array bounds). ``buf``
+    needs to be addressable only at the chunk's byte range — a seek-read
+    window works via offset arithmetic in the caller."""
+    offs, caddr, csize, fmask = chunk
+    cdims = lay["chunk_dims"]
+    dtype = lay["dtype"]
+    want = int(np.prod(cdims)) * dtype.itemsize
+    raw_c = _apply_filters(buf[caddr : caddr + csize], lay["filters"], fmask, max_out=want)
+    block = np.frombuffer(raw_c, dtype=dtype, count=int(np.prod(cdims)))
+    return block.reshape(cdims)
+
+
+def _read_dataset(buf: bytes, ohdr: int, addr_names: dict) -> dict:
+    lay = _read_dataset_layout(buf, ohdr, addr_names)
+    shape, attrs, dtype = lay["shape"], lay["attrs"], lay["dtype"]
+    layout = lay["layout"]
     n = int(np.prod(shape)) if shape else 1
     if layout[0] == "compact":
         raw = layout[1]
     elif layout[0] == "contiguous":
         _, addr, size = layout
-        raw = b"\x00" * (n * dt["size"]) if addr == _UNDEF else buf[addr : addr + size]
+        raw = b"\x00" * (n * lay["dt_size"]) if addr == _UNDEF else buf[addr : addr + size]
     else:
-        _, btree, cdims, esize = layout
-        full = np.zeros(shape, dtype=dt["dtype"]) if shape else np.zeros((), dt["dtype"])
-        for offs, caddr, csize, fmask in _walk_chunk_btree(buf, btree, len(cdims)):
-            want = int(np.prod(cdims)) * dt["dtype"].itemsize
-            raw_c = _apply_filters(
-                buf[caddr : caddr + csize], filters, fmask, max_out=want
-            )
-            block = np.frombuffer(raw_c, dtype=dt["dtype"], count=int(np.prod(cdims)))
-            block = block.reshape(cdims)
+        full = np.zeros(shape, dtype=dtype) if shape else np.zeros((), dtype)
+        for chunk in lay["chunks"]:
+            block = decode_chunk_block(buf, lay, chunk)
+            offs = chunk[0]
             sel = tuple(
-                slice(o, min(o + c, s)) for o, c, s in zip(offs, cdims, shape)
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offs, lay["chunk_dims"], shape)
             )
             keep = tuple(slice(0, s.stop - s.start) for s in sel)
             full[sel] = block[keep]
         data = full.astype(full.dtype.newbyteorder("="))
         return {"shape": shape, "attrs": attrs, "data": data}
-    data = np.frombuffer(raw, dtype=dt["dtype"], count=n).reshape(shape)
+    data = np.frombuffer(raw, dtype=dtype, count=n).reshape(shape)
     return {"shape": shape, "attrs": attrs, "data": data.astype(data.dtype.newbyteorder("="))}
+
+
+def parse_hdf5_layout(buf: bytes) -> dict:
+    """Header-only sibling of :func:`parse_hdf5`: same
+    ``{dims, variables}`` structure, but each variable carries its
+    STORAGE LAYOUT (dtype, chunk index / contiguous extent, filter
+    pipeline) instead of decoded data — except 1-D variables
+    (coordinate axes: dimension-sized by definition), whose ``data`` IS
+    decoded so a planner can prune against axis values. With an mmap
+    ``buf`` this touches only header, B-tree, and coordinate pages."""
+    children = _root_children(buf)
+    addr_names = {addr: name for name, addr in children}
+    raw_vars: dict[str, dict] = {}
+    for name, addr in children:
+        lay = _read_dataset_layout(buf, addr, addr_names)
+        if len(lay["shape"]) <= 1:
+            raw_vars[name] = _read_dataset(buf, addr, addr_names) | {
+                "layout_only": False
+            }
+        else:
+            raw_vars[name] = lay | {"layout_only": True}
+    dims: dict[str, int] = {}
+    out_vars: dict[str, dict] = {}
+    for name, ds in raw_vars.items():
+        attrs = dict(ds["attrs"])
+        is_scale = attrs.get("CLASS") == "DIMENSION_SCALE" or (
+            isinstance(attrs.get("NAME"), str)
+            and attrs["NAME"].startswith("This is a netCDF dimension")
+        )
+        if is_scale and len(ds["shape"]) == 1:
+            dims[name] = ds["shape"][0]
+        dl = attrs.pop("DIMENSION_LIST", None)
+        attrs.pop("REFERENCE_LIST", None)
+        attrs.pop("CLASS", None)
+        attrs.pop("NAME", None)
+        if dl is not None:
+            vdims = [refs[0] if refs else "?" for refs in dl]
+        elif name in dims or len(ds["shape"]) == 1:
+            vdims = [name]
+        else:
+            vdims = [f"phony_dim_{i}" for i in range(len(ds["shape"]))]
+            for i, s in enumerate(ds["shape"]):
+                dims.setdefault(vdims[i], s)
+        out_vars[name] = {**ds, "dims": vdims, "attrs": attrs}
+    return {"dims": dims, "attrs": {}, "variables": out_vars}
 
 
 def parse_hdf5(buf: bytes) -> dict:

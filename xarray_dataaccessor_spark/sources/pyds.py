@@ -72,7 +72,11 @@ from xarray_dataaccessor_spark.sources.geotiff import (
     _packbits_decode,
 )
 from xarray_dataaccessor_spark.sources.grib2 import parse_grib2
-from xarray_dataaccessor_spark.sources.hdf5 import parse_hdf5
+from xarray_dataaccessor_spark.sources.hdf5 import (
+    decode_chunk_block,
+    parse_hdf5,
+    parse_hdf5_layout,
+)
 from xarray_dataaccessor_spark.sources.netcdf3 import (
     _DTYPES,
     _X_NAMES,
@@ -330,13 +334,116 @@ class _NetCDFReaderBase:
     def _files(self) -> list[str]:
         return _expand_paths(self.path, (".nc", ".nc4", ".cdf"))
 
+    # -- HDF5 (NetCDF4) planning: chunk index via mmap, split on time --
+    def _h5_layout(self, path: str) -> dict | None:
+        """Header/B-tree/coordinate-only layout parse via mmap (data
+        pages untouched). None when the granule can't be windowed
+        (no 3-D (t,y,x) shape, exotic layout) — caller falls back to a
+        whole-granule partition."""
+        import mmap as _mmap
+
+        try:
+            with open(path, "rb") as f:
+                mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+                lay = parse_hdf5_layout(mm)
+        except Exception:
+            return None
+        names = list(lay["variables"])
+
+        def pick(cands):
+            for c in cands:
+                if c in names:
+                    return c
+            return None
+
+        x, y = pick(_X_NAMES), pick(_Y_NAMES)
+        t = "time" if "time" in names else None
+        if x is None or y is None or t is None:
+            return None
+        data_vars = self.variables or [
+            n
+            for n in names
+            if n not in (t, y, x) and len(lay["variables"][n]["shape"]) >= 2
+        ]
+        for v in data_vars:
+            dv = lay["variables"].get(v)
+            if (
+                dv is None
+                or dv.get("layout_only") is not True
+                or len(dv["shape"]) != 3
+                or dv["layout"][0] not in ("chunked", "contiguous")
+            ):
+                return None  # not windowable; whole-granule fallback
+        tv = lay["variables"][t]
+        times = _decode_times(tv["data"], tv["attrs"]).astype("datetime64[us]")
+        return {
+            "lay": lay,
+            "t": t,
+            "y": y,
+            "x": x,
+            "data_vars": data_vars,
+            "times": times,
+            "ys": np.asarray(lay["variables"][y]["data"], dtype="f8").ravel(),
+            "xs": np.asarray(lay["variables"][x]["data"], dtype="f8").ravel(),
+        }
+
+    def _plan_h5_file(self, path: str) -> list[_NcPartition]:
+        g = self._h5_layout(path)
+        if g is None:
+            return [_NcPartition(path)]
+        # granule-level bbox pruning (same contract as the classic path)
+        for cname, axis in (("y", g["ys"]), ("x", g["xs"])):
+            lo, hi = _bounds_from_filters(self._filters, cname)
+            if lo is None and hi is None:
+                continue
+            if (hi is not None and float(axis.min()) > hi) or (
+                lo is not None and float(axis.max()) < lo
+            ):
+                return []
+        nt = len(g["times"])
+        if nt <= 0:
+            return [_NcPartition(path)]
+        # UNCOMPRESSED bytes per time row across requested vars -> row
+        # ranges: decoded size is what bounds task memory (the classic
+        # path's stride is likewise the unpacked record size); stored
+        # bytes would let a well-compressed granule produce one
+        # OOM-sized task
+        per_row = max(
+            1,
+            sum(
+                int(np.prod(g["lay"]["variables"][v]["shape"][1:]))
+                * g["lay"]["variables"][v]["dtype"].itemsize
+                for v in g["data_vars"]
+            ),
+        )
+        rows_per = max(1, self.target_bytes // per_row)
+        ranges = [(lo, min(lo + rows_per, nt)) for lo in range(0, nt, rows_per)]
+        # EXACT time pruning: the axis is decoded, no sortedness opt-in
+        # needed — a range survives iff any of its axis values fits
+        tlo, thi = _bounds_from_filters(self._filters, "time")
+        if tlo is not None or thi is not None:
+            us = g["times"].astype("int64")
+            kept = []
+            for lo_r, hi_r in ranges:
+                sl = us[lo_r:hi_r]
+                if thi is not None and float(sl.min()) > thi:
+                    continue
+                if tlo is not None and float(sl.max()) < tlo:
+                    continue
+                kept.append((lo_r, hi_r))
+            ranges = kept
+        if len(ranges) == 1 and ranges[0] == (0, nt):
+            return [_NcPartition(path)]
+        return [
+            _NcPartition(path, rec_lo=lo, rec_hi=hi, whole=False)
+            for lo, hi in ranges
+        ]
+
     def _plan_file(self, path: str) -> list[_NcPartition]:
         with open(path, "rb") as f:
             magic = f.read(8)
         if magic == _HDF5_MAGIC:
-            # NetCDF4/HDF5: chunk B-tree walking is not record-strided;
-            # plan one partition per granule (decode stays executor-side)
-            return [_NcPartition(path)]
+            return self._plan_h5_file(path)
         hdr = _read_header(path)
         t, y, x = _detect_axes(hdr)
 
@@ -458,7 +565,11 @@ class _NetCDFReaderBase:
         with open(path, "rb") as f:
             magic = f.read(8)
         if magic == _HDF5_MAGIC:
-            pdf = self._whole_file_wide(path)
+            pdf = (
+                self._whole_file_wide(path)
+                if part.whole
+                else self._h5_window_wide(part)
+            )
         else:
             pdf = self._classic_window_wide(part)
         batch_rows = 1 << 16
@@ -497,6 +608,69 @@ class _NetCDFReaderBase:
                 out = out.merge(frag, on=["time", "y", "x"], how="outer")
         if self.include_granule:
             out["granule"] = os.path.basename(path)
+        return out
+
+    def _h5_window_wide(self, part: _NcPartition):
+        """NetCDF4/HDF5 time-window decode: mmap the granule, decode
+        ONLY the chunks (or the contiguous byte window) overlapping
+        records [rec_lo, rec_hi) per requested variable — data pages
+        outside the window are never touched."""
+        import mmap as _mmap
+
+        import pandas as pd
+
+        g = self._h5_layout(part.path)
+        if g is None:  # raced layout change; fall back to whole file
+            return self._whole_file_wide(part.path)
+        t_lo, t_hi = part.rec_lo, part.rec_hi
+        n_win = t_hi - t_lo
+        ys, xs = g["ys"], g["xs"]
+        ny, nx = len(ys), len(xs)
+        frames = {}
+        with open(part.path, "rb") as f:
+            mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+            for v in self.variables:
+                dv = g["lay"]["variables"][v]
+                shape = dv["shape"]
+                dtype = dv["dtype"]
+                if dv["layout"][0] == "contiguous":
+                    _, addr, _size = dv["layout"]
+                    row = shape[1] * shape[2] * dtype.itemsize
+                    raw = mm[addr + t_lo * row : addr + t_hi * row]
+                    arr = np.frombuffer(raw, dtype=dtype).reshape(
+                        n_win, shape[1], shape[2]
+                    )
+                else:
+                    arr = np.zeros((n_win, shape[1], shape[2]), dtype=dtype)
+                    cdims = dv["chunk_dims"]
+                    for chunk in dv["chunks"]:
+                        offs = chunk[0]
+                        if offs[0] >= t_hi or offs[0] + cdims[0] <= t_lo:
+                            continue  # chunk outside the time window
+                        block = decode_chunk_block(mm, dv, chunk)
+                        b_lo = max(offs[0], t_lo)
+                        b_hi = min(offs[0] + cdims[0], t_hi, shape[0])
+                        sel_y = slice(offs[1], min(offs[1] + cdims[1], shape[1]))
+                        sel_x = slice(offs[2], min(offs[2] + cdims[2], shape[2]))
+                        arr[
+                            b_lo - t_lo : b_hi - t_lo, sel_y, sel_x
+                        ] = block[
+                            b_lo - offs[0] : b_hi - offs[0],
+                            : sel_y.stop - sel_y.start,
+                            : sel_x.stop - sel_x.start,
+                        ]
+                frames[v] = np.ascontiguousarray(arr).astype("f8")
+        times = g["times"][t_lo:t_hi]
+        out = pd.DataFrame(
+            {
+                "time": np.repeat(times, ny * nx),
+                "y": np.tile(np.repeat(ys, nx), n_win),
+                "x": np.tile(xs, n_win * ny),
+                **{v: a.reshape(-1) for v, a in frames.items()},
+            }
+        )
+        if self.include_granule:
+            out["granule"] = os.path.basename(part.path)
         return out
 
     def _classic_window_wide(self, part: _NcPartition):
