@@ -820,3 +820,23 @@ def test_hdf5_contiguous_layout_windows(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 1
     got = df.orderBy("time", "y", "x").toPandas()
     assert np.allclose(got["t2m"], t2m.reshape(-1))
+
+
+def test_zarr_consolidated_metadata_is_used(spark, tmp_path):
+    # consolidate, then DELETE the per-array metadata files: a read
+    # that still works proves .zmetadata is the source of truth
+    import shutil
+
+    from xarray_dataaccessor_spark.sources.zarr import write_consolidated
+
+    store, data = _zarr_store(tmp_path)
+    write_consolidated(store)
+    for var in ("t2m", "time", "y", "x"):
+        for mf in (".zarray", ".zattrs"):
+            p = os.path.join(store, var, mf)
+            if os.path.exists(p):
+                os.remove(p)
+    df = spark.read.format("zarr").option("variable", "t2m").load(store)
+    got = df.orderBy("time", "y", "x").toPandas()
+    assert len(got) == data.size and np.allclose(got["t2m"], data.reshape(-1))
+    assert str(got["time"].iloc[0]) == "2022-01-01 00:00:00"  # attrs too

@@ -179,9 +179,60 @@ def chunk_relpath(meta: dict, idx: tuple[int, ...]) -> str:
     return sep.join(parts) if parts else "0"
 
 
+def read_consolidated(store: str) -> dict | None:
+    """The v2 consolidated-metadata document (``<store>/.zmetadata``,
+    ``zarr.consolidate_metadata`` format 1): every array's ``.zarray``
+    and ``.zattrs`` in ONE object — on object stores this turns
+    N-arrays-x-2 GETs of metadata into one. Returns the inner
+    ``metadata`` mapping, or None when the store isn't consolidated."""
+    p = os.path.join(store, ".zmetadata")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        doc = json.load(f)
+    if doc.get("zarr_consolidated_format") != 1:
+        raise NotImplementedError(
+            f"consolidated metadata format {doc.get('zarr_consolidated_format')!r}"
+            " (only format 1)"
+        )
+    return doc["metadata"]
+
+
+def write_consolidated(store: str) -> str:
+    """Consolidate an existing v2 store's metadata into ``.zmetadata``
+    (the ``zarr.consolidate_metadata`` operation, format 1)."""
+    meta: dict[str, object] = {}
+    for entry in sorted(os.listdir(store)):
+        sub = os.path.join(store, entry)
+        if not os.path.isdir(sub):
+            continue
+        for mf in (".zarray", ".zattrs"):
+            p = os.path.join(sub, mf)
+            if os.path.exists(p):
+                with open(p) as f:
+                    meta[f"{entry}/{mf}"] = json.load(f)
+    zgroup = os.path.join(store, ".zgroup")
+    if os.path.exists(zgroup):
+        with open(zgroup) as f:
+            meta[".zgroup"] = json.load(f)
+    out = os.path.join(store, ".zmetadata")
+    with open(out, "w") as f:
+        json.dump(
+            {"zarr_consolidated_format": 1, "metadata": meta}, f, indent=1
+        )
+    return out
+
+
 def read_zarray(store: str, var: str) -> dict:
     """Parse ``<store>/<var>/.zarray`` (+ ``.zattrs`` when present) — or
-    the v3 ``<var>/zarr.json`` — into the chunk-grid description."""
+    the v3 ``<var>/zarr.json`` — into the chunk-grid description. A
+    consolidated store (``.zmetadata``) is preferred when present: all
+    array metadata from one document, no per-array reads."""
+    cons = read_consolidated(store)
+    if cons is not None and f"{var}/.zarray" in cons:
+        meta = cons[f"{var}/.zarray"]
+        attrs = cons.get(f"{var}/.zattrs", {})
+        return _finish_v2_meta(meta, attrs)
     zpath = os.path.join(store, var, ".zarray")
     if not os.path.exists(zpath) and os.path.exists(
         os.path.join(store, var, "zarr.json")
@@ -189,6 +240,17 @@ def read_zarray(store: str, var: str) -> dict:
         return _read_zarr_v3(store, var)
     with open(zpath) as f:
         meta = json.load(f)
+    attrs = {}
+    zattrs = os.path.join(store, var, ".zattrs")
+    if os.path.exists(zattrs):
+        with open(zattrs) as f:
+            attrs = json.load(f)
+    return _finish_v2_meta(meta, attrs)
+
+
+def _finish_v2_meta(meta: dict, attrs: dict) -> dict:
+    """Validate a v2 ``.zarray`` document (from a per-array file or the
+    consolidated store) into the normalized meta dict."""
     if meta.get("zarr_format") != 2:
         raise NotImplementedError("Only Zarr v2/v3 stores are supported")
     comp = meta.get("compressor")
@@ -210,11 +272,6 @@ def read_zarray(store: str, var: str) -> dict:
         )
     if meta.get("order", "C") != "C":
         raise NotImplementedError("Fortran-order Zarr chunks unsupported")
-    attrs = {}
-    zattrs = os.path.join(store, var, ".zattrs")
-    if os.path.exists(zattrs):
-        with open(zattrs) as f:
-            attrs = json.load(f)
     return {
         "shape": [int(s) for s in meta["shape"]],
         "chunks": [int(c) for c in meta["chunks"]],
