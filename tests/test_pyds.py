@@ -840,3 +840,45 @@ def test_zarr_consolidated_metadata_is_used(spark, tmp_path):
     got = df.orderBy("time", "y", "x").toPandas()
     assert len(got) == data.size and np.allclose(got["t2m"], data.reshape(-1))
     assert str(got["time"].iloc[0]) == "2022-01-01 00:00:00"  # attrs too
+
+
+def test_zarr_4d_pressure_levels(spark, tmp_path):
+    # ARCO-ERA5 shape: (time, level, y, x) with a named level axis;
+    # level becomes a column, and level-bounds prune chunks exactly
+    from pyspark.sql.datasource import EqualTo
+
+    from xarray_dataaccessor_spark.sources.pyds import _ZarrReader
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+
+    store = str(tmp_path / "plev")
+    nt, nl, ny, nx = 4, 3, 2, 5
+    data = np.arange(nt * nl * ny * nx, dtype="f8").reshape(nt, nl, ny, nx)
+    write_zarr(store, "z", data, ["time", "level", "y", "x"],
+               chunks=[2, 1, 2, 5])
+    write_zarr(store, "time", np.arange(nt, dtype="f8"), ["time"],
+               attrs={"units": "hours since 2022-01-01"})
+    write_zarr(store, "level", np.array([500.0, 700.0, 850.0]), ["level"])
+    write_zarr(store, "y", np.arange(ny, dtype="f8"), ["y"])
+    write_zarr(store, "x", np.arange(nx, dtype="f8"), ["x"])
+
+    df = spark.read.format("zarr").option("variable", "z").load(store)
+    assert [f.name for f in df.schema.fields] == ["time", "level", "y", "x", "z"]
+    got = df.orderBy("time", "level", "y", "x").toPandas()
+    assert len(got) == data.size
+    assert np.allclose(got["z"], data.reshape(-1))
+    assert sorted(got["level"].unique()) == [500.0, 700.0, 850.0]
+
+    # level-chunk pruning: level chunks are size 1 -> exactly 1/3 kept
+    r = _ZarrReader({"path": store, "variable": "z",
+                     "target_partition_bytes": "1"})
+    r._filters = [EqualTo(("level",), 700.0)]
+    kept = sum(len(p.chunk_idx) for p in r.partitions())
+    total = sum(len(p.chunk_idx) for p in _ZarrReader(
+        {"path": store, "variable": "z", "target_partition_bytes": "1"}
+    ).partitions())
+    assert kept * 3 == total
+    sel = df.filter("level = 700.0")
+    assert sel.count() == nt * ny * nx
+    assert abs(
+        sel.agg(F.sum("z")).collect()[0][0] - data[:, 1, :, :].sum()
+    ) < 1e-9

@@ -127,6 +127,7 @@ __all__ = [
 ]
 
 _HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+_LEVEL_NAMES = ("level", "lev", "plev", "pressure_level", "isobaricInhPa")
 
 
 def _expand_paths(path: str, suffixes: tuple[str, ...]) -> list[str]:
@@ -1477,9 +1478,11 @@ class _ZarrReader(DataSourceReader):
         if self._geom is not None:
             return self._geom
         meta = read_zarray(self.store, self.variable)
-        if len(meta["shape"]) not in (2, 3):
+        nd = len(meta["shape"])
+        if nd not in (2, 3, 4):
             raise ValueError(
-                "zarr data source expects a 2-D (y,x) or 3-D (t,y,x) array"
+                "zarr data source expects a 2-D (y,x), 3-D (t,y,x), or "
+                "4-D (t,level,y,x) array"
             )
         dims = meta["dims"] or []
 
@@ -1493,7 +1496,13 @@ class _ZarrReader(DataSourceReader):
         y_name = pick(_Y_NAMES, -2)
         xs = read_small_array(self.store, x_name).astype("f8")
         ys = read_small_array(self.store, y_name).astype("f8")
-        if len(meta["shape"]) == 3:
+        levels = None
+        if nd == 4:
+            # pressure-level archives (ARCO-ERA5 shape): dim 1 is the
+            # level axis, whatever the store names it
+            lev_name = pick(_LEVEL_NAMES, 1)
+            levels = read_small_array(self.store, lev_name).astype("f8")
+        if nd >= 3:
             t_name = "time" if ("time" in dims or not dims) else dims[0]
             # inline zarr_time_axis: its function-level netcdf3 import
             # resolves on workers, where the package may be absent
@@ -1505,7 +1514,13 @@ class _ZarrReader(DataSourceReader):
             times = np.asarray(tvals, dtype="datetime64[us]")
         else:
             times = np.asarray([np.datetime64("1970-01-01", "us")])
-        self._geom = {"meta": meta, "xs": xs, "ys": ys, "times": times}
+        self._geom = {
+            "meta": meta,
+            "xs": xs,
+            "ys": ys,
+            "times": times,
+            "levels": levels,
+        }
         return self._geom
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -1534,13 +1549,18 @@ class _ZarrReader(DataSourceReader):
         nd = len(shape)
         grid = [(shape[d] + chunks[d] - 1) // chunks[d] for d in range(nd)]
 
-        # axis slices per dim position: 3-D = (t, y, x), 2-D = (y, x)
-        axes = (
-            [g["times"].astype("int64").astype("f8"), g["ys"], g["xs"]]
-            if nd == 3
-            else [g["ys"], g["xs"]]
-        )
-        names = ["time", "y", "x"] if nd == 3 else ["y", "x"]
+        # axis slices per dim position: 4-D (t, level, y, x),
+        # 3-D (t, y, x), 2-D (y, x) — all prunable the same way
+        t_axis = g["times"].astype("int64").astype("f8")
+        if nd == 4:
+            axes = [t_axis, g["levels"], g["ys"], g["xs"]]
+            names = ["time", "level", "y", "x"]
+        elif nd == 3:
+            axes = [t_axis, g["ys"], g["xs"]]
+            names = ["time", "y", "x"]
+        else:
+            axes = [g["ys"], g["xs"]]
+            names = ["y", "x"]
         bounds = [_bounds_from_filters(self._filters, n) for n in names]
 
         def chunk_survives(idx: tuple[int, ...]) -> bool:
@@ -1614,39 +1634,46 @@ class _ZarrReader(DataSourceReader):
                 tsl = times
             else:
                 tsl = times[lo[0] : hi[0]]
+            if nd == 4:
+                levsl = g["levels"][lo[1] : hi[1]]
+            else:
+                block = block[:, np.newaxis, ...]
+                levsl = np.asarray([0.0])
             ysl = ys[lo[-2] : hi[-2]]
             xsl = xs[lo[-1] : hi[-1]]
-            ntc, nyc, nxc = block.shape
-            frames.append(
-                {
-                    "time": np.repeat(tsl[:ntc], nyc * nxc),
-                    "y": np.tile(np.repeat(ysl, nxc), ntc),
-                    "x": np.tile(xsl, ntc * nyc),
-                    "v": block.astype("f8").reshape(-1),
-                }
-            )
+            ntc, nlc, nyc, nxc = block.shape
+            fr = {
+                "time": np.repeat(tsl[:ntc], nlc * nyc * nxc),
+                "y": np.tile(np.repeat(ysl, nxc), ntc * nlc),
+                "x": np.tile(xsl, ntc * nlc * nyc),
+                "v": block.astype("f8").reshape(-1),
+            }
+            if nd == 4:
+                fr["level"] = np.tile(np.repeat(levsl, nyc * nxc), ntc)
+            frames.append(fr)
         if not frames:
             return
-        tbl = pa.table(
-            {
-                "time": pa.array(
-                    np.concatenate([fr["time"] for fr in frames]),
-                    type=pa.timestamp("us"),
-                ),
-                "y": pa.array(
-                    np.concatenate([fr["y"] for fr in frames]),
-                    type=pa.float64(),
-                ),
-                "x": pa.array(
-                    np.concatenate([fr["x"] for fr in frames]),
-                    type=pa.float64(),
-                ),
-                self.variable: pa.array(
-                    np.concatenate([fr["v"] for fr in frames]),
-                    type=pa.float64(),
-                ),
-            }
+        cols = {
+            "time": pa.array(
+                np.concatenate([fr["time"] for fr in frames]),
+                type=pa.timestamp("us"),
+            ),
+        }
+        if nd == 4:
+            cols["level"] = pa.array(
+                np.concatenate([fr["level"] for fr in frames]),
+                type=pa.float64(),
+            )
+        cols["y"] = pa.array(
+            np.concatenate([fr["y"] for fr in frames]), type=pa.float64()
         )
+        cols["x"] = pa.array(
+            np.concatenate([fr["x"] for fr in frames]), type=pa.float64()
+        )
+        cols[self.variable] = pa.array(
+            np.concatenate([fr["v"] for fr in frames]), type=pa.float64()
+        )
+        tbl = pa.table(cols)
         for batch in tbl.to_batches(max_chunksize=1 << 16):
             yield batch
 
@@ -1840,9 +1867,10 @@ class ZarrDataSource(DataSource):
 
     def schema(self):
         r = _ZarrReader(self.options)
-        r._geometry()
+        g = r._geometry()
+        lev = "level double, " if g["levels"] is not None else ""
         return (
-            "time timestamp_ntz, y double, x double, "
+            f"time timestamp_ntz, {lev}y double, x double, "
             f"`{r.variable}` double"
         )
 
