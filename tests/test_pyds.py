@@ -882,3 +882,37 @@ def test_zarr_4d_pressure_levels(spark, tmp_path):
     assert abs(
         sel.agg(F.sum("z")).collect()[0][0] - data[:, 1, :, :].sum()
     ) < 1e-9
+
+
+def test_netcdf_4d_pressure_levels(spark, tmp_path):
+    # CDS pressure-level shape: (time, level, y, x) classic granule;
+    # level becomes a column, record-range splitting still applies
+    p = str(tmp_path / "plev.nc")
+    nt, nl, ny, nx = 6, 3, 2, 4
+    z = np.arange(nt * nl * ny * nx, dtype="f8").reshape(nt, nl, ny, nx)
+    write_netcdf3(
+        p,
+        {"time": nt, "level": nl, "y": ny, "x": nx},
+        {
+            "time": (["time"], np.arange(nt, dtype="f8"),
+                     {"units": "hours since 2020-01-01"}),
+            "level": (["level"], np.array([500.0, 700.0, 850.0]), {}),
+            "y": (["y"], 40.0 + np.arange(ny, dtype="f8"), {}),
+            "x": (["x"], -80.0 + np.arange(nx, dtype="f8"), {}),
+            "z": (["time", "level", "y", "x"], z, {}),
+        },
+        record_dim="time",
+    )
+    df = (
+        spark.read.format("netcdf")
+        .option("target_partition_bytes", 500)
+        .load(p)
+    )
+    assert [f.name for f in df.schema.fields] == ["time", "level", "y", "x", "z"]
+    assert df.rdd.getNumPartitions() > 1  # record ranges despite 4-D
+    got = df.orderBy("time", "level", "y", "x").toPandas()
+    assert len(got) == z.size
+    assert np.allclose(got["z"], z.reshape(-1))
+    sel = df.filter("level = 700.0")
+    assert sel.count() == nt * ny * nx
+    assert abs(sel.agg(F.sum("z")).collect()[0][0] - z[:, 1].sum()) < 1e-9

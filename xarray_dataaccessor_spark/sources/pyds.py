@@ -243,11 +243,23 @@ def _detect_axes(hdr: dict) -> tuple[str | None, str | None, str | None]:
     return t, y, x
 
 
+def _detect_level(hdr: dict) -> str | None:
+    names = [v[0] for v in hdr["vars"]]
+    for c in _LEVEL_NAMES:
+        if c in names:
+            return c
+    return None
+
+
+def _var_dim_names(hdr: dict, entry) -> list[str]:
+    return [hdr["dims"][i][0] for i in entry[1]]
+
+
 def _data_var_names(hdr: dict) -> list[str]:
     """Data variables = everything that is not a detected coordinate
     axis and has >= 2 dims (the grid cube shape)."""
     t, y, x = _detect_axes(hdr)
-    coords = {t, y, x} - {None}
+    coords = {t, y, x, _detect_level(hdr)} - {None}
     return [
         v[0]
         for v in hdr["vars"]
@@ -329,6 +341,9 @@ class _NetCDFReaderBase:
             str(self.options.get("assume_sorted_time", "false")).lower()
             == "true"
         )
+        #: set by infer_schema when the granules carry a pressure-level
+        #: dimension (CDS pressure-level shape): emit a `level` column
+        self.level_var: str | None = None
         self._filters: list[Filter] = []
 
     # -- planning -----------------------------------------------------
@@ -536,6 +551,17 @@ class _NetCDFReaderBase:
                 for n in names
                 if n not in coords and len(parsed["variables"][n]["dims"]) >= 2
             ]
+            for n in data_vars:
+                extra = [
+                    d for d in parsed["variables"][n]["dims"][:-2]
+                    if d != "time"
+                ]
+                if extra:
+                    raise NotImplementedError(
+                        f"{first}: HDF5 variable {n!r} has extra dims "
+                        f"{extra}; pressure-level columns are supported "
+                        "for classic-CDF and zarr granules only"
+                    )
         else:
             hdr = _read_header(first)
             present = {v[0] for v in hdr["vars"]}
@@ -548,10 +574,29 @@ class _NetCDFReaderBase:
                     f"(has {sorted(present)})"
                 )
             data_vars = self.variables or _data_var_names(hdr)
+            # pressure-level detection (CDS pressure-level downloads):
+            # every chosen var must agree on carrying the level dim
+            lev = _detect_level(hdr)
+            if lev is not None and data_vars:
+                lev_dim = _var_dim_names(hdr, _var_entry(hdr, lev))[0]
+                has = [
+                    lev_dim in _var_dim_names(hdr, _var_entry(hdr, v))
+                    for v in data_vars
+                ]
+                if all(has):
+                    self.level_var = lev
+                elif any(has):
+                    raise ValueError(
+                        f"variables mix level and non-level shapes in "
+                        f"{first}; pass an explicit 'variables' option "
+                        "with one shape"
+                    )
         if not data_vars:
             raise ValueError(f"No data variables detected in {first}")
         self.variables = data_vars
-        cols = ["time timestamp_ntz", "y double", "x double"] + [
+        cols = ["time timestamp_ntz"] + (
+            ["level double"] if self.level_var else []
+        ) + ["y double", "x double"] + [
             f"`{v}` double" for v in data_vars
         ]
         if self.include_granule:
@@ -574,12 +619,21 @@ class _NetCDFReaderBase:
         else:
             pdf = self._classic_window_wide(part)
         batch_rows = 1 << 16
-        schema_names = ["time", "y", "x"] + list(self.variables) + (
-            ["granule"] if self.include_granule else []
+        schema_names = (
+            ["time"]
+            + (["level"] if self.level_var else [])
+            + ["y", "x"]
+            + list(self.variables)
+            + (["granule"] if self.include_granule else [])
         )
         tbl = pa.table(
             {
                 "time": pa.array(pdf["time"], type=pa.timestamp("us")),
+                **(
+                    {"level": pa.array(pdf["level"], type=pa.float64())}
+                    if self.level_var
+                    else {}
+                ),
                 "y": pa.array(pdf["y"], type=pa.float64()),
                 "x": pa.array(pdf["x"], type=pa.float64()),
                 **{
@@ -730,6 +784,13 @@ class _NetCDFReaderBase:
         else:
             times = np.asarray([np.datetime64("1970-01-01", "us")])
 
+        levels = None
+        if self.level_var:
+            levels = (
+                _fixed_var_data(path, hdr, self.level_var).astype("f8").ravel()
+            )
+        nlev = len(levels) if levels is not None else 1
+
         frames = {}
         nt = None
         for v in self.variables:
@@ -739,21 +800,25 @@ class _NetCDFReaderBase:
             else:
                 # fixed data cube (no record dim): decode whole, one task
                 arr = _fixed_var_data(path, hdr, v)
-                if arr.ndim == 2:
+                if arr.ndim == 2 or (self.level_var and arr.ndim == 3):
                     arr = arr[np.newaxis, ...]
-            # squeeze size-1 extras (level dims)
-            while arr.ndim > 3:
+            # target rank: 4 with a level column, else 3 — squeeze
+            # size-1 extras beyond that (e.g. a degenerate height dim)
+            want = 4 if self.level_var else 3
+            while arr.ndim > want:
                 ax = next(
                     (i for i in range(1, arr.ndim) if arr.shape[i] == 1), None
                 )
                 if ax is None:
                     raise ValueError(
-                        f"{v}: >3 non-degenerate dims unsupported "
+                        f"{v}: >{want} non-degenerate dims unsupported "
                         f"(shape {arr.shape})"
                     )
                 arr = np.squeeze(arr, axis=ax)
             if arr.ndim == 2:
                 arr = arr[np.newaxis, ...]
+            if self.level_var and arr.ndim == 3:
+                arr = arr[:, np.newaxis, ...]
             frames[v] = arr.astype("f8")
             nt = arr.shape[0] if nt is None else nt
 
@@ -763,13 +828,13 @@ class _NetCDFReaderBase:
             if len(times) >= nt
             else np.resize(times, nt)
         )
+        cols = {"time": np.repeat(times, nlev * ny * nx)}
+        if self.level_var:
+            cols["level"] = np.tile(np.repeat(levels, ny * nx), nt)
+        cols["y"] = np.tile(np.repeat(ys, nx), nt * nlev)
+        cols["x"] = np.tile(xs, nt * nlev * ny)
         out = pd.DataFrame(
-            {
-                "time": np.repeat(times, ny * nx),
-                "y": np.tile(np.repeat(ys, nx), nt),
-                "x": np.tile(xs, nt * ny),
-                **{v: a.reshape(-1) for v, a in frames.items()},
-            }
+            {**cols, **{v: a.reshape(-1) for v, a in frames.items()}}
         )
         if self.include_granule:
             out["granule"] = os.path.basename(path)
