@@ -916,3 +916,46 @@ def test_netcdf_4d_pressure_levels(spark, tmp_path):
     sel = df.filter("level = 700.0")
     assert sel.count() == nt * ny * nx
     assert abs(sel.agg(F.sum("z")).collect()[0][0] - z[:, 1].sum()) < 1e-9
+
+
+def test_geotiff_stream_tail_two_batches(spark, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "scenes")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def scene(i):
+        write_geotiff(
+            os.path.join(d, f"s{i}.tif"),
+            np.full((4, 4), float(i), dtype="f8"),
+            x_origin=0.0, y_origin=4.0, pixel_size=(1.0, 1.0),
+        )
+
+    def run():
+        q = (
+            spark.readStream.format("geotiff")
+            .load(d)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    scene(0)
+    scene(1)
+    run()
+    r1 = spark.read.parquet(sink).selectExpr(
+        "count(*) c", "sum(value) s"
+    ).collect()[0]
+    assert (r1["c"], r1["s"]) == (32, 16.0)
+    scene(2)
+    run()
+    r2 = spark.read.parquet(sink).selectExpr(
+        "count(*) c", "sum(value) s"
+    ).collect()[0]
+    assert (r2["c"], r2["s"]) == (48, 48.0)

@@ -1313,6 +1313,66 @@ class _GeoTIFFReader(DataSourceReader):
             yield batch
 
 
+class _GeoTIFFStreamReader(DataSourceStreamReader):
+    """Granule-tail stream over a directory of rasters (new scene
+    lands -> micro-batch), same offset contract as the netcdf tail:
+    count of name-sorted files consumed, atomic-rename landing."""
+
+    def __init__(self, options: dict):
+        self._reader = _GeoTIFFReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"n": len(self._reader._files())}
+        except FileNotFoundError:
+            return {"n": 0}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = self._reader._files()[start["n"] : end["n"]]
+        parts: list[_TiffPartition] = []
+        for path in files:
+            lay = _tiff_layout(path)
+            n_blocks = len(lay["offsets"])
+            group: list[int] = []
+            acc = 0
+            for bi in range(n_blocks):
+                group.append(bi)
+                acc += lay["counts"][bi]
+                if acc >= self._reader.target_bytes:
+                    parts.append(
+                        _TiffPartition(
+                            path, block_ids=group,
+                            year=self._reader.year, **lay,
+                        )
+                    )
+                    group, acc = [], 0
+            if group:
+                parts.append(
+                    _TiffPartition(
+                        path, block_ids=group, year=self._reader.year, **lay
+                    )
+                )
+        return parts or [
+            _TiffPartition(
+                "", block_ids=[], width=0, height=0, dtype="f8",
+                compression=1, predictor=1, tiled=False, tile_w=0,
+                tile_h=0, rows_per_strip=0, offsets=[], counts=[],
+                x0=0.0, dx=1.0, y0=0.0, dy=1.0, nodata=None, year=None,
+            )
+        ]
+
+    def read(self, partition: _TiffPartition) -> Iterator:
+        if not partition.path:
+            return iter(())
+        return self._reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class GeoTIFFDataSource(DataSource):
     """``spark.read.format("geotiff").load(path)`` — single-band
     GeoTIFF/COG rasters as ``(time, y, x, <variable>)`` rows. Partition
@@ -1326,7 +1386,10 @@ class GeoTIFFDataSource(DataSource):
     Options: ``variable`` (output column name, default 'value'),
     ``year`` (constant time stamp, reference
     ``nasa_from_LPDAAC.py:491-516``), ``target_partition_bytes``,
-    ``include_granule``."""
+    ``include_granule``.
+
+    Also a streaming source (``spark.readStream.format("geotiff")``):
+    newly landed rasters in the directory become micro-batches."""
 
     @classmethod
     def name(cls) -> str:
@@ -1346,6 +1409,9 @@ class GeoTIFFDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _GeoTIFFReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _GeoTIFFStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------
