@@ -479,17 +479,22 @@ def write_netcdf3(
             begins[vname] = off
             off += vsize  # offset of this var's chunk within one record
 
-    body = b""
+    # bytearray, not bytes +=: the record loop appends one chunk per
+    # (record, variable) and immutable-bytes concatenation is O(n^2) —
+    # a 200 MB granule took minutes instead of seconds
+    body = bytearray()
     for vname, _vdims, _vatts, _t, raw, vsize, is_rec, _per in var_entries:
         if not is_rec:
             body += raw + b"\x00" * (vsize - len(raw))
     assert len(body) + header_len == rec_start
+    rec_entries_w = [e for e in var_entries if e[6]]
     for rec in range(numrecs):
-        for vname, _vdims, _vatts, _t, raw, vsize, is_rec, per in var_entries:
-            if is_rec:
-                chunk = raw[rec * per : (rec + 1) * per]
-                body += chunk + b"\x00" * (vsize - per)
+        for vname, _vdims, _vatts, _t, raw, vsize, is_rec, per in rec_entries_w:
+            chunk = raw[rec * per : (rec + 1) * per]
+            body += chunk
+            if vsize != per:
+                body += b"\x00" * (vsize - per)
 
     with open(path, "wb") as f:
-        f.write(header + var_header(begins) + body)
+        f.write(header + var_header(begins) + bytes(body))
     return path
