@@ -72,3 +72,26 @@ def test_catalog_zarr_dataset_merges_variables(spark, tmp_path):
     pdf = gf.df.orderBy("time", "y", "x").toPandas()
     assert len(pdf) == nt * ny * nx
     assert np.allclose(pdf["d2m"], 2.0 * pdf["t2m"])  # J1 merge aligned
+
+
+def test_catalog_zarr_4d_level_joins_on_level(spark, tmp_path):
+    """4-D stores emit a `level` column; the catalog merge must include
+    it in the join keys or the outer join explodes many-to-many."""
+    store = str(tmp_path / "store")
+    nt, nl, ny, nx = 4, 3, 2, 3
+    a = np.arange(nt * nl * ny * nx, dtype="f8").reshape(nt, nl, ny, nx)
+    write_zarr(store, "t", a, ["time", "level", "y", "x"],
+               chunks=[2, 3, 2, 3])
+    write_zarr(store, "z", a * 10.0, ["time", "level", "y", "x"],
+               chunks=[2, 3, 2, 3])
+    write_zarr(store, "time", np.arange(nt, dtype="f8"), ["time"],
+               attrs={"units": "hours since 2024-06-01"})
+    write_zarr(store, "level", np.array([500.0, 700.0, 850.0]), ["level"])
+    write_zarr(store, "y", np.arange(ny, dtype="f8"), ["y"])
+    write_zarr(store, "x", np.arange(nx, dtype="f8"), ["x"])
+    cat = DatasetCatalog()
+    cat.register("plev", store, ["t", "z"], format="zarr")
+    gf = cat.load(spark, "plev")
+    pdf = gf.df.orderBy("time", "level", "y", "x").toPandas()
+    assert len(pdf) == nt * nl * ny * nx  # no many-to-many explosion
+    assert np.allclose(pdf["z"], 10.0 * pdf["t"])  # levels aligned

@@ -959,3 +959,114 @@ def test_geotiff_stream_tail_two_batches(spark, tmp_path):
         "count(*) c", "sum(value) s"
     ).collect()[0]
     assert (r2["c"], r2["s"]) == (48, 48.0)
+
+
+# ---------------------------------------------------------------------------
+# round-12 regression fixes (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_webdataset_overwrite_removes_stale_shards(spark, tmp_path):
+    """mode('overwrite') must not leave shards from a previous (larger)
+    write behind — the reader globs all *.tar."""
+    out = str(tmp_path / "wds")
+    rows = [(f"k{i}", {"txt": bytearray(str(i).encode())}) for i in range(12)]
+    df = spark.createDataFrame(rows, "key string, files map<string,binary>")
+    df.repartition(4).write.format("webdataset").mode("append").save(out)
+    assert len([n for n in os.listdir(out) if n.endswith(".tar")]) == 4
+
+    df.limit(3).coalesce(1).write.format("webdataset").mode(
+        "overwrite"
+    ).save(out)
+    tars = [n for n in os.listdir(out) if n.endswith(".tar")]
+    assert tars == ["shard-000000.tar"]
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert sum(s["samples"] for s in man["shards"]) == 3
+    assert spark.read.format("webdataset").load(out).count() == 3
+
+
+def test_tail_offsets_are_name_based_not_positional():
+    """A late file sorting BEFORE consumed names must not shift the
+    window and re-emit an already-consumed granule (duplicates)."""
+    from xarray_dataaccessor_spark.sources.pyds import (
+        _tail_latest_offset,
+        _tail_slice,
+    )
+
+    files = ["/d/g1.nc", "/d/g2.nc"]
+    start = {"last": ""}
+    end = _tail_latest_offset(files)
+    assert end == {"last": "g2.nc"}
+    assert _tail_slice(files, start, end) == files
+
+    # g0 lands late (sorts before g2): the next batch must not replay
+    # g1/g2; g0 is outside the high-water mark by documented contract
+    files2 = ["/d/g0.nc", "/d/g1.nc", "/d/g2.nc", "/d/g3.nc"]
+    end2 = _tail_latest_offset(files2)
+    batch = _tail_slice(files2, end, end2)
+    assert batch == ["/d/g3.nc"]
+
+    # legacy count offsets from an old checkpoint still slice
+    assert _tail_slice(files2, {"n": 1}, {"n": 3}) == files2[1:3]
+
+
+def test_tiff_unsupported_codec_fails_at_planning(tmp_path):
+    """JPEG/LZMA/ZSTD rasters must fail in _tiff_layout with the codec
+    named, not as an opaque zlib error inside an executor task."""
+    from xarray_dataaccessor_spark.sources.pyds import _tiff_layout
+
+    p = str(tmp_path / "a.tif")
+    write_geotiff(
+        p, _raster(8, 8), x_origin=0.0, y_origin=8.0, pixel_size=(1.0, 1.0)
+    )
+    raw = bytearray(open(p, "rb").read())
+    # IFD entry: tag(2) type(2)=SHORT(3) count(4)=1 value: patch 259
+    # (compression) from 1 -> 7 (JPEG)
+    pat = (259).to_bytes(2, "little") + (3).to_bytes(2, "little") + (
+        1
+    ).to_bytes(4, "little")
+    i = raw.find(pat)
+    assert i > 0
+    raw[i + 8] = 7
+    open(p, "wb").write(raw)
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        _tiff_layout(p)
+
+
+def test_hdf5_schema_inference_is_header_only(spark, tmp_path):
+    """infer_schema on a NetCDF4 granule must touch only header/B-tree/
+    coordinate pages: corrupting every DATA chunk of the 3-D variable
+    (which a full decode would explode on — deflate stream) must leave
+    schema inference working."""
+    from xarray_dataaccessor_spark.sources.hdf5 import parse_hdf5_layout
+    from xarray_dataaccessor_spark.sources.pyds import _NetCDFReaderBase
+
+    p = str(tmp_path / "g.h5")
+    t2m = np.arange(6 * 4 * 3, dtype="f8").reshape(6, 4, 3)
+    write_hdf5(
+        p,
+        {"time": 6, "latitude": 4, "longitude": 3},
+        {
+            "time": (
+                ["time"],
+                np.arange(6, dtype="f8"),
+                {"units": "hours since 2021-06-01"},
+            ),
+            "latitude": (["latitude"], np.arange(4, dtype="f8"), {}),
+            "longitude": (["longitude"], np.arange(3, dtype="f8"), {}),
+            "t2m": (["time", "latitude", "longitude"], t2m, {}),
+        },
+        chunks={"t2m": [2, 4, 3]},
+        compress=True,
+    )
+    lay = parse_hdf5_layout(open(p, "rb").read())
+    chunks = lay["variables"]["t2m"]["chunks"]
+    assert chunks, "fixture must be chunked"
+    raw = bytearray(open(p, "rb").read())
+    for _off, addr, size, _mask in chunks:
+        raw[addr : addr + size] = b"\xff" * size
+    open(p, "wb").write(raw)
+
+    r = _NetCDFReaderBase({"path": p})
+    schema = r.infer_schema()
+    assert "t2m" in schema and "time" in schema

@@ -184,7 +184,19 @@ class DatasetCatalog:
             ]
             if len(dfs) == 1:
                 return dfs[0]
-            return merge_variables(dfs, keys=["time", "y", "x"])
+            # 4-D stores emit a `level` column; it must be a join key or
+            # a multi-level outer merge explodes many-to-many
+            keys = [
+                k
+                for k in ("time", "level", "y", "x")
+                if all(k in df.columns for df in dfs)
+            ]
+            if any("level" in df.columns for df in dfs) and "level" not in keys:
+                raise ValueError(
+                    f"zarr entry {entry.path!r} mixes level and "
+                    "non-level variables; split into separate entries"
+                )
+            return merge_variables(dfs, keys=keys)
         if entry.format in ("geotiff", "grib2"):
             var = (keep or list(entry.variables) or ["value"])[0]
             return (

@@ -74,7 +74,6 @@ from xarray_dataaccessor_spark.sources.geotiff import (
 from xarray_dataaccessor_spark.sources.grib2 import parse_grib2
 from xarray_dataaccessor_spark.sources.hdf5 import (
     decode_chunk_block,
-    parse_hdf5,
     parse_hdf5_layout,
 )
 from xarray_dataaccessor_spark.sources.netcdf3 import (
@@ -535,8 +534,14 @@ class _NetCDFReaderBase:
         with open(first, "rb") as f:
             magic = f.read(8)
         if magic == _HDF5_MAGIC:
+            # header-only layout parse (mmap: header/B-tree/coordinate
+            # pages, no data chunks) — schema inference must stay
+            # O(header) even for a 100 GB NetCDF4 granule
+            import mmap as _mmap
+
             with open(first, "rb") as f:
-                parsed = parse_hdf5(f.read())
+                mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+                parsed = parse_hdf5_layout(mm)
             names = list(parsed["variables"])
 
             def pick(cands):
@@ -868,25 +873,48 @@ class _NetCDFBatchReader(_NetCDFReaderBase, DataSourceReader):
         return self.read_partition(partition)
 
 
+def _tail_latest_offset(files: list[str]) -> dict:
+    """Offset for a granule-tail stream = max basename seen so far.
+    A count-based offset re-emits an old granule (and permanently
+    skips the new one) whenever a late file sorts before consumed
+    names; the max-name offset makes the contract explicit: only
+    files with basenames strictly greater than the consumed high-water
+    mark are emitted, so names must be monotonically increasing
+    (timestamped granules are). Files must still land atomically
+    (rename into place)."""
+    return {"last": os.path.basename(files[-1]) if files else ""}
+
+
+def _tail_slice(files: list[str], start: dict, end: dict) -> list[str]:
+    """Micro-batch file selection between two offsets. Understands the
+    name-based offsets above and (read-only) legacy ``{"n": count}``
+    offsets from pre-existing checkpoints."""
+    if "last" in start or "last" in end:
+        lo = start.get("last", "")
+        hi = end.get("last", "")
+        return [
+            p for p in files if lo < os.path.basename(p) <= hi
+        ]
+    return files[start.get("n", 0) : end.get("n", 0)]
+
+
 class _NetCDFStreamReader(_NetCDFReaderBase, DataSourceStreamReader):
     """Granule-tail stream: the directory is an append-only feed of
     granules (the reference's 'fetch new ERA5 files as CDS publishes
-    them' loop, as a Structured Streaming source). Offset = count of
-    granules consumed from the name-sorted listing — files must land
-    atomically (rename into place), the same contract as Spark's file
-    source."""
+    them' loop, as a Structured Streaming source). Offset = max
+    consumed basename (see :func:`_tail_latest_offset`)."""
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
         try:
-            return {"n": len(self._files())}
+            return _tail_latest_offset(self._files())
         except FileNotFoundError:
-            return {"n": 0}
+            return {"last": ""}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        files = self._files()[start["n"] : end["n"]]
+        files = _tail_slice(self._files(), start, end)
         parts: list[_NcPartition] = []
         for p in files:
             parts.extend(self._plan_file(p))
@@ -1064,11 +1092,21 @@ def _tiff_layout(path: str) -> dict:
         raise NotImplementedError(
             f"TIFF sample format {sample_format} unsupported"
         )
+    compression = int(tags.get(TAG_COMPRESSION, [1])[0])
+    # 1=none, 5=LZW, 8/32946=DEFLATE, 32773=PackBits. Anything else
+    # (JPEG=7, LZMA=34925, ZSTD=50000, ...) must fail HERE at planning
+    # time with the codec named, not as an opaque zlib error deep in an
+    # executor task.
+    if compression not in (1, 5, 8, 32773, 32946):
+        raise NotImplementedError(
+            f"TIFF compression {compression} unsupported "
+            "(supported: 1=none, 5=LZW, 8/32946=DEFLATE, 32773=PackBits)"
+        )
     out = {
         "width": width,
         "height": height,
         "dtype": f"{bo}{kind}{bits // 8}",
-        "compression": int(tags.get(TAG_COMPRESSION, [1])[0]),
+        "compression": compression,
         "predictor": int(tags.get(TAG_PREDICTOR, [1])[0]),
     }
     if TAG_TILE_OFFSETS in tags:
@@ -1316,22 +1354,23 @@ class _GeoTIFFReader(DataSourceReader):
 class _GeoTIFFStreamReader(DataSourceStreamReader):
     """Granule-tail stream over a directory of rasters (new scene
     lands -> micro-batch), same offset contract as the netcdf tail:
-    count of name-sorted files consumed, atomic-rename landing."""
+    max consumed basename (:func:`_tail_latest_offset`),
+    atomic-rename landing."""
 
     def __init__(self, options: dict):
         self._reader = _GeoTIFFReader(options)
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
         try:
-            return {"n": len(self._reader._files())}
+            return _tail_latest_offset(self._reader._files())
         except FileNotFoundError:
-            return {"n": 0}
+            return {"last": ""}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        files = self._reader._files()[start["n"] : end["n"]]
+        files = _tail_slice(self._reader._files(), start, end)
         parts: list[_TiffPartition] = []
         for path in files:
             lay = _tiff_layout(path)
@@ -1519,17 +1558,26 @@ class _WebDatasetWriter(DataSourceWriter):
         return _ShardCommit(tmp=tmp, pid=pid, n=n)
 
     def commit(self, messages):
+        import glob as _glob
         import json
 
         final = []
+        names = set()
         for m in messages:
             if m is None:
                 continue
-            dest = os.path.join(
-                self.path, f"{self.prefix}-{m.pid:06d}.tar"
-            )
-            os.replace(m.tmp, dest)
-            final.append({"shard": os.path.basename(dest), "samples": m.n})
+            name = f"{self.prefix}-{m.pid:06d}.tar"
+            os.replace(m.tmp, os.path.join(self.path, name))
+            names.add(name)
+            final.append({"shard": name, "samples": m.n})
+        if self.overwrite:
+            # mode("overwrite") must not leave stale shards from a
+            # previous (larger) write: the reader globs all *.tar
+            for old in _glob.glob(
+                os.path.join(self.path, f"{self.prefix}-*.tar")
+            ):
+                if os.path.basename(old) not in names:
+                    os.remove(old)
         with open(os.path.join(self.path, "_manifest.json"), "w") as f:
             json.dump({"shards": final}, f, indent=1, sort_keys=True)
 
