@@ -331,6 +331,7 @@ def bottomk_sample(
     group_cols: Sequence[str] = (),
     k: int = 256,
     precut: float | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Bottom-k-by-hash coordinated sample of ``value_col`` per group —
     the mergeable uniform sample that backs :func:`bottomk_quantiles`.
@@ -391,8 +392,12 @@ def bottomk_sample(
     if precut is not None:
         # counts come from the INPUT, not from base: base's projection
         # carries the md5 hash, and aggregating it would pay a second
-        # full hashing pass just to count rows per group
-        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        # full hashing pass just to count rows per group. A caller that
+        # already has per-group counts (e.g. from a value histogram it
+        # builds anyway — rollup_revenue 'bk') passes them in and this
+        # scan disappears.
+        if counts is None:
+            counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
         thr = (F.lit(float(precut * k)) / F.col("__n").cast("double")) * F.lit(
             4294967296.0
         )
@@ -463,12 +468,39 @@ def exact_quantiles_histogram(
     e.g. cents, so interpolation is engine-exact).
 
     Returns ``(*group_cols, q<p>... double)``."""
+    return quantiles_from_histogram(
+        value_histogram(df, value_col, group_cols),
+        value_col,
+        group_cols,
+        probs,
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """``(group, value, __c)`` counts — the map-side-combinable scan
+    behind :func:`exact_quantiles_histogram`, exposed so a caller can
+    build it ONCE and reuse it for quantiles AND per-group counts
+    (``sum(__c)``) instead of re-scanning the input (the
+    ``rollup_revenue`` 'bk' fusion, VERDICT r11 #3)."""
+    return df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    probs: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """The cumulative-rank interpolation half of
+    :func:`exact_quantiles_histogram`, over a prebuilt
+    :func:`value_histogram`."""
     keys = list(group_cols)
     from pyspark.sql.window import Window
 
-    hist = df.groupBy(*keys, value_col).agg(
-        F.count(F.lit(1)).alias("__c")
-    )
     w_cum = Window.partitionBy(*keys).orderBy(value_col)
     h = (
         hist.withColumn("__cum", F.sum("__c").over(w_cum))

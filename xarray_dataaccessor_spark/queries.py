@@ -562,8 +562,8 @@ def resample_interpolate_linear_nearest(spark: SparkSession, sf_dir: str) -> Dat
 # ---------------------------------------------------------------------------
 # J1 — coordinate-aligned outer merge (xr.merge, shared_functions.py:64-97):
 # per-customer order totals FULL OUTER JOIN customer balances.
-# 'pyds' variant (round 11): the Python Data Source ingestion path,
-# hash-verified end to end — see the docstring.
+# Plus (round 12, its own slot) ingest_datasources: the Python Data
+# Source ingestion paths, hash-verified end to end — see the docstring.
 # ---------------------------------------------------------------------------
 
 #: pyds-variant granule geometry (fixed: the fixture verifies the READER;
@@ -572,25 +572,111 @@ _PYDS_NT, _PYDS_NY, _PYDS_NX = 24, 5, 8
 
 _PYDS_SLOT_BASE: str | None = None
 
+#: per-(sf_dir) fixture cache: (scratch_dir, base, base2, base3).
+#: The granule/COG/Zarr fixtures are pure functions of the three
+#: COUNT(*) seeds (themselves pure functions of sf_dir), so one write
+#: per session serves every repeat — the ingest-parity hash verifies
+#: the READ path and does not need a fresh write each invocation
+#: (VERDICT r11 #2).
+_PYDS_FIXTURES: dict[str, tuple[str, float, float, float]] = {}
 
-def _pyds_slot_dir() -> str:
-    """Session-scoped scratch dir for the pyds-variant granule (same
-    one-dir-per-process + atexit-reap discipline as the versioned
-    slot, VERDICT r9 #2)."""
+
+def _pyds_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, float, float, float]:
+    """Seeds + on-disk fixtures for the pyds/gtds/zds variants, built
+    ONCE per (session, sf_dir): a single Spark job derives all three
+    COUNT(*) seeds (one action, not three), then the classic-CDF
+    granule, the COG, and the Zarr store are written to a
+    session-scoped, atexit-reaped scratch dir keyed by sf_dir."""
+    got = _PYDS_FIXTURES.get(sf_dir)
+    if got is not None:
+        return got
     global _PYDS_SLOT_BASE
     import atexit
     import os
     import shutil
     import tempfile
 
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.geotiff import write_cog
+    from xarray_dataaccessor_spark.sources.netcdf3 import write_netcdf3
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+
     if _PYDS_SLOT_BASE is None:
         _PYDS_SLOT_BASE = tempfile.mkdtemp(prefix="xda-pyds-slot-")
         atexit.register(shutil.rmtree, _PYDS_SLOT_BASE, ignore_errors=True)
-    d = os.path.join(_PYDS_SLOT_BASE, "granules")
-    if os.path.exists(d):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    return d
+    d = os.path.join(_PYDS_SLOT_BASE, f"granules-{len(_PYDS_FIXTURES)}")
+    os.makedirs(d, exist_ok=True)
+
+    # ONE seed job: three 1-row aggregates cross-joined (the stages run
+    # inside a single action instead of three driver round-trips)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    seed = (
+        o.agg(F.count(F.lit(1)).alias("n_o"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_c")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_p")))
+        .collect()[0]
+    )
+    base = float(seed["n_o"] % 97)
+    base2 = float(seed["n_c"] % 89)
+    base3 = float(seed["n_p"] % 83)
+
+    # classic-CDF granule (pyds variant)
+    nt, ny, nx = _PYDS_NT, _PYDS_NY, _PYDS_NX
+    ti = np.arange(nt, dtype="f8")[:, None, None]
+    yi = np.arange(ny, dtype="f8")[None, :, None]
+    xi = np.arange(nx, dtype="f8")[None, None, :]
+    v1 = base + 1.5 * ti + 0.25 * yi + 0.0625 * xi
+    write_netcdf3(
+        os.path.join(d, "granule.nc"),
+        {"time": nt, "y": ny, "x": nx},
+        {
+            "time": (
+                ["time"],
+                np.arange(nt, dtype="f8"),
+                {"units": "hours since 2024-03-01"},
+            ),
+            "y": (["y"], 40.0 + np.arange(ny, dtype="f8"), {}),
+            "x": (["x"], -80.0 + np.arange(nx, dtype="f8"), {}),
+            "t2m": (["time", "y", "x"], v1, {}),
+            "d2m": (["time", "y", "x"], 0.5 * v1 - 3.0, {}),
+        },
+        record_dim="time",
+    )
+
+    # COG raster (gtds variant)
+    gh, gw = 40, 48
+    raster = (
+        base2
+        + 0.25 * np.arange(gh, dtype="f8")[:, None]
+        + 0.0625 * np.arange(gw, dtype="f8")[None, :]
+    )
+    write_cog(
+        os.path.join(d, "raster.tif"), raster, x_origin=0.0,
+        y_origin=float(gh), pixel_size=(1.0, 1.0), tile_size=16,
+    )
+
+    # zarr store (zds variant)
+    znt, zny, znx = 12, 6, 9
+    zv = (
+        base3
+        + 1.5 * np.arange(znt, dtype="f8")[:, None, None]
+        + 0.25 * np.arange(zny, dtype="f8")[None, :, None]
+        + 0.0625 * np.arange(znx, dtype="f8")[None, None, :]
+    )
+    zstore = os.path.join(d, "store")
+    write_zarr(zstore, "v", zv, ["time", "y", "x"], chunks=[4, 3, 4])
+    write_zarr(
+        zstore, "time", np.arange(znt, dtype="f8"), ["time"],
+        attrs={"units": "hours since 2022-01-01"},
+    )
+    write_zarr(zstore, "y", 40.0 + np.arange(zny, dtype="f8"), ["y"])
+    write_zarr(zstore, "x", -80.0 + np.arange(znx, dtype="f8"), ["x"])
+
+    _PYDS_FIXTURES[sf_dir] = (d, base, base2, base3)
+    return _PYDS_FIXTURES[sf_dir]
 
 
 @query(
@@ -612,7 +698,45 @@ def _pyds_slot_dir() -> str:
     bal AS (SELECT c_custkey AS custkey, c_acctbal FROM customer)
     SELECT 'merge' AS variant, custkey, order_total, n_orders, c_acctbal
     FROM agg FULL OUTER JOIN bal USING (custkey)
-    UNION ALL
+    """,
+)
+def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 outer variable merge over a J2 time-concat spine: the order
+    aggregate is built from a concat_time union of the 1995 and 1996
+    slices (xr.concat, era5_from_aws.py:244-261), then outer-merged
+    with the customer balance variable (xr.merge,
+    shared_functions.py:64-97). One query, both join operators.
+
+    The three data-source ingest variants that shared this slot in
+    round 11 moved to their own ``ingest_datasources`` slot so the
+    J1/J2 benchmark number stays comparable across rounds
+    (VERDICT r11 #2)."""
+    configure_session(spark)
+    from xarray_dataaccessor_spark.operators.joins import concat_time, merge_variables
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    u = concat_time([y95, y96])
+    agg = u.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        _dec_sum("o_totalprice", 2, "order_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bal = c.select(F.col("c_custkey").alias("custkey"), "c_acctbal")
+    return merge_variables([agg, bal], keys=["custkey"]).select(
+        F.lit("merge").alias("variant"),
+        "custkey", "order_total", "n_orders", "c_acctbal",
+    )
+
+
+@query(
+    "ingest_datasources",
+    oracle=f"""
     -- pyds: closed-form replay of the granule the Spark side writes and
     -- reads back through the data source. Cell values are dyadic
     -- rationals (base + 1.5 t + 0.25 i + 0.0625 j), so every partial sum
@@ -661,12 +785,13 @@ def _pyds_slot_dir() -> str:
     WHERE r3.t >= 5
     """,
 )
-def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 outer variable merge over a J2 time-concat spine ('merge'
-    rows): the order aggregate is built from a concat_time union of the
-    1995 and 1996 slices (xr.concat, era5_from_aws.py:244-261), then
-    outer-merged with the customer balance variable (xr.merge,
-    shared_functions.py:64-97). One query, both join operators.
+def ingest_datasources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion parity gate (its own slot since round 12 so the
+    J1/J2 ``merge_variables_outer`` benchmark stays comparable across
+    rounds — VERDICT r11 #2). Fixtures are written ONCE per
+    (session, sf_dir) by :func:`_pyds_fixture`; the slot's repeats
+    measure the READ path (plan -> prune -> decode -> Arrow), which is
+    what the hash verifies.
 
     'pyds' rows (round 11): the Python Data Source ingestion path,
     end to end — a real classic-CDF granule (record time dimension,
@@ -701,61 +826,15 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     import os
 
-    import numpy as np
-
-    from xarray_dataaccessor_spark.operators.joins import concat_time, merge_variables
-    from xarray_dataaccessor_spark.sources.netcdf3 import write_netcdf3
     from xarray_dataaccessor_spark.sources.pyds import register_data_sources
 
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    y95 = o.filter(
-        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
-    )
-    y96 = o.filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
-    )
-    u = concat_time([y95, y96])
-    agg = u.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        _dec_sum("o_totalprice", 2, "order_total"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    bal = c.select(F.col("c_custkey").alias("custkey"), "c_acctbal")
-    merged = merge_variables([agg, bal], keys=["custkey"]).select(
-        F.lit("merge").alias("variant"),
-        "custkey", "order_total", "n_orders", "c_acctbal",
-    )
-
-    # --- pyds variant: write -> format("netcdf") -> aggregate ---------
-    nt, ny, nx = _PYDS_NT, _PYDS_NY, _PYDS_NX
-    base = float(o.count() % 97)
-    ti = np.arange(nt, dtype="f8")[:, None, None]
-    yi = np.arange(ny, dtype="f8")[None, :, None]
-    xi = np.arange(nx, dtype="f8")[None, None, :]
-    v1 = base + 1.5 * ti + 0.25 * yi + 0.0625 * xi
-    v2 = 0.5 * v1 - 3.0
-    d = _pyds_slot_dir()
-    write_netcdf3(
-        os.path.join(d, "granule.nc"),
-        {"time": nt, "y": ny, "x": nx},
-        {
-            "time": (
-                ["time"],
-                np.arange(nt, dtype="f8"),
-                {"units": "hours since 2024-03-01"},
-            ),
-            "y": (["y"], 40.0 + np.arange(ny, dtype="f8"), {}),
-            "x": (["x"], -80.0 + np.arange(nx, dtype="f8"), {}),
-            "t2m": (["time", "y", "x"], v1, {}),
-            "d2m": (["time", "y", "x"], v2, {}),
-        },
-        record_dim="time",
-    )
+    # --- pyds variant: write-once fixture -> format("netcdf") ---------
+    d = _pyds_fixture(spark, sf_dir)[0]
     register_data_sources(spark)
     nc = (
         spark.read.format("netcdf")
         .option("target_partition_bytes", 4096)
-        .load(d)
+        .load(os.path.join(d, "granule.nc"))
     )
     pyds = (
         nc.groupBy(F.hour("time").cast("bigint").alias("custkey"))
@@ -770,25 +849,12 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # --- gtds variant: COG write -> format("geotiff") -> aggregate ----
-    from xarray_dataaccessor_spark.sources.geotiff import write_cog
-
-    base2 = float(c.count() % 89)
-    gh, gw = 40, 48
-    raster = (
-        base2
-        + 0.25 * np.arange(gh, dtype="f8")[:, None]
-        + 0.0625 * np.arange(gw, dtype="f8")[None, :]
-    )
-    cog_path = os.path.join(d, "raster.tif")
-    write_cog(
-        cog_path, raster, x_origin=0.0, y_origin=float(gh),
-        pixel_size=(1.0, 1.0), tile_size=16,
-    )
+    # --- gtds variant: COG fixture -> format("geotiff") ---------------
+    gh = 40
     gt = (
         spark.read.format("geotiff")
         .option("variable", "v")
-        .load(cog_path)
+        .load(os.path.join(d, "raster.tif"))
         .filter(F.col("y") > 20.0)  # prunes the lower tile band
     )
     gtds = (
@@ -806,30 +872,11 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # --- zds variant: zarr store write -> format("zarr") -> aggregate -
-    from xarray_dataaccessor_spark.sources.zarr import write_zarr
-
-    p = load(spark, sf_dir, "part")
-    base3 = float(p.count() % 83)
-    znt, zny, znx = 12, 6, 9
-    zv = (
-        base3
-        + 1.5 * np.arange(znt, dtype="f8")[:, None, None]
-        + 0.25 * np.arange(zny, dtype="f8")[None, :, None]
-        + 0.0625 * np.arange(znx, dtype="f8")[None, None, :]
-    )
-    zstore = os.path.join(d, "store")
-    write_zarr(zstore, "v", zv, ["time", "y", "x"], chunks=[4, 3, 4])
-    write_zarr(
-        zstore, "time", np.arange(znt, dtype="f8"), ["time"],
-        attrs={"units": "hours since 2022-01-01"},
-    )
-    write_zarr(zstore, "y", 40.0 + np.arange(zny, dtype="f8"), ["y"])
-    write_zarr(zstore, "x", -80.0 + np.arange(znx, dtype="f8"), ["x"])
+    # --- zds variant: zarr fixture -> format("zarr") ------------------
     zr = (
         spark.read.format("zarr")
         .option("variable", "v")
-        .load(zstore)
+        .load(os.path.join(d, "store"))
         .filter(F.col("time") >= "2022-01-01 05:00:00")  # prunes t-chunk 0
     )
     zds = (
@@ -844,7 +891,7 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey", "order_total", "n_orders", "c_acctbal",
         )
     )
-    return merged.unionByName(pyds).unionByName(gtds).unionByName(zds)
+    return pyds.unionByName(gtds).unionByName(zds)
 
 
 # ---------------------------------------------------------------------------
@@ -2340,10 +2387,22 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         bottomk_sample,
     )
 
+    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
+    from xarray_dataaccessor_spark.operators.sketch import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
     cents = li.select(
         f, s, "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("__v"),
-    )
+    ).persist()
+    # ONE (group, value) histogram scan serves BOTH bk consumers
+    # (VERDICT r11 #3): the exact quantiles interpolate over it, and
+    # the precut group counts are its sum — the sketch path's only
+    # other pass over cents is the hashing scan, which hits the cache.
+    hist = value_histogram(cents, "__v", group_cols=(f, s)).persist()
+    counts = hist.groupBy(f, s).agg(F.sum("__c").alias("__n"))
     # the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs
     # (keys are drawn, not enumerated), so the value joins the sample
     # key — otherwise the k-th-rank cut is genuinely ambiguous between
@@ -2353,18 +2412,14 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's bcut CTE)
     samp = bottomk_sample(
         cents, "__v", ["l_orderkey", "l_linenumber", "__v"],
-        group_cols=(f, s), k=256, precut=8.0,
+        group_cols=(f, s), k=256, precut=8.0, counts=counts,
     )
     bq = bottomk_quantiles(samp, "__v", group_cols=(f, s), probs=(0.5, 0.95))
     # exact side via the distributed value histogram: the built-in
     # percentile's per-group value buffers merge on single reducers
     # (measured 16 s over 18M rows / 6 groups at sf3)
-    from xarray_dataaccessor_spark.operators.sketch import (
-        exact_quantiles_histogram,
-    )
-
-    ex = exact_quantiles_histogram(
-        cents, "__v", group_cols=(f, s), probs=(0.5, 0.95)
+    ex = quantiles_from_histogram(
+        hist, "__v", group_cols=(f, s), probs=(0.5, 0.95)
     ).select(
         f, s, F.col("q5").alias("x_p50"), F.col("q95").alias("x_p95")
     )
@@ -2383,7 +2438,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_p50",
         "x_p95",
     )
-    return roll.unionByName(bk)
+    return tag_caches(roll.unionByName(bk), cents, hist)
 
 
 @query(

@@ -1542,36 +1542,10 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_kmeans_mean_sql("sd_a1", "sd_cent1")},
     {_kmeans_assign_sql("sd_cent1", "sd_a2", src="smp")},
     {_kmeans_mean_sql("sd_a2", "sd_cent2")},
-    sd_asg AS (
-        SELECT g.vec_id, g.e, g.centroid_id AS cluster_id,
-               {_cos_sql("g.e", "c.ce")} AS cos_centroid
-        FROM ({_kmeans_assign_body("sd_cent2")}) g
-        JOIN sd_cent2 c ON g.centroid_id = c.centroid_id
-    ),
-    sd_rk AS (
-        -- priority on the QUANTIZED centrality: see semantic_dedup —
-        -- raw cos-to-centroid floats differ by ~1 ulp across engines
-        SELECT *, row_number() OVER (PARTITION BY cluster_id
-                                     ORDER BY round(cos_centroid, 4) ASC,
-                                              vec_id) AS prio
-        FROM sd_asg
-    ),
-    sd_drop AS (
-        SELECT vec_id, MAX(cos) AS witness_cos FROM (
-            SELECT b.vec_id, {_cos_sql("a.e", "b.e")} AS cos
-            FROM sd_rk a JOIN sd_rk b
-              ON a.cluster_id = b.cluster_id AND a.prio < b.prio
-        ) WHERE cos >= 0.95 GROUP BY vec_id
-    ),
-    sem AS (
-        SELECT 'semdedup' AS variant, r.vec_id AS id_a,
-               CAST(r.cluster_id AS BIGINT) AS id_b, d.witness_cos AS cos,
-               (d.vec_id IS NULL) AS kept
-        FROM sd_rk r LEFT JOIN sd_drop d ON r.vec_id = d.vec_id
-    ),
-    -- coarse-quantized (two-level) assignment: the SCALE path for the
-    -- SemDeDup rule k ∝ N (flat assignment is n*k ~ N^2/300 — the
-    -- measured sf10 exponent-1.91 term). Coarse Lloyd clusters the k
+    -- coarse-quantized (two-level) assignment: since round 12 this IS
+    -- the assignment for the 'semdedup' rows too — the flat n*k argmin
+    -- was the slot's one superlinear term (k ∝ N makes it N^2/300; the
+    -- measured sf3->sf10 exponent 1.91). Coarse Lloyd clusters the k
     -- fine centroids into g = max(2, ceil(sqrt(k))) groups (init =
     -- first g by id, trained on ALL k — the centroid table is the
     -- sub-linear side, no sampling); vectors route to their nearest
@@ -1594,14 +1568,42 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vg AS (SELECT vec_id, e, centroid_id AS group_id
            FROM ({_kmeans_assign_body("ccv", src="v")})),
     sc_asg AS (
-        SELECT vec_id, fine_id AS cluster_id FROM (
-            SELECT vg.vec_id, gm.fine_id,
+        SELECT vec_id, cluster_id FROM (
+            SELECT vg.vec_id, gm.fine_id AS cluster_id,
                    row_number() OVER (PARTITION BY vg.vec_id
                        ORDER BY {_L2.format(a="vg.e", b="fc.ce")},
                                 gm.fine_id) AS rk
             FROM vg JOIN gmap gm ON vg.group_id = gm.group_id
                    JOIN sd_cent2 fc ON fc.centroid_id = gm.fine_id
         ) WHERE rk = 1
+    ),
+    sd_asg AS (
+        SELECT s.vec_id, v.e, s.cluster_id,
+               {_cos_sql("v.e", "c.ce")} AS cos_centroid
+        FROM sc_asg s
+        JOIN v ON v.vec_id = s.vec_id
+        JOIN sd_cent2 c ON s.cluster_id = c.centroid_id
+    ),
+    sd_rk AS (
+        -- priority on the QUANTIZED centrality: see semantic_dedup —
+        -- raw cos-to-centroid floats differ by ~1 ulp across engines
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY round(cos_centroid, 4) ASC,
+                                              vec_id) AS prio
+        FROM sd_asg
+    ),
+    sd_drop AS (
+        SELECT vec_id, MAX(cos) AS witness_cos FROM (
+            SELECT b.vec_id, {_cos_sql("a.e", "b.e")} AS cos
+            FROM sd_rk a JOIN sd_rk b
+              ON a.cluster_id = b.cluster_id AND a.prio < b.prio
+        ) WHERE cos >= 0.95 GROUP BY vec_id
+    ),
+    sem AS (
+        SELECT 'semdedup' AS variant, r.vec_id AS id_a,
+               CAST(r.cluster_id AS BIGINT) AS id_b, d.witness_cos AS cos,
+               (d.vec_id IS NULL) AS kept
+        FROM sd_rk r LEFT JOIN sd_drop d ON r.vec_id = d.vec_id
     ),
     semc AS (
         -- the hashed payload is the MAPPING (vec_id -> cluster under
@@ -1633,17 +1635,20 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       ~0.43 for the single 8-plane bucket. The oracle mirrors the
       banding with an OR join (exact same candidate set).
     - ``semdedup``: :func:`similarity.semantic_dedup` (Abbas et al.
-      2023) — deterministic Lloyd clustering (256-sample, 2 iterations,
-      the similarity_ivf_ann discipline) + the keep-the-outlier pairwise
-      threshold rule inside each cluster; the oracle replays Lloyd with
-      the shared ``_kmeans_*`` SQL and the same priority window.
-    - ``semcoarse``: the coarse-quantized two-level assignment
-      (:func:`similarity.coarse_structure` + ``coarse_rank1_assign``)
-      over the SAME shared centroids — the verified scale path for the
-      paper's k ∝ N rule (flat assignment is N²/300; two-level routing
-      through ceil(sqrt(k)) groups is N^1.5). Hashes the vec_id →
-      cluster mapping; the oracle replays coarse Lloyd + both argmin
-      levels in SQL.
+      2023) — deterministic Lloyd clustering (hash-sample, 2
+      iterations, the similarity_ivf_ann discipline) + the
+      keep-the-outlier pairwise threshold rule inside each cluster.
+      Since round 12 the rank-1 assignment runs ``assign="coarse"``
+      (two-level routing through ceil(sqrt(k)) groups, O(n·sqrt(k)))
+      in BOTH engines: the flat n·k argmin was the inventory's one
+      superlinear term under the paper's k ∝ N rule (N²/300 — the
+      measured sf3→sf10 exponent 1.91). The oracle replays Lloyd with
+      the shared ``_kmeans_*`` SQL, the two-level assignment, and the
+      same priority window.
+    - ``semcoarse``: the raw vec_id → cluster mapping of that same
+      two-level assignment (one pass, projected twice) — the mapping
+      is hashed discretely, keeping the assignment itself under the
+      driver hash independent of the refine's cos/kept payload.
 
     The corpus plants deterministic near-duplicates (scaled copies for
     vec_id%10, exact copies for vec_id%17 — the embedding analogue of
@@ -1696,13 +1701,9 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above, shared with the LSH autoparams.
     k_sem = max(8, n_corpus // 300)
     # one Lloyd training shared by BOTH SemDeDup variants (cached: the
-    # exact path collects it once, the coarse-structure build collects
-    # it several times — coarse Lloyd iterations, gmap, member matrices)
-    from xarray_dataaccessor_spark.operators.similarity import (
-        coarse_rank1_assign,
-        coarse_structure,
-        kmeans_centroids,
-    )
+    # coarse-structure build inside semantic_dedup collects it several
+    # times — coarse Lloyd iterations, gmap, member matrices)
+    from xarray_dataaccessor_spark.operators.similarity import kmeans_centroids
 
     vsel = corpus.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -1711,9 +1712,13 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         vsel, n_centroids=k_sem, n_iters=2, dims=64,
         train_limit=max(256, 4 * k_sem),
     ).cache()
+    # assign="coarse" (round 12): the flat n*k argmin was the slot's one
+    # superlinear term under k ∝ N (N^2/300 — the measured sf3->sf10
+    # exponent 1.91); the two-level route is O(n*sqrt(k)) and the oracle
+    # replays the SAME two-level assignment, so the rows stay hash-exact
     sd = semantic_dedup(
         corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
-        train_limit=max(256, 4 * k_sem), centroids=cent,
+        train_limit=max(256, 4 * k_sem), centroids=cent, assign="coarse",
     )
     sem = sd.select(
         F.lit("semdedup").alias("variant"),
@@ -1726,20 +1731,16 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("witness_cos").alias("cos"),
         "kept",
     )
-    # 'semcoarse' (r11 cont.): the two-level coarse-quantized assignment
-    # — the verified SCALE path for k ∝ N (flat assignment is n*k ~
-    # N^2/300, the measured sf10 exponent-1.91 term; two-level routing
-    # is n*(g + k/g) ~ N^1.5). The hashed payload is the vec_id ->
-    # cluster mapping; the within-cluster refine machinery is already
-    # verified by the 'semdedup' rows on the exact assignment.
-    coarse, gmap = coarse_structure(cent, dims=64, execution="grouped")
-    sca = coarse_rank1_assign(
-        vsel, cent, coarse, gmap, dims=64, execution="grouped"
-    )
-    semc = sca.select(
+    # 'semcoarse': the vec_id -> cluster mapping under two-level routing
+    # — since r12 this is a PROJECTION of the semdedup result (both
+    # variants share one two-level assignment pass instead of running
+    # it twice). The hashed payload stays the discrete mapping; cos/kept
+    # stay NULL (continuous functions of the centroid vector are
+    # off-limits for hashing — 1-ulp engine skew).
+    semc = sd.select(
         F.lit("semcoarse").alias("variant"),
         F.col("vec_id").alias("id_a"),
-        F.col("centroid_id").cast("bigint").alias("id_b"),
+        F.col("cluster_id").cast("bigint").alias("id_b"),
         F.lit(None).cast("double").alias("cos"),
         F.lit(None).cast("boolean").alias("kept"),
     )
