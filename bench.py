@@ -214,6 +214,50 @@ def main() -> None:
         points_to_table(g.limit(2000), pts, "t2m").write.format("noop").mode(
             "overwrite"
         ).save()
+        # zonal/wzonal/contour codepaths on a grid sliver, with the
+        # slot's EXACT zone literals and column types so the generated
+        # classes are identical (codegen caches on generated source):
+        # the scalar-pandas-UDF runner + the 16-zone decimal-weighted
+        # aggregation measured 12.9 s cold vs 1.7 s warm at sf0.1 —
+        # the r11 zonal_contour_stats driver-bench anomaly (the slot
+        # sorts last, every repeat stayed partially cold)
+        from xarray_dataaccessor_spark.operators.spatial import (
+            contour_segments,
+            zonal_stats,
+            zonal_stats_weighted,
+        )
+
+        sliver = g.limit(2000).select(
+            "x", "y",
+            F.col("t2m").cast("decimal(18,2)").alias("t2m"),
+            F.col("u100").cast("decimal(18,6)").alias("u100"),
+        )
+        zonal_stats(
+            sliver, Q._ZONAL_POLYGONS, value_cols=["t2m", "u100"],
+            how="sum",
+        ).write.format("noop").mode("overwrite").save()
+        zonal_stats_weighted(
+            sliver.select(
+                "x", "y",
+                F.col("t2m").cast("decimal(18,2)").cast("double").alias("t2m"),
+            ),
+            [
+                [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]
+                for x0, x1, y0, y1 in Q._WZONAL_RECTS
+            ],
+            dx=0.25, dy=0.25, value_cols=["t2m"], how="sum",
+            weight_decimals=6,
+        ).write.format("noop").mode("overwrite").save()
+        surfw = sliver.groupBy("x", "y").agg(
+            (
+                F.sum(F.col("t2m").cast("decimal(18,6)")).cast("double")
+                / F.count("t2m")
+            ).alias("z")
+        )
+        contour_segments(
+            surfw, dx=0.25, dy=0.25, levels=[1.0, 2.0], value_col="z",
+            origin=Q._GRID_ORIGIN,
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
     # 1e. the persisted-IVF-index fixture (similarity_ivf_ann 'drift'
