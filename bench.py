@@ -260,6 +260,33 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+    # 1f. land the shared-tokenization count tables (VERDICT r11 #5): a
+    #     deployment materializes per-document unigram/bigram counts
+    #     once per corpus version; gopher, the distilled classifier and
+    #     the KN scorer all read them, so the corpus text is tokenized
+    #     once per gram shape PER SESSION instead of once per slot.
+    try:
+        import tempfile as _tf
+
+        tok_dir = _tf.mkdtemp(prefix="xda_bench_tok_")
+        Q._corpus_word_counts(spark, sf_dir).write.mode("overwrite").parquet(
+            os.path.join(tok_dir, "wc.parquet")
+        )
+        Q._corpus_bigram_counts(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tok_dir, "bc.parquet"))
+        Q.WC_PARQUET = os.path.join(tok_dir, "wc.parquet")
+        Q.BC_PARQUET = os.path.join(tok_dir, "bc.parquet")
+        print(f"# token counts landed: {tok_dir}", file=sys.stderr)
+        # warm their page cache like the other input tables (1c)
+        spark.read.parquet(Q.WC_PARQUET).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.read.parquet(Q.BC_PARQUET).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
     # 1e. the persisted-IVF-index fixture (similarity_ivf_ann 'drift'
     #     variant reads it; a deployment has the index built — the slot
     #     measures the drift scan, not the one-time build)

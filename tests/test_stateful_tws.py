@@ -1,11 +1,14 @@
 """transformWithState operators (``streaming/stateful.py``).
 
-The state-server protocol needs protobuf, absent in this container —
-so the suite verifies (1) the build-time gate and its message, (2) the
+The state-server protocol needs a protobuf runtime. Where the real
+``protobuf`` package is absent (this container), the engine's
+wire-exact pure-Python shim (``streaming/protoshim.py``) is installed
+by the build-time gate (driver) and the processors' ``__setstate__``
+(workers), so the end-to-end tests run EVERYWHERE — the JVM state
+server is the wire-format oracle. The suite also verifies the
 processor LOGIC against faked state/timer handles (merge, timer
-re-arm, close-out emission, TTL first-wins), and (3) full end-to-end
-behavior behind ``importorskip("google.protobuf")`` for environments
-that carry the dependency."""
+re-arm, close-out emission, TTL first-wins) and the shim's codec
+against hand-computed wire bytes."""
 
 import pandas as pd
 import pytest
@@ -19,11 +22,17 @@ from xarray_dataaccessor_spark.streaming.stateful import (
     sessionize_with_timers,
 )
 
-_HAS_PROTOBUF = True
+_HAS_REAL_PROTOBUF = True
 try:
-    from google.protobuf import descriptor  # noqa: F401
+    from google.protobuf import descriptor as _real_desc  # noqa: F401
+
+    _HAS_REAL_PROTOBUF = not getattr(
+        __import__("sys").modules.get("google.protobuf"),
+        "__xda_protoshim__",
+        False,
+    )
 except ImportError:
-    _HAS_PROTOBUF = False
+    _HAS_REAL_PROTOBUF = False
 
 
 # ---------------------------------------------------------------------------
@@ -31,15 +40,62 @@ except ImportError:
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.skipif(_HAS_PROTOBUF, reason="protobuf present: gate open")
-def test_gate_raises_actionably(spark):
-    with pytest.raises(NotImplementedError, match="protobuf"):
-        require_transform_with_state()
-    stream = (
-        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+def test_gate_opens_via_shim_or_real_protobuf():
+    # r12: the gate installs the protoshim when real protobuf is absent
+    require_transform_with_state()
+    from google.protobuf import descriptor  # noqa: F401
+
+
+def test_protoshim_wire_codec_hand_computed_bytes():
+    from xarray_dataaccessor_spark.streaming.protoshim import (
+        install_protobuf_shim,
     )
-    with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
-        dedup_first_seen_ttl(stream, key_col="value")
+
+    install_protobuf_shim()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    m = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    )
+    assert m.SerializeToString() == bytes.fromhex("12040a020801")
+    # an explicitly-set EMPTY oneof arm still emits its field
+    m2 = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    assert m2.SerializeToString() == bytes.fromhex("22021200")
+    resp = sm.StateResponse()
+    resp.ParseFromString(bytes.fromhex("1a0378797a"))
+    assert (resp.statusCode, resp.errorMessage, resp.value) == (0, "", b"xyz")
+    # negative int64 round-trip (10-byte two's-complement varint)
+    r = sm.StateResponseWithLongTypeVal(value=-3)
+    r2 = sm.StateResponseWithLongTypeVal()
+    r2.ParseFromString(r.SerializeToString())
+    assert r2.value == -3
+    # repeated message + string/ttl round-trip
+    t1, t2 = sm.TimerInfo(key=b"k1", timestampMs=123), sm.TimerInfo(
+        timestampMs=456
+    )
+    outer = sm.StateResponseWithTimer(timer=[t1, t2], requireNextFetch=True)
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(outer.SerializeToString())
+    assert [(x.key, x.timestampMs) for x in back.timer] == [
+        (b"k1", 123),
+        (b"", 456),
+    ]
+    c = sm.StateCallCommand(
+        stateName="s1", schema="v int", ttl=sm.TTLConfig(durationMs=5000)
+    )
+    cb = sm.StateCallCommand()
+    cb.ParseFromString(c.SerializeToString())
+    assert (cb.stateName, cb.schema, cb.ttl.durationMs) == (
+        "s1",
+        "v int",
+        5000,
+    )
 
 
 def test_duration_parsing():
@@ -206,7 +262,6 @@ def test_first_seen_ttl_processor_first_wins():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.skipif(not _HAS_PROTOBUF, reason="needs protobuf")
 def test_sessionize_with_timers_end_to_end(spark, tmp_path):
     import os
 
@@ -266,3 +321,62 @@ def test_sessionize_with_timers_end_to_end(spark, tmp_path):
     assert len(got) == 2
     r1 = got[got.user_id == 1].iloc[0]
     assert r1.n_events == 2 and abs(r1.total_amount - 12.0) < 1e-9
+
+
+def test_dedup_first_seen_ttl_end_to_end(spark, tmp_path):
+    import os
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["k", "event_time", "v"])
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            os.path.join(feed, name)
+        )
+
+    stream = spark.readStream.schema(
+        "k string, event_time timestamp, v double"
+    ).parquet(feed + "/*")
+    dedup = dedup_first_seen_ttl(
+        stream, key_col="k", ttl=None,
+        payload_schema="k string, event_time timestamp, v double",
+    )
+
+    def run():
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    write_batch(
+        "b1",
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-01 10:00:05", 2.0),
+            ("b", "2024-01-01 10:00:00", 3.0),
+        ],
+    )
+    run()
+    got1 = spark.read.parquet(sink).toPandas()
+    assert sorted(got1["k"]) == ["a", "b"]  # first-seen within the batch
+
+    write_batch("b2", [("a", "2024-01-01 10:30:00", 9.0),
+                       ("c", "2024-01-01 10:30:00", 4.0)])
+    run()
+    got2 = spark.read.parquet(sink).toPandas()
+    # 'a' already seen (no TTL -> suppressed forever); 'c' is new
+    assert sorted(got2["k"]) == ["a", "b", "c"]

@@ -23,19 +23,22 @@ family (``streaming/events.py``) to the current stateful API.
 Both operators ship by value so checkpoint/executor processes never
 need this package on ``sys.path``.
 
-ENVIRONMENT GATE: the transformWithState state-server protocol speaks
+PROTOBUF RUNTIME: the transformWithState state-server protocol speaks
 protobuf (``pyspark/sql/streaming/proto/StateMessage_pb2``) and the
-``protobuf`` package is not baked into every runtime (it is absent in
-this repo's verification container, where the pre-init driver worker
-crashes with ``ImportError: google.protobuf``). Both builders
-therefore call :func:`require_transform_with_state` and raise an
-actionable ``NotImplementedError`` when the protocol cannot run —
-the module's plan construction, duration parsing, and gate behavior
-are tested everywhere; the end-to-end behavior tests activate via
-``importorskip("google.protobuf")`` where the dependency exists. The
+``protobuf`` package is not baked into every runtime (absent in this
+repo's verification container). Since round 12 the gate no longer
+raises there: :func:`require_transform_with_state` installs the
+engine's wire-exact pure-Python shim
+(``streaming/protoshim.py`` — varint/length-delimited codec +
+FileDescriptorProto parser + dynamic message classes for exactly the
+protocol's proto3 subset) on the driver, and each processor's
+``__setstate__`` installs it inside the Python workers, so both
+operators execute through a REAL JVM state-server round trip
+everywhere (``tests/test_stateful_tws.py`` end-to-end tests). With
+real protobuf installed the shim is inert. The
 ``applyInPandasWithState`` spellings in ``streaming/events.py``
 (sessionization, incremental dedup, heavy hitters, ...) remain the
-fully-verified stateful path.
+dependency-free stateful path.
 """
 
 from __future__ import annotations
@@ -55,29 +58,45 @@ def _ship_by_value() -> None:
     try:
         from pyspark import cloudpickle as _cp
 
+        import xarray_dataaccessor_spark.streaming.protoshim as _shim
         import xarray_dataaccessor_spark.streaming.stateful as _self
 
         _cp.register_pickle_by_value(_self)
+        # the shim must reconstruct inside Python workers too (they run
+        # the state-server client); it is stdlib-only, so by-value is
+        # exact
+        _cp.register_pickle_by_value(_shim)
     except Exception:  # pragma: no cover
         pass
 
 
 def require_transform_with_state() -> None:
-    """Raise unless the transformWithState protobuf protocol can run.
+    """Ensure the transformWithState protobuf protocol can run — with
+    the real ``protobuf`` package when present, else by installing the
+    engine's wire-exact pure-Python shim
+    (:func:`streaming.protoshim.install_protobuf_shim`; round 12 —
+    the gate used to raise unconditionally without protobuf).
 
-    Checked eagerly at operator-build time: without it the failure is a
-    JVM-side 'driver worker exited unexpectedly (crashed)' at stream
-    start, with the real ImportError buried in a nested cause chain."""
+    Checked eagerly at operator-build time: without a working runtime
+    the failure is a JVM-side 'driver worker exited unexpectedly
+    (crashed)' at stream start, with the real ImportError buried in a
+    nested cause chain."""
+    from xarray_dataaccessor_spark.streaming.protoshim import (
+        install_protobuf_shim,
+    )
+
     try:
+        install_protobuf_shim()
         from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    except Exception as e:  # pragma: no cover - shim install never fails
         raise NotImplementedError(
-            "transformWithStateInPandas requires the 'protobuf' package "
-            "(the stateful-processor state server speaks protobuf; "
-            "pyspark lists it under pyspark[connect] extras). Install "
-            "protobuf>=4, or use the applyInPandasWithState operators "
-            "in streaming/events.py (session_counts, "
-            "stream_incremental_dedup) which need no extra dependency."
+            "transformWithStateInPandas requires a protobuf runtime "
+            "(the stateful-processor state server speaks protobuf) and "
+            "neither the 'protobuf' package nor the engine's protoshim "
+            "could be set up. Install protobuf>=4, or use the "
+            "applyInPandasWithState operators in streaming/events.py "
+            "(session_counts, stream_incremental_dedup) which need no "
+            "extra dependency."
         ) from e
 
 
@@ -106,6 +125,19 @@ class _SessionTimerProcessor(StatefulProcessor):
     def __init__(self, gap_ms: int):
         self.gap_ms = gap_ms
 
+    def __setstate__(self, state):
+        # Runs in the Python WORKER during UDF unpickle — before the
+        # state-server client sends its first protobuf message — so the
+        # protoshim (stdlib-only, shipped by value) is installed exactly
+        # where the protocol runs. No-op when real protobuf exists.
+        from xarray_dataaccessor_spark.streaming.protoshim import (
+            install_protobuf_shim,
+        )
+
+        install_protobuf_shim()
+        self.__dict__.update(state)
+
+
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
         self.state = handle.getValueState(
@@ -130,42 +162,51 @@ class _SessionTimerProcessor(StatefulProcessor):
             amt += float(pdf["amount"].sum()) if "amount" in pdf else 0.0
         if n == 0:
             return iter(())
+        out = []
         prev = self.state.get()
         if prev is not None:
             old_expiry = prev[1] // 1000 + self.gap_ms
             self.handle.deleteTimer(old_expiry)
-            start_us = min(start_us, prev[0])
-            last_us = max(last_us, prev[1])
-            n += prev[2]
-            amt += prev[3]
+            if start_us > prev[1] + self.gap_ms * 1000:
+                # the batch opens PAST the previous session's gap: the
+                # old session is closed by arrival (its timer may not
+                # have fired yet — the watermark only advances at batch
+                # end), emit it now and start fresh. Found the first
+                # time the protocol executed end-to-end (r12): the
+                # unconditional merge glued sessions separated by more
+                # than the gap into one.
+                out.append(self._session_row(key, prev))
+            else:
+                start_us = min(start_us, prev[0])
+                last_us = max(last_us, prev[1])
+                n += prev[2]
+                amt += prev[3]
         self.state.update((start_us, last_us, n, amt))
         self.handle.registerTimer(last_us // 1000 + self.gap_ms)
-        return iter(())
+        return iter(out)
+
+    @staticmethod
+    def _session_row(key, s):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(s[0], unit="us")],
+                "session_end": [pd.Timestamp(s[1], unit="us")],
+                "n_events": [s[2]],
+                "total_amount": [s[3]],
+            }
+        )
 
     def handleExpiredTimer(
         self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator:
-        import pandas as pd
-
         s = self.state.get()
         if s is None:  # stale timer for an already-closed session
             return iter(())
         self.state.clear()
-        return iter(
-            [
-                pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "session_start": [
-                            pd.Timestamp(s[0], unit="us")
-                        ],
-                        "session_end": [pd.Timestamp(s[1], unit="us")],
-                        "n_events": [s[2]],
-                        "total_amount": [s[3]],
-                    }
-                )
-            ]
-        )
+        return iter([self._session_row(key, s)])
 
     def close(self) -> None:
         pass
@@ -205,7 +246,14 @@ def sessionize_with_timers(
             out_schema,
             outputMode="append",
             timeMode="eventtime",
-            eventTimeColumnName="session_end",
+            # no eventTimeColumnName: a timer-emitted session closes
+            # BECAUSE the watermark passed last_event + gap, so every
+            # candidate event-time column (session_end included) is by
+            # construction older than the watermark at emission and
+            # Spark's output validation rejects it
+            # (EMITTING_ROWS_OLDER_THAN_WATERMARK_NOT_ALLOWED — found
+            # the first time the protocol actually executed, r12).
+            # Downstream watermark-dependent ops must set their own.
         )
     )
 
@@ -219,6 +267,19 @@ class _FirstSeenTTLProcessor(StatefulProcessor):
 
     def __init__(self, ttl_ms: int | None):
         self.ttl_ms = ttl_ms
+
+    def __setstate__(self, state):
+        # Runs in the Python WORKER during UDF unpickle — before the
+        # state-server client sends its first protobuf message — so the
+        # protoshim (stdlib-only, shipped by value) is installed exactly
+        # where the protocol runs. No-op when real protobuf exists.
+        from xarray_dataaccessor_spark.streaming.protoshim import (
+            install_protobuf_shim,
+        )
+
+        install_protobuf_shim()
+        self.__dict__.update(state)
+
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.seen = handle.getValueState(
