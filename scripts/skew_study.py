@@ -17,7 +17,7 @@ from xarray_dataaccessor_spark.session import get_spark
 
 SLOTS = [
     "dedup_jaccard_ngrams", "dedup_simhash_hamming", "pii_scrub",
-    "asof_join_last_purchase", "tpch_q3_shape",
+    "asof_join_last_purchase", "tpch_query_shapes",
 ]
 DIRS = {
     "u0.1": "/root/testdata/sf0.1",

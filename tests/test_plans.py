@@ -39,10 +39,8 @@ def test_time_filter_pushdown_in_aggregate(spark, sf_dir):
 
 
 def test_joins_broadcast_dimension_tables(spark, sf_dir):
-    q3 = QUERIES["tpch_q3_shape"](spark, sf_dir)
-    assert has_broadcast_join(q3)
-    q5 = QUERIES["tpch_q5_shape"](spark, sf_dir)
-    assert has_broadcast_join(q5)
+    fused = QUERIES["tpch_query_shapes"](spark, sf_dir)  # q3 + q5 variants
+    assert has_broadcast_join(fused)
 
 
 def test_extraction_broadcasts_points(spark, sf_dir):

@@ -56,3 +56,40 @@ def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> int:
     if cached:
         setattr(df, _ATTR, [])
     return n
+
+
+# ---------------------------------------------------------------------------
+# session-scoped registry (round 12 — VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+#: name -> cached frames. The DataFrame-attribute tag above dies on any
+#: derived frame (``result.filter(...)`` returns a NEW object), which
+#: fails SILENTLY in exactly the long-lived sessions the mechanism
+#: exists for. The registry survives derivation because the handle is a
+#: plain string the caller owns, and misuse is LOUD: releasing an
+#: unknown name raises KeyError instead of no-op'ing.
+_SESSION_CACHES: dict[str, list[DataFrame]] = {}
+
+
+def register_caches(name: str, *cached: DataFrame) -> None:
+    """Record ``cached`` (already persisted) frames under a session-wide
+    ``name``. Repeated registration under one name accumulates (a
+    builder invoked twice in one session registers both generations;
+    release drops them all)."""
+    _SESSION_CACHES.setdefault(name, []).extend(cached)
+
+
+def release_caches(name: str, blocking: bool = False) -> int:
+    """Unpersist every frame registered under ``name`` and forget the
+    name. Raises ``KeyError`` for names never registered — the silent
+    no-op on a derived frame was the failure mode that motivated this
+    registry."""
+    frames = _SESSION_CACHES.pop(name)  # KeyError by design
+    for f in frames:
+        f.unpersist(blocking=blocking)
+    return len(frames)
+
+
+def registered_cache_names() -> tuple[str, ...]:
+    """Names with live registrations — the audit surface for a
+    long-lived session ('what did I forget to release?')."""
+    return tuple(sorted(_SESSION_CACHES))

@@ -610,7 +610,7 @@ _PYDS_NT, _PYDS_NY, _PYDS_NX = 24, 5, 8
 
 _PYDS_SLOT_BASE: str | None = None
 
-#: per-(sf_dir) fixture cache: (scratch_dir, base, base2, base3).
+#: per-(sf_dir) fixture cache: (scratch_dir, base, base2, base3, base4).
 #: The granule/COG/Zarr fixtures are pure functions of the three
 #: COUNT(*) seeds (themselves pure functions of sf_dir), so one write
 #: per session serves every repeat — the ingest-parity hash verifies
@@ -619,12 +619,14 @@ _PYDS_SLOT_BASE: str | None = None
 _PYDS_FIXTURES: dict[str, tuple[str, float, float, float]] = {}
 
 
-def _pyds_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, float, float, float]:
+def _pyds_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, float, float, float, float]:
     """Seeds + on-disk fixtures for the pyds/gtds/zds variants, built
-    ONCE per (session, sf_dir): a single Spark job derives all three
-    COUNT(*) seeds (one action, not three), then the classic-CDF
-    granule, the COG, and the Zarr store are written to a
-    session-scoped, atexit-reaped scratch dir keyed by sf_dir."""
+    ONCE per (session, sf_dir): a single Spark job derives all four
+    COUNT(*) seeds (one action, not four — base4 feeds the streaming
+    variants, whose tiny fixtures rebuild per invocation because a
+    checkpoint is positional state), then the classic-CDF granule, the
+    COG, and the Zarr store are written to a session-scoped,
+    atexit-reaped scratch dir keyed by sf_dir."""
     got = _PYDS_FIXTURES.get(sf_dir)
     if got is not None:
         return got
@@ -651,15 +653,18 @@ def _pyds_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, float, float, 
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     p = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
     seed = (
         o.agg(F.count(F.lit(1)).alias("n_o"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_c")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_p")))
+        .crossJoin(su.agg(F.count(F.lit(1)).alias("n_s")))
         .collect()[0]
     )
     base = float(seed["n_o"] % 97)
     base2 = float(seed["n_c"] % 89)
     base3 = float(seed["n_p"] % 83)
+    base4 = float(seed["n_s"] % 79)
 
     # classic-CDF granule (pyds variant)
     nt, ny, nx = _PYDS_NT, _PYDS_NY, _PYDS_NX
@@ -713,7 +718,7 @@ def _pyds_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, float, float, 
     write_zarr(zstore, "y", 40.0 + np.arange(zny, dtype="f8"), ["y"])
     write_zarr(zstore, "x", -80.0 + np.arange(znx, dtype="f8"), ["x"])
 
-    _PYDS_FIXTURES[sf_dir] = (d, base, base2, base3)
+    _PYDS_FIXTURES[sf_dir] = (d, base, base2, base3, base4)
     return _PYDS_FIXTURES[sf_dir]
 
 
@@ -821,6 +826,35 @@ def merge_variables_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(12) r3(t),
          (SELECT CAST(COUNT(*) % 83 AS DOUBLE) AS base3 FROM part) seed3
     WHERE r3.t >= 5
+    UNION ALL
+
+    -- The two custom Structured Streaming sources, hash-verified: the
+    -- Spark side drives REAL availableNow micro-batches (two runs per
+    -- source, with data landing between them) and the oracle replays
+    -- the final consumed state in closed form. Any offset defect
+    -- (re-emitted granule, skipped append, mid-chunk double-read)
+    -- changes a count or a dyadic-exact sum and fails the hash.
+    --
+    -- ntail: netcdf granule-tail over 3 granules of 6 hourly steps on
+    -- a 2x2 grid, v(h,i,j) = base4 + 0.25 h + 0.0625 i + 0.015625 j:
+    --   sum_cells(h) = 4*base4 + h + 0.15625; max = base4+0.25h+0.078125
+    SELECT 'ntail' AS variant, CAST(r.h AS BIGINT) AS custkey,
+           4 * seed4.base4 + r.h + 0.15625 AS order_total,
+           CAST(4 AS BIGINT) AS n_orders,
+           seed4.base4 + 0.25 * r.h + 0.078125 AS c_acctbal
+    FROM range(18) r(h),
+         (SELECT CAST(COUNT(*) % 79 AS DOUBLE) AS base4 FROM supplier) seed4
+    UNION ALL
+    -- ztail: zarr time-append on a 2x3 grid, 8 slices then 4 appended
+    -- (chunk grid (4,2,3): the second batch is exactly chunk 2),
+    -- w(t,i,j) = base4 + 1.5 t + 0.25 i + 0.0625 j:
+    --   sum_cells(t) = 6*base4 + 9 t + 1.125; max = base4 + 1.5 t + 0.375
+    SELECT 'ztail' AS variant, CAST(100 + r2.t AS BIGINT) AS custkey,
+           6 * seed4.base4 + 9 * r2.t + 1.125 AS order_total,
+           CAST(6 AS BIGINT) AS n_orders,
+           seed4.base4 + 1.5 * r2.t + 0.375 AS c_acctbal
+    FROM range(12) r2(t),
+         (SELECT CAST(COUNT(*) % 79 AS DOUBLE) AS base4 FROM supplier) seed4
     """,
 )
 def ingest_datasources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,7 +901,8 @@ def ingest_datasources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_dataaccessor_spark.sources.pyds import register_data_sources
 
     # --- pyds variant: write-once fixture -> format("netcdf") ---------
-    d = _pyds_fixture(spark, sf_dir)[0]
+    fix = _pyds_fixture(spark, sf_dir)
+    d, base4 = fix[0], fix[4]
     register_data_sources(spark)
     nc = (
         spark.read.format("netcdf")
@@ -929,7 +964,140 @@ def ingest_datasources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey", "order_total", "n_orders", "c_acctbal",
         )
     )
-    return pyds.unionByName(gtds).unionByName(zds)
+    # --- streaming variants (r12: fused into this slot to keep the
+    # driver's 50-entry oracle window exactly full): real availableNow
+    # micro-batches over the two custom streaming sources, two runs
+    # each with data landing in between — the OFFSET CONTRACT is what
+    # the hash verifies (a re-emitted granule or a double-read chunk
+    # changes a count or a dyadic-exact sum). Tiny fixtures rebuild per
+    # invocation: a checkpoint is positional state.
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from xarray_dataaccessor_spark.sources.netcdf3 import write_netcdf3
+    from xarray_dataaccessor_spark.sources.zarr import write_zarr
+
+    # _pyds_fixture ran above, so the session scratch base exists
+    root = tempfile.mkdtemp(prefix="stream-", dir=_PYDS_SLOT_BASE)
+
+    # --- ntail: granule-tail over an append-only directory -----------
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    nsink = os.path.join(root, "nsink")
+    nckpt = os.path.join(root, "nckpt")
+
+    def granule(g: int) -> None:
+        hours = np.arange(6 * g, 6 * g + 6, dtype="f8")
+        vals = (
+            base4
+            + 0.25 * hours[:, None, None]
+            + 0.0625 * np.arange(2, dtype="f8")[None, :, None]
+            + 0.015625 * np.arange(2, dtype="f8")[None, None, :]
+        )
+        write_netcdf3(
+            os.path.join(feed, f"g{g}.nc"),
+            {"time": 6, "y": 2, "x": 2},
+            {
+                "time": (["time"], hours, {"units": "hours since 2024-04-01"}),
+                "y": (["y"], 40.0 + np.arange(2, dtype="f8"), {}),
+                "x": (["x"], -80.0 + np.arange(2, dtype="f8"), {}),
+                "v": (["time", "y", "x"], vals, {}),
+            },
+            record_dim="time",
+        )
+
+    def run_stream(fmt: str, path: str, sink: str, ckpt: str, var=None):
+        reader = spark.readStream.format(fmt)
+        if var is not None:
+            reader = reader.option("variable", var)
+        q = (
+            reader.load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    granule(0)
+    granule(1)
+    run_stream("netcdf", feed, nsink, nckpt)
+    granule(2)  # lands AFTER batch 1: the offset must emit it exactly once
+    run_stream("netcdf", feed, nsink, nckpt)
+    ntail = (
+        spark.read.parquet(nsink)
+        .groupBy(F.hour("time").cast("bigint").alias("custkey"))
+        .agg(
+            F.sum("v").alias("order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("v").alias("c_acctbal"),
+        )
+        .select(
+            F.lit("ntail").alias("variant"),
+            "custkey", "order_total", "n_orders", "c_acctbal",
+        )
+    )
+
+    # --- ztail: zarr time-append (shape-last append protocol) --------
+    live = os.path.join(root, "live")
+    zsink = os.path.join(root, "zsink")
+    zckpt = os.path.join(root, "zckpt")
+    znt, zny, znx = 12, 2, 3
+    w = (
+        base4
+        + 1.5 * np.arange(znt, dtype="f8")[:, None, None]
+        + 0.25 * np.arange(zny, dtype="f8")[None, :, None]
+        + 0.0625 * np.arange(znx, dtype="f8")[None, None, :]
+    )
+    stage = os.path.join(root, "stage")
+    write_zarr(stage, "w", w, ["time", "y", "x"], chunks=[4, 2, 3])
+    write_zarr(
+        stage, "time", np.arange(znt, dtype="f8"), ["time"],
+        attrs={"units": "hours since 2024-05-01"},
+    )
+    write_zarr(stage, "y", 40.0 + np.arange(zny, dtype="f8"), ["y"])
+    write_zarr(stage, "x", -80.0 + np.arange(znx, dtype="f8"), ["x"])
+    shutil.copytree(stage, live)
+    import json as _json
+
+    zmeta = os.path.join(live, "w", ".zarray")
+    za = _json.load(open(zmeta))
+    for fn in list(os.listdir(os.path.join(live, "w"))):
+        if fn.startswith("2."):
+            os.remove(os.path.join(live, "w", fn))
+    za["shape"][0] = 8  # live store starts with chunks 0-1
+    _json.dump(za, open(zmeta, "w"))
+    run_stream("zarr", live, zsink, zckpt, var="w")
+    # append chunk 2 objects FIRST, then bump the shape (shape-last)
+    for fn in os.listdir(os.path.join(stage, "w")):
+        if fn.startswith("2."):
+            shutil.copy(
+                os.path.join(stage, "w", fn), os.path.join(live, "w", fn)
+            )
+    za["shape"][0] = znt
+    _json.dump(za, open(zmeta, "w"))
+    run_stream("zarr", live, zsink, zckpt, var="w")
+    ztail = (
+        spark.read.parquet(zsink)
+        .groupBy((F.lit(100) + F.hour("time")).cast("bigint").alias("custkey"))
+        .agg(
+            F.sum("w").alias("order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("w").alias("c_acctbal"),
+        )
+        .select(
+            F.lit("ztail").alias("variant"),
+            "custkey", "order_total", "n_orders", "c_acctbal",
+        )
+    )
+    streaming = ntail.unionByName(ztail)
+    return pyds.unionByName(gtds).unionByName(zds).unionByName(streaming)
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1203,9 +1371,10 @@ def datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffled fact; SURVEY §2.3 "engine still exposes Spark's df.join").
 # ---------------------------------------------------------------------------
 @query(
-    "tpch_q3_shape",
+    "tpch_query_shapes",
     oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
+    SELECT 'q3' AS variant, CAST(NULL AS VARCHAR) AS n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
@@ -1215,10 +1384,27 @@ def datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1998-01-01'
       AND l_shipdate > TIMESTAMP '1996-03-15'
-    GROUP BY 1, 2
+    GROUP BY 3, 4
+    UNION ALL
+    SELECT 'q5' AS variant, n_name,
+           CAST(NULL AS INT) AS yr, CAST(NULL AS INT) AS mo,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 2
     """,
 )
-def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_query_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 and Q5 join/aggregate shapes, fused into one variant
+    slot (round 12: the correctness driver verifies exactly the first
+    50 oracle-backed entries, and the two new ingest slots needed the
+    room — these two shared the join-pipeline family all along)."""
     configure_session(spark)
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
@@ -1227,7 +1413,7 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     )
-    return joined.groupBy(
+    q3 = joined.groupBy(
         F.year("o_orderdate").cast("int").alias("yr"),
         F.month("o_orderdate").cast("int").alias("mo"),
     ).agg(
@@ -1239,27 +1425,11 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.lit("q3").alias("variant"),
+        F.lit(None).cast("string").alias("n_name"),
+        "yr", "mo", "revenue", "n",
     )
-
-
-@query(
-    "tpch_q5_shape",
-    oracle="""
-    SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n
-    FROM customer, orders, lineitem, supplier, nation, region
-    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-      AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1995-01-01'
-      AND o_orderdate < TIMESTAMP '1997-01-01'
-    GROUP BY n_name
-    """,
-)
-def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_session(spark)
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -1275,7 +1445,7 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
-    return joined.groupBy("n_name").agg(
+    q5 = joined.groupBy("n_name").agg(
         F.sum(
             (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
                 "decimal(18,4)"
@@ -1284,7 +1454,14 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.lit("q5").alias("variant"),
+        "n_name",
+        F.lit(None).cast("int").alias("yr"),
+        F.lit(None).cast("int").alias("mo"),
+        "revenue", "n",
     )
+    return q3.unionByName(q5)
 
 
 # ---------------------------------------------------------------------------
