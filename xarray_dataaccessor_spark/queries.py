@@ -616,7 +616,7 @@ _PYDS_SLOT_BASE: str | None = None
 #: per session serves every repeat — the ingest-parity hash verifies
 #: the READ path and does not need a fresh write each invocation
 #: (VERDICT r11 #2).
-_PYDS_FIXTURES: dict[str, tuple[str, float, float, float]] = {}
+_PYDS_FIXTURES: dict[str, tuple[str, float, float, float, float]] = {}
 
 
 def _pyds_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, float, float, float, float]:
@@ -2602,7 +2602,6 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         bottomk_sample,
     )
 
-    from xarray_dataaccessor_spark.operators.cachectl import tag_caches
     from xarray_dataaccessor_spark.operators.sketch import (
         quantiles_from_histogram,
         value_histogram,
@@ -2612,16 +2611,18 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         f, s, "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("__v"),
     )
-    # ONE (group, value) histogram scan serves BOTH bk consumers
-    # (VERDICT r11 #3): the exact quantiles interpolate over it, and
-    # the precut group counts are its sum. cents itself is NOT
-    # persisted — it is fact-sized, and caching it measured 3.6x SLOWER
-    # at sf10 (50 s vs 14 s: executor memory churn + spill) than letting
-    # the two remaining consumers re-scan the narrow parquet projection.
-    # The persist goes on the COMPACTED histogram (distinct
-    # (group, value) pairs), which two consumers read.
-    hist = value_histogram(cents, "__v", group_cols=(f, s)).persist()
-    counts = hist.groupBy(f, s).agg(F.sum("__c").alias("__n"))
+    # Scan economy, measured three ways at sf0.1/sf10 (r12): the
+    # precut group counts come from the ROLLUP variant's own `base`
+    # aggregate (computed anyway; its exchange is shared in the union
+    # plan) — the bk side adds exactly two lineitem passes, the hash
+    # scan and the value histogram. Explicit caching LOST both ways:
+    # persisting cents (fact-sized) was 3.6x slower at sf10 (memory
+    # churn + spill), and persisting the compacted histogram serialized
+    # the precut behind the hist shuffle and added materialization cost
+    # (15.6 vs 4.1 s first-run at sf0.1) — interleaved A/B in
+    # BENCH_sf_study_r12.txt.
+    counts = base.select(f, s, F.col("__c").alias("__n"))
+    hist = value_histogram(cents, "__v", group_cols=(f, s))
     # the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs
     # (keys are drawn, not enumerated), so the value joins the sample
     # key — otherwise the k-th-rank cut is genuinely ambiguous between
@@ -2657,7 +2658,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_p50",
         "x_p95",
     )
-    return tag_caches(roll.unionByName(bk), hist)
+    return roll.unionByName(bk)
 
 
 @query(
