@@ -96,6 +96,21 @@ def test_protoshim_wire_codec_hand_computed_bytes():
         "v int",
         5000,
     )
+    # submessage AUTO-VIVIFICATION: the state client sets TTL via
+    # `cmd.ttl.durationMs = x` — the child must link to the parent
+    # (a throwaway default instance silently dropped the TTL; caught by
+    # the end-to-end TTL-expiry test) — while a pure READ of an unset
+    # submessage must NOT mark presence
+    viv = sm.StateCallCommand(stateName="s2")
+    viv.ttl.durationMs = 77
+    vb = sm.StateCallCommand()
+    vb.ParseFromString(viv.SerializeToString())
+    assert vb.HasField("ttl") and vb.ttl.durationMs == 77
+    ro = sm.StateCallCommand(stateName="s3")
+    _ = ro.ttl  # read-only access
+    rb = sm.StateCallCommand()
+    rb.ParseFromString(ro.SerializeToString())
+    assert not rb.HasField("ttl") and rb.ttl.durationMs == 0
 
 
 def test_duration_parsing():
@@ -380,3 +395,56 @@ def test_dedup_first_seen_ttl_end_to_end(spark, tmp_path):
     got2 = spark.read.parquet(sink).toPandas()
     # 'a' already seen (no TTL -> suppressed forever); 'c' is new
     assert sorted(got2["k"]) == ["a", "b", "c"]
+
+
+def test_dedup_ttl_expiry_reemits_end_to_end(spark, tmp_path):
+    """Store-enforced TTL through a real state-server round trip: after
+    the retention lapses, the same key is eligible again."""
+    import os
+    import time as _time
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["k", "v"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            os.path.join(feed, name)
+        )
+
+    stream = spark.readStream.schema("k string, v double").parquet(
+        feed + "/*"
+    )
+    dedup = dedup_first_seen_ttl(
+        stream, key_col="k", ttl="1 second",
+        payload_schema="k string, v double",
+    )
+
+    def run():
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    write_batch("b1", [("a", 1.0), ("a", 2.0)])
+    run()
+    assert spark.read.parquet(sink).count() == 1  # first-seen only
+
+    _time.sleep(5.0)  # let the 1-second TTL lapse (processing time)
+    write_batch("b2", [("a", 9.0)])
+    run()
+    got = spark.read.parquet(sink).toPandas().sort_values("v")
+    # the marker expired, so 'a' re-emitted: 2 rows total
+    assert list(got["k"]) == ["a", "a"]

@@ -345,12 +345,33 @@ class _ShimMessage:
         if f.repeated:
             return values.setdefault(name, [])
         if f.type == TYPE_MESSAGE:
-            # proto3 read of an unset submessage: default instance
-            return _class_for(f.message_type)()
+            # proto3 read of an unset submessage AUTO-VIVIFIES: the
+            # child must be linked to the parent so the generated-code
+            # idiom ``msg.ttl.durationMs = x`` lands on the serialized
+            # message (the state client sets TTL exactly this way; a
+            # throwaway default instance silently dropped it — caught
+            # by the end-to-end TTL-expiry test, r12). A vivified child
+            # that is never written serializes as ABSENT, matching real
+            # protobuf's read-doesn't-mark-presence rule.
+            child = _class_for(f.message_type)()
+            object.__setattr__(child, "_vivified", True)
+            values[name] = child
+            return child
         return f.default()
 
+    @staticmethod
+    def _is_unwritten_vivified(v) -> bool:
+        return (
+            isinstance(v, _ShimMessage)
+            and getattr(v, "_vivified", False)
+            and not v._values
+        )
+
     def HasField(self, name: str) -> bool:
-        return name in self._values
+        v = self._values.get(name)
+        if v is None:
+            return False
+        return not self._is_unwritten_vivified(v)
 
     # -- encode ---------------------------------------------------------
     def SerializeToString(self) -> bytes:
@@ -359,6 +380,8 @@ class _ShimMessage:
             if f.name not in self._values:
                 continue
             v = self._values[f.name]
+            if not f.repeated and self._is_unwritten_vivified(v):
+                continue  # read-only vivification is not presence
             items = v if f.repeated else [v]
             for item in items:
                 self._encode_field(out, f, item)
