@@ -1020,7 +1020,20 @@ def ingest_datasources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow terminates on its own; a bounded wait only guards
+        # against a hung stream. Distinguish "timed out on a loaded
+        # box" (raise loudly, with the cause named) from "offset
+        # contract defect" (what this slot's hash actually verifies) —
+        # stopping a still-running query here would leave a partial
+        # batch in the sink and fail the hash nondeterministically.
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"availableNow stream over {fmt} did not finish within "
+                "300s — environment overload or source hang, NOT an "
+                "offset-contract failure"
+            )
         q.stop()
 
     granule(0)

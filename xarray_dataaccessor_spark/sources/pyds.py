@@ -888,10 +888,23 @@ def _tail_latest_offset(files: list[str]) -> dict:
 def _tail_slice(files: list[str], start: dict, end: dict) -> list[str]:
     """Micro-batch file selection between two offsets. Understands the
     name-based offsets above and (read-only) legacy ``{"n": count}``
-    offsets from pre-existing checkpoints."""
+    offsets from pre-existing checkpoints — including the MIXED case
+    hit exactly once per upgraded checkpoint: a legacy count-based
+    ``start`` paired with a fresh name-based ``end``. A legacy count is
+    converted to a name high-water mark (the basename of the last
+    already-consumed file, valid under the documented monotonic-name
+    contract) before the ``lo < name <= hi`` filter, so the first
+    post-upgrade batch does NOT re-emit already-consumed granules."""
+
+    def _name_hwm(off: dict) -> str:
+        if "last" in off:
+            return off["last"]
+        n = min(off.get("n", 0), len(files))
+        return os.path.basename(files[n - 1]) if n > 0 else ""
+
     if "last" in start or "last" in end:
-        lo = start.get("last", "")
-        hi = end.get("last", "")
+        lo = _name_hwm(start)
+        hi = _name_hwm(end)
         return [
             p for p in files if lo < os.path.basename(p) <= hi
         ]

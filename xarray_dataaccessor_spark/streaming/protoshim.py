@@ -104,12 +104,23 @@ def _iter_wire_fields(buf):
             val, pos = _read_varint(view, pos)
         elif wt == 2:
             ln, pos = _read_varint(view, pos)
+            if pos + ln > n:
+                # a slice would silently clamp and parse the truncated
+                # bytes as a shorter valid value; real protobuf raises
+                raise ValueError(
+                    f"truncated length-delimited field {num}: "
+                    f"need {ln} bytes, have {n - pos}"
+                )
             val = view[pos : pos + ln]
             pos += ln
         elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError(f"truncated fixed32 field {num}")
             val = int.from_bytes(view[pos : pos + 4], "little")
             pos += 4
         elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError(f"truncated fixed64 field {num}")
             val = int.from_bytes(view[pos : pos + 8], "little")
             pos += 8
         else:

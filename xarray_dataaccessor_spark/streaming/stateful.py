@@ -53,6 +53,60 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
+def _protoshim_source() -> tuple[str, str]:
+    """(module_name, source_text) of the protoshim, captured at import
+    time on the driver. The worker-side installer below ships the shim
+    as SOURCE, not as a pickled function: binding
+    ``install_protobuf_shim`` itself by value would drag the shim's
+    module globals — including the descriptor POOL, populated with
+    dynamic message classes whose ``__module__`` is
+    ``pyspark...StateMessage_pb2`` — into the processor pickle, and
+    cloudpickle then references those classes by module path, forcing an
+    ``import StateMessage_pb2`` DURING unpickle, before any installer
+    can run (the exact crash this round's A/B of the fix exposed).
+    A source string has no pickle graph to walk."""
+    import inspect
+
+    from xarray_dataaccessor_spark.streaming import protoshim as _m
+
+    try:
+        return _m.__name__, inspect.getsource(_m)
+    except (OSError, TypeError):  # pragma: no cover - zipapp deployment
+        return _m.__name__, ""
+
+
+_PROTOSHIM_NAME, _PROTOSHIM_SRC = _protoshim_source()
+
+
+def _worker_install_protoshim(
+    _name: str = _PROTOSHIM_NAME, _src: str = _PROTOSHIM_SRC
+) -> None:
+    """Install the protobuf shim inside a Python worker. Prefers a real
+    import (local mode: workers inherit the driver's sys.path, and one
+    canonical module keeps the descriptor pool a per-process singleton);
+    falls back to exec'ing the captured source under the canonical
+    module name, so executors without this package on sys.path — the
+    deployment the module docstring promises — still get the shim.
+    Defaults are plain strings bound at class-definition time, so the
+    pickled processor carries the shim BY VALUE with no imports and no
+    object-graph capture. No-op when real protobuf exists
+    (install_protobuf_shim checks)."""
+    import importlib
+    import sys
+    import types
+
+    mod = sys.modules.get(_name)
+    if mod is None:
+        try:
+            mod = importlib.import_module(_name)
+        except ImportError:
+            if not _src:  # pragma: no cover - zipapp w/o package on path
+                raise
+            mod = types.ModuleType(_name)
+            exec(compile(_src, _name, "exec"), mod.__dict__)
+            sys.modules[_name] = mod
+    mod.install_protobuf_shim()
+
 
 def _ship_by_value() -> None:
     try:
@@ -125,16 +179,16 @@ class _SessionTimerProcessor(StatefulProcessor):
     def __init__(self, gap_ms: int):
         self.gap_ms = gap_ms
 
-    def __setstate__(self, state):
+    def __setstate__(self, state, _install=_worker_install_protoshim):
         # Runs in the Python WORKER during UDF unpickle — before the
         # state-server client sends its first protobuf message — so the
-        # protoshim (stdlib-only, shipped by value) is installed exactly
-        # where the protocol runs. No-op when real protobuf exists.
-        from xarray_dataaccessor_spark.streaming.protoshim import (
-            install_protobuf_shim,
-        )
-
-        install_protobuf_shim()
+        # protoshim is installed exactly where the protocol runs.
+        # ``_install`` is bound at class-definition time and carries the
+        # shim as SOURCE TEXT (see :func:`_worker_install_protoshim`),
+        # never via a runtime ``from xarray_dataaccessor_spark...``
+        # import, which would fail on executors without this package on
+        # sys.path. No-op when real protobuf exists.
+        _install()
         self.__dict__.update(state)
 
 
@@ -268,16 +322,11 @@ class _FirstSeenTTLProcessor(StatefulProcessor):
     def __init__(self, ttl_ms: int | None):
         self.ttl_ms = ttl_ms
 
-    def __setstate__(self, state):
-        # Runs in the Python WORKER during UDF unpickle — before the
-        # state-server client sends its first protobuf message — so the
-        # protoshim (stdlib-only, shipped by value) is installed exactly
-        # where the protocol runs. No-op when real protobuf exists.
-        from xarray_dataaccessor_spark.streaming.protoshim import (
-            install_protobuf_shim,
-        )
-
-        install_protobuf_shim()
+    def __setstate__(self, state, _install=_worker_install_protoshim):
+        # Same source-text binding rationale as _SessionTimerProcessor:
+        # the installer travels inside the pickled class, so workers
+        # need neither this package on sys.path nor real protobuf.
+        _install()
         self.__dict__.update(state)
 
 
