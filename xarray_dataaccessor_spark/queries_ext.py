@@ -1990,11 +1990,19 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
     )
-    media = attach_media_column(docs)
+    # attach_media_column rotates the codec on doc_id % 3, so filtering
+    # the DOCS to each branch's residue class BEFORE the attach is
+    # row-identical to filtering the attached payloads on img_codec —
+    # but the filter now sits below the opaque mapInPandas instead of
+    # above it (guide §4.1: Spark cannot prune through an opaque
+    # function), so each branch encodes only its own third with only
+    # its own codec instead of paying all three encoders for every doc
+    # (measured: the netpbm decode branch alone dropped ~3x)
     decoded = None
-    for codec in ("netpbm", "png", "jpeg"):
+    for i, codec in enumerate(("netpbm", "png", "jpeg")):
         part = decode_image(
-            media.filter(F.col("img_codec") == codec), codec=codec
+            attach_media_column(docs.filter(F.col("doc_id") % 3 == i)),
+            codec=codec,
         ).select("doc_id", "mean_pixel").withColumn("img_codec", F.lit(codec))
         decoded = part if decoded is None else decoded.unionByName(part)
     audio = resample_audio(
@@ -2169,25 +2177,20 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     from xarray_dataaccessor_spark.functions.hashing import portable_hash32
     from xarray_dataaccessor_spark.streaming.events import (
-        run_available_now,
+        finish_available_now,
+        start_available_now,
         stream_events,
         stream_heavy_hitters,
         user_running_stats,
     )
 
     stream = stream_events(spark, sf_dir)
-    stats = run_available_now(
+    # start 'stats' now, await it after 'hh' has also started: the two
+    # stateful queries are independent and overlap (guide §2.6); each
+    # freezes its own conf (state partitions; hh's raised Arrow batch
+    # size) in the cloned session its start() creates
+    h_stats = start_available_now(
         user_running_stats(stream), output_mode="update", shuffle_partitions=8
-    ).select(
-        F.lit("stats").alias("variant"),
-        "user_id",
-        "n_events",
-        "sum_micro",
-        "last_ts",
-        F.lit(None).cast("int").alias("shard"),
-        F.lit(None).cast("bigint").alias("est_count"),
-        F.lit(None).cast("bigint").alias("n_items"),
-        F.lit(None).cast("bigint").alias("n_decrements"),
     )
     hh_in = stream_events(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("item"),
@@ -2200,7 +2203,7 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
     try:
-        hh = run_available_now(
+        h_hh = start_available_now(
             stream_heavy_hitters(
                 hh_in, item_col="item", k=8, n_shards=4, shard_col="__shard"
             ),
@@ -2211,7 +2214,18 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
         )
-    hh = hh.select(
+    stats = finish_available_now(spark, h_stats).select(
+        F.lit("stats").alias("variant"),
+        "user_id",
+        "n_events",
+        "sum_micro",
+        "last_ts",
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("bigint").alias("est_count"),
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.lit(None).cast("bigint").alias("n_decrements"),
+    )
+    hh = finish_available_now(spark, h_hh).select(
         F.lit("hh").alias("variant"),
         F.col("item").cast("bigint").alias("user_id"),
         F.lit(None).cast("bigint").alias("n_events"),
@@ -2500,10 +2514,18 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
     )
     tumbling = windowed_counts(stream_events(spark, sf_dir))
-    out_s = run_available_now(sliding, output_mode="complete", shuffle_partitions=8)
-    out_t = run_available_now(
-        tumbling, output_mode="complete", shuffle_partitions=8
-    ).withColumnRenamed("hour", "win_start")
+    # the two window shapes are independent availableNow queries: start
+    # both, then await both, so their micro-batches overlap (guide §2.6)
+    # instead of paying two serial query lifecycles
+    from xarray_dataaccessor_spark.streaming.events import (
+        finish_available_now,
+        start_available_now,
+    )
+
+    hs = start_available_now(sliding, output_mode="complete", shuffle_partitions=8)
+    ht = start_available_now(tumbling, output_mode="complete", shuffle_partitions=8)
+    out_s = finish_available_now(spark, hs)
+    out_t = finish_available_now(spark, ht).withColumnRenamed("hour", "win_start")
     return out_s.withColumn("variant", F.lit("sliding")).unionByName(
         out_t.withColumn("variant", F.lit("tumbling"))
     ).select("variant", "win_start", "event_type", "n", "sum_value")

@@ -79,19 +79,22 @@ def windowed_counts(
     )
 
 
-def run_available_now(
+def start_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
-) -> DataFrame:
-    """Execute a streaming plan over all currently-available input
-    (availableNow trigger), land it in a memory sink, return the result
-    as a batch DataFrame.
+):
+    """Start (without awaiting) an availableNow run into a memory sink;
+    returns ``(query, sink_name)`` for :func:`finish_available_now`.
 
-    ``shuffle_partitions`` bounds the state-store partition count for the
-    run (each stateful partition maintains its own store + snapshot
-    files; for a dimension-sized key space a handful of partitions beats
-    the session default). The session value is restored before returning.
+    Splitting start from await lets INDEPENDENT streaming queries in one
+    slot overlap (guide §2.6: actions are only sequential because the
+    driver awaits them sequentially). Per-query conf is safe under the
+    split: ``DataStreamWriter.start`` constructs the ``StreamExecution``,
+    which clones the SparkSession and freezes its conf for the query's
+    lifetime — so the session values (shuffle partitions = state-store
+    partition count; Arrow batch size) can be restored as soon as
+    ``start`` returns, before the query is awaited.
     """
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
@@ -107,10 +110,37 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return q, name
+
+
+def finish_available_now(spark, handle) -> DataFrame:
+    """Await a :func:`start_available_now` handle; return the sink table."""
+    q, name = handle
+    q.awaitTermination()
     return spark.table(name)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (availableNow trigger), land it in a memory sink, return the result
+    as a batch DataFrame.
+
+    ``shuffle_partitions`` bounds the state-store partition count for the
+    run (each stateful partition maintains its own store + snapshot
+    files; for a dimension-sized key space a handful of partitions beats
+    the session default). The session value is restored before returning.
+    """
+    spark = stream_df.sparkSession
+    return finish_available_now(
+        spark,
+        start_available_now(stream_df, output_mode, shuffle_partitions),
+    )
 
 
 def stream_dedup_exact(
