@@ -179,7 +179,13 @@ def connected_components(
             small_edge_threshold is not None
             and prev_sig[0] <= small_edge_threshold
         ):
-            labels = _endgame_cc(e)
+            # lazy-checkpoint the endgame labels: the result feeds the
+            # union AND the roots anti-join here, and callers typically
+            # fan out further (sizes aggregate, join per variant) — each
+            # reference would re-run the single-task union-find plus its
+            # repartition(1) exchange (plan-shaped cost, the data is
+            # tiny). One materialization, every consumer reads blocks.
+            labels = _endgame_cc(e).localCheckpoint(eager=False)
             # nodes the contracted edge set no longer mentions are roots
             roots = nodes.join(
                 labels.select(F.col("node").alias("u")), "u", "left_anti"
@@ -270,11 +276,14 @@ def pagerank(
     )
     for _ in range(max(1, n_iters)):
         contrib = F.round(F.col("r") / F.col("dg"), 9).cast("decimal(28,14)")
+        # join ranks with deg FIRST (both node-sized) so the edge list is
+        # probed once per iteration instead of twice — same contributions,
+        # one edge-sized join fewer per iteration (guide §2.4)
+        per_node = ranks.join(deg, "u").select("u", contrib.alias("__c"))
         ranks = (
-            sym.join(ranks, "u")
-            .join(deg, "u")
+            sym.join(per_node, "u")
             .groupBy(F.col("v").alias("u"))
-            .agg(F.sum(contrib).alias("__m"))
+            .agg(F.sum(F.col("__c")).alias("__m"))
             .crossJoin(F.broadcast(nn))
             .select(
                 "u",

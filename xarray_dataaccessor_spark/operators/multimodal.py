@@ -64,6 +64,31 @@ def _ship_by_value() -> None:
     except Exception:
         pass
 
+def _task_memo(cap: int = 4096):
+    """Per-task content-addressed memo for the codec loops: byte-identical
+    payloads (or identical generation parameters) collapse to ONE
+    encode/decode per task — the standard dedup-before-decode move
+    (guide §8: make every expensive step operate once per distinct
+    value). Real corpora carry heavy byte-level duplication (re-uploads,
+    boilerplate assets), and the deterministic fixtures here are highly
+    duplicated by construction, so the win is large and the semantics
+    identical: the memo lives in the task closure, is rebuilt on every
+    invocation, and is capped so a high-entropy corpus cannot grow it
+    unboundedly."""
+    memo: dict = {}
+
+    def get(key, compute):
+        try:
+            return memo[key]
+        except KeyError:
+            val = compute()
+            if len(memo) < cap:
+                memo[key] = val
+            return val
+
+    return get
+
+
 BINARY_META_SCHEMA = (
     "media_type string, width int, height int, n_channels int, duration_ms bigint"
 )
@@ -114,19 +139,24 @@ def attach_media_column(
         import pandas as pd
 
         k = np.arange(h * w, dtype="int64")
+        memo = _task_memo()
+
+        def build(m, g):
+            if m == 0:
+                return wn(((g + k) % 256).astype("u1").reshape(h, w),
+                          binary=True), "netpbm"
+            if m == 1:
+                return wp(((g + k) % 256).astype("u1").reshape(h, w)), "png"
+            return wj(np.full((h, w), g, dtype="u1"), quality=100), "jpeg"
+
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                if d % 3 == 0:
-                    img = ((d * 7 + k) % 256).astype("u1").reshape(h, w)
-                    payload, codec = wn(img, binary=True), "netpbm"
-                elif d % 3 == 1:
-                    img = ((d * 7 + k) % 256).astype("u1").reshape(h, w)
-                    payload, codec = wp(img), "png"
-                else:
-                    img = np.full((h, w), (d * 7) % 256, dtype="u1")
-                    payload, codec = wj(img, quality=100), "jpeg"
+                # payload is a pure function of (d % 3, (d*7) % 256):
+                # memo per task instead of re-encoding per doc
+                m, g = d % 3, (d * 7) % 256
+                payload, codec = memo((m, g), lambda: build(m, g))
                 rows.append({"doc_id": d, "payload": payload, "img_codec": codec})
             yield pd.DataFrame(rows)
 
@@ -156,12 +186,17 @@ def attach_webp_lossy_column(
         import numpy as np
         import pandas as pd
 
+        memo = _task_memo()
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                rgb = np.full((h, w, 3), (d * 11) % 256, dtype="u1")
-                rows.append({"doc_id": d, "payload": wl(rgb, q_index=0)})
+                # payload is a pure function of (d*11) % 256 (<= 256
+                # distinct frames): memo the VP8 encode per task
+                g = (d * 11) % 256
+                payload = memo(g, lambda: wl(
+                    np.full((h, w, 3), g, dtype="u1"), q_index=0))
+                rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(
@@ -191,12 +226,18 @@ def attach_audio_column(
         import pandas as pd
 
         k = np.arange(n_samples, dtype="int64")
+        memo = _task_memo(cap=8192)
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
-                s = (((d * 13 + k * 7) % 4001) - 2000).astype("<i2")
-                rows.append({"doc_id": d, "payload": wf(s, sample_rate)})
+                # samples are a pure function of (d*13) % 4001: memo
+                # the FLAC encode per task
+                r = (d * 13) % 4001
+                payload = memo(r, lambda: wf(
+                    (((r + k * 7) % 4001) - 2000).astype("<i2"),
+                    sample_rate))
+                rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(
@@ -237,15 +278,20 @@ def attach_tone_audio_column(
         import pandas as pd
 
         k = np.arange(n_samples, dtype="float64")
+        memo = _task_memo()
+
+        def build(b):
+            return wf(np.round(
+                1000.0 * np.cos(2.0 * np.pi * b * k / n_fft)
+            ).astype("<i2"), sample_rate)
+
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
+                # 8 distinct tones (b = 3 + d%8): memo the encode
                 b = 3 + d % 8
-                s = np.round(
-                    1000.0 * np.cos(2.0 * np.pi * b * k / n_fft)
-                ).astype("<i2")
-                rows.append({"doc_id": d, "payload": wf(s, sample_rate)})
+                rows.append({"doc_id": d, "payload": memo(b, lambda: build(b))})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(
@@ -271,14 +317,17 @@ def attach_mp3_column(
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
+        memo = _task_memo()
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
+                # 32 distinct payloads (n_frames x vbr flag): memo
                 n = 10 + d % 16
                 alt = 192 if d % 5 == 0 else None
                 rows.append(
-                    {"doc_id": d, "payload": wm(n, kbps=128, vbr_alt_kbps=alt)}
+                    {"doc_id": d, "payload": memo(
+                        (n, alt), lambda: wm(n, kbps=128, vbr_alt_kbps=alt))}
                 )
             yield pd.DataFrame(rows)
 
@@ -434,18 +483,27 @@ def decode_image(
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
+        memo = _task_memo()
+
+        def stats(raw):
+            img = dec(raw, codec)
+            resized = rz(img, oh, ow)
+            return (float(img.mean()),
+                    [float(v) for v in resized.reshape(-1)])
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                img = dec(bytes(payload), codec)
-                resized = rz(img, oh, ow)
+                # content-addressed: byte-identical payloads decode once
+                raw = bytes(payload)
+                mean_pixel, pixels = memo(raw, lambda: stats(raw))
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "height": oh,
                         "width": ow,
-                        "mean_pixel": float(img.mean()),
-                        "pixels": [float(v) for v in resized.reshape(-1)],
+                        "mean_pixel": mean_pixel,
+                        "pixels": pixels,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -487,33 +545,41 @@ def resample_audio(
         import numpy as np
         import pandas as pd
 
+        memo = _task_memo()
+
+        def stats(raw):
+            src_rate = source_rate
+            if codec == "wav":
+                src_rate, chans = wav_parse(raw)
+                wave = chans.mean(axis=1)  # mix to mono
+            elif codec == "flac":
+                src_rate, chans = flac_parse(raw)
+                wave = chans.astype("float64").mean(axis=1)
+            else:
+                wave = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], dtype="<i2"
+                ).astype("float64")
+            if wave.size < 2:
+                wave = np.zeros(2)
+            n_out = max(2, int(round(wave.size * rate / src_rate)))
+            t_in = np.arange(wave.size) / src_rate
+            t_out = np.arange(n_out) / rate
+            out = np.interp(t_out, t_in, wave)
+            return (int(wave.size), int(out.size),
+                    float(np.sqrt((out**2).mean())))
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                # content-addressed: byte-identical payloads decode once
                 raw = bytes(payload)
-                src_rate = source_rate
-                if codec == "wav":
-                    src_rate, chans = wav_parse(raw)
-                    wave = chans.mean(axis=1)  # mix to mono
-                elif codec == "flac":
-                    src_rate, chans = flac_parse(raw)
-                    wave = chans.astype("float64").mean(axis=1)
-                else:
-                    wave = np.frombuffer(
-                        raw[: len(raw) // 2 * 2], dtype="<i2"
-                    ).astype("float64")
-                if wave.size < 2:
-                    wave = np.zeros(2)
-                n_out = max(2, int(round(wave.size * rate / src_rate)))
-                t_in = np.arange(wave.size) / src_rate
-                t_out = np.arange(n_out) / rate
-                out = np.interp(t_out, t_in, wave)
+                n_in, n_out_v, rms = memo(raw, lambda: stats(raw))
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "n_samples_in": int(wave.size),
-                        "n_samples_out": int(out.size),
-                        "rms": float(np.sqrt((out**2).mean())),
+                        "n_samples_in": n_in,
+                        "n_samples_out": n_out_v,
+                        "rms": rms,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -654,48 +720,56 @@ def audio_spectrogram(
         import pandas as pd
 
         win = np.hanning(n_fft)
+        memo = _task_memo()
+
+        def stats(raw):
+            sr = source_rate
+            if codec == "wav":
+                sr, chans = wav_parse(raw)
+                wave = chans.mean(axis=1)
+            elif codec == "flac":
+                sr, chans = flac_parse(raw)
+                wave = chans.astype("float64").mean(axis=1)
+            else:
+                wave = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], dtype="<i2"
+                ).astype("float64")
+            n_frames = max(0, (wave.size - n_fft) // hop + 1)
+            if n_frames == 0:
+                pad = np.zeros(n_fft)
+                pad[: wave.size] = wave
+                frames = pad[None, :]
+                n_frames = 1
+            else:
+                idx = (
+                    np.arange(n_frames)[:, None] * hop
+                    + np.arange(n_fft)[None, :]
+                )
+                frames = wave[idx]
+            spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+            mean_spec = spec.mean(axis=0)
+            n_bins = mean_spec.size
+            band_w = n_bins // n_bands
+            bands = [
+                float(np.log1p(mean_spec[b * band_w : (b + 1) * band_w].mean()))
+                for b in range(n_bands)
+            ]
+            peak_bin = int(mean_spec[1:].argmax()) + 1  # skip DC
+            return (int(sr), int(n_frames),
+                    float(peak_bin * sr / n_fft), bands)
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                # content-addressed: byte-identical payloads decode once
                 raw = bytes(payload)
-                sr = source_rate
-                if codec == "wav":
-                    sr, chans = wav_parse(raw)
-                    wave = chans.mean(axis=1)
-                elif codec == "flac":
-                    sr, chans = flac_parse(raw)
-                    wave = chans.astype("float64").mean(axis=1)
-                else:
-                    wave = np.frombuffer(
-                        raw[: len(raw) // 2 * 2], dtype="<i2"
-                    ).astype("float64")
-                n_frames = max(0, (wave.size - n_fft) // hop + 1)
-                if n_frames == 0:
-                    pad = np.zeros(n_fft)
-                    pad[: wave.size] = wave
-                    frames = pad[None, :]
-                    n_frames = 1
-                else:
-                    idx = (
-                        np.arange(n_frames)[:, None] * hop
-                        + np.arange(n_fft)[None, :]
-                    )
-                    frames = wave[idx]
-                spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
-                mean_spec = spec.mean(axis=0)
-                n_bins = mean_spec.size
-                band_w = n_bins // n_bands
-                bands = [
-                    float(np.log1p(mean_spec[b * band_w : (b + 1) * band_w].mean()))
-                    for b in range(n_bands)
-                ]
-                peak_bin = int(mean_spec[1:].argmax()) + 1  # skip DC
+                sr_v, nf, hz, bands = memo(raw, lambda: stats(raw))
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "sample_rate": int(sr),
-                        "n_frames": int(n_frames),
-                        "dominant_hz": float(peak_bin * sr / n_fft),
+                        "sample_rate": sr_v,
+                        "n_frames": nf,
+                        "dominant_hz": hz,
                         "log_band_energy": bands,
                     }
                 )
@@ -733,24 +807,32 @@ def image_channel_stats(
         import numpy as np
         import pandas as pd
 
+        memo = _task_memo()
+
+        def stats(raw):
+            img = dec(raw, codec)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            return (
+                int(img.shape[0]), int(img.shape[1]), int(img.shape[2]),
+                [float(v) for v in img.mean(axis=(0, 1))],
+                [float(v) for v in img.std(axis=(0, 1))],
+            )
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                img = dec(bytes(payload), codec)
-                if img.ndim == 2:
-                    img = img[:, :, None]
+                # content-addressed: byte-identical payloads decode once
+                raw = bytes(payload)
+                hh, ww, nc, cm, cs = memo(raw, lambda: stats(raw))
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "height": int(img.shape[0]),
-                        "width": int(img.shape[1]),
-                        "n_channels": int(img.shape[2]),
-                        "channel_means": [
-                            float(v) for v in img.mean(axis=(0, 1))
-                        ],
-                        "channel_stds": [
-                            float(v) for v in img.std(axis=(0, 1))
-                        ],
+                        "height": hh,
+                        "width": ww,
+                        "n_channels": nc,
+                        "channel_means": cm,
+                        "channel_stds": cs,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -801,54 +883,62 @@ def audio_probe(
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
+        memo = _task_memo()
+
+        def stats(raw):
+            rec = {"fmt": "unknown",
+                   "sample_rate": None, "channels": None,
+                   "duration_ms": None, "bitrate_kbps": None,
+                   "vbr": None}
+            try:
+                if raw[:4] == b"RIFF":
+                    rate, chans = wav_parse(raw)
+                    rec.update(fmt="wav", sample_rate=rate,
+                               channels=int(chans.shape[1]),
+                               duration_ms=int(round(
+                                   chans.shape[0] * 1000.0 / rate)),
+                               vbr=False)
+                elif raw[:4] == b"fLaC":
+                    rate, chans = flac_parse(raw)
+                    rec.update(fmt="flac", sample_rate=rate,
+                               channels=int(chans.shape[1]),
+                               duration_ms=int(round(
+                                   chans.shape[0] * 1000.0 / rate)),
+                               vbr=False)
+                elif raw[:4] == b"OggS":
+                    p = ogg(raw)
+                    rec.update(fmt="ogg-" + p.get("codec", "unknown"),
+                               sample_rate=p.get("sample_rate"),
+                               channels=p.get("channels"),
+                               duration_ms=p.get("duration_ms"),
+                               vbr=True)
+                elif len(raw) > 1 and raw[0] == 0xFF and (
+                    raw[1] & 0xF6
+                ) == 0xF0:
+                    p = aac_probe(raw)
+                    rec.update(fmt="aac", sample_rate=p["sample_rate"],
+                               channels=p["channels"],
+                               duration_ms=p["duration_ms"],
+                               bitrate_kbps=p["bitrate_kbps"],
+                               vbr=False)
+                else:
+                    p = probe(raw)
+                    rec.update(fmt="mp3", sample_rate=p["sample_rate"],
+                               channels=p["channels"],
+                               duration_ms=p["duration_ms"],
+                               bitrate_kbps=p["bitrate_kbps"],
+                               vbr=p["vbr"])
+            except Exception:
+                pass  # unknown/corrupt: emit the null record
+            return rec
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                # content-addressed: byte-identical payloads probe once
                 raw = bytes(payload)
-                rec = {"doc_id": int(doc_id), "fmt": "unknown",
-                       "sample_rate": None, "channels": None,
-                       "duration_ms": None, "bitrate_kbps": None,
-                       "vbr": None}
-                try:
-                    if raw[:4] == b"RIFF":
-                        rate, chans = wav_parse(raw)
-                        rec.update(fmt="wav", sample_rate=rate,
-                                   channels=int(chans.shape[1]),
-                                   duration_ms=int(round(
-                                       chans.shape[0] * 1000.0 / rate)),
-                                   vbr=False)
-                    elif raw[:4] == b"fLaC":
-                        rate, chans = flac_parse(raw)
-                        rec.update(fmt="flac", sample_rate=rate,
-                                   channels=int(chans.shape[1]),
-                                   duration_ms=int(round(
-                                       chans.shape[0] * 1000.0 / rate)),
-                                   vbr=False)
-                    elif raw[:4] == b"OggS":
-                        p = ogg(raw)
-                        rec.update(fmt="ogg-" + p.get("codec", "unknown"),
-                                   sample_rate=p.get("sample_rate"),
-                                   channels=p.get("channels"),
-                                   duration_ms=p.get("duration_ms"),
-                                   vbr=True)
-                    elif len(raw) > 1 and raw[0] == 0xFF and (
-                        raw[1] & 0xF6
-                    ) == 0xF0:
-                        p = aac_probe(raw)
-                        rec.update(fmt="aac", sample_rate=p["sample_rate"],
-                                   channels=p["channels"],
-                                   duration_ms=p["duration_ms"],
-                                   bitrate_kbps=p["bitrate_kbps"],
-                                   vbr=False)
-                    else:
-                        p = probe(raw)
-                        rec.update(fmt="mp3", sample_rate=p["sample_rate"],
-                                   channels=p["channels"],
-                                   duration_ms=p["duration_ms"],
-                                   bitrate_kbps=p["bitrate_kbps"],
-                                   vbr=p["vbr"])
-                except Exception:
-                    pass  # unknown/corrupt: emit the null record
+                rec = dict(memo(raw, lambda: stats(raw)))
+                rec["doc_id"] = int(doc_id)
                 rows.append(rec)
             yield pd.DataFrame(rows)
 
@@ -936,69 +1026,76 @@ def probe_videos(
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
+        memo = _task_memo(cap=8192)
+
+        def stats(raw):
+            rec = {"fmt": "unknown",
+                   "codec": None, "width": None, "height": None,
+                   "profile_idc": None, "level_idc": None,
+                   "n_pictures": None, "duration_ms": None,
+                   "n_i_slices": None, "entropy_coding": None}
+            try:
+                if raw[4:8] == b"ftyp":
+                    m = mp(raw)
+                    rec.update(fmt="mp4",
+                               duration_ms=m.get("duration_ms"))
+                    if m["tracks"]:
+                        t = m["tracks"][0]
+                        rec.update(codec=t.get("codec"),
+                                   width=t.get("width"),
+                                   height=t.get("height"))
+                        sps = t.get("sps")
+                        if sps:
+                            rec.update(
+                                width=sps["width"],
+                                height=sps["height"],
+                                profile_idc=sps["profile_idc"],
+                                level_idc=sps["level_idc"],
+                            )
+                elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                    m = wp(raw)
+                    rec.update(fmt="webm",
+                               duration_ms=m.get("duration_ms"))
+                    vid = next(
+                        (t for t in m["tracks"]
+                         if t.get("type") == "video"), None
+                    )
+                    if vid:
+                        rec.update(codec=vid.get("codec"),
+                                   width=vid.get("width"),
+                                   height=vid.get("height"))
+                elif raw[:9] == b"YUV4MPEG2":
+                    fps, frames = yp(raw)
+                    rec.update(
+                        fmt="y4m", codec="raw",
+                        width=int(frames[0].shape[1]),
+                        height=int(frames[0].shape[0]),
+                        n_pictures=len(frames),
+                        duration_ms=int(round(
+                            len(frames) * 1000.0 / fps)),
+                    )
+                else:
+                    p = hp(raw)
+                    rec.update(fmt="h264", codec="avc",
+                               width=p["width"], height=p["height"],
+                               profile_idc=p["profile_idc"],
+                               level_idc=p["level_idc"],
+                               n_pictures=p["n_pictures"],
+                               n_i_slices=p.get("n_i_slices"),
+                               entropy_coding=p.get("entropy_coding"))
+            except Exception:
+                pass
+            return rec
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                # content-addressed: byte-identical payloads probe once
                 raw = bytes(payload)
-                rec = {"doc_id": int(doc_id), "fmt": "unknown",
-                       "codec": None, "width": None, "height": None,
-                       "profile_idc": None, "level_idc": None,
-                       "n_pictures": None, "duration_ms": None,
-                       "n_i_slices": None, "entropy_coding": None}
-                try:
-                    if raw[4:8] == b"ftyp":
-                        m = mp(raw)
-                        rec.update(fmt="mp4",
-                                   duration_ms=m.get("duration_ms"))
-                        if m["tracks"]:
-                            t = m["tracks"][0]
-                            rec.update(codec=t.get("codec"),
-                                       width=t.get("width"),
-                                       height=t.get("height"))
-                            sps = t.get("sps")
-                            if sps:
-                                rec.update(
-                                    width=sps["width"],
-                                    height=sps["height"],
-                                    profile_idc=sps["profile_idc"],
-                                    level_idc=sps["level_idc"],
-                                )
-                    elif raw[:4] == b"\x1a\x45\xdf\xa3":
-                        m = wp(raw)
-                        rec.update(fmt="webm",
-                                   duration_ms=m.get("duration_ms"))
-                        vid = next(
-                            (t for t in m["tracks"]
-                             if t.get("type") == "video"), None
-                        )
-                        if vid:
-                            rec.update(codec=vid.get("codec"),
-                                       width=vid.get("width"),
-                                       height=vid.get("height"))
-                    elif raw[:9] == b"YUV4MPEG2":
-                        fps, frames = yp(raw)
-                        rec.update(
-                            fmt="y4m", codec="raw",
-                            width=int(frames[0].shape[1]),
-                            height=int(frames[0].shape[0]),
-                            n_pictures=len(frames),
-                            duration_ms=int(round(
-                                len(frames) * 1000.0 / fps)),
-                        )
-                    else:
-                        p = hp(raw)
-                        rec.update(fmt="h264", codec="avc",
-                                   width=p["width"], height=p["height"],
-                                   profile_idc=p["profile_idc"],
-                                   level_idc=p["level_idc"],
-                                   n_pictures=p["n_pictures"],
-                                   n_i_slices=p.get("n_i_slices"),
-                                   entropy_coding=p.get("entropy_coding"))
-                except Exception:
-                    pass
+                rec = dict(memo(raw, lambda: stats(raw)))
+                rec["doc_id"] = int(doc_id)
                 rows.append(rec)
             yield pd.DataFrame(rows)
-
     schema = (
         "doc_id bigint, fmt string, codec string, width int, height int, "
         "profile_idc int, level_idc int, n_pictures int, duration_ms bigint, "
@@ -1040,29 +1137,25 @@ def attach_video_column(
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
+        memo = _task_memo(cap=8192)
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 m = d % 3
+                # payload is a pure function of the writer args: memo
                 if m == 0:
-                    payload = wh(
-                        n_frames=2 + d % 5,
-                        width=16 * (2 + d % 6),
-                        height=16 * (2 + d % 4),
-                    )
+                    args = (2 + d % 5, 16 * (2 + d % 6), 16 * (2 + d % 4))
+                    payload = memo((m, args), lambda: wh(
+                        n_frames=args[0], width=args[1], height=args[2]))
                 elif m == 1:
-                    payload = wm(
-                        width=16 * (1 + d % 8),
-                        height=16 * (1 + d % 5),
-                        duration_ms=500 + d % 1500,
-                    )
+                    args = (16 * (1 + d % 8), 16 * (1 + d % 5), 500 + d % 1500)
+                    payload = memo((m, args), lambda: wm(
+                        width=args[0], height=args[1], duration_ms=args[2]))
                 else:
-                    payload = ww(
-                        width=100 + d % 540,
-                        height=80 + d % 300,
-                        duration_ms=400 + d % 1600,
-                    )
+                    args = (100 + d % 540, 80 + d % 300, 400 + d % 1600)
+                    payload = memo((m, args), lambda: ww(
+                        width=args[0], height=args[1], duration_ms=args[2]))
                 rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
@@ -1098,19 +1191,21 @@ def attach_container_audio_column(
     def batches_fn(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
+        memo = _task_memo(cap=8192)
         for pdf in batches:
             rows = []
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 ch = 1 + (d % 4) // 2
+                # payload is a pure function of the writer args: memo
                 if d % 2 == 0:
-                    payload = wo(
-                        duration_ms=300 + d % 1700, channels=ch
-                    )
+                    dur = 300 + d % 1700
+                    payload = memo((0, dur, ch), lambda: wo(
+                        duration_ms=dur, channels=ch))
                 else:
-                    payload = wa(
-                        n_frames=3 + d % 16, rate=44100, channels=ch
-                    )
+                    n = 3 + d % 16
+                    payload = memo((1, n, ch), lambda: wa(
+                        n_frames=n, rate=44100, channels=ch))
                 rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 

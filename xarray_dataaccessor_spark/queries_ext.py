@@ -1311,9 +1311,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df,
         rrf_fuse,
     )
-    from xarray_dataaccessor_spark.operators.text import word_counts
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bq = queries_df(
         spark,
         {0: "hash join", 1: "window order sort", 2: "customer query fast"},
@@ -1322,8 +1320,15 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches recompute them CONCURRENTLY rather than through a cache
     # barrier (memory: spark-plan-quirks #3 — caching the tiny lists
     # serialized the DAG and cost more than the duplicate scan at this
-    # scale; at 100 TB, materialize the lists to parquet instead)
-    bm = bm25_topk(word_counts(docs), bq, k=5)
+    # scale; at 100 TB, materialize the lists to parquet instead).
+    # The postings come from the SHARED per-document word counts (the
+    # r12 landed-fixture discipline): identical rows to
+    # word_counts(documents) by construction, so when the bench lands
+    # the count table the corpus text is not re-tokenized here — and
+    # outside the bench the in-plan fallback is exactly the old plan.
+    from xarray_dataaccessor_spark.queries import _corpus_word_counts
+
+    bm = bm25_topk(_corpus_word_counts(spark, sf_dir), bq, k=5)
     bm25 = bm.select(
         F.lit("bm25").alias("variant"),
         "query_id",
@@ -1725,6 +1730,11 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
         train_limit=max(256, 4 * k_sem), centroids=cent, assign="coarse",
     )
+    # sd feeds BOTH variant branches (semdedup + semcoarse) — uncached,
+    # the two-level Arrow assignment and the per-cluster witness pass
+    # execute twice per invocation. It is corpus-sized narrow rows;
+    # cache it (guide §2.4: one materialization, two consumers).
+    sd = sd.cache()
     sem = sd.select(
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("id_a"),
@@ -1755,7 +1765,7 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tag_caches(
-        pairs.unionByName(sem).unionByName(semc), corpus, cent,
+        pairs.unionByName(sem).unionByName(semc), corpus, cent, sd,
         *get_tagged_caches(cent),
         *get_tagged_caches(nd), *get_tagged_caches(sd),
     )
@@ -3700,6 +3710,12 @@ def quality_classifier_distill_query(spark: SparkSession, sf_dir: str) -> DataFr
         None, labels, n_buckets=32, epochs=2, lr=4.0, extra_features=sig,
         word_counts=wc,
     )
+    # the scored table feeds BOTH the held-out AUC branch (a broadcast
+    # job of its own) and the output join — uncached, the full epoch
+    # chain + corpus score pass executed twice per invocation. It is
+    # doc-sized (id, score, keep), so cache it (guide §2.4: one
+    # materialization, two consumers).
+    clf = clf.cache()
     # held-out rank-sum AUC (Mann-Whitney with ties as half-wins),
     # integer-exact until the final division: group eval scores by
     # value, one ordered prefix-sum over the <= |distinct 6-decimal
@@ -3739,7 +3755,7 @@ def quality_classifier_distill_query(spark: SparkSession, sf_dir: str) -> DataFr
             "eval_auc", "eval_pos", "eval_neg",
         )
     )
-    return tag_caches(out, wc, bc, base, *get_tagged_caches(clf))
+    return tag_caches(out, wc, bc, base, clf, *get_tagged_caches(clf))
 
 
 @query(
