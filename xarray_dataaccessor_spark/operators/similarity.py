@@ -1262,13 +1262,33 @@ def pq_ann(
         .agg(F.sum(F.col("d").cast("decimal(28,14)")).cast("double").alias("adist"))
     )
     w_a = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    # the shortlist feeds TWO consumers below (the candidate-id semi-join
+    # and the re-rank join) — lazy-checkpoint it so the whole ADC
+    # pipeline (normalize + encode + LUT join + decimal aggregate +
+    # window) materializes once; it is refine*k rows per query.
     short = (
         adist.withColumn("__rk", F.row_number().over(w_a))
         .filter(F.col("__rk") <= refine * k)
         .select("query_id", "neighbor_id")
-    )
+    ).localCheckpoint(eager=False)
+    # the exact re-rank touches only the shortlist — normalize JUST the
+    # candidate vectors instead of re-running the corpus-wide
+    # normalization pass a third time (training sample + encode already
+    # pay it). Per-row normalization is deterministic, so restricting
+    # the row set is bit-identical; at 100 TB the re-rank side shrinks
+    # from a corpus scan to refine*k rows per query (guide §8: heavy
+    # bytes move once the shortlist is known).
+    cand_ids = short.select("neighbor_id").distinct()
+    if execution == "grouped":
+        cand_n = _normalize_arrow(
+            cn0.join(cand_ids, "neighbor_id"), "neighbor_id", "ce", dims
+        )
+    else:
+        cand_n = cn0.join(cand_ids, "neighbor_id").withColumn(
+            "ce", F.transform("ce", lambda x: x / norm(F.col("ce"), dims))
+        )
     rescored = (
-        short.join(cn, "neighbor_id")
+        short.join(cand_n, "neighbor_id")
         .join(F.broadcast(qn), "query_id")
         .withColumn("cos", dot(F.col("qe"), F.col("ce"), dims))
     )

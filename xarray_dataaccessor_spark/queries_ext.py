@@ -4373,6 +4373,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = b1.unionByName(b2).unionByName(b3).unionByName(b4)
     fps = docs.select("doc_id", portable_hash64(F.col("text")).alias("fp"))
+    # NOT cached although prior_sig consumes it twice inside
+    # incremental_dedup_frames: an interleaved A/B (BENCH_AB_r13_wave3)
+    # measured the cache barrier LOSING to the concurrent recompute of
+    # the two union branches (+10 % over the untouched control) — the
+    # same boundary r12 measured for rollup_revenue's cents. In
+    # production this frame is a parquet scan (persist_dedup_state).
     sigs = minhash_signatures(word_shingles(docs), num_perm=16)
     return incremental_dedup_frames(
         batch, fps, sigs, num_perm=16, rows_per_band=2, threshold=0.5
