@@ -1730,11 +1730,17 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.95, n_clusters=k_sem, n_iters=2, dims=64,
         train_limit=max(256, 4 * k_sem), centroids=cent, assign="coarse",
     )
-    # sd feeds BOTH variant branches (semdedup + semcoarse) — uncached,
-    # the two-level Arrow assignment and the per-cluster witness pass
-    # execute twice per invocation. It is corpus-sized narrow rows;
-    # cache it (guide §2.4: one materialization, two consumers).
-    sd = sd.cache()
+    # sd feeds BOTH variant branches (semdedup + semcoarse); a
+    # `sd.cache()` was tried in r13 (one materialization, two consumers)
+    # and REVERTED after re-adjudication: the wave-2 interleaved A/B
+    # measured it −10.7 %, but the isolated 5-rep paired A/B vs the
+    # pre-cache commit measured paired head/prev ratios
+    # [2.46, 1.00, 2.26, 0.68, 1.14] (geomean ~1.36 — a loss) and the
+    # final canary pairs were inconclusive. Same boundary as
+    # rollup_revenue's `cents` and dedup_incremental's signature state:
+    # the cache barrier serializes branches that otherwise recompute
+    # concurrently, and the recomputed subtree (two-level Arrow assign)
+    # is cheap relative to the lost overlap at this scale.
     sem = sd.select(
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("id_a"),
@@ -1765,7 +1771,7 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tag_caches(
-        pairs.unionByName(sem).unionByName(semc), corpus, cent, sd,
+        pairs.unionByName(sem).unionByName(semc), corpus, cent,
         *get_tagged_caches(cent),
         *get_tagged_caches(nd), *get_tagged_caches(sd),
     )
