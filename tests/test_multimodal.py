@@ -218,3 +218,34 @@ def test_probe_videos(spark):
     assert out[4]["fmt"] == "webm" and out[4]["codec"] == "V_AV1"
     assert (out[4]["width"], out[4]["height"]) == (480, 270)
     assert out[4]["duration_ms"] == 900
+
+
+def test_fused_attach_probe_matches_chained_and_is_one_python_stage(spark):
+    """r14 (VERDICT r13 #7): composing attach+probe inside one
+    mapInPandas must be row-identical to the chained two-node form and
+    must collapse the branch to exactly ONE Python stage (the payload
+    bytes no longer cross the JVM boundary between the two functions)."""
+    import re
+
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        attach_mp3_column,
+        audio_probe,
+        fused_attach_probe,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    chained = audio_probe(attach_mp3_column(docs))
+    fused = fused_attach_probe(
+        docs,
+        attach_mp3_column(None, _fn_only=True),
+        audio_probe(None, _fn_only=True),
+    )
+    a = sorted(map(tuple, chained.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
+    from xarray_dataaccessor_spark.plans.explain import plan_string
+
+    plan = plan_string(fused)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    chained_plan = plan_string(chained)
+    assert len(re.findall(r"\(\d+\) MapInPandas", chained_plan)) == 2

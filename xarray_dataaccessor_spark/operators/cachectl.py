@@ -93,3 +93,58 @@ def registered_cache_names() -> tuple[str, ...]:
     """Names with live registrations — the audit surface for a
     long-lived session ('what did I forget to release?')."""
     return tuple(sorted(_SESSION_CACHES))
+
+
+# ---------------------------------------------------------------------------
+# localCheckpoint lifecycle (round 14 — VERDICT r13 #5)
+# ---------------------------------------------------------------------------
+#: ``spark.catalog.clearCache()`` (the bench's between-slot teardown)
+#: only clears SQL-cached relations; the RDD blocks a ``localCheckpoint``
+#: pins in executor storage stay until the driver GCs the DataFrame and
+#: the ContextCleaner gets around to them. In a 50-slot single-JVM bench
+#: that is storage pressure bleeding into later slots. Operators create
+#: their plan-truncation checkpoints through
+#: :func:`tracked_local_checkpoint`, and ``configure_session`` (the first
+#: statement of every query body) drains the registry — by then the
+#: previous slot's plans are dead, so their blocks are safe to drop.
+_SESSION_CHECKPOINTS: list[DataFrame] = []
+
+
+def tracked_local_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + registration for deferred release.
+
+    CAUTION: a locally-checkpointed frame has NO lineage — once released
+    it cannot be recomputed. Only register checkpoints whose consuming
+    plans die with the slot (the operator-internal plan truncations);
+    session-lived fixtures must keep using the untracked call."""
+    out = df.localCheckpoint(eager=eager)
+    _SESSION_CHECKPOINTS.append(out)
+    return out
+
+
+def release_checkpoints(blocking: bool = False) -> int:
+    """Unpersist the RDD blocks behind every tracked checkpoint and empty
+    the registry. Returns the number of frames released. Safe on
+    never-materialized (lazy) checkpoints — unpersist is then a no-op."""
+    global _SESSION_CHECKPOINTS
+    frames, _SESSION_CHECKPOINTS = _SESSION_CHECKPOINTS, []
+    released = 0
+    for df in frames:
+        try:
+            # Dataset.localCheckpoint returns a plan that IS a LogicalRDD
+            # holding the persisted RDD; DataFrame.unpersist only talks
+            # to the SQL cache manager, so reach the RDD directly.
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(blocking)
+                released += 1
+        except Exception:
+            # a dead JVM / already-collected RDD is not worth failing
+            # the NEXT slot over
+            pass
+    return released
+
+
+def tracked_checkpoint_count() -> int:
+    """Live (not yet released) tracked checkpoints — test/audit surface."""
+    return len(_SESSION_CHECKPOINTS)

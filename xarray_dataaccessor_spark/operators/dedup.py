@@ -283,6 +283,15 @@ def minhash_near_duplicates(
 # and keeps exponent 0.86 where exact Jaccard goes 2.65.
 PAIR_GUARD_DEFAULT = 100_000_000
 
+#: Exact-candidate-count threshold above which the prefix-filter path
+#: replaces the full inverted-index self-join (and below which the full
+#: join is measurably cheaper — the prefix's extra rank window +
+#: verification joins cost more than the quadratic term they prune on
+#: small corpora; interleaved A/B r14 wave 1: +43 % at sf0.1's ~1e5
+#: candidates). ~2e7 join rows is where the quadratic stage starts to
+#: dominate those two linear passes on any plausible hardware.
+PREFIX_MIN_CANDIDATES = 20_000_000
+
 
 def _candidate_pair_count(occ: DataFrame, *keys: str) -> int:
     """EXACT candidate-pair count of the equi-self-join on ``keys``:
@@ -405,25 +414,105 @@ def jaccard_pairs(
             )
     from xarray_dataaccessor_spark.operators.cachectl import tag_caches
 
-    out = _pairs_from_occurrences(occ, id_col, threshold)
+    # Prefix-filter routing (r14, VERDICT r13 #8): the prefix path cuts
+    # the quadratic candidate join ~(1-t)^2 (~6x at t=0.6) but costs
+    # two extra linear passes (the per-doc rank window + the candidate
+    # verification joins). Measured at sf0.1 the overhead LOSES (+43 %
+    # interleaved A/B vs ±30 % controls, BENCH_AB_r14_wave1.json), so
+    # the route is gated on the EXACT candidate count the explosion
+    # guard already computed: below PREFIX_MIN_CANDIDATES the quadratic
+    # term is cheaper than the extra passes; above it the pruning
+    # dominates (that is also the regime the 1e8 guard polices).
+    use_prefix = (
+        max_candidate_pairs is not None
+        and n_pairs >= PREFIX_MIN_CANDIDATES
+    )
+    if use_prefix:
+        # prefix safety gate: the prefix lemma is proved for SETS of
+        # shingle hashes per document. word_shingles dedupes shingle
+        # STRINGS per doc, so a duplicate (id, h) row requires an
+        # intra-document 32-bit hash collision (~1e-5 per doc) — the
+        # correctness gate is absolute, so one cheap aggregate over the
+        # already-cached table checks and falls back to the full join
+        # in the freak case instead of risking a missed pair.
+        max_mult = (
+            occ.groupBy(F.col(id_col), F.col("h"))
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .agg(F.max("__m").alias("__mx"))
+            .collect()[0]["__mx"]
+        )
+        use_prefix = (max_mult or 0) <= 1
+    out = _pairs_from_occurrences(occ, id_col, threshold, use_prefix=use_prefix)
     return tag_caches(out, *([sh] if occ is sh else [sh, occ]))
 
 
-def _pairs_from_occurrences(occ, id_col, threshold):
+def _pairs_from_occurrences(occ, id_col, threshold, use_prefix=False):
     """The inverted-index pair join over a (id, shingle-hash) table:
     intersection counted per pair via the equi-self-join on the hash,
-    |A|,|B| joined back, Jaccard filtered at ``threshold``."""
+    |A|,|B| joined back, Jaccard filtered at ``threshold``.
+
+    ``use_prefix`` (r14, VERDICT r13 #8 — guide §3/§8) prunes the
+    quadratic candidate join with the standard prefix filter (Chaudhuri
+    et al., SSJoin): under ANY global total order on shingle hashes, a
+    pair with Jaccard >= t shares at least ceil(t*|S|) shingles with
+    each member, so each document's first ``|S| - ceil(t*|S|) + 1``
+    shingles (ascending hash) suffice for CANDIDATE generation — at
+    t=0.6 the exploded join input drops to ~40% per side (~16% of the
+    join rows). Candidates are then verified with the TRUE intersection
+    count over the full shingle sets, so the emitted pair set (and the
+    Jaccard values) are exactly the full join's. Requires (id, h) to be
+    duplicate-free (the lemma is for sets) — the caller checks and
+    passes ``use_prefix=False`` otherwise. The epsilon in the prefix
+    bound guards the float ``ceil`` from rounding UP past the exact
+    integer (a too-long prefix only over-covers; a too-short one could
+    miss a pair)."""
     sizes = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = occ.alias("a")
-    b = occ.alias("b")
-    common = (
-        a.join(b, on="h")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    if use_prefix:
+        from pyspark.sql.window import Window
+
+        wid = Window.partitionBy(id_col).orderBy("h")
+        plen = (
+            F.col("__sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("__sz") - F.lit(1e-9))
+            + 1
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        ranked = occ.select(
+            F.col(id_col),
+            F.col("h"),
+            F.row_number().over(wid).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__sz"),
+        )
+        pref = ranked.filter(F.col("__rn") <= plen).select(id_col, "h")
+        pa, pb = pref.alias("a"), pref.alias("b")
+        cand = (
+            pa.join(pb, on="h")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        oa = occ.select(F.col(id_col).alias("id_a"), "h")
+        ob = occ.select(F.col(id_col).alias("id_b"), "h")
+        common = (
+            cand.join(oa, "id_a")
+            .join(ob, ["id_b", "h"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = occ.alias("a")
+        b = occ.alias("b")
+        common = (
+            a.join(b, on="h")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("n_common").cast("double") / (

@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xarray_dataaccessor_spark.operators.cachectl import (
+    tracked_local_checkpoint as _ckpt,
+)
+
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
@@ -165,7 +169,7 @@ def connected_components(
     sym = _symmetrize(edges, src, dst)
     # lazy checkpoint: the signature aggregate materializes it in the
     # same job (eager=True would spend a separate job per round)
-    e = sym.distinct().localCheckpoint(eager=False)
+    e = sym.distinct().transform(_ckpt)
     prev_sig = _signature(e)
     # derive the node set from the CHECKPOINTED edges — reading it off
     # `sym` would re-run the whole upstream pair pipeline a second time
@@ -185,7 +189,7 @@ def connected_components(
             # reference would re-run the single-task union-find plus its
             # repartition(1) exchange (plan-shaped cost, the data is
             # tiny). One materialization, every consumer reads blocks.
-            labels = _endgame_cc(e).localCheckpoint(eager=False)
+            labels = _endgame_cc(e).transform(_ckpt)
             # nodes the contracted edge set no longer mentions are roots
             roots = nodes.join(
                 labels.select(F.col("node").alias("u")), "u", "left_anti"
@@ -195,7 +199,7 @@ def connected_components(
         # small_star's) is directed toward the minimum, so re-symmetrize
         # on entry to each round.
         both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        e = small_star(large_star(both)).localCheckpoint(eager=False)
+        e = small_star(large_star(both)).transform(_ckpt)
         sig = _signature(e)
         if sig == prev_sig:
             break
@@ -267,9 +271,20 @@ def pagerank(
     # linear), each rank table here has exactly one consumer — the next
     # iteration — so the lazy plan nests linearly on its own, and cache
     # barriers would only serialize the DAG (memory: spark-plan-quirks
-    # #3). The edge list is the caller's to cache/checkpoint.
-    sym = _symmetrize(edges, src, dst).distinct()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    # #3).
+    #
+    # Plan-size cap (r14, VERDICT r13 #4): ``sym`` and ``deg`` are each
+    # referenced once per iteration (plus the rank seed), and every
+    # reference used to re-expand the caller's ENTIRE upstream pair
+    # pipeline into the logical plan — ~45 copies of the MinHash subtree
+    # and 959 Exchange nodes in the dedup_duplicate_clusters physical
+    # plan, i.e. seconds of Catalyst/codegen work per run that grows
+    # with n_iters. Lazily checkpointing both truncates every reference
+    # to a LogicalRDD scan; values are unchanged (checkpointing is not a
+    # transformation) and the blocks are released at the next slot
+    # boundary via cachectl.
+    sym = _symmetrize(edges, src, dst).distinct().transform(_ckpt)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).transform(_ckpt)
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         "u", F.round(F.lit(1.0) / F.col("n"), 6).alias("r")
@@ -440,7 +455,7 @@ def subtree_sizes(
         F.col(node_col).alias("c"), F.col(parent_col).alias("p")
     ]
     pr = parents.select(*sel).filter(F.col("c") != F.col("p")).distinct(
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     if small_edge_threshold and pr.count() <= small_edge_threshold:
         out = _endgame_subtree_sizes(pr, grouped)
         return out.withColumnRenamed("g", group_col) if grouped else out
@@ -457,7 +472,7 @@ def subtree_sizes(
         .withColumn(
             "deg", F.count(F.lit(1)).over(Window.partitionBy(*gcols, "v"))
         )
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     # successor of in-arc (u -> v): out-arc of v toward the neighbor
     # AFTER u in v's circular order. The root's wrap-around arc (the one
     # whose successor would be the root's pos-0 out-arc) is cut: NULL
@@ -501,7 +516,7 @@ def subtree_sizes(
             ).otherwise(F.col("w")).alias("ndst"),
             F.lit(1).cast("long").alias("d"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -545,7 +560,7 @@ def subtree_sizes(
                 F.col("bndst").alias("ndst"),
                 (F.col("a.d") + F.coalesce(F.col("bd"), F.lit(0))).alias("d"),
             )
-        ).localCheckpoint(eager=False)
+        ).transform(_ckpt)
         new_sig = _sig(nxt_t)
         cur = nxt_t
         if new_sig == sig:

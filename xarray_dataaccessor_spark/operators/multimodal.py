@@ -113,7 +113,8 @@ def attach_binary_column(
 
 
 def attach_media_column(
-    df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (8, 8)
+    df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (8, 8),
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach REAL image payloads built with the pure codecs so a DuckDB
     oracle can reproduce decoded statistics exactly. Codec rotates on
@@ -160,13 +161,14 @@ def attach_media_column(
                 rows.append({"doc_id": d, "payload": payload, "img_codec": codec})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary, img_codec string"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary, img_codec string"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary, img_codec string")
 
 
 def attach_webp_lossy_column(
-    df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (16, 32)
+    df: DataFrame, id_col: str = "doc_id", size: tuple[int, int] = (16, 32),
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach a REAL lossy-WebP (VP8 key frame) payload per document —
     SOLID gray ``(d*11) % 256`` at q_index 0, where the decode is
@@ -199,9 +201,9 @@ def attach_webp_lossy_column(
                 rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary")
 
 
 def attach_audio_column(
@@ -209,6 +211,7 @@ def attach_audio_column(
     id_col: str = "doc_id",
     n_samples: int = 256,
     sample_rate: int = 8000,
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach a REAL FLAC payload per document so a DuckDB oracle can
     reproduce decoded audio statistics exactly: mono int16 samples
@@ -240,9 +243,9 @@ def attach_audio_column(
                 rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary")
 
 
 def attach_tone_audio_column(
@@ -252,6 +255,7 @@ def attach_tone_audio_column(
     sample_rate: int = 8000,
     n_fft: int = 256,
     codec: str = "wav",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach an audio payload holding a PLANTED PURE TONE per document —
     the spectrogram fixture: ``s[k] = round(1000 * cos(2*pi*b*k/n_fft))``
@@ -294,14 +298,15 @@ def attach_tone_audio_column(
                 rows.append({"doc_id": d, "payload": memo(b, lambda: build(b))})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary")
 
 
 def attach_mp3_column(
     df: DataFrame,
     id_col: str = "doc_id",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach a syntactically valid MPEG-audio payload per document
     (``media.write_mp3_frames``) with SQL-derivable envelope metadata:
@@ -331,9 +336,9 @@ def attach_mp3_column(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary")
 
 
 def binary_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -452,6 +457,7 @@ def decode_image(
     payload_col: str = "payload",
     out_size: tuple[int, int] = (8, 8),
     codec: str = "fake",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Image decode + resize over mapInPandas.
 
@@ -509,6 +515,8 @@ def decode_image(
             yield pd.DataFrame(rows)
 
     schema = "doc_id bigint, height int, width int, mean_pixel double, pixels array<double>"
+    if _fn_only:
+        return batches_fn, schema
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
@@ -518,6 +526,7 @@ def resample_audio(
     rate: int = 16000,
     source_rate: int = 44100,
     codec: str = "fake",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Audio resample over mapInPandas.
 
@@ -585,6 +594,8 @@ def resample_audio(
             yield pd.DataFrame(rows)
 
     schema = "doc_id bigint, n_samples_in bigint, n_samples_out bigint, rms double"
+    if _fn_only:
+        return batches_fn, schema
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
@@ -690,6 +701,7 @@ def audio_spectrogram(
     n_bands: int = 8,
     source_rate: int = 16000,
     codec: str = "fake",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Log-magnitude spectrogram features over mapInPandas — the speech
     pre-processing step between decode and model input (the pipeline's
@@ -779,11 +791,14 @@ def audio_spectrogram(
         "doc_id bigint, sample_rate int, n_frames int, dominant_hz double, "
         "log_band_energy array<double>"
     )
+    if _fn_only:
+        return batches_fn, schema
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
 def image_channel_stats(
-    df: DataFrame, payload_col: str = "payload", codec: str = "fake"
+    df: DataFrame, payload_col: str = "payload", codec: str = "fake",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Per-channel image statistics WITHOUT the luma collapse — the
     color-aware sibling of :func:`decode_image` (a vision pipeline
@@ -841,12 +856,15 @@ def image_channel_stats(
         "doc_id bigint, height int, width int, n_channels int, "
         "channel_means array<double>, channel_stds array<double>"
     )
+    if _fn_only:
+        return batches_fn, schema
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
 def audio_probe(
     df: DataFrame,
     payload_col: str = "payload",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Audio metadata extraction over mapInPandas — the envelope a
     curation pipeline FILTERS on (duration, sample rate, channel count,
@@ -946,6 +964,8 @@ def audio_probe(
         "doc_id bigint, fmt string, sample_rate int, channels int, "
         "duration_ms bigint, bitrate_kbps double, vbr boolean"
     )
+    if _fn_only:
+        return batches_fn, schema
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
@@ -991,6 +1011,7 @@ def probe_images(
 def probe_videos(
     df: DataFrame,
     payload_col: str = "payload",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Video metadata extraction over mapInPandas — the envelope a
     curation pipeline filters on without touching sample data:
@@ -1101,12 +1122,15 @@ def probe_videos(
         "profile_idc int, level_idc int, n_pictures int, duration_ms bigint, "
         "n_i_slices int, entropy_coding string"
     )
+    if _fn_only:
+        return batches_fn, schema
     return df.select("doc_id", payload_col).mapInPandas(batches_fn, schema)
 
 
 def attach_video_column(
     df: DataFrame,
     id_col: str = "doc_id",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach a deterministic VIDEO container payload per document —
     format rotates by ``d % 3`` with SQL-derivable envelope metadata
@@ -1159,14 +1183,15 @@ def attach_video_column(
                 rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary")
 
 
 def attach_container_audio_column(
     df: DataFrame,
     id_col: str = "doc_id",
+    _fn_only: bool = False,
 ) -> DataFrame:
     """Attach a deterministic CONTAINERIZED audio payload per document —
     the two envelope formats :func:`audio_probe` dispatches beyond
@@ -1209,6 +1234,34 @@ def attach_container_audio_column(
                 rows.append({"doc_id": d, "payload": payload})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
-        batches_fn, "doc_id bigint, payload binary"
-    )
+    if _fn_only:
+        return batches_fn, "doc_id bigint, payload binary"
+    return df.select(id_col).mapInPandas(batches_fn, "doc_id bigint, payload binary")
+
+def fused_attach_probe(
+    df: DataFrame,
+    attach,
+    probe,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compose an attach builder with its probe/decode builder inside ONE
+    ``mapInPandas`` pass (guide §4.1/§4.2 — r14, VERDICT r13 #7).
+
+    ``attach`` / ``probe`` are the ``(batches_fn, out_schema)`` pairs the
+    builders return with ``_fn_only=True``. Chained as two mapInPandas
+    nodes, each branch ships its payload bytes across the Python→JVM→
+    Python boundary twice (Arrow transpose + serialization both ways)
+    purely to hand them to the next Python function; composed at the
+    ITERATOR level the payload never leaves the Python worker — the task
+    reads only ``doc_id`` and emits only the probe's small feature rows.
+    Both functions are per-row pure (per-task memos included), so batch
+    boundaries cannot change values and the output is row-identical to
+    the chained form.
+    """
+    attach_fn, _ = attach
+    probe_fn, probe_schema = probe
+
+    def fused(batches):
+        yield from probe_fn(attach_fn(batches))
+
+    return df.select(id_col).mapInPandas(fused, probe_schema)

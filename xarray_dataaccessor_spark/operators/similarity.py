@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from xarray_dataaccessor_spark.operators.cachectl import (
+    tracked_local_checkpoint as _ckpt,
+)
+
 # deterministic hyperplane weights: w(plane, dim) in [-1, 1), integer LCG
 # so Spark and any SQL oracle regenerate identical doubles
 _LCG_A = 1103515245
@@ -1270,7 +1274,7 @@ def pq_ann(
         adist.withColumn("__rk", F.row_number().over(w_a))
         .filter(F.col("__rk") <= refine * k)
         .select("query_id", "neighbor_id")
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     # the exact re-rank touches only the shortlist — normalize JUST the
     # candidate vectors instead of re-running the corpus-wide
     # normalization pass a third time (training sample + encode already

@@ -38,6 +38,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from xarray_dataaccessor_spark.operators.cachectl import (
+    tracked_local_checkpoint as _ckpt,
+)
+
 RESAMPLING_KERNELS = (
     "nearest",
     "bilinear",
@@ -562,7 +566,7 @@ def raster_pyramid(
             # executed plan: 3 scans / 6 exchanges for 3 levels). The
             # lazy local checkpoint makes it 1 scan + 1 geometric shuffle
             # per level — same pattern as graph.connected_components.
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         scale = float(2**lvl)
         # block of 2^lvl cells starting at b*2^lvl: center in cell units
@@ -1444,7 +1448,7 @@ def watershed_labels(
         F.col(y_col).alias("__y"),
         F.coalesce(F.col("flow_to_x"), F.col(x_col)).alias("__nx"),
         F.coalesce(F.col("flow_to_y"), F.col(y_col)).alias("__ny"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     sig = _sig(cur)
     for _ in range(max_iters):
         nxt = cur.alias("a").join(
@@ -1459,7 +1463,7 @@ def watershed_labels(
             F.col("a.__y").alias("__y"),
             F.coalesce(F.col("b.__nx"), F.col("a.__nx")).alias("__nx"),
             F.coalesce(F.col("b.__ny"), F.col("a.__ny")).alias("__ny"),
-        ).localCheckpoint(eager=False)
+        ).transform(_ckpt)
         new_sig = _sig(nxt)
         cur = nxt
         if new_sig == sig:

@@ -2013,30 +2013,51 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above it (guide §4.1: Spark cannot prune through an opaque
     # function), so each branch encodes only its own third with only
     # its own codec instead of paying all three encoders for every doc
-    # (measured: the netpbm decode branch alone dropped ~3x)
+    # (measured: the netpbm decode branch alone dropped ~3x).
+    #
+    # r14 (VERDICT r13 #7): every attach→probe branch is FUSED into one
+    # mapInPandas (``fused_attach_probe``) — the payload bytes used to
+    # cross the Python→JVM→Python boundary between the two nodes purely
+    # to be handed to the next Python function; fused, each task reads
+    # only doc_id and emits only the small feature rows. Row-identical
+    # (both functions are per-row pure), plan: 2 MapInPandas per branch
+    # → 1, and the Arrow payload serialization disappears.
+    from xarray_dataaccessor_spark.operators.multimodal import (
+        fused_attach_probe,
+    )
+
     decoded = None
     for i, codec in enumerate(("netpbm", "png", "jpeg")):
-        part = decode_image(
-            attach_media_column(docs.filter(F.col("doc_id") % 3 == i)),
-            codec=codec,
+        part = fused_attach_probe(
+            docs.filter(F.col("doc_id") % 3 == i),
+            attach_media_column(None, _fn_only=True),
+            decode_image(None, codec=codec, _fn_only=True),
         ).select("doc_id", "mean_pixel").withColumn("img_codec", F.lit(codec))
         decoded = part if decoded is None else decoded.unionByName(part)
-    audio = resample_audio(
-        attach_audio_column(docs), rate=4000, codec="flac"
+    audio = fused_attach_probe(
+        docs,
+        attach_audio_column(None, _fn_only=True),
+        resample_audio(None, rate=4000, codec="flac", _fn_only=True),
     ).select(
         "doc_id",
         F.col("n_samples_in").alias("audio_n_in"),
         F.col("n_samples_out").alias("audio_n_out"),
         F.col("rms").alias("audio_rms"),
     )
-    mp3 = audio_probe(attach_mp3_column(docs)).select(
+    mp3 = fused_attach_probe(
+        docs,
+        attach_mp3_column(None, _fn_only=True),
+        audio_probe(None, _fn_only=True),
+    ).select(
         "doc_id",
         F.col("duration_ms").alias("mp3_duration_ms"),
         F.col("bitrate_kbps").alias("mp3_kbps"),
         F.col("vbr").alias("mp3_vbr"),
     )
-    webp = image_channel_stats(
-        attach_webp_lossy_column(docs), codec="webp"
+    webp = fused_attach_probe(
+        docs,
+        attach_webp_lossy_column(None, _fn_only=True),
+        image_channel_stats(None, codec="webp", _fn_only=True),
     ).select(
         "doc_id",
         F.element_at("channel_means", 1).alias("webp_mean"),
@@ -2046,14 +2067,22 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 9: the VIDEO container probes (H.264 Annex B / MP4 avcC SPS
     # / WebM EBML) over deterministic fixture payloads — probe output
     # vs the generation rule, the mp3-envelope discipline
-    aud2 = audio_probe(attach_container_audio_column(docs)).select(
+    aud2 = fused_attach_probe(
+        docs,
+        attach_container_audio_column(None, _fn_only=True),
+        audio_probe(None, _fn_only=True),
+    ).select(
         "doc_id",
         F.col("fmt").alias("aud2_fmt"),
         F.col("sample_rate").alias("aud2_rate"),
         F.col("channels").alias("aud2_channels"),
         F.col("duration_ms").alias("aud2_duration_ms"),
     )
-    vid = probe_videos(attach_video_column(docs)).select(
+    vid = fused_attach_probe(
+        docs,
+        attach_video_column(None, _fn_only=True),
+        probe_videos(None, _fn_only=True),
+    ).select(
         "doc_id",
         F.col("fmt").alias("vid_fmt"),
         F.col("codec").alias("vid_codec"),
@@ -2073,8 +2102,10 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closed form b * rate / n_fft, so the Arrow-batched numpy FFT
     # pipeline's integer/rational outputs hash-verify; the log-band
     # energies stay pytest-evidenced (no SQL spelling of an FFT)
-    spect = audio_spectrogram(
-        attach_tone_audio_column(docs), codec="wav"
+    spect = fused_attach_probe(
+        docs,
+        attach_tone_audio_column(None, _fn_only=True),
+        audio_spectrogram(None, codec="wav", _fn_only=True),
     ).select(
         "doc_id",
         F.col("sample_rate").alias("spect_rate"),

