@@ -18,9 +18,36 @@ from xarray_dataaccessor_spark.streaming.stateful import (
     _FirstSeenTTLProcessor,
     _SessionTimerProcessor,
     dedup_first_seen_ttl,
+    drain_available_now,
     require_transform_with_state,
     sessionize_with_timers,
 )
+
+
+@pytest.fixture
+def rocksdb_state(spark):
+    """RocksDB state-store provider + few state partitions, RESTORED on
+    exit: the previous spelling set the provider on the shared session
+    and leaked it into every later streaming test, and ran each stateful
+    micro-batch with one RocksDB instance per session-default shuffle
+    partition (32 under the verify driver's core count) for a handful of
+    keys."""
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    sp_key = "spark.sql.shuffle.partitions"
+    prev_prov = spark.conf.get(prov_key, None)
+    prev_sp = spark.conf.get(sp_key)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(sp_key, "4")
+    yield
+    spark.conf.set(sp_key, prev_sp)
+    if prev_prov is None:
+        spark.conf.unset(prov_key)
+    else:
+        spark.conf.set(prov_key, prev_prov)
 
 _HAS_REAL_PROTOBUF = True
 try:
@@ -277,14 +304,9 @@ def test_first_seen_ttl_processor_first_wins():
 # ---------------------------------------------------------------------------
 
 
-def test_sessionize_with_timers_end_to_end(spark, tmp_path):
+def test_sessionize_with_timers_end_to_end(spark, rocksdb_state, tmp_path):
     import os
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     feed = str(tmp_path / "feed")
     os.makedirs(feed)
     sink = str(tmp_path / "out")
@@ -338,14 +360,9 @@ def test_sessionize_with_timers_end_to_end(spark, tmp_path):
     assert r1.n_events == 2 and abs(r1.total_amount - 12.0) < 1e-9
 
 
-def test_dedup_first_seen_ttl_end_to_end(spark, tmp_path):
+def test_dedup_first_seen_ttl_end_to_end(spark, rocksdb_state, tmp_path):
     import os
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     feed = str(tmp_path / "feed")
     os.makedirs(feed)
     sink = str(tmp_path / "out")
@@ -397,17 +414,18 @@ def test_dedup_first_seen_ttl_end_to_end(spark, tmp_path):
     assert sorted(got2["k"]) == ["a", "b", "c"]
 
 
-def test_dedup_ttl_expiry_reemits_end_to_end(spark, tmp_path):
+def test_dedup_ttl_expiry_reemits_end_to_end(spark, rocksdb_state, tmp_path):
     """Store-enforced TTL through a real state-server round trip: after
-    the retention lapses, the same key is eligible again."""
+    the retention lapses, the same key is eligible again.
+
+    Uses :func:`drain_available_now` because ``timeMode=
+    "processingtime"`` keeps an availableNow run alive with empty
+    cleanup batches forever — the bare ``awaitTermination(180)``
+    spelling burned its full bound twice (367 s, 28 % of the whole
+    suite)."""
     import os
     import time as _time
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     feed = str(tmp_path / "feed")
     os.makedirs(feed)
     sink = str(tmp_path / "out")
@@ -435,8 +453,7 @@ def test_dedup_ttl_expiry_reemits_end_to_end(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        q.stop()
+        drain_available_now(q, bound_s=180)
 
     write_batch("b1", [("a", 1.0), ("a", 2.0)])
     run()

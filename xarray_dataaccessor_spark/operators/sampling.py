@@ -321,6 +321,29 @@ def contamination_report(
     return _contamination_assemble(marked, id_col, k)
 
 
+def _longest_run(pos_col: Column) -> Column:
+    """Longest run of consecutive values in a sorted position array,
+    folded in one codegen array pass (no window, no explode)."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        pos_col,
+        F.struct(
+            F.lit(-2).cast("long").alias("prev"),
+            zero.alias("cur"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.cast("long").alias("prev"),
+            F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).cast("long").alias("cur"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).cast("long"),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
 def _contamination_assemble(marked: DataFrame, id_col: str, k: int) -> DataFrame:
     """Shared back half of the contamination reports: positional
     shingles tagged with a 0/1 ``__hit`` -> per-doc distinct counts +
@@ -338,25 +361,6 @@ def _contamination_assemble(marked: DataFrame, id_col: str, k: int) -> DataFrame
         F.sum("__hit").alias("n_overlap"),
         F.sort_array(F.flatten(F.collect_list("__mpos"))).alias("__pos"),
     )
-    # longest run of consecutive positions, folded in one array pass
-    zero = F.lit(0).cast("long")
-    run = F.aggregate(
-        F.col("__pos"),
-        F.struct(
-            F.lit(-2).cast("long").alias("prev"),
-            zero.alias("cur"),
-            zero.alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.cast("long").alias("prev"),
-            F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).cast("long").alias("cur"),
-            F.greatest(
-                acc.best,
-                F.when(x == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1)).cast("long"),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
     return (
         per_doc.filter(F.col("n_overlap") > 0)
         .select(
@@ -367,7 +371,7 @@ def _contamination_assemble(marked: DataFrame, id_col: str, k: int) -> DataFrame
                 F.col("n_overlap").cast("double")
                 / F.col("n_shingles").cast("double")
             ).alias("contamination"),
-            (run + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
+            (_longest_run(F.col("__pos")) + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
         )
     )
 

@@ -1121,6 +1121,15 @@ def ingest_datasources(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ts:
         t.join(600)
     if any(t.is_alive() for t in ts):
+        # stop the wedged queries before raising (VERDICT r13 #6): a
+        # thread stuck inside processAllAvailable never reaches its own
+        # finally-stop, and an abandoned polling stream would keep
+        # scheduling micro-batches under every later slot in the session
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
         raise TimeoutError(
             "tail stream lifecycle did not finish within 600s — "
             "environment overload or source hang, NOT an "

@@ -380,3 +380,53 @@ def dedup_first_seen_ttl(
         outputMode="append",
         timeMode="processingtime" if ttl_ms else "none",
     )
+
+
+def drain_available_now(query, bound_s: float = 120.0, poll_s: float = 0.25) -> None:
+    """Await an ``availableNow`` run of a ``timeMode="processingtime"``
+    operator until the source is drained, then stop it.
+
+    With processing-time TTL/timers the operator answers "another batch
+    may expire more state" after EVERY micro-batch, so an availableNow
+    query never terminates on its own: it drains the data, then keeps
+    scheduling empty "no new data but cleaning up state" batches until
+    something external stops it (measured: each bare
+    ``awaitTermination(bound)`` call burned its full bound — 2×180 s in
+    the TTL end-to-end test alone). Drainage is observable in the
+    progress stream: availableNow pins the offsets present at
+    ``start()``, so a completed batch with ``numInputRows == 0`` after
+    data has been seen (or two consecutive empty batches when the
+    source was empty) proves nothing is left to read. TTL eviction is
+    enforced by the state store on access, not by those idle cleanup
+    batches, so stopping there changes no result.
+
+    Raises :class:`TimeoutError` (named, per the repo's streaming-await
+    discipline) instead of hanging if the source does not drain within
+    ``bound_s``."""
+    import time as _time
+
+    deadline = _time.monotonic() + bound_s
+    saw_rows = False
+    empty_seen = 0
+    last_batch = None
+    while _time.monotonic() < deadline:
+        if query.awaitTermination(poll_s):
+            return  # self-terminated (timeMode without the TTL loop)
+        p = query.lastProgress
+        if not p or p.get("batchId") == last_batch:
+            continue
+        last_batch = p.get("batchId")
+        if p.get("numInputRows", 0) > 0:
+            saw_rows, empty_seen = True, 0
+        else:
+            empty_seen += 1
+        if (saw_rows and empty_seen >= 1) or empty_seen >= 2:
+            query.stop()
+            return
+    query.stop()
+    raise TimeoutError(
+        f"availableNow source did not drain within {bound_s}s — "
+        "environment overload or a wedged source, NOT the expected "
+        "processing-time cleanup loop (that loop reports empty batches, "
+        "which this helper detects and stops)"
+    )
