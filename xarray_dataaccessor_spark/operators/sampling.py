@@ -441,6 +441,138 @@ def contamination_report_bloom(
     return _contamination_assemble(marked, id_col, k)
 
 
+def contamination_report_dual(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Both contamination variants — ``'exact'``
+    (:func:`contamination_report`) and ``'bloom'``
+    (:func:`contamination_report_bloom`) — from ONE positional
+    shingling of the train corpus.
+
+    Row-for-row identical to the union of the two single-variant
+    reports (each tagged with a ``variant`` column), but the
+    CPU-dominant work runs once instead of twice: the train corpus is
+    split/shingled/hashed in one pass that carries BOTH hit markers
+    (the eval-hash-set equi-join and the map-side Bloom probe), both
+    aggregation levels fold the two markers side by side, and the two
+    variant rows unpivot out of the per-doc row at the end. The eval
+    side is shingled once and feeds both the distinct hash set and the
+    Bloom build. No cache, no barrier — the sharing is structural
+    (guide §1 remove passes / §8 don't do the same work twice)."""
+    from xarray_dataaccessor_spark.operators.dedup import (
+        spread_small_input,
+        word_shingles,
+    )
+    from xarray_dataaccessor_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains_sql,
+    )
+
+    eval_sh = word_shingles(eval_df, text_col, id_col, k).select(
+        F.col("shingle")
+    ).distinct()
+    words = bloom_build(eval_sh, "shingle", m_bits=m_bits, k=k_hashes)
+    eval_h = (
+        eval_sh.select(portable_hash32(F.col("shingle")).alias("h"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    train = spread_small_input(train)
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(ws, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    pos_sh = (
+        train.select(F.col(id_col), F.posexplode(shingles).alias("pos", "shingle"))
+        .filter(F.length("shingle") > 0)
+        .select(
+            id_col, "pos",
+            portable_hash32(F.col("shingle")).alias("h"),
+            portable_hash32(
+                F.concat(F.lit("b1:"), F.col("shingle"))
+            ).alias("__h1"),
+            portable_hash32(
+                F.concat(F.lit("b2:"), F.col("shingle"))
+            ).alias("__h2"),
+        )
+    )
+    probed = pos_sh.select(
+        id_col, "pos", "h",
+        F.expr(bloom_contains_sql("__h1", "__h2", words, k=k_hashes))
+        .cast("int")
+        .alias("__hit_b"),
+    )
+    marked = probed.join(eval_h, "h", "left").select(
+        id_col, "pos", "h",
+        F.coalesce(F.col("__m"), F.lit(0)).alias("__hit_e"),
+        "__hit_b",
+    )
+    per_shingle = marked.groupBy(id_col, "h").agg(
+        F.max("__hit_e").alias("__hit_e"),
+        F.max("__hit_b").alias("__hit_b"),
+        F.collect_list(
+            F.when(F.col("__hit_e") == 1, F.col("pos"))
+        ).alias("__pe"),
+        F.collect_list(
+            F.when(F.col("__hit_b") == 1, F.col("pos"))
+        ).alias("__pb"),
+    )
+    per_doc = per_shingle.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("__hit_e").alias("__ne"),
+        F.sum("__hit_b").alias("__nb"),
+        F.sort_array(F.flatten(F.collect_list("__pe"))).alias("__pose"),
+        F.sort_array(F.flatten(F.collect_list("__pb"))).alias("__posb"),
+    )
+    unpivoted = per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("variant"),
+                    F.col("__ne").alias("n_overlap"),
+                    F.col("__pose").alias("__pos"),
+                ),
+                F.struct(
+                    F.lit("bloom").alias("variant"),
+                    F.col("__nb").alias("n_overlap"),
+                    F.col("__posb").alias("__pos"),
+                ),
+            )
+        ).alias("__v"),
+    ).select(
+        F.col("__v.variant").alias("variant"),
+        F.col(id_col),
+        "n_shingles",
+        F.col("__v.n_overlap").alias("n_overlap"),
+        F.col("__v.__pos").alias("__pos"),
+    )
+    return unpivoted.filter(F.col("n_overlap") > 0).select(
+        "variant",
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        (
+            F.col("n_overlap").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
+        (_longest_run(F.col("__pos")) + F.lit(k - 1))
+        .cast("bigint")
+        .alias("max_span_tokens"),
+    )
+
+
 def contamination_spans(
     train: DataFrame,
     eval_df: DataFrame,

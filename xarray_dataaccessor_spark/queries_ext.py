@@ -3328,8 +3328,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exactly, false positives included."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
-        contamination_report,
-        contamination_report_bloom,
+        contamination_report_dual,
         deterministic_split,
     )
 
@@ -3337,15 +3336,14 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = deterministic_split(docs, "doc_id", eval_per_mille=50)
     train = split.filter(F.col("split") == "train").drop("split")
     eval_df = split.filter(F.col("split") == "eval").drop("split")
-    cols = ["doc_id", "n_shingles", "n_overlap", "contamination",
-            "max_span_tokens"]
-    exact = contamination_report(train, eval_df, "text", "doc_id", k=3).select(
-        F.lit("exact").alias("variant"), *cols
-    )
-    bloom = contamination_report_bloom(
+    # one fused train-corpus pass emitting both variant row sets —
+    # row-identical to exact.unionByName(bloom) of the single-variant
+    # reports, at half the shingling/hashing CPU and half the
+    # aggregation exchanges (the r13 verdict ruled out sharing via a
+    # cache barrier; this sharing is structural)
+    return contamination_report_dual(
         train, eval_df, "text", "doc_id", k=3, m_bits=65536, k_hashes=3
-    ).select(F.lit("bloom").alias("variant"), *cols)
-    return exact.unionByName(bloom)
+    )
 
 
 # ---------------------------------------------------------------------------
