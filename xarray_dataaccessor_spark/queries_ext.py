@@ -3313,19 +3313,19 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-gram hash set overlaps the eval set's — overlap count,
     shingle count, contamination fraction, and the LONGEST CONTIGUOUS
     contaminated span in tokens (benchmarks leak as passages, and span
-    length is the signal removal acts on). ``contamination_report``
-    fuses all four columns into ONE positional shingling of the train
-    corpus — one hash equi-join, one doc-key exchange, no cache — where
-    the naive overlap+span composition shingles the corpus twice.
+    length is the signal removal acts on).
 
-    ``'bloom'`` variant rows (round 8) run the SAME report with the
-    eval side compressed into a broadcast Bloom filter
-    (``contamination_report_bloom`` + ``operators/sketch.py``): the
-    train corpus probes 2 KB of literal filter words map-side instead
-    of joining the eval hash set — the 100 TB decontamination shape.
-    Every bit position is md5-derived integer arithmetic, so the
-    oracle rebuilds the identical filter in SQL and the reports match
-    hash-exactly, false positives included."""
+    Two variant row sets: ``'exact'`` marks hits by joining the eval
+    hash set; ``'bloom'`` (round 8) compresses the eval side into a
+    broadcast Bloom filter (``operators/sketch.py``) probed map-side —
+    the 100 TB decontamination shape. Every bit position is
+    md5-derived integer arithmetic, so the oracle rebuilds the
+    identical filter in SQL and the reports match hash-exactly, false
+    positives included. Since r14 both variants come from
+    ``contamination_report_dual``: ONE positional shingling of the
+    train corpus carries both hit markers through one aggregation
+    chain and unpivots the variant rows at the end — row-identical to
+    the old exact∪bloom union at half the corpus passes, no cache."""
     configure_session(spark)
     from xarray_dataaccessor_spark.operators.sampling import (
         contamination_report_dual,
